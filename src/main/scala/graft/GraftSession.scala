@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Session factory for the graft engine.
+ *
+ * Defaults are tuned for the test harness (local[32], 128 GiB) but every
+ * knob is chosen for cluster semantics: AQE handles runtime coalescing and
+ * skew joins, the broadcast threshold keeps dimension joins shuffle-free,
+ * and shuffle partitions scale with the session's core count rather than
+ * Spark's static 200 default.
+ */
+object GraftSession {
+
+  /** Build a local session; `cpus` drives parallelism-dependent confs. */
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cpus]"), cpus).appName(appName).getOrCreate()
+
+  /** Apply graft's conf set to any builder (cluster deploys reuse this). */
+  def tune(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", parallelism.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Read one of the warehouse tables under `sfDir` with its on-disk schema. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

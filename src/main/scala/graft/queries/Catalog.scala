@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The §2 query inventory: name → (spark, sfDir) → DataFrame, plus the
+  * DuckDB oracle SQL for every SQL-expressible entry. */
+object Catalog {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private def rel(f: Tables => DataFrame): QueryFn = (s, dir) => f(Tables(s, dir))
+
+  val relational: Map[String, QueryFn] = Map(
+    "q01_filter_project" -> rel(Relational.q01FilterProject),
+    "q02_agg"            -> rel(Relational.q02Agg),
+    "q03_join_agg"       -> rel(Relational.q03JoinAgg),
+    "q04_multijoin"      -> rel(Relational.q04Multijoin),
+    "q05_scan_agg"       -> rel(Relational.q05ScanAgg),
+    "q06_topk"           -> rel(Relational.q06Topk),
+    "q07_distinct"       -> rel(Relational.q07Distinct),
+    "q08_window"         -> rel(Relational.q08Window),
+    "q09_semijoin"       -> rel(Relational.q09Semijoin),
+    "q10_antijoin"       -> rel(Relational.q10Antijoin),
+    "q11_outer_join"     -> rel(Relational.q11OuterJoin),
+    "q12_set_ops"        -> rel(Relational.q12SetOps),
+    "q13_having"         -> rel(Relational.q13Having),
+    "q14_expr"           -> rel(Relational.q14Expr),
+    "q15_subquery"       -> rel(Relational.q15Subquery),
+    "q16_rollup"         -> rel(Relational.q16Rollup),
+    "q17_cte"            -> rel(Relational.q17Cte),
+    "q18_latest_per_key" -> rel(Relational.q18LatestPerKey)
+  )
+
+  def queries: Map[String, QueryFn] = relational
+
+  def oracleSql: Map[String, String] = RelationalOracle.sql
+}

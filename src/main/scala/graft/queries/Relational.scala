@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/**
+ * §2A — the relational query core: the "model" surface a syncmaven user
+ * writes SQL against (reference: packages/core/src/lib/sql.ts — models are
+ * single SELECTs over the warehouse). Re-expressed with the DataFrame API so
+ * Catalyst plans pushdown, pruning, broadcast and partial aggregation.
+ *
+ * Conventions shared with the DuckDB oracle (see Catalog.oracleSql):
+ *  - money math in DecimalType(18,2) (exact), final cast to double;
+ *  - computed integers cast to long;
+ *  - every result has a total deterministic ORDER BY.
+ */
+object Relational {
+
+  /** A1: filter + project; predicates and projection push into the scan. */
+  def q01FilterProject(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") > lit(0.05))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A2: TPC-H Q1-shape groupBy with multiple aggregates (partial-agg friendly). */
+  def q02Agg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        (money(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3: TPC-H Q3 shape — selective dims join fact, agg, top-10. */
+  def q03JoinAgg(t: Tables): DataFrame = {
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .join(t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(money(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** A4: TPC-H Q5 shape — 6-way join, dims broadcast, agg by nation. */
+  def q04Multijoin(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                            col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.customer),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name").isin("ASIA", "EUROPE"))),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(money(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  /** A5: TPC-H Q6 shape — selective scan, single aggregate row. */
+  def q05ScanAgg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(money(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** A6: global top-k — plans as TakeOrderedAndProject, not a full sort. */
+  def q06Topk(t: Tables): DataFrame =
+    t.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(15)
+
+  /** A7: distinct (shuffle on the distinct key set, partial aggregation). */
+  def q07Distinct(t: Tables): DataFrame =
+    t.orders.select("o_orderpriority", "o_orderstatus").distinct()
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** A8: window functions — row_number / lag / running sum per customer. */
+  def q08Window(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        money(sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** A9: semi join — customers that placed an urgent order (EXISTS). */
+  def q09Semijoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** A10: anti join — customers with no orders at all (NOT EXISTS). */
+  def q10Antijoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** A11: left outer join + null-safe aggregation. */
+  def q11OuterJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderstatus") === "O"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("open_orders"),
+           coalesce(money(sum(dec(col("o_totalprice")))), lit(0.0)).as("open_value"))
+      .orderBy("c_custkey")
+
+  /** A12: set operations — UNION (distinct) then EXCEPT. */
+  def q12SetOps(t: Tables): DataFrame = {
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = t.orders.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("c_custkey"))
+    val inactive = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti").select("c_custkey")
+    building.union(bigSpenders).distinct().except(inactive).orderBy("c_custkey")
+  }
+
+  /** A13: HAVING — post-aggregation filter stays after the partial agg. */
+  def q13Having(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           money(sum(dec(col("o_totalprice")))).as("total_spent"))
+      .filter(col("n_orders") >= 12 && col("total_spent") > 500000)
+      .orderBy("o_custkey")
+
+  /** A14: expression zoo — case/when, string, date and math functions. */
+  def q14Expr(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("band"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        money(abs(dec(col("o_totalprice")) - lit(100000).cast(Dec))).as("dist_from_100k"))
+      .orderBy("o_orderkey")
+
+  /** A15: correlated-subquery shape — parts pricier than their brand average.
+    * Expressed as an agg+join; `price * n > sum` avoids inexact division. */
+  def q15Subquery(t: Tables): DataFrame = {
+    val brandStats = t.part.groupBy(col("p_brand").as("b_brand"))
+      .agg(sum(dec(col("p_retailprice"))).as("brand_sum"), count(lit(1)).as("brand_n"))
+    t.part
+      .join(broadcast(brandStats), col("p_brand") === col("b_brand"))
+      .filter(dec(col("p_retailprice")) * col("brand_n") > col("brand_sum"))
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  /** A16: ROLLUP grouping sets with explicit null-first ordering. */
+  def q16Rollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** A17: CTE pipeline — monthly revenue, then month-over-month growth. */
+  def q17Cte(t: Tables): DataFrame = {
+    val monthly = t.orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy("month_start")
+    monthly
+      .select(col("month_start"), col("rev_dec"), lag(col("rev_dec"), 1).over(w).as("prev_dec"))
+      .filter(col("prev_dec").isNotNull && col("rev_dec") > col("prev_dec"))
+      .select(col("month_start"), money(col("rev_dec")).as("revenue"), money(col("prev_dec")).as("prev_revenue"))
+      .orderBy("month_start")
+  }
+
+  /** A18: latest-row-per-key — THE reverse-ETL dedup (one row per entity). */
+  def q18LatestPerKey(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+}

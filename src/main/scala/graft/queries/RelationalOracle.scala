@@ -1,0 +1,176 @@
+package graft.queries
+
+/** DuckDB oracle SQL for §2A. Mirrors Relational.* exactly: same aliases,
+  * same decimal-exact arithmetic, same final casts, same ORDER BY. */
+object RelationalOracle {
+  val sql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q04_multijoin" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q05_scan_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q06_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey ASC
+        |LIMIT 15""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q08_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_semijoin" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_antijoin" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_outer_join" ->
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS open_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS open_value
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+        |) u
+        |EXCEPT
+        |SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_having" ->
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) >= 12 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 500000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q14_expr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'medium'
+        |       ELSE 'large' END AS band,
+        |  UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_name,
+        |  o_orderstatus || '/' || o_orderpriority AS status_prio,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+        |  CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(100000 AS DECIMAL(18,2))) AS DOUBLE) AS dist_from_100k
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q15_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part
+        |JOIN (SELECT p_brand AS b_brand,
+        |             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS brand_sum,
+        |             COUNT(*) AS brand_n
+        |      FROM part GROUP BY p_brand) b ON p_brand = b_brand
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) * brand_n > brand_sum
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q17_cte" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1
+        |), with_prev AS (
+        |  SELECT month_start, rev_dec, LAG(rev_dec, 1) OVER (ORDER BY month_start) AS prev_dec
+        |  FROM monthly
+        |)
+        |SELECT month_start, CAST(rev_dec AS DOUBLE) AS revenue, CAST(prev_dec AS DOUBLE) AS prev_revenue
+        |FROM with_prev
+        |WHERE prev_dec IS NOT NULL AND rev_dec > prev_dec
+        |ORDER BY month_start""".stripMargin,
+
+    "q18_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) x WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin
+  )
+}
