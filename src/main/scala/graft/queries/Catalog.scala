@@ -30,7 +30,26 @@ object Catalog {
     "q18_latest_per_key" -> rel(Relational.q18LatestPerKey)
   )
 
-  def queries: Map[String, QueryFn] = relational
+  val reverseEtl: Map[String, QueryFn] = Map(
+    "q20_cursor_incremental" -> rel(ReverseEtl.q20CursorIncremental),
+    "q21_max_cursor"         -> rel(ReverseEtl.q21MaxCursor),
+    "q22_snapshot_diff"      -> rel(ReverseEtl.q22SnapshotDiff),
+    "q23_deleted_keys"       -> rel(ReverseEtl.q23DeletedKeys),
+    "q24_audience_hash"      -> rel(ReverseEtl.q24AudienceHash),
+    "q25_validate_split"     -> rel(ReverseEtl.q25ValidateSplit),
+    "q26_column_map"         -> rel(ReverseEtl.q26ColumnMap),
+    "q27_batcher"            -> rel(ReverseEtl.q27Batcher),
+    "q28_enrich"             -> rel(ReverseEtl.q28Enrich),
+    "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys)
+  )
 
-  def oracleSql: Map[String, String] = RelationalOracle.sql
+  val events: Map[String, QueryFn] = Map(
+    "q50_window_agg" -> rel(Events.q50WindowAgg),
+    "q51_sessionize" -> rel(Events.q51Sessionize)
+  )
+
+  def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ events
+
+  def oracleSql: Map[String, String] =
+    RelationalOracle.sql ++ ReverseEtlOracle.sql ++ EventsOracle.sql
 }

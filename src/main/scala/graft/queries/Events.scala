@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/**
+ * §2D (batch equivalents) — windowed aggregation and sessionization over the
+ * `events` table. The true Structured Streaming paths (readStream →
+ * watermark → window → sink, streaming dedup, stateful sessionize) live in
+ * graft.streaming.EventStreams; these batch twins compute identical answers
+ * so the DuckDB oracle can check the semantics.
+ *
+ * `events.ts` is parquet TIMESTAMP(NANOS); both engines see it as epoch
+ * nanoseconds (Spark via nanosAsLong, DuckDB via epoch_ns), so window and
+ * gap arithmetic is exact integer math — no cross-engine timestamp rounding.
+ */
+object Events {
+
+  private val WindowNs = 300L * 1000 * 1000 * 1000 // 5-minute tumbling window
+  private val GapNs = 1800L * 1000 * 1000 * 1000   // 30-minute session gap
+
+  /** D1: tumbling-window aggregation — 5-min windows × event_type. Maps 1:1
+    * onto `groupBy(window($"ts", "5 minutes"), $"event_type")` in the
+    * streaming path; partial aggregation keeps the shuffle tiny. */
+  def q50WindowAgg(t: Tables): DataFrame =
+    t.events
+      // integer `div`, not `/`: epoch nanos exceed double's 2^53 exactness
+      .groupBy((expr(s"ts div ${WindowNs}L") * WindowNs).as("window_start_ns"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("window_start_ns", "event_type")
+
+  /** D2: sessionization — 30-min-gap sessions per user via gaps-and-islands:
+    * a window-partitioned lag marks session starts, a running sum numbers
+    * them, then one aggregation per (user, session). Same answer as the
+    * flatMapGroupsWithState streaming sessionizer; all windows are
+    * partitioned by user_id (no global ordering at scale). */
+  def q51Sessionize(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    t.events
+      // microsecond precision: DuckDB stores TIMESTAMP(NANOS) as µs, so the
+      // cross-engine-comparable clock is `ts div 1000`
+      .withColumn("ts_us", expr("ts div 1000L"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapNs / 1000, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_us")).as("session_start_us"),
+           max(col("ts_us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+/** DuckDB oracle SQL for §2D batch equivalents. DuckDB reads events.ts as
+  * TIMESTAMP(NANOS); epoch_ns() recovers the same integers Spark sees via
+  * nanosAsLong. */
+object EventsOracle {
+  val sql: Map[String, String] = Map(
+    "q50_window_agg" ->
+      """SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ns, event_type""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, ts_us, event_id, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin
+  )
+}

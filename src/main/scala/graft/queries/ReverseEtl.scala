@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/**
+ * §2B — the reverse-ETL primitives: the reference's own data semantics
+ * (cursor-incremental reads, snapshot diff, audience hashing, validation,
+ * batching, upsert-key resolution) re-expressed as set-oriented Spark plans.
+ *
+ * Reference behaviors (studied, not ported):
+ *  - cursor sync: core/src/commands/sync.ts:553-605 — filter rows past the
+ *    persisted cursor, verify monotone order, track max(cursor).
+ *  - audience hash: connectors/facebook-ads/src/index.ts:86-118 —
+ *    sha256(lower(email)), 1000-row batches.
+ *  - diff vs last sync: the reference replays per-row keys from its KV
+ *    store; at scale that is a snapshot full-outer join + content compare.
+ *  - validation: core/src/lib/error-threshold.ts — per-row validity.
+ *  - upsert-key maps: connectors/intercom/src/index.ts:149-168 —
+ *    external-id → internal-id resolution decides create vs update.
+ *
+ * All arithmetic used in oracle-checked outputs is engine-portable
+ * (decimal-exact money, bigint counts, string ops with identical semantics
+ * in Spark and DuckDB).
+ */
+object ReverseEtl {
+
+  /** The cursor value a sync would have persisted from its previous run.
+    * Fixed here so the query is deterministic and oracle-checkable. */
+  val LastCursor = "1997-06-01"
+
+  /** B1: incremental read — rows strictly past the cursor, emitted in
+    * ascending cursor order (the reference asserts monotonicity on arrival;
+    * a sort on the cursor column IS that guarantee, done cluster-side). */
+  def q20CursorIncremental(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") > lit(LastCursor).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  /** B2: checkpoint value — max(cursor) + row count of the increment.
+    * A full agg, partial map-side; one row out regardless of input size. */
+  def q21MaxCursor(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") > lit(LastCursor).cast("timestamp"))
+      .agg(max(col("o_orderdate")).as("last_cursor"),
+           count(lit(1)).as("n_rows"))
+
+  // --- snapshot diff fixtures -----------------------------------------
+  // "Previous" and "current" sync snapshots derived deterministically from
+  // orders, so both engines can reconstruct them:
+  //  - prev: state as of 1997-07-01; orders after 1997-01-01 were still
+  //    open ('O') back then → those rows now differ (updates).
+  //  - curr: every 97th key has since been archived → deletes; rows after
+  //    the prev horizon are inserts.
+  private def prevSnapshot(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"), lit("O"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+
+  private def currSnapshot(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** B3: CDC snapshot diff — full-outer join prev vs curr on the key,
+    * classify insert/update/delete by null-safe content compare. At 100 TB
+    * both snapshots are bucketed by key → sort-merge join, no re-shuffle;
+    * unchanged rows (the vast majority) are dropped before any downstream
+    * work. */
+  def q22SnapshotDiff(t: Tables): DataFrame = {
+    val prev = prevSnapshot(t).select(
+      col("o_orderkey").as("p_key"), col("o_custkey").as("p_custkey"),
+      col("o_orderstatus").as("p_status"), col("o_totalprice").as("p_price"))
+    val curr = currSnapshot(t)
+    curr.join(prev, col("o_orderkey") === col("p_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("p_key")).as("key"),
+        when(col("p_key").isNull, "insert")
+          .when(col("o_orderkey").isNull, "delete")
+          .when(!(col("o_custkey") <=> col("p_custkey")) ||
+                !(col("o_orderstatus") <=> col("p_status")) ||
+                !(col("o_totalprice") <=> col("p_price")), "update")
+          .otherwise("unchanged").as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("key")
+  }
+
+  /** B4: deleted-keys detection — the audience-clearing primitive: keys in
+    * the previous snapshot absent from the current one (left anti join). */
+  def q23DeletedKeys(t: Tables): DataFrame =
+    prevSnapshot(t).select("o_orderkey")
+      .join(currSnapshot(t).select(col("o_orderkey").as("c_key")),
+            col("o_orderkey") === col("c_key"), "left_anti")
+      .orderBy("o_orderkey")
+
+  /** B5: audience hashing — fb/twitter custom-audience shape:
+    * sha256(lower(email)), email derived deterministically from c_name. */
+  def q24AudienceHash(t: Tables): DataFrame =
+    t.customer
+      .select(col("c_custkey"),
+        concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")).as("email"))
+      .select(col("c_custkey"), col("email"), sha2(col("email"), 256).as("hashed_email"))
+      .orderBy("c_custkey")
+
+  /** B6: row validation — schema/business rules evaluated per row, with a
+    * machine-readable reason; the 20%/100-row abort gate consumes the
+    * aggregated counts (see sync.ErrorThreshold). */
+  def q25ValidateSplit(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderkey"),
+        when(col("o_custkey").isNull, "missing_key")
+          .when(!col("o_orderstatus").isin("O", "F", "P"), "bad_status")
+          .when(col("o_totalprice") <= 0 || col("o_totalprice") > 300000, "price_range")
+          .otherwise(lit(null).cast("string")).as("reject_reason"))
+      .withColumn("is_valid", col("reject_reason").isNull)
+      .orderBy("o_orderkey")
+
+  /** B7: column mapping to a destination schema — rename, case-fold,
+    * type-coerce: the connector "column mapping" step as a pure projection
+    * (zero shuffle, fully codegen'd). */
+  def q26ColumnMap(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey").cast("string").as("external_id"),
+        lower(regexp_replace(col("c_name"), "#", "-")).as("display_name"),
+        money(dec(col("c_acctbal"))).as("balance"),
+        col("c_nationkey").cast("long").as("nation_id"),
+        lower(col("c_mktsegment")).as("segment"))
+      .orderBy("external_id")
+
+  /** B8: batch-id assignment — the fb 1000-row batch shape. Batches are
+    * per destination stream (here: order status), so the window is
+    * partitioned — no global ordering bottleneck at scale. */
+  def q27Batcher(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    t.orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        row_number().over(w).cast("long").as("rn"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ((col("rn") - 1) / 1000).cast("long").as("batch_id"),
+        ((col("rn") - 1) % 1000).cast("long").as("seq_in_batch"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** B9: enrichment — row → rows expansion (the reference calls a side
+    * service per row; set-side this is a join that multiplies matching
+    * rows and keeps non-matching input rows intact). */
+  def q28Enrich(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+              .select("o_custkey", "o_orderkey", "o_totalprice"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              money(dec(col("o_totalprice"))).as("order_value"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** B10: upsert-key resolution — join rows against the external→internal
+    * id map (the reference keeps this map in its KV store; at scale it is
+    * a broadcastable table). Unmapped rows are creates, mapped are
+    * updates. */
+  def q29UpsertKeys(t: Tables): DataFrame = {
+    val idMap = t.customer
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("m_external_id"),
+              ((col("c_custkey") * 2654435761L) % 1000000007L).as("internal_id"))
+    t.customer
+      .join(broadcast(idMap), col("c_custkey") === col("m_external_id"), "left_outer")
+      .select(col("c_custkey").as("external_id"), col("internal_id"),
+        when(col("internal_id").isNull, "create").otherwise("update").as("op"))
+      .orderBy("external_id")
+  }
+}

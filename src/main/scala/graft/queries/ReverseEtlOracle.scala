@@ -1,0 +1,109 @@
+package graft.queries
+
+/** DuckDB oracle SQL for §2B — mirrors ReverseEtl.* exactly (same derived
+  * snapshots, same aliases, same ordering). */
+object ReverseEtlOracle {
+  private val cursor = ReverseEtl.LastCursor
+
+  private val prevSnapshot =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'""".stripMargin
+
+  private val currSnapshot =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q20_cursor_incremental" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+         |FROM orders
+         |WHERE o_orderdate > TIMESTAMP '$cursor'
+         |ORDER BY o_orderdate ASC, o_orderkey ASC""".stripMargin,
+
+    "q21_max_cursor" ->
+      s"""SELECT max(o_orderdate) AS last_cursor, COUNT(*) AS n_rows
+         |FROM orders
+         |WHERE o_orderdate > TIMESTAMP '$cursor'""".stripMargin,
+
+    "q22_snapshot_diff" ->
+      s"""WITH prev AS ($prevSnapshot), curr AS ($currSnapshot)
+         |SELECT COALESCE(curr.o_orderkey, prev.o_orderkey) AS key,
+         |  CASE WHEN prev.o_orderkey IS NULL THEN 'insert'
+         |       WHEN curr.o_orderkey IS NULL THEN 'delete'
+         |       WHEN (curr.o_custkey IS DISTINCT FROM prev.o_custkey)
+         |         OR (curr.o_orderstatus IS DISTINCT FROM prev.o_orderstatus)
+         |         OR (curr.o_totalprice IS DISTINCT FROM prev.o_totalprice) THEN 'update'
+         |       ELSE 'unchanged' END AS change_type
+         |FROM curr FULL OUTER JOIN prev ON curr.o_orderkey = prev.o_orderkey
+         |WHERE CASE WHEN prev.o_orderkey IS NULL THEN 'insert'
+         |       WHEN curr.o_orderkey IS NULL THEN 'delete'
+         |       WHEN (curr.o_custkey IS DISTINCT FROM prev.o_custkey)
+         |         OR (curr.o_orderstatus IS DISTINCT FROM prev.o_orderstatus)
+         |         OR (curr.o_totalprice IS DISTINCT FROM prev.o_totalprice) THEN 'update'
+         |       ELSE 'unchanged' END <> 'unchanged'
+         |ORDER BY key""".stripMargin,
+
+    "q23_deleted_keys" ->
+      s"""WITH prev AS ($prevSnapshot), curr AS ($currSnapshot)
+         |SELECT prev.o_orderkey
+         |FROM prev WHERE NOT EXISTS (SELECT 1 FROM curr WHERE curr.o_orderkey = prev.o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q24_audience_hash" ->
+      """SELECT c_custkey, email, sha256(email) AS hashed_email
+        |FROM (SELECT c_custkey, lower(replace(c_name, '#', '.')) || '@example.com' AS email FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q25_validate_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey IS NULL THEN 'missing_key'
+        |       WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+        |       WHEN o_totalprice <= 0 OR o_totalprice > 300000 THEN 'price_range'
+        |       ELSE NULL END AS reject_reason,
+        |  (CASE WHEN o_custkey IS NULL THEN 'missing_key'
+        |       WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+        |       WHEN o_totalprice <= 0 OR o_totalprice > 300000 THEN 'price_range'
+        |       ELSE NULL END) IS NULL AS is_valid
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_column_map" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS external_id,
+        |  lower(replace(c_name, '#', '-')) AS display_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance,
+        |  CAST(c_nationkey AS BIGINT) AS nation_id,
+        |  lower(c_mktsegment) AS segment
+        |FROM customer
+        |ORDER BY external_id""".stripMargin,
+
+    "q27_batcher" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST((rn - 1) // 1000 AS BIGINT) AS batch_id,
+        |  CAST((rn - 1) % 1000 AS BIGINT) AS seq_in_batch
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+        |      FROM orders)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q28_enrich" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_value
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-01-01') o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q29_upsert_keys" ->
+      """SELECT c_custkey AS external_id, m.internal_id,
+        |  CASE WHEN m.internal_id IS NULL THEN 'create' ELSE 'update' END AS op
+        |FROM customer
+        |LEFT JOIN (SELECT c_custkey AS m_external_id,
+        |             (c_custkey * 2654435761) % 1000000007 AS internal_id
+        |           FROM customer WHERE c_custkey % 3 <> 0) m
+        |  ON c_custkey = m.m_external_id
+        |ORDER BY external_id""".stripMargin
+  )
+}
