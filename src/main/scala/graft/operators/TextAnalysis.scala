@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.tokens
+
+/**
+ * §2C text-analysis family — language ID, quality scoring, token counting,
+ * document fingerprinting. Pure per-row column expressions: zero shuffle,
+ * fully codegen'd, so at 100 TB these run at scan speed and pipeline into
+ * whatever filter/agg follows.
+ */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword heuristic. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "was", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "他", "这", "不", "人")
+  )
+
+  /** C8: language ID — frequency-weighted stopword-hit score per language,
+    * argmax wins (ties broken by profile order), floor of 0 hits → "und"
+    * (undetermined). A real system would add char n-gram profiles; the
+    * operator shape (score columns → greatest → case) is the same. */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val langs = StopwordProfiles.keys.toSeq.sorted
+    def score(lang: String): Column =
+      size(filter(toks, t => t.isInCollection(StopwordProfiles(lang)))).cast("long")
+    val scored = docs.select(
+      col(idCol) +: langs.map(l => score(l).as(s"score_$l")): _*)
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** C9 building block: quality features from portable string ops (replace/
+    * length only — semantics identical in Spark and DuckDB so the oracle
+    * can recompute them). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("long")
+    val nSpaces = (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
+    val nWords = nSpaces + 1
+    val alphaLen = len - nSpaces
+    val avgWordLen = alphaLen.cast("double") / nWords
+    val stopHits = ((length(text) - length(regexp_replace(text, "the", ""))) / 3 +
+                    (length(text) - length(regexp_replace(text, " a ", ""))) / 3).cast("long")
+    val stopRatio = stopHits.cast("double") / nWords
+    val score = least(lit(1.0), nWords.cast("double") / 100) * 0.5 +
+      least(lit(1.0), avgWordLen / 8) * 0.3 + least(lit(1.0), stopRatio * 5) * 0.2
+    Seq("n_chars_m" -> len, "n_words" -> nWords, "avg_word_len" -> avgWordLen,
+        "stopword_ratio" -> stopRatio, "quality_score" -> score)
+  }
+
+  /** C10 building block: token counts — whitespace tokens and a BPE-ish
+    * regex segmentation (letter runs / digit runs / single symbols). */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens"  -> size(split(text, " ")).cast("long"),
+    "bpe_tokens" -> size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+
+  /** C11: order-sensitive rolling-hash fingerprint over the token stream,
+    * in a 2^49-range prime field so the polynomial accumulation never
+    * overflows a long (ANSI-safe). Same text → same fingerprint; any
+    * reorder/edit → different. */
+  def fingerprint(text: Column): Column = {
+    val M = 562949953421231L // prime < 2^49; 31*M + M < 2^63
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+}

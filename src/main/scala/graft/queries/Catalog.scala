@@ -43,13 +43,27 @@ object Catalog {
     "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys)
   )
 
+  val trainingData: Map[String, QueryFn] = Map(
+    "q30_dedup_exact"   -> rel(TrainingData.q30DedupExact),
+    "q31_dedup_minhash" -> rel(TrainingData.q31DedupMinhash),
+    "q32_dedup_simhash" -> rel(TrainingData.q32DedupSimhash),
+    "q33_ngram_jaccard" -> rel(TrainingData.q33NgramJaccard),
+    "q34_ann_brute"     -> rel(TrainingData.q34AnnBrute),
+    "q35_ann_lsh"       -> rel(TrainingData.q35AnnLsh),
+    "q36_embed_neardup" -> rel(TrainingData.q36EmbedNeardup),
+    "q37_lang_id"       -> rel(TrainingData.q37LangId),
+    "q38_quality_score" -> rel(TrainingData.q38QualityScore),
+    "q39_token_count"   -> rel(TrainingData.q39TokenCount),
+    "q40_fingerprint"   -> rel(TrainingData.q40Fingerprint)
+  )
+
   val events: Map[String, QueryFn] = Map(
     "q50_window_agg" -> rel(Events.q50WindowAgg),
     "q51_sessionize" -> rel(Events.q51Sessionize)
   )
 
-  def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ events
+  def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events
 
   def oracleSql: Map[String, String] =
-    RelationalOracle.sql ++ ReverseEtlOracle.sql ++ EventsOracle.sql
+    RelationalOracle.sql ++ ReverseEtlOracle.sql ++ TrainingOracle.sql ++ EventsOracle.sql
 }

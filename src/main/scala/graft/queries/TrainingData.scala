@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * §2C — training-data pipeline queries over `documents` and `embeddings`.
+ * Thin deterministic wrappers around the graft.operators library; every
+ * result gets a total ORDER BY so dumps are stable for the harness.
+ */
+object TrainingData {
+
+  /** C1: exact dedup by full-content hash. */
+  def q30DedupExact(t: Tables): DataFrame =
+    Dedup.exact(t.documents).orderBy("canonical_id")
+
+  /** C2: MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.7. */
+  def q31DedupMinhash(t: Tables): DataFrame =
+    Dedup.minhashPairs(t.documents, threshold = 0.7).orderBy("doc_a", "doc_b")
+
+  /** C3: SimHash near-dup pairs (Hamming ≤ 3 over 64 bits). */
+  def q32DedupSimhash(t: Tables): DataFrame =
+    Dedup.simhashPairs(t.documents, maxDist = 3).orderBy("doc_a", "doc_b")
+
+  /** C4: exact 3-gram Jaccard pairs within each source group. */
+  def q33NgramJaccard(t: Tables): DataFrame =
+    Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3)
+      .orderBy("doc_a", "doc_b")
+
+  private def annQueries(t: Tables): DataFrame = t.embeddings.filter(col("vec_id") < 10)
+
+  /** C5: brute-force cosine top-10 for the first 10 vectors as queries. */
+  def q34AnnBrute(t: Tables): DataFrame =
+    Similarity.bruteForceTopK(t.embeddings, annQueries(t), k = 10)
+      .orderBy("query_id", "rank")
+
+  /** C6: LSH-bucketed ANN, same queries — the 100 TB path. */
+  def q35AnnLsh(t: Tables): DataFrame =
+    Similarity.lshTopK(t.embeddings, annQueries(t), k = 10)
+      .orderBy("query_id", "rank")
+
+  /** C7: embedding near-dup pairs at cosine ≥ 0.4 (τ fits this corpus —
+    * its max off-diagonal cosine is ~0.51). */
+  def q36EmbedNeardup(t: Tables): DataFrame =
+    Similarity.nearDupPairs(t.embeddings, threshold = 0.4).orderBy("doc_a", "doc_b")
+
+  /** C8: stopword-profile language ID. */
+  def q37LangId(t: Tables): DataFrame =
+    TextAnalysis.langId(t.documents).orderBy("doc_id")
+
+  /** C9: quality scoring from portable string features. */
+  def q38QualityScore(t: Tables): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    t.documents.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** C10: whitespace + BPE-ish token counts. */
+  def q39TokenCount(t: Tables): DataFrame = {
+    val counts = TextAnalysis.tokenCounts(col("text"))
+    t.documents.select(col("doc_id") +: counts.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** C11: rolling-hash document fingerprint. */
+  def q40Fingerprint(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -70,5 +70,21 @@ for name, sql in sorted(oracle.items()):
         fail += 1
     else:
         ok += 1
-print(f"\n{ok} ok, {fail} fail, {len(oracle)} total")
+# rows-only check for queries without an oracle (non-SQL-expressible ops):
+# the dump must exist and be non-empty.
+rowsonly = 0
+for pdir in sorted(glob.glob(f"{OUT}/q*")):
+    name = os.path.basename(pdir)
+    if name in oracle or not os.path.isdir(pdir):
+        continue
+    try:
+        n = sum(len(pd.read_parquet(p)) for p in glob.glob(f"{pdir}/*.parquet"))
+    except Exception as e:
+        print(f"FAIL {name}: rows-only read error {e}"); fail += 1; continue
+    if n == 0:
+        print(f"FAIL {name}: rows-only dump is empty"); fail += 1
+    else:
+        print(f"ok   {name}: rows-only, {n} rows"); ok += 1; rowsonly += 1
+
+print(f"\n{ok} ok ({rowsonly} rows-only), {fail} fail")
 sys.exit(1 if fail else 0)
