@@ -1,0 +1,109 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * B13 — batched, rate-limited REST destination sink.
+ *
+ * Reference semantics (studied, not ported): connectors push fixed-size
+ * batches (facebook-ads/src/index.ts: 1000-row audience batches), honor
+ * rate limits with a retry-after (node-cdk/src/rate-limit.ts), and a sync
+ * aborts once the failure ratio crosses the error threshold
+ * (core/src/lib/error-threshold.ts: ≥20% over ≥100 rows).
+ *
+ * Spark-first execution: `df.foreachPartition` — every executor streams its
+ * partition through a local batcher + token bucket, so throughput scales
+ * with the cluster while per-destination politeness is enforced by
+ * `permitsPerSecond / numPartitions` budgeting on each task. No rows ever
+ * funnel through the driver.
+ */
+object RestSink {
+
+  /** Transport abstraction — real HTTP in production; tests inject a
+    * recording/failing fake (this environment has no egress). Must be
+    * Serializable: instances ship to executors. */
+  trait Transport extends Serializable {
+    /** Deliver one batch; throw RateLimited to request a delay+retry,
+      * any other exception counts as a failed batch. */
+    def send(batch: Seq[Map[String, Any]]): Unit
+  }
+
+  final case class RateLimited(retryAfterMs: Long) extends RuntimeException(s"rate limited, retry after ${retryAfterMs}ms")
+
+  final case class Config(
+      batchSize: Int = 1000,
+      maxRetries: Int = 3,
+      permitsPerSecond: Double = 0.0, // 0 = unlimited
+      errorRatioLimit: Double = 0.2,
+      errorMinRows: Long = 100)
+
+  final case class Result(sentRows: Long, failedRows: Long, batches: Long, retries: Long)
+
+  /** Push `df` to `transport`. Returns global counts (accumulator-summed
+    * across tasks). Throws if the error threshold trips. */
+  def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {
+    val spark = df.sparkSession
+    val sent = spark.sparkContext.longAccumulator("restsink.sent")
+    val failed = spark.sparkContext.longAccumulator("restsink.failed")
+    val batches = spark.sparkContext.longAccumulator("restsink.batches")
+    val retries = spark.sparkContext.longAccumulator("restsink.retries")
+    val columns = df.columns
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val perTaskRate = if (config.permitsPerSecond > 0) config.permitsPerSecond / parts else 0.0
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val limiter = new TokenBucket(perTaskRate, burst = config.batchSize.toDouble)
+      val buf = new ArrayBuffer[Map[String, Any]](config.batchSize)
+
+      def flush(): Unit = if (buf.nonEmpty) {
+        limiter.acquire(buf.size)
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { transport.send(buf.toSeq); sent.add(buf.size); done = true }
+          catch {
+            case RateLimited(afterMs) if attempt < config.maxRetries =>
+              attempt += 1; retries.add(1); Thread.sleep(afterMs)
+            case _: Throwable if attempt < config.maxRetries =>
+              attempt += 1; retries.add(1)
+            case _: Throwable =>
+              failed.add(buf.size); done = true
+          }
+        }
+        batches.add(1)
+        buf.clear()
+      }
+
+      rows.foreach { r =>
+        buf += columns.iterator.map(c => c -> r.getAs[Any](c)).toMap
+        if (buf.size >= config.batchSize) flush()
+      }
+      flush()
+    }
+
+    val result = Result(sent.value, failed.value, batches.value, retries.value)
+    val total = result.sentRows + result.failedRows
+    if (total >= config.errorMinRows &&
+        result.failedRows.toDouble / total >= config.errorRatioLimit)
+      throw new IllegalStateException(
+        s"error threshold exceeded: ${result.failedRows}/$total failed")
+    result
+  }
+
+  /** Per-task token bucket (permits/sec with burst); rate 0 = unlimited. */
+  private final class TokenBucket(rate: Double, burst: Double) extends Serializable {
+    private var tokens = burst
+    private var last = System.nanoTime()
+    def acquire(n: Int): Unit = if (rate > 0) {
+      var need = n.toDouble
+      while (need > tokens) {
+        val now = System.nanoTime()
+        tokens = math.min(burst, tokens + (now - last) / 1e9 * rate)
+        last = now
+        if (need > tokens) Thread.sleep(math.max(1, ((need - tokens) / rate * 1000).toLong))
+      }
+      tokens -= need
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/**
+ * §2D — Structured Streaming over the events shape: readStream → watermark
+ * → windowed agg / dedup / stateful sessionization → sink.
+ *
+ * The batch twins (queries.Events q50/q51) compute identical answers and
+ * carry the DuckDB oracle; these are the true incremental paths. State is
+ * bounded by watermarks everywhere — at production scale that is what keeps
+ * the state store from growing without limit.
+ */
+object EventStreams {
+
+  /** Streaming source over a directory of parquet/json event files with an
+    * explicit schema (no inference — schema drift must be a deliberate act,
+    * and inference would read data on the driver). */
+  def readEvents(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .load(dir)
+
+  /** D3 core: watermarked 5-minute tumbling-window aggregation. */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** D4: streaming exact dedup on event_id, state bounded by the watermark
+    * (an id can only repeat within the lateness horizon). */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  // --- stateful sessionization ----------------------------------------
+
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                              n_events: Long, sum_value: Double)
+
+  /** D2 (true streaming form): 30-minute-gap sessions per user via
+    * flatMapGroupsWithState with a processing-time-free, event-time-driven
+    * timeout. Emits a session when the gap passes or the watermark moves
+    * beyond it. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp], col("value").as[Double])
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1)
+          var sessions = List.empty[SessionOut]
+          var cur = state.getOption
+          if (state.hasTimedOut) {
+            val out = cur.map(s => SessionOut(user, s.start, s.end, s.n, s.sum)).toList
+            state.remove()
+            out.iterator
+          } else {
+            sorted.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
+                case Some(s) =>
+                  sessions ::= SessionOut(user, s.start, s.end, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            sessions.reverse.iterator
+          }
+      }.toDF()
+  }
+
+  /** D3 end-to-end: stream a directory into a windowed-agg parquet sink and
+    * block until all currently-available input is processed (AvailableNow —
+    * the batch-boundary trigger used for backfills). */
+  def runWindowedAggToParquet(spark: SparkSession, inDir: String, outDir: String,
+                              checkpointDir: String): Unit = {
+    val q = windowedAgg(readEvents(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.{Relational, ReverseEtl, Tables, TrainingData}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/**
+ * Physical-plan assertions — the 100 TB contract (SURVEY §5). A query that
+ * returns right answers through a wrong plan (scan without pushdown,
+ * shuffle join of a broadcastable dim, full sort for a top-k) fails here.
+ */
+class PlanSpec extends SparkSuite {
+
+  private lazy val t = Tables(spark, sfDir)
+
+  /** Initial physical plan (inside AQE wrapper) as text. */
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  test("q01: filter and projection push into the parquet scan") {
+    val p = plan(Relational.q01FilterProject(t))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // projection pruning: scan schema must not include unused money columns
+    assert(!p.contains("l_comment"), "unused columns must be pruned")
+  }
+
+  test("q02: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(Relational.q02Agg(t))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), "must contain partial aggregate functions")
+  }
+
+  test("q03/q04: dimension joins broadcast, no shuffle of the fact side for dims") {
+    assert(plan(Relational.q03JoinAgg(t)).contains("BroadcastHashJoin"))
+    val p4 = plan(Relational.q04Multijoin(t))
+    assert("BroadcastHashJoin".r.findAllIn(p4).size >= 3, "all dims broadcast")
+    assert(!p4.contains("CartesianProduct"))
+  }
+
+  test("q06: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q06Topk(t))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q22: snapshot diff is a single join, no cartesian, no extra exchange") {
+    val p = plan(ReverseEtl.q22SnapshotDiff(t))
+    assert(!p.contains("CartesianProduct"))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size == 1,
+      "exactly one join for the diff")
+  }
+
+  test("q30/q31: dedup plans contain no UDFs — everything codegen-able") {
+    assert(!plan(TrainingData.q30DedupExact(t)).contains("BatchEvalPython"))
+    val p = plan(TrainingData.q31DedupMinhash(t))
+    assert(!p.toLowerCase.contains("scalaudf"), "minhash must be built-in expressions only")
+  }
+
+  test("q34: brute-force ANN broadcasts the query side") {
+    val p = plan(TrainingData.q34AnnBrute(t))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "corpus must never shuffle into a cartesian")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** §2C dedup family on planted fixtures: near-dups must be found, unrelated
+  * docs must not pair. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 40-word base; nearA/nearB differ from base by one word (≈0.93 trigram
+  // jaccard); "other" shares no vocabulary.
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val nearA = ((1 to 20).map(i => s"w$i") ++ Seq("CHANGED") ++ (22 to 40).map(i => s"w$i")).mkString(" ")
+  private val other = (1 to 40).map(i => s"x$i").mkString(" ")
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearA), (2L, other), (3L, base) // 3 is an exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val d = Dedup.exact(docs).orderBy("canonical_id")
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(d == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "exact dup pair")
+    assert(pairs.contains((0L, 1L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("minhash jaccard estimate is verified exact, not approximate") {
+    val j = Dedup.minhashPairs(docs, threshold = 0.1)
+      .filter(col("doc_a") === 0 && col("doc_b") === 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0, "identical docs have exact jaccard 1.0")
+  }
+
+  test("simhash pairs near-dups within hamming 3 and skips unrelated") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 == 0L, "identical ⇒ distance 0")
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard within group matches hand-computed similarity") {
+    val grouped = docs.withColumn("source", lit("g1"))
+    val pairs = Dedup.ngramJaccardPairs(grouped, "source", threshold = 0.3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    // one word changed in 40 ⇒ 3 of 38 distinct trigrams replaced:
+    // |A∩B| = 35, |A∪B| = 41
+    assert(math.abs(pairs((0L, 1L)) - 35.0 / 41.0) < 1e-12)
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("mega-buckets are dropped by the skew guard") {
+    // 60 identical docs form one bucket of 60 > cap=50 ⇒ no pairs emitted
+    val many = (0L until 60L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(many, threshold = 0.5, bucketCap = 50)
+    assert(pairs.count() == 0)
+  }
+}

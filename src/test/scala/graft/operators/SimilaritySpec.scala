@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** §2C ANN family: brute force against a hand-computed oracle, LSH against
+  * brute force, near-dup detection of planted duplicates. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def naiveCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("brute-force top-k matches a driver-side naive oracle") {
+    val queries = embeddings.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(embeddings, queries, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+
+    val all = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    for (q <- 0L to 2L) {
+      val expected = all.filter(_._1 != q)
+        .map { case (id, v) => (id, naiveCos(all(q), v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val actual = got(q)
+      assert(actual.map(_._1) == expected.map(_._1), s"neighbor order for query $q")
+      actual.zip(expected).foreach { case ((_, ca), (_, ce)) =>
+        assert(math.abs(ca - ce) < 1e-9, s"cosine for query $q")
+      }
+    }
+  }
+
+  test("LSH ANN returns true cosines and only real neighbors") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = 499)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(embeddings, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH must surface candidates on this corpus")
+    lsh.foreach { case (q, n, c) =>
+      assert(math.abs(c - brute((q, n))) < 1e-9, s"cosine for ($q,$n) must be exact")
+    }
+  }
+
+  test("near-dup pairs finds a planted duplicate vector at cosine 1") {
+    val planted = embeddings.unionByName(
+      embeddings.filter(col("vec_id") === 7).withColumn("vec_id", lit(100007L)))
+    val pairs = Similarity.nearDupPairs(planted, threshold = 0.999)
+      .select("doc_a", "doc_b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 100007L && p._3 > 0.999999),
+      s"planted dup must be found, got ${pairs.toSeq}")
+  }
+}

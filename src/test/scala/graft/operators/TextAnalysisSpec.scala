@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("langId picks the dominant stopword profile, und when none") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in a house of mice"),
+      (2L, "der hund und die katze ist nicht mit ein vogel"),
+      (3L, "le chat et la maison est dans un jardin"),
+      (4L, "el perro y los gatos es un animal por que salta"),
+      (5L, "的 是 在 了 我 有 他"),
+      (6L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("quality features match hand computation") {
+    val df = Seq((1L, "the cat ate the fish")).toDF("doc_id", "text")
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+    val row = df.select(feats.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(row.getAs[Long]("n_chars_m") == 20L)
+    assert(row.getAs[Long]("n_words") == 5L)
+    assert(row.getAs[Double]("avg_word_len") == 16.0 / 5)   // 16 letters / 5 words
+    assert(row.getAs[Double]("stopword_ratio") == 2.0 / 5)  // two "the"
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val df = Seq((1L, "ab 12 cd!")).toDF("doc_id", "text")
+    val counts = TextAnalysis.tokenCounts(col("text"))
+    val row = df.select(counts.map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(row.getAs[Long]("ws_tokens") == 3L)
+    assert(row.getAs[Long]("bpe_tokens") == 4L) // ab | 12 | cd | !
+  }
+
+  test("fingerprint is deterministic, order-sensitive, and non-negative") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L), "same text ⇒ same fingerprint")
+    assert(fps(1L) != fps(3L), "reorder ⇒ different fingerprint")
+    assert(fps.values.forall(_ >= 0))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sinks
+
+import graft.SparkSuite
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Records batch sizes; optionally rate-limits or fails. Top-level static
+  * state so executor-side calls (same JVM in local mode) are observable
+  * and the transport closure stays serializable. */
+object Recorder {
+  val batches = new ConcurrentLinkedQueue[Int]()
+  @volatile var rateLimitFirstN = 0
+  @volatile var failAll = false
+  def reset(): Unit = { batches.clear(); rateLimitFirstN = 0; failAll = false }
+}
+
+class FakeTransport extends RestSink.Transport {
+  def send(batch: Seq[Map[String, Any]]): Unit = {
+    if (Recorder.failAll) throw new RuntimeException("boom")
+    if (Recorder.rateLimitFirstN > 0) {
+      Recorder.rateLimitFirstN -= 1
+      throw RestSink.RateLimited(retryAfterMs = 5)
+    }
+    Recorder.batches.add(batch.size)
+  }
+}
+
+/** B13 — batching, rate-limit retry, and the error-threshold abort, using a
+  * recording fake transport (no egress in this environment). */
+class RestSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df(n: Int) = (1 to n).map(i => (i.toLong, s"row$i")).toDF("id", "name")
+
+  test("batches respect batchSize and cover every row") {
+    Recorder.reset()
+    val r = RestSink.push(df(2500).repartition(2), new FakeTransport,
+      RestSink.Config(batchSize = 1000))
+    assert(r.sentRows == 2500 && r.failedRows == 0)
+    val sizes = Recorder.batches.asScala.toSeq
+    assert(sizes.sum == 2500)
+    assert(sizes.forall(_ <= 1000))
+  }
+
+  test("rate-limited batches are retried and still delivered") {
+    Recorder.reset()
+    Recorder.rateLimitFirstN = 2
+    val r = RestSink.push(df(100).repartition(1), new FakeTransport,
+      RestSink.Config(batchSize = 50, maxRetries = 5))
+    assert(r.sentRows == 100)
+    assert(r.retries >= 2)
+  }
+
+  test("persistent failure trips the 20%/100-row error threshold") {
+    Recorder.reset()
+    Recorder.failAll = true
+    val e = intercept[IllegalStateException] {
+      RestSink.push(df(200).repartition(1), new FakeTransport,
+        RestSink.Config(batchSize = 50, maxRetries = 1))
+    }
+    assert(e.getMessage.contains("error threshold"))
+  }
+}

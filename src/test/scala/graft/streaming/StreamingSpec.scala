@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** D3/D4 — true Structured Streaming paths over a file source, driven with
+  * AvailableNow so specs are deterministic and hermetic. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def ts(minutes: Double): Timestamp = new Timestamp(t0 + (minutes * 60000).toLong)
+
+  /** (event_id, ts, user_id, event_type, value) rows → parquet dir. */
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("D3: readStream → watermark → window → parquet sink equals batch answer") {
+    // two 5-min windows of real data + one far-future sentinel that pushes
+    // the watermark past them (append mode only emits finalized windows)
+    val rows = Seq(
+      (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(1.0), 2L, "view", 2.0),
+      (3L, ts(2.0), 1L, "click", 3.0),
+      (4L, ts(6.0), 3L, "view", 4.0), (5L, ts(7.0), 1L, "view", 5.0),
+      (9L, ts(600.0), 9L, "sentinel", 0.0))
+    val in = writeEvents(rows)
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    EventStreams.runWindowedAggToParquet(spark, in, out, ckpt)
+
+    val got = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val expected = Set(
+      (ts(0.0), "view", 2L, 3.0), (ts(0.0), "click", 1L, 3.0),
+      (ts(5.0), "view", 2L, 9.0))
+    assert(got == expected)
+  }
+
+  test("D4: streaming dedup drops watermark-window duplicates") {
+    val rows = Seq(
+      (1L, ts(0.0), 1L, "view", 1.0), (1L, ts(0.5), 1L, "view", 1.0), // dup id
+      (2L, ts(1.0), 2L, "view", 2.0), (2L, ts(1.1), 2L, "view", 2.0), // dup id
+      (3L, ts(2.0), 3L, "click", 3.0))
+    val in = writeEvents(rows)
+    val q = EventStreams.dedup(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("D2 streaming: gap-closed sessions emit with exact bounds") {
+    // user 1: session A (3 events, 0-10 min), 40-min gap, session B (2 events)
+    // session A closes in-batch when session B's first event arrives.
+    val rows = Seq(
+      (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(5.0), 1L, "view", 2.0),
+      (3L, ts(10.0), 1L, "view", 3.0),
+      (4L, ts(50.0), 1L, "view", 4.0), (5L, ts(55.0), 1L, "view", 5.0))
+    val in = writeEvents(rows)
+    val q = EventStreams.sessionize(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions_out")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got.contains((1L, ts(0.0).getTime, ts(10.0).getTime, 3L, 6.0)),
+      s"session A must emit, got $got")
+  }
+}
