@@ -2,25 +2,51 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
 /** Benchmark main — times every catalog query end-to-end at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
   * Each query is fully materialized through the noop sink (count() would
   * let Spark skip computing projected columns). One untimed warmup query
   * absorbs JVM/codegen warmup so numbers reflect steady-state throughput.
+  *
+  * Every query runs in its own Spark job group with a hard per-query
+  * watchdog (SPARK_GRAFT_Q_TIMEOUT_S, default 120 s): on expiry the job
+  * group is cancelled and the query is recorded as -2.0 instead of
+  * hanging the whole bench run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val qTimeoutS = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT_S", "120").toLong
     val spark: SparkSession = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    val pool = Executors.newSingleThreadExecutor()
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      })
+      val sec =
+        try { fut.get(qTimeoutS, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            fut.cancel(true)
+            System.err.println(s"[bench] $name TIMED OUT after ${qTimeoutS}s — cancelled")
+            -2.0
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getCause}")
+            -1.0
+        }
+      System.err.println(f"[bench] $name%-22s ${sec}%8.3f s")
+      sec
     }
 
     once("q02_agg") // warmup (untimed)
@@ -29,6 +55,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    pool.shutdownNow()
     spark.stop()
   }
 }

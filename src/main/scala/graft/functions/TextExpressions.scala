@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{graftbridge => bridge}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * Native Catalyst expression producing the 64-bit hashes of all word
+ * n-gram shingles of a tokenized document in ONE codegen'd pass.
+ *
+ * The composable form —
+ * `transform(sequence(0, size-n), i -> xxhash64(concat_ws(" ", slice(toks, i+1, n))))`
+ * — is an interpreted higher-order function that allocates a slice array
+ * and builds a concatenated string per shingle; on a shingling stage it is
+ * the whole inner loop (measured ~4 s for 5 k docs at sf0.1, dominating
+ * MinHash end-to-end). This expression emits
+ * `h = xx(tok[i]); h = xx(tok[i+1], h); …` per shingle — zero allocation
+ * per element, scan-local (no shuffle), inside whole-stage codegen.
+ *
+ * Hash identity: chained `XXH64.hashUTF8String` over the n tokens (token
+ * boundaries are hash field boundaries, so ("a b","c") never collides
+ * with ("a","b c") the way string-joining would). Shorter-than-n docs
+ * yield ONE shingle over all their tokens, so no document drops out of
+ * dedup. Output may contain duplicate hashes (one per shingle
+ * occurrence); set-consumers dedupe via `array_distinct`/aggregation.
+ */
+case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val eff = math.min(n, m)
+    val count = math.max(m - n + 1, if (m > 0) 1 else 0)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = seed
+      var j = 0
+      while (j < eff) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(toks.getUTF8String(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val m = ctx.freshName("m")
+      val eff = ctx.freshName("eff")
+      val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $m = $toks.numElements();
+         |int $eff = java.lang.Math.min($n, $m);
+         |int $cnt = java.lang.Math.max($m - $n + 1, $m > 0 ? 1 : 0);
+         |long[] $out = new long[$cnt];
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  long $h = ${seed}L;
+         |  for (int $j = 0; $j < $eff; $j++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($toks.getUTF8String($i + $j), $h);
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native text expressions. */
+object TextFunctions {
+  /** Codegen'd word n-gram shingle hashes of a token-array column
+    * (with duplicates; wrap in `array_distinct` for set semantics). */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    bridge.column(NgramHashes(bridge.expression(tokens), n))
+}

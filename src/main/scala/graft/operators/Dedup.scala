@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import TextOps._
+import graft.functions.TextFunctions.ngramHashes
 
 /**
  * §2C dedup family — exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -12,7 +13,14 @@ import TextOps._
  * comparison; mega-buckets (degenerate shingle sets, boilerplate docs) are
  * dropped by `bucketCap` before the join so one hot key cannot OOM an
  * executor. Exact similarity is computed only on surviving candidates.
- * Signatures are arrays of codegen'd xxhash64 calls — no UDFs.
+ *
+ * Performance: signatures are computed by EXPLODE → hash-once →
+ * codegen'd hash-aggregate (numPerm `min` / 64 `sum` buffers), not by
+ * per-row higher-order-function lambdas — HOFs (`transform`/`aggregate`)
+ * are interpreted in Spark and re-hashing every shingle string numPerm
+ * times made signatures ~50× slower. Each shingle/token string is hashed
+ * to 64 bits exactly once; permutations re-hash the cheap long. Map-side
+ * partial aggregation compresses the shuffle to |docs|×numPerm longs.
  */
 object Dedup {
 
@@ -23,44 +31,56 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `numPerm` minimums over the shingle set, each under
-    * an independently-seeded hash. */
-  def minhashSignature(shinglesCol: org.apache.spark.sql.Column, numPerm: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      p => array_min(transform(shinglesCol, s => permHash(s, p))))
+  /** One row per (doc, distinct shingle hash) — the codegen'd
+    * [[graft.functions.NgramHashes]] kernel, deduped per doc, exploded. */
+  private def hashedShingles(docs: DataFrame, textCol: String, idCol: String, ngram: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(ngramHashes(tokens(col(textCol)), ngram))).as("h"))
 
   /** C2: MinHash + LSH near-duplicate pairs.
     *
-    * shingle → signature(numPerm) → `bands` band-hashes → explode →
-    * self-join per (band, hash) bucket → exact-Jaccard verify ≥ threshold.
+    * shingle → hash once → numPerm codegen'd min-aggregates (the MinHash
+    * signature) → `bands` band-hashes → explode → self-join per
+    * (band, hash) bucket → exact-Jaccard verify ≥ threshold (over the
+    * hashed shingle sets; a 64-bit collision is negligible).
     */
   def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    ngram: Int = 3, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), ngram).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
-      .withColumn("bands", transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+    val sh = hashedShingles(docs, textCol, idCol, ngram)
 
-    val exploded = withSig.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // Signature mins + the exact shingle set in ONE aggregation pass.
+    val minCols = (0 until numPerm).map(p => min(permHash(col("h"), lit(p))).as(s"m$p"))
+    val sig = sh.groupBy("id")
+      .agg(minCols.head, (minCols.tail :+ collect_set(col("h")).as("hs")): _*)
+
+    // Band hash straight off the aggregate columns — no array assembly.
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"m$p"))
+      xxhash64(slice :+ lit(b): _*)
+    }
+    val exploded = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val pairs = lshBucketPairs(exploded, "band_idx", "band_hash", bucketCap)
 
-    val shA = withSig.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSig.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    pairs.join(shA, "doc_a").join(shB, "doc_b")
+    val sets = sig.select(col("id"), col("hs"))
+    pairs.join(sets.select(col("id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** Candidate pairs from an exploded (id, bucketIdx, bucketHash) frame:
-    * skew-guarded bucket self-join, each unordered pair emitted once. */
+    * skew-guarded bucket self-join, each unordered pair emitted once.
+    * Bucket sizes come from a window count (one shuffle, single pass over
+    * `exploded`) rather than a self-join-with-aggregate; the follow-up
+    * self-join reuses that (idx, hash) partitioning. */
   private[operators] def lshBucketPairs(exploded: DataFrame, idxCol: String, hashCol: String,
                                         bucketCap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idxCol, hashCol)
     val sized = exploded
-      .join(exploded.groupBy(idxCol, hashCol).agg(count(lit(1)).as("bucket_n")),
-            Seq(idxCol, hashCol))
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n").between(2, bucketCap))
       .drop("bucket_n")
     val a = sized.select(col(idxCol).as("i"), col(hashCol).as("h"), col("id").as("doc_a"))
@@ -69,36 +89,30 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** 64-bit SimHash of the token multiset (frequency-weighted bit votes).
-    * Pure higher-order-function SQL so it compiles to codegen'd expressions:
-    * per token hash, each bit votes ±1; the sign of each vote total is the
-    * signature bit. */
-  def simhash64(tokensSql: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(
-       |  aggregate(
-       |    transform($tokensSql, t -> xxhash64(t)),
-       |    array_repeat(0L, 64),
-       |    (acc, h) -> zip_with(acc,
-       |                   transform(sequence(0, 63),
-       |                     i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
-       |                   (a, b) -> a + b)),
-       |  named_struct('bits', 0L, 'i', 0),
-       |  (st, v) -> named_struct(
-       |      'bits', st.bits + CASE WHEN v > 0 THEN shiftleft(1L, st.i) ELSE 0L END,
-       |      'i', st.i + 1),
-       |  st -> st.bits)""".stripMargin)
+  /** 64-bit SimHash per document (frequency-weighted bit votes over the
+    * token multiset): explode tokens → hash once → 64 codegen'd
+    * sum-aggregates (±1 vote per bit) → reassemble the sign bits. */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** C3: SimHash near-duplicate pairs — 4 bands of 16 bits generate
     * candidates (a near-dup within `maxDist` bit flips must agree on at
     * least one band when maxDist < 4); verify by Hamming distance. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      simhash64(s"split($textCol, ' ')").as("simhash"))
+    val sigs = simhashSignatures(docs, textCol, idCol)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
     val exploded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))))
-          .as(Seq("band_idx", "band_hash")))
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
     val pairs = lshBucketPairs(exploded, "band_idx", "band_hash", bucketCap)
     val sa = sigs.select(col("id").as("doc_a"), col("simhash").as("sim_a"))
     val sb = sigs.select(col("id").as("doc_b"), col("simhash").as("sim_b"))
@@ -109,18 +123,27 @@ object Dedup {
   }
 
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
-    * `source`). At 100 TB candidate generation is LSH (minhashPairs); this
-    * is the verify kernel exposed as its own operator for grouped corpora
-    * where the group is small enough to pair exhaustively. */
+    * `source`). Computed as an inverted-index join — explode shingles,
+    * self-join on (group, shingle-hash), count common shingles per pair,
+    * then |A∩B| / (|A|+|B|−|A∩B|). Fully codegen'd joins + aggregates;
+    * pairs sharing zero shingles never materialize (they cannot pass any
+    * threshold > 0). At 100 TB candidate generation is LSH (minhashPairs);
+    * this is the exact kernel for grouped corpora. */
   def ngramJaccardPairs(docs: DataFrame, groupCol: String, textCol: String = "text",
                         idCol: String = "doc_id", ngram: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
-    val prepared = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
-      shingles(tokens(col(textCol)), ngram).as("sh"))
-    val a = prepared.select(col("g"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = prepared.select(col("g"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, "g").filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    require(threshold > 0, "threshold must be > 0: zero-overlap pairs are never materialized")
+    val ex = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      explode(array_distinct(ngramHashes(tokens(col(textCol)), ngram))).as("h"))
+    val sizes = ex.groupBy("g", "id").agg(count(lit(1)).as("n"))
+    val a = ex.select(col("g"), col("h"), col("id").as("doc_a"))
+    val b = ex.select(col("g"), col("h"), col("id").as("doc_b"))
+    a.join(b, Seq("g", "h")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("g", "doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("g"), col("id").as("doc_a"), col("n").as("n_a")), Seq("g", "doc_a"))
+      .join(sizes.select(col("g"), col("id").as("doc_b"), col("n").as("n_b")), Seq("g", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

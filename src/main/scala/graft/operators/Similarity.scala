@@ -2,22 +2,35 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{dotProduct, l2Norm}
 
 /**
  * §2C similarity / ANN family over an `Array[Float]` embedding column.
  *
- * All vector math is `zip_with`/`aggregate` over array columns — codegen'd
- * built-ins, no UDFs, so the dot products run inside whole-stage codegen.
+ * All vector math runs through the native codegen'd [[graft.functions.DotProduct]]
+ * expression (see its scaladoc for why the composable
+ * `aggregate(zip_with(...))` form is interpreted and unusable in the pair
+ * hot loop). Norms are computed ONCE per vector row and carried as scalar
+ * columns through the joins, so each candidate pair costs exactly one
+ * dot-product loop plus one divide.
  *
- * Scale design (100 TB): queries are broadcast (they are the small side by
- * construction); brute force is embarrassingly parallel over corpus
- * partitions with a top-k reduction per query; the LSH path buckets the
- * corpus ONCE (computed map-side) and turns candidate generation into a
- * bucket-equality shuffle join, so cost is ~|collisions| not |Q|×|corpus|.
+ * LSH bucket bits use sign(v·plane), and sign is invariant under L2
+ * normalization — so the bucket path reads the RAW float array straight
+ * off the parquet scan: no normalization, no array rewrites, pure
+ * codegen. Hyperplanes are deterministic driver-side constants
+ * (splitmix64) shipped as array literals.
+ *
+ * Scale design (100 TB): the bucket frames carry only (id, table, bucket)
+ * — vectors are NEVER multiplied by the number of LSH tables; candidate
+ * pairs are generated as id-only bucket-equality joins, deduplicated, and
+ * only then joined back to vectors for scoring. Queries are broadcast
+ * (small side by construction); brute force is embarrassingly parallel
+ * over corpus partitions with a per-query top-k window reduction.
  */
 object Similarity {
 
-  /** Element-wise double view of a float-array column. */
+  /** Element-wise double view of a float-array column. (Composable HOF
+    * helpers below are for ad-hoc use; operators use the native kernel.) */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   def dot(a: Column, b: Column): Column =
@@ -27,25 +40,56 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** C5: brute-force cosine top-k — the exact ANN baseline. `queries` must
-    * be small (it is broadcast); ranking is windowed per query_id, so the
-    * only shuffle is |Q|×k-bounded after AQE-local partial filtering. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+  /** (idAs, vAs, nAs): raw vector + L2 norm in one codegen'd projection. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vAs), l2Norm(col(vecCol)).as(nAs))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * splitmix64 finalizer over the (table, plane, dim) coordinates —
+    * reproducible across runs and executors, no RNG state to ship. */
+  private[operators] def hyperplane(table: Int, plane: Int, d: Int): Double = {
+    var z = table.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
+      d.toLong * 0x94D049BB133111EBL + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Bucket id for one LSH table: sign bit of the raw vector's projection
+    * onto each of `planes` literal hyperplanes — codegen'd dot products. */
+  private def bucketCol(v: Column, table: Int, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val plane = typedlit((0 until dims).map(d => hyperplane(table, p, d)))
+      when(dotProduct(v, plane) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (idAs, tbl, bucket) — one row per LSH table, id-only (no vectors). */
+  private def buckets(df: DataFrame, idCol: String, vecCol: String, idAs: String,
+                      tables: Int, planes: Int, dims: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+      posexplode(array((0 until tables).map(t => bucketCol(col(vecCol), t, planes, dims)): _*))
+        .as(Seq("tbl", "bucket")))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
-  // Hyperplanes are deterministic pseudo-random: component (t,p,d) =
-  // pmod(xxhash64("graft-hp", t, p, d), 2000)/1000 - 1 ∈ [-1, 1) —
-  // reproducible across runs and executors, no RNG state to ship.
+  /** C5: brute-force cosine top-k — the exact ANN baseline. `queries` must
+    * be small (it is broadcast); ranking is windowed per query_id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topK(scored, k)
+  }
 
   /** C6: LSH-bucketed ANN — `tables` independent 2^planes-bucket tables;
     * a query only scores corpus vectors sharing a bucket in some table.
@@ -53,29 +97,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 4, planes: Int = 6, dims: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val v = asDouble(col(vecCol))
-      df.select(col(idCol).as(idAs), v.as(vecAs),
-          posexplode(transform(sequence(lit(0), lit(tables - 1)),
-            // per-table bucket; t is a Column so planeComponent seeds vary by table via hash args
-            t => aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-              (acc, p) => acc * 2 + when(
-                aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
-                  (s, d) => s + element_at(v, d + 1) *
-                    (pmod(xxhash64(lit("graft-hp"), t, p, d), lit(2000L)).cast("double") / 1000.0 - 1.0)) > 0,
-                1L).otherwise(0L))))
-          .as(Seq("tbl", "bucket")))
-    }
-    val c = withBuckets(corpus, "neighbor_id", "cv")
-    val q = withBuckets(queries, "query_id", "qv")
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cand = buckets(corpus, idCol, vecCol, "neighbor_id", tables, planes, dims)
+      .join(broadcast(buckets(queries, idCol, vecCol, "query_id", tables, planes, dims)),
+            Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos_sim"))
-      .distinct() // same pair can collide in several tables
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id").distinct() // same pair can collide in several tables
+    val scored = cand
+      .join(broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")), "query_id")
+      .join(withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topK(scored, k)
   }
 
   /** C7: embedding near-dup pairs — corpus self-join through LSH buckets,
@@ -83,21 +115,16 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    tables: Int = 4, planes: Int = 6, dims: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val b = corpus.select(col(idCol).as("id"), v.as("vec"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-            (acc, p) => acc * 2 + when(
-              aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
-                (s, d) => s + element_at(v, d + 1) *
-                  (pmod(xxhash64(lit("graft-hp"), t, p, d), lit(2000L)).cast("double") / 1000.0 - 1.0)) > 0,
-              1L).otherwise(0L))))
-        .as(Seq("tbl", "bucket")))
-    val l = b.select(col("tbl"), col("bucket"), col("id").as("doc_a"), col("vec").as("va"))
-    val r = b.select(col("tbl"), col("bucket"), col("id").as("doc_b"), col("vec").as("vb"))
-    l.join(r, Seq("tbl", "bucket")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+    val bk = buckets(corpus, idCol, vecCol, "id", tables, planes, dims)
+    val cand = bk.select(col("tbl"), col("bucket"), col("id").as("doc_a"))
+      .join(bk.select(col("tbl"), col("bucket"), col("id").as("doc_b")), Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(withNorm(corpus, idCol, vecCol, "doc_a", "va", "na"), "doc_a")
+      .join(withNorm(corpus, idCol, vecCol, "doc_b", "vb", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
   }
 }
