@@ -1,10 +1,83 @@
 package graft.queries
 
-/** DuckDB oracle SQL for the SQL-expressible §2C entries (C1, C9, C10).
-  * Only engine-portable string ops (length/replace/regexp_extract_all) and
-  * left-associative double math, mirroring TextAnalysis exactly. */
+/** DuckDB oracle SQL for the SQL-expressible §2C entries (C1, C4, C5, C8,
+  * C9, C10). Only engine-portable ops, mirroring the Spark operators'
+  * exact arithmetic: list lambdas reproduce shingle sets and language
+  * scores; cosine mirrors DotProduct's sequential left-to-right
+  * double-precision fold (list_reduce is also a sequential left fold), so
+  * doubles match bit-for-bit with no rounding on either side. */
 object TrainingOracle {
+
+  /** dot(a, b) in DuckDB with Spark-identical fold order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)"
+
+  /** Word 3-gram distinct shingle set of `text` (tokens = split on ' '),
+    * with the shorter-than-n whole-text fallback. */
+  private val shingles3 =
+    """CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      |     ELSE list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |            i -> concat_ws(' ', string_split(text, ' ')[i],
+      |                                string_split(text, ' ')[i+1],
+      |                                string_split(text, ' ')[i+2]))) END""".stripMargin
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "was", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "他", "这", "不", "人"))
+
+  private val langs = stopwords.keys.toSeq.sorted
+
+  private def scoreSql(l: String): String = {
+    val set = stopwords(l).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS score_$l"
+  }
+
   val sql: Map[String, String] = Map(
+    "q33_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q34_ann_brute" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.ve", "c.ve")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q37_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, ${langs.map(scoreSql).mkString(",\n         ")}
+         |  FROM documents
+         |), g AS (
+         |  SELECT *, greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best FROM s
+         |)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  CASE ${langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")}
+         |       ELSE 'und' END AS pred_lang
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents
