@@ -63,6 +63,53 @@ object TextAnalysis {
     "ws_tokens"  -> size(split(text, " ")).cast("long"),
     "bpe_tokens" -> size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
 
+  /** PII patterns — deliberately restricted to syntax that means the same
+    * thing in Java regex (Spark) and RE2 (DuckDB): character classes,
+    * bounded/unbounded repetition, no backrefs or lookaround. The three
+    * patterns are mutually disjoint (email needs '@', SSN is exactly
+    * 3-2-4 digits, phone needs a leading '+') so per-pattern match counts
+    * add up to the total number of redactions. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val SsnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhoneRe = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** C14: PII scrub — redact emails / SSNs / phone numbers, count each. */
+  def piiRedact(text: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+    Seq(
+      "clean_text" -> redacted,
+      "n_emails"   -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+      "n_ssns"     -> size(regexp_extract_all(text, lit(SsnRe), lit(0))).cast("long"),
+      "n_phones"   -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+  }
+
+  /** C15: TF-IDF-style top-k salient terms per document. Log-free variant
+    * (score = tf·N/df, an exact rational) so the oracle can reproduce the
+    * ranking bit-for-bit; log(N/df) is monotone in N/df, so top-k order
+    * is the same as classic TF-IDF for tf>0.
+    *
+    * Scale: one shuffle per aggregation keyed (doc,term) and (term); the
+    * corpus size N joins in as a broadcast scalar; final top-k is a
+    * per-doc window. */
+  def tfidfTopK(docs: DataFrame, k: Int, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** C11: order-sensitive rolling-hash fingerprint over the token stream,
     * in a 2^49-range prime field so the polynomial accumulation never
     * overflows a long (ANSI-safe). Same text → same fingerprint; any

@@ -27,7 +27,8 @@ object Catalog {
     "q15_subquery"       -> rel(Relational.q15Subquery),
     "q16_rollup"         -> rel(Relational.q16Rollup),
     "q17_cte"            -> rel(Relational.q17Cte),
-    "q18_latest_per_key" -> rel(Relational.q18LatestPerKey)
+    "q18_latest_per_key" -> rel(Relational.q18LatestPerKey),
+    "q19_pivot"          -> rel(Relational.q19Pivot)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(
@@ -54,7 +55,10 @@ object Catalog {
     "q37_lang_id"       -> rel(TrainingData.q37LangId),
     "q38_quality_score" -> rel(TrainingData.q38QualityScore),
     "q39_token_count"   -> rel(TrainingData.q39TokenCount),
-    "q40_fingerprint"   -> rel(TrainingData.q40Fingerprint)
+    "q40_fingerprint"   -> rel(TrainingData.q40Fingerprint),
+    "q41_split"         -> rel(TrainingData.q41Split),
+    "q42_pii_redact"    -> rel(TrainingData.q42PiiRedact),
+    "q43_tfidf"         -> rel(TrainingData.q43Tfidf)
   )
 
   val events: Map[String, QueryFn] = Map(

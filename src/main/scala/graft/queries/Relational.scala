@@ -195,6 +195,20 @@ object Relational {
       .orderBy("month_start")
   }
 
+  /** A19: pivot — order counts per priority × status. The status values
+    * are an explicit list, so there is NO driver-side distinct-value
+    * discovery pass (the default `pivot(col)` runs one); at 100 TB the
+    * whole thing is a single partial-aggregated shuffle. */
+  def q19Pivot(t: Tables): DataFrame =
+    t.orders.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** A18: latest-row-per-key — THE reverse-ETL dedup (one row per entity). */
   def q18LatestPerKey(t: Tables): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)

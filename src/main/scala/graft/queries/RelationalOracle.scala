@@ -171,6 +171,14 @@ object RelationalOracle {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders
         |) x WHERE rn = 1
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

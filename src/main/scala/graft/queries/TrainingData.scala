@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /**
  * §2C — training-data pipeline queries over `documents` and `embeddings`.
@@ -67,4 +67,22 @@ object TrainingData {
   def q40Fingerprint(t: Tables): DataFrame =
     t.documents.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** C13: deterministic 80/10/10 train/val/test split by doc_id hash. */
+  def q41Split(t: Tables): DataFrame =
+    Sampling.hashSplit(t.documents, "doc_id")
+      .select("doc_id", "bucket", "split").orderBy("doc_id")
+
+  /** C14: PII redaction (emails / SSNs / phones) with per-kind counts. */
+  def q42PiiRedact(t: Tables): DataFrame = {
+    val cols = TextAnalysis.piiRedact(col("text"))
+    t.documents.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** C15: top-5 salient terms per document (log-free TF-IDF ranking). */
+  def q43Tfidf(t: Tables): DataFrame =
+    TextAnalysis.tfidfTopK(t.documents, k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rk")
 }

@@ -36,6 +36,48 @@ object TrainingOracle {
   }
 
   val sql: Map[String, String] = Map(
+    "q41_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q42_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssns,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |                                    ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, score, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
     "q33_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents

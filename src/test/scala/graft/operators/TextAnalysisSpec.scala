@@ -38,6 +38,47 @@ class TextAnalysisSpec extends SparkSuite {
     assert(row.getAs[Long]("bpe_tokens") == 4L) // ab | 12 | cd | !
   }
 
+  test("piiRedact scrubs planted emails/SSNs/phones and counts them") {
+    val df = Seq(
+      (1L, "contact bob@example.com or +1 (555) 123-4567 now"),
+      (2L, "ssn 123-45-6789 leaked twice 987-65-4321"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.piiRedact(col("text"))
+    val rows = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0)._2 == "contact <EMAIL> or <PHONE> now")
+    assert((rows(0)._3, rows(0)._4, rows(0)._5) == ((1L, 0L, 1L)))
+    assert(rows(1)._2 == "ssn <SSN> leaked twice <SSN>")
+    assert((rows(1)._3, rows(1)._4, rows(1)._5) == ((0L, 2L, 0L)))
+    assert(rows(2)._2 == "nothing sensitive here")
+  }
+
+  test("hashSplit is deterministic and roughly 80/10/10") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val counts = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800, s"train=$counts")
+    assert(counts("val") > 100 && counts("val") < 350)
+    assert(counts("test") > 100 && counts("test") < 350)
+    val again = Sampling.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(again == counts, "same input ⇒ identical assignment")
+  }
+
+  test("tfidfTopK ranks a doc-distinctive term above corpus-wide terms") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common common"),
+      (3L, "common word word")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, k = 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra", "df=1 term dominates despite tf=1")
+    assert(top(3L) == "word")
+  }
+
   test("fingerprint is deterministic, order-sensitive, and non-negative") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha")
