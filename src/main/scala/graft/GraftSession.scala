@@ -15,7 +15,9 @@ object GraftSession {
 
   /** Build a local session; `cpus` drives parallelism-dependent confs. */
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession =
-    tune(SparkSession.builder().master(s"local[$cpus]"), cpus).appName(appName).getOrCreate()
+    tune(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .appName(appName).getOrCreate()
 
   /** Apply graft's conf set to any builder (cluster deploys reuse this). */
   def tune(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder = b

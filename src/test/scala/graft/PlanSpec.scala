@@ -66,4 +66,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), "corpus must never shuffle into a cartesian")
   }
+
+  test("q34/q35: pair scoring uses the native dot_product kernel, not HOF lambdas") {
+    assert(plan(TrainingData.q34AnnBrute(t)).contains("dot_product"))
+    val p35 = plan(TrainingData.q35AnnLsh(t))
+    assert(p35.contains("dot_product"), p35)
+    assert(!p35.contains("lambdafunction"), "no interpreted higher-order fns in the ANN path")
+  }
+
+  test("q31: minhash uses the native ngram_hashes kernel and partial min aggregates") {
+    val p = plan(TrainingData.q31DedupMinhash(t))
+    assert(p.contains("ngram_hashes"), p)
+    assert(p.contains("partial_min"), "signature mins must combine map-side")
+  }
+
+  test("q41: hash split is pure per-row arithmetic — zero exchanges before the sort") {
+    val p = plan(TrainingData.q41Split(t))
+    // the only exchange allowed is the final presentation ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join"), "split must not join or shuffle data")
+  }
+
+  test("q43: tfidf broadcasts the corpus-size scalar, never a cartesian") {
+    val p = plan(TrainingData.q43Tfidf(t))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property tests for the native codegen'd expressions: the DataFrame
+  * (whole-stage-codegen) results must equal an independent driver-side
+  * implementation on seeded-random inputs, and the SQL registration
+  * (GraftExtensions) must resolve. */
+class NativeExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("DotProduct matches a naive driver-side dot on random float vectors") {
+    val rnd = new Random(7)
+    val cases = Seq.fill(40) {
+      val n = 1 + rnd.nextInt(48)
+      (List.fill(n)(rnd.nextFloat() * 20 - 10), List.fill(n)(rnd.nextFloat() * 20 - 10))
+    }
+    val got = cases.toDF("a", "b")
+      .select(VectorFunctions.dotProduct(col("a"), col("b"))).as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      assert(math.abs(g - expected) < 1e-6, s"a=$a b=$b")
+    }
+  }
+
+  test("DotProduct promotes float/double combinations consistently") {
+    val df = Seq((Seq(1.5f, -2f), Seq(2.0, 3.0))).toDF("f", "d")
+    assert(df.select(VectorFunctions.dotProduct(col("f"), col("d"))).as[Double].head() == -3.0)
+    assert(df.select(VectorFunctions.dotProduct(col("d"), col("f"))).as[Double].head() == -3.0)
+  }
+
+  test("NgramHashes emits max(m-n+1, 1) chained hashes matching XXH64 directly") {
+    val rnd = new Random(11)
+    val words = Vector("alpha", "beta", "g", "delta42", "x y", "")
+    for (_ <- 1 to 40) {
+      val toks = List.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+      val n = 1 + rnd.nextInt(4)
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(TextFunctions.ngramHashes(col("toks"), n)).as[Seq[Long]].head()
+      val m = toks.length
+      val eff = math.min(n, m)
+      val expected = (0 until math.max(m - n + 1, 1)).map { i =>
+        (0 until eff).foldLeft(42L)((h, j) =>
+          XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(toks(i + j)), h))
+      }
+      assert(got == expected, s"toks=$toks n=$n")
+    }
+  }
+
+  test("NgramHashes: token boundaries are hash boundaries (no concat collisions)") {
+    val (h1, h2) = Seq((Seq("a b", "c"), Seq("a", "b c"))).toDF("t1", "t2")
+      .select(TextFunctions.ngramHashes(col("t1"), 2),
+              TextFunctions.ngramHashes(col("t2"), 2))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(h1 != h2, "('a b','c') must not collide with ('a','b c')")
+  }
+
+  test("SQL registration: dot_product and ngram_hashes resolve via spark.sql") {
+    val d = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(d == 11.0)
+    val h = spark.sql("SELECT ngram_hashes(array('a','b','c'), 2) AS h")
+      .as[Seq[Long]].head()
+    assert(h.length == 2)
+  }
+
+  test("Sampling.pctBucket stays in [0,100) and spreads") {
+    val buckets = spark.range(0, 1000)
+      .select(graft.operators.Sampling.pctBucket(col("id")).as("b")).as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    assert(buckets.distinct.length > 50, "hash should spread across buckets")
+  }
+}
