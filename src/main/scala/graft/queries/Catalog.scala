@@ -62,8 +62,9 @@ object Catalog {
   )
 
   val events: Map[String, QueryFn] = Map(
-    "q50_window_agg" -> rel(Events.q50WindowAgg),
-    "q51_sessionize" -> rel(Events.q51Sessionize)
+    "q44_asof_attrib" -> rel(Events.q44AsofAttrib),
+    "q50_window_agg"  -> rel(Events.q50WindowAgg),
+    "q51_sessionize"  -> rel(Events.q51Sessionize)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

@@ -56,4 +56,24 @@ object Events {
            money(sum(dec(col("value")))).as("sum_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** D5: as-of attribution — each purchase event gets the same user's most
+    * recent STRICTLY-prior click (graft.operators.AsOf: one shuffle + one
+    * window pass, no join blow-up). Clicks are pre-deduplicated per
+    * (user, ts) so the answer is deterministic; DuckDB's native ASOF LEFT
+    * JOIN is the oracle. */
+  def q44AsofAttrib(t: Tables): DataFrame = {
+    // µs clock on both sides (same convention as q51): DuckDB stores the
+    // parquet TIMESTAMP(NANOS) as µs, so µs is the cross-engine-exact unit.
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us"), col("click_id"), col("ts_us").as("click_ts_us"))
+    graft.operators.AsOf.joinPrior(purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts_us", rightTimeCol = "ts_us",
+        rightValueCols = Seq("click_id", "click_ts_us"))
+      .orderBy("event_id")
+  }
 }

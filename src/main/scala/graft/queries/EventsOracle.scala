@@ -5,6 +5,20 @@ package graft.queries
   * nanosAsLong. */
 object EventsOracle {
   val sql: Map[String, String] = Map(
+    "q44_asof_attrib" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id AS asof_click_id, c.ts_us AS asof_click_ts_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q50_window_agg" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns,
         |  event_type, COUNT(*) AS n_events,
