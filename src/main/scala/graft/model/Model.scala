@@ -21,13 +21,28 @@ final case class Model(
     /** Per-row validity predicates, name → rule (all must hold). */
     validations: Seq[(String, DataFrame => Column)] = Nil,
     /** Destination column mapping: output name → source expression. */
-    columnMap: Option[Seq[(String, DataFrame => Column)]] = None)
+    columnMap: Option[Seq[(String, DataFrame => Column)]] = None,
+    /** Incremental build with the last cursor VALUE — used by SQL-text
+      * models whose query embeds `:cursor` itself; DataFrame models leave
+      * this None and get the runner's `cursorCol > value` filter. */
+    buildIncremental: Option[(SparkSession, String) => DataFrame] = None)
 
 object Model {
-  /** SQL-text model: the closest shape to the reference's authoring surface
-    * — `spark.sql` with the cursor passed through `sql` args templating
-    * done HERE (engine-side, typed), not string concatenation. */
-  def fromSql(name: String, sql: String, keyCols: Seq[String],
-              cursorCol: Option[String] = None): Model =
-    Model(name, s => s.sql(sql), keyCols, cursorCol)
+  /** SQL-text model: the reference's authoring surface — a single SELECT
+    * with a `:cursor` named parameter (core/src/lib/sql.ts:22-86). Graft
+    * binds it through Spark's parameterized SQL, so the cursor arrives as
+    * a TYPED literal inside the analyzed plan (pushdown-eligible) — never
+    * string interpolation. The full (first) run binds :cursor to NULL, so
+    * incremental SQL should read `WHERE :cursor IS NULL OR c > :cursor`,
+    * exactly the reference's initial-run convention. */
+  def fromSql(name: String, sqlText: String, keyCols: Seq[String],
+              cursorCol: Option[String] = None): Model = {
+    val hasCursorParam = sqlText.contains(":cursor")
+    Model(name,
+      build = s => if (hasCursorParam) s.sql(sqlText, Map("cursor" -> null)) else s.sql(sqlText),
+      keyCols = keyCols,
+      cursorCol = cursorCol,
+      buildIncremental =
+        if (hasCursorParam) Some((s, v) => s.sql(sqlText, Map("cursor" -> v))) else None)
+  }
 }

@@ -28,7 +28,8 @@ object Catalog {
     "q16_rollup"         -> rel(Relational.q16Rollup),
     "q17_cte"            -> rel(Relational.q17Cte),
     "q18_latest_per_key" -> rel(Relational.q18LatestPerKey),
-    "q19_pivot"          -> rel(Relational.q19Pivot)
+    "q19_pivot"          -> rel(Relational.q19Pivot),
+    "q45_percentiles"    -> rel(Relational.q45Percentiles)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(

@@ -209,6 +209,18 @@ object Relational {
         coalesce(col("P"), lit(0L)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** A20: exact percentiles of order value by status. `percentile` is a
+    * sort-based exact aggregate (matches DuckDB quantile_cont bit-for-bit
+    * — same linear interpolation); at 100 TB swap in approx_percentile
+    * (t-digest) for the same query shape with bounded executor memory. */
+  def q45Percentiles(t: Tables): DataFrame =
+    t.orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("p50"),
+           expr("percentile(o_totalprice, 0.9D)").as("p90"),
+           expr("percentile(o_totalprice, 0.99D)").as("p99"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** A18: latest-row-per-key — THE reverse-ETL dedup (one row per entity). */
   def q18LatestPerKey(t: Tables): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)

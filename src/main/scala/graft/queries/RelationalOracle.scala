@@ -173,6 +173,15 @@ object RelationalOracle {
         |) x WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
 
+    "q45_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_cont(o_totalprice, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q19_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -29,14 +29,16 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
   /** One sync run. `sink` receives the validated, mapped rows. */
   def run(spark: SparkSession, model: Model, syncId: String,
           sink: DataFrame => Unit, fullRefresh: Boolean = false): SyncReport = {
-    val base = model.build(spark)
-
-    // 1. incremental cursor filter (reference: `:cursor` substitution)
+    // 1. incremental cursor (reference: `:cursor` substitution) — SQL-text
+    // models bind the value INTO their query as a typed parameter;
+    // DataFrame models get a cursorCol predicate (both reach the scan).
     val lastCursor = if (fullRefresh) None else store.get(cursorKey(syncId))
-    val increment = (model.cursorCol, lastCursor) match {
-      case (Some(c), Some(v)) =>
+    val increment = (model.buildIncremental, model.cursorCol, lastCursor) match {
+      case (Some(bi), _, Some(v)) => bi(spark, v)
+      case (None, Some(c), Some(v)) =>
+        val base = model.build(spark)
         base.filter(col(c) > lit(v).cast(base.schema(c).dataType))
-      case _ => base
+      case _ => model.build(spark)
     }
 
     // 2. validation — one flag column; all rules codegen'd per row

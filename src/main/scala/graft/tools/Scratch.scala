@@ -18,16 +18,12 @@ object Scratch {
       System.err.println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n)")
     }
 
-    val sh = docs.select(col("doc_id").as("id"),
-        explode(shingles(tokens(col("text")), 3)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-
-    time("explode+hash only")(sh.write.format("noop").mode("overwrite").save().asInstanceOf[Any].hashCode())
-    val minCols = (0 until 64).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
-    time("64 min aggs")(sh.groupBy("id").agg(minCols.head, minCols.tail: _*).count())
-    time("collect_set agg")(sh.groupBy("id").agg(collect_set(col("h")).as("hs")).count())
-    time("both in one agg")(sh.groupBy("id")
-      .agg(minCols.head, (minCols.tail :+ collect_set(col("h")).as("hs")): _*).count())
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus")
+      .collect().foreach(r => println(s"[scratch] ${r.getString(0)} ${r.getDouble(1)} ${r.getDouble(2)}"))
 
     spark.stop()
   }
