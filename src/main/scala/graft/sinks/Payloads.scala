@@ -67,4 +67,38 @@ object Payloads {
       to_json(map_from_arrays(
         array(props.map(lit(_)): _*),
         array(props.map(p => col(p).cast("string")): _*))).as("properties_json"))
+
+  /** Mixpanel-engage-shape profile updates: one `$distinct_id` + `$set`
+    * properties object per row (mixpanel connector's user/group profiles). */
+  def mixpanelProfiles(df: DataFrame, distinctIdCol: String, props: Seq[String]): DataFrame =
+    df.select(to_json(struct(
+      col(distinctIdCol).cast("string").as("$distinct_id"),
+      map_from_arrays(
+        array(props.map(lit(_)): _*),
+        array(props.map(p => col(p).cast("string")): _*)).as("$set"))).as("profile_json"))
+
+  /** Google-Sheets-shape table: one header row (row_idx 0) + one values
+    * array per data row, ordered by `orderCol` — the whole-table write the
+    * sheets connector performs. The ordering window is global by nature
+    * (a sheet IS a single ordered object); sheet-sized data only. */
+  def sheetRows(df: DataFrame, orderCol: String): DataFrame = {
+    val header = df.sparkSession.range(1).select(
+      lit(0L).as("row_idx"),
+      array(df.columns.map(lit(_)): _*).as("values"))
+    val w = Window.orderBy(orderCol)
+    val data = df
+      .withColumn("row_idx", row_number().over(w).cast("long"))
+      .select(col("row_idx"), array(df.columns.map(c => col(c).cast("string")): _*).as("values"))
+    header.unionByName(data)
+  }
+
+  /** Audience clearing — the reference replays the previously-synced key
+    * set from its store and issues deletes
+    * (facebook-ads audience clear). Graft-side the "last-synced rows" are
+    * the previous snapshot table: hash every member and emit delete
+    * batches in the same wire shape as audienceBatches. */
+  def audienceClearBatches(prevSnapshot: DataFrame, emailCol: String,
+                           batchSize: Int = 1000): DataFrame =
+    audienceBatches(prevSnapshot, emailCol, batchSize)
+      .withColumn("op", lit("delete"))
 }

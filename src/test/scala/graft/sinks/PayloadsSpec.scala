@@ -38,4 +38,28 @@ class PayloadsSpec extends SparkSuite {
     val json = row.getAs[String]("properties_json")
     assert(json.contains("\"name\":\"Ann\"") && json.contains("\"score\":\"12.5\""))
   }
+
+  test("mixpanel profiles: $distinct_id + $set map per row") {
+    val df = Seq((42L, "Bea", "de")).toDF("uid", "name", "country")
+    val json = Payloads.mixpanelProfiles(df, "uid", Seq("name", "country"))
+      .select("profile_json").as[String].head()
+    assert(json.contains("\"$distinct_id\":\"42\""))
+    assert(json.contains("\"$set\":{") && json.contains("\"country\":\"de\""))
+  }
+
+  test("sheet rows: header at idx 0, data 1..n in order, all stringified") {
+    val df = Seq((2L, "b"), (1L, "a")).toDF("id", "name")
+    val rows = Payloads.sheetRows(df, "id").orderBy("row_idx")
+      .as[(Long, Seq[String])].collect()
+    assert(rows(0) == ((0L, Seq("id", "name"))))
+    assert(rows(1) == ((1L, Seq("1", "a"))))
+    assert(rows(2) == ((2L, Seq("2", "b"))))
+  }
+
+  test("audience clear replays the previous snapshot as delete batches") {
+    val prev = Seq("x@y.z", "a@b.c").toDF("email")
+    val got = Payloads.audienceClearBatches(prev, "email").collect()
+    assert(got.forall(_.getAs[String]("op") == "delete"))
+    assert(got.map(_.getAs[Long]("n_members")).sum == 2)
+  }
 }
