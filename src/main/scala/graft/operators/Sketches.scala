@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distinct-count sketches (Apache DataSketches HLL via Spark's built-in
+ * `hll_sketch_agg` family).
+ *
+ * The 100 TB pattern is to keep the SKETCH, not the number: sketches are
+ * mergeable partial state, so per-partition/per-day sketches roll up to
+ * any coarser grouping without rescanning raw data — the same reason all
+ * graft aggregations insist on map-side partial aggregation. Exact
+ * `countDistinct` at that scale forces a full shuffle of every distinct
+ * value; an HLL sketch is a few KB per group at ~2% error.
+ */
+object Sketches {
+
+  /** Per-group HLL sketch of `valueCol` (binary, persistable). */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Roll previously-built sketches up to a coarser grouping and estimate.
+    * This is the rescan-free path: day → month → all-time reuses state. */
+  def rollupEstimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+
+  /** One-shot estimate per group (sketch + estimate fused). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): Column =
+    hll_sketch_estimate(hll_sketch_agg(col(valueCol)))
+}

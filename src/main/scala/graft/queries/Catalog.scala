@@ -59,7 +59,8 @@ object Catalog {
     "q40_fingerprint"   -> rel(TrainingData.q40Fingerprint),
     "q41_split"         -> rel(TrainingData.q41Split),
     "q42_pii_redact"    -> rel(TrainingData.q42PiiRedact),
-    "q43_tfidf"         -> rel(TrainingData.q43Tfidf)
+    "q43_tfidf"         -> rel(TrainingData.q43Tfidf),
+    "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct)
   )
 
   val events: Map[String, QueryFn] = Map(

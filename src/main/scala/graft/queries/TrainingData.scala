@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, Sketches, TextAnalysis}
 
 /**
  * §2C — training-data pipeline queries over `documents` and `embeddings`.
@@ -85,4 +85,16 @@ object TrainingData {
     TextAnalysis.tfidfTopK(t.documents, k = 5)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "rk")
+
+  /** C16: mergeable HLL distinct — customers-with-orders per segment,
+    * built as per-(segment, year) sketches ROLLED UP via sketch union
+    * (the rescan-free path; deterministic, so rows-only-checkable, but no
+    * DuckDB oracle — HLL implementations differ across engines). */
+  def q46ApproxDistinct(t: Tables): DataFrame = {
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val perYear = Sketches.distinctSketches(joined, Seq("c_mktsegment", "yr"), "o_custkey")
+    Sketches.rollupEstimate(perYear, Seq("c_mktsegment")).orderBy("c_mktsegment")
+  }
 }

@@ -92,4 +92,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q20: the cursor predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan(ReverseEtl.q20CursorIncremental(t))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"), p)
+  }
+
+  test("q46: sketch rollup keeps partial aggregation on both levels") {
+    val p = plan(TrainingData.q46ApproxDistinct(t))
+    assert(p.contains("partial_hll_sketch_agg"), "sketch build must combine map-side")
+    assert(p.contains("partial_hll_union_agg"), "sketch union must combine map-side")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+  }
 }
