@@ -42,7 +42,8 @@ object Catalog {
     "q26_column_map"         -> rel(ReverseEtl.q26ColumnMap),
     "q27_batcher"            -> rel(ReverseEtl.q27Batcher),
     "q28_enrich"             -> rel(ReverseEtl.q28Enrich),
-    "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys)
+    "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys),
+    "q47_column_profile"     -> rel(ReverseEtl.q47ColumnProfile)
   )
 
   val trainingData: Map[String, QueryFn] = Map(

@@ -175,4 +175,19 @@ object ReverseEtl {
         when(col("internal_id").isNull, "create").otherwise("update").as("op"))
       .orderBy("external_id")
   }
+
+  /** B16: source column profile — the pre-sync audit every pipeline runs
+    * before trusting a model (row count, null rates, distincts, ranges).
+    * One pass, all partial aggregates; at 100 TB swap the exact distincts
+    * for the C16 sketches with the same query shape. */
+  def q47ColumnProfile(t: Tables): DataFrame =
+    t.orders.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_custkey").isNull, 1)).as("custkey_nulls"),
+      countDistinct(col("o_custkey")).as("custkey_distinct"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      money(min(dec(col("o_totalprice")))).as("price_min"),
+      money(max(dec(col("o_totalprice")))).as("price_max"),
+      min(col("o_orderdate")).as("date_min"),
+      max(col("o_orderdate")).as("date_max"))
 }

@@ -104,6 +104,17 @@ object ReverseEtlOracle {
         |             (c_custkey * 2654435761) % 1000000007 AS internal_id
         |           FROM customer WHERE c_custkey % 3 <> 0) m
         |  ON c_custkey = m.m_external_id
-        |ORDER BY external_id""".stripMargin
+        |ORDER BY external_id""".stripMargin,
+
+    "q47_column_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS custkey_nulls,
+        |  COUNT(DISTINCT o_custkey) AS custkey_distinct,
+        |  COUNT(DISTINCT o_orderstatus) AS status_distinct,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_min,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_max,
+        |  MIN(o_orderdate) AS date_min,
+        |  MAX(o_orderdate) AS date_max
+        |FROM orders""".stripMargin
   )
 }
