@@ -10,13 +10,9 @@ object TextOps {
   /** Whitespace tokens of a single-space-separated text column. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles; texts shorter than n words fall back to
-    * one whole-text shingle so no document drops out of dedup. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  // n-gram shingling lives in graft.functions.NgramHashes (native codegen'd
+  // expression); the composable transform/slice/concat_ws form it replaced
+  // was interpreted and dominated the dedup hot path.
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
