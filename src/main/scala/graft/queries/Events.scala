@@ -76,4 +76,26 @@ object Events {
         rightValueCols = Seq("click_id", "click_ts_us"))
       .orderBy("event_id")
   }
+
+  /** D6: range join — events counted into overlapping 90-minute campaign
+    * windows (hourly starts over the whole month), via the binned
+    * equi-join in graft.operators.RangeJoin (NOT the
+    * BroadcastNestedLoopJoin Spark would plan for a raw inequality join).
+    * Window grid is deterministic so DuckDB reproduces it exactly. */
+  def q48RangeJoin(t: Tables): DataFrame = {
+    val spark = t.events.sparkSession
+    val BaseUs = 1704067200000000L       // 2024-01-01T00:00:00Z in epoch µs
+    val StepUs = 3600L * 1000 * 1000     // hourly starts
+    val LenUs  = 5400L * 1000 * 1000     // 90-minute windows (overlapping)
+    val intervals = spark.range(0, 720).select(
+      col("id").as("interval_id"),
+      (lit(BaseUs) + col("id") * StepUs).as("start_us"),
+      (lit(BaseUs) + col("id") * StepUs + LenUs).as("end_us"))
+    val ev = t.events.select(expr("ts div 1000L").as("ts_us"), col("value"))
+    graft.operators.RangeJoin
+      .pointInInterval(ev, intervals, "ts_us", "start_us", "end_us", binSize = StepUs)
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("interval_id")
+  }
 }

@@ -19,6 +19,20 @@ object EventsOracle {
         |  ON p.user_id = c.user_id AND p.ts_us > c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q48_range_join" ->
+      """WITH iv AS (
+        |  SELECT i AS interval_id,
+        |         1704067200000000 + i * 3600000000 AS start_us,
+        |         1704067200000000 + i * 3600000000 + 5400000000 AS end_us
+        |  FROM range(720) t(i)
+        |), ev AS (
+        |  SELECT epoch_us(ts) AS ts_us, value FROM events
+        |)
+        |SELECT interval_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+
     "q50_window_agg" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns,
         |  event_type, COUNT(*) AS n_events,
