@@ -67,6 +67,7 @@ object Catalog {
   val events: Map[String, QueryFn] = Map(
     "q44_asof_attrib" -> rel(Events.q44AsofAttrib),
     "q48_range_join"  -> rel(Events.q48RangeJoin),
+    "q49_json_extract" -> rel(Events.q49JsonExtract),
     "q50_window_agg"  -> rel(Events.q50WindowAgg),
     "q51_sessionize"  -> rel(Events.q51Sessionize)
   )

@@ -77,6 +77,19 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** D7: semi-structured extraction — filter + aggregate on a field inside
+    * the JSON `props` payload. `get_json_object` is a per-row codegen'd
+    * path expression; at 100 TB prefer parsing ONCE with `from_json` into
+    * a struct column when several fields are read (single parse, columnar
+    * downstream). */
+  def q49JsonExtract(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") > 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   /** D6: range join — events counted into overlapping 90-minute campaign
     * windows (hourly starts over the whole month), via the binned
     * equi-join in graft.operators.RangeJoin (NOT the

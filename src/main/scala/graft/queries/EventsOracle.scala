@@ -33,6 +33,13 @@ object EventsOracle {
         |FROM ev JOIN iv ON ts_us >= start_us AND ts_us < end_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
 
+    "q49_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(props->>'k' AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q50_window_agg" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns,
         |  event_type, COUNT(*) AS n_events,
