@@ -105,4 +105,25 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** D8: streaming reverse-ETL — any stream into any graft batch sink
+    * (RestSink / JdbcSink / Payloads shapers) via foreachBatch: each
+    * micro-batch is an ordinary DataFrame, so the WHOLE batch sink
+    * library applies unchanged, with exactly-once bookkeeping from the
+    * checkpoint + the sink's idempotence (upserts/audience diffs are
+    * idempotent by construction; batchId lets non-idempotent sinks
+    * dedupe). This is how a production continuous sync runs: the batch
+    * SyncRunner semantics, incrementally. */
+  def runToSink(transformed: DataFrame, checkpointDir: String)
+               (sink: (DataFrame, Long) => Unit): Unit = {
+    val q = transformed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(batch.toDF(), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
