@@ -104,4 +104,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_hll_union_agg"), "sketch union must combine map-side")
     assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
   }
+
+  test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
+    val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = plan(fn(spark, sfDir))
+        val bad = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "ScalaUDF"         -> p.toLowerCase.contains("scalaudf"),
+          "BatchEvalPython"  -> p.contains("BatchEvalPython")
+        ).collect { case (what, true) => what }
+        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"plan invariants violated:\n${offenders.mkString("\n")}")
+  }
 }
