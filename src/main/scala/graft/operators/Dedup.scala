@@ -122,6 +122,73 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // --- portable (cross-engine-verifiable) MinHash ----------------------
+
+  /** splitmix64 finalizer — deterministic driver-side constants. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-permutation (multiplier, addend): positive 31-bit, odd multiplier
+    * — with a 31-bit base hash the affine form stays under 2^62, so the
+    * arithmetic is overflow-free on BOTH engines (Spark 4 ANSI mode throws
+    * on long overflow; DuckDB BIGINT has no wraparound). Shared with the
+    * DuckDB oracle so both engines compute identical signatures. */
+  private[graft] def permConstants(numPerm: Int): Seq[(Long, Long)] =
+    (0 until numPerm).map(p =>
+      ((mix(p.toLong) & 0x7FFFFFFFL) | 1L, mix(p.toLong + 1000L) & 0x7FFFFFFFL))
+
+  /** C2 (portable twin): the SAME MinHash+LSH algorithm with every hash
+    * chosen for cross-engine reproducibility, so DuckDB can replay the
+    * ENTIRE pipeline — shingling, signatures, banding, bucket join, exact
+    * verify — and the oracle checks the algorithm end-to-end (q31 keeps
+    * the fast XXH64/NgramHashes kernel, rows-only):
+    *  - shingle strings via a window lead (codegen'd, no HOF);
+    *  - base hash = low 31 bits of md5's top 60 bits (portable, unlike
+    *    xxhash64; 31 bits keeps every product overflow-free below);
+    *  - permutation p: h*C_p + D_p with 31-bit constants — stays < 2^62,
+    *    identical plain integer arithmetic on both engines;
+    *  - band key = the 4 min values joined as a string (no re-hash). */
+  def minhashPairsPortable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                           numPerm: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val tri = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select(col("id"), concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("s"),
+        lead("tok", 2).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+    val fallback = docs.filter(size(split(col(textCol), " ")) < 3)
+      .select(col(idCol).as("id"), col(textCol).as("s"))
+    val sh = tri.unionByName(fallback).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").bitwiseAND(lit(0x7FFFFFFFL)))
+
+    val consts = permConstants(numPerm)
+    val minCols = consts.zipWithIndex.map { case ((c, d), p) =>
+      min(col("h") * c + d).as(s"m$p")
+    }
+    val sig = sh.groupBy("id")
+      .agg(minCols.head, (minCols.tail :+ collect_set(col("h")).as("hs")): _*)
+
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"m$p")): _*)
+    }
+    val exploded = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val pairs = lshBucketPairs(exploded, "band_idx", "band_key", bucketCap)
+
+    val sets = sig.select(col("id"), col("hs"))
+    pairs.join(sets.select(col("id").as("doc_a"), col("hs").as("sh_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
     * `source`). Computed as an inverted-index join — explode shingles,
     * self-join on (group, shingle-hash), count common shingles per pair,

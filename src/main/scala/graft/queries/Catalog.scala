@@ -61,7 +61,8 @@ object Catalog {
     "q41_split"         -> rel(TrainingData.q41Split),
     "q42_pii_redact"    -> rel(TrainingData.q42PiiRedact),
     "q43_tfidf"         -> rel(TrainingData.q43Tfidf),
-    "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct)
+    "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct),
+    "q52_minhash_portable" -> rel(TrainingData.q52MinhashPortable)
   )
 
   val events: Map[String, QueryFn] = Map(

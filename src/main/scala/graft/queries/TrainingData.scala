@@ -86,6 +86,12 @@ object TrainingData {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "rk")
 
+  /** C2 portable twin: the full MinHash+LSH pipeline with cross-engine
+    * hashes, so the DuckDB oracle replays shingling → signatures → bands
+    * → bucket join → exact verify and checks the ALGORITHM end-to-end. */
+  def q52MinhashPortable(t: Tables): DataFrame =
+    Dedup.minhashPairsPortable(t.documents, threshold = 0.7).orderBy("doc_a", "doc_b")
+
   /** C16: mergeable HLL distinct — customers-with-orders per segment,
     * built as per-(segment, year) sketches ROLLED UP via sketch union
     * (the rescan-free path; deterministic, so rows-only-checkable, but no

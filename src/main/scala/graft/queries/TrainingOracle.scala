@@ -35,7 +35,73 @@ object TrainingOracle {
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS score_$l"
   }
 
+  /** Full DuckDB replay of the portable MinHash+LSH pipeline (q52) —
+    * constants shared with Dedup.permConstants; all arithmetic stays
+    * below 2^62 (31-bit hash × 31-bit constants) so plain BIGINT math is
+    * identical on both engines, no overflow anywhere. */
+  private def minhashPortableSql: String = {
+    val numPerm = 64
+    val bands = 16
+    val rowsPerBand = numPerm / bands
+    val consts = graft.operators.Dedup.permConstants(numPerm)
+    val minCols = consts.zipWithIndex.map { case ((c, d), p) =>
+      s"min(h * $c + $d) AS m$p"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => s"m$p").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(',', $key) AS band_key FROM mins"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS ss
+       |  FROM tk
+       |), shx AS (
+       |  SELECT doc_id, unnest(ss) AS s FROM sh0
+       |), hs AS (
+       |  -- DISTINCT on (doc, h): a 31-bit collision inside one doc must
+       |  -- count once, matching Spark's collect_set semantics
+       |  SELECT DISTINCT doc_id,
+       |         CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+       |  FROM shx
+       |), mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), sized AS (
+       |  SELECT band_idx, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 100
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN sized s USING (band_idx, band_key)
+       |  JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id
+       |), common AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+       |  FROM pairs p
+       |  JOIN hs x ON x.doc_id = p.doc_a
+       |  JOIN hs y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c) AS jaccard
+       |FROM common c
+       |JOIN sizes na ON na.doc_id = c.doc_a
+       |JOIN sizes nb ON nb.doc_id = c.doc_b
+       |WHERE CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q52_minhash_portable" -> minhashPortableSql,
+
     "q41_split" ->
       """WITH b AS (
         |  SELECT doc_id,
