@@ -189,6 +189,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Portable 31-bit token hash: low 31 bits of md5's top 60 (any engine
+    * can recompute it; all downstream arithmetic stays overflow-free). */
+  private[graft] def portableHash31(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+
+  /** C3 (portable twin): SimHash over a 32-bit signature with the portable
+    * token hash — DuckDB replays votes → sign bits → 8-bit bands → bucket
+    * join → Hamming verify (`xor` + `bit_count` exist in both engines).
+    * Same explode → codegen'd sum-aggregate shape as the fast simhash. */
+  def simhashPairsPortable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                           maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    // md5+hex-parse is ~100× costlier than a join probe, and vocabulary is
+    // tiny relative to token instances — so hash each DISTINCT token once
+    // and dictionary-join (broadcast locally; plain shuffle join when the
+    // vocabulary outgrows the broadcast threshold at scale).
+    val raw = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val dict = raw.select("t").distinct().withColumn("h", portableHash31(col("t")))
+    val tok = raw.join(broadcast(dict), "t").select("id", "h")
+    val voteCols = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    val sigs = tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)))
+    val exploded = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val pairs = lshBucketPairs(exploded, "band_idx", "band_hash", bucketCap)
+    val sa = sigs.select(col("id").as("doc_a"), col("simhash").as("sim_a"))
+    val sb = sigs.select(col("id").as("doc_b"), col("simhash").as("sim_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
     * `source`). Computed as an inverted-index join — explode shingles,
     * self-join on (group, shingle-hash), count common shingles per pair,

@@ -119,4 +119,15 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(M)), lit(M)))
   }
+
+  /** C11 (portable twin): same rolling hash with the md5-derived 31-bit
+    * token hash, so DuckDB replays it via list_reduce — the fold starts at
+    * 0 in Spark and at the first element in DuckDB, which coincide because
+    * (0*31 + h1) mod M = h1 for h1 < M. All terms stay < 2^54: no
+    * overflow on either engine. */
+  def fingerprintPortable(text: Column): Column = {
+    val M = 562949953421231L
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + graft.operators.Dedup.portableHash31(t), lit(M)))
+  }
 }

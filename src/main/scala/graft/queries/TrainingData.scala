@@ -92,6 +92,22 @@ object TrainingData {
   def q52MinhashPortable(t: Tables): DataFrame =
     Dedup.minhashPairsPortable(t.documents, threshold = 0.7).orderBy("doc_a", "doc_b")
 
+  /** C3 portable twin: SimHash with cross-engine hashes — DuckDB replays
+    * votes → signature → bands → bucket join → Hamming verify. Tight
+    * maxDist/bucketCap: this corpus has a ~31-word vocabulary, so 32-bit
+    * signatures are low-diversity and looser settings explode the pair
+    * count (the cost of a pair-producing operator IS its output). */
+  def q53SimhashPortable(t: Tables): DataFrame =
+    Dedup.simhashPairsPortable(t.documents, maxDist = 2, bucketCap = 100)
+      .orderBy("doc_a", "doc_b")
+
+  /** C11 portable twin: rolling-hash fingerprint DuckDB reproduces via
+    * list_reduce over the same md5-derived token hashes. */
+  def q54FingerprintPortable(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
   /** C16: mergeable HLL distinct — customers-with-orders per segment,
     * built as per-(segment, year) sketches ROLLED UP via sketch union
     * (the rescan-free path; deterministic, so rows-only-checkable, but no

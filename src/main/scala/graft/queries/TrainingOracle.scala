@@ -99,8 +99,58 @@ object TrainingOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay of the portable SimHash pipeline (q53). */
+  private def simhashPortableSql: String = {
+    val voteCols = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val sigExpr = (0 until 32).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (s >> ${b * 8}) & 255 AS band_key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tokh AS (
+       |  SELECT doc_id,
+       |         CAST(CONCAT('0x', substring(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT)
+       |           & 2147483647 AS h
+       |  FROM documents
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM tokh GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $sigExpr AS s FROM votes
+       |), bands AS (
+       |  $bandSelects
+       |), sized AS (
+       |  SELECT band_idx, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 100
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN sized z USING (band_idx, band_key)
+       |  JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.doc_a
+       |JOIN sig sb ON sb.doc_id = p.doc_b
+       |WHERE bit_count(xor(sa.s, sb.s)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q52_minhash_portable" -> minhashPortableSql,
+    "q53_simhash_portable" -> simhashPortableSql,
+
+    "q54_fingerprint_portable" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(CONCAT('0x', substring(md5(t), 1, 15)) AS BIGINT) & 2147483647),
+        |    (a, b) -> (a * 31 + b) % 562949953421231) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q41_split" ->
       """WITH b AS (
