@@ -55,7 +55,13 @@ object Bench {
 
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      if (warmup) once(n)
+      if (warmup) {
+        once(n)
+        // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
+        // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
+        // not land inside the timed window.
+        System.gc()
+      }
       n -> once(n)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
