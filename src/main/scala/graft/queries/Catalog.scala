@@ -64,7 +64,8 @@ object Catalog {
     "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct),
     "q52_minhash_portable" -> rel(TrainingData.q52MinhashPortable),
     "q53_simhash_portable" -> rel(TrainingData.q53SimhashPortable),
-    "q54_fingerprint_portable" -> rel(TrainingData.q54FingerprintPortable)
+    "q54_fingerprint_portable" -> rel(TrainingData.q54FingerprintPortable),
+    "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline)
   )
 
   val events: Map[String, QueryFn] = Map(

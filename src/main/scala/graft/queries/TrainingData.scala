@@ -108,6 +108,32 @@ object TrainingData {
       .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** C17: the composed training-data prep pipeline — exact dedup (keep
+    * canonical), language ID, quality scoring, deterministic split — as
+    * ONE declarative plan, grouped into per-(split, lang) corpus stats.
+    * Every stage is an already-oracled operator, so the composition is
+    * oracle-checked too; Catalyst fuses the stages (one scan, the
+    * dedup aggregation, per-row scoring, one final aggregation). */
+  def q55TrainingPipeline(t: Tables): DataFrame = {
+    val docs = t.documents
+    val canon = docs.groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
+    val kept = docs.join(canon.select("doc_id"), "doc_id")
+    val lang = TextAnalysis.langId(kept.select(col("doc_id"), col("text")))
+      .select("doc_id", "pred_lang")
+    val quality = TextAnalysis.qualityFeatures(col("text"))
+      .collect { case ("quality_score", c) => c }.head
+    val tokens = TextAnalysis.tokenCounts(col("text"))
+      .collect { case ("ws_tokens", c) => c }.head
+    val feats = kept.select(col("doc_id"), quality.as("q"), tokens.as("ws"))
+    val split = Sampling.hashSplit(kept.select("doc_id"), "doc_id").select("doc_id", "split")
+    lang.join(feats, "doc_id").join(split, "doc_id")
+      .groupBy("split", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_high_quality"),
+           sum(col("ws")).as("total_tokens"))
+      .orderBy("split", "pred_lang")
+  }
+
   /** C16: mergeable HLL distinct — customers-with-orders per segment,
     * built as per-(segment, year) sketches ROLLED UP via sketch union
     * (the rescan-free path; deterministic, so rows-only-checkable, but no

@@ -140,9 +140,56 @@ object TrainingOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Quality score exactly as q38's oracle (and TextAnalysis) spell it. */
+  private val qualityScoreSql =
+    """least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0) * 0.5
+      |  + least(1.0, (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / (length(text) - length(replace(text, ' ', '')) + 1)) / 8) * 0.3
+      |  + least(1.0, (CAST((length(text) - length(replace(text, 'the', ''))) / 3
+      |      + (length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
+      |      / (length(text) - length(replace(text, ' ', '')) + 1)) * 5) * 0.2""".stripMargin
+
+  /** The composed q55 pipeline from the individually-proven fragments. */
+  private def trainingPipelineSql: String = {
+    val scores = langs.map(scoreSql).mkString(",\n    ")
+    val caseLang =
+      s"CASE ${langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")} ELSE 'und' END"
+    s"""WITH canon AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+       |), kept AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)
+       |), lang0 AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM kept
+       |), lang AS (
+       |  SELECT doc_id, $caseLang AS pred_lang
+       |  FROM (SELECT *, greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best FROM lang0)
+       |), feats AS (
+       |  SELECT doc_id,
+       |    $qualityScoreSql AS q,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+       |  FROM kept
+       |), spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |        FROM kept)
+       |)
+       |SELECT s.split, l.pred_lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN f.q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+       |  CAST(SUM(f.ws) AS BIGINT) AS total_tokens
+       |FROM lang l
+       |JOIN feats f USING (doc_id)
+       |JOIN spl s USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q52_minhash_portable" -> minhashPortableSql,
     "q53_simhash_portable" -> simhashPortableSql,
+    "q55_training_pipeline" -> trainingPipelineSql,
 
     "q54_fingerprint_portable" ->
       """SELECT doc_id,
