@@ -20,14 +20,17 @@ object Sampling {
   def pctBucket(key: Column): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
 
+  /** Split label as a single column expression (for single-pass plans). */
+  def splitCol(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Deterministic train/val/test assignment by key hash. */
   def hashSplit(df: DataFrame, idCol: String,
-                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct + valPct <= 100, "train+val must leave room for test")
+                trainPct: Int = 80, valPct: Int = 10): DataFrame =
     df.withColumn("bucket", pctBucket(col(idCol)))
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
-  }
+      .withColumn("split", splitCol(col("bucket"), trainPct, valPct))
 }

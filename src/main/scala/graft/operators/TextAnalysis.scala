@@ -39,6 +39,19 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Language prediction as ONE column expression — the per-row form of
+    * langId for single-pass pipelines (same profiles, same argmax and
+    * tie-break order, 0 hits → "und"). */
+  def predLang(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordProfiles.keys.toSeq.sorted.map(l =>
+      l -> size(filter(toks, t => t.isInCollection(StopwordProfiles(l)))).cast("long"))
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+  }
+
   /** C9 building block: quality features from portable string ops (replace/
     * length only — semantics identical in Spark and DuckDB so the oracle
     * can recompute them). */

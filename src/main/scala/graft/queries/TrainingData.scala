@@ -115,18 +115,22 @@ object TrainingData {
     * oracle-checked too; Catalyst fuses the stages (one scan, the
     * dedup aggregation, per-row scoring, one final aggregation). */
   def q55TrainingPipeline(t: Tables): DataFrame = {
-    val docs = t.documents
-    val canon = docs.groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
-    val kept = docs.join(canon.select("doc_id"), "doc_id")
-    val lang = TextAnalysis.langId(kept.select(col("doc_id"), col("text")))
-      .select("doc_id", "pred_lang")
+    // Canonical-per-content-hash via window (NOT agg+self-join): the whole
+    // pipeline is ONE scan → one hash-partition window → per-row scoring
+    // → one final aggregation. The join formulation re-scans the corpus
+    // per stage — at 100 TB that is 4 reads of the dataset instead of 1.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
     val quality = TextAnalysis.qualityFeatures(col("text"))
       .collect { case ("quality_score", c) => c }.head
     val tokens = TextAnalysis.tokenCounts(col("text"))
       .collect { case ("ws_tokens", c) => c }.head
-    val feats = kept.select(col("doc_id"), quality.as("q"), tokens.as("ws"))
-    val split = Sampling.hashSplit(kept.select("doc_id"), "doc_id").select("doc_id", "split")
-    lang.join(feats, "doc_id").join(split, "doc_id")
+    t.documents
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(
+        Sampling.splitCol(Sampling.pctBucket(col("doc_id"))).as("split"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        quality.as("q"), tokens.as("ws"))
       .groupBy("split", "pred_lang")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_high_quality"),

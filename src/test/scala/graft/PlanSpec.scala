@@ -105,6 +105,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
   }
 
+  test("q55: the composed prep pipeline reads the corpus EXACTLY once") {
+    val p = plan(TrainingData.q55TrainingPipeline(t))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"pipeline must be single-scan (join formulation re-reads the corpus):\n$p")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
