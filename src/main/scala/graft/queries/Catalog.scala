@@ -29,7 +29,9 @@ object Catalog {
     "q17_cte"            -> rel(Relational.q17Cte),
     "q18_latest_per_key" -> rel(Relational.q18LatestPerKey),
     "q19_pivot"          -> rel(Relational.q19Pivot),
-    "q45_percentiles"    -> rel(Relational.q45Percentiles)
+    "q45_percentiles"    -> rel(Relational.q45Percentiles),
+    "q56_date_spine"     -> rel(Relational.q56DateSpine),
+    "q57_string_agg"     -> rel(Relational.q57StringAgg)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(

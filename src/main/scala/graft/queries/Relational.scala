@@ -221,6 +221,39 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** A21: date-spine densification — month grid × left join so empty
+    * months surface as zeros (reporting's classic gap-fill). The spine is
+    * generated (sequence+explode), never read; the fact side aggregates
+    * BEFORE the join so the spine join touches one row per month. */
+  def q56DateSpine(t: Tables): DataFrame = {
+    val spark = t.orders.sparkSession
+    import spark.implicits._
+    val spine = Seq(1).toDF("__one").select(
+      explode(expr(
+        "sequence(timestamp'1995-01-01', timestamp'2001-12-01', interval 1 month)"))
+        .as("month_start"))
+    val monthly = t.orders
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.join(monthly, col("month_start") === col("m"), "left_outer")
+      .select(col("month_start"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("month_start")
+  }
+
+  /** A22: ordered string aggregation — per customer, order priorities of
+    * recent orders as one sorted comma list (listagg/string_agg shape).
+    * sort_array(collect_list(...)) gives a DETERMINISTIC order regardless
+    * of partition arrival order — unordered collect_list is not
+    * reproducible and would fail any cross-engine compare. */
+  def q57StringAgg(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      .groupBy("o_custkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderpriority")))).as("prios"),
+           count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
   /** A18: latest-row-per-key — THE reverse-ETL dedup (one row per entity). */
   def q18LatestPerKey(t: Tables): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)

@@ -182,6 +182,27 @@ object RelationalOracle {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    "q56_date_spine" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
+        |                                INTERVAL 1 MONTH)) AS month_start
+        |), monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        |)
+        |SELECT s.month_start, COALESCE(m.cnt, 0) AS n_orders
+        |FROM spine s LEFT JOIN monthly m ON s.month_start = m.m
+        |ORDER BY s.month_start""".stripMargin,
+
+    "q57_string_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     "q19_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
