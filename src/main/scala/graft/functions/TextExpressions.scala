@@ -54,8 +54,10 @@ case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
       var h = seed
       var j = 0
       while (j < eff) {
-        h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUTF8String(toks.getUTF8String(i + j), h)
+        // null tokens hash as empty (split never emits them; stay safe)
+        val t = if (toks.isNullAt(i + j)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else toks.getUTF8String(i + j)
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(t, h)
         j += 1
       }
       out(i) = h
@@ -81,8 +83,10 @@ case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
          |for (int $i = 0; $i < $cnt; $i++) {
          |  long $h = ${seed}L;
          |  for (int $j = 0; $j < $eff; $j++) {
-         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUTF8String($toks.getUTF8String($i + $j), $h);
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+         |      $toks.isNullAt($i + $j)
+         |        ? org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+         |        : $toks.getUTF8String($i + $j), $h);
          |  }
          |  $out[$i] = $h;
          |}

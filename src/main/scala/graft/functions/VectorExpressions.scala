@@ -53,9 +53,13 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xi * yi
+      // null elements contribute 0 (parquet list elements are nullable by
+      // default, and reading a null slot as a primitive is undefined)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xi * yi
+      }
       i += 1
     }
     s
@@ -72,7 +76,9 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(a, left)} * ${getter(b, right)};
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += ${getter(a, left)} * ${getter(b, right)};
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -60,6 +60,18 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(h1 != h2, "('a b','c') must not collide with ('a','b c')")
   }
 
+  test("null array elements: DotProduct skips them, NgramHashes hashes empty") {
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE), 3.0D), array(2.0D, 5.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(d == 14.0, "null slot contributes 0")
+    val h = spark.sql("SELECT ngram_hashes(array('a', CAST(NULL AS STRING), 'c'), 2) AS h")
+      .as[Seq[Long]].head()
+    val hEmpty = spark.sql("SELECT ngram_hashes(array('a', '', 'c'), 2) AS h")
+      .as[Seq[Long]].head()
+    assert(h == hEmpty, "null token hashes like the empty token")
+  }
+
   test("SQL registration: dot_product and ngram_hashes resolve via spark.sql") {
     val d = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .as[Double].head()
