@@ -74,6 +74,8 @@ object Catalog {
     "q44_asof_attrib" -> rel(Events.q44AsofAttrib),
     "q48_range_join"  -> rel(Events.q48RangeJoin),
     "q49_json_extract" -> rel(Events.q49JsonExtract),
+    "q58_funnel"       -> rel(Events.q58Funnel),
+    "q59_retention"    -> rel(Events.q59Retention),
     "q50_window_agg"  -> rel(Events.q50WindowAgg),
     "q51_sessionize"  -> rel(Events.q51Sessionize)
   )

@@ -90,6 +90,45 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** D9: funnel analysis — users progressing view → click → purchase in
+    * strict event-time order. Three per-user conditional-min aggregations,
+    * each constrained by the previous stage's timestamp; every stage is a
+    * partial-aggregated shuffle on user_id (the same key each time, so
+    * AQE/exchange reuse keeps it one physical partitioning). */
+  def q58Funnel(t: Tables): DataFrame = {
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+      .select("user_id", "event_type", "ts_us")
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"))
+    val c = ev.join(v, "user_id")
+      .groupBy("user_id", "t_view")
+      .agg(min(when(col("event_type") === "click" && col("ts_us") > col("t_view"),
+        col("ts_us"))).as("t_click"))
+    val p = ev.join(c, "user_id")
+      .groupBy("user_id", "t_view", "t_click")
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
+        col("ts_us"))).as("t_purchase"))
+    p.agg(
+      count(when(col("t_view").isNotNull, 1)).as("n_view"),
+      count(when(col("t_click").isNotNull, 1)).as("n_view_click"),
+      count(when(col("t_purchase").isNotNull, 1)).as("n_view_click_purchase"))
+  }
+
+  /** D10: weekly retention cohorts — users bucketed by first-active week,
+    * counted per week offset. Distinct (user, week) first, so the cohort
+    * grid aggregates bounded input regardless of per-user event volume. */
+  def q59Retention(t: Tables): DataFrame = {
+    val WeekUs = 604800000000L
+    val uw = t.events
+      .select(col("user_id"), expr(s"(ts div 1000L) div ${WeekUs}L").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** D6: range join — events counted into overlapping 90-minute campaign
     * windows (hourly starts over the whole month), via the binned
     * equi-join in graft.operators.RangeJoin (NOT the

@@ -40,6 +40,38 @@ object EventsOracle {
         |WHERE CAST(props->>'k' AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q58_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), v AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+        |  FROM ev GROUP BY user_id
+        |), c AS (
+        |  SELECT ev.user_id, v.t_view,
+        |         min(CASE WHEN event_type = 'click' AND ts_us > v.t_view THEN ts_us END) AS t_click
+        |  FROM ev JOIN v USING (user_id) GROUP BY ev.user_id, v.t_view
+        |), p AS (
+        |  SELECT ev.user_id, c.t_view, c.t_click,
+        |         min(CASE WHEN event_type = 'purchase' AND ts_us > c.t_click THEN ts_us END) AS t_purchase
+        |  FROM ev JOIN c USING (user_id) GROUP BY ev.user_id, c.t_view, c.t_click
+        |)
+        |SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        |       COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_view_click,
+        |       COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_view_click_purchase
+        |FROM p""".stripMargin,
+
+    "q59_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        |)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM uw JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q50_window_agg" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300000000000 AS window_start_ns,
         |  event_type, COUNT(*) AS n_events,
