@@ -54,15 +54,25 @@ object Bench {
     }
 
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // Global deadline: whatever happens per query, the bench itself always
+    // finishes and prints its JSON line well inside any external timeout
+    // (queries past the deadline are recorded as -3, never silently lost).
+    val deadlineNs = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_S", "480").toLong * 1000L * 1000 * 1000
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      if (warmup) {
-        once(n)
-        // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
-        // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
-        // not land inside the timed window.
-        System.gc()
+      if (System.nanoTime() > deadlineNs) {
+        System.err.println(s"[bench] $n skipped: total budget exhausted")
+        n -> -3.0
+      } else {
+        if (warmup) {
+          once(n)
+          // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
+          // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
+          // not land inside the timed window.
+          System.gc()
+        }
+        n -> once(n)
       }
-      n -> once(n)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
