@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Schema-explicit file readers — the ingest side of the `file`/`http`
+ * connector shapes (ndjson, csv) plus parquet.
+ *
+ * Two rules, both scale-motivated:
+ *  - **Schemas are always explicit.** Inference reads data before the job
+ *    starts (a full extra pass at 100 TB) and makes the pipeline's types
+ *    depend on whatever sample Spark happened to look at. Schema drift
+ *    must be a deliberate act.
+ *  - **Bad records are data, not exceptions.** PERMISSIVE mode routes
+ *    unparseable lines into a `_corrupt` column so one malformed row in a
+ *    billion cannot kill the sync; the caller splits and dead-letters
+ *    them (same philosophy as the validation error threshold).
+ */
+object FileSource {
+
+  val CorruptCol = "_corrupt"
+
+  private def withCorrupt(schema: StructType): StructType =
+    schema.add(CorruptCol, "string", nullable = true)
+
+  /** Newline-delimited JSON with explicit schema; malformed lines land in
+    * `_corrupt` instead of failing the job. */
+  def ndjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** CSV with explicit schema and header; malformed lines → `_corrupt`. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Split a PERMISSIVE read into (good rows, dead-letter rows). The
+    * parsed frame is cached first: Spark disallows querying a raw file
+    * through only its corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN), and the split consumes the parse twice anyway — cache once,
+    * parse once. Callers unpersist via the returned frames' sparkSession
+    * when the sync finishes. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    val bad = parsed.filter(parsed.col(CorruptCol).isNotNull)
+    val good = parsed.filter(parsed.col(CorruptCol).isNull).drop(CorruptCol)
+    (good, bad)
+  }
+}
