@@ -5,14 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional 3rd arg: comma-separated name prefixes — dev-loop filter to
+    // dump just the queries under iteration (driver always passes 2 args).
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // The graft session (tuned confs + GraftExtensions SQL registration),
     // so Verify runs queries under exactly the library's intended setup.
     val spark: SparkSession = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

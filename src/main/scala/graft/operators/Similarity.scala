@@ -47,8 +47,10 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * splitmix64 finalizer over the (table, plane, dim) coordinates —
-    * reproducible across runs and executors, no RNG state to ship. */
-  private[operators] def hyperplane(table: Int, plane: Int, d: Int): Double = {
+    * reproducible across runs and executors, no RNG state to ship.
+    * `private[graft]` so the DuckDB oracle generator can embed the SAME
+    * constants as SQL literals and replay the bucket math exactly. */
+  private[graft] def hyperplane(table: Int, plane: Int, d: Int): Double = {
     var z = table.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
       d.toLong * 0x94D049BB133111EBL + 0x632BE59BD9B4E019L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

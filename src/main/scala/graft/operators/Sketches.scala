@@ -31,4 +31,14 @@ object Sketches {
   /** One-shot estimate per group (sketch + estimate fused). */
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): Column =
     hll_sketch_estimate(hll_sketch_agg(col(valueCol)))
+
+  /** One-shot per-group estimate as a frame — the single-pass baseline the
+    * merge property is checked against: rolling finer sketches up through
+    * `hll_union_agg` must land on the SAME registers (union = per-register
+    * max, exactly what one pass over all values builds), so estimates are
+    * equal, not merely close. q60 turns that invariant into an oracle. */
+  def oneShotEstimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("approx_distinct"))
 }

@@ -64,6 +64,7 @@ object Catalog {
     "q42_pii_redact"    -> rel(TrainingData.q42PiiRedact),
     "q43_tfidf"         -> rel(TrainingData.q43Tfidf),
     "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct),
+    "q60_hll_merge"     -> rel(TrainingData.q60HllMerge),
     "q52_minhash_portable" -> rel(TrainingData.q52MinhashPortable),
     "q53_simhash_portable" -> rel(TrainingData.q53SimhashPortable),
     "q54_fingerprint_portable" -> rel(TrainingData.q54FingerprintPortable),

@@ -149,4 +149,33 @@ object TrainingData {
     val perYear = Sketches.distinctSketches(joined, Seq("c_mktsegment", "yr"), "o_custkey")
     Sketches.rollupEstimate(perYear, Seq("c_mktsegment")).orderBy("c_mktsegment")
   }
+
+  /** C16 verification twin: DuckDB can't replay DataSketches HLL registers,
+    * so q60 oracles the PROPERTIES q46 relies on instead — (a) the merge
+    * law: per-(segment, year) sketches unioned up to segment must estimate
+    * exactly what a one-shot segment sketch estimates (union is
+    * per-register max — identical state, identical double); (b) accuracy:
+    * the estimate lands within lgK=12's error envelope of the exact
+    * distinct count, which DuckDB recomputes exactly. Both checks fold
+    * into boolean columns the oracle pins to TRUE, so a hash match IS the
+    * property proof. */
+  def q60HllMerge(t: Tables): DataFrame = {
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val rolled = Sketches
+      .rollupEstimate(Sketches.distinctSketches(joined, Seq("c_mktsegment", "yr"), "o_custkey"),
+                      Seq("c_mktsegment"))
+      .withColumnRenamed("approx_distinct", "rollup_est")
+    val oneShot = Sketches.oneShotEstimate(joined, Seq("c_mktsegment"), "o_custkey")
+      .withColumnRenamed("approx_distinct", "oneshot_est")
+    val exact = joined.groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    exact.join(rolled, "c_mktsegment").join(oneShot, "c_mktsegment")
+      .select(col("c_mktsegment"), col("exact_distinct"),
+        (col("rollup_est") === col("oneshot_est")).as("merge_consistent"),
+        (abs(col("rollup_est") - col("exact_distinct")) / col("exact_distinct") <= 0.05)
+          .as("within_tolerance"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -12,6 +12,76 @@ object TrainingOracle {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)"
 
+  /** The LSH hyperplanes as a DuckDB VALUES table (tbl, bitval, pv):
+    * the SAME splitmix64 constants Similarity.bucketCol ships as Spark
+    * array literals, so the oracle replays bucket math bit-for-bit.
+    * Scala's Double.toString is the shortest round-tripping decimal and
+    * DuckDB parses with correct rounding, so each literal is the exact
+    * IEEE double the Spark plan uses. */
+  private def planesSql(tables: Int, planes: Int, dims: Int): String =
+    (for { t <- 0 until tables; p <- 0 until planes } yield {
+      val vec = (0 until dims).map(d => graft.operators.Similarity.hyperplane(t, p, d))
+        .mkString("[", ", ", "]")
+      s"($t, ${1L << p}, $vec)"
+    }).mkString("(VALUES\n      ", ",\n      ", ") AS t(tbl, bitval, pv)")
+
+  /** Shared prologue for the LSH oracles: double-cast vectors, norms, and
+    * per-(vec, table) bucket ids — the exact replay of Similarity.buckets. */
+  private def lshPrologue(tables: Int = 4, planes: Int = 6, dims: Int = 64): String =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+       |), pl AS (
+       |  SELECT * FROM ${planesSql(tables, planes, dims)}
+       |), bk AS (
+       |  SELECT v.vec_id, pl.tbl,
+       |         CAST(SUM(CASE WHEN ${dotSql("v.ve", "pl.pv")} > 0 THEN pl.bitval ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM v CROSS JOIN pl
+       |  GROUP BY v.vec_id, pl.tbl
+       |)""".stripMargin
+
+  /** Full DuckDB replay of q35 (LSH ANN): buckets → candidate pairs →
+    * cosine scoring → per-query top-k, mirroring Similarity.lshTopK. */
+  private def annLshSql: String =
+    s"""WITH ${lshPrologue()},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${dotSql("q.ve", "c.ve")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.query_id
+       |  JOIN nv c ON c.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Full DuckDB replay of q36 (embedding near-dup): bucket self-join →
+    * cosine verify at 0.4, mirroring Similarity.nearDupPairs. */
+  private def embedNeardupSql: String =
+    s"""WITH ${lshPrologue()},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT * FROM (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |         ${dotSql("x.ve", "y.ve")} / (x.nrm * y.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN nv x ON x.vec_id = cand.doc_a
+       |  JOIN nv y ON y.vec_id = cand.doc_b
+       |)
+       |WHERE cos_sim >= 0.4 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Word 3-gram distinct shingle set of `text` (tokens = split on ' '),
     * with the shorter-than-n whole-text fallback. */
   private val shingles3 =
@@ -190,6 +260,18 @@ object TrainingOracle {
     "q52_minhash_portable" -> minhashPortableSql,
     "q53_simhash_portable" -> simhashPortableSql,
     "q55_training_pipeline" -> trainingPipelineSql,
+    "q35_ann_lsh"          -> annLshSql,
+    "q36_embed_neardup"    -> embedNeardupSql,
+
+    // q60: the HLL merge/accuracy properties as booleans the oracle pins
+    // to TRUE, plus the exact distinct count DuckDB recomputes itself.
+    "q60_hll_merge" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS merge_consistent,
+        |  TRUE AS within_tolerance
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q54_fingerprint_portable" ->
       """SELECT doc_id,
