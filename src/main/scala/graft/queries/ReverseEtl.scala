@@ -134,19 +134,17 @@ object ReverseEtl {
         lower(col("c_mktsegment")).as("segment"))
       .orderBy("external_id")
 
-  /** B8: batch-id assignment — the fb 1000-row batch shape. Batches are
-    * per destination stream (here: order status), so the window is
-    * partitioned — no global ordering bottleneck at scale. */
-  def q27Batcher(t: Tables): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
-    t.orders
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        row_number().over(w).cast("long").as("rn"))
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        ((col("rn") - 1) / 1000).cast("long").as("batch_id"),
-        ((col("rn") - 1) % 1000).cast("long").as("seq_in_batch"))
+  /** B8: batch-id assignment — the fb 1000-row batch shape, via the
+    * salted scheme: order status is only a 3-value stream, so the naive
+    * per-stream window is 3 near-global sort tasks. Salting on the order
+    * key bounds every window partition at ~n/(3·16) rows while staying
+    * deterministic enough for an exact DuckDB replay. */
+  def q27Batcher(t: Tables): DataFrame =
+    graft.sinks.Payloads.assignBatchesSalted(
+        t.orders.select("o_orderkey", "o_orderstatus"), batchSize = 1000,
+        streamCol = col("o_orderstatus"), orderCol = col("o_orderkey"),
+        saltKey = col("o_orderkey"), salts = 16)
       .orderBy("o_orderstatus", "o_orderkey")
-  }
 
   /** B9: enrichment — row → rows expansion (the reference calls a side
     * service per row; set-side this is a join that multiplies matching

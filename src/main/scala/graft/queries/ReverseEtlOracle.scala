@@ -80,11 +80,14 @@ object ReverseEtlOracle {
 
     "q27_batcher" ->
       """SELECT o_orderkey, o_orderstatus,
-        |  CAST((rn - 1) // 1000 AS BIGINT) AS batch_id,
+        |  concat_ws('-', o_orderstatus, salt, CAST((rn - 1) // 1000 AS BIGINT)) AS batch_key,
         |  CAST((rn - 1) % 1000 AS BIGINT) AS seq_in_batch
-        |FROM (SELECT o_orderkey, o_orderstatus,
-        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
-        |      FROM orders)
+        |FROM (SELECT o_orderkey, o_orderstatus, salt,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus, salt ORDER BY o_orderkey) AS rn
+        |      FROM (SELECT o_orderkey, o_orderstatus,
+        |              (CAST(CONCAT('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                 & 2147483647) % 16 AS salt
+        |            FROM orders))
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q28_enrich" ->

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
  */
 object Payloads {
 
-  /** Stable batch ids within each `streamCol` partition — the window is
-    * always partitioned so no global-ordering bottleneck exists at scale. */
+  /** Stable batch ids within each `streamCol` partition. ONLY for
+    * high-cardinality streams: each stream value is one window partition,
+    * so a constant or 3-value stream funnels everything through one task.
+    * For low-cardinality streams use [[assignBatchesSalted]]. */
   def assignBatches(df: DataFrame, batchSize: Int, streamCol: Column, orderCol: Column): DataFrame = {
     val w = Window.partitionBy(streamCol).orderBy(orderCol)
     df.withColumn("__rn", row_number().over(w).cast("long"))
@@ -28,14 +30,45 @@ object Payloads {
       .drop("__rn")
   }
 
-  /** Facebook/Twitter audience payloads: one row per 1000-member batch:
-    * (stream, batch_id, payload_json) with schema header + hashed emails. */
-  def audienceBatches(df: DataFrame, emailCol: String, batchSize: Int = 1000): DataFrame = {
-    val hashed = df.select(lit("all").as("stream"), sha2(lower(col(emailCol)), 256).as("h"))
-    assignBatches(hashed, batchSize, col("stream"), col("h"))
-      .groupBy("stream", "batch_id")
-      .agg(collect_list(col("h")).as("members"))
-      .select(col("stream"), col("batch_id"),
+  /** Deterministic salt in [0, salts): the repo's portable-hash pattern
+    * (md5-hex prefix → base-16 conv → 31-bit mask), so a DuckDB oracle can
+    * replay batch assignment exactly. */
+  private[graft] def portableSalt(key: Column, salts: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL)) % salts
+
+  /** Distributed batch assignment. Destinations need bounded batch
+    * MEMBERSHIP, not one global batch sequence — so rows are salted into
+    * `salts` independent sub-streams per destination stream and numbered
+    * within (stream, salt). Every window partition holds ~n/salts rows
+    * (vs n for the naive global window: the r2 scale-killer), the result
+    * is still deterministic, and `batch_key` = stream-salt-localIdx is
+    * globally unique. Cost: up to `salts` partial trailing batches per
+    * stream — noise at 100 M rows, tunable to the destination's tolerance. */
+  def assignBatchesSalted(df: DataFrame, batchSize: Int, streamCol: Column,
+                          orderCol: Column, saltKey: Column, salts: Int = 64): DataFrame = {
+    val salted = df.withColumn("__salt", portableSalt(saltKey, salts))
+    val w = Window.partitionBy(streamCol, col("__salt")).orderBy(orderCol)
+    salted.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("batch_key",
+        concat_ws("-", streamCol, col("__salt"),
+          ((col("__rn") - 1) / batchSize).cast("long")))
+      .withColumn("seq_in_batch", ((col("__rn") - 1) % batchSize).cast("long"))
+      .drop("__rn", "__salt")
+  }
+
+  /** Facebook/Twitter audience payloads: one row per ≤batchSize-member
+    * batch: (stream, batch_key, payload_json) with schema header + hashed
+    * emails. An audience is ONE destination stream, so batching is salted
+    * by the member hash — the 100 M-member upload shapes in parallel
+    * instead of through a single global-window task. */
+  def audienceBatches(df: DataFrame, emailCol: String, batchSize: Int = 1000,
+                      salts: Int = 64): DataFrame = {
+    val hashed = df.select(lit("audience").as("stream"), sha2(lower(col(emailCol)), 256).as("h"))
+    assignBatchesSalted(hashed, batchSize, col("stream"), col("h"), col("h"), salts)
+      .groupBy("stream", "batch_key")
+      .agg(sort_array(collect_list(col("h"))).as("members"))
+      .select(col("stream"), col("batch_key"),
         to_json(struct(
           array(lit("EMAIL_SHA256")).as("schema"),
           col("members").as("data"))).as("payload_json"),
@@ -43,19 +76,26 @@ object Payloads {
   }
 
   /** HTTP-connector bodies: every input row JSON-encoded, grouped into
-    * batches, emitted in the requested format (json array / ndjson). */
+    * batches, emitted in the requested format (json array / ndjson).
+    * Batch membership is salted on `orderCol` (rows stay ordered by
+    * `orderCol` WITHIN a body) — HTTP batches are a transport chunking,
+    * not a global ordering, so no single-task window. */
   def httpBodies(df: DataFrame, format: String, batchSize: Int = 100,
-                 orderCol: String): DataFrame = {
+                 orderCol: String, salts: Int = 64): DataFrame = {
     val rows = df.withColumn("__json", to_json(struct(df.columns.map(col): _*)))
-      .withColumn("__stream", lit("all"))
-    val batched = assignBatches(rows, batchSize, col("__stream"), col(orderCol))
-      .groupBy("batch_id").agg(collect_list(col("__json")).as("rows_json"))
+      .withColumn("__stream", lit("http"))
+    val batched = assignBatchesSalted(rows, batchSize, col("__stream"),
+        col(orderCol), col(orderCol), salts)
+      .groupBy("batch_key")
+      .agg(array_sort(collect_list(struct(col("seq_in_batch"), col("__json"))))
+        .as("ordered"))
+      .withColumn("rows_json", col("ordered.__json")).drop("ordered")
     val body = format match {
       case "ndjson" => concat_ws("\n", col("rows_json"))
       case "array" | "json" => concat(lit("["), concat_ws(",", col("rows_json")), lit("]"))
       case other => throw new IllegalArgumentException(s"unknown http format: $other")
     }
-    batched.select(col("batch_id"), body.as("body"),
+    batched.select(col("batch_key"), body.as("body"),
       size(col("rows_json")).cast("long").as("n_rows"))
   }
 

@@ -111,6 +111,26 @@ class PlanSpec extends SparkSuite {
       s"pipeline must be single-scan (join formulation re-reads the corpus):\n$p")
   }
 
+  test("payload batchers: every window is partitioned — no single-task global sort") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitioned(df: DataFrame): Seq[String] = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName }
+    }
+    val emails = t.customer.select(col("c_name").as("email"))
+    val shaped = Seq(
+      "audienceBatches" -> graft.sinks.Payloads.audienceBatches(emails, "email"),
+      "httpBodies" -> graft.sinks.Payloads.httpBodies(
+        t.customer.select("c_custkey", "c_name"), "ndjson", 100, orderCol = "c_custkey"),
+      "q27Batcher" -> ReverseEtl.q27Batcher(t))
+    val bad = shaped.collect { case (n, df) if unpartitioned(df).nonEmpty => n }
+    assert(bad.isEmpty, s"unpartitioned WindowExec (global sort bottleneck) in: $bad")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -6,29 +6,43 @@ import org.apache.spark.sql.functions._
 class PayloadsSpec extends SparkSuite {
   import spark.implicits._
 
-  test("audience batches: 1000-cap, schema header, sha256-lower members") {
+  test("audience batches: size cap, coverage, schema header, sha256-lower members") {
     val df = (1 to 2500).map(i => s"User$i@Example.COM").toDF("email")
     val got = Payloads.audienceBatches(df, "email")
     val sizes = got.select("n_members").as[Long].collect().sorted.toSeq
-    assert(sizes.sum == 2500 && sizes.max <= 1000 && sizes.length == 3)
-    val payload = got.orderBy("batch_id").select("payload_json").as[String].head()
+    assert(sizes.sum == 2500, "every member lands in exactly one batch")
+    assert(sizes.max <= 1000, "batch cap respected")
+    assert(sizes.length >= 3, "at least ceil(n/batchSize) batches")
+    val payload = got.orderBy("batch_key").select("payload_json").as[String].head()
     assert(payload.contains("\"schema\":[\"EMAIL_SHA256\"]"))
     assert(!payload.toLowerCase.contains("example.com"), "raw emails must never appear")
     assert("\\b[0-9a-f]{64}\\b".r.findFirstIn(payload).isDefined, "members are sha256 hex")
   }
 
-  test("http ndjson and array bodies") {
-    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
-    val nd = Payloads.httpBodies(df, "ndjson", batchSize = 2, orderCol = "id")
-      .orderBy("batch_id").select("body").as[String].collect()
-    assert(nd.length == 2)
-    assert(nd(0).split("\n").length == 2 && nd(1).split("\n").length == 1)
-    assert(nd(0).startsWith("{\"id\":1"))
+  test("audience batches are deterministic across runs (salted, not random)") {
+    val df = (1 to 300).map(i => s"u$i@x.co").toDF("email")
+    val a = Payloads.audienceBatches(df, "email").orderBy("batch_key")
+      .select("batch_key", "payload_json").as[(String, String)].collect().toSeq
+    val b = Payloads.audienceBatches(df, "email").orderBy("batch_key")
+      .select("batch_key", "payload_json").as[(String, String)].collect().toSeq
+    assert(a == b)
+  }
 
-    val arr = Payloads.httpBodies(df, "array", batchSize = 10, orderCol = "id")
-      .select("body").as[String].head()
-    assert(arr.startsWith("[{") && arr.endsWith("}]"))
-    assert(arr.split("\\},\\{").length == 3)
+  test("http ndjson and array bodies: cap, coverage, in-body ordering") {
+    val df = (1L to 20L).map(i => (i, s"name$i")).toDF("id", "name")
+    val nd = Payloads.httpBodies(df, "ndjson", batchSize = 2, orderCol = "id")
+      .select("body").as[String].collect()
+    val lines = nd.flatMap(_.split("\n"))
+    assert(lines.length == 20, "every row serialized exactly once")
+    assert(nd.forall(_.split("\n").length <= 2), "body cap respected")
+    // rows inside one body stay ordered by orderCol
+    val idsPerBody = nd.map(_.split("\n").toSeq.map(l => "\"id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong))
+    assert(idsPerBody.forall(ids => ids == ids.sorted))
+
+    val arr = Payloads.httpBodies(df, "array", batchSize = 100, orderCol = "id")
+      .select("body").as[String].collect()
+    assert(arr.forall(b => b.startsWith("[{") && b.endsWith("}]")))
+    assert(arr.map(_.split("\\},\\{").length).sum == 20)
   }
 
   test("upsert objects carry a properties map keyed by column name") {
