@@ -126,21 +126,17 @@ object TextAnalysis {
   /** C11: order-sensitive rolling-hash fingerprint over the token stream,
     * in a 2^49-range prime field so the polynomial accumulation never
     * overflows a long (ANSI-safe). Same text → same fingerprint; any
-    * reorder/edit → different. */
-  def fingerprint(text: Column): Column = {
-    val M = 562949953421231L // prime < 2^49; 31*M + M < 2^63
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(M)), lit(M)))
-  }
+    * reorder/edit → different. Runs through the native codegen'd
+    * [[graft.functions.RollingHash]] kernel — the `aggregate()` HOF form
+    * is interpreted (CodegenFallback) and was the r2 scan-speed killer. */
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHashFunctions.rollingHash(tokens(text), portable = false)
 
   /** C11 (portable twin): same rolling hash with the md5-derived 31-bit
     * token hash, so DuckDB replays it via list_reduce — the fold starts at
     * 0 in Spark and at the first element in DuckDB, which coincide because
     * (0*31 + h1) mod M = h1 for h1 < M. All terms stay < 2^54: no
-    * overflow on either engine. */
-  def fingerprintPortable(text: Column): Column = {
-    val M = 562949953421231L
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31 + graft.operators.Dedup.portableHash31(t), lit(M)))
-  }
+    * overflow on either engine. Same native kernel, md5 token hash. */
+  def fingerprintPortable(text: Column): Column =
+    graft.functions.RollingHashFunctions.rollingHash(tokens(text), portable = true)
 }

@@ -80,6 +80,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_min"), "signature mins must combine map-side")
   }
 
+  test("q40/q54: fingerprint fold is the native rolling_hash kernel, not a HOF") {
+    Seq(TrainingData.q40Fingerprint(t), TrainingData.q54FingerprintPortable(t)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("rolling_hash"), p)
+      assert(!p.contains("lambdafunction"), "interpreted HOF fold in the fingerprint hot loop")
+    }
+  }
+
   test("q41: hash split is pure per-row arithmetic — zero exchanges before the sort") {
     val p = plan(TrainingData.q41Split(t))
     // the only exchange allowed is the final presentation ORDER BY

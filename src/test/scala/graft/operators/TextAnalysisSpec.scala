@@ -89,4 +89,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fps(1L) != fps(3L), "reorder ⇒ different fingerprint")
     assert(fps.values.forall(_ >= 0))
   }
+
+  test("native rolling_hash kernel == the HOF fold it replaced, both modes") {
+    val M = 562949953421231L
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, ""), (3L, "solo"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    // the r2 interpreted formulations, kept here as the executable spec
+    // of the fold the native kernel must reproduce exactly
+    val hofXx = aggregate(split(col("text"), " "), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(M)), lit(M)))
+    val hofMd5 = aggregate(split(col("text"), " "), lit(0L),
+      (acc, t) => pmod(acc * 31 + graft.operators.Dedup.portableHash31(t), lit(M)))
+    val rows = docs.select(
+      TextAnalysis.fingerprint(col("text")).as("native_xx"), hofXx.as("hof_xx"),
+      TextAnalysis.fingerprintPortable(col("text")).as("native_md5"), hofMd5.as("hof_md5"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("native_xx") == r.getAs[Long]("hof_xx"))
+      assert(r.getAs[Long]("native_md5") == r.getAs[Long]("hof_md5"))
+    }
+  }
 }
