@@ -1,22 +1,36 @@
 package graft.sync
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.model.Model
 import graft.operators.Diff
 import graft.state.StateStore
 
 /**
  * B14 — the full sync pipeline: model → cursor filter → validate →
- * column-map → sink, with cursor checkpointing in the state store.
+ * enrich → column-map → sink, with cursor checkpointing in the state
+ * store.
  *
  * Reference flow: core/src/commands/sync.ts:553-616 — read rows past the
  * persisted cursor, assert monotone order, validate each row against the
- * error threshold, enrich, push to the destination in batches, persist
- * max(cursor). Row-at-a-time there; one declarative plan per run here:
- * the cursor predicate reaches the source scan, validation is a codegen'd
- * projection, and the max-cursor checkpoint is a partial aggregation —
- * nothing funnels through the driver except the final counts.
+ * error threshold, enrich (row → rows channels, sync.ts:588-616), push to
+ * the destination in batches, persist the cursor — every `checkpointEvery`
+ * rows mid-run (sync.ts:566, types/objects.ts:55) and at the end.
+ * Row-at-a-time there; declarative plans here:
+ *
+ *  - The increment is scanned ONCE per (chunk of a) run: validation flags
+ *    are computed into a persisted frame, the stats/threshold aggregation
+ *    and the sink both read that materialization instead of re-scanning
+ *    the source (the r2 version scanned the source twice per run).
+ *  - Mid-run checkpoints chunk the increment into cursor-ordered ranges
+ *    (never splitting one cursor value), checkpointing after each chunk —
+ *    a killed 100 TB sync resumes from the last completed chunk instead
+ *    of from zero. Chunk boundaries come from a cursor-histogram pass
+ *    that reads ONLY the (column-pruned) cursor column.
+ *  - Enrichment is a DataFrame → DataFrame hook between validation and
+ *    column mapping, so row → rows expansion joins run distributed inside
+ *    the same plan that feeds the sink.
  */
 final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThreshold()) {
 
@@ -24,12 +38,54 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
 
   final case class SyncReport(
       syncId: String, rowsIn: Long, rowsValid: Long, rowsInvalid: Long,
-      newCursor: Option[String], incremental: Boolean)
+      newCursor: Option[String], incremental: Boolean, chunks: Long = 1)
 
-  /** One sync run. `sink` receives the validated, mapped rows. */
+  /** Validate → stats/threshold → enrich → map → sink over ONE source
+    * scan: the flagged frame is persisted, the single stats aggregation
+    * (counts + max valid cursor) runs on the materialization, and the sink
+    * consumes the same materialization. The sink must consume its rows
+    * before returning — the backing cache is dropped afterwards. */
+  private def syncOnce(model: Model, df: DataFrame,
+                       enrich: DataFrame => DataFrame,
+                       sink: DataFrame => Unit): (Long, Long, Option[String]) = {
+    val rules = model.validations
+    val flagged =
+      if (rules.isEmpty) df.withColumn("__valid", lit(true))
+      else df.withColumn("__valid", rules.map(_._2(df)).reduce(_ && _))
+    flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one aggregation job materializes the cache AND yields the gate stats
+      val aggCols = Seq(
+        count(lit(1)).as("n"),
+        count(when(col("__valid"), 1)).as("n_valid")) ++
+        model.cursorCol.map(c => max(when(col("__valid"), col(c))).cast("string").as("max_cursor"))
+      val stats: Row = flagged.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      val n = stats.getAs[Long]("n")
+      val nValid = stats.getAs[Long]("n_valid")
+
+      // error-threshold gate BEFORE any rows reach the destination
+      threshold.check(nValid, n - nValid)
+
+      val valid = flagged.filter(col("__valid")).drop("__valid")
+      val enriched = enrich(valid)
+      val mapped = model.columnMap match {
+        case Some(m) => enriched.select(m.map { case (name, e) => e(enriched).as(name) }: _*)
+        case None    => enriched
+      }
+      sink(mapped)
+      (n, nValid, model.cursorCol.flatMap(_ => Option(stats.getAs[String]("max_cursor"))))
+    } finally { flagged.unpersist(blocking = false); () }
+  }
+
+  /** One sync run. `sink` receives the validated, enriched, mapped rows
+    * and must consume them before returning (they read a run-scoped
+    * cache). `checkpointEvery` enables mid-run checkpoints roughly every
+    * that many rows (requires a cursor column). */
   def run(spark: SparkSession, model: Model, syncId: String,
-          sink: DataFrame => Unit, fullRefresh: Boolean = false): SyncReport = {
-    // 1. incremental cursor (reference: `:cursor` substitution) — SQL-text
+          sink: DataFrame => Unit, fullRefresh: Boolean = false,
+          enrich: DataFrame => DataFrame = identity,
+          checkpointEvery: Option[Long] = None): SyncReport = {
+    // incremental cursor (reference: `:cursor` substitution) — SQL-text
     // models bind the value INTO their query as a typed parameter;
     // DataFrame models get a cursorCol predicate (both reach the scan).
     val lastCursor = if (fullRefresh) None else store.get(cursorKey(syncId))
@@ -41,39 +97,62 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
       case _ => model.build(spark)
     }
 
-    // 2. validation — one flag column; all rules codegen'd per row
-    val rules = model.validations
-    val flagged =
-      if (rules.isEmpty) increment.withColumn("__valid", lit(true))
-      else increment.withColumn("__valid", rules.map(_._2(increment)).reduce(_ && _))
-
-    // 3. single aggregation for counts + max cursor (one job, partial aggs)
-    val aggCols = Seq(
-      count(lit(1)).as("n"),
-      count(when(col("__valid"), 1)).as("n_valid")) ++
-      model.cursorCol.map(c => max(when(col("__valid"), col(c))).cast("string").as("max_cursor"))
-    val stats = flagged.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    val n = stats.getAs[Long]("n")
-    val nValid = stats.getAs[Long]("n_valid")
-    val nInvalid = n - nValid
-
-    // 4. error-threshold gate BEFORE any rows reach the destination
-    threshold.check(nValid, nInvalid)
-
-    // 5. column mapping to the destination schema, then sink valid rows
-    val valid = flagged.filter(col("__valid")).drop("__valid")
-    val mapped = model.columnMap match {
-      case Some(m) => valid.select(m.map { case (name, e) => e(valid).as(name) }: _*)
-      case None    => valid
+    checkpointEvery match {
+      case Some(every) if model.cursorCol.isDefined =>
+        runChunked(model, syncId, increment, lastCursor, every, enrich, sink)
+      case _ =>
+        val (n, nValid, maxCursor) = syncOnce(model, increment, enrich, sink)
+        // checkpoint max(valid cursor) — only after a successful sink
+        val newCursor = maxCursor.orElse(lastCursor)
+        newCursor.foreach(v => store.set(cursorKey(syncId), v))
+        SyncReport(syncId, n, nValid, n - nValid, newCursor, lastCursor.isDefined)
     }
-    sink(mapped)
+  }
 
-    // 6. checkpoint max(cursor) — only after a successful sink
-    val newCursor = model.cursorCol.flatMap(_ => Option(stats.getAs[String]("max_cursor")))
-      .orElse(lastCursor)
-    newCursor.foreach(v => store.set(cursorKey(syncId), v))
+  /** Mid-run checkpointing (reference `checkpointEvery`, sync.ts:566):
+    * pack distinct cursor values (in cursor order) into chunks of at least
+    * `every` rows, sync chunk-by-chunk, persist the chunk's upper cursor
+    * after each successful sink. A killed run restarts from the last
+    * completed chunk: the resumed increment's cursor predicate excludes
+    * everything already sunk. Boundary planning collects only the cursor
+    * HISTOGRAM (distinct value, count) — cursor cardinality (days, batch
+    * ids) is assumed ≪ row count; rows never reach the driver. */
+  private def runChunked(model: Model, syncId: String, increment: DataFrame,
+                         lastCursor: Option[String], every: Long,
+                         enrich: DataFrame => DataFrame,
+                         sink: DataFrame => Unit): SyncReport = {
+    val c = model.cursorCol.get
+    val hist = increment.groupBy(col(c))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(c).as("v"), col(c).cast("string").as("vs"), col("cnt"))
+      .orderBy("v")
+      .collect()
 
-    SyncReport(syncId, n, nValid, nInvalid, newCursor, lastCursor.isDefined)
+    // greedy-pack cursor values into ≥`every`-row chunks (last one partial)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Any, String)]
+    var acc = 0L
+    hist.foreach { r =>
+      acc += r.getAs[Long]("cnt")
+      if (acc >= every) { bounds += ((r.get(0), r.getAs[String]("vs"))); acc = 0L }
+    }
+    if (acc > 0) bounds += ((hist.last.get(0), hist.last.getAs[String]("vs")))
+
+    val dt = increment.schema(c).dataType
+    var totalN = 0L; var totalValid = 0L
+    var prevHi: Option[Any] = None
+    var lastCkpt: Option[String] = lastCursor
+    bounds.foreach { case (hi, hiStr) =>
+      val lower = prevHi.map(p => col(c) > lit(p).cast(dt)).getOrElse(lit(true))
+      val chunk = increment.filter(lower && col(c) <= lit(hi).cast(dt))
+      val (n, nValid, _) = syncOnce(model, chunk, enrich, sink)
+      totalN += n; totalValid += nValid
+      // chunk fully sunk → everything ≤ hi is done; safe to resume after it
+      store.set(cursorKey(syncId), hiStr)
+      lastCkpt = Some(hiStr)
+      prevHi = Some(hi)
+    }
+    SyncReport(syncId, totalN, totalValid, totalN - totalValid,
+      lastCkpt, lastCursor.isDefined, chunks = bounds.size.toLong)
   }
 
   /** CDC run: diff the model's current output against the previous

@@ -51,6 +51,78 @@ class SyncRunnerSpec extends SparkSuite {
     assert(!sinkRan, "sink must not receive rows from an aborted sync")
   }
 
+  test("run() scans the source exactly once per run (persisted validated frame)") {
+    def fsBytesRead: Long = {
+      val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
+      var s = 0L
+      while (it.hasNext) {
+        val v = it.next().getLong("bytesRead")
+        if (v != null) s += v.longValue()
+      }
+      s
+    }
+    // calibrate: what ONE full scan of the source actually reads
+    val b0 = fsBytesRead
+    spark.read.parquet(s"$sfDir/orders.parquet").collect()
+    val oneScan = fsBytesRead - b0
+    assert(oneScan > 0, "calibration scan must register in FS statistics")
+
+    val runner = new SyncRunner(StateStore.inMemory())
+    val before = fsBytesRead
+    runner.run(spark, ordersModel(), "scan1", df => { df.collect(); () })
+    val delta = fsBytesRead - before
+    assert(delta > oneScan / 4, s"sanity: the source was read (saw $delta B vs $oneScan B per scan)")
+    assert(delta < oneScan * 3 / 2,
+      s"double source scan: $delta B read vs $oneScan B for one scan — stats and sink must share one materialization")
+  }
+
+  test("mid-run checkpoints: a killed run resumes without re-sinking done chunks") {
+    val store = StateStore.inMemory()
+    val runner = new SyncRunner(store)
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val every = total / 4
+
+    var calls = 0
+    val firstRun = ArrayBuffer.empty[Long]
+    def dyingSink(df: DataFrame): Unit = {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("executor lost mid-sync")
+      firstRun ++= df.select("o_orderkey").as[Long].collect()
+    }
+    intercept[RuntimeException] {
+      runner.run(spark, ordersModel(), "ck1", dyingSink, checkpointEvery = Some(every))
+    }
+    assert(firstRun.nonEmpty, "chunk 1 reached the sink before the crash")
+    assert(store.get(Seq("syncId=ck1", "$lastCursor")).isDefined,
+      "chunk 1's upper cursor must be checkpointed mid-run")
+
+    val resumed = ArrayBuffer.empty[Long]
+    val rep = runner.run(spark, ordersModel(), "ck1",
+      df => { resumed ++= df.select("o_orderkey").as[Long].collect(); () },
+      checkpointEvery = Some(every))
+    assert(rep.incremental && rep.chunks >= 1)
+    assert(resumed.toSet.intersect(firstRun.toSet).isEmpty,
+      "rows of the completed chunk must not be re-sunk after resume")
+    assert(firstRun.size + resumed.size == total, "every row delivered exactly once across the crash")
+  }
+
+  test("enrichment expands row -> rows between validation and column mapping") {
+    val runner = new SyncRunner(StateStore.inMemory())
+    val tags = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("tid", "tag")
+    val m = Model("users",
+      s => Seq((1L, "ann"), (2L, "bob"), (3L, "eve")).toDF("id", "name"),
+      keyCols = Seq("id"),
+      columnMap = Some(Seq(
+        "user_id" -> (_ => col("id")),
+        "tag"     -> (_ => col("tag")))))  // produced by the enrich join
+    var got: Seq[(Long, String)] = Nil
+    runner.run(spark, m, "e1",
+      df => { got = df.as[(Long, String)].collect().toSeq; () },
+      enrich = df => df.join(tags, df("id") === tags("tid")))
+    assert(got.sorted == Seq((1L, "a"), (1L, "b"), (2L, "c")),
+      "matching rows multiply, the mapping projects enrichment columns")
+  }
+
   test("runDiff emits insert-all on first run, then only changes") {
     val store = StateStore.inMemory()
     val runner = new SyncRunner(store)
