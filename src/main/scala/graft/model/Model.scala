@@ -36,13 +36,18 @@ object Model {
     * incremental SQL should read `WHERE :cursor IS NULL OR c > :cursor`,
     * exactly the reference's initial-run convention. */
   def fromSql(name: String, sqlText: String, keyCols: Seq[String],
-              cursorCol: Option[String] = None): Model = {
-    val hasCursorParam = sqlText.contains(":cursor")
+              cursorCol: Option[String] = None,
+              vars: Map[String, String] = Map.empty,
+              env: Map[String, String] = sys.env): Model = {
+    // templating (text shaping) happens ONCE, before parameter binding —
+    // `:cursor` survives as a typed parameter in the rendered SQL.
+    val rendered = Template.render(sqlText, vars, env)
+    val hasCursorParam = rendered.contains(":cursor")
     Model(name,
-      build = s => if (hasCursorParam) s.sql(sqlText, Map("cursor" -> null)) else s.sql(sqlText),
+      build = s => if (hasCursorParam) s.sql(rendered, Map("cursor" -> null)) else s.sql(rendered),
       keyCols = keyCols,
       cursorCol = cursorCol,
       buildIncremental =
-        if (hasCursorParam) Some((s, v) => s.sql(sqlText, Map("cursor" -> v))) else None)
+        if (hasCursorParam) Some((s, v) => s.sql(rendered, Map("cursor" -> v))) else None)
   }
 }

@@ -31,14 +31,20 @@ object ReverseEtl {
     * Fixed here so the query is deterministic and oracle-checkable. */
   val LastCursor = "1997-06-01"
 
-  /** B1: incremental read — rows strictly past the cursor, emitted in
-    * ascending cursor order (the reference asserts monotonicity on arrival;
-    * a sort on the cursor column IS that guarantee, done cluster-side). */
-  def q20CursorIncremental(t: Tables): DataFrame =
+  /** B1 operator: incremental read — rows strictly past the cursor. The
+    * reference only asserts monotone cursor ARRIVAL, which the runner gets
+    * from checkpoint semantics — so the operator does NOT sort: a global
+    * order-by here is a full range-shuffle whose only consumer would be
+    * the oracle comparator. */
+  def cursorIncrement(t: Tables): DataFrame =
     t.orders
       .filter(col("o_orderdate") > lit(LastCursor).cast("timestamp"))
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  /** B1 harness wrapper: the driver's compare is positional, so the DUMP
+    * (and only the dump) gets a total order. */
+  def q20CursorIncremental(t: Tables): DataFrame =
+    cursorIncrement(t).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
 
   /** B2: checkpoint value — max(cursor) + row count of the increment.
     * A full agg, partial map-side; one row out regardless of input size. */

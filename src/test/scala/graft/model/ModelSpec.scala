@@ -58,6 +58,36 @@ class ModelSpec extends SparkSuite {
     assert(expected > 0, "fixture must leave rows past the planted cursor")
   }
 
+  test("template vars substitute into SQL text while :cursor stays a typed param") {
+    view
+    val m = Model.fromSql(
+      name = "templated",
+      sqlText = """SELECT o_orderkey, o_orderdate FROM {{ table }}
+                  |WHERE (:cursor IS NULL OR o_orderdate > :cursor)
+                  |  AND o_totalprice > {{ min_price }}""".stripMargin,
+      keyCols = Seq("o_orderkey"),
+      cursorCol = Some("o_orderdate"),
+      vars = Map("table" -> "orders_v", "min_price" -> "1000"))
+    val full = m.build(spark).count()
+    assert(full > 0, "rendered FROM/threshold must produce rows")
+    val expected = spark.sql(
+      "SELECT COUNT(*) FROM orders_v WHERE o_totalprice > 1000").as[Long].head()
+    assert(full == expected)
+    // :cursor binding still typed after rendering
+    val inc = m.buildIncremental.get(spark, "1998-01-01").count()
+    assert(inc < full && inc > 0)
+  }
+
+  test("template env lookup and strict unknown-variable failure") {
+    val r = Template.render("SELECT * FROM {{ env.GRAFT_T }} LIMIT {{ n }}",
+      vars = Map("n" -> "5"), env = Map("GRAFT_T" -> "t1"))
+    assert(r == "SELECT * FROM t1 LIMIT 5")
+    val e = intercept[IllegalArgumentException] {
+      Template.render("{{ missing }}", vars = Map("other" -> "x"))
+    }
+    assert(e.getMessage.contains("missing") && e.getMessage.contains("other"))
+  }
+
   test("SQL without :cursor builds plainly (no parameter binding needed)") {
     view
     val m = Model.fromSql("plain", "SELECT o_orderkey FROM orders_v", Seq("o_orderkey"))
