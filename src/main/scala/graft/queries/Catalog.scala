@@ -45,7 +45,8 @@ object Catalog {
     "q27_batcher"            -> rel(ReverseEtl.q27Batcher),
     "q28_enrich"             -> rel(ReverseEtl.q28Enrich),
     "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys),
-    "q47_column_profile"     -> rel(ReverseEtl.q47ColumnProfile)
+    "q47_column_profile"     -> rel(ReverseEtl.q47ColumnProfile),
+    "q61_schema_validate"    -> rel(ReverseEtl.q61SchemaValidate)
   )
 
   val trainingData: Map[String, QueryFn] = Map(

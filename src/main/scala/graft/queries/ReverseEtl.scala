@@ -194,4 +194,23 @@ object ReverseEtl {
       money(max(dec(col("o_totalprice")))).as("price_max"),
       min(col("o_orderdate")).as("date_min"),
       max(col("o_orderdate")).as("date_max"))
+
+  /** B20: schema-driven validation report — rules GENERATED from a
+    * declared row schema (required/type/enum/range/pattern, the zod-style
+    * surface sync.ts:557 derives), folded into per-rule failure counts in
+    * one partial-aggregated pass. The declaration is the validator. */
+  def q61SchemaValidate(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val declared = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", IntegerType),            // long in source → try_cast rule
+      StructField("o_orderstatus", StringType, nullable = true,
+        new MetadataBuilder().putStringArray("enum", Array("F", "O")).build()),
+      StructField("o_totalprice", DoubleType, nullable = true,
+        new MetadataBuilder().putDouble("minValue", 0.0).putDouble("maxValue", 250000.0).build()),
+      StructField("o_orderpriority", StringType, nullable = true,
+        new MetadataBuilder().putString("pattern", "^[1-3]-").build())))
+    graft.model.SchemaValidation.failureCounts(
+      t.orders.select(declared.fieldNames.map(col).toIndexedSeq: _*), declared)
+  }
 }

@@ -118,6 +118,27 @@ object ReverseEtlOracle {
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_max,
         |  MIN(o_orderdate) AS date_min,
         |  MAX(o_orderdate) AS date_max
+        |FROM orders""".stripMargin,
+
+    // B20: every generated rule recomputed from first principles — the
+    // *_type rules for same-typed fields are identically zero, the rest
+    // mirror try_cast / enum / range / pattern semantics.
+    "q61_schema_validate" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_required,
+        |  CAST(0 AS BIGINT) AS o_orderkey_type,
+        |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND TRY_CAST(o_custkey AS INTEGER) IS NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_type,
+        |  CAST(0 AS BIGINT) AS o_orderstatus_type,
+        |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_enum,
+        |  CAST(0 AS BIGINT) AS o_totalprice_type,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_min,
+        |  CAST(SUM(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_max,
+        |  CAST(0 AS BIGINT) AS o_orderpriority_type,
+        |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_pattern
         |FROM orders""".stripMargin
   )
 }

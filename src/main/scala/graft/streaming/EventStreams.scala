@@ -90,6 +90,95 @@ object EventStreams {
       }.toDF()
   }
 
+  // --- streaming funnel / retention (D9/D10 true-streaming twins) -------
+
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long, lastTs: Long)
+  final case class FunnelOut(user_id: Long, t_view: Option[Long], t_click: Option[Long],
+                             t_purchase: Option[Long])
+
+  /** D9 (true streaming form): per-user view → click → purchase progress
+    * via flatMapGroupsWithState. Events fold in event-time order with the
+    * strict-ordering constraint q58 applies (a stage only counts after the
+    * previous stage's FIRST time), so on a closed input the emitted rows
+    * aggregate to exactly the batch funnel. A user's funnel flushes once
+    * the watermark passes `quietMs` past their last event — per-user state
+    * is three longs, and the timeout bounds its lifetime. */
+  def funnelStages(events: DataFrame, watermark: String = "30 minutes",
+                   quietMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val U = -1L // unset
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp], col("event_type").as[String])
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String)], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            def opt(v: Long) = if (v == U) None else Some(v)
+            Iterator.single(FunnelOut(user, opt(s.tView), opt(s.tClick), opt(s.tPurchase)))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(U, U, U, 0L))
+            rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1).foreach { case (t, kind) =>
+              s = kind match {
+                case "view"     if s.tView == U                     => s.copy(tView = t)
+                case "click"    if s.tClick == U && s.tView != U  && t > s.tView  => s.copy(tClick = t)
+                case "purchase" if s.tPurchase == U && s.tClick != U && t > s.tClick => s.copy(tPurchase = t)
+                case _ => s
+              }
+              s = s.copy(lastTs = math.max(s.lastTs, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + quietMs)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
+  final case class RetentionState(firstWeek: Long, seen: Set[Long])
+  final case class RetentionOut(user_id: Long, cohort_week: Long, week_offset: Long)
+
+  /** D10 (true streaming form): emits ONE (user, cohort_week, week_offset)
+    * increment per newly-seen (user, week) — `groupBy(cohort_week,
+    * week_offset).count` over the output reproduces the batch retention
+    * grid incrementally. State per user: first-active week + the set of
+    * seen weeks, pruned below the event-time frontier minus one week
+    * (the watermark already drops older arrivals), so state stays a
+    * handful of longs no matter how long the stream runs. */
+  def retentionUpdates(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val WeekMs = 604800000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp])
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[RetentionState]) =>
+          val weeks = rows.map(_._2.getTime / WeekMs).toSeq.sorted
+          var s = state.getOption.getOrElse(RetentionState(Long.MaxValue, Set.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionOut]
+          weeks.foreach { w =>
+            if (w < s.firstWeek) s = s.copy(firstWeek = w)
+            if (!s.seen.contains(w)) {
+              s = s.copy(seen = s.seen + w)
+              out += RetentionOut(user, s.firstWeek, w - s.firstWeek)
+            }
+          }
+          if (s.seen.nonEmpty) {
+            val frontier = s.seen.max - 1 // watermark horizon: older weeks can't recur
+            state.update(s.copy(seen = s.seen.filter(_ >= frontier)))
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** D3 end-to-end: stream a directory into a windowed-agg parquet sink and
     * block until all currently-available input is processed (AvailableNow —
     * the batch-boundary trigger used for backfills). */

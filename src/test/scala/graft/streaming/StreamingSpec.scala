@@ -79,6 +79,59 @@ class StreamingSpec extends SparkSuite {
       s"session A must emit, got $got")
   }
 
+  test("D9 streaming: funnel stage times equal the batch funnel's strict-order rule") {
+    val rows = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, ts(0.0), 1L, "view", 0.0), (2L, ts(1.0), 1L, "click", 0.0),
+      (3L, ts(2.0), 1L, "purchase", 0.0),
+      // user 2: click BEFORE first view → click must not count
+      (4L, ts(0.0), 2L, "click", 0.0), (5L, ts(1.0), 2L, "view", 0.0),
+      // user 3: view only
+      (6L, ts(0.0), 3L, "view", 0.0),
+      // sentinel pushes the watermark far past every quiet window
+      (9L, ts(6000.0), 9L, "sentinel", 0.0))
+    val in = writeEvents(rows)
+    val q = EventStreams.funnelStages(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("funnel_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("funnel_out")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2.isDefined, r._3.isDefined, r._4.isDefined))).toMap
+    assert(got(1L) == ((true, true, true)))
+    assert(got(2L) == ((true, false, false)), "out-of-order click must not advance the funnel")
+    assert(got(3L) == ((true, false, false)))
+    // aggregate = the batch q58 counts for these rows: 3 viewed, 1 clicked,
+    // 1 purchased (the sentinel user's state never times out, so no row)
+    val counts = got.values.toSeq
+    assert(counts.count(_._1) == 3 && counts.count(_._2) == 1 && counts.count(_._3) == 1)
+  }
+
+  test("D10 streaming: retention increments aggregate to the batch cohort grid") {
+    val wk = 7 * 24 * 60.0 // one week in minutes
+    val rows = Seq(
+      // user 1 active weeks 0,1,3 — cohort 0, offsets 0,1,3
+      (1L, ts(0.0), 1L, "view", 0.0), (2L, ts(wk + 1), 1L, "view", 0.0),
+      (3L, ts(3 * wk + 1), 1L, "view", 0.0),
+      (4L, ts(wk + 2), 1L, "view", 0.0), // same week again — no duplicate increment
+      // user 2 first active week 1, again week 2 — cohort 1, offsets 0,1
+      (5L, ts(wk + 3), 2L, "view", 0.0), (6L, ts(2 * wk + 1), 2L, "view", 0.0))
+    val in = writeEvents(rows)
+    val q = EventStreams.retentionUpdates(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("retention_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val base = ts(0.0).getTime / 604800000L
+    val got = spark.table("retention_out")
+      .select("cohort_week", "week_offset")
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(identity).map { case (k, v) => (k._1 - base, k._2) -> v.size }
+    // batch q59 on the same rows: cohort 0 → offsets {0,1,3}; cohort 1 → {0,1}
+    assert(got == Map((0L, 0L) -> 1, (0L, 1L) -> 1, (0L, 3L) -> 1,
+                      (1L, 0L) -> 1, (1L, 1L) -> 1), s"got $got")
+  }
+
   test("D8: streaming reverse-ETL — foreachBatch drives the batch sink library") {
     val rows = Seq(
       (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(1.0), 2L, "click", 2.0),
