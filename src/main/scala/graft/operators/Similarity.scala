@@ -112,6 +112,70 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** C18 support: deterministic IVF centroids — the `nlist` corpus vectors
+    * whose (portable-md5(id), id) rank smallest, collected driver-side
+    * (nlist × dims doubles: index metadata, not data). Random-sample
+    * seeding is the standard no-training IVF baseline; the portable hash
+    * makes the choice replayable by the DuckDB oracle. Returns
+    * (cellId, vector, L2 norm) with the norm computed by the SAME
+    * ascending-index fold both engines use, so the embedded literals are
+    * bit-identical to what the oracle recomputes. */
+  private[graft] def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                  nlist: Int): Seq[(Int, Seq[Double], Double)] = {
+    val seed = corpus
+      .select(col(idCol), col(vecCol),
+        Dedup.portableHash31(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col(idCol))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+    seed.zipWithIndex.map { case (r, i) =>
+      val vec = r.getSeq[Float](0).map(_.toDouble)
+      val nrm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x * x))
+      (i, vec, nrm)
+    }.toSeq
+  }
+
+  /** C18: IVF (inverted-file) ANN — the coarse-quantization scale path.
+    * Cell assignment is PER-ROW codegen'd math (nlist dot products against
+    * centroid literals + an argmax fold, the langId pattern): the corpus
+    * is never joined, exploded, or windowed to find its cell — at 100 TB
+    * assignment runs at scan speed and the (id, cell) index is what you'd
+    * persist bucketed-by-cell. Queries probe their `nprobe` nearest cells
+    * and score ONLY vectors in those cells; a corpus vector lives in
+    * exactly one cell, so candidates are naturally duplicate-free. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    def cellScores(v: Column): Seq[(Int, Column)] = cents.map { case (i, vec, nrm) =>
+      i -> (dotProduct(v, typedlit(vec)) / lit(nrm))
+    }
+    // argmax cell, first-match tie-break toward the smaller cell id —
+    // identical to ORDER BY score DESC, cell ASC ... LIMIT 1
+    def bestCell(v: Column): Column = {
+      val ss = cellScores(v)
+      val best = greatest(ss.map(_._2): _*)
+      ss.foldRight(lit(-1)) { case ((i, s), acc) => when(s === best, lit(i)).otherwise(acc) }
+    }
+    val assign = corpus.select(col(idCol).as("neighbor_id"), bestCell(col(vecCol)).as("cell"))
+    val qScores = queries.select(col(idCol).as("query_id"),
+      posexplode(array(cellScores(col(vecCol)).map(_._2): _*)).as(Seq("cell", "cscore")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)
+    val probes = qScores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe).select("query_id", "cell")
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(broadcast(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")), "query_id")
+      .join(withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** C7: embedding near-dup pairs — corpus self-join through LSH buckets,
     * cosine-verified at `threshold`. Same bucket-join scale story as C6. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

@@ -45,6 +45,12 @@ object TrainingData {
   def q36EmbedNeardup(t: Tables): DataFrame =
     Similarity.nearDupPairs(t.embeddings, threshold = 0.4).orderBy("doc_a", "doc_b")
 
+  /** C18: IVF ANN — coarse-quantized cells (deterministic seeded
+    * centroids), nprobe-cell probing, exact cosine inside probed cells. */
+  def q62AnnIvf(t: Tables): DataFrame =
+    Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+
   /** C8: stopword-profile language ID. */
   def q37LangId(t: Tables): DataFrame =
     TextAnalysis.langId(t.documents).orderBy("doc_id")

@@ -64,6 +64,57 @@ object TrainingOracle {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Full DuckDB replay of q62 (IVF ANN): seeded centroids (same portable
+    * md5 ranking), per-vector argmax cell (score DESC, cell ASC — the
+    * fold's first-match tie-break), nprobe probing, exact cosine inside
+    * probed cells, top-k. DuckDB recomputes the centroids from the table;
+    * Spark ships them as literals — same fold order, same bits. */
+  private def annIvfSql(nlist: Int = 16, nprobe: Int = 4): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore WHERE vec_id < 10) WHERE rk <= $nprobe
+       |), cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.neighbor_id <> p.query_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${dotSql("q.ve", "c.ve")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.query_id
+       |  JOIN nv c ON c.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Full DuckDB replay of q36 (embedding near-dup): bucket self-join →
     * cosine verify at 0.4, mirroring Similarity.nearDupPairs. */
   private def embedNeardupSql: String =
@@ -262,6 +313,7 @@ object TrainingOracle {
     "q55_training_pipeline" -> trainingPipelineSql,
     "q35_ann_lsh"          -> annLshSql,
     "q36_embed_neardup"    -> embedNeardupSql,
+    "q62_ann_ivf"          -> annIvfSql(),
 
     // q60: the HLL merge/accuracy properties as booleans the oracle pins
     // to TRUE, plus the exact distinct count DuckDB recomputes itself.

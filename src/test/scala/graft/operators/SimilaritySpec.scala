@@ -52,6 +52,36 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF ANN: exact cosines, single-cell membership, reasonable recall") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k = 499)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(embeddings, queries, k = 10, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      assert(math.abs(c - brute((q, n))) < 1e-9, s"cosine for ($q,$n) must be exact")
+    }
+    // probing half the cells must recover a decent share of the true top-10
+    val trueTop = brute.toSeq.groupBy(_._1._1).view.mapValues(
+      _.sortBy { case ((_, n), c) => (-c, n) }.take(10).map(_._1._2).toSet).toMap
+    val gotTop = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = gotTop.map { case (q, ns) => ns.intersect(trueTop(q)).size }.sum /
+      (10.0 * gotTop.size)
+    assert(recall >= 0.3, s"nprobe=8/16 recall too low: $recall")
+  }
+
+  test("IVF assignment is per-row math — no join/window/HOF on the corpus side") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val p = Similarity.ivfTopK(embeddings, queries, k = 10).queryExecution
+      .executedPlan.toString
+    assert(p.contains("dot_product"), p)
+    assert(!p.contains("lambdafunction"), "no interpreted HOFs in the IVF path")
+  }
+
   test("near-dup pairs finds a planted duplicate vector at cosine 1") {
     val planted = embeddings.unionByName(
       embeddings.filter(col("vec_id") === 7).withColumn("vec_id", lit(100007L)))
