@@ -32,5 +32,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NgramHashes(exprs.head, n)
       }))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      exprs => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          "rolling_hash(tokens[, portable]) takes 1-2 arguments")
+        val portable = exprs.lift(1).exists {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"rolling_hash portable flag must be a boolean literal, got $other")
+        }
+        RollingHash(exprs.head, portable)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      exprs => {
+        require(exprs.length == 2, "minhash_signature(hashes, numPerm) takes 2 arguments")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature numPerm must be an integer literal, got $other")
+        }
+        MinHashSignature(exprs.head, n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => {
+        require(exprs.length == 1, "simhash64(tokens) takes 1 argument")
+        SimHash64(exprs.head)
+      }))
   }
 }

@@ -31,33 +31,29 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** One row per (doc, distinct shingle hash) — the codegen'd
-    * [[graft.functions.NgramHashes]] kernel, deduped per doc, exploded. */
-  private def hashedShingles(docs: DataFrame, textCol: String, idCol: String, ngram: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(array_distinct(ngramHashes(tokens(col(textCol)), ngram))).as("h"))
-
   /** C2: MinHash + LSH near-duplicate pairs.
     *
-    * shingle → hash once → numPerm codegen'd min-aggregates (the MinHash
-    * signature) → `bands` band-hashes → explode → self-join per
-    * (band, hash) bucket → exact-Jaccard verify ≥ threshold (over the
-    * hashed shingle sets; a 64-bit collision is negligible).
-    */
+    * shingle-hash array (codegen'd NgramHashes) → PER-ROW MinHash
+    * signature ([[graft.functions.MinHashSignature]]: numPerm mins in one
+    * scan-speed loop — the r2 shape exploded every shingle and shuffled
+    * them into numPerm min-aggregates, dragging `collect_set(h)` shingle
+    * sets through the shuffle) → `bands` band-hashes → explode (4
+    * rows/doc, not |shingles| rows/doc) → self-join per (band, hash)
+    * bucket → exact-Jaccard verify ≥ threshold over the hashed shingle
+    * sets, which never leave their source rows until the candidate join.
+    * Band-hash values are bit-identical to the aggregate form they
+    * replaced (same seed-42 xxhash64 chain), so results are unchanged. */
   def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    ngram: Int = 3, numPerm: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sh = hashedShingles(docs, textCol, idCol, ngram)
+    val sig = docs.select(col(idCol).as("id"),
+        array_distinct(ngramHashes(tokens(col(textCol)), ngram)).as("hs"))
+      .withColumn("sig",
+        graft.functions.SignatureFunctions.minhashSignature(col("hs"), numPerm))
 
-    // Signature mins + the exact shingle set in ONE aggregation pass.
-    val minCols = (0 until numPerm).map(p => min(permHash(col("h"), lit(p))).as(s"m$p"))
-    val sig = sh.groupBy("id")
-      .agg(minCols.head, (minCols.tail :+ collect_set(col("h")).as("hs")): _*)
-
-    // Band hash straight off the aggregate columns — no array assembly.
     val bandCols = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"m$p"))
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col("sig")(p))
       xxhash64(slice :+ lit(b): _*)
     }
     val exploded = sig.select(col("id"),
@@ -90,18 +86,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document (frequency-weighted bit votes over the
-    * token multiset): explode tokens → hash once → 64 codegen'd
-    * sum-aggregates (±1 vote per bit) → reassemble the sign bits. */
-  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
-    tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+    * token multiset): ONE per-row codegen'd loop
+    * ([[graft.functions.SimHash64]], same seed-42 per-token hash) — the
+    * r2 shape exploded every token and shuffled them into 64 vote
+    * aggregates; the signature is a pure per-document function, so it now
+    * computes at scan speed with zero shuffle. */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SignatureFunctions.simhash64(tokens(col(textCol))).as("simhash"))
 
   /** C3: SimHash near-duplicate pairs — 4 bands of 16 bits generate
     * candidates (a near-dup within `maxDist` bit flips must agree on at

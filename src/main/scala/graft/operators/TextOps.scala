@@ -18,8 +18,8 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Deterministic per-permutation hash of one shingle: xxhash64 seeded by
-    * mixing the permutation index into the input (public-API equivalent of
-    * k independent hash functions). */
-  def permHash(shingle: Column, perm: Column): Column = xxhash64(shingle, perm)
+  // per-permutation shingle hashing lives INSIDE graft.functions
+  // .MinHashSignature now (hash-compatible with the xxhash64(h, p) column
+  // form it replaced): the signature is a per-row kernel, so no column-
+  // level permutation hash is exposed anymore.
 }

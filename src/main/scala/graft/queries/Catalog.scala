@@ -30,6 +30,7 @@ object Catalog {
     "q18_latest_per_key" -> rel(Relational.q18LatestPerKey),
     "q19_pivot"          -> rel(Relational.q19Pivot),
     "q45_percentiles"    -> rel(Relational.q45Percentiles),
+    "q63_approx_percentile" -> rel(Relational.q63ApproxPercentile),
     "q56_date_spine"     -> rel(Relational.q56DateSpine),
     "q57_string_agg"     -> rel(Relational.q57StringAgg)
   )

@@ -221,6 +221,29 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** A23: approximate percentiles with their accuracy contract as the
+    * oracle. approx_percentile's GK sketch guarantees a value whose RANK
+    * is within n/accuracy of the target, i.e. between the exact
+    * (q−ε) and (q+ε) percentiles with ε = 1/accuracy. Sketch internals
+    * differ across engines, so (like q60's HLL oracle) the EXACT bounds
+    * are recomputed and the containment booleans are pinned TRUE — the
+    * 100 TB path is the sketch (mergeable partial aggs, bounded memory);
+    * the property check is what makes it trustworthy. */
+  def q63ApproxPercentile(t: Tables): DataFrame = {
+    val eps = 0.001 // accuracy 1000
+    val agg = t.orders.groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)").as("ap"),
+        expr(s"percentile(o_totalprice, array(${0.5 - eps}D, ${0.5 + eps}D, " +
+             s"${0.9 - eps}D, ${0.9 + eps}D))").as("ep"))
+    agg.select(
+        col("o_orderstatus"),
+        (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1)).as("p50_in_bounds"),
+        (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("ep")(3)).as("p90_in_bounds"),
+        col("ep")(1).as("p50_hi"), col("ep")(3).as("p90_hi"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A21: date-spine densification — month grid × left join so empty
     * months surface as zeros (reporting's classic gap-fill). The spine is
     * generated (sequence+explode), never read; the fact side aggregates

@@ -182,6 +182,17 @@ object RelationalOracle {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // A23: sketch internals differ across engines, so the oracle pins the
+    // rank-error containment booleans and recomputes the exact bounds.
+    "q63_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds,
+        |  quantile_cont(o_totalprice, 0.501) AS p50_hi,
+        |  quantile_cont(o_totalprice, 0.901) AS p90_hi
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q56_date_spine" ->
       """WITH spine AS (
         |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',

@@ -74,10 +74,13 @@ class PlanSpec extends SparkSuite {
     assert(!p35.contains("lambdafunction"), "no interpreted higher-order fns in the ANN path")
   }
 
-  test("q31: minhash uses the native ngram_hashes kernel and partial min aggregates") {
+  test("q31/q32: signatures are per-row kernels — no signature shuffle at all") {
     val p = plan(TrainingData.q31DedupMinhash(t))
     assert(p.contains("ngram_hashes"), p)
-    assert(p.contains("partial_min"), "signature mins must combine map-side")
+    assert(p.contains("minhash_signature"), "signature must be the per-row kernel")
+    assert(!p.contains("collect_set"), "shingle sets must never travel through a shuffle")
+    val p32 = plan(TrainingData.q32DedupSimhash(t))
+    assert(p32.contains("simhash64"), "simhash must be the per-row kernel")
   }
 
   test("q40/q54: fingerprint fold is the native rolling_hash kernel, not a HOF") {

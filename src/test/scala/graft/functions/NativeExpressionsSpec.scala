@@ -81,6 +81,28 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(h.length == 2)
   }
 
+  test("SQL registration: rolling_hash / minhash_signature / simhash64") {
+    val fp = spark.sql("SELECT rolling_hash(array('a','b')) AS fp").as[Long].head()
+    val M = 562949953421231L
+    val expected = {
+      def hm(s: String) = {
+        val h = XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L) % M
+        if (h < 0) h + M else h
+      }
+      (hm("a") * 31 + hm("b")) % M
+    }
+    assert(fp == expected)
+    val sig = spark.sql("SELECT minhash_signature(array(7L, 9L), 8) AS s").as[Seq[Long]].head()
+    assert(sig.length == 8)
+    val expectedSig0 = math.min(XXH64.hashInt(0, XXH64.hashLong(7L, 42L)),
+                                XXH64.hashInt(0, XXH64.hashLong(9L, 42L)))
+    assert(sig.head == expectedSig0)
+    val sh = spark.sql("SELECT simhash64(array('x','x','y')) AS s").as[Long].head()
+    // 2 votes for x's bits vs 1 for y: x's bit pattern must win every bit
+    val hx = XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString("x"), 42L)
+    assert(sh == hx, "majority token's bits dominate the signature")
+  }
+
   test("Sampling.pctBucket stays in [0,100) and spreads") {
     val buckets = spark.range(0, 1000)
       .select(graft.operators.Sampling.pctBucket(col("id")).as("b")).as[Long].collect()
