@@ -17,6 +17,14 @@ object HashUtil {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
+  private def digest31(d: java.security.MessageDigest): Long = {
+    val bytes = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xFFL); i += 1 }
+    (v >>> 4) & 0x7FFFFFFFL
+  }
+
   /** The repo's portable 31-bit hash — identical to the SQL form
     * `conv(substring(md5(s), 1, 15), 16, 10) & 0x7FFFFFFF`: the first 15
     * hex chars are the top 60 bits of the first 8 digest bytes, masked to
@@ -25,11 +33,26 @@ object HashUtil {
   def md5Hash31(s: UTF8String): Long = {
     val d = md5.get()
     d.reset()
-    val bytes = d.digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (bytes(i) & 0xFFL); i += 1 }
-    (v >>> 4) & 0x7FFFFFFFL
+    d.update(s.getBytes)
+    digest31(d)
+  }
+
+  /** md5Hash31 of tokens[start, start+n) joined by single spaces —
+    * byte-identical to hashing `concat_ws(' ', ...)` without building the
+    * joined string. */
+  def md5Hash31Shingle(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                       start: Int, n: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    var j = 0
+    while (j < n) {
+      if (j > 0) d.update(' '.toByte)
+      val t = if (toks.isNullAt(start + j)) UTF8String.EMPTY_UTF8
+              else toks.getUTF8String(start + j)
+      d.update(t.getBytes)
+      j += 1
+    }
+    digest31(d)
   }
 
   /** xxhash64 (Spark's seed-42 SQL function) reduced into the field. */

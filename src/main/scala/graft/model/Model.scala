@@ -25,7 +25,14 @@ final case class Model(
     /** Incremental build with the last cursor VALUE — used by SQL-text
       * models whose query embeds `:cursor` itself; DataFrame models leave
       * this None and get the runner's `cursorCol > value` filter. */
-    buildIncremental: Option[(SparkSession, String) => DataFrame] = None)
+    buildIncremental: Option[(SparkSession, String) => DataFrame] = None) {
+
+  /** First `n` rows of the model — the reference's `preview` command
+    * (core/src/commands/preview.ts: print 10 rows, note truncation).
+    * A LIMIT inside the plan, so Spark stops the scan after one partition
+    * when it can — never a full materialization. */
+  def preview(spark: SparkSession, n: Int = 10): DataFrame = build(spark).limit(n)
+}
 
 object Model {
   /** SQL-text model: the reference's authoring surface — a single SELECT

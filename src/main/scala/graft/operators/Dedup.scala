@@ -148,27 +148,23 @@ object Dedup {
                            numPerm: Int = 64, bands: Int = 16,
                            threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
-    val tri = docs
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col("id"), concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("s"),
-        lead("tok", 2).over(w).isNotNull.as("__full"))
-      .filter(col("__full")).drop("__full")
-    val fallback = docs.filter(size(split(col(textCol), " ")) < 3)
-      .select(col(idCol).as("id"), col(textCol).as("s"))
-    val sh = tri.unionByName(fallback).distinct()
-      .withColumn("h",
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").bitwiseAND(lit(0x7FFFFFFFL)))
-
-    val consts = permConstants(numPerm)
-    val minCols = consts.zipWithIndex.map { case ((c, d), p) =>
-      min(col("h") * c + d).as(s"m$p")
-    }
-    val sig = sh.groupBy("id")
-      .agg(minCols.head, (minCols.tail :+ collect_set(col("h")).as("hs")): _*)
+    // Per-row portable kernels (value-identical to the explode → window →
+    // distinct → md5 → min-aggregate pipeline they replaced; the DuckDB
+    // oracle replay is untouched). The <n-token fallback hashes the RAW
+    // text, exactly like the r2 shape (re-joining tokens could differ on
+    // pathological whitespace).
+    val toks = split(col(textCol), " ")
+    val sig = docs.select(col(idCol).as("id"),
+        when(size(toks) < 3,
+            array(conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+              .bitwiseAND(lit(0x7FFFFFFFL))))
+          .otherwise(graft.functions.SignatureFunctions.portableShingleHashes(toks, 3))
+          .as("hs"))
+      .withColumn("ms",
+        graft.functions.SignatureFunctions.affineMinHash(col("hs"), permConstants(numPerm)))
 
     val bandCols = (0 until bands).map { b =>
-      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col(s"m$p")): _*)
+      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col("ms")(p)): _*)
     }
     val exploded = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
@@ -192,19 +188,10 @@ object Dedup {
     * Same explode → codegen'd sum-aggregate shape as the fast simhash. */
   def simhashPairsPortable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                            maxDist: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    // md5+hex-parse is ~100× costlier than a join probe, and vocabulary is
-    // tiny relative to token instances — so hash each DISTINCT token once
-    // and dictionary-join (broadcast locally; plain shuffle join when the
-    // vocabulary outgrows the broadcast threshold at scale).
-    val raw = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-    val dict = raw.select("t").distinct().withColumn("h", portableHash31(col("t")))
-    val tok = raw.join(broadcast(dict), "t").select("id", "h")
-    val voteCols = (0 until 32).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
-    val sigs = tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"),
-        (0 until 32).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+    // One per-row codegen'd loop (value-identical to the r2
+    // dictionary-join + 32 vote aggregates): the signature never shuffles.
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.SignatureFunctions.portableSimhash32(tokens(col(textCol))).as("simhash"))
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)))
     val exploded = sigs.select(col("id"),

@@ -94,4 +94,11 @@ class ModelSpec extends SparkSuite {
     assert(m.buildIncremental.isEmpty)
     assert(m.build(spark).count() > 0)
   }
+
+  test("preview returns a plan-level LIMIT of the model") {
+    view
+    val m = Model.fromSql("p", "SELECT o_orderkey FROM orders_v", Seq("o_orderkey"))
+    assert(m.preview(spark, 10).count() == 10)
+    assert(m.preview(spark).queryExecution.optimizedPlan.toString.contains("GlobalLimit 10"))
+  }
 }
