@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: every native kernel must equal the composable (HOF /
+  * explode-aggregate) formulation it replaced, on arbitrary inputs — not
+  * just the fixtures the unit specs pin. Deterministic seeds, so failures
+  * reproduce. */
+class KernelPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val tokenGen = Gen.nonEmptyListOf(
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.oneOf("", "a", "the", "日本", "x y")))
+
+  /** n deterministic samples of g. */
+  private def samples[A](g: Gen[List[A]], n: Int): Seq[List[A]] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: RollingHash (both modes) == the interpreted fold, random docs") {
+    val M = 562949953421231L
+    val docs = samples(tokenGen, 60).map(_.mkString(" ")).toDF("text")
+    val hofXx = aggregate(split(col("text"), " "), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(M)), lit(M)))
+    val hofMd5 = aggregate(split(col("text"), " "), lit(0L),
+      (acc, t) => pmod(acc * 31 + graft.operators.Dedup.portableHash31(t), lit(M)))
+    val bad = docs.select(
+        (RollingHashFunctions.rollingHash(split(col("text"), " ")) === hofXx).as("xx"),
+        (RollingHashFunctions.rollingHash(split(col("text"), " "), portable = true) === hofMd5).as("md5"))
+      .filter(!col("xx") || !col("md5")).count()
+    assert(bad == 0)
+  }
+
+  test("property: MinHashSignature == min-aggregated xxhash64(h, p), random hash arrays") {
+    val numPerm = 16
+    val arrays = samples(Gen.nonEmptyListOf(Gen.long), 60)
+    val df = arrays.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }.toDF("id", "hs")
+    val fromKernel = df.select(col("id"),
+      SignatureFunctions.minhashSignature(col("hs"), numPerm).as("sig"))
+    val fromAgg = df.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(array((0 until numPerm).map(p => min(xxhash64(col("h"), lit(p)))): _*).as("sig"))
+    val mismatches = fromKernel.join(fromAgg.withColumnRenamed("sig", "sig2"), "id")
+      .filter(col("sig") =!= col("sig2")).count()
+    assert(mismatches == 0)
+  }
+
+  test("property: SimHash64 == exploded 64-column vote aggregation, random docs") {
+    val docsSeq = samples(tokenGen, 40)
+    val df = docsSeq.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("id", "text")
+    val fromKernel = df.select(col("id"),
+      SignatureFunctions.simhash64(split(col("text"), " ")).as("sig"))
+    val tok = df.select(col("id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    val fromAgg = tok.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("sig2"))
+    val mismatches = fromKernel.join(fromAgg, "id").filter(col("sig") =!= col("sig2")).count()
+    assert(mismatches == 0)
+  }
+
+  test("property: PortableShingleHashes == distinct md5 of window-joined shingles") {
+    val docsSeq = samples(Gen.listOfN(5, Gen.alphaNumStr.map(_.take(6))), 40)
+      .filter(_.length >= 3)
+    val df = docsSeq.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("id", "text")
+    val fromKernel = df.select(col("id"),
+        explode(SignatureFunctions.portableShingleHashes(split(col("text"), " "), 3)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val fromSql = df
+      .select(col("id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("id"),
+        concat_ws(" ", col("tok"), lead("tok", 1).over(w), lead("tok", 2).over(w)).as("s"),
+        lead("tok", 2).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("id"), graft.operators.Dedup.portableHash31(col("s")).as("h"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(fromKernel == fromSql)
+  }
+
+  test("property: DotProduct == driver-side double fold, random float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    val pairs = (0 until 50).flatMap { i =>
+      for {
+        a <- vecGen(Gen.Parameters.default, Seed(i.toLong * 2))
+        b <- vecGen(Gen.Parameters.default, Seed(i.toLong * 2 + 1))
+      } yield (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+    val got = df.select(VectorFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .as[Double].collect()
+    val expected = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    }
+    got.zip(expected).foreach { case (g, e) => assert(g == e, "bit-exact fold") }
+  }
+}
