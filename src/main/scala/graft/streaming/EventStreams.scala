@@ -179,6 +179,30 @@ object EventStreams {
       }.toDF()
   }
 
+  /** D11: watermarked stream-stream join — attribute each conversion to
+    * the impressions of the same user within `horizon` before it (the
+    * canonical ad-attribution shape). The event-time range condition +
+    * both-side watermarks BOUND the join state: Spark evicts buffered
+    * rows once the other side's watermark passes their horizon — without
+    * the range bound, stream-stream join state grows forever. Inner join,
+    * so results emit as soon as both sides arrive. */
+  def attributionJoin(impressions: DataFrame, conversions: DataFrame,
+                      horizon: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("ts").as("i_ts"),
+              col("event_id").as("impression_id"))
+      .withWatermark("i_ts", watermark)
+    val conv = conversions
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("conversion_id"), col("value"))
+      .withWatermark("c_ts", watermark)
+    imp.join(conv, expr(
+        s"i_user = c_user AND c_ts >= i_ts AND c_ts <= i_ts + interval $horizon"))
+      .select(col("i_user").as("user_id"), col("impression_id"), col("conversion_id"),
+              col("i_ts"), col("c_ts"), col("value"))
+  }
+
   /** D3 end-to-end: stream a directory into a windowed-agg parquet sink and
     * block until all currently-available input is processed (AvailableNow —
     * the batch-boundary trigger used for backfills). */

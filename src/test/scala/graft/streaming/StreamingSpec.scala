@@ -132,6 +132,27 @@ class StreamingSpec extends SparkSuite {
                       (1L, 0L) -> 1, (1L, 1L) -> 1), s"got $got")
   }
 
+  test("D11: stream-stream attribution join equals the batch join") {
+    val rows = Seq(
+      (1L, ts(0.0), 1L, "view", 0.0),      // impression
+      (2L, ts(10.0), 1L, "purchase", 9.0), // within 30-min horizon → attributed
+      (3L, ts(50.0), 1L, "purchase", 7.0), // past horizon → not attributed
+      (4L, ts(0.0), 2L, "view", 0.0),
+      (5L, ts(5.0), 3L, "purchase", 5.0))  // no impression → dropped (inner)
+    val in = writeEvents(rows)
+    val impressions = EventStreams.readEvents(spark, in).filter(col("event_type") === "view")
+    val conversions = EventStreams.readEvents(spark, in).filter(col("event_type") === "purchase")
+    val q = EventStreams.attributionJoin(impressions, conversions)
+      .writeStream.format("memory").queryName("attrib_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attrib_out")
+      .select("user_id", "impression_id", "conversion_id", "value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 9.0)),
+      s"only the in-horizon same-user pair attributes, got $got")
+  }
+
   test("D8: streaming reverse-ETL — foreachBatch drives the batch sink library") {
     val rows = Seq(
       (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(1.0), 2L, "click", 2.0),
