@@ -32,6 +32,28 @@ object Sketches {
   def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): Column =
     hll_sketch_estimate(hll_sketch_agg(col(valueCol)))
 
+  /** Per-group mergeable QUANTILE sketches (binary, persistable) — the
+    * percentile analog of [[distinctSketches]]: build per-fine-group,
+    * roll up with [[rollupQuantiles]] without rescanning raw data. */
+  def quantileSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       relativeError: Double = 0.01): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchFunctions
+        .quantileSketch(col(valueCol), relativeError).as("qsketch"))
+
+  /** Merge previously-built quantile sketches up to a coarser grouping and
+    * read out the requested quantiles — rank error stays within the build
+    * ε through the merge (GK summaries compose). */
+  def rollupQuantiles(sketches: DataFrame, groupCols: Seq[String],
+                      qs: Seq[Double]): DataFrame = {
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketchFunctions
+        .quantileSketchMerge(col("qsketch")).as("merged"))
+    merged.select(groupCols.map(col) ++ qs.map(q =>
+      graft.functions.QuantileSketchFunctions.sketchQuantile(col("merged"), q)
+        .as(s"p${(q * 100).round}")): _*)
+  }
+
   /** One-shot per-group estimate as a frame — the single-pass baseline the
     * merge property is checked against: rolling finer sketches up through
     * `hll_union_agg` must land on the SAME registers (union = per-register

@@ -67,6 +67,7 @@ object Catalog {
     "q43_tfidf"         -> rel(TrainingData.q43Tfidf),
     "q46_approx_distinct" -> rel(TrainingData.q46ApproxDistinct),
     "q60_hll_merge"     -> rel(TrainingData.q60HllMerge),
+    "q64_quantile_rollup" -> rel(TrainingData.q64QuantileRollup),
     "q62_ann_ivf"       -> rel(TrainingData.q62AnnIvf),
     "q52_minhash_portable" -> rel(TrainingData.q52MinhashPortable),
     "q53_simhash_portable" -> rel(TrainingData.q53SimhashPortable),

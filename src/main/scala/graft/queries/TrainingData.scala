@@ -156,6 +156,29 @@ object TrainingData {
     Sketches.rollupEstimate(perYear, Seq("c_mktsegment")).orderBy("c_mktsegment")
   }
 
+  /** C19: mergeable quantile sketches, oracled by their accuracy contract
+    * (q63's pattern, through a BUILD → persist-shape → MERGE rollup):
+    * per-(status, year) sketches union up to status, and the read-out
+    * quantile must land inside the exact [q−2ε, q+2ε] rank bounds DuckDB
+    * recomputes (2ε: one ε from the build, one from the merge). */
+  def q64QuantileRollup(t: Tables): DataFrame = {
+    val eps = 0.01
+    val perYear = Sketches.quantileSketches(
+      t.orders.select(col("o_orderstatus"), year(col("o_orderdate")).as("yr"),
+                      col("o_totalprice")),
+      Seq("o_orderstatus", "yr"), "o_totalprice", relativeError = eps)
+    val rolled = Sketches.rollupQuantiles(perYear, Seq("o_orderstatus"), Seq(0.5, 0.9))
+    val exact = t.orders.groupBy("o_orderstatus")
+      .agg(expr(s"percentile(o_totalprice, array(${0.5 - 2 * eps}D, ${0.5 + 2 * eps}D, " +
+                s"${0.9 - 2 * eps}D, ${0.9 + 2 * eps}D))").as("ep"))
+    rolled.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"),
+        (col("p50") >= col("ep")(0) && col("p50") <= col("ep")(1)).as("p50_in_bounds"),
+        (col("p90") >= col("ep")(2) && col("p90") <= col("ep")(3)).as("p90_in_bounds"),
+        col("ep")(1).as("p50_hi"), col("ep")(3).as("p90_hi"))
+      .orderBy("o_orderstatus")
+  }
+
   /** C16 verification twin: DuckDB can't replay DataSketches HLL registers,
     * so q60 oracles the PROPERTIES q46 relies on instead — (a) the merge
     * law: per-(segment, year) sketches unioned up to segment must estimate

@@ -315,6 +315,17 @@ object TrainingOracle {
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
 
+    // q64: the quantile-sketch build+merge accuracy contract (q63 pattern)
+    // — booleans pinned TRUE, exact rank bounds recomputed by DuckDB.
+    "q64_quantile_rollup" ->
+      """SELECT o_orderstatus,
+        |  TRUE AS p50_in_bounds,
+        |  TRUE AS p90_in_bounds,
+        |  quantile_cont(o_totalprice, 0.52) AS p50_hi,
+        |  quantile_cont(o_totalprice, 0.92) AS p90_hi
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // q60: the HLL merge/accuracy properties as booleans the oracle pins
     // to TRUE, plus the exact distinct count DuckDB recomputes itself.
     "q60_hll_merge" ->

@@ -33,4 +33,39 @@ class SketchesSpec extends SparkSuite {
       assert(math.abs(est(g) - n).toDouble / n < 0.05, s"g=$g exact=$n est=${est(g)}")
     }
   }
+
+  private lazy val prices = spark.read.parquet(s"$sfDir/orders.parquet")
+    .select(col("o_orderstatus"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+
+  test("quantile sketches: build → merge rollup stays within 2ε rank bounds of exact") {
+    val eps = 0.01
+    val perYear = Sketches.quantileSketches(prices, Seq("o_orderstatus", "yr"),
+      "o_totalprice", relativeError = eps)
+    // sketches survive a write/read roundtrip (the persist-then-merge path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-qsketch").toString
+    perYear.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val rolled = Sketches.rollupQuantiles(reloaded, Seq("o_orderstatus"), Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val bounds = prices.groupBy("o_orderstatus")
+      .agg(expr(s"percentile(o_totalprice, array(${0.5 - 2 * eps}D, ${0.5 + 2 * eps}D, " +
+                s"${0.9 - 2 * eps}D, ${0.9 + 2 * eps}D))").as("b"))
+      .as[(String, Seq[Double])].collect().toMap
+    bounds.foreach { case (st, b) =>
+      val (p50, p90) = rolled(st)
+      assert(p50 >= b(0) && p50 <= b(1), s"$st p50=$p50 outside [${b(0)}, ${b(1)}]")
+      assert(p90 >= b(2) && p90 <= b(3), s"$st p90=$p90 outside [${b(2)}, ${b(3)}]")
+    }
+  }
+
+  test("quantile sketch query on an empty sketch is null, not a crash") {
+    val empty = prices.filter(lit(false))
+    val sk = Sketches.quantileSketches(empty.select(lit("g").as("g"), col("o_totalprice"))
+      .unionByName(Seq(("g", Option.empty[Double])).toDF("g", "o_totalprice")),
+      Seq("g"), "o_totalprice")
+    val out = Sketches.rollupQuantiles(sk, Seq("g"), Seq(0.5))
+      .as[(String, Option[Double])].collect()
+    assert(out.length == 1 && out.head._2.isEmpty)
+  }
 }
