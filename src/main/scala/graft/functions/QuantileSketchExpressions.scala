@@ -100,14 +100,20 @@ case class QuantileSketchMergeAgg(child: Expression,
   override def createAggregationBuffer(): QuantileSummaries =
     QuantileSketchCodec.empty(QuantileSummaries.defaultRelativeError)
 
+  // Invariant: the buffer is always compressed (head buffer empty) — it is
+  // only ever an empty summary or a merge() result, and insert() is never
+  // called on it. So merging needs NO per-row compress: decoded inputs are
+  // encoded compressed, and merge() of two compressed summaries returns a
+  // compressed summary. (The build agg above DOES compress in merge —
+  // its buffer accumulates raw insert()s.)
   override def update(b: QuantileSummaries, row: InternalRow): QuantileSummaries = {
     val v = child.eval(row)
     if (v == null) b
-    else b.compress().merge(QuantileSketchCodec.decode(v.asInstanceOf[Array[Byte]]))
+    else b.merge(QuantileSketchCodec.decode(v.asInstanceOf[Array[Byte]]))
   }
 
   override def merge(b: QuantileSummaries, o: QuantileSummaries): QuantileSummaries =
-    b.compress().merge(o.compress())
+    b.merge(o)
 
   override def eval(b: QuantileSummaries): Any = QuantileSketchCodec.encode(b)
 

@@ -39,17 +39,21 @@ object HashUtil {
 
   /** md5Hash31 of tokens[start, start+n) joined by single spaces —
     * byte-identical to hashing `concat_ws(' ', ...)` without building the
-    * joined string. */
+    * joined string. Like concat_ws, null tokens are SKIPPED (no separator
+    * emitted for them), so the equivalence holds for any token array, not
+    * just the null-free ones `split()` produces. */
   def md5Hash31Shingle(toks: org.apache.spark.sql.catalyst.util.ArrayData,
                        start: Int, n: Int): Long = {
     val d = md5.get()
     d.reset()
     var j = 0
+    var emitted = false
     while (j < n) {
-      if (j > 0) d.update(' '.toByte)
-      val t = if (toks.isNullAt(start + j)) UTF8String.EMPTY_UTF8
-              else toks.getUTF8String(start + j)
-      d.update(t.getBytes)
+      if (!toks.isNullAt(start + j)) {
+        if (emitted) d.update(' '.toByte)
+        d.update(toks.getUTF8String(start + j).getBytes)
+        emitted = true
+      }
       j += 1
     }
     digest31(d)

@@ -41,17 +41,29 @@ object Sketches {
       .agg(graft.functions.QuantileSketchFunctions
         .quantileSketch(col(valueCol), relativeError).as("qsketch"))
 
+  /** Column label for quantile q: exact decimal, not a rounded integer —
+    * p50, p99, p99_5, p99_99 — so distinct quantiles can never collide on
+    * a name (0.995 and 1.0 used to both round to "p100"). */
+  private[operators] def quantileLabel(q: Double): String = {
+    val pct = new java.math.BigDecimal(q.toString).movePointRight(2)
+      .stripTrailingZeros.toPlainString
+    "p" + pct.replace(".", "_").replace("-", "m")
+  }
+
   /** Merge previously-built quantile sketches up to a coarser grouping and
     * read out the requested quantiles — rank error stays within the build
     * ε through the merge (GK summaries compose). */
   def rollupQuantiles(sketches: DataFrame, groupCols: Seq[String],
                       qs: Seq[Double]): DataFrame = {
+    val labels = qs.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"duplicate quantile labels: ${labels.mkString(", ")}")
     val merged = sketches.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.QuantileSketchFunctions
         .quantileSketchMerge(col("qsketch")).as("merged"))
-    merged.select(groupCols.map(col) ++ qs.map(q =>
-      graft.functions.QuantileSketchFunctions.sketchQuantile(col("merged"), q)
-        .as(s"p${(q * 100).round}")): _*)
+    merged.select(groupCols.map(col) ++ qs.zip(labels).map { case (q, lbl) =>
+      graft.functions.QuantileSketchFunctions.sketchQuantile(col("merged"), q).as(lbl)
+    }: _*)
   }
 
   /** One-shot per-group estimate as a frame — the single-pass baseline the

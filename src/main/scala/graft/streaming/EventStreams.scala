@@ -42,14 +42,22 @@ object EventStreams {
 
   // --- stateful sessionization ----------------------------------------
 
-  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionState(pending: List[(Long, Double)], open: Boolean,
+                                start: Long, end: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                               n_events: Long, sum_value: Double)
 
   /** D2 (true streaming form): 30-minute-gap sessions per user via
-    * flatMapGroupsWithState with a processing-time-free, event-time-driven
-    * timeout. Emits a session when the gap passes or the watermark moves
-    * beyond it. */
+    * flatMapGroupsWithState, event-time-driven throughout. The gap fold is
+    * ORDER-SENSITIVE (a late event can BRIDGE two apparent sessions into
+    * one), so — like [[funnelStages]] — events buffer in state until the
+    * watermark passes them and only then fold, sorted by event time; the
+    * open session closes and emits once the watermark passes its end by
+    * more than the gap (no admissible arrival can extend it: anything
+    * later lands in a new session). On a closed input whose watermark is
+    * pushed past the last event + gap, the emitted sessions equal the
+    * batch q51 gaps-and-islands answer for ANY arrival order. Buffered
+    * state is bounded by the lateness horizon. */
   def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
@@ -62,52 +70,77 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Timestamp, Double)], state: GroupState[SessionState]) =>
-          val sorted = rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1)
-          var sessions = List.empty[SessionOut]
-          var cur = state.getOption
-          if (state.hasTimedOut) {
-            val out = cur.map(s => SessionOut(user, s.start, s.end, s.n, s.sum)).toList
-            state.remove()
-            out.iterator
-          } else {
-            sorted.foreach { case (t, v) =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
-                case Some(s) =>
-                  sessions ::= SessionOut(user, s.start, s.end, s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, v))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, v))
-              }
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(SessionState(Nil, false, 0L, 0L, 0L, 0.0))
+          s = s.copy(pending = s.pending ++ rows.map(r => (r._2.getTime, r._3)))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          // fold events the watermark has passed, in event-time order —
+          // later batches can only deliver ts ≥ wm, so fold order is
+          // globally ascending and a late bridge event merges correctly
+          val (ripe, hold) = s.pending.partition(_._1 < wm)
+          ripe.sortBy(_._1).foreach { case (t, v) =>
+            if (s.open && t - s.end <= gapMs)
+              s = s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + v)
+            else {
+              if (s.open) closed += SessionOut(user, s.start, s.end, s.n, s.sum)
+              s = s.copy(open = true, start = t, end = t, n = 1, sum = v)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            sessions.reverse.iterator
           }
+          // the open session is FINAL once wm > end + gap: any future
+          // arrival has ts ≥ wm > end + gap and starts a new session
+          if (s.open && wm > s.end + gapMs) {
+            closed += SessionOut(user, s.start, s.end, s.n, s.sum)
+            s = s.copy(open = false)
+          }
+          s = s.copy(pending = hold)
+          if (!s.open && s.pending.isEmpty) state.remove()
+          else {
+            state.update(s)
+            // wake at the earliest event-time decision point: the open
+            // session's close boundary, or the oldest buffered event
+            val wake = (if (s.open) List(s.end + gapMs + 1) else Nil) ++
+                       (if (s.pending.nonEmpty) List(s.pending.iterator.map(_._1).min + 1) else Nil)
+            state.setTimeoutTimestamp(math.max(wm + 1, wake.min))
+          }
+          closed.iterator
       }.toDF()
   }
 
   // --- streaming funnel / retention (D9/D10 true-streaming twins) -------
 
-  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long, lastTs: Long)
+  final case class FunnelState(pending: List[(Long, String)], tView: Long, tClick: Long,
+                               tPurchase: Long, lastTs: Long)
   final case class FunnelOut(user_id: Long, t_view: Option[Long], t_click: Option[Long],
                              t_purchase: Option[Long])
 
   /** D9 (true streaming form): per-user view → click → purchase progress
-    * via flatMapGroupsWithState. Events fold in event-time order with the
-    * strict-ordering constraint q58 applies (a stage only counts after the
-    * previous stage's FIRST time), so on a closed input the emitted rows
-    * aggregate to exactly the batch funnel. A user's funnel flushes once
-    * the watermark passes `quietMs` past their last event — per-user state
-    * is three longs, and the timeout bounds its lifetime. */
+    * via flatMapGroupsWithState. The funnel fold is ORDER-SENSITIVE (a
+    * stage only counts after the previous stage's FIRST time, q58's strict
+    * rule), and micro-batches deliver events in ARRIVAL order — so events
+    * buffer in state until the watermark passes them, and only then fold,
+    * sorted by event time. An event folds at watermark wm only when
+    * ts < wm: every not-yet-arrived event has ts ≥ its batch's watermark
+    * ≥ wm (the watermark filter drops older arrivals), so fold order is
+    * globally ascending in event time and a late-but-valid 'view' lands
+    * BEFORE an earlier-arrived 'click'. On a closed input the emitted rows
+    * therefore aggregate to exactly the batch funnel, whatever the arrival
+    * order. A user flushes once the watermark passes `quietMs` past their
+    * last event; buffered state is bounded by the lateness horizon (events
+    * older than the watermark fold out of the buffer every batch). */
   def funnelStages(events: DataFrame, watermark: String = "30 minutes",
                    quietMs: Long = 30 * 60 * 1000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val U = -1L // unset
+    def fold(s0: FunnelState, evs: Seq[(Long, String)]): FunnelState =
+      evs.sortBy(_._1).foldLeft(s0) { case (s, (t, kind)) =>
+        kind match {
+          case "view"     if s.tView == U                     => s.copy(tView = t)
+          case "click"    if s.tClick == U && s.tView != U  && t > s.tView  => s.copy(tClick = t)
+          case "purchase" if s.tPurchase == U && s.tClick != U && t > s.tClick => s.copy(tPurchase = t)
+          case _ => s
+        }
+      }
     events
       .withWatermark("ts", watermark)
       .select(col("user_id").as[Long], col("ts").as[Timestamp], col("event_type").as[String])
@@ -117,38 +150,43 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Timestamp, String)], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
-            val s = state.get
+            // watermark ≥ lastTs + quietMs > every buffered ts → fold the rest
+            val s0 = state.get
+            val s = fold(s0, s0.pending)
             state.remove()
             def opt(v: Long) = if (v == U) None else Some(v)
             Iterator.single(FunnelOut(user, opt(s.tView), opt(s.tClick), opt(s.tPurchase)))
           } else {
-            var s = state.getOption.getOrElse(FunnelState(U, U, U, 0L))
-            rows.map(r => (r._2.getTime, r._3)).toSeq.sortBy(_._1).foreach { case (t, kind) =>
-              s = kind match {
-                case "view"     if s.tView == U                     => s.copy(tView = t)
-                case "click"    if s.tClick == U && s.tView != U  && t > s.tView  => s.copy(tClick = t)
-                case "purchase" if s.tPurchase == U && s.tClick != U && t > s.tClick => s.copy(tPurchase = t)
-                case _ => s
-              }
-              s = s.copy(lastTs = math.max(s.lastTs, t))
-            }
+            val wm = state.getCurrentWatermarkMs()
+            var s = state.getOption.getOrElse(FunnelState(Nil, U, U, U, 0L))
+            val fresh = rows.map(r => (r._2.getTime, r._3)).toList
+            if (fresh.nonEmpty)
+              s = s.copy(lastTs = math.max(s.lastTs, fresh.iterator.map(_._1).max))
+            val (ripe, hold) = (s.pending ++ fresh).partition(_._1 < wm)
+            s = fold(s.copy(pending = hold), ripe)
             state.update(s)
-            state.setTimeoutTimestamp(s.lastTs + quietMs)
+            state.setTimeoutTimestamp(math.max(wm + 1, s.lastTs + quietMs))
             Iterator.empty
           }
       }.toDF()
   }
 
-  final case class RetentionState(firstWeek: Long, seen: Set[Long])
+  final case class RetentionState(firstWeek: Long, seen: Set[Long], pending: Set[Long])
   final case class RetentionOut(user_id: Long, cohort_week: Long, week_offset: Long)
 
   /** D10 (true streaming form): emits ONE (user, cohort_week, week_offset)
     * increment per newly-seen (user, week) — `groupBy(cohort_week,
     * week_offset).count` over the output reproduces the batch retention
-    * grid incrementally. State per user: first-active week + the set of
-    * seen weeks, pruned below the event-time frontier minus one week
-    * (the watermark already drops older arrivals), so state stays a
-    * handful of longs no matter how long the stream runs. */
+    * grid incrementally. The cohort label (firstWeek) can be REASSIGNED by
+    * a late-but-watermark-valid event in an earlier week, so increments
+    * are held in `pending` until firstWeek is FINAL: once the watermark
+    * reaches firstWeek's start, any event in an earlier week would be
+    * older than the watermark and is already dropped, so the label can
+    * never move again — only then do the user's pending (week) increments
+    * emit, each exactly once. An event-time timeout at firstWeek's start
+    * flushes users whose label became final without further events. State
+    * per user stays a handful of longs: seen weeks prune once the
+    * watermark passes their end (no event for them can arrive again). */
   def retentionUpdates(events: DataFrame, watermark: String = "1 day"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -159,22 +197,26 @@ object EventStreams {
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RetentionState, RetentionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[RetentionState]) =>
-          val weeks = rows.map(_._2.getTime / WeekMs).toSeq.sorted
-          var s = state.getOption.getOrElse(RetentionState(Long.MaxValue, Set.empty))
-          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionOut]
-          weeks.foreach { w =>
+          val wm = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(RetentionState(Long.MaxValue, Set.empty, Set.empty))
+          rows.map(_._2.getTime / WeekMs).toSet[Long].foreach { w =>
             if (w < s.firstWeek) s = s.copy(firstWeek = w)
-            if (!s.seen.contains(w)) {
-              s = s.copy(seen = s.seen + w)
-              out += RetentionOut(user, s.firstWeek, w - s.firstWeek)
-            }
+            if (!s.seen.contains(w)) s = s.copy(seen = s.seen + w, pending = s.pending + w)
           }
-          if (s.seen.nonEmpty) {
-            val frontier = s.seen.max - 1 // watermark horizon: older weeks can't recur
-            state.update(s.copy(seen = s.seen.filter(_ >= frontier)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionOut]
+          val cohortFinal = s.firstWeek != Long.MaxValue && s.firstWeek * WeekMs <= wm
+          if (s.pending.nonEmpty && cohortFinal) {
+            s.pending.toSeq.sorted.foreach(w => out += RetentionOut(user, s.firstWeek, w - s.firstWeek))
+            s = s.copy(pending = Set.empty)
           }
+          // prune weeks whose whole span is below the watermark — they
+          // cannot recur (arrivals for them are dropped as late)
+          s = s.copy(seen = s.seen.filter(w => (w + 1) * WeekMs > wm || s.pending.contains(w)))
+          state.update(s)
+          if (s.pending.nonEmpty) // wake when the watermark crosses firstWeek's start
+            state.setTimeoutTimestamp(math.max(wm + 1, s.firstWeek * WeekMs))
           out.iterator
       }.toDF()
   }

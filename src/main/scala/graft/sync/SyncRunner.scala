@@ -55,10 +55,16 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
     flagged.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // one aggregation job materializes the cache AND yields the gate stats
+      // max cursor over ALL processed rows (valid or not): the cursor is a
+      // STREAM POSITION, exactly the reference's semantics (sync.ts:566
+      // advances the checkpoint past skipped rows too) — invalid rows are
+      // skipped permanently and surface in the report/threshold, never
+      // retried. The chunked path checkpoints chunk upper bounds, which is
+      // the same rule, so both modes replay identically after a crash.
       val aggCols = Seq(
         count(lit(1)).as("n"),
         count(when(col("__valid"), 1)).as("n_valid")) ++
-        model.cursorCol.map(c => max(when(col("__valid"), col(c))).cast("string").as("max_cursor"))
+        model.cursorCol.map(c => max(col(c)).cast("string").as("max_cursor"))
       val stats: Row = flagged.agg(aggCols.head, aggCols.tail: _*).collect()(0)
       val n = stats.getAs[Long]("n")
       val nValid = stats.getAs[Long]("n_valid")
@@ -102,7 +108,8 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
         runChunked(model, syncId, increment, lastCursor, every, enrich, sink)
       case _ =>
         val (n, nValid, maxCursor) = syncOnce(model, increment, enrich, sink)
-        // checkpoint max(valid cursor) — only after a successful sink
+        // checkpoint max(cursor) over processed rows — only after a
+        // successful sink (invalid rows advance the cursor too; see syncOnce)
         val newCursor = maxCursor.orElse(lastCursor)
         newCursor.foreach(v => store.set(cursorKey(syncId), v))
         SyncReport(syncId, n, nValid, n - nValid, newCursor, lastCursor.isDefined)

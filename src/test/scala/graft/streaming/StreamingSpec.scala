@@ -61,12 +61,13 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("D2 streaming: gap-closed sessions emit with exact bounds") {
-    // user 1: session A (3 events, 0-10 min), 40-min gap, session B (2 events)
-    // session A closes in-batch when session B's first event arrives.
+    // user 1: session A (3 events, 0-10 min), 40-min gap, session B (2 events);
+    // the sentinel pushes the watermark past B's close boundary so both emit.
     val rows = Seq(
       (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(5.0), 1L, "view", 2.0),
       (3L, ts(10.0), 1L, "view", 3.0),
-      (4L, ts(50.0), 1L, "view", 4.0), (5L, ts(55.0), 1L, "view", 5.0))
+      (4L, ts(50.0), 1L, "view", 4.0), (5L, ts(55.0), 1L, "view", 5.0),
+      (9L, ts(6000.0), 9L, "sentinel", 0.0))
     val in = writeEvents(rows)
     val q = EventStreams.sessionize(EventStreams.readEvents(spark, in))
       .writeStream.format("memory").queryName("sessions_out")
@@ -75,8 +76,96 @@ class StreamingSpec extends SparkSuite {
     val got = spark.table("sessions_out")
       .select("user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value")
       .as[(Long, Long, Long, Long, Double)].collect().toSet
-    assert(got.contains((1L, ts(0.0).getTime, ts(10.0).getTime, 3L, 6.0)),
-      s"session A must emit, got $got")
+    assert(got == Set(
+      (1L, ts(0.0).getTime, ts(10.0).getTime, 3L, 6.0),
+      (1L, ts(50.0).getTime, ts(55.0).getTime, 2L, 9.0)),
+      s"both closed sessions must emit with exact bounds, got $got")
+  }
+
+  // ---- multi-batch out-of-order arrivals (MemoryStream drives explicit
+  // micro-batches; the watermark-buffered state ops must fold in EVENT-time
+  // order, not arrival order) --------------------------------------------
+
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.DataFrame
+
+  private def eventStream(): (MemoryStream[(Long, Timestamp, Long, String, Double)], DataFrame) = {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    (mem, mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
+  test("D2 streaming: a late bridge event merges two apparent sessions (cross-batch)") {
+    val (mem, df) = eventStream()
+    val q = EventStreams.sessionize(df)
+      .writeStream.format("memory").queryName("sessions_ooo").start()
+    try {
+      // batch 1: events at 0 and 40 min — 40-min gap, LOOKS like two sessions
+      mem.addData((1L, ts(0.0), 1L, "view", 1.0), (2L, ts(40.0), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: the 20-min event arrives late (within the 30-min watermark:
+      // wm = 40 - 30 = 10 min) and BRIDGES them into one session
+      mem.addData((3L, ts(20.0), 1L, "view", 4.0))
+      q.processAllAvailable()
+      // batch 3: sentinel closes everything
+      mem.addData((9L, ts(6000.0), 9L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_ooo")
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, ts(0.0).getTime, ts(40.0).getTime, 3L, 7.0)),
+      s"batch q51 semantics: ONE bridged session 0→40 with 3 events, got $got")
+  }
+
+  test("D9 streaming: late view in a later batch still precedes an earlier-arrived click") {
+    val (mem, df) = eventStream()
+    val q = EventStreams.funnelStages(df)
+      .writeStream.format("memory").queryName("funnel_ooo").start()
+    try {
+      // batch 1: the click ARRIVES first (event time 1 min)
+      mem.addData((1L, ts(1.0), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: the view arrives later but with EARLIER event time (0 min),
+      // still watermark-valid (wm = max(1 min − 30 min, 0) = 0)
+      mem.addData((2L, ts(0.0), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 3: sentinel pushes the watermark past the quiet window → flush
+      mem.addData((9L, ts(6000.0), 9L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_ooo")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2.isDefined, r._3.isDefined, r._4.isDefined))).toMap
+    assert(got(1L) == ((true, true, false)),
+      s"view@0 must fold BEFORE click@1 despite arriving a batch later, got $got")
+  }
+
+  test("D10 streaming: late earlier-week event assigns ONE cohort, never two") {
+    val wk = 7 * 24 * 60.0
+    val (mem, df) = eventStream()
+    val q = EventStreams.retentionUpdates(df, watermark = "8 days")
+      .writeStream.format("memory").queryName("retention_ooo").start()
+    try {
+      // batch 1: user 1 first seen in week 1
+      mem.addData((1L, ts(wk + 1), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a week-0 event arrives late (8-day watermark keeps it
+      // valid) — the cohort must become week 0, with NO week-1 cohort row
+      mem.addData((2L, ts(1.0), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 3: sentinel finalizes every cohort
+      mem.addData((9L, ts(10 * wk), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val base = ts(0.0).getTime / 604800000L
+    val got = spark.table("retention_ooo")
+      .select("user_id", "cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+      .filter(_._1 == 1L).map(r => (r._2 - base, r._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(got == Map((0L, 0L) -> 1, (0L, 1L) -> 1),
+      s"user 1 belongs to cohort week 0 with offsets {0, 1}, exactly once each; got $got")
   }
 
   test("D9 streaming: funnel stage times equal the batch funnel's strict-order rule") {

@@ -106,6 +106,36 @@ class SyncRunnerSpec extends SparkSuite {
     assert(firstRun.size + resumed.size == total, "every row delivered exactly once across the crash")
   }
 
+  test("invalid rows advance the cursor identically in chunked and un-chunked runs") {
+    // mark the latest-cursor rows invalid: the cursor is a STREAM POSITION,
+    // so both modes must checkpoint past them (skipped, not retried)
+    val maxDate = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(max(col("o_orderdate")).cast("string")).as[String].collect()(0)
+    def m = Model(
+      name = "orders",
+      build = s => s.read.parquet(s"$sfDir/orders.parquet"),
+      keyCols = Seq("o_orderkey"),
+      cursorCol = Some("o_orderdate"),
+      validations = Seq("not_last_day" -> (_ => col("o_orderdate") < lit(maxDate))))
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+
+    val stU = StateStore.inMemory()
+    val repU = new SyncRunner(stU).run(spark, m, "u", df => { df.count(); () })
+    val stC = StateStore.inMemory()
+    val repC = new SyncRunner(stC).run(spark, m, "c", df => { df.count(); () },
+      checkpointEvery = Some(total / 4))
+
+    val ckU = stU.get(Seq("syncId=u", "$lastCursor"))
+    val ckC = stC.get(Seq("syncId=c", "$lastCursor"))
+    assert(ckU == Some(maxDate) && ckC == Some(maxDate),
+      s"both modes must checkpoint the max PROCESSED cursor ($maxDate); got un-chunked=$ckU chunked=$ckC")
+    assert(repU.rowsInvalid > 0 && repU.rowsInvalid == repC.rowsInvalid)
+
+    // replay semantics now identical: a second run in EITHER mode sees nothing
+    val againU = new SyncRunner(stU).run(spark, m, "u", df => { df.count(); () })
+    assert(againU.rowsIn == 0, "skipped rows are reported, not retried")
+  }
+
   test("enrichment expands row -> rows between validation and column mapping") {
     val runner = new SyncRunner(StateStore.inMemory())
     val tags = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("tid", "tag")
