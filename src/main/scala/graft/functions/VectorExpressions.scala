@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.{graftbridge => bridge}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
@@ -88,6 +88,163 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Scores of one vector against a FIXED centroid matrix, as a single
+ * expression node: `scores[c] = dot(v, cents[c]) / norms[c]`, folded
+ * ascending-index exactly like [[DotProduct]] so the values are
+ * bit-identical to composing `dot_product(v, lit(cents[c])) / norm[c]`
+ * per cell (which is what the DuckDB oracle replays).
+ *
+ * WHY an expression and not composition: nlist cells × dims-element
+ * array literals, each referenced from `greatest` AND a when-chain,
+ * put tens of thousands of Literal nodes in the plan — at 16×64 that
+ * made analysis+codegen of the IVF query take seconds per run, far
+ * exceeding the actual data work. Here the matrix rides along as ONE
+ * constant reference object; the plan stays a handful of nodes no
+ * matter how many cells. Runtime is the same tight primitive loop.
+ */
+case class CentroidScores(child: Expression,
+                          cents: Array[Array[Double]], norms: Array[Double])
+    extends UnaryExpression {
+
+  require(cents.length == norms.length, "one norm per centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_scores"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](cents.length)
+    val fl = isFloat
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) // null elements contribute 0, like DotProduct
+          s += (if (fl) v.getFloat(i).toDouble else v.getDouble(i)) * cent(i)
+        i += 1
+      }
+      out(c) = s / norms(c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val nr = ctx.addReferenceObj("norms", norms, "double[]")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double[] $out = new double[$m.length];
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  int $n = java.lang.Math.min($v.numElements(), $m[$c].length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) { $s += $get * $m[$c][$i]; }
+         |  }
+         |  $out[$c] = $s / $nr[$c];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CentroidScores =
+    copy(child = c)
+}
+
+/** Argmax cell over the same scores: ascending scan with strict `>`, so
+  * exact ties keep the SMALLEST cell id — identical to the oracle's
+  * `row_number() OVER (ORDER BY score DESC, cell ASC) = 1`. Returns -1
+  * only for an empty matrix (or all-NaN scores), mirroring the old
+  * when-chain's `otherwise(-1)`. */
+case class BestCentroid(child: Expression,
+                        cents: Array[Array[Double]], norms: Array[Double])
+    extends UnaryExpression {
+
+  require(cents.length == norms.length, "one norm per centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "best_centroid"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fl = isFloat
+    var best = Double.NegativeInfinity
+    var cell = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i))
+          s += (if (fl) v.getFloat(i).toDouble else v.getDouble(i)) * cent(i)
+        i += 1
+      }
+      s /= norms(c)
+      if (s > best) { best = s; cell = c }
+      c += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("cents", cents, "double[][]")
+      val nr = ctx.addReferenceObj("norms", norms, "double[]")
+      val best = ctx.freshName("best")
+      val cell = ctx.freshName("cell")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $cell = -1;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  int $n = java.lang.Math.min($v.numElements(), $m[$c].length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) { $s += $get * $m[$c][$i]; }
+         |  }
+         |  $s /= $nr[$c];
+         |  if ($s > $best) { $best = $s; $cell = $c; }
+         |}
+         |${ev.value} = $cell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): BestCentroid =
+    copy(child = c)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two float/double array columns. */
@@ -100,4 +257,12 @@ object VectorFunctions {
   /** Codegen'd cosine similarity of two raw (un-normalized) vectors. */
   def cosineSim(a: Column, na: Column, b: Column, nb: Column): Column =
     dotProduct(a, b) / (na * nb)
+
+  /** All centroid scores of a vector column (array<double>, one per cell). */
+  def centroidScores(v: Column, cents: Array[Array[Double]], norms: Array[Double]): Column =
+    bridge.column(CentroidScores(bridge.expression(v), cents, norms))
+
+  /** Argmax centroid cell of a vector column (int, -1 for empty matrix). */
+  def bestCentroid(v: Column, cents: Array[Array[Double]], norms: Array[Double]): Column =
+    bridge.column(BestCentroid(bridge.expression(v), cents, norms))
 }

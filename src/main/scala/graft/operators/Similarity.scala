@@ -148,19 +148,19 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-    def cellScores(v: Column): Seq[(Int, Column)] = cents.map { case (i, vec, nrm) =>
-      i -> (dotProduct(v, typedlit(vec)) / lit(nrm))
-    }
-    // argmax cell, first-match tie-break toward the smaller cell id —
-    // identical to ORDER BY score DESC, cell ASC ... LIMIT 1
-    def bestCell(v: Column): Column = {
-      val ss = cellScores(v)
-      val best = greatest(ss.map(_._2): _*)
-      ss.foldRight(lit(-1)) { case ((i, s), acc) => when(s === best, lit(i)).otherwise(acc) }
-    }
-    val assign = corpus.select(col(idCol).as("neighbor_id"), bestCell(col(vecCol)).as("cell"))
+    // centroid matrix rides as ONE constant reference object inside two
+    // native expressions (argmax cell / all-cell scores) — composing
+    // nlist per-cell literal dot products put tens of thousands of
+    // Literal nodes in the plan and planning dwarfed the data work.
+    // Values are bit-identical to the composed form (same ascending
+    // fold, same strict-> first-max tie-break the oracle replays).
+    val mat = cents.map(_._2.toArray).toArray
+    val nrms = cents.map(_._3).toArray
+    val assign = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.VectorFunctions.bestCentroid(col(vecCol), mat, nrms).as("cell"))
     val qScores = queries.select(col(idCol).as("query_id"),
-      posexplode(array(cellScores(col(vecCol)).map(_._2): _*)).as(Seq("cell", "cscore")))
+      posexplode(graft.functions.VectorFunctions.centroidScores(col(vecCol), mat, nrms))
+        .as(Seq("cell", "cscore")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cscore").desc, col("cell").asc)
     val probes = qScores.withColumn("rk", row_number().over(w))

@@ -222,25 +222,40 @@ object Relational {
       .orderBy("o_orderstatus")
 
   /** A23: approximate percentiles with their accuracy contract as the
-    * oracle. approx_percentile's GK sketch guarantees a value whose RANK
-    * is within n/accuracy of the target, i.e. between the exact
-    * (q−ε) and (q+ε) percentiles with ε = 1/accuracy. Sketch internals
-    * differ across engines, so (like q60's HLL oracle) the EXACT bounds
-    * are recomputed and the containment booleans are pinned TRUE — the
-    * 100 TB path is the sketch (mergeable partial aggs, bounded memory);
-    * the property check is what makes it trustworthy. */
+    * oracle, stated in RANK space — the native form of the GK guarantee:
+    * the returned value's exact rank window [#(x<v)+1, #(x≤v)] must
+    * intersect [qn−εn−1, qn+εn+1] with ε = 1/accuracy (±1 element of
+    * slack absorbs the floor/ceil target-rank convention). Rank-space
+    * avoids the small-n fragility of converting ε to VALUE bounds via
+    * interpolated percentiles (at εn < 1 row the interpolated window is
+    * narrower than one inter-element gap and a perfectly in-contract
+    * sketch answer can fall outside it). Sketch internals differ across
+    * engines, so (like q60's HLL oracle) the booleans are pinned TRUE on
+    * the DuckDB side and exact p50/p90 anchor the values; the 100 TB path
+    * is the sketch (mergeable partial aggs, bounded memory). */
   def q63ApproxPercentile(t: Tables): DataFrame = {
     val eps = 0.001 // accuracy 1000
-    val agg = t.orders.groupBy("o_orderstatus")
+    val ap = t.orders.groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)").as("ap"))
+      .select(col("o_orderstatus"), col("ap")(0).as("ap50"), col("ap")(1).as("ap90"))
+    def rankOk(q: Double, lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lt + lit(1) <= lit(q) * n + lit(eps) * n + lit(1)) && (le >= lit(q) * n - lit(eps) * n - lit(1))
+    t.orders.join(broadcast(ap), "o_orderstatus")
+      .groupBy("o_orderstatus")
       .agg(
-        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 1000)").as("ap"),
-        expr(s"percentile(o_totalprice, array(${0.5 - eps}D, ${0.5 + eps}D, " +
-             s"${0.9 - eps}D, ${0.9 + eps}D))").as("ep"))
-    agg.select(
+        count(when(col("o_totalprice") < col("ap50"), 1)).as("lt50"),
+        count(when(col("o_totalprice") <= col("ap50"), 1)).as("le50"),
+        count(when(col("o_totalprice") < col("ap90"), 1)).as("lt90"),
+        count(when(col("o_totalprice") <= col("ap90"), 1)).as("le90"),
+        expr("percentile(o_totalprice, 0.5D)").as("p50_exact"),
+        expr("percentile(o_totalprice, 0.9D)").as("p90_exact"),
+        count(lit(1)).as("n"))
+      .select(
         col("o_orderstatus"),
-        (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1)).as("p50_in_bounds"),
-        (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("ep")(3)).as("p90_in_bounds"),
-        col("ep")(1).as("p50_hi"), col("ep")(3).as("p90_hi"))
+        rankOk(0.5, col("lt50"), col("le50"), col("n")).as("p50_rank_ok"),
+        rankOk(0.9, col("lt90"), col("le90"), col("n")).as("p90_rank_ok"),
+        col("p50_exact"), col("p90_exact"), col("n"))
       .orderBy("o_orderstatus")
   }
 

@@ -186,10 +186,11 @@ object RelationalOracle {
     // rank-error containment booleans and recomputes the exact bounds.
     "q63_approx_percentile" ->
       """SELECT o_orderstatus,
-        |  TRUE AS p50_in_bounds,
-        |  TRUE AS p90_in_bounds,
-        |  quantile_cont(o_totalprice, 0.501) AS p50_hi,
-        |  quantile_cont(o_totalprice, 0.901) AS p90_hi
+        |  TRUE AS p50_rank_ok,
+        |  TRUE AS p90_rank_ok,
+        |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
