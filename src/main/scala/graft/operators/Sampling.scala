@@ -33,4 +33,61 @@ object Sampling {
                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
     df.withColumn("bucket", pctBucket(col(idCol)))
       .withColumn("split", splitCol(col("bucket"), trainPct, valPct))
+
+  /** Stable per-key bucket in [0, 10000) — pctBucket at 0.01% granularity,
+    * for fraction thresholds finer than whole percents. */
+  def bucket10k(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(10000L))
+
+  /** Full 60-bit stable rank hash (uniform order key for sampling ranks). */
+  def rankHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** C21: deterministic stratified Bernoulli sample — each stratum keeps
+    * its own fraction (granularity 1/10000) of rows, selected by the
+    * stable per-key hash. Pure per-row arithmetic: no shuffle, no RNG
+    * state, assignments survive reruns/appends, and any engine replays
+    * them (q67's DuckDB oracle re-derives the same md5 buckets). Strata
+    * missing from `fractions` are dropped (fraction 0). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val threshold = fractions.foldLeft(lit(0)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, lit((f * 10000).round.toInt)).otherwise(acc)
+    }
+    df.filter(bucket10k(col(idCol)) < threshold)
+  }
+
+  /** C22: deterministic fixed-size sample per stratum ("reservoir" shape):
+    * the k rows with the smallest stable rank hash in each stratum — a
+    * uniform-without-replacement sample that is reproducible across
+    * engines and reruns.
+    *
+    * Scale design: a single `Window.partitionBy(stratum)` would funnel a
+    * whole stratum through one task, so selection is TWO-PHASE top-k —
+    * phase 1 takes the per-(stratum, salt) top k over `salts` deterministic
+    * salt lanes (every window partition is ~rows/(strata x salts)), phase 2
+    * re-ranks only the <= salts x k survivors per stratum, a by-construction
+    * bounded partition (the q17/pre-aggregated-window pattern). The
+    * two-phase result is EXACTLY the one-phase top-k (phase 1 keeps every
+    * stratum-wide winner: a row in the stratum top-k is also in its own
+    * lane's top-k), which is what the q68 oracle replays one-phase. */
+  def reservoirPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                          k: Int, salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0)
+    val h = rankHash(col(idCol))
+    // salt lane from an INDEPENDENT hash (suffix-tagged key), so lane
+    // membership doesn't correlate with rank order
+    val lane = pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("#lane"))), 1, 15),
+      16, 10).cast("long"), lit(salts.toLong))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__lane")).orderBy(col("__h").asc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h).withColumn("__lane", lane)
+      .withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= k)
+      .withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__h", "__lane", "__rn1")
+  }
 }

@@ -75,4 +75,30 @@ object Sketches {
                       lgK: Int = 12): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("approx_distinct"))
+
+  /** Per-group mergeable TOP-K FREQUENCY sketches (DataSketches
+    * frequent-items via `approx_top_k_accumulate`) — the heavy-hitter
+    * analog of [[distinctSketches]]/[[quantileSketches]]: build per
+    * fine group, persist the binary state, roll up to any coarser
+    * grouping with [[rollupTopK]] without rescanning raw data. While the
+    * tracked-item budget exceeds the group's distinct count the sketch is
+    * EXACT (no evictions), which is what q65 pins against the oracle; past
+    * that it degrades to ±εN guarantees on the heavy hitters. */
+  def topKSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   maxItemsTracked: Int = 100000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)").as("tk_state"))
+
+  /** Merge previously-built top-k sketches up to a coarser grouping and
+    * read out the k most frequent items as (group…, item, est_count) rows. */
+  def rollupTopK(sketches: DataFrame, groupCols: Seq[String], k: Int,
+                 maxItemsTracked: Int = 100000): DataFrame = {
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_combine(tk_state, $maxItemsTracked)").as("tk_state"))
+    merged
+      .select(groupCols.map(col) :+
+        explode(expr(s"approx_top_k_estimate(tk_state, $k)")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.item").as("item") :+
+        col("e.count").as("est_count"): _*)
+  }
 }

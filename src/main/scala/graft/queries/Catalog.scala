@@ -47,7 +47,8 @@ object Catalog {
     "q28_enrich"             -> rel(ReverseEtl.q28Enrich),
     "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys),
     "q47_column_profile"     -> rel(ReverseEtl.q47ColumnProfile),
-    "q61_schema_validate"    -> rel(ReverseEtl.q61SchemaValidate)
+    "q61_schema_validate"    -> rel(ReverseEtl.q61SchemaValidate),
+    "q66_bloom_prefilter"    -> rel(ReverseEtl.q66BloomPrefilter)
   )
 
   val trainingData: Map[String, QueryFn] = Map(
@@ -72,7 +73,10 @@ object Catalog {
     "q52_minhash_portable" -> rel(TrainingData.q52MinhashPortable),
     "q53_simhash_portable" -> rel(TrainingData.q53SimhashPortable),
     "q54_fingerprint_portable" -> rel(TrainingData.q54FingerprintPortable),
-    "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline)
+    "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline),
+    "q65_topk_sketch"       -> rel(TrainingData.q65TopkSketch),
+    "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
+    "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -164,6 +164,23 @@ object ReverseEtl {
               money(dec(col("o_totalprice"))).as("order_value"))
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
 
+  /** B21: Bloom-prefiltered audience semi join — restrict the order
+    * stream to an audience key set (BUILDING-segment customers) with a
+    * broadcast Bloom filter BEFORE the shuffle, then the exact semi join.
+    * The result is EXACTLY the plain semi join (false positives die in the
+    * join), which is what the oracle replays as ANSI EXISTS; at 100 TB
+    * the win is that the fact-side shuffle carries only probable members. */
+  def q66BloomPrefilter(t: Tables): DataFrame = {
+    val audience = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    graft.operators.BloomJoin
+      .bloomSemiJoin(t.orders, audience, "o_custkey", "c_custkey",
+        expectedItems = 100000L, numBits = 1048576L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           money(sum(dec(col("o_totalprice")))).as("total_value"))
+      .orderBy("o_orderpriority")
+  }
+
   /** B10: upsert-key resolution — join rows against the external→internal
     * id map (the reference keeps this map in its KV store; at scale it is
     * a broadcastable table). Unmapped rows are creates, mapped are

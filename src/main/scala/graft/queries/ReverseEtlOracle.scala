@@ -139,6 +139,19 @@ object ReverseEtlOracle {
         |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
         |                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
         |           THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_pattern
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // B21: the bloom prefilter is invisible to semantics — the oracle is
+    // the plain ANSI EXISTS the operator must exactly equal.
+    "q66_bloom_prefilter" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -156,6 +156,38 @@ object TrainingData {
     Sketches.rollupEstimate(perYear, Seq("c_mktsegment")).orderBy("c_mktsegment")
   }
 
+  /** C20: mergeable TOP-K FREQUENCY sketches (DataSketches frequent-items)
+    * through the same build → persist-shape → merge rollup as q46/q64:
+    * per-year sketches of order-placing customers combine into one, and
+    * while the tracked-item budget exceeds the distinct-customer count the
+    * sketch is EXACT — so the full estimate read-out must equal DuckDB's
+    * exact GROUP BY counts, item for item. That pins build, merge, AND
+    * estimate end-to-end (the q60 merge-law pattern, but value-exact). */
+  def q65TopkSketch(t: Tables): DataFrame = {
+    val perYear = Sketches.topKSketches(
+      t.orders.select(year(col("o_orderdate")).as("yr"), col("o_custkey")),
+      Seq("yr"), "o_custkey")
+    Sketches.rollupTopK(perYear, Seq.empty, k = 100000)
+      .select(col("item"), col("est_count").as("cnt"))
+      .orderBy("item")
+  }
+
+  /** C21: deterministic stratified sample — per-status fractions over the
+    * stable md5 bucket, exactly replayable by the DuckDB oracle. */
+  def q67StratifiedSample(t: Tables): DataFrame =
+    Sampling.stratifiedSample(t.orders, "o_orderstatus", "o_orderkey",
+        Map("F" -> 0.10, "O" -> 0.05, "P" -> 0.50))
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** C22: deterministic fixed-size per-stratum sample (two-phase salted
+    * top-k in Spark; the oracle replays the equivalent ONE-phase ranking,
+    * proving the distributed selection exact). */
+  def q68ReservoirSample(t: Tables): DataFrame =
+    Sampling.reservoirPerStratum(t.orders, "o_orderstatus", "o_orderkey", k = 100)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("sample_rank"))
+      .orderBy("o_orderstatus", "sample_rank")
+
   /** C19: mergeable quantile sketches, oracled by their accuracy contract
     * (q63's pattern, through a BUILD → persist-shape → MERGE rollup):
     * per-(status, year) sketches union up to status, and the read-out

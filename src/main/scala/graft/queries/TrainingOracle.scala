@@ -457,6 +457,38 @@ object TrainingOracle {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // C20: under-capacity the frequent-items sketch is exact, so the full
+    // rollup read-out must equal exact GROUP BY counts item for item —
+    // this pins build, merge, and estimate end-to-end.
+    "q65_topk_sketch" ->
+      """SELECT o_custkey AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_custkey ORDER BY item""".stripMargin,
+
+    // C21: replay the stable md5 bucket and per-stratum thresholds.
+    "q67_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CONCAT('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus FROM b
+        |WHERE bk < CASE o_orderstatus WHEN 'F' THEN 1000 WHEN 'O' THEN 500
+        |                              WHEN 'P' THEN 5000 ELSE 0 END
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // C22: the ONE-phase ranking the two-phase salted selection must equal.
+    "q68_reservoir_sample" ->
+      """WITH h AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(CONCAT('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY hh, o_orderkey) AS rn
+        |  FROM h)
+        |SELECT o_orderstatus, o_orderkey, CAST(rn AS BIGINT) AS sample_rank
+        |FROM r WHERE rn <= 100
+        |ORDER BY o_orderstatus, sample_rank""".stripMargin
   )
 }

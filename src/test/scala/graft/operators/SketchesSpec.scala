@@ -59,6 +59,32 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("top-k sketches: build → persist → merge rollup is exact under capacity") {
+    val perYear = Sketches.topKSketches(orders, Seq("yr"), "o_custkey")
+    // survive the write/read roundtrip (the persist-then-merge path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tksketch").toString
+    perYear.write.mode("overwrite").parquet(dir)
+    val rolled = Sketches.rollupTopK(spark.read.parquet(dir), Seq.empty, k = 100000)
+      .as[(Long, Long)].collect().toMap
+    val exact = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rolled == exact,
+      "under the tracked-item budget the frequent-items sketch is exact, merge included")
+  }
+
+  test("top-k sketches: k truncates to the k most frequent items") {
+    val perYear = Sketches.topKSketches(orders, Seq("yr"), "o_custkey")
+    val top10 = Sketches.rollupTopK(perYear, Seq.empty, k = 10)
+      .as[(Long, Long)].collect()
+    assert(top10.length == 10)
+    val exactTop = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().sortBy(-_._2)
+    // every returned count must be in the exact top tier (ties make the
+    // item set ambiguous at the boundary, counts are not)
+    val floor = exactTop(9)._2
+    assert(top10.forall(_._2 >= floor), s"top-10 must all count >= $floor")
+  }
+
   test("quantile sketch query on an empty sketch is null, not a crash") {
     val empty = prices.filter(lit(false))
     val sk = Sketches.quantileSketches(empty.select(lit("g").as("g"), col("o_totalprice"))
