@@ -142,6 +142,37 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"unpartitioned WindowExec (global sort bottleneck) in: $bad")
   }
 
+  test("q66: the bloom prefilter sits on the fact side BEFORE the join") {
+    val p = plan(ReverseEtl.q66BloomPrefilter(t))
+    assert(p.contains("might_contain"), s"bloom membership probe missing:\n$p")
+    // the probe must be a Filter above the orders scan, not after the join:
+    // in plan text the Filter(might_contain) appears deeper than the join node
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "prefilter must be below (deeper than) the semi join in the plan tree")
+  }
+
+  test("q65: top-k sketch build and merge keep partial aggregation") {
+    val p = plan(TrainingData.q65TopkSketch(t))
+    assert(p.contains("partial_"), s"sketch aggs must combine map-side:\n$p")
+  }
+
+  test("q68: reservoir windows are lane-salted — no stratum-wide first-pass sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TrainingData.q68ReservoirSample(t)
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    // phase 1 partitions by (stratum, lane); phase 2 by stratum over the
+    // bounded (<= salts*k per stratum) survivors
+    assert(windows.nonEmpty && windows.max == 2,
+      s"expected a (stratum, lane) salted first window, got partition arities $windows")
+    assert(windows.forall(_ >= 1), "no unpartitioned window anywhere")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
