@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.{graftbridge => bridge}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, NumericType}
 
 /**
  * Native Catalyst expression for the similarity hot path: the dot product
@@ -29,12 +29,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
+      case _                                               => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> inputs, got ${left.dataType} and ${right.dataType}")
+      s"$prettyName requires array<float|double|tinyint> inputs, got ${left.dataType} and ${right.dataType}")
   }
 
   override def dataType: DataType = DoubleType
@@ -48,17 +48,18 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    def get(arr: ArrayData, e: Expression, i: Int): Double = elemType(e) match {
+      case FloatType => arr.getFloat(i).toDouble
+      case ByteType  => arr.getByte(i).toDouble // int8-quantized vectors
+      case _         => arr.getDouble(i)
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
       // null elements contribute 0 (parquet list elements are nullable by
       // default, and reading a null slot as a primitive is undefined)
       if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-        s += xi * yi
+        s += get(x, left, i) * get(y, right, i)
       }
       i += 1
     }
@@ -70,8 +71,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      def getter(arr: String, e: Expression) =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      def getter(arr: String, e: Expression) = elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case ByteType  => s"(double) $arr.getByte($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
@@ -166,6 +170,87 @@ case class CentroidScores(child: Expression,
     })
 
   override protected def withNewChildInternal(c: Expression): CentroidScores =
+    copy(child = c)
+}
+
+/**
+ * Symmetric int8 quantization of a float/double vector in ONE codegen'd
+ * pass: `q_i = clamp(floor(x_i * 127 / amax + 0.5), -127, 127)` with
+ * `amax = max |x_i|` computed in the same loop (zero vector → zeros).
+ *
+ * WHY: at 100 TB an `array<float>` embedding store is the dominant byte
+ * cost of ANN; int8 cuts it 4x and integer dot products are exact in
+ * double arithmetic, so a quantized cosine is bit-reproducible by any
+ * engine (q69's DuckDB oracle replays quantization AND scoring exactly —
+ * floor/clamp/IEEE division are deterministic, unlike float summation of
+ * unquantized values which this repo already handles via ordered folds).
+ * The composable form (`transform` + `aggregate` HOFs) is interpreted;
+ * this is the same scan-speed-kernel argument as [[DotProduct]].
+ */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "quantize_i8"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val fl = isFloat
+    def get(i: Int): Double =
+      if (v.isNullAt(i)) 0.0 else if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+    var amax = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(get(i)); if (a > amax) amax = a; i += 1 }
+    val out = new Array[Byte](n)
+    if (amax > 0) {
+      i = 0
+      while (i < n) {
+        val r = math.floor(get(i) * 127.0 / amax + 0.5)
+        out(i) = math.max(-127.0, math.min(127.0, r)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val amax = ctx.freshName("amax")
+      val a = ctx.freshName("a")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      val get = (idx: String) =>
+        s"($v.isNullAt($idx) ? 0.0 : " +
+          (if (isFloat) s"(double) $v.getFloat($idx))" else s"$v.getDouble($idx))")
+      s"""
+         |int $n = $v.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs(${get(i)});
+         |  if ($a > $amax) $amax = $a;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($amax > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $r = java.lang.Math.floor(${get(i)} * 127.0 / $amax + 0.5);
+         |    $out[$i] = (byte) java.lang.Math.max(-127.0, java.lang.Math.min(127.0, $r));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 =
     copy(child = c)
 }
 
@@ -265,4 +350,8 @@ object VectorFunctions {
   /** Argmax centroid cell of a vector column (int, -1 for empty matrix). */
   def bestCentroid(v: Column, cents: Array[Array[Double]], norms: Array[Double]): Column =
     bridge.column(BestCentroid(bridge.expression(v), cents, norms))
+
+  /** Codegen'd symmetric int8 quantization (array<tinyint>). */
+  def quantizeI8(v: Column): Column =
+    bridge.column(QuantizeI8(bridge.expression(v)))
 }

@@ -176,6 +176,27 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** C23: brute-force cosine top-k over INT8-QUANTIZED vectors — the
+    * memory-bound scale path: int8 cuts the embedding store 4x and the
+    * integer dot products are exact in double arithmetic, so the whole
+    * scoring pipeline (quantize → dot → cosine) is bit-reproducible by
+    * the q69 DuckDB oracle (no float-summation ordering concerns at all).
+    * Per-vector scales cancel out of the quantized cosine, so only the
+    * byte arrays travel through the join. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.quantizeI8
+    def withQ(df: DataFrame, idAs: String, qAs: String, nAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), quantizeI8(col(vecCol)).as(qAs))
+        .withColumn(nAs, sqrt(dotProduct(col(qAs), col(qAs))))
+    val q = withQ(queries, "query_id", "qv", "qn")
+    val c = withQ(corpus, "neighbor_id", "cv", "cn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** C7: embedding near-dup pairs — corpus self-join through LSH buckets,
     * cosine-verified at `threshold`. Same bucket-join scale story as C6. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

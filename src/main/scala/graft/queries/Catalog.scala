@@ -75,6 +75,7 @@ object Catalog {
     "q54_fingerprint_portable" -> rel(TrainingData.q54FingerprintPortable),
     "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline),
     "q65_topk_sketch"       -> rel(TrainingData.q65TopkSketch),
+    "q69_quantized_ann"     -> rel(TrainingData.q69QuantizedAnn),
     "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
     "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample)
   )

@@ -51,6 +51,12 @@ object TrainingData {
     Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
 
+  /** C23: int8-quantized ANN — same query set as q34, scored on quantized
+    * vectors; the oracle replays quantization and integer scoring exactly. */
+  def q69QuantizedAnn(t: Tables): DataFrame =
+    Similarity.quantizedTopK(t.embeddings, annQueries(t), k = 10)
+      .orderBy("query_id", "rank")
+
   /** C8: stopword-profile language ID. */
   def q37LangId(t: Tables): DataFrame =
     TextAnalysis.langId(t.documents).orderBy("doc_id")

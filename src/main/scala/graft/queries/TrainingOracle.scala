@@ -416,6 +416,35 @@ object TrainingOracle {
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // C23: full replay of int8 quantization + integer-exact cosine — all
+    // arithmetic (abs/max, floor, clamp, integer products summed in
+    // doubles, IEEE sqrt and division) is deterministic cross-engine.
+    "q69_quantized_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+         |), a AS (
+         |  SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS amax FROM v
+         |), qz AS (
+         |  SELECT vec_id,
+         |         CASE WHEN amax > 0
+         |              THEN list_transform(ve, x -> greatest(-127.0, least(127.0, floor(x * 127.0 / amax + 0.5))))
+         |              ELSE list_transform(ve, x -> 0.0) END AS qv
+         |  FROM a
+         |), n AS (
+         |  SELECT vec_id, qv, sqrt(${dotSql("qv", "qv")}) AS nrm FROM qz
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.qv", "c.qv")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q37_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id, ${langs.map(scoreSql).mkString(",\n         ")}

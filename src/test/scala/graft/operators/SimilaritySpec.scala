@@ -82,6 +82,37 @@ class SimilaritySpec extends SparkSuite {
     assert(!p.contains("lambdafunction"), "no interpreted HOFs in the IVF path")
   }
 
+  test("quantized ANN: int8 scoring recalls the float top-k closely, exactly reproducibly") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val qTop = ranked(Similarity.quantizedTopK(embeddings, queries, k = 10))
+    val fTop = ranked(Similarity.bruteForceTopK(embeddings, queries, k = 10))
+    // determinism: int8 scoring has no float-summation ordering noise
+    val again = ranked(Similarity.quantizedTopK(embeddings, queries, k = 10))
+    assert(qTop == again, "quantized ranking must be bit-stable")
+    // recall of the float top-10 stays high at 64-dim int8
+    val recall = fTop.keys.toSeq.map { q =>
+      qTop(q).toSet.intersect(fTop(q).toSet).size.toDouble / 10.0
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.7, s"mean top-10 recall $mean too low (per-query: $recall)")
+  }
+
+  test("quantize_i8: max|x| maps to ±127, error bounded by half a step") {
+    import graft.functions.VectorFunctions.quantizeI8
+    val v = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val q = v.select(quantizeI8(col("embedding"))).collect()(0).getSeq[Byte](0)
+    assert(q == Seq[Byte](64, -127, 32, 0), s"got $q")
+    // reconstruction error ≤ amax/127/2 per element
+    val vec = Array(0.5, -1.0, 0.25, 0.0)
+    val amax = 1.0
+    q.zip(vec).foreach { case (qi, xi) =>
+      assert(math.abs(qi * amax / 127.0 - xi) <= amax / 127.0 / 2 + 1e-12)
+    }
+  }
+
   test("near-dup pairs finds a planted duplicate vector at cosine 1") {
     val planted = embeddings.unionByName(
       embeddings.filter(col("vec_id") === 7).withColumn("vec_id", lit(100007L)))
