@@ -40,6 +40,41 @@ object RestSink {
 
   final case class Result(sentRows: Long, failedRows: Long, batches: Long, retries: Long)
 
+  /** Per-destination delivery profiles, matching the reference connectors'
+    * documented behavior (studied, not ported):
+    *  - facebook/twitter audiences: 1000-row batches
+    *    (connectors/facebook-ads/src/index.ts:28, node-cdk/src/index.ts:94)
+    *  - mixpanel profiles: 2000-row batches (connectors/mixpanel/main.go:27)
+    *  - intercom/hubspot upserts: cdk-default 1000 batches, 429s honored
+    *    via retry-after (connectors/intercom/src/index.ts:330)
+    *  - resend contacts: row-at-a-time with a 1 s retry loop
+    *    (connectors/resend/src/index.ts:69-96) → batch 1 + a paced bucket
+    *  - http: caller-chosen batch size (connectors/http/src/index.ts:150)
+    * The reference enforces pacing reactively (catch 429, sleep); graft
+    * ALSO paces proactively via the per-task token bucket so a 1000-task
+    * cluster doesn't hammer a destination between 429s. */
+  object Profiles {
+    val facebookAudience: Config = Config(batchSize = 1000)
+    val twitterAudience: Config  = Config(batchSize = 1000)
+    val mixpanelProfiles: Config = Config(batchSize = 2000)
+    val intercomUpsert: Config   = Config(batchSize = 1000, maxRetries = 5)
+    val hubspotUpsert: Config    = Config(batchSize = 1000, maxRetries = 5)
+    val resendContacts: Config   = Config(batchSize = 1, permitsPerSecond = 10.0)
+    def http(batchSize: Int): Config = Config(batchSize = batchSize)
+
+    val byDestination: Map[String, Config] = Map(
+      "facebook-ads" -> facebookAudience,
+      "twitter-ads"  -> twitterAudience,
+      "mixpanel"     -> mixpanelProfiles,
+      "intercom"     -> intercomUpsert,
+      "hubspot"      -> hubspotUpsert,
+      "resend"       -> resendContacts)
+
+    /** Profile for a destination kind; unknown kinds get the cdk default. */
+    def forDestination(kind: String): Config =
+      byDestination.getOrElse(kind, Config())
+  }
+
   /** Push `df` to `transport`. Returns global counts (accumulator-summed
     * across tasks). Throws if the error threshold trips. */
   def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {

@@ -261,6 +261,89 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D12: continuously-maintained sketch state — every micro-batch's
+    * per-group sketches (HLL distinct + top-k frequency) MERGE into a
+    * persisted sketch table, so "distinct users / heavy hitters so far"
+    * reads a few KB of state instead of rescanning raw events: the
+    * mergeable-sketch answer to the lambda architecture, streaming and
+    * batch sharing one state representation (graft.operators.Sketches).
+    *
+    * Consistency: state versions are batchId-addressed (`v<batchId>`) and
+    * a pointer file flips only after the new version is fully written; a
+    * replayed batch (crash between pointer flip and checkpoint commit)
+    * detects its own version at the pointer and SKIPS the merge, so the
+    * non-idempotent top-k counts are applied exactly once. */
+  def sketchMaintenance(events: DataFrame, groupCol: String, valueCol: String,
+                        stateRoot: String, checkpointDir: String,
+                        lgK: Int = 12, maxItemsTracked: Int = 100000): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target)) {
+          () // replayed batch: already merged and published, nothing to do
+        } else {
+          val fresh = batch.groupBy(col(groupCol)).agg(
+            hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+            expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)").as("tk_state"))
+          val merged = prev match {
+            case Some(p) => spark.read.parquet(p).unionByName(fresh)
+              .groupBy(col(groupCol)).agg(
+                hll_union_agg(col("sketch")).as("sketch"),
+                expr(s"approx_top_k_combine(tk_state, $maxItemsTracked)").as("tk_state"))
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the current sketch state as estimates: (group, approx_distinct,
+    * top items by estimated count). Reads KBs, never the raw events. */
+  def sketchEstimates(spark: SparkSession, stateRoot: String, k: Int = 10): DataFrame =
+    readPointer(spark, stateRoot) match {
+      case Some(p) =>
+        val st = spark.read.parquet(p)
+        st.select(st.columns.head, "sketch", "tk_state")
+          .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+          .withColumn("top_items", expr(s"approx_top_k_estimate(tk_state, $k)"))
+          .drop("sketch", "tk_state")
+      case None => spark.emptyDataFrame
+    }
+
+  private def pointerPath(stateRoot: String) = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest")
+
+  private def readPointer(spark: SparkSession, stateRoot: String): Option[String] = {
+    val p = pointerPath(stateRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        Some(bos.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writePointer(spark: SparkSession, stateRoot: String, target: String): Unit = {
+    val p = pointerPath(stateRoot)
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish sketch state pointer $p")
+  }
+
   /** D8: streaming reverse-ETL — any stream into any graft batch sink
     * (RestSink / JdbcSink / Payloads shapers) via foreachBatch: each
     * micro-batch is an ordinary DataFrame, so the WHOLE batch sink

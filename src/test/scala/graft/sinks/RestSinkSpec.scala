@@ -51,6 +51,17 @@ class RestSinkSpec extends SparkSuite {
     assert(r.retries >= 2)
   }
 
+  test("destination profiles drive the batcher (facebook 1000, mixpanel 2000)") {
+    assert(RestSink.Profiles.forDestination("facebook-ads").batchSize == 1000)
+    assert(RestSink.Profiles.forDestination("mixpanel").batchSize == 2000)
+    assert(RestSink.Profiles.forDestination("nobody-knows-this").batchSize == 1000,
+      "unknown destinations get the cdk default")
+    Recorder.reset()
+    val r = RestSink.push(df(2500).repartition(1), new FakeTransport,
+      RestSink.Profiles.forDestination("mixpanel"))
+    assert(r.sentRows == 2500 && r.batches == 2, "2000 + 500 under the mixpanel profile")
+  }
+
   test("persistent failure trips the 20%/100-row error threshold") {
     Recorder.reset()
     Recorder.failAll = true
