@@ -159,15 +159,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** DISTINCT portable-md5 31-bit hashes of all word n-gram shingles of a
-  * token array — the per-row form of the q52 twin's explode → window-lead
+/** Portable-md5 31-bit hashes of all word n-gram shingles of a token
+  * array — the per-row form of the q52 twin's explode → window-lead
   * → distinct → md5 pipeline, hash-for-hash identical to
   * `conv(substring(md5(concat_ws(' ', …)), 1, 15), 16, 10) & 0x7FFFFFFF`
   * so the DuckDB oracle replay is untouched. Shorter-than-n docs yield
   * one shingle over all tokens (callers that need the raw-text fallback
-  * branch on token count). Output order: ascending (sort-based dedupe);
-  * consumers are order-insensitive (mins, set intersections). */
-case class PortableShingleHashes(child: Expression, n: Int)
+  * branch on token count).
+  *
+  * `distinct = true` (dedup/minhash/contamination callers): sorted,
+  * deduped — consumers are order-insensitive (mins, set intersections).
+  * `distinct = false` (repetition profiling): every occurrence, in
+  * document order — multiplicity is the signal. */
+case class PortableShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, "ngram size must be >= 1")
@@ -184,14 +188,17 @@ case class PortableShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    new GenericArrayData(PortableShingleHashes.distinctHashes(toks, n))
+    val hs = if (distinct) PortableShingleHashes.distinctHashes(toks, n)
+             else PortableShingleHashes.allHashes(toks, n)
+    new GenericArrayData(hs)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, toks => {
+      val call = if (distinct) "distinctHashes" else "allHashes"
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.PortableShingleHashes.distinctHashes($toks, $n));
+         |  graft.functions.PortableShingleHashes.$call($toks, $n));
        """.stripMargin
     })
 
@@ -200,8 +207,8 @@ case class PortableShingleHashes(child: Expression, n: Int)
 }
 
 object PortableShingleHashes {
-  /** Shared by eval and codegen: hash every shingle, sort, dedupe. */
-  def distinctHashes(toks: ArrayData, n: Int): Array[Long] = {
+  /** Every shingle hash, document order, multiplicity preserved. */
+  def allHashes(toks: ArrayData, n: Int): Array[Long] = {
     val m = toks.numElements()
     val eff = math.min(n, m)
     val count = math.max(m - n + 1, if (m > 0) 1 else 0)
@@ -211,6 +218,13 @@ object PortableShingleHashes {
       hs(i) = HashUtil.md5Hash31Shingle(toks, i, eff)
       i += 1
     }
+    hs
+  }
+
+  /** Shared by eval and codegen: hash every shingle, sort, dedupe. */
+  def distinctHashes(toks: ArrayData, n: Int): Array[Long] = {
+    val hs = allHashes(toks, n)
+    val count = hs.length
     java.util.Arrays.sort(hs)
     var w = 0
     var r = 0
@@ -352,6 +366,10 @@ object SignatureFunctions {
   /** Per-row distinct portable shingle hashes (q52 twin kernel). */
   def portableShingleHashes(tokens: Column, n: Int): Column =
     bridge.column(PortableShingleHashes(bridge.expression(tokens), n))
+
+  /** Per-row ALL portable shingle hashes (multiplicity preserved). */
+  def allShingleHashes(tokens: Column, n: Int): Column =
+    bridge.column(PortableShingleHashes(bridge.expression(tokens), n, distinct = false))
 
   /** Per-row affine MinHash mins (q52 twin kernel). */
   def affineMinHash(hashes: Column, consts: Seq[(Long, Long)]): Column =

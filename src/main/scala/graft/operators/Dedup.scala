@@ -205,6 +205,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** C24: eval-set CONTAMINATION check — for each eval document, how many
+    * of its distinct n-gram shingles appear ANYWHERE in the training
+    * corpus (the standard pre-release benchmark-leakage test for training
+    * data). Cross-corpus by construction: eval shingles semi-join the
+    * corpus's distinct shingle-hash set, so the shuffle carries (id, hash)
+    * pairs only — never documents — and the corpus side dedupes before
+    * the join. 8-gram default mirrors common decontamination practice.
+    * Hashes are the portable md5 kernel, so the q70 oracle replays the
+    * entire check exactly. */
+  def contamination(evalDocs: DataFrame, corpus: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.portableShingleHashes
+    def shingles(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      explode(portableShingleHashes(split(col(textCol), " "), n)).as("h"))
+    val corpusH = shingles(corpus, "c_id").select("h").distinct()
+    val hits = shingles(evalDocs, "eval_id")
+      .join(corpusH, Seq("h"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hit_shingles"))
+    evalDocs
+      .select(col(idCol).as("eval_id"),
+        size(portableShingleHashes(split(col(textCol), " "), n)).cast("long").as("n_shingles"))
+      .join(hits, Seq("eval_id"), "left_outer")
+      .na.fill(0L, Seq("n_hit_shingles"))
+      .withColumn("contaminated", col("n_hit_shingles") > 0)
+      .withColumn("contamination_ratio",
+        col("n_hit_shingles").cast("double") / col("n_shingles"))
+  }
+
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
     * `source`). Computed as an inverted-index join — explode shingles,
     * self-join on (group, shingle-hash), count common shingles per pair,

@@ -139,4 +139,26 @@ object TextAnalysis {
     * overflow on either engine. Same native kernel, md5 token hash. */
   def fingerprintPortable(text: Column): Column =
     graft.functions.RollingHashFunctions.rollingHash(tokens(text), portable = true)
+
+  /** C25: per-document REPETITION profile (Gopher-style quality filter:
+    * heavily self-repeating documents are low-quality training data).
+    * Multiplicity-preserving shingle hashes → per-(doc, shingle) counts →
+    * per-doc totals: total/distinct n-grams, the most-repeated n-gram's
+    * count, and the duplicate-n-gram fraction 1 − distinct/total. The
+    * hashes are the portable md5 kernel, so q71's oracle replays every
+    * number exactly. One explode + two codegen'd aggregations — no
+    * per-row HOF loops. */
+  def repetitionProfile(docs: DataFrame, n: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.allShingleHashes
+    docs.select(col(idCol),
+        explode(allShingleHashes(split(col(textCol), " "), n)).as("h"))
+      .groupBy(col(idCol), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max(col("c")).as("max_repeat"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"))
+  }
 }

@@ -76,6 +76,8 @@ object Catalog {
     "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline),
     "q65_topk_sketch"       -> rel(TrainingData.q65TopkSketch),
     "q69_quantized_ann"     -> rel(TrainingData.q69QuantizedAnn),
+    "q70_contamination"     -> rel(TrainingData.q70Contamination),
+    "q71_repetition"        -> rel(TrainingData.q71Repetition),
     "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
     "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample)
   )

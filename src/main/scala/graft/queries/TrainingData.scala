@@ -57,6 +57,19 @@ object TrainingData {
     Similarity.quantizedTopK(t.embeddings, annQueries(t), k = 10)
       .orderBy("query_id", "rank")
 
+  /** C24: eval-set contamination — every 50th document plays the "eval
+    * set", the rest are the training corpus; the oracle replays the whole
+    * shingle-overlap check exactly. */
+  def q70Contamination(t: Tables): DataFrame = {
+    val ev = t.documents.filter(col("doc_id") % 50 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
+    Dedup.contamination(ev, corpus, n = 8).orderBy("eval_id")
+  }
+
+  /** C25: per-document repetition profile (Gopher-style quality signal). */
+  def q71Repetition(t: Tables): DataFrame =
+    TextAnalysis.repetitionProfile(t.documents, n = 3).orderBy("doc_id")
+
   /** C8: stopword-profile language ID. */
   def q37LangId(t: Tables): DataFrame =
     TextAnalysis.langId(t.documents).orderBy("doc_id")

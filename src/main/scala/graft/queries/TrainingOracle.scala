@@ -12,6 +12,16 @@ object TrainingOracle {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)"
 
+  /** Portable n-gram shingle hashes of a token list — the SQL form of the
+    * PortableShingleHashes kernel: out-of-range 1-based indexes yield NULL,
+    * concat_ws skips NULLs (and so does the kernel's md5Hash31Shingle), so
+    * shorter-than-n docs hash one shingle over all tokens on both engines. */
+  private def shingleHashSql(toks: String, n: Int): String = {
+    val terms = (0 until n).map(j => s"$toks[i+$j]").mkString(", ")
+    s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 1) + 1), " +
+      s"i -> CAST(CONCAT('0x', substring(md5(concat_ws(' ', $terms)), 1, 15)) AS BIGINT) & 2147483647)"
+  }
+
   /** The LSH hyperplanes as a DuckDB VALUES table (tbl, bitval, pv):
     * the SAME splitmix64 constants Similarity.bucketCol ships as Spark
     * array literals, so the oracle replays bucket math bit-for-bit.
@@ -415,6 +425,52 @@ object TrainingOracle {
          |)
          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // C24: full replay of the contamination check — same shingle hashes,
+    // same distinct-set semi join, same ratio arithmetic.
+    "q70_contamination" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(${shingleHashSql("toks", 8)}) AS hs FROM tk
+         |), ev AS (
+         |  SELECT doc_id, hs FROM sh WHERE doc_id % 50 = 0
+         |), corp AS (
+         |  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 50 <> 0
+         |), evx AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM ev
+         |), hits AS (
+         |  SELECT evx.doc_id, COUNT(*) AS n_hit FROM evx JOIN corp USING (h)
+         |  GROUP BY evx.doc_id
+         |)
+         |SELECT ev.doc_id AS eval_id,
+         |  CAST(len(ev.hs) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+         |  COALESCE(h.n_hit, 0) > 0 AS contaminated,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(ev.hs) AS contamination_ratio
+         |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
+         |ORDER BY eval_id""".stripMargin,
+
+    // C25: repetition profile — multiplicity-preserving shingles, exact
+    // per-(doc, hash) counts, same 1 - distinct/total arithmetic.
+    "q71_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${shingleHashSql("toks", 3)} AS hs FROM tk
+         |), ex AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM sh
+         |), pc AS (
+         |  SELECT doc_id, h, COUNT(*) AS c FROM ex GROUP BY doc_id, h
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+         |         CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+         |         CAST(MAX(c) AS BIGINT) AS max_repeat
+         |  FROM pc GROUP BY doc_id
+         |)
+         |SELECT doc_id, total_ngrams, distinct_ngrams, max_repeat,
+         |  1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams AS dup_ratio
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // C23: full replay of int8 quantization + integer-exact cosine — all
     // arithmetic (abs/max, floor, clamp, integer products summed in

@@ -65,4 +65,21 @@ class DedupSpec extends SparkSuite {
     val pairs = Dedup.minhashPairs(many, threshold = 0.5, bucketCap = 50)
     assert(pairs.count() == 0)
   }
+  test("contamination: a copied eval doc is fully contaminated, a fresh one is clean") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "completely different training text about spark catalyst and codegen loops")
+    ).toDF("doc_id", "text")
+    val ev = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // verbatim copy
+      (2L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")                              // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(ev, corpus, n = 8)
+      .select("eval_id", "n_shingles", "n_hit_shingles", "contaminated", "contamination_ratio")
+      .as[(Long, Long, Long, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 && got(1L)._5 == 1.0, s"verbatim copy must be 100% contaminated: ${got(1L)}")
+    assert(!got(2L)._4 && got(2L)._3 == 0L, s"disjoint doc must be clean: ${got(2L)}")
+    assert(got(1L)._2 == got(1L)._3, "every shingle of the copy must hit")
+  }
+
 }

@@ -79,6 +79,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(top(3L) == "word")
   }
 
+  test("repetitionProfile: hand-computed totals on a repeating doc") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // trigrams: aba, bab, aba, bab
+      (2L, "w x y z"),            // trigrams: wxy, xyz — all distinct
+      (3L, "q")                   // short doc: one whole-text shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(docs, n = 3)
+      .select("doc_id", "total_ngrams", "distinct_ngrams", "max_repeat", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 2L, 0.5)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 2L, 1L, 0.0)), s"got ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 1L, 1L, 0.0)), s"got ${got(3L)}")
+  }
+
   test("fingerprint is deterministic, order-sensitive, and non-negative") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "gamma beta alpha")
