@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramHashes(exprs.head, n)
       }))
     e.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      exprs => {
+        require(exprs.length == 1, "quantize_i8(vector) takes 1 argument")
+        QuantizeI8(exprs.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       exprs => {

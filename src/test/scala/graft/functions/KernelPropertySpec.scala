@@ -102,4 +102,48 @@ class KernelPropertySpec extends SparkSuite {
     }
     got.zip(expected).foreach { case (g, e) => assert(g == e, "bit-exact fold") }
   }
+
+  test("property: CentroidScores/BestCentroid == the composed per-cell dot products") {
+    val dims = 8
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-5f, 5f))
+    val vecs = (0 until 60).flatMap(i => vecGen(Gen.Parameters.default, Seed(100L + i)))
+      .map(_.toArray).toSeq
+    val cents = (0 until 5).flatMap(i => vecGen(Gen.Parameters.default, Seed(900L + i)))
+      .map(_.map(_.toDouble).toArray).toArray
+    val norms = cents.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val composed = cents.zip(norms).map { case (c, n) =>
+      VectorFunctions.dotProduct(col("v"), typedlit(c.toSeq)) / lit(n)
+    }
+    val best = {
+      val ss = composed
+      val mx = greatest(ss: _*)
+      ss.zipWithIndex.foldRight(lit(-1)) { case ((s, i), acc) =>
+        when(s === mx, lit(i)).otherwise(acc)
+      }
+    }
+    val bad = df.select(
+        (VectorFunctions.centroidScores(col("v"), cents, norms) === array(composed: _*)).as("sc"),
+        (VectorFunctions.bestCentroid(col("v"), cents, norms) === best).as("bc"))
+      .filter(!col("sc") || !col("bc")).count()
+    assert(bad == 0, "kernel must equal the composed literal-dot form bit-for-bit")
+  }
+
+  test("property: QuantizeI8 == the driver-side quantization formula") {
+    val vecGen = Gen.listOfN(12, Gen.chooseNum(-100f, 100f))
+    val vecs = (0 until 80).flatMap(i => vecGen(Gen.Parameters.default, Seed(500L + i)))
+      .map(_.toArray).toSeq :+ Array(0f, 0f, 0f) // zero vector edge
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(VectorFunctions.quantizeI8(col("v")))
+      .collect().map(_.getSeq[Byte](0).toSeq)
+    val expected = vecs.map { v =>
+      val amax = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+      if (amax == 0) Seq.fill(v.length)(0: Byte)
+      else v.toSeq.map { x =>
+        val r = math.floor(x.toDouble * 127.0 / amax + 0.5)
+        math.max(-127.0, math.min(127.0, r)).toByte
+      }
+    }
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
 }

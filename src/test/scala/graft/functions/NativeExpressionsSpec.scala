@@ -94,6 +94,9 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(fp == expected)
     val sig = spark.sql("SELECT minhash_signature(array(7L, 9L), 8) AS s").as[Seq[Long]].head()
     assert(sig.length == 8)
+    val qz = spark.sql("SELECT quantize_i8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q")
+      .collect()(0).getSeq[Byte](0)
+    assert(qz == Seq[Byte](127, -63), s"got $qz") // floor(-63.5 + 0.5) = -63: round half UP
     val expectedSig0 = math.min(XXH64.hashInt(0, XXH64.hashLong(7L, 42L)),
                                 XXH64.hashInt(0, XXH64.hashLong(9L, 42L)))
     assert(sig.head == expectedSig0)
