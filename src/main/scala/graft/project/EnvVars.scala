@@ -1,0 +1,60 @@
+package graft.project
+
+import java.nio.file.{Files, Path, Paths}
+
+/**
+ * Environment handling for project files, matching the reference's rules
+ * (docs/fundamentals/project.mdx, core/src/lib/template.ts):
+ *
+ *  - `.env` / `.env.local` in the project root, then the current working
+ *    directory, then any explicit extra files — later files win;
+ *  - every project file may reference `${env.NAME}`; any OTHER `${...}`
+ *    placeholder form is an error (template.ts:31's exact complaint), as
+ *    is a reference to an undefined variable — secrets must never
+ *    silently become empty strings.
+ */
+object EnvVars {
+
+  private val Placeholder = raw"\$$\{([^}]*)\}".r
+
+  /** KEY=VALUE lines; blank lines and #-comments ignored; optional quotes. */
+  def loadEnvFile(path: Path): Map[String, String] =
+    if (!Files.exists(path)) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(path.toFile, "UTF-8")
+      try src.getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+        .map { l =>
+          val i = l.indexOf('=')
+          val v = l.substring(i + 1).trim
+          val unq = if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+                        (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1) else v
+          l.substring(0, i).trim -> unq
+        }.toMap
+      finally src.close()
+    }
+
+  /** Merged environment with the reference's precedence (last wins). */
+  def projectEnv(projectDir: String, extraEnvFiles: Seq[String] = Nil,
+                 base: Map[String, String] = sys.env): Map[String, String] = {
+    val layers = Seq(
+      Paths.get(projectDir, ".env"),
+      Paths.get(projectDir, ".env.local"),
+      Paths.get(".env"),
+      Paths.get(".env.local")) ++ extraEnvFiles.map(Paths.get(_))
+    layers.foldLeft(base)((acc, p) => acc ++ loadEnvFile(p))
+  }
+
+  /** Substitute `${env.NAME}` in raw file text. */
+  def substitute(text: String, env: Map[String, String], filePath: String = "unknown file"): String =
+    Placeholder.replaceAllIn(text, m => {
+      val inner = m.group(1).trim
+      if (!inner.startsWith("env."))
+        throw new IllegalArgumentException(
+          s"Unsupported placeholder $${$inner} in $filePath. Only $${env.NAME} placeholders are " +
+            s"supported. Did you mean $${env.$inner}?")
+      val name = inner.stripPrefix("env.")
+      java.util.regex.Matcher.quoteReplacement(env.getOrElse(name,
+        throw new IllegalArgumentException(s"Environment variable $name (referenced in $filePath) is not defined")))
+    })
+}

@@ -1,0 +1,181 @@
+package graft.project
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Model
+import graft.sinks.RestSink
+import graft.state.StateStore
+import graft.sync.SyncRunner
+
+/**
+ * B22 — the reference's PROJECT authoring surface: a directory with
+ * `models` (.sql or .yaml), `connections` (.yaml) and `syncs` (.yaml)
+ * (docs/fundamentals/project.mdx), with `${env.NAME}` substitution and
+ * `.env`/`.env.local` layering. A reference user points graft at their
+ * existing project folder and runs the same syncs on Spark.
+ *
+ * Format mapping (studied, not ported):
+ *  - SQL models carry config in `--{{ config "key" "value" }}` comment
+ *    directives (model.mdx; values may be `env.NAME` references); YAML
+ *    models carry `query`/`datasource`/`name` keys. `:cursor` stays a
+ *    named parameter bound through Spark parameterized SQL.
+ *  - Connections declare `package.image` (e.g. syncmaven/facebook:latest);
+ *    the image basename selects graft's payload/profile family. Graft also
+ *    accepts an explicit `kind:` for Spark-native destinations.
+ *  - Syncs reference model + destination by file id and pass `options`
+ *    (checkpointEvery, fullRefresh, keys…) to the runner (sync.mdx).
+ *
+ * Datasources: the reference dials Postgres/BigQuery/Snowflake. Graft maps
+ * `jdbc:` URLs to the JDBC source and adds `parquet:<dir>` (every
+ * every .parquet file under the dir registered as a temp view) as the
+ * warehouse-on-object-storage form — the natural Spark deployment and the
+ * sandbox's test surface.
+ */
+object ProjectLoader {
+
+  final case class ModelDef(id: String, name: String, datasource: String, sql: String,
+                            cursor: Option[String], keys: Seq[String],
+                            config: Map[String, String])
+  final case class ConnectionDef(id: String, kind: String, image: Option[String],
+                                 credentials: Map[String, Any], options: Map[String, Any])
+  final case class SyncDef(id: String, model: String, destination: String,
+                           options: Map[String, Any])
+
+  final case class GraftProject(dir: String, env: Map[String, String],
+                                models: Map[String, ModelDef],
+                                connections: Map[String, ConnectionDef],
+                                syncs: Map[String, SyncDef]) {
+
+    /** Run one sync end-to-end: model SQL → cursor/validate/map pipeline →
+      * destination-profiled REST push. `transport` is the wire (tests
+      * inject a recorder; production an HTTP client). */
+    def runSync(spark: SparkSession, syncId: String, store: StateStore,
+                transport: RestSink.Transport,
+                fullRefresh: Boolean = false): SyncRunner#SyncReport = {
+      val sync = syncs.getOrElse(syncId,
+        throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))
+      val md = models.getOrElse(sync.model,
+        throw new IllegalArgumentException(s"sync '$syncId' references unknown model '${sync.model}'"))
+      val conn = connections.getOrElse(sync.destination,
+        throw new IllegalArgumentException(s"sync '$syncId' references unknown connection '${sync.destination}'"))
+
+      registerDatasource(spark, md.datasource)
+      val model = Model.fromSql(md.id, md.sql, keyCols = md.keys, cursorCol = md.cursor, env = env)
+      val runner = new SyncRunner(store)
+      val checkpointEvery = sync.options.get("checkpointEvery").collect { case n: Long => n }
+      runner.run(spark, model, syncId,
+        sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
+        fullRefresh = fullRefresh,
+        checkpointEvery = checkpointEvery)
+    }
+
+    private def registerDatasource(spark: SparkSession, datasource: String): Unit =
+      if (datasource.startsWith("parquet:")) {
+        val dir = Paths.get(datasource.stripPrefix("parquet:"))
+        require(Files.isDirectory(dir), s"datasource directory not found: $dir")
+        // nanosecond timestamps read as epoch-nanos longs (same choice as
+        // queries.Tables — exact arithmetic, no truncation surprises)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val name = p.getFileName.toString.stripSuffix(".parquet")
+            spark.read.parquet(p.toString).createOrReplaceTempView(name)
+          }
+      } else if (datasource.startsWith("jdbc:")) {
+        // JDBC warehouses read through graft.sources.JdbcSource — models
+        // then reference pushed-down subqueries; registration is per-table
+        // and credential-bearing, so it stays an explicit caller step.
+        throw new IllegalArgumentException(
+          "jdbc datasources: register tables via graft.sources.JdbcSource, then use a DataFrame model")
+      } else throw new IllegalArgumentException(
+        s"unsupported datasource '$datasource' (expected parquet:<dir> or jdbc:<url>)")
+  }
+
+  private val Directive =
+    raw"""--\s*\{\{\s*config\s+"([^"]+)"\s+(?:"([^"]*)"|env\.([A-Za-z0-9_]+))\s*\}\}""".r
+
+  /** Load a project directory with the given extra env files. */
+  def load(projectDir: String, extraEnvFiles: Seq[String] = Nil,
+           baseEnv: Map[String, String] = sys.env): GraftProject = {
+    val env = EnvVars.projectEnv(projectDir, extraEnvFiles, baseEnv)
+
+    def read(p: Path): String =
+      EnvVars.substitute(new String(Files.readAllBytes(p), "UTF-8"), env, p.toString)
+
+    def filesIn(sub: String, exts: Seq[String]): Seq[Path] = {
+      val d = Paths.get(projectDir, sub)
+      if (!Files.isDirectory(d)) Nil
+      else Files.list(d).iterator().asScala.toSeq
+        .filter(p => exts.exists(p.toString.endsWith)).sortBy(_.toString)
+    }
+
+    def idOf(p: Path): String = {
+      val n = p.getFileName.toString
+      n.substring(0, n.lastIndexOf('.'))
+    }
+
+    val models = (filesIn("models", Seq(".sql")).map { p =>
+      val text = read(p)
+      val conf = Directive.findAllMatchIn(text).map { m =>
+        val v = Option(m.group(2)).getOrElse(env.getOrElse(m.group(3),
+          throw new IllegalArgumentException(s"Environment variable ${m.group(3)} (referenced in $p) is not defined")))
+        m.group(1) -> v
+      }.toMap
+      val sql = text.linesIterator.filterNot(l => Directive.findFirstIn(l).isDefined)
+        .mkString("\n").trim
+      val id = conf.getOrElse("id", idOf(p))
+      ModelDef(id, conf.getOrElse("name", idOf(p)),
+        conf.getOrElse("datasource",
+          throw new IllegalArgumentException(s"model $p must define datasource")),
+        sql, conf.get("cursor"),
+        conf.get("primaryKey").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), conf)
+    } ++ filesIn("models", Seq(".yaml", ".yml")).map { p =>
+      val y = Yaml.parse(read(p))
+      def str(k: String): Option[String] = y.get(k).collect { case s: String => s }
+      val id = str("id").getOrElse(idOf(p))
+      ModelDef(id, str("name").getOrElse(idOf(p)),
+        str("datasource").getOrElse(
+          throw new IllegalArgumentException(s"model $p must define datasource")),
+        str("query").getOrElse(
+          throw new IllegalArgumentException(s"model $p must define query")),
+        str("cursor"),
+        str("primaryKey").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+        y.collect { case (k, v: String) => k -> v })
+    }).map(m => m.id -> m).toMap
+
+    val connections = filesIn("connections", Seq(".yaml", ".yml")).map { p =>
+      val y = Yaml.parse(read(p))
+      val image = y.get("package").collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].get("image") }.flatten.collect { case s: String => s }
+      val kind = y.get("kind").collect { case s: String => s }
+        .orElse(image.map(kindFromImage))
+        .getOrElse(throw new IllegalArgumentException(
+          s"connection $p must define package.image or kind"))
+      ConnectionDef(idOf(p), kind, image,
+        y.get("credentials").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .getOrElse(Map.empty),
+        y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .getOrElse(Map.empty))
+    }.map(c => c.id -> c).toMap
+
+    val syncs = filesIn("syncs", Seq(".yaml", ".yml")).map { p =>
+      val y = Yaml.parse(read(p))
+      def str(k: String): String = y.get(k).collect { case s: String => s }
+        .getOrElse(throw new IllegalArgumentException(s"sync $p must define $k"))
+      SyncDef(idOf(p), str("model"), str("destination"),
+        y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .getOrElse(Map.empty))
+    }.map(s => s.id -> s).toMap
+
+    GraftProject(projectDir, env, models, connections, syncs)
+  }
+
+  /** "syncmaven/facebook:latest" → "facebook-ads" (graft profile family). */
+  private[project] def kindFromImage(image: String): String = {
+    val base = image.split("/").last.split(":").head
+    Map("facebook" -> "facebook-ads", "twitter" -> "twitter-ads")
+      .getOrElse(base, base)
+  }
+}

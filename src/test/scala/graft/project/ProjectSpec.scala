@@ -1,0 +1,127 @@
+package graft.project
+
+import graft.SparkSuite
+import graft.sinks.RestSink
+import graft.state.StateStore
+import java.nio.file.{Files, Paths}
+
+/** Recording transport: static state, so the shipped closure carries no
+  * outer spec reference (local[n] still serializes task closures). */
+object ProjectSpecRecorder {
+  import scala.collection.mutable
+  private val batchSizes = mutable.Buffer.empty[Int]
+
+  final class Recorder extends RestSink.Transport {
+    ProjectSpecRecorder.synchronized { batchSizes.clear() }
+    override def send(batch: Seq[Map[String, Any]]): Unit =
+      ProjectSpecRecorder.synchronized { batchSizes += batch.size; () }
+    def batches: Seq[Int] = ProjectSpecRecorder.synchronized { batchSizes.toSeq }
+    def rows: Long = batches.map(_.toLong).sum
+  }
+}
+
+/** B22 — loading and running a syncmaven-style project directory. */
+class ProjectSpec extends SparkSuite {
+
+  private def write(dir: String, rel: String, text: String): Unit = {
+    val p = Paths.get(dir, rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, text.getBytes("UTF-8"))
+    ()
+  }
+
+  private def makeProject(): String = {
+    val dir = Files.createTempDirectory("graft-project").toString
+    write(dir, "models/orders_model.sql",
+      s"""--{{ config "name" "Open Orders" }}
+         |--{{ config "datasource" env.WAREHOUSE }}
+         |--{{ config "cursor" "o_orderdate" }}
+         |--{{ config "primaryKey" "o_orderkey" }}
+         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+         |FROM orders
+         |WHERE :cursor IS NULL OR o_orderdate > :cursor
+         |""".stripMargin)
+    write(dir, "connections/fb.yaml",
+      """package:
+        |  type: docker
+        |  image: syncmaven/facebook:latest
+        |credentials:
+        |  accessToken: ${env.FB_TOKEN}
+        |  accountId: "12345"
+        |""".stripMargin)
+    write(dir, "syncs/orders_to_fb.yaml",
+      """model: orders_model
+        |destination: fb
+        |options:
+        |  checkpointEvery: 400
+        |""".stripMargin)
+    write(dir, ".env", "FB_TOKEN=from_env\nUNUSED=x\n")
+    write(dir, ".env.local", "FB_TOKEN=from_env_local\n")
+    dir
+  }
+
+  import ProjectSpecRecorder.Recorder
+
+  test("yaml subset: nesting, lists, scalars, quoting") {
+    val y = Yaml.parse(
+      """a: 1
+        |b: text with: colon
+        |c:
+        |  d: true
+        |  e: "quoted: str"
+        |list:
+        |  - x
+        |  - 2
+        |maps:
+        |  - k: v1
+        |  - k: v2
+        |""".stripMargin)
+    assert(y("a") == 1L && y("b") == "text with: colon")
+    assert(y("c") == Map("d" -> true, "e" -> "quoted: str"))
+    assert(y("list") == List("x", 2L))
+    assert(y("maps") == List(Map("k" -> "v1"), Map("k" -> "v2")))
+  }
+
+  test("env layering and substitution: .env.local wins; bad placeholders fail loudly") {
+    val dir = makeProject()
+    val env = EnvVars.projectEnv(dir, Nil, base = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    assert(env("FB_TOKEN") == "from_env_local", ".env.local must override .env")
+    val e = intercept[IllegalArgumentException](
+      EnvVars.substitute("x ${TOKEN} y", env, "f.yaml"))
+    assert(e.getMessage.contains("Did you mean ${env.TOKEN}"))
+    val e2 = intercept[IllegalArgumentException](
+      EnvVars.substitute("${env.NO_SUCH_VAR_XYZ}", env, "f.yaml"))
+    assert(e2.getMessage.contains("not defined"))
+  }
+
+  test("project load: sql-directive models, image-kind connections, syncs") {
+    val dir = makeProject()
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val m = proj.models("orders_model")
+    assert(m.name == "Open Orders" && m.datasource == s"parquet:$sfDir")
+    assert(m.cursor.contains("o_orderdate") && m.keys == Seq("o_orderkey"))
+    assert(m.sql.startsWith("SELECT") && m.sql.contains(":cursor") && !m.sql.contains("config"))
+    val c = proj.connections("fb")
+    assert(c.kind == "facebook-ads", s"image basename must map to the profile family, got ${c.kind}")
+    assert(c.credentials("accessToken") == "from_env_local", "credentials substitute from env")
+    assert(proj.syncs("orders_to_fb").options("checkpointEvery") == 400L)
+  }
+
+  test("runSync: project sync runs end-to-end, checkpoints, resumes incrementally") {
+    val dir = makeProject()
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val store = StateStore.inMemory()
+    val rec = new Recorder
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+
+    val r1 = proj.runSync(spark, "orders_to_fb", store, rec)
+    assert(r1.rowsIn == total && rec.rows == total, "every order reaches the destination")
+    assert(rec.batches.forall(_ <= 1000), "facebook profile: 1000-row audience batches")
+    assert(r1.chunks > 1, "checkpointEvery=400 must chunk the run")
+    assert(store.get(Seq("syncId=orders_to_fb", "$lastCursor")).isDefined)
+
+    val rec2 = new Recorder
+    val r2 = proj.runSync(spark, "orders_to_fb", store, rec2)
+    assert(r2.rowsIn == 0 && rec2.rows == 0, "second run is incremental: nothing new")
+  }
+}
