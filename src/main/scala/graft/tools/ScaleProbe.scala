@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{BloomJoin, Dedup, Sampling, TextAnalysis}
+import graft.queries.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev tool: asymptotic probes for the scale-sensitive operators — run each
+ * at 1x / 4x / 16x the sf dir's data (id-shifted unions, so dedup-style
+ * inputs keep realistic collision structure) and print runtime growth.
+ * Evidence for the SURVEY §5 claims: near-linear growth = the operator's
+ * cost is scan/output-bound, not pair-quadratic.
+ *
+ * Usage: runMain graft.tools.ScaleProbe [sfDir]
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = GraftSession.local(32, "graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val t = Tables(spark, sfDir)
+
+    def amplify(df: DataFrame, idCol: String, k: Int): DataFrame = {
+      val n = 10_000_000L
+      (0 until k).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
+        .reduce(_ unionByName _)
+    }
+
+    def run(label: String, k: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[probe] $label%-22s ${k}%2dx  ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($rows rows)")
+    }
+
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      run("contamination", k) {
+        val ev = docs.filter(col("doc_id") % 50 === 0)
+        Dedup.contamination(ev, docs.filter(col("doc_id") % 50 =!= 0), n = 8).count()
+      }
+      run("repetition", k)(TextAnalysis.repetitionProfile(docs, n = 3).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+      run("bloom_semijoin", k) {
+        val audience = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        BloomJoin.bloomSemiJoin(orders, audience, "o_custkey", "c_custkey").count()
+      }
+      run("reservoir", k)(
+        Sampling.reservoirPerStratum(orders, "o_orderstatus", "o_orderkey", k = 100).count())
+    }
+    spark.stop()
+  }
+}
