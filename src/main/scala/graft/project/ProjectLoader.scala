@@ -40,7 +40,17 @@ object ProjectLoader {
   final case class ConnectionDef(id: String, kind: String, image: Option[String],
                                  credentials: Map[String, Any], options: Map[String, Any])
   final case class SyncDef(id: String, model: String, destination: String,
-                           options: Map[String, Any])
+                           options: Map[String, Any],
+                           enrichments: Seq[EnrichmentRef] = Nil)
+
+  /** Reference `EnrichmentSettings` (types/objects.ts:24): a connection
+    * reference plus free-form options. */
+  final case class EnrichmentRef(connection: String, options: Map[String, Any])
+
+  /** Builds the row→rows enrichment transform for one enrichment channel:
+    * keyed by connection KIND (the reference resolves a provider from the
+    * connection the same way, sync.ts:433-436). */
+  type EnrichProvider = (ConnectionDef, Map[String, Any]) => DataFrame => DataFrame
 
   final case class GraftProject(dir: String, env: Map[String, String],
                                 models: Map[String, ModelDef],
@@ -52,13 +62,27 @@ object ProjectLoader {
       * inject a recorder; production an HTTP client). */
     def runSync(spark: SparkSession, syncId: String, store: StateStore,
                 transport: RestSink.Transport,
-                fullRefresh: Boolean = false): SyncRunner#SyncReport = {
+                fullRefresh: Boolean = false,
+                enrichProviders: Map[String, EnrichProvider] = Map.empty): SyncRunner#SyncReport = {
       val sync = syncs.getOrElse(syncId,
         throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))
       val md = models.getOrElse(sync.model,
         throw new IllegalArgumentException(s"sync '$syncId' references unknown model '${sync.model}'"))
       val conn = connections.getOrElse(sync.destination,
         throw new IllegalArgumentException(s"sync '$syncId' references unknown connection '${sync.destination}'"))
+
+      // enrichment channels compose in declaration order between validate
+      // and column-map, exactly where the reference runs them (sync.ts:588)
+      val enrich: DataFrame => DataFrame = sync.enrichments.foldLeft(identity[DataFrame] _) {
+        (acc, ref) =>
+          val econn = connections.getOrElse(ref.connection,
+            throw new IllegalArgumentException(
+              s"sync '$syncId' enrichment references unknown connection '${ref.connection}'"))
+          val provider = enrichProviders.getOrElse(econn.kind,
+            throw new IllegalArgumentException(
+              s"no enrichment provider registered for kind '${econn.kind}'"))
+          acc.andThen(provider(econn, ref.options))
+      }
 
       registerDatasource(spark, md.datasource)
       val model = Model.fromSql(md.id, md.sql, keyCols = md.keys, cursorCol = md.cursor, env = env)
@@ -67,6 +91,7 @@ object ProjectLoader {
       runner.run(spark, model, syncId,
         sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
         fullRefresh = fullRefresh,
+        enrich = enrich,
         checkpointEvery = checkpointEvery)
     }
 
@@ -164,9 +189,24 @@ object ProjectLoader {
       val y = Yaml.parse(read(p))
       def str(k: String): String = y.get(k).collect { case s: String => s }
         .getOrElse(throw new IllegalArgumentException(s"sync $p must define $k"))
+      def asRef(v: Any): EnrichmentRef = v match {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          EnrichmentRef(
+            mm.get("connection").collect { case s: String => s }.getOrElse(
+              throw new IllegalArgumentException(s"enrichment in $p must define connection")),
+            mm.get("options").collect { case o: Map[_, _] => o.asInstanceOf[Map[String, Any]] }
+              .getOrElse(Map.empty))
+        case other => throw new IllegalArgumentException(s"bad enrichment entry in $p: $other")
+      }
+      // reference accepts `enrichments: [...]` or a singular `enrichment:`
+      // (types/objects.ts:60)
+      val enr = y.get("enrichments").collect { case l: List[_] => l.map(asRef) }
+        .orElse(y.get("enrichment").map(e => List(asRef(e))))
+        .getOrElse(Nil)
       SyncDef(idOf(p), str("model"), str("destination"),
         y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty), enr)
     }.map(s => s.id -> s).toMap
 
     GraftProject(projectDir, env, models, connections, syncs)

@@ -107,6 +107,43 @@ class ProjectSpec extends SparkSuite {
     assert(proj.syncs("orders_to_fb").options("checkpointEvery") == 400L)
   }
 
+  test("enrichment channels: sync-declared connections expand rows via registered providers") {
+    val dir = makeProject()
+    write(dir, "connections/prio_tags.yaml",
+      """kind: tag-service
+        |credentials:
+        |  url: http://tags.internal
+        |""".stripMargin)
+    write(dir, "syncs/enriched.yaml",
+      """model: orders_model
+        |destination: fb
+        |enrichments:
+        |  - connection: prio_tags
+        |    options:
+        |      column: o_orderkey
+        |""".stripMargin)
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    assert(proj.syncs("enriched").enrichments ==
+      Seq(ProjectLoader.EnrichmentRef("prio_tags", Map("column" -> "o_orderkey"))))
+
+    import org.apache.spark.sql.functions._
+    val provider: ProjectLoader.EnrichProvider = (conn, opts) => { df =>
+      assert(conn.kind == "tag-service" && opts("column") == "o_orderkey")
+      df.withColumn("tag", explode(array(lit("a"), lit("b")))) // row -> 2 rows
+    }
+    val store = StateStore.inMemory()
+    val rec = new Recorder
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val r = proj.runSync(spark, "enriched", store, rec,
+      enrichProviders = Map("tag-service" -> provider))
+    assert(r.rowsIn == total, "report counts SOURCE rows")
+    assert(rec.rows == 2 * total, "each row expands to two enriched rows at the destination")
+
+    val e = intercept[IllegalArgumentException](
+      proj.runSync(spark, "enriched", StateStore.inMemory(), new Recorder))
+    assert(e.getMessage.contains("no enrichment provider"), "unregistered kinds fail loudly")
+  }
+
   test("runSync: project sync runs end-to-end, checkpoints, resumes incrementally") {
     val dir = makeProject()
     val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
