@@ -32,7 +32,9 @@ object Catalog {
     "q45_percentiles"    -> rel(Relational.q45Percentiles),
     "q63_approx_percentile" -> rel(Relational.q63ApproxPercentile),
     "q56_date_spine"     -> rel(Relational.q56DateSpine),
-    "q57_string_agg"     -> rel(Relational.q57StringAgg)
+    "q57_string_agg"     -> rel(Relational.q57StringAgg),
+    "q72_window_frames"  -> rel(Relational.q72WindowFrames),
+    "q73_lateral_explode" -> rel(Relational.q73LateralExplode)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(

@@ -292,6 +292,44 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy("o_custkey")
 
+  /** A24: window-frame zoo — ntile/percent_rank/cume_dist plus RANGE and
+    * bounded-ROWS frames (first/last/moving aggregates). Frames change
+    * WHAT is aggregated, not the plan shape: one hash-partitioned window
+    * pass per partition spec, same as q08. Ties: every order key includes
+    * o_orderkey, so ranks and frame contents are total orders and both
+    * engines agree exactly. */
+  def q72WindowFrames(t: Tables): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val rows3 = byCust.rowsBetween(-2, Window.currentRow)
+    val toHere = byCust.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .filter(col("o_custkey") <= 300)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(byCust).cast("long").as("quartile"),
+        percent_rank().over(byCust).as("pct_rank"),
+        cume_dist().over(byCust).as("cume"),
+        first(col("o_orderkey")).over(byCust).as("first_key"),
+        money(min(dec(col("o_totalprice"))).over(toHere)).as("min_so_far"),
+        money(sum(dec(col("o_totalprice"))).over(rows3)).as("moving3_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** A25: lateral explode — one row per (order, priority-tag) pair via
+    * posexplode over a computed array, nulls preserved with _outer. The
+    * generator runs inside the same stage as the scan (no shuffle added);
+    * the oracle replays it with UNNEST WITH ORDINALITY. */
+  def q73LateralExplode(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderkey"),
+        posexplode_outer(when(col("o_orderstatus") === "F",
+          array(col("o_orderpriority"), col("o_orderstatus"))))
+          .as(Seq("pos", "tag")))
+      .select(col("o_orderkey"), col("pos").cast("long").as("pos"), col("tag"))
+      .orderBy(col("o_orderkey"), col("pos").asc_nulls_first)
+
   /** A18: latest-row-per-key — THE reverse-ETL dedup (one row per entity). */
   def q18LatestPerKey(t: Tables): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)

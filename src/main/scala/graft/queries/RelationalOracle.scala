@@ -194,6 +194,41 @@ object RelationalOracle {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    "q72_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS min_so_far,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_sum
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // A25: the 2-element expansion written as its UNION-ALL equivalent —
+    // same rows as posexplode_outer (outer keeps non-F orders with nulls).
+    "q73_lateral_explode" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderstatus
+        |  FROM orders WHERE o_custkey <= 100
+        |)
+        |SELECT o_orderkey, pos, tag FROM (
+        |  SELECT o_orderkey, CAST(0 AS BIGINT) AS pos, o_orderpriority AS tag
+        |  FROM base WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(1 AS BIGINT), o_orderstatus
+        |  FROM base WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM base WHERE o_orderstatus <> 'F'
+        |)
+        |ORDER BY o_orderkey, pos ASC NULLS FIRST""".stripMargin,
+
     "q56_date_spine" ->
       """WITH spine AS (
         |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
