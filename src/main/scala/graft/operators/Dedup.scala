@@ -205,6 +205,46 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** C26: near-dup CLUSTER resolution — connected components over
+    * candidate pairs, the dedup endgame: pair lists say who matches whom,
+    * but keeping one canonical doc per duplicate GROUP needs the
+    * transitive closure (a~b, b~c → one cluster {a,b,c}, keep min id).
+    *
+    * Spark-first iteration: symmetric edge frame + min-label propagation
+    * (label(x) ← min(label(x), min label of neighbors)) until a fixpoint.
+    * Each round is one shuffle join + partial-agg min; rounds needed =
+    * cluster diameter, and near-dup clusters are shallow (pairs share a
+    * common near-identical core), so 3–5 rounds close real corpora.
+    * `localCheckpoint` truncates lineage each round — an iterative
+    * algorithm's plan otherwise grows unboundedly. The driver loop only
+    * reads ONE scalar (changed-count) per round; labels never collect.
+    * Output: (doc_id, cluster_id = min doc id in the component) for every
+    * doc that appears in some pair. */
+  def resolveClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .localCheckpoint(eager = true)
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+      iter += 1
+    }
+    require(changed == 0, s"cluster resolution did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** C24: eval-set CONTAMINATION check — for each eval document, how many
     * of its distinct n-gram shingles appear ANYWHERE in the training
     * corpus (the standard pre-release benchmark-leakage test for training

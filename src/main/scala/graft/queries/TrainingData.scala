@@ -28,6 +28,14 @@ object TrainingData {
     Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3)
       .orderBy("doc_a", "doc_b")
 
+  /** C26: near-dup clusters — connected components over the q33 pair set,
+    * canonical member = min doc id; the oracle recomputes the closure with
+    * a recursive CTE. */
+  def q74DedupClusters(t: Tables): DataFrame =
+    Dedup.resolveClusters(
+      Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3))
+      .orderBy("doc_id")
+
   private def annQueries(t: Tables): DataFrame = t.embeddings.filter(col("vec_id") < 10)
 
   /** C5: brute-force cosine top-10 for the first 10 vectors as queries. */

@@ -408,6 +408,28 @@ object TrainingOracle {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // C26: same pair set as q33, closure via recursive CTE (UNION dedupes,
+    // so the recursion reaches a fixpoint), cluster id = min reachable id.
+    "q74_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
+
     "q34_ann_brute" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings

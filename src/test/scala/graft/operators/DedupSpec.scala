@@ -82,4 +82,15 @@ class DedupSpec extends SparkSuite {
     assert(got(1L)._2 == got(1L)._3, "every shingle of the copy must hit")
   }
 
+  test("resolveClusters: transitive chains collapse to min-id components") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // pair {10,11}, and an untouched doc 99 (absent from output)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $got")
+  }
+
 }
