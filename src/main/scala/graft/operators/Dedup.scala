@@ -147,27 +147,8 @@ object Dedup {
   def minhashPairsPortable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                            numPerm: Int = 64, bands: Int = 16,
                            threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    // Per-row portable kernels (value-identical to the explode → window →
-    // distinct → md5 → min-aggregate pipeline they replaced; the DuckDB
-    // oracle replay is untouched). The <n-token fallback hashes the RAW
-    // text, exactly like the r2 shape (re-joining tokens could differ on
-    // pathological whitespace).
-    val toks = split(col(textCol), " ")
-    val sig = docs.select(col(idCol).as("id"),
-        when(size(toks) < 3,
-            array(conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
-              .bitwiseAND(lit(0x7FFFFFFFL))))
-          .otherwise(graft.functions.SignatureFunctions.portableShingleHashes(toks, 3))
-          .as("hs"))
-      .withColumn("ms",
-        graft.functions.SignatureFunctions.affineMinHash(col("hs"), permConstants(numPerm)))
-
-    val bandCols = (0 until bands).map { b =>
-      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col("ms")(p)): _*)
-    }
-    val exploded = sig.select(col("id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val sig = portableSignatures(docs, textCol, idCol, numPerm)
+    val exploded = portableBands(sig, numPerm, bands)
     val pairs = lshBucketPairs(exploded, "band_idx", "band_key", bucketCap)
 
     val sets = sig.select(col("id"), col("hs"))
@@ -175,6 +156,74 @@ object Dedup {
       .join(sets.select(col("id").as("doc_b"), col("hs").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** (id, hs, ms): distinct portable shingle hashes + affine MinHash
+    * signature, both per-row codegen'd kernels (value-identical to the
+    * explode → window → distinct → md5 → min-aggregate pipeline they
+    * replaced; the DuckDB oracle replay is untouched). The <n-token
+    * fallback hashes the RAW text, exactly like the r2 shape. */
+  private[operators] def portableSignatures(docs: DataFrame, textCol: String, idCol: String,
+                                            numPerm: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("id"),
+        when(size(toks) < 3,
+            array(conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+              .bitwiseAND(lit(0x7FFFFFFFL))))
+          .otherwise(graft.functions.SignatureFunctions.portableShingleHashes(toks, 3))
+          .as("hs"))
+      .withColumn("ms",
+        graft.functions.SignatureFunctions.affineMinHash(col("hs"), permConstants(numPerm)))
+  }
+
+  /** (id, band_idx, band_key): LSH band keys off a signature frame. */
+  private[operators] def portableBands(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => col("ms")(p)): _*)
+    }
+    sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** C27: INCREMENTAL near-dup — the operational form at 100 TB. A full
+    * corpus self-dedup is a one-time batch; day-to-day ingestion must
+    * dedupe a NEW slice against everything already accepted WITHOUT
+    * re-scanning the corpus. The corpus's band keys and shingle sets are
+    * computed once and PERSISTED ([[bandIndex]] — at scale, parquet
+    * bucketed by band_key); ingesting then signs only the new docs,
+    * equi-joins their bands against the index (skew-capped on the index
+    * side), and exact-Jaccard-verifies the candidates. Cost per ingest:
+    * sign(new) + bucket join — independent of corpus scan cost. */
+  def incrementalNearDup(newDocs: DataFrame, indexBands: DataFrame, indexSets: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         numPerm: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, bucketCap: Int = 100): DataFrame = {
+    val sig = portableSignatures(newDocs, textCol, idCol, numPerm)
+    val newBands = portableBands(sig, numPerm, bands)
+    // skew guard on the INDEX side: a band bucket holding > bucketCap
+    // corpus docs is a degenerate shingle pattern, not a dup cluster
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
+    val capped = indexBands.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= bucketCap).drop("__n")
+    val cand = newBands
+      .join(capped.select(col("id").as("corpus_id"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id").as("new_id"), col("corpus_id")).distinct()
+    cand
+      .join(sig.select(col("id").as("new_id"), col("hs").as("sh_new")), "new_id")
+      .join(indexSets.select(col("id").as("corpus_id"), col("hs").as("sh_old")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_new"), col("sh_old")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Build the persistable band index for [[incrementalNearDup]]:
+    * (bands frame (id, band_idx, band_key), sets frame (id, hs)). */
+  def bandIndex(corpus: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                numPerm: Int = 64, bands: Int = 16): (DataFrame, DataFrame) = {
+    val sig = portableSignatures(corpus, textCol, idCol, numPerm)
+    (portableBands(sig, numPerm, bands), sig.select(col("id"), col("hs")))
   }
 
   /** Portable 31-bit token hash: low 31 bits of md5's top 60 (any engine

@@ -28,6 +28,17 @@ object TrainingData {
     Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3)
       .orderBy("doc_a", "doc_b")
 
+  /** C27: incremental near-dup — every 10th doc plays the "newly
+    * ingested" slice, the rest are the already-indexed corpus; the new
+    * slice probes the persisted band index without any corpus re-scan. */
+  def q75IncrementalNeardup(t: Tables): DataFrame = {
+    val newDocs = t.documents.filter(col("doc_id") % 10 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val (idxBands, idxSets) = Dedup.bandIndex(corpus)
+    Dedup.incrementalNearDup(newDocs, idxBands, idxSets)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** C26: near-dup clusters — connected components over the q33 pair set,
     * canonical member = min doc id; the oracle recomputes the closure with
     * a recursive CTE. */

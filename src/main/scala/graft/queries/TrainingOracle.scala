@@ -230,6 +230,72 @@ object TrainingOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay of the INCREMENTAL near-dup probe (q75): same portable
+    * signature CTEs as q52, split into new slice vs indexed corpus; the
+    * bucket cap applies to the INDEX side only (the probe side supplies
+    * the other bucket member). */
+  private def incrementalNeardupSql: String = {
+    val numPerm = 64
+    val bands = 16
+    val rowsPerBand = numPerm / bands
+    val consts = graft.operators.Dedup.permConstants(numPerm)
+    val minCols = consts.zipWithIndex.map { case ((c, d), p) =>
+      s"min(h * $c + $d) AS m$p"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => s"m$p").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(',', $key) AS band_key FROM mins"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS ss
+       |  FROM tk
+       |), shx AS (
+       |  SELECT doc_id, unnest(ss) AS s FROM sh0
+       |), hs AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+       |  FROM shx
+       |), mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), newb AS (
+       |  SELECT * FROM bands WHERE doc_id % 10 = 0
+       |), oldb AS (
+       |  SELECT * FROM bands WHERE doc_id % 10 <> 0
+       |), capped AS (
+       |  SELECT band_idx, band_key FROM oldb
+       |  GROUP BY 1, 2 HAVING COUNT(*) <= 100
+       |), cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+       |  FROM newb n
+       |  JOIN oldb o USING (band_idx, band_key)
+       |  JOIN capped c USING (band_idx, band_key)
+       |  WHERE n.doc_id <> o.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id
+       |), common AS (
+       |  SELECT p.new_id, p.corpus_id, COUNT(*) AS c
+       |  FROM cand p
+       |  JOIN hs x ON x.doc_id = p.new_id
+       |  JOIN hs y ON y.doc_id = p.corpus_id AND y.h = x.h
+       |  GROUP BY p.new_id, p.corpus_id
+       |)
+       |SELECT c.new_id, c.corpus_id,
+       |       CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c) AS jaccard
+       |FROM common c
+       |JOIN sizes na ON na.doc_id = c.new_id
+       |JOIN sizes nb ON nb.doc_id = c.corpus_id
+       |WHERE CAST(c.c AS DOUBLE) / (na.n + nb.n - c.c) >= 0.7
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   /** DuckDB replay of the portable SimHash pipeline (q53). */
   private def simhashPortableSql: String = {
     val voteCols = (0 until 32).map(i =>
@@ -319,6 +385,7 @@ object TrainingOracle {
 
   val sql: Map[String, String] = Map(
     "q52_minhash_portable" -> minhashPortableSql,
+    "q75_incremental_neardup" -> incrementalNeardupSql,
     "q53_simhash_portable" -> simhashPortableSql,
     "q55_training_pipeline" -> trainingPipelineSql,
     "q35_ann_lsh"          -> annLshSql,

@@ -93,4 +93,42 @@ class DedupSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("incrementalNearDup == full self-dedup restricted to new-vs-corpus pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val (idxBands, idxSets) = Dedup.bandIndex(corpus)
+    val got = Dedup.incrementalNearDup(newDocs, idxBands, idxSets)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+
+    // reference: the full-corpus portable self-dedup, keeping only pairs
+    // that cross the new/old boundary. Bucket-cap semantics differ
+    // slightly (self-dedup caps the WHOLE bucket, incremental caps the
+    // index side), which changes nothing until a bucket exceeds the cap —
+    // none does on this corpus, so the pair sets must be equal.
+    val full = Dedup.minhashPairsPortable(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val crossPairs = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    assert(got == crossPairs, s"got=${got.toSeq.sorted} want=${crossPairs.toSeq.sorted}")
+  }
+
+  test("band index survives a parquet write/read roundtrip (the persisted-index path)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val (idxBands, idxSets) = Dedup.bandIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
+    idxBands.write.mode("overwrite").parquet(s"$dir/bands")
+    idxSets.write.mode("overwrite").parquet(s"$dir/sets")
+    val live = Dedup.incrementalNearDup(newDocs, idxBands, idxSets)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val reloaded = Dedup.incrementalNearDup(newDocs,
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(reloaded == live)
+  }
+
 }
