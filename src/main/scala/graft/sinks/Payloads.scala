@@ -82,14 +82,7 @@ object Payloads {
     * not a global ordering, so no single-task window. */
   def httpBodies(df: DataFrame, format: String, batchSize: Int = 100,
                  orderCol: String, salts: Int = 64): DataFrame = {
-    val rows = df.withColumn("__json", to_json(struct(df.columns.map(col): _*)))
-      .withColumn("__stream", lit("http"))
-    val batched = assignBatchesSalted(rows, batchSize, col("__stream"),
-        col(orderCol), col(orderCol), salts)
-      .groupBy("batch_key")
-      .agg(array_sort(collect_list(struct(col("seq_in_batch"), col("__json"))))
-        .as("ordered"))
-      .withColumn("rows_json", col("ordered.__json")).drop("ordered")
+    val batched = httpBatchedRows(df, batchSize, orderCol, salts)
     val body = format match {
       case "ndjson" => concat_ws("\n", col("rows_json"))
       case "array" | "json" => concat(lit("["), concat_ws(",", col("rows_json")), lit("]"))
@@ -97,6 +90,63 @@ object Payloads {
     }
     batched.select(col("batch_key"), body.as("body"),
       size(col("rows_json")).cast("long").as("n_rows"))
+  }
+
+  /** HTTP-connector TEMPLATED bodies (connectors/http/src/index.ts:26-31):
+    * a JSON envelope with `"{{ result.rows }}"` / `"{{ result.row }}"` /
+    * `"{{ result.length }}"` macros, plus `{{ env.X }}` / `{{ var }}`
+    * rendered once up front via [[graft.model.Template]]. The macro sites
+    * are spliced by CONCAT of driver-parsed segments — never regex
+    * replacement (row payloads may contain `$`/escapes that would poison
+    * a regexp_replace), and the segments are plan literals so the whole
+    * body builds codegen'd. `result.row` implies single-row batches, as
+    * in the reference. Quoted macro forms only: the macro must stand as a
+    * JSON string value in the template, which is what the reference
+    * documents. */
+  def httpTemplatedBodies(df: DataFrame, template: String, batchSize: Int = 100,
+                          orderCol: String, salts: Int = 64,
+                          vars: Map[String, String] = Map.empty,
+                          env: Map[String, String] = sys.env): DataFrame = {
+    val singleRow = template.contains("\"{{ result.row }}\"")
+    val effBatch = if (singleRow) 1 else batchSize
+    val batched = httpBatchedRows(df, effBatch, orderCol, salts)
+    val rowsArr = concat(lit("["), concat_ws(",", col("rows_json")), lit("]"))
+    val substitutions: Map[String, org.apache.spark.sql.Column] = Map(
+      "\"{{ result.rows }}\"" -> rowsArr,
+      "\"{{ result.row }}\"" -> element_at(col("rows_json"), 1),
+      "\"{{ result.length }}\"" -> size(col("rows_json")).cast("string"))
+    // driver-side segmentation: the result.* macros split the template,
+    // var/env templating renders only the LITERAL segments (Template is
+    // strict about unknown vars — result.* is ours, not the user's), and
+    // everything joins in one concat — deterministic for any payload
+    // content (never regex replacement over row data)
+    val macroAt = raw"""("\{\{ result\.(rows|row|length) \}\}")""".r
+    def litSeg(s: String) = lit(graft.model.Template.render(s, vars, env))
+    var last = 0
+    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+    macroAt.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += litSeg(template.substring(last, m.start))
+      parts += substitutions(m.group(1))
+      last = m.end
+    }
+    if (last < template.length) parts += litSeg(template.substring(last))
+    require(parts.nonEmpty, "empty body template")
+    batched.select(col("batch_key"), concat(parts.toSeq: _*).as("body"),
+      size(col("rows_json")).cast("long").as("n_rows"))
+  }
+
+  /** Shared batching for the http shapers: (batch_key, rows_json array),
+    * rows JSON-encoded and ordered by `orderCol` within each body. */
+  private def httpBatchedRows(df: DataFrame, batchSize: Int, orderCol: String,
+                              salts: Int): DataFrame = {
+    val rows = df.withColumn("__json", to_json(struct(df.columns.map(col): _*)))
+      .withColumn("__stream", lit("http"))
+    assignBatchesSalted(rows, batchSize, col("__stream"),
+        col(orderCol), col(orderCol), salts)
+      .groupBy("batch_key")
+      .agg(array_sort(collect_list(struct(col("seq_in_batch"), col("__json"))))
+        .as("ordered"))
+      .withColumn("rows_json", col("ordered.__json")).drop("ordered")
   }
 
   /** Hubspot/Intercom-shape upsert objects: external id + properties map,

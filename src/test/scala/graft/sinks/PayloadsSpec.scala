@@ -76,4 +76,31 @@ class PayloadsSpec extends SparkSuite {
     assert(got.forall(_.getAs[String]("op") == "delete"))
     assert(got.map(_.getAs[Long]("n_members")).sum == 2)
   }
+  test("httpTemplatedBodies: envelope macros splice rows, row, and length") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val tpl = """{"api_key": "{{ env.API_KEY }}", "events": "{{ result.rows }}", "count": "{{ result.length }}"}"""
+    val out = Payloads.httpTemplatedBodies(df, tpl, batchSize = 2, orderCol = "id",
+        env = Map("API_KEY" -> "k-123"))
+      .select("body", "n_rows").as[(String, Long)].collect()
+    assert(out.map(_._2).sum == 3, "every row lands in exactly one body")
+    out.foreach { case (body, n) =>
+      val parsed = spark.read.json(Seq(body).toDS)
+      val row = parsed.select("api_key", "count").as[(String, String)].head()
+      assert(row._1 == "k-123" && row._2.toLong == n, s"envelope fields wrong in $body")
+      // events must be a real nested JSON array of the batch's rows
+      val events = parsed.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("events"))).count()
+      assert(events == n, s"nested rows array must carry the batch in $body")
+    }
+
+    // result.row forces single-row bodies carrying the bare row object
+    val single = Payloads.httpTemplatedBodies(df, """{"user": "{{ result.row }}"}""",
+        batchSize = 99, orderCol = "id")
+      .select("body", "n_rows").as[(String, Long)].collect()
+    assert(single.length == 3 && single.forall(_._2 == 1L))
+    val ids = single.map(b => spark.read.json(Seq(b._1).toDS).select("user.id").as[Long].head()).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
 }
