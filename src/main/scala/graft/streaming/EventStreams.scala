@@ -344,6 +344,53 @@ object EventStreams {
       throw new java.io.IOException(s"could not publish sketch state pointer $p")
   }
 
+  /** D13: continuous ingestion DEDUP — the streaming form of the C27
+    * incremental near-dup loop: every micro-batch of documents (a) probes
+    * the persisted band index for near-dups against EVERYTHING already
+    * ingested (cost independent of corpus size — the C27 property), then
+    * (b) appends its own band keys and shingle sets to the index, so later
+    * batches dedupe against it. Matches land in `matchesDir` as
+    * (new_id, corpus_id, jaccard) parquet.
+    *
+    * Exactly-once: index slices and match outputs are batchId-versioned
+    * directories with a done-marker written LAST; a replayed batch sees
+    * its marker and skips — same discipline as [[sketchMaintenance]].
+    * Within-batch duplicates are not this operator's job (run the batch
+    * self-dedup inside the batch if needed); ACROSS batches every dup is
+    * caught no matter how far apart the batches are. */
+  def dedupIngest(docs: DataFrame, indexRoot: String, matchesDir: String,
+                  checkpointDir: String, threshold: Double = 0.7): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexRoot/_done_v$batchId")
+        if (!fs.exists(marker)) {
+          val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexRoot/bands")
+          val haveIndex = fs.exists(bandsRoot) && fs.listStatus(bandsRoot).nonEmpty
+          if (haveIndex) {
+            // index slices live under batchId-versioned subdirs
+            val idxBands = spark.read.option("recursiveFileLookup", "true")
+              .parquet(s"$indexRoot/bands")
+            val idxSets = spark.read.option("recursiveFileLookup", "true")
+              .parquet(s"$indexRoot/sets")
+            graft.operators.Dedup
+              .incrementalNearDup(batch.toDF(), idxBands, idxSets, threshold = threshold)
+              .write.mode("overwrite").parquet(s"$matchesDir/v$batchId")
+          }
+          val (newBands, newSets) = graft.operators.Dedup.bandIndex(batch.toDF())
+          newBands.write.mode("overwrite").parquet(s"$indexRoot/bands/v$batchId")
+          newSets.write.mode("overwrite").parquet(s"$indexRoot/sets/v$batchId")
+          fs.create(marker, true).close() // publish: batch fully applied
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** D8: streaming reverse-ETL — any stream into any graft batch sink
     * (RestSink / JdbcSink / Payloads shapers) via foreachBatch: each
     * micro-batch is an ordinary DataFrame, so the WHOLE batch sink

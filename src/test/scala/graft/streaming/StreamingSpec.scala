@@ -262,6 +262,35 @@ class StreamingSpec extends SparkSuite {
     assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
   }
 
+  test("D13: continuous ingestion dedup catches cross-batch near-dups via the growing index") {
+    val in = Files.createTempDirectory("graft-ingest-in").toString
+    val idx = Files.createTempDirectory("graft-ingest-idx").toString
+    val matches = Files.createTempDirectory("graft-ingest-matches").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    def runOnce(): Unit = EventStreams.dedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in), idx, matches, ckpt)
+    def readMatches(): Set[(Long, Long)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(matches)
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 1: two originals — nothing to match yet, index seeds
+    Seq((1L, base), (2L, "totally different words one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    // batch 2: a near-copy of doc 1 (one appended token, jaccard 8/9) and
+    // a fresh doc — only the near-copy must match, against BATCH 1's slice
+    Seq((10L, base + " lambda"), (11L, "fresh unrelated content seven eight nine ten eleven"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(readMatches() == Set((10L, 1L)), s"got ${readMatches()}")
+
+    // replay on the same checkpoint: no new data, nothing re-applied
+    runOnce()
+    assert(readMatches() == Set((10L, 1L)))
+  }
+
   test("D11: stream-stream attribution join equals the batch join") {
     val rows = Seq(
       (1L, ts(0.0), 1L, "view", 0.0),      // impression
