@@ -102,12 +102,14 @@ object ProjectLoader {
         // nanosecond timestamps read as epoch-nanos longs (same choice as
         // queries.Tables — exact arithmetic, no truncation surprises)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        Files.list(dir).iterator().asScala
+        val st = Files.list(dir)
+        try st.iterator().asScala
           .filter(_.toString.endsWith(".parquet"))
           .foreach { p =>
             val name = p.getFileName.toString.stripSuffix(".parquet")
             spark.read.parquet(p.toString).createOrReplaceTempView(name)
           }
+        finally st.close()
       } else if (datasource.startsWith("jdbc:")) {
         // JDBC warehouses read through graft.sources.JdbcSource — models
         // then reference pushed-down subqueries; registration is per-table
@@ -132,8 +134,12 @@ object ProjectLoader {
     def filesIn(sub: String, exts: Seq[String]): Seq[Path] = {
       val d = Paths.get(projectDir, sub)
       if (!Files.isDirectory(d)) Nil
-      else Files.list(d).iterator().asScala.toSeq
-        .filter(p => exts.exists(p.toString.endsWith)).sortBy(_.toString)
+      else {
+        val st = Files.list(d)
+        try st.iterator().asScala.toSeq
+          .filter(p => exts.exists(p.toString.endsWith)).sortBy(_.toString)
+        finally st.close()
+      }
     }
 
     def idOf(p: Path): String = {

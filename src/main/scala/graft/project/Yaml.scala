@@ -21,7 +21,7 @@ object Yaml {
 
   def parse(text: String): Map[String, Any] = {
     val lines = text.linesIterator.zipWithIndex
-      .map { case (l, i) => (l.replaceAll("\t", "  "), i + 1) }
+      .map { case (l, i) => (l.stripSuffix("\r").replaceAll("\t", "  "), i + 1) }
       .filter { case (l, _) => l.trim.nonEmpty && !l.trim.startsWith("#") }
       .toVector
     val (v, rest) = parseBlock(lines, indentOf(lines.headOption.map(_._1).getOrElse("")))
