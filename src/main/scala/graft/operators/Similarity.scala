@@ -197,6 +197,52 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** C28: PRODUCT-QUANTIZED ANN (the compressed-domain scale path beyond
+    * int8): vectors split into `m` subspaces, each encoded as the id of
+    * its nearest subspace centroid — a 64-dim float vector becomes m
+    * small ints (here 8 × 4 bits of code space), and scoring never
+    * touches the original corpus vectors: the classic ADC scheme
+    * precomputes, PER QUERY, the dot of each query subvector with every
+    * subspace centroid (an m × ksub table, built in-plan by
+    * [[graft.functions.CentroidScores]] over vector slices), and a
+    * candidate's approximate dot is m table lookups + adds — pure
+    * codegen'd `element_at` arithmetic on the (id, codes...) index.
+    *
+    * Codebooks are seeded deterministically (same portable-hash ranking
+    * as IVF — the standard no-training baseline in this sandbox; k-means
+    * refinement would drop in without changing any shape), assignment is
+    * the projection quantizer (normalized dot, reusing the verified
+    * [[graft.functions.BestCentroid]] kernel per slice), and every number
+    * — codes, tables, left-fold score sums — is exact double arithmetic
+    * the q76 DuckDB oracle replays bit-for-bit. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dims: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    import graft.functions.VectorFunctions.{bestCentroid, centroidScores}
+    // seed vectors (full-dim) exactly like IVF, then slice per subspace
+    val seeds = ivfCentroids(corpus, idCol, vecCol, ksub)
+    val mats: Seq[Array[Array[Double]]] = (0 until m).map(mm =>
+      seeds.map(_._2.slice(mm * sub, (mm + 1) * sub).toArray).toArray)
+    val norms: Seq[Array[Double]] = mats.map(_.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))))
+    val ones: Array[Double] = Array.fill(ksub)(1.0)
+
+    val codes = corpus.select(col(idCol).as("neighbor_id") +: (0 until m).map(mm =>
+      bestCentroid(slice(col(vecCol), mm * sub + 1, sub), mats(mm), norms(mm)).as(s"c$mm")): _*)
+    val qtabs = queries.select(col(idCol).as("query_id") +: (0 until m).map(mm =>
+      centroidScores(slice(col(vecCol), mm * sub + 1, sub), mats(mm), ones).as(s"t$mm")): _*)
+
+    val approx = (0 until m).map(mm => element_at(col(s"t$mm"), col(s"c$mm") + 1))
+      .reduce(_ + _) // left fold: t0 + t1 + ... — mirrored by the oracle
+    val scored = codes.join(broadcast(qtabs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx_dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   /** C7: embedding near-dup pairs — corpus self-join through LSH buckets,
     * cosine-verified at `threshold`. Same bucket-join scale story as C6. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

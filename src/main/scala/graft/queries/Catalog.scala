@@ -78,6 +78,7 @@ object Catalog {
     "q55_training_pipeline" -> rel(TrainingData.q55TrainingPipeline),
     "q65_topk_sketch"       -> rel(TrainingData.q65TopkSketch),
     "q69_quantized_ann"     -> rel(TrainingData.q69QuantizedAnn),
+    "q76_pq_ann"            -> rel(TrainingData.q76PqAnn),
     "q70_contamination"     -> rel(TrainingData.q70Contamination),
     "q74_dedup_clusters"    -> rel(TrainingData.q74DedupClusters),
     "q75_incremental_neardup" -> rel(TrainingData.q75IncrementalNeardup),

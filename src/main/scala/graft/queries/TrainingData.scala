@@ -70,6 +70,13 @@ object TrainingData {
     Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
 
+  /** C28: product-quantized ANN — same query set, scored entirely in the
+    * compressed (code) domain; the oracle replays codebooks, codes, query
+    * tables, and lookup-sum scores exactly. */
+  def q76PqAnn(t: Tables): DataFrame =
+    Similarity.pqTopK(t.embeddings, annQueries(t), k = 10)
+      .orderBy("query_id", "rank")
+
   /** C23: int8-quantized ANN — same query set as q34, scored on quantized
     * vectors; the oracle replays quantization and integer scoring exactly. */
   def q69QuantizedAnn(t: Tables): DataFrame =

@@ -125,6 +125,60 @@ object TrainingOracle {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Full DuckDB replay of q76 (PQ ANN): same seeded codebooks (the IVF
+    * md5 ranking, sliced per subspace), projection-quantizer assignment
+    * (normalized dot, score DESC / centroid ASC tie-break = BestCentroid's
+    * strict-> first-max), per-query raw-dot tables, and the ascending-
+    * subspace left-fold score sum (list_reduce over mi-ordered parts —
+    * plain SUM would be order-nondeterministic in floating point). */
+  private def pqAnnSql(m: Int = 8, ksub: Int = 16, dims: Int = 64): String = {
+    val sub = dims / m
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS ck, ve AS ce FROM seeded WHERE rn <= $ksub
+       |), sub AS (
+       |  SELECT unnest(range(0, $m)) AS mi
+       |), parts AS (
+       |  -- dot of every vector's mi-th slice with every centroid's mi-th
+       |  -- slice, plus the centroid slice norm for the assignment metric
+       |  SELECT v.vec_id, s.mi, cent.ck,
+       |         ${dotSql(s"list_slice(v.ve, s.mi * $sub + 1, (s.mi + 1) * $sub)",
+                          s"list_slice(cent.ce, s.mi * $sub + 1, (s.mi + 1) * $sub)")} AS d,
+       |         sqrt(${dotSql(s"list_slice(cent.ce, s.mi * $sub + 1, (s.mi + 1) * $sub)",
+                               s"list_slice(cent.ce, s.mi * $sub + 1, (s.mi + 1) * $sub)")}) AS cn
+       |  FROM v CROSS JOIN sub s CROSS JOIN cent
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, mi, ck AS code FROM (
+       |    SELECT vec_id, mi, ck,
+       |           row_number() OVER (PARTITION BY vec_id, mi
+       |                              ORDER BY d / cn DESC, ck ASC) AS rk
+       |    FROM parts) WHERE rk = 1
+       |), scored AS (
+       |  -- ADC: query-side raw dots looked up at the candidate's codes,
+       |  -- summed in ascending-mi fold order (mirrors the Spark + chain)
+       |  SELECT q.vec_id AS query_id, c.neighbor_id,
+       |         list_reduce(list(q.d ORDER BY q.mi), (x, y) -> x + y) AS approx_dot
+       |  FROM parts q
+       |  JOIN codes c ON c.mi = q.mi AND c.code = q.ck
+       |  WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id
+       |  GROUP BY q.vec_id, c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, approx_dot,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY approx_dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, approx_dot, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full DuckDB replay of q36 (embedding near-dup): bucket self-join →
     * cosine verify at 0.4, mirroring Similarity.nearDupPairs. */
   private def embedNeardupSql: String =
@@ -391,6 +445,7 @@ object TrainingOracle {
     "q35_ann_lsh"          -> annLshSql,
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
+    "q76_pq_ann"           -> pqAnnSql(),
 
     // q64: the quantile-sketch build+merge accuracy contract (q63 pattern)
     // — booleans pinned TRUE, exact rank bounds recomputed by DuckDB.

@@ -113,6 +113,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("PQ ANN: compressed-domain scoring is deterministic and finds plausible neighbors") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def ranked(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val pq = ranked(Similarity.pqTopK(embeddings, queries, k = 10))
+    assert(pq == ranked(Similarity.pqTopK(embeddings, queries, k = 10)),
+      "code-domain ranking must be bit-stable")
+    assert(pq.values.forall(_.length == 10))
+    // 16-centroid seeded codebooks are coarse; still, the compressed-domain
+    // ranking must beat random ordering against the float top-10 by a wide
+    // margin (random overlap at corpus size ~2000 is ~0.005)
+    val fTop = ranked(Similarity.bruteForceTopK(embeddings, queries, k = 10))
+    val recall = fTop.keys.toSeq.map(q => pq(q).toSet.intersect(fTop(q).toSet).size.toDouble / 10.0)
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.1, s"mean top-10 overlap $mean is no better than chance (per-query: $recall)")
+  }
+
   test("near-dup pairs finds a planted duplicate vector at cosine 1") {
     val planted = embeddings.unionByName(
       embeddings.filter(col("vec_id") === 7).withColumn("vec_id", lit(100007L)))
