@@ -34,6 +34,7 @@ object Catalog {
     "q56_date_spine"     -> rel(Relational.q56DateSpine),
     "q57_string_agg"     -> rel(Relational.q57StringAgg),
     "q72_window_frames"  -> rel(Relational.q72WindowFrames),
+    "q77_cube"           -> rel(Relational.q77Cube),
     "q73_lateral_explode" -> rel(Relational.q73LateralExplode)
   )
 

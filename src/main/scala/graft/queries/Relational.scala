@@ -182,6 +182,19 @@ object Relational {
            count(lit(1)).as("n_items"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** A26: CUBE — all grouping-set combinations (rollup's big sibling;
+    * Spark plans one Expand + one aggregation, same as rollup). The
+    * grouping_id column disambiguates real NULL keys from subtotal rows —
+    * without it, a NULL-keyed data row and its subtotal hash-collide. */
+  def q77Cube(t: Tables): DataFrame =
+    t.orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(money(sum(dec(col("o_totalprice")))).as("total"),
+           count(lit(1)).as("n_orders"),
+           grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** A17: CTE pipeline — monthly revenue, then month-over-month growth. */
   def q17Cte(t: Tables): DataFrame = {
     val monthly = t.orders
