@@ -201,7 +201,9 @@ object Dedup {
     val sig = portableSignatures(newDocs, textCol, idCol, numPerm)
     val newBands = portableBands(sig, numPerm, bands)
     // skew guard on the INDEX side: a band bucket holding > bucketCap
-    // corpus docs is a degenerate shingle pattern, not a dup cluster
+    // corpus docs is a degenerate shingle pattern, not a dup cluster.
+    // (At scale, precompute this per-bucket count INTO the persisted
+    // index so the probe pays no window pass over it.)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
     val capped = indexBands.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= bucketCap).drop("__n")
@@ -274,8 +276,9 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("node")).distinct()
+    var checkpointed = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(eager = true)
+    var labels = checkpointed
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -287,10 +290,17 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
         .localCheckpoint(eager = true)
       changed = updated.filter(col("next") < col("label")).count()
+      // the new checkpoint is materialized — free the superseded round's
+      // blocks NOW (leaking one snapshot per round starves executor
+      // storage over long iterations; the final result only depends on
+      // the last checkpoint)
+      checkpointed.unpersist(blocking = false)
+      checkpointed = updated
       labels = updated.select(col("node"), col("next").as("label"))
       iter += 1
     }
     require(changed == 0, s"cluster resolution did not converge in $maxIter rounds")
+    edges.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -357,7 +357,15 @@ object EventStreams {
     * its marker and skips — same discipline as [[sketchMaintenance]].
     * Within-batch duplicates are not this operator's job (run the batch
     * self-dedup inside the batch if needed); ACROSS batches every dup is
-    * caught no matter how far apart the batches are. */
+    * caught no matter how far apart the batches are.
+    *
+    * Operational note: the index accumulates one slice per batch; slices
+    * are plain parquet, so a periodic batch job compacts them (read
+    * recursive, rewrite as one slice, drop the old dirs) and, at scale,
+    * rewrites bucketed by band_key so probe joins stop shuffling the
+    * index side. Probe cost reads the whole index — that is the C27
+    * contract (bands + sets are a few percent of corpus bytes), not a
+    * corpus re-scan. */
   def dedupIngest(docs: DataFrame, indexRoot: String, matchesDir: String,
                   checkpointDir: String, threshold: Double = 0.7): Unit = {
     val q = docs.writeStream

@@ -51,6 +51,27 @@ object ScaleProbe {
       run("reservoir", k)(
         Sampling.reservoirPerStratum(orders, "o_orderstatus", "o_orderkey", k = 100).count())
     }
+    for (k <- Seq(1, 4, 16)) {
+      // dup-saturated worst case: every amplification copy is a near-dup
+      // of the original, so clusters grow k-wide and pairs ~k^2-fold —
+      // the probe shows the ITERATION count stays flat (diameter-bound)
+      val docs = amplify(t.documents, "doc_id", k)
+      run("cluster_resolve", k) {
+        Dedup.resolveClusters(
+          Dedup.minhashPairsPortable(docs, bucketCap = 1000)).count()
+      }
+      run("incremental_probe", k) {
+        val newDocs = docs.filter(col("doc_id") % 10 === 0)
+        val (b, s) = Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 0))
+        Dedup.incrementalNearDup(newDocs, b, s).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      run("pq_encode+topk", k) {
+        graft.operators.Similarity.pqTopK(emb, t.embeddings.filter(col("vec_id") < 10), k = 10).count()
+      }
+    }
     spark.stop()
   }
 }
