@@ -85,9 +85,19 @@ object ProjectLoader {
       }
 
       registerDatasource(spark, md.datasource)
+      // a declared row schema (DDL in the model config) generates the
+      // validation rules — B20's SchemaValidation, project-wired: the
+      // declaration drives the valid/invalid split and error threshold
+      val validations = md.config.get("schema").map(ddl =>
+        graft.model.SchemaValidation.rules(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))).getOrElse(Nil)
       val model = Model.fromSql(md.id, md.sql, keyCols = md.keys, cursorCol = md.cursor, env = env)
+        .copy(validations = validations)
       val runner = new SyncRunner(store)
-      val checkpointEvery = sync.options.get("checkpointEvery").collect { case n: Long => n }
+      val checkpointEvery = sync.options.get("checkpointEvery").collect {
+        case n: Long => n
+        case s: String => s.toLong // quoted yaml numbers count too
+      }
       runner.run(spark, model, syncId,
         sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
         fullRefresh = fullRefresh,

@@ -107,6 +107,33 @@ class ProjectSpec extends SparkSuite {
     assert(proj.syncs("orders_to_fb").options("checkpointEvery") == 400L)
   }
 
+  test("model schema directive generates validation rules that gate the sync") {
+    val dir = makeProject()
+    // "1-URGENT" etc. never try_casts to INT → every row fails the
+    // generated _type rule → the 20%/100-row threshold trips
+    write(dir, "models/bad_schema.sql",
+      s"""--{{ config "datasource" env.WAREHOUSE }}
+         |--{{ config "schema" "o_orderpriority INT" }}
+         |SELECT o_orderkey, o_orderpriority FROM orders
+         |""".stripMargin)
+    write(dir, "syncs/bad.yaml", "model: bad_schema\ndestination: fb\n")
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val e = intercept[IllegalStateException](
+      proj.runSync(spark, "bad", StateStore.inMemory(), new Recorder))
+    assert(e.getMessage.contains("error threshold"))
+
+    // a truthful schema sails through with every row valid
+    write(dir, "models/good_schema.sql",
+      s"""--{{ config "datasource" env.WAREHOUSE }}
+         |--{{ config "schema" "o_orderkey BIGINT, o_totalprice DOUBLE" }}
+         |SELECT o_orderkey, o_totalprice FROM orders
+         |""".stripMargin)
+    write(dir, "syncs/good.yaml", "model: good_schema\ndestination: fb\n")
+    val proj2 = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val r = proj2.runSync(spark, "good", StateStore.inMemory(), new Recorder)
+    assert(r.rowsIn > 0 && r.rowsInvalid == 0)
+  }
+
   test("enrichment channels: sync-declared connections expand rows via registered providers") {
     val dir = makeProject()
     write(dir, "connections/prio_tags.yaml",
