@@ -58,6 +58,41 @@ object Sampling {
     df.filter(bucket10k(col(idCol)) < threshold)
   }
 
+  /** C29: DOMAIN-MIXTURE resampling — the data-mixing step of a training
+    * pipeline: given RELATIVE integer weights per source (unlisted
+    * sources weigh `defaultWeight`), compute the largest mixture
+    * achievable by pure downsampling (T = min over sources of
+    * n_s / d_s with d_s = w_s / Σw — never upsamples), derive each
+    * source's sampling fraction f_s = d_s·T / n_s, and keep rows by the
+    * stable hash bucket (granularity 1/10000).
+    *
+    * Everything stays IN-PLAN: per-source counts are a tiny aggregate,
+    * joined back via two 1-row broadcasts (the q43 scalar pattern) — no
+    * driver collect, so the same code runs over 10^12 rows. Integer
+    * weights keep Σw exact; every double op is a fixed-order division/
+    * multiply of exact operands, so the q78 oracle replays fractions and
+    * membership bit-for-bit. */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, ww)) =>
+      when(col(sourceCol) === s, lit(ww)).otherwise(acc)
+    }.cast("long")
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("__n")).withColumn("__w", w)
+    val sumw = counts.agg(sum(col("__w")).as("__sumw"))
+    val withShare = counts.crossJoin(broadcast(sumw))
+      .withColumn("__d", col("__w").cast("double") / col("__sumw").cast("double"))
+    val cap = withShare.agg(min(col("__n").cast("double") / col("__d")).as("__cap"))
+    val thresholds = withShare.crossJoin(broadcast(cap))
+      .withColumn("__thr", floor(col("__d") * col("__cap") / col("__n").cast("double")
+        * lit(10000.0) + lit(0.5)).cast("long"))
+      .select(col(sourceCol), col("__thr"))
+    df.join(broadcast(thresholds), sourceCol)
+      .filter(bucket10k(col(idCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** C22: deterministic fixed-size sample per stratum ("reservoir" shape):
     * the k rows with the smallest stable rank hash in each stratum — a
     * uniform-without-replacement sample that is reproducible across

@@ -83,6 +83,7 @@ object Catalog {
     "q70_contamination"     -> rel(TrainingData.q70Contamination),
     "q74_dedup_clusters"    -> rel(TrainingData.q74DedupClusters),
     "q75_incremental_neardup" -> rel(TrainingData.q75IncrementalNeardup),
+    "q78_mixture_sample"    -> rel(TrainingData.q78MixtureSample),
     "q71_repetition"        -> rel(TrainingData.q71Repetition),
     "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
     "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample)

@@ -39,6 +39,15 @@ object TrainingData {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** C29: domain-mixture resampling — up-weight two sources, downsample
+    * the rest to the largest mixture reachable without upsampling; the
+    * oracle replays counts → shares → cap → thresholds → membership. */
+  def q78MixtureSample(t: Tables): DataFrame =
+    Sampling.mixtureSample(t.documents, "source", "doc_id",
+        Map("src0" -> 4, "src1" -> 2))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** C26: near-dup clusters — connected components over the q33 pair set,
     * canonical member = min doc id; the oracle recomputes the closure with
     * a recursive CTE. */

@@ -688,6 +688,31 @@ object TrainingOracle {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // C29: replay of the mixture resampler — integer weights keep the sum
+    // exact; every double op mirrors the Spark formula order exactly.
+    "q78_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS BIGINT) AS w
+        |  FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM c
+        |), d AS (
+        |  SELECT source, n, CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE) AS ds FROM c, t
+        |), m AS (
+        |  SELECT MIN(CAST(n AS DOUBLE) / ds) AS cap FROM d
+        |), f AS (
+        |  SELECT source,
+        |         CAST(floor(ds * cap / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS thr
+        |  FROM d, m
+        |), s AS (
+        |  SELECT doc_id, source,
+        |         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |  FROM documents
+        |)
+        |SELECT s.doc_id, s.source FROM s JOIN f USING (source)
+        |WHERE s.bk < f.thr ORDER BY s.doc_id""".stripMargin,
+
     // C20: under-capacity the frequent-items sketch is exact, so the full
     // rollup read-out must equal exact GROUP BY counts item for item —
     // this pins build, merge, and estimate end-to-end.

@@ -63,4 +63,23 @@ class SamplingSpec extends SparkSuite {
       assert(counts(st) == math.min(k.toLong, n), s"$st: ${counts(st)} of expected ${math.min(k.toLong, n)}")
     }
   }
+  test("mixtureSample: hits target shares by downsampling only, deterministically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val weights = Map("src0" -> 4, "src1" -> 2)
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val before = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // never upsamples
+    got.foreach { case (src, n) => assert(n <= before(src), s"$src upsampled: $n > ${before(src)}") }
+    // the max-weight source keeps ~everything (it binds the cap), and the
+    // realized shares order like the weights: src0 > src1 > default
+    assert(got("src0") == before("src0"), "the binding source keeps all rows")
+    assert(got("src0") > got("src1") && got("src1") > got.getOrElse("src2", 0L),
+      s"shares must order like weights, got $got")
+    // determinism
+    val again = Sampling.mixtureSample(docs, "source", "doc_id", weights)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
+
 }
