@@ -295,7 +295,7 @@ object EventStreams {
             case None => fresh
           }
           merged.write.mode("overwrite").parquet(target)
-          writePointer(spark, stateRoot, target)
+          writePointer(spark, stateRoot, batchId, target)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -317,31 +317,52 @@ object EventStreams {
       case None => spark.emptyDataFrame
     }
 
-  private def pointerPath(stateRoot: String) = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest")
+  /** Pointer files are batchId-VERSIONED (`_latest_v<batchId>`) and each new
+    * version lands under a fresh name via tmp-write + rename, so there is
+    * never an instant with zero pointers on disk: a crash mid-publish leaves
+    * the previous version readable, and readers always take the highest
+    * version. (The old delete-then-rename of a single `_latest` file had a
+    * window where a crash left NO pointer and a replayed batch silently
+    * rebuilt state from only its own rows.) */
+  private val PointerName = """_latest_v(\d+)""".r
 
   private def readPointer(spark: SparkSession, stateRoot: String): Option[String] = {
-    val p = pointerPath(stateRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
+    val root = new org.apache.hadoop.fs.Path(stateRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case PointerName(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    versions.sortBy(-_._1).headOption.map { case (_, p) =>
       val in = fs.open(p)
       try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-        Some(bos.toString("UTF-8").trim)
+        bos.toString("UTF-8").trim
       } finally in.close()
     }
   }
 
-  private def writePointer(spark: SparkSession, stateRoot: String, target: String): Unit = {
-    val p = pointerPath(stateRoot)
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest.tmp")
+  private def writePointer(spark: SparkSession, stateRoot: String, batchId: Long,
+                           target: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest_v$batchId")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateRoot/_latest_v$batchId.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
     try out.write(target.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"could not publish sketch state pointer $p")
+    // Older pointer versions are now superseded; reclaim them best-effort
+    // (readers pick the max version, so a concurrent read stays correct).
+    fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot)).foreach { st =>
+      st.getPath.getName match {
+        case PointerName(v) if v.toLong < batchId => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
   }
 
   /** D13: continuous ingestion DEDUP — the streaming form of the C27
@@ -375,14 +396,23 @@ object EventStreams {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(s"$indexRoot/_done_v$batchId")
         if (!fs.exists(marker)) {
-          val bandsRoot = new org.apache.hadoop.fs.Path(s"$indexRoot/bands")
-          val haveIndex = fs.exists(bandsRoot) && fs.listStatus(bandsRoot).nonEmpty
-          if (haveIndex) {
-            // index slices live under batchId-versioned subdirs
-            val idxBands = spark.read.option("recursiveFileLookup", "true")
-              .parquet(s"$indexRoot/bands")
-            val idxSets = spark.read.option("recursiveFileLookup", "true")
-              .parquet(s"$indexRoot/sets")
+          // Index slices live under batchId-versioned subdirs. A replayed
+          // batch (crash after its slices were written but before the done
+          // marker) must NOT probe its own v<batchId> slice — it holds this
+          // batch's documents, and probing it would emit every within-batch
+          // near-dup pair as a spurious cross-batch match. List the slice
+          // dirs explicitly and exclude the current version.
+          def priorSlices(sub: String): Seq[String] = {
+            val root = new org.apache.hadoop.fs.Path(s"$indexRoot/$sub")
+            if (!fs.exists(root)) Seq.empty
+            else fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName != s"v$batchId")
+              .map(_.getPath.toString)
+          }
+          val bandDirs = priorSlices("bands")
+          if (bandDirs.nonEmpty) {
+            val idxBands = spark.read.parquet(bandDirs: _*)
+            val idxSets = spark.read.parquet(priorSlices("sets"): _*)
             graft.operators.Dedup
               .incrementalNearDup(batch.toDF(), idxBands, idxSets, threshold = threshold)
               .write.mode("overwrite").parquet(s"$matchesDir/v$batchId")

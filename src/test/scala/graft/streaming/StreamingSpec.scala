@@ -291,6 +291,69 @@ class StreamingSpec extends SparkSuite {
     assert(readMatches() == Set((10L, 1L)))
   }
 
+  test("D13 crash-replay: a batch whose slices landed but whose done-marker didn't " +
+       "does not probe its own slice (no spurious within-batch matches)") {
+    val in = Files.createTempDirectory("graft-ingest2-in").toString
+    val idx = Files.createTempDirectory("graft-ingest2-idx").toString
+    val matches = Files.createTempDirectory("graft-ingest2-matches").toString
+    val ckpt = Files.createTempDirectory("graft-ingest2-ckpt").toString
+    def runOnce(): Unit = EventStreams.dedupIngest(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in), idx, matches, ckpt)
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, base), (2L, "totally different words one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    runOnce() // batchId 0 seeds the index
+
+    // batch 2 (batchId 1) holds TWO docs that are near-dups of EACH OTHER
+    // plus one near-copy of corpus doc 1. Simulate a crash that wrote the
+    // batch's index slices but died before the done-marker: pre-write
+    // bands/v1 + sets/v1 from the same rows, no _done_v1.
+    val batch2 = Seq(
+      (10L, base + " lambda"),
+      (20L, "shared sentence repeated across the pair exactly once more"),
+      (21L, "shared sentence repeated across the pair exactly once less"))
+      .toDF("doc_id", "text")
+    val (b2bands, b2sets) = graft.operators.Dedup.bandIndex(batch2)
+    b2bands.write.mode("overwrite").parquet(s"$idx/bands/v1")
+    b2sets.write.mode("overwrite").parquet(s"$idx/sets/v1")
+
+    batch2.coalesce(1).write.mode("append").parquet(in)
+    runOnce() // replayed batchId 1: must ignore its own v1 slice when probing
+
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(matches)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)),
+      s"only the cross-batch near-dup may match — within-batch pairs (20,21) " +
+      s"must not leak in via the batch's own crashed slice; got $got")
+  }
+
+  test("D12 crash-publish: a partial pointer tmp file never hides the previous version") {
+    val in = Files.createTempDirectory("graft-sketch2-in").toString
+    val state = Files.createTempDirectory("graft-sketch2-state").toString
+    val ckpt = Files.createTempDirectory("graft-sketch2-ckpt").toString
+    def runOnce(): Unit = EventStreams.sketchMaintenance(
+      EventStreams.readEvents(spark, in), "event_type", "user_id", state, ckpt)
+
+    Seq((1L, ts(0.0), 1L, "view", 0.0), (2L, ts(1.0), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    // exactly one published pointer; superseded versions are reclaimed
+    val ptrs = new java.io.File(state).listFiles.map(_.getName)
+      .filter(n => n.startsWith("_latest_v") && !n.endsWith(".tmp"))
+    assert(ptrs.length == 1, s"got ${ptrs.toSeq}")
+
+    // simulate a crash mid-publish of a later batch: a stray tmp file and
+    // no new versioned pointer — readers must still see the old state
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(state, "_latest_v7.tmp"), "garbage".getBytes)
+    val est = EventStreams.sketchEstimates(spark, state, k = 10)
+      .select("event_type", "approx_distinct").as[(String, Long)].collect().toMap
+    assert(est == Map("view" -> 2L), s"got $est")
+  }
+
   test("D11: stream-stream attribution join equals the batch join") {
     val rows = Seq(
       (1L, ts(0.0), 1L, "view", 0.0),      // impression
