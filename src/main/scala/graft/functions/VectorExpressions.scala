@@ -112,6 +112,10 @@ case class CentroidScores(child: Expression,
     extends UnaryExpression {
 
   require(cents.length == norms.length, "one norm per centroid")
+  require(norms.forall(_ > 0),
+    "centroid norms must be > 0: a zero-norm centroid has no direction and its " +
+    "0/0 = NaN score would diverge between the kernel, Spark's NaN ordering, and " +
+    "the DuckDB oracle — exclude degenerate centroids before building the matrix")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -257,13 +261,21 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
 /** Argmax cell over the same scores: ascending scan with strict `>`, so
   * exact ties keep the SMALLEST cell id — identical to the oracle's
   * `row_number() OVER (ORDER BY score DESC, cell ASC) = 1`. Returns -1
-  * only for an empty matrix (or all-NaN scores), mirroring the old
-  * when-chain's `otherwise(-1)`. */
+  * only for an empty matrix, mirroring the old when-chain's
+  * `otherwise(-1)`. Zero-norm centroids are rejected at construction:
+  * their 0/0 = NaN score is skipped by the strict `>` here but ranked
+  * FIRST by DuckDB's `ORDER BY score DESC` (and equal-greatest by
+  * Spark's `greatest`), so allowing them would silently diverge from
+  * both the composed form and the oracle. */
 case class BestCentroid(child: Expression,
                         cents: Array[Array[Double]], norms: Array[Double])
     extends UnaryExpression {
 
   require(cents.length == norms.length, "one norm per centroid")
+  require(norms.forall(_ > 0),
+    "centroid norms must be > 0: a zero-norm centroid scores 0/0 = NaN, which this " +
+    "kernel's strict `>` skips while the DuckDB oracle's ORDER BY DESC ranks first — " +
+    "exclude degenerate centroids before building the matrix")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess

@@ -87,10 +87,16 @@ object Sampling {
     val thresholds = withShare.crossJoin(broadcast(cap))
       .withColumn("__thr", floor(col("__d") * col("__cap") / col("__n").cast("double")
         * lit(10000.0) + lit(0.5)).cast("long"))
-      .select(col(sourceCol), col("__thr"))
-    df.join(broadcast(thresholds), sourceCol)
+      .select(col(sourceCol).as("__src"), col("__thr"))
+    // Null-safe equality: a NULL source is a legitimate stratum — the counts
+    // aggregate above already gave it `defaultWeight`, so a plain equi-join
+    // (never matching NULL) would silently drop those rows from the output
+    // while still letting them shrink every other source's cap. `<=>` keeps
+    // the accounting consistent: NULL-source rows are sampled at their
+    // threshold like any other stratum.
+    df.join(broadcast(thresholds), col(sourceCol) <=> col("__src"))
       .filter(bucket10k(col(idCol)) < col("__thr"))
-      .drop("__thr")
+      .drop("__src", "__thr")
   }
 
   /** C22: deterministic fixed-size sample per stratum ("reservoir" shape):

@@ -76,9 +76,15 @@ object Yaml {
       val item = line.trim.drop(1).trim
       lines = lines.tail
       if (item.isEmpty) { // "-" then nested block
-        val (v, remaining) = parseBlock(lines, indentOf(lines.head._1))
-        out += v
-        lines = remaining
+        // A bare dash with no deeper-indented continuation (end of input, or
+        // the next line belongs to a shallower block) is an EMPTY list item —
+        // emit null rather than dereferencing a line that isn't ours.
+        if (lines.isEmpty || indentOf(lines.head._1) <= indent) out += null
+        else {
+          val (v, remaining) = parseBlock(lines, indentOf(lines.head._1))
+          out += v
+          lines = remaining
+        }
       } else if (item.contains(": ") || item.endsWith(":")) {
         // list item that is a map: re-parse the dash line as the first key
         // at a virtual indent two deeper, followed by the deeper lines

@@ -710,7 +710,8 @@ object TrainingOracle {
         |         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
         |  FROM documents
         |)
-        |SELECT s.doc_id, s.source FROM s JOIN f USING (source)
+        |SELECT s.doc_id, s.source FROM s
+        |JOIN f ON s.source IS NOT DISTINCT FROM f.source
         |WHERE s.bk < f.thr ORDER BY s.doc_id""".stripMargin,
 
     // C20: under-capacity the frequent-items sketch is exact, so the full

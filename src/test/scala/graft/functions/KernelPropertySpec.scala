@@ -129,6 +129,19 @@ class KernelPropertySpec extends SparkSuite {
     assert(bad == 0, "kernel must equal the composed literal-dot form bit-for-bit")
   }
 
+  test("centroid kernels reject zero-norm centroids at construction") {
+    // a zero centroid scores 0/0 = NaN: the kernel's strict `>` would skip it
+    // while DuckDB's ORDER BY DESC ranks NaN first — fail fast instead
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 0.0))
+    val norms = Array(1.0, 0.0)
+    val e1 = intercept[IllegalArgumentException](
+      VectorFunctions.bestCentroid(col("v"), cents, norms))
+    assert(e1.getMessage.contains("zero-norm"))
+    val e2 = intercept[IllegalArgumentException](
+      VectorFunctions.centroidScores(col("v"), cents, norms))
+    assert(e2.getMessage.contains("zero-norm"))
+  }
+
   test("property: QuantizeI8 == the driver-side quantization formula") {
     val vecGen = Gen.listOfN(12, Gen.chooseNum(-100f, 100f))
     val vecs = (0 until 80).flatMap(i => vecGen(Gen.Parameters.default, Seed(500L + i)))

@@ -82,4 +82,25 @@ class SamplingSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("mixtureSample: NULL-source rows form a stratum at defaultWeight, not a silent drop") {
+    // two named sources plus rows whose source is NULL; the NULL stratum
+    // must be sampled at defaultWeight like any unlisted source — before the
+    // null-safe join those rows shrank every cap but vanished from the output
+    val docs = (1L to 300L).map { i =>
+      val src = (i % 3) match { case 0 => null; case 1 => "a"; case 2 => "b" }
+      (i, src)
+    }.toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(docs, "source", "doc_id", Map("a" -> 2, "b" -> 2))
+    val got = out.groupBy("source").count()
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got.contains(None), s"NULL-source stratum missing from output: $got")
+    // weights 2:2:1 over equal-size strata: NULL keeps ~half of what a or b keep
+    val nullKept = got(None).toDouble
+    val namedKept = (got(Some("a")) + got(Some("b"))).toDouble / 2
+    assert(nullKept <= namedKept, s"NULL stratum over-sampled: $got")
+    assert(nullKept > namedKept * 0.25, s"NULL stratum under-sampled: $got")
+    // and accounting is closed: every output row existed in the input
+    assert(out.count() == out.join(docs, Seq("doc_id"), "left_semi").count())
+  }
+
 }

@@ -82,6 +82,16 @@ class ProjectSpec extends SparkSuite {
     assert(y("maps") == List(Map("k" -> "v1"), Map("k" -> "v2")))
   }
 
+  test("yaml subset: a trailing bare dash is an empty list item, not a crash") {
+    // end of input after the dash
+    val y1 = Yaml.parse("list:\n  - x\n  -\n")
+    assert(y1("list") == List("x", null))
+    // dash followed only by a SHALLOWER-indented sibling: the sibling must
+    // not be swallowed as the list item's nested block
+    val y2 = Yaml.parse("outer:\n  list:\n    - x\n    -\n  after: 7\n")
+    assert(y2("outer") == Map("list" -> List("x", null), "after" -> 7L))
+  }
+
   test("env layering and substitution: .env.local wins; bad placeholders fail loudly") {
     val dir = makeProject()
     val env = EnvVars.projectEnv(dir, Nil, base = Map("WAREHOUSE" -> s"parquet:$sfDir"))
