@@ -98,10 +98,57 @@ case class NgramHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/**
+ * Unicode NFC normalization as a native codegen'd expression (Spark has no
+ * built-in normalizer, and a Scala UDF would break the suite-wide no-UDF
+ * contract AND leave whole-stage codegen). Composition normalization is
+ * the standard first step of text canonicalization before dedup: "é" as
+ * one codepoint and "e"+U+0301 must hash identically or exact/near-dup
+ * both miss trivially-equal documents.
+ *
+ * `java.text.Normalizer` implements Unicode Standard Annex #15 — the same
+ * spec DuckDB's `nfc_normalize` implements, so the canonical form is
+ * cross-engine replayable. ASCII-only strings pass through unchanged
+ * (Normalizer.isNormalized fast-path inside the JDK).
+ */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got $other")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($v.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native text expressions. */
 object TextFunctions {
   /** Codegen'd word n-gram shingle hashes of a token-array column
     * (with duplicates; wrap in `array_distinct` for set semantics). */
   def ngramHashes(tokens: Column, n: Int): Column =
     bridge.column(NgramHashes(bridge.expression(tokens), n))
+
+  /** Codegen'd Unicode NFC normalization (UAX #15; DuckDB nfc_normalize). */
+  def normalizeNfc(text: Column): Column =
+    bridge.column(NormalizeNfc(bridge.expression(text)))
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps.tokens
+
+/**
+ * §2C context-window preparation — the two operators that turn a cleaned
+ * corpus into model-ready sequences:
+ *
+ *  - [[chunkByTokens]]: split each document into overlapping fixed-token
+ *    windows (retrieval / embedding indexing shape);
+ *  - [[packContextWindows]]: concatenate documents in stable id order and
+ *    cut the stream into fixed token budgets (pretraining packing shape).
+ *
+ * Both are deterministic integer arithmetic end to end, so the DuckDB
+ * oracle replays every assignment exactly.
+ */
+object Chunking {
+
+  /** C32: overlapping token-window chunking. Each document with n tokens
+    * yields `1 + max(0, ceil((n - window) / stride))` chunks at starts
+    * 0, stride, 2·stride, …— the closed-form count, so there is NO
+    * filter-HOF pruning of a generated start list (higher-order
+    * functions are interpreted; this stays whole-stage codegen'd. The
+    * formula also never emits a tail chunk the previous window already
+    * covered.) Chunks keep (doc_id, chunk_idx, n_tokens, chunk_hash):
+    * the hash stands in for chunk text so the result stays narrow;
+    * callers wanting the text select `chunk_text` before the drop.
+    *
+    * Scale: explode fan-out is ~n/stride per doc — output-proportional,
+    * the right asymptote; no shuffle until whatever follows. */
+  def chunkByTokens(docs: DataFrame, window: Int, stride: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window (stride > window would drop tokens)")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // closed-form chunk count: ceil((n - window)/stride) + 1 for n > window
+      .withColumn("__nc",
+        when(col("__n") <= window, lit(1L))
+          .otherwise(ceil((col("__n") - lit(window)).cast("double") / lit(stride))
+            .cast("long") + lit(1L)))
+    base
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), (col("__nc") - 1) * lit(stride), lit(stride.toLong)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start").cast("int") + 1, lit(window)))
+          .as("chunk_text"),
+        least(col("__n") - col("__start"), lit(window.toLong)).as("n_tokens"))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+  }
+
+  /** C33: pretraining sequence packing — documents are concatenated in
+    * stable ascending-id order into one token stream, and the stream is
+    * cut into fixed `budget`-token context windows. Each document learns
+    * the window its FIRST token falls into and its offset inside that
+    * window (a doc may straddle windows; the assignment is where it
+    * starts, which is all the writer needs to lay the stream out).
+    *
+    * Scale: this is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy(id)` computes on ONE task. Here it is the classic
+    * two-level distributed scan, exactly equal to the global form:
+    *   1. local cumulative sums within `blockSize`-wide id blocks
+    *      (window partitioned by block — parallel);
+    *   2. per-block totals, cumulated across blocks (tiny: #blocks =
+    *      idRange/blockSize rows — the ONLY single-task step, on KBs);
+    *   3. broadcast block offsets back; global prefix = offset + local.
+    * At 10^12 docs with blockSize 10^6 the block table is 10^6 rows —
+    * still driver-light; recurse the same trick if it ever isn't. */
+  def packContextWindows(docs: DataFrame, budget: Long, blockSize: Long = 4096L,
+                         idCol: String = "doc_id", tokCountCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 1 && blockSize >= 1)
+    val base = docs.select(col(idCol), col(tokCountCol).cast("long").as("__tok"))
+      .withColumn("__blk", expr(s"$idCol div $blockSize"))
+    val wLocal = Window.partitionBy("__blk").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__cum_local", sum(col("__tok")).over(wLocal))
+    // block totals, then exclusive running offset across blocks (tiny set)
+    val wBlocks = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("__blk").agg(sum(col("__tok")).as("__blk_tot"))
+      .withColumn("__off", sum(col("__blk_tot")).over(wBlocks) - col("__blk_tot"))
+      .select("__blk", "__off")
+    local.join(broadcast(offsets), "__blk")
+      .withColumn("__prefix", col("__off") + col("__cum_local") - col("__tok"))
+      .select(col(idCol), col("__tok").as("n_tokens"),
+        expr("__prefix div " + budget).as("window_id"),
+        (col("__prefix") % budget).as("window_offset"))
+  }
+}

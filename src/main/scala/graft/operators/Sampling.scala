@@ -131,4 +131,20 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("__h", "__lane", "__rn1")
   }
+
+  /** C34: GROUP FREQUENCY CAP — "at most `cap` documents per domain/
+    * source", the corpus-balancing guard against a handful of spammy
+    * domains dominating the training mix. Selection is the deterministic
+    * smallest-`cap` stable rank hashes per group, so the kept set is
+    * uniform within each over-cap group, reproducible across reruns and
+    * engines, and groups at-or-under cap pass through untouched.
+    *
+    * Mechanically this IS [[reservoirPerStratum]] (same salted two-phase
+    * top-k — no group ever funnels through a single window task); the cap
+    * is the sampling semantics turned inside out: n_s <= cap keeps
+    * everything, n_s > cap keeps exactly cap. Kept deliberately as a
+    * named operator so pipelines read as policy ("cap per domain"), and
+    * so the output drops the rank column samplers want but caps don't. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame =
+    reservoirPerStratum(df, groupCol, idCol, cap).drop("sample_rank")
 }

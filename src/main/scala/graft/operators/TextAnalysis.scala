@@ -161,4 +161,58 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"))
   }
+
+  /** C30: canonical text form — Unicode NFC (native codegen'd
+    * [[graft.functions.NormalizeNfc]] kernel) → lowercase → collapse runs
+    * of whitespace to one space → trim. The standard pre-dedup
+    * normalization: "É́"-style composition variants, case variants
+    * and whitespace variants of the same document must hash identically
+    * or every dedup stage (exact AND near) silently misses them. Each
+    * step is cross-engine portable (DuckDB: nfc_normalize / lower /
+    * regexp_replace 'g' / trim), so the oracle replays the canonical
+    * form byte-for-byte. Pure per-row string ops: scan speed, no shuffle. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(graft.functions.TextFunctions.normalizeNfc(text)),
+      "\\s+", " "))
+
+  /** C30: exact dedup ON the canonical form — emits the full doc →
+    * canonical-doc mapping (every row, so downstream joins can rewrite
+    * references), where canonical = min id among docs sharing a canonical
+    * hash. ONE shuffle on the (high-cardinality) canonical hash; the
+    * min-id resolution is a window over those hash partitions, never a
+    * second scan or self-join. */
+  def canonicalDedup(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))
+    docs.select(col(idCol), md5(canonicalize(col(textCol))).as("__ch"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col(idCol), col("canonical_id"), col("n_copies"),
+        col("__ch").as("canonical_hash"))
+  }
+
+  /** C31: corpus-adaptive RARITY score — an LM-free quality proxy:
+    * documents dominated by corpus-rare tokens are disproportionately
+    * boilerplate/gibberish/ID-soup, and "mean inverse document-token
+    * frequency" is the classical signal for it. Per-token rarity is the
+    * INTEGER quotient `scale div count(token)` (frequent tokens → 0-ish,
+    * hapaxes → scale), summed per document — all integer arithmetic, so
+    * unlike a log-probability surprisal the score is bit-identical on any
+    * engine and associative across partitions (no float-order hazard).
+    *
+    * Scale: one explode + one count agg over the vocabulary (Zipf-small
+    * vs the corpus) + one equi-join token→count. The vocab side of the
+    * join is the aggregate, which AQE will broadcast when it fits; the
+    * heavy-hitter skew of natural language lands on the *small* join key
+    * side (counts), not on replicated rows. */
+  def rarityScore(docs: DataFrame, scale: Long = 1000000000L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(expr(s"$scale div __cnt")).as("rarity_sum"))
+      .withColumn("rarity_avg", expr("rarity_sum div n_tokens"))
+  }
 }

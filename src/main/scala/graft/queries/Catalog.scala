@@ -35,7 +35,9 @@ object Catalog {
     "q57_string_agg"     -> rel(Relational.q57StringAgg),
     "q72_window_frames"  -> rel(Relational.q72WindowFrames),
     "q77_cube"           -> rel(Relational.q77Cube),
-    "q73_lateral_explode" -> rel(Relational.q73LateralExplode)
+    "q73_lateral_explode" -> rel(Relational.q73LateralExplode),
+    "q79_full_outer"     -> rel(Relational.q79FullOuter),
+    "q80_gap_fill"       -> rel(Relational.q80GapFill)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(
@@ -86,7 +88,12 @@ object Catalog {
     "q78_mixture_sample"    -> rel(TrainingData.q78MixtureSample),
     "q71_repetition"        -> rel(TrainingData.q71Repetition),
     "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
-    "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample)
+    "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample),
+    "q81_domain_cap"        -> rel(TrainingData.q81DomainCap),
+    "q82_canonical_dedup"   -> rel(TrainingData.q82CanonicalDedup),
+    "q83_chunking"          -> rel(TrainingData.q83Chunking),
+    "q84_packing"           -> rel(TrainingData.q84Packing),
+    "q85_rarity"            -> rel(TrainingData.q85Rarity)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -352,4 +352,59 @@ object Relational {
       .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
       .orderBy("o_custkey")
   }
+
+  /** A27: FULL OUTER join — period-over-period comparison where entities
+    * can exist on either side only (customers active in 1997, 1998, or
+    * both). Joining with `Seq(key)` gives USING semantics: the key is
+    * coalesced, matching DuckDB's FULL JOIN ON + COALESCE replay.
+    *
+    * Scale: both inputs are aggregates ON the join key, so the full-outer
+    * join reuses the aggregation's hash partitioning — one shuffle per
+    * side, zero extra exchanges, and no broadcast (full outer can't
+    * broadcast: both sides must surface unmatched rows). */
+  def q79FullOuter(t: Tables): DataFrame = {
+    def rev(yr: Int) =
+      t.orders.filter(year(col("o_orderdate")) === yr)
+        .groupBy("o_custkey")
+        .agg(money(sum(dec(col("o_totalprice")))).as(s"rev_$yr"),
+             count(lit(1)).as(s"n_$yr"))
+    rev(1997).join(rev(1998), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("rev_1997"), lit(0.0)).as("rev_1997"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        coalesce(col("rev_1998"), lit(0.0)).as("rev_1998"),
+        coalesce(col("n_1998"), lit(0L)).as("n_1998"),
+        when(col("n_1997").isNotNull && col("n_1998").isNotNull, lit("both"))
+          .when(col("n_1997").isNotNull, lit("only_1997"))
+          .otherwise(lit("only_1998")).as("presence"))
+      .orderBy("o_custkey")
+  }
+
+  /** A28: LOCF gap-fill — densify a per-(series, day) aggregate onto a
+    * full day spine and forward-fill missing days with the last observed
+    * value (`last(_, ignoreNulls = true)` over an unbounded-preceding
+    * frame = IGNORE NULLS last_value). Days before a series' first
+    * observation stay NULL; `carried` marks filled rows.
+    *
+    * Scale: the window partitions by series over the SPINE (days ×
+    * series — bounded by calendar size, not data size), never over raw
+    * events; the raw scan only feeds a partial-aggregated groupBy. This
+    * is the pre-aggregate-then-window pattern q56/q17 use. */
+  def q80GapFill(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_type"),
+      expr("ts div 86400000000000").as("day"), col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(money(sum(dec(col("value")))).as("obs"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        last(col("obs"), ignoreNulls = true).over(w).as("value_filled"),
+        col("obs").isNull.as("carried"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -265,6 +265,48 @@ object RelationalOracle {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q79_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_1997,
+        |    COUNT(*) AS n_1997
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+        |), b AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_1998,
+        |    COUNT(*) AS n_1998
+        |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1
+        |)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(rev_1997, 0.0) AS rev_1997, COALESCE(n_1997, 0) AS n_1997,
+        |  COALESCE(rev_1998, 0.0) AS rev_1998, COALESCE(n_1998, 0) AS n_1998,
+        |  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
+        |       WHEN a.o_custkey IS NOT NULL THEN 'only_1997'
+        |       ELSE 'only_1998' END AS presence
+        |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q80_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value FROM events
+        |), daily AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS obs
+        |  FROM ev GROUP BY 1, 2
+        |), b AS (
+        |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily), b
+        |)
+        |SELECT s.event_type, s.day,
+        |  last_value(d.obs IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  d.obs IS NULL AS carried
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin
   )
 }

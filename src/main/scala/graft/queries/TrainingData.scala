@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Sampling, Similarity, Sketches, TextAnalysis, TextOps}
 
 /**
  * §2C — training-data pipeline queries over `documents` and `embeddings`.
@@ -47,6 +47,41 @@ object TrainingData {
         Map("src0" -> 4, "src1" -> 2))
       .select("doc_id", "source")
       .orderBy("doc_id")
+
+  /** C34: domain frequency cap — at most 20 docs per source, kept set =
+    * smallest-20 stable rank hashes (uniform, deterministic); the oracle
+    * replays the ranking one-phase. */
+  def q81DomainCap(t: Tables): DataFrame =
+    Sampling.capPerGroup(t.documents, "source", "doc_id", cap = 20)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** C30: canonical-form dedup — NFC + casefold + whitespace-collapse
+    * first, THEN hash; emits the full doc → canonical-doc mapping. */
+  def q82CanonicalDedup(t: Tables): DataFrame =
+    TextAnalysis.canonicalDedup(t.documents).orderBy("doc_id")
+
+  /** C32: overlapping token-window chunking (window 64, stride 48) —
+    * the retrieval/embedding-indexing shape; chunk text is carried as
+    * its md5 so the dump stays narrow and the oracle compares content. */
+  def q83Chunking(t: Tables): DataFrame =
+    Chunking.chunkByTokens(t.documents, window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** C33: pretraining sequence packing — concatenate docs in id order,
+    * cut into 2048-token context windows; two-level distributed prefix
+    * sum == the oracle's one global running sum. */
+  def q84Packing(t: Tables): DataFrame =
+    Chunking.packContextWindows(
+        t.documents.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        budget = 2048L, blockSize = 64L)
+      .orderBy("doc_id")
+
+  /** C31: corpus-adaptive rarity score — integer-exact inverse-frequency
+    * sum per doc; an LM-free "weird token soup" quality signal. */
+  def q85Rarity(t: Tables): DataFrame =
+    TextAnalysis.rarityScore(t.documents).orderBy("doc_id")
 
   /** C26: near-dup clusters — connected components over the q33 pair set,
     * canonical member = min doc id; the oracle recomputes the closure with

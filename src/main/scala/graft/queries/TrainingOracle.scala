@@ -744,6 +744,82 @@ object TrainingOracle {
         |  FROM h)
         |SELECT o_orderstatus, o_orderkey, CAST(rn AS BIGINT) AS sample_rank
         |FROM r WHERE rn <= 100
-        |ORDER BY o_orderstatus, sample_rank""".stripMargin
+        |ORDER BY o_orderstatus, sample_rank""".stripMargin,
+
+    // C34: domain cap — one-phase replay of the salted two-phase top-k
+    // (they are exactly equal; same argument as q68).
+    "q81_domain_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source FROM r WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    // C30: canonical-form dedup — DuckDB rebuilds the same canonical text
+    // (nfc_normalize == java.text.Normalizer NFC, both UAX #15).
+    "q82_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS canonical_hash
+        |  FROM documents)
+        |SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY canonical_hash) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY canonical_hash) AS n_copies,
+        |  canonical_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // C32: chunking — same closed-form chunk count, same slices, same md5.
+    "q83_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS nc
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, (nc - 1) * 48, 48)) AS start
+        |  FROM dd)
+        |SELECT doc_id, start // 48 AS chunk_idx,
+        |  LEAST(n - start, 64) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 64, n)), ' ')) AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // C33: packing — ONE global running sum is the spec; graft's two-level
+    // distributed scan must equal it exactly.
+    "q84_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS prefix
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  prefix // 2048 AS window_id,
+        |  prefix % 2048 AS window_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // C31: rarity — integer quotients and sums only, so exact on any engine.
+    "q85_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |s AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(1000000000 // cnt) AS BIGINT) AS rarity_sum
+        |  FROM toks JOIN v USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, rarity_sum,
+        |  rarity_sum // n_tokens AS rarity_avg
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -173,6 +173,45 @@ class PlanSpec extends SparkSuite {
     assert(windows.forall(_ >= 1), "no unpartitioned window anywhere")
   }
 
+  test("q79: full outer of two same-key aggregates — no broadcast, one co-partitioned join") {
+    val p = plan(Relational.q79FullOuter(t))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin"), "full outer must not broadcast (both sides keep unmatched rows)")
+  }
+
+  test("q80: the gap-fill window runs over the spine, partitioned by series") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Relational.q80GapFill(t).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"LOCF window must be partitioned (got arities $windows)")
+  }
+
+  test("q83: chunking is closed-form — no interpreted HOF anywhere in the plan") {
+    val p = plan(TrainingData.q83Chunking(t))
+    assert(!p.contains("lambdafunction"),
+      "chunk-start pruning must be the closed-form count, not a filter() HOF")
+    assert(p.contains("Generate"), "chunks must come from a generator (explode), not a join")
+  }
+
+  test("q84: packing's only unpartitioned window is the tiny block rollup") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = TrainingData.q84Packing(t).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    assert(windows.count(_ == 0) == 1,
+      s"exactly one unpartitioned window (the #blocks-row offset scan), got $windows")
+    assert(windows.count(_ >= 1) == 1,
+      s"the per-row cumulative sum must partition by block, got $windows")
+    val p = plan(TrainingData.q84Packing(t))
+    assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast back, never shuffle the docs")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C32/C33 — token-window chunking and context-window packing. */
+class ChunkingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  test("chunkByTokens: closed-form chunk count and exact window boundaries") {
+    // n=50 (<= window): one chunk; n=100: [0..63],[48..99]; n=113: +[96..112]
+    val docs = Seq((1L, doc(50)), (2L, doc(100)), (3L, doc(113)))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkByTokens(docs, window = 64, stride = 48)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+
+    def h(words: Seq[String]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(words.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def words(n: Int) = (1 to n).map(i => s"t$i")
+    val want = Seq(
+      (1L, 0L, 50L, h(words(50))),
+      (2L, 0L, 64L, h(words(100).slice(0, 64))),
+      (2L, 1L, 52L, h(words(100).slice(48, 100))),
+      (3L, 0L, 64L, h(words(113).slice(0, 64))),
+      (3L, 1L, 64L, h(words(113).slice(48, 112))),
+      (3L, 2L, 17L, h(words(113).slice(96, 113))))
+    assert(got.toSeq == want)
+  }
+
+  test("chunkByTokens: every token is covered and consecutive chunks overlap by window-stride") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val chunks = Chunking.chunkByTokens(docs, window = 64, stride = 48)
+    val perDoc = chunks.groupBy("doc_id").agg(
+        max("chunk_idx").as("last_idx"), count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("sum_tok"), max("n_tokens").as("max_tok"))
+      .join(docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+    // last chunk reaches the end: last_start + its tokens == n
+    val bad = perDoc.filter(col("last_idx") * 48 + least(col("n") - col("last_idx") * 48, lit(64L)) =!= col("n"))
+      .count()
+    assert(bad == 0, "last chunk must end exactly at the document's last token")
+    assert(perDoc.filter(col("max_tok") > 64).count() == 0, "no chunk exceeds the window")
+  }
+
+  test("packContextWindows: two-level distributed prefix sum equals the one global window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val got = Chunking.packContextWindows(docs, budget = 2048L, blockSize = 64L)
+      .select("doc_id", "window_id", "window_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs
+      .withColumn("prefix", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), expr("prefix div 2048").as("w"), (col("prefix") % 2048).as("o"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "block-decomposed scan must equal the global running sum exactly")
+  }
+
+  test("packContextWindows: stream layout invariants (contiguous, budget-bounded)") {
+    val docs = Seq((10L, 1000L), (11L, 1000L), (12L, 100L), (30L, 2000L), (31L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val out = Chunking.packContextWindows(docs, budget = 2048L, blockSize = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "window_id", "window_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    // prefix walk: 0,1000,2000,2100,4100 → windows 0,0,0,1,2; offsets mod 2048
+    assert(out.toSeq == Seq(
+      (10L, 1000L, 0L, 0L), (11L, 1000L, 0L, 1000L), (12L, 100L, 0L, 2000L),
+      (30L, 2000L, 1L, 52L), (31L, 5L, 2L, 4L)))
+    assert(out.forall(_._4 < 2048L), "offset must stay inside the window budget")
+  }
+}

@@ -103,4 +103,21 @@ class SamplingSpec extends SparkSuite {
     assert(out.count() == out.join(docs, Seq("doc_id"), "left_semi").count())
   }
 
+  test("capPerGroup: under-cap groups pass through whole; over-cap groups keep exactly cap") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cap = 7
+    val kept = Sampling.capPerGroup(docs, "source", "doc_id", cap)
+    val before = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val after = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    before.foreach { case (src, n) =>
+      assert(after.getOrElse(src, 0L) == math.min(cap.toLong, n),
+        s"$src: kept ${after.getOrElse(src, 0L)} of $n at cap $cap")
+    }
+    // deterministic and a subset of the input
+    val again = Sampling.capPerGroup(docs, "source", "doc_id", cap)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
 }

@@ -125,4 +125,47 @@ class TextAnalysisSpec extends SparkSuite {
       assert(r.getAs[Long]("native_md5") == r.getAs[Long]("hof_md5"))
     }
   }
+
+  test("canonicalize: NFC composition, case, and whitespace variants collapse to one form") {
+    val variants = Seq(
+      (1L, "Café au  lait"),          // precomposed é, double space
+      (2L, "café au lait"),          // e + combining acute (NFD form)
+      (3L, "  café\tau\nlait "),      // tabs/newlines/edges
+      (4L, "completely different"))
+      .toDF("doc_id", "text")
+    val forms = variants
+      .select(col("doc_id"), TextAnalysis.canonicalize(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(forms(1L) == "café au lait")
+    assert(forms(1L) == forms(2L), "NFC must unify composed and decomposed accents")
+    assert(forms(1L) == forms(3L), "whitespace runs and edges must collapse")
+    assert(forms(4L) != forms(1L))
+  }
+
+  test("canonicalDedup: variant docs map to one canonical id; clean docs stay distinct") {
+    val docs = Seq(
+      (10L, "The  Quick Brown Fox"), (11L, "the quick brown fox"),
+      (12L, "the quick\tbrown fox"), (20L, "an unrelated document"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.canonicalDedup(docs)
+      .select("doc_id", "canonical_id", "n_copies")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (20L, 20L, 1L)))
+  }
+
+  test("rarityScore: integer-exact inverse-frequency sums, hand-checked") {
+    // corpus counts: common ×4, mid ×2, rare ×1
+    val docs = Seq(
+      (1L, "common common mid"), (2L, "common mid rare"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val S = 1000000000L
+    val got = TextAnalysis.rarityScore(docs)
+      .select("doc_id", "n_tokens", "rarity_sum", "rarity_avg")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val common = S / 4; val mid = S / 2; val rare = S
+    assert(got.toSeq == Seq(
+      (1L, 3L, common * 2 + mid, (common * 2 + mid) / 3),
+      (2L, 3L, common + mid + rare, (common + mid + rare) / 3),
+      (3L, 1L, common, common)))
+  }
 }
