@@ -72,6 +72,17 @@ object ScaleProbe {
         graft.operators.Similarity.pqTopK(emb, t.embeddings.filter(col("vec_id") < 10), k = 10).count()
       }
     }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      val counted = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      run("chunking", k)(graft.operators.Chunking.chunkByTokens(docs, 64, 48).count())
+      run("packing", k)(
+        graft.operators.Chunking.packContextWindows(counted, 2048L, 4096L).count())
+      run("rarity", k)(TextAnalysis.rarityScore(docs).count())
+      run("canonical_dedup", k)(TextAnalysis.canonicalDedup(docs).count())
+      run("domain_cap", k)(Sampling.capPerGroup(docs, "source", "doc_id", 20).count())
+    }
     spark.stop()
   }
 }
