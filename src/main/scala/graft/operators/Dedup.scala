@@ -333,6 +333,75 @@ object Dedup {
         col("n_hit_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** C37: EDIT-DISTANCE near-dup pairs — the character-level verify for
+    * pairs n-gram methods blur (small in-place edits keep Levenshtein tiny
+    * while shredding shingle sets). This operator is EXACT, not heuristic:
+    * levenshtein(a, b) ≥ |len(a) − len(b)|, so every pair within `maxDist`
+    * lives in the same or adjacent length band when the band width is ≥
+    * maxDist — the banded equi-join is a complete candidate set, and the
+    * bounded-threshold Levenshtein kernel (Spark's built-in third
+    * argument: the DP row aborts once the running minimum exceeds the
+    * bound) verifies candidates in O(maxDist · len) instead of O(len²).
+    *
+    * Scale (100 TB): candidates shuffle on (band) with ids + text of
+    * band-sized groups only; degenerate bands (a corpus spammed with
+    * equal-length boilerplate) are the q31 bucketCap story — cap with a
+    * pre-filter if a length histogram shows spikes. Emitted pairs carry
+    * the exact distance. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = maxDist // band width ≥ maxDist ⇒ |Δlen| ≤ maxDist spans ≤ 1 band boundary
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+      floor(length(col(textCol)) / w).as("band"))
+    val a = t.select(col("band"), col("id").as("doc_a"), col("txt").as("ta"))
+    // same band + next band: with doc_a < doc_b on the same band and the
+    // one-directional (band, band+1) join, each unordered pair appears once
+    val sameBand = a.join(
+      t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb")), Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+    val nextBand = a.withColumn("band", col("band") + 1).join(
+      t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb")), Seq("band"))
+    sameBand.unionByName(nextBand)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      // adjacent-band pairs arrive in band order, not id order — normalize
+      // so every unordered pair is emitted exactly once as (min, max)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist").between(0, maxDist))
+  }
+
+  /** C36: DUPLICATED-SPAN coverage — the span-level signal behind exact
+    * substring dedup: an n-gram that occurs in MORE THAN ONE document is a
+    * duplicated span, and a document's dup coverage is the fraction of its
+    * n-gram positions covered by such spans (boilerplate headers, license
+    * blocks, and templated text light up here long before whole-document
+    * dedup fires). Positions are multiplicity-preserving — a doc that
+    * repeats a cross-doc span 10 times has 10 covered positions.
+    *
+    * Scale (100 TB): one explode; the only shuffles carry (hash) and
+    * (id, hash) pairs — document text never leaves its scan partition.
+    * Doc-frequency is a distinct-count per hash (map-side partial), and
+    * the per-doc roll-up is a semi join against the duplicated-hash set
+    * (Zipf-small relative to the corpus). Portable md5 hashes, so the
+    * oracle replays every count exactly. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.portableShingleHashes
+    val ex = docs.select(col(idCol).as("id"),
+      explode(portableShingleHashes(split(col(textCol), " "), n)).as("h"))
+    val dupHashes = ex.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select("h")
+    val tot = ex.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+    val dup = ex.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_ngrams"))
+    tot.join(dup, Seq("id"), "left_outer")
+      .na.fill(0L, Seq("n_dup_ngrams"))
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_dup_ngrams"),
+        (col("n_dup_ngrams").cast("double") / col("n_ngrams")).as("dup_coverage"))
+  }
+
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
     * `source`). Computed as an inverted-index join — explode shingles,
     * self-join on (group, shingle-hash), count common shingles per pair,

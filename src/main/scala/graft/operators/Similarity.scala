@@ -243,6 +243,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** C35: SEMANTIC dedup (the SemDeDup recipe: cluster the embedding
+    * space, prune near-identical pairs only WITHIN a cluster): every
+    * vector is assigned to its nearest seeded centroid by the same
+    * codegen'd [[graft.functions.BestCentroid]] argmax the IVF index uses
+    * (per-row scan-speed math — the corpus is never joined or windowed to
+    * find its cell), candidate pairs are id-only equi-joins on the cell
+    * key, and a doc is DROPPED when some same-cell neighbor with a
+    * smaller id scores cosine ≥ tau (min-id canonical, the same
+    * tie-break every dedup operator here uses).
+    *
+    * Scale (100 TB): pairwise work is confined to cells — nlist is chosen
+    * ~sqrt(N) in practice so expected cell size stays bounded; the cell
+    * join carries ids only, vectors join back once per surviving
+    * candidate. Cluster assignment is exactly the IVF index build, so a
+    * real deployment computes it once and shares it between ANN serving
+    * and dedup. Output: one row per vector — (id, cell, kept). */
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val mat = cents.map(_._2.toArray).toArray
+    val nrms = cents.map(_._3).toArray
+    val assign = corpus.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.bestCentroid(col(vecCol), mat, nrms).as("cell"))
+    val cand = assign.select(col("cell"), col("id").as("doc_a"))
+      .join(assign.select(col("cell"), col("id").as("doc_b")), Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val dropped = cand
+      .join(withNorm(corpus, idCol, vecCol, "doc_a", "va", "na"), "doc_a")
+      .join(withNorm(corpus, idCol, vecCol, "doc_b", "vb", "nb"), "doc_b")
+      .filter(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("doc_b").as("id")).distinct()
+    assign.join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("cell"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
   /** C7: embedding near-dup pairs — corpus self-join through LSH buckets,
     * cosine-verified at `threshold`. Same bucket-join scale story as C6. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

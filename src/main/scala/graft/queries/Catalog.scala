@@ -93,7 +93,10 @@ object Catalog {
     "q82_canonical_dedup"   -> rel(TrainingData.q82CanonicalDedup),
     "q83_chunking"          -> rel(TrainingData.q83Chunking),
     "q84_packing"           -> rel(TrainingData.q84Packing),
-    "q85_rarity"            -> rel(TrainingData.q85Rarity)
+    "q85_rarity"            -> rel(TrainingData.q85Rarity),
+    "q86_semantic_dedup"    -> rel(TrainingData.q86SemanticDedup),
+    "q87_dup_spans"         -> rel(TrainingData.q87DupSpans),
+    "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -127,6 +127,14 @@ object TrainingData {
     Similarity.quantizedTopK(t.embeddings, annQueries(t), k = 10)
       .orderBy("query_id", "rank")
 
+  /** C35: semantic dedup (SemDeDup shape) — cluster the embedding space
+    * into 16 cells (the IVF assignment), prune cosine ≥ 0.35 pairs within
+    * a cell, keep the min id; the oracle replays centroids → assignment →
+    * within-cell pairs → drop set exactly. */
+  def q86SemanticDedup(t: Tables): DataFrame =
+    Similarity.semanticDedup(t.embeddings, tau = 0.35, nlist = 16)
+      .orderBy("vec_id")
+
   /** C24: eval-set contamination — every 50th document plays the "eval
     * set", the rest are the training corpus; the oracle replays the whole
     * shingle-overlap check exactly. */
@@ -135,6 +143,16 @@ object TrainingData {
     val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
     Dedup.contamination(ev, corpus, n = 8).orderBy("eval_id")
   }
+
+  /** C36: duplicated-span coverage — which fraction of each doc's 8-gram
+    * positions is covered by spans that occur in other documents too. */
+  def q87DupSpans(t: Tables): DataFrame =
+    Dedup.duplicatedSpans(t.documents, n = 8).orderBy("doc_id")
+
+  /** C37: edit-distance near-dup pairs — complete (length-banded) pair set
+    * at Levenshtein ≤ 16, bounded-threshold kernel verify. */
+  def q88EditNeardup(t: Tables): DataFrame =
+    Dedup.editDistancePairs(t.documents, maxDist = 16).orderBy("doc_a", "doc_b")
 
   /** C25: per-document repetition profile (Gopher-style quality signal). */
   def q71Repetition(t: Tables): DataFrame =

@@ -179,6 +179,43 @@ object TrainingOracle {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Full DuckDB replay of q86 (semantic dedup): same seeded centroids and
+    * argmax assignment as the q62 IVF oracle, within-cell pairs at cosine
+    * ≥ tau, a vector is kept unless a smaller-id same-cell neighbor
+    * matches it. */
+  private def semanticDedupSql(nlist: Int = 16, tau: Double = 0.35): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN nv x ON x.vec_id = a.vec_id
+       |  JOIN nv y ON y.vec_id = b.vec_id
+       |  WHERE ${dotSql("x.ve", "y.ve")} / (x.nrm * y.nrm) >= $tau
+       |)
+       |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Full DuckDB replay of q36 (embedding near-dup): bucket self-join →
     * cosine verify at 0.4, mirroring Similarity.nearDupPairs. */
   private def embedNeardupSql: String =
@@ -445,6 +482,7 @@ object TrainingOracle {
     "q35_ann_lsh"          -> annLshSql,
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
+    "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),
 
     // q64: the quantile-sketch build+merge accuracy contract (q63 pattern)
@@ -594,6 +632,44 @@ object TrainingOracle {
          |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(ev.hs) AS contamination_ratio
          |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id
          |ORDER BY eval_id""".stripMargin,
+
+    // C36: duplicated-span coverage — same portable 8-gram hashes as q70,
+    // doc-frequency over distinct (doc, hash), positional counts with
+    // multiplicity; every number is an integer or one final division.
+    "q87_dup_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${shingleHashSql("toks", 8)} AS hs FROM tk
+         |), ex AS (
+         |  SELECT doc_id, unnest(hs) AS h FROM sh
+         |), dup AS (
+         |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ex)
+         |  GROUP BY h HAVING COUNT(*) >= 2
+         |), tot AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM ex GROUP BY doc_id
+         |), cov AS (
+         |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_ngrams
+         |  FROM ex JOIN dup USING (h) GROUP BY ex.doc_id
+         |)
+         |SELECT t.doc_id, t.n_ngrams,
+         |  COALESCE(c.n_dup_ngrams, 0) AS n_dup_ngrams,
+         |  CAST(COALESCE(c.n_dup_ngrams, 0) AS DOUBLE) / t.n_ngrams AS dup_coverage
+         |FROM tot t LEFT JOIN cov c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // C37: edit-distance near-dup — the one-phase spec the banded join
+    // must equal: ALL pairs at |Δlen| ≤ 16 verified at levenshtein ≤ 16
+    // (the length prefilter is implied by the distance bound, so this IS
+    // the complete ≤ 16 pair set).
+    "q88_edit_neardup" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 16
+        |WHERE levenshtein(a.text, b.text) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // C25: repetition profile — multiplicity-preserving shingles, exact
     // per-(doc, hash) counts, same 1 - distinct/total arithmetic.

@@ -115,6 +115,56 @@ class DedupSpec extends SparkSuite {
     assert(got == crossPairs, s"got=${got.toSeq.sorted} want=${crossPairs.toSeq.sorted}")
   }
 
+  test("duplicated spans: copied docs are fully covered, unique docs are at zero") {
+    // base and its exact copy (doc 3) share every 8-gram; "other" shares none
+    val out = Dedup.duplicatedSpans(docs, n = 8)
+      .select("doc_id", "n_ngrams", "n_dup_ngrams", "dup_coverage")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._4 == 1.0, "exact-dup doc is 100% duplicated spans")
+    assert(out(3L)._4 == 1.0)
+    assert(out(2L)._4 == 0.0, "disjoint-vocabulary doc has zero coverage")
+    // nearA shares all 8-grams except those crossing the changed word:
+    // covered positions exist but coverage is strictly partial
+    assert(out(1L)._4 > 0.0 && out(1L)._4 < 1.0, s"partial coverage, got ${out(1L)}")
+    assert(out(0L)._2 == 40 - 8 + 1, "multiplicity-preserving position count")
+  }
+
+  test("edit-distance pairs: exact for the ≤ maxDist contract, across length bands") {
+    // b differs from a by 3 single-char edits; c is a, shortened by 17 chars
+    // (beyond maxDist=16); d sits in a DIFFERENT length band than a but
+    // within distance (adjacent-band join must catch it)
+    val a = "a" * 64
+    val fixture = Seq(
+      (1L, a),
+      (2L, "b" * 3 + a.drop(3)),      // dist 3, same band
+      (3L, a.drop(17)),               // dist 17 > 16: excluded
+      (4L, a.drop(15))                // dist 15, len 49 → band 3 vs band 4 for len 64
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(fixture, maxDist = 16)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    // ground truth by driver-side DP over all pairs
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(x.length)
+    }
+    val rows = fixture.as[(Long, String)].collect()
+    val expected = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = lev(ta, tb) if d <= 16
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(expected.exists(p => p._1 == 1L && p._2 == 4L), "cross-band pair present in fixture")
+  }
+
   test("band index survives a parquet write/read roundtrip (the persisted-index path)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val newDocs = docs.filter(col("doc_id") % 10 === 0)

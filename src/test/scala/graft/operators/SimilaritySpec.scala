@@ -139,4 +139,20 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 7L && p._2 == 100007L && p._3 > 0.999999),
       s"planted dup must be found, got ${pairs.toSeq}")
   }
+
+  test("semantic dedup: planted same-cell duplicate is dropped, original kept") {
+    val planted = embeddings.unionByName(
+      embeddings.filter(col("vec_id") === 7).withColumn("vec_id", lit(100007L)))
+    val out = Similarity.semanticDedup(planted, tau = 0.999, nlist = 16)
+    assert(out.count() === planted.count(), "one row per vector, always")
+    val byId = out.select("vec_id", "cell", "kept").as[(Long, Int, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // an exact copy lands in the same cell (identical argmax input) and is
+    // pruned in favor of the smaller id
+    assert(byId(7L)._1 === byId(100007L)._1, "copy must share the original's cell")
+    assert(byId(7L)._2, "canonical (min id) is kept")
+    assert(!byId(100007L)._2, "the planted copy is dropped")
+    // at tau just above the corpus max off-diagonal cosine nothing else drops
+    assert(byId.count(!_._2._2) === 1, "only the planted copy drops at tau=0.999")
+  }
 }
