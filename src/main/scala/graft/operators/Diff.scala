@@ -50,6 +50,24 @@ object Diff {
           payload.map(cn => col(s"c_$cn").as(cn)) :+ col(ChangeCol): _*)
   }
 
+  /** B23: audience MEMBERSHIP delta — the incremental form of custom-
+    * audience sync (the reference's connectors send full add/remove user
+    * lists; at 100 M members you send the DELTA): given the previous and
+    * current membership key sets, emit (key, op) with op ∈ add|remove.
+    * Members present in both snapshots produce nothing — steady-state
+    * audiences cost O(churn), not O(size).
+    *
+    * Scale: one full-outer join on the key; both sides are key-only
+    * projections (payload joins back AFTER the delta, against the churn
+    * set only — see q89). Bucketed snapshots make it zero-shuffle. */
+  def membershipDiff(curr: DataFrame, prev: DataFrame, keyCol: String): DataFrame =
+    curr.select(col(keyCol)).distinct().withColumn("__c", lit(1))
+      .join(prev.select(col(keyCol)).distinct().withColumn("__p", lit(1)),
+            Seq(keyCol), "full_outer")
+      .filter(col("__c").isNull || col("__p").isNull)
+      .select(col(keyCol),
+        when(col("__p").isNull, "add").otherwise("remove").as("op"))
+
   /** Order-insensitive-across-runs, null-discriminating content hash:
     * every column is paired with a null marker so (null, "x") ≠ ("x", null)
     * and xxhash64 sees a stable arity. */

@@ -53,7 +53,9 @@ object Catalog {
     "q29_upsert_keys"        -> rel(ReverseEtl.q29UpsertKeys),
     "q47_column_profile"     -> rel(ReverseEtl.q47ColumnProfile),
     "q61_schema_validate"    -> rel(ReverseEtl.q61SchemaValidate),
-    "q66_bloom_prefilter"    -> rel(ReverseEtl.q66BloomPrefilter)
+    "q66_bloom_prefilter"    -> rel(ReverseEtl.q66BloomPrefilter),
+    "q89_audience_diff"      -> rel(ReverseEtl.q89AudienceDiff),
+    "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg)
   )
 
   val trainingData: Map[String, QueryFn] = Map(

@@ -212,6 +212,39 @@ object ReverseEtl {
       min(col("o_orderdate")).as("date_min"),
       max(col("o_orderdate")).as("date_max"))
 
+  /** B23: audience MEMBERSHIP delta — the incremental custom-audience
+    * sync: the audience is "customers active in the window"; comparing
+    * the previous window's membership against the current one yields the
+    * add/remove operations the destination actually needs (O(churn), not
+    * O(audience)). Payload (the sha256 identifier, q24's shape) joins in
+    * AFTER the delta, so full-member payloads are never materialized. */
+  def q89AudienceDiff(t: Tables): DataFrame = {
+    val prev = t.orders.filter(col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+    val cur = t.orders.filter(col("o_orderdate") >= lit("1996-01-01")).select("o_custkey")
+    val delta = graft.operators.Diff.membershipDiff(cur, prev, "o_custkey")
+    val ids = t.customer.select(col("c_custkey"),
+      sha2(concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")), 256)
+        .as("hashed_email"))
+    delta.join(ids, delta("o_custkey") === ids("c_custkey"))
+      .select(col("c_custkey"), col("hashed_email"), col("op"))
+      .orderBy("c_custkey")
+  }
+
+  /** B24: incremental aggregate maintenance — history state + delta state
+    * merge; the oracle computes the ONE-SHOT aggregate over everything,
+    * so a hash match proves the merge law exactly (decimal sums are
+    * associative; avg derives from exact state at read-out). */
+  def q90IncrementalAgg(t: Tables): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val keys = Seq("o_orderpriority")
+    val hist = t.orders.filter(col("o_orderdate") < lit("1997-07-01"))
+    val delta = t.orders.filter(col("o_orderdate") >= lit("1997-07-01"))
+    val merged = IncrementalAgg.merge(keys,
+      IncrementalAgg.buildState(hist, keys, "o_totalprice"),
+      IncrementalAgg.buildState(delta, keys, "o_totalprice"))
+    IncrementalAgg.readout(merged, keys).orderBy("o_orderpriority")
+  }
+
   /** B20: schema-driven validation report — rules GENERATED from a
     * declared row schema (required/type/enum/range/pattern, the zod-style
     * surface sync.ts:557 derives), folded into per-rule failure counts in

@@ -152,6 +152,37 @@ object ReverseEtlOracle {
         |              WHERE c.c_custkey = o.o_custkey
         |                AND c.c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // B23: membership delta — set difference in both directions, payload
+    // joined after the delta; sha256 identifier identical to q24's.
+    "q89_audience_diff" ->
+      """WITH prev AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |), cur AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |), delta AS (
+        |  SELECT COALESCE(c.o_custkey, p.o_custkey) AS k,
+        |         CASE WHEN p.o_custkey IS NULL THEN 'add' ELSE 'remove' END AS op
+        |  FROM cur c FULL OUTER JOIN prev p ON c.o_custkey = p.o_custkey
+        |  WHERE c.o_custkey IS NULL OR p.o_custkey IS NULL
+        |)
+        |SELECT cu.c_custkey,
+        |       sha256(lower(replace(cu.c_name, '#', '.')) || '@example.com') AS hashed_email,
+        |       d.op
+        |FROM delta d JOIN customer cu ON cu.c_custkey = d.k
+        |ORDER BY cu.c_custkey""".stripMargin,
+
+    // B24: the one-shot aggregate the history+delta state merge must equal
+    // — decimal sums make the merge law exact, avg derives from the sum.
+    "q90_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS min_value,
+        |  MAX(o_totalprice) AS max_value,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin
   )
 }
