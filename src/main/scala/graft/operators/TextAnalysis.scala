@@ -215,4 +215,37 @@ object TextAnalysis {
            sum(expr(s"$scale div __cnt")).as("rarity_sum"))
       .withColumn("rarity_avg", expr("rarity_sum div n_tokens"))
   }
+
+  /** C38: INVERTED-INDEX build — the retrieval-side complement of the
+    * chunking operator: term → document-frequency, total term-frequency,
+    * and the sorted posting list. One explode + one aggregate; per-doc
+    * duplicate occurrences collapse inside `collect_set` so the shuffle
+    * carries (term, id) pairs once per distinct pair plus a long counter.
+    *
+    * Scale (100 TB): posting lists are Zipf-skewed — the head term's list
+    * is the corpus itself. Real index layouts block postings; here the
+    * `postingsCap` contract keeps the operator scale-safe: lists longer
+    * than the cap are emitted as NULL (df/tf still exact — those terms
+    * are stopword-class, and a retrieval stack treats them specially
+    * anyway). The cap makes the maximum row size a constant, so no group
+    * can OOM an executor. */
+  def invertedIndex(docs: DataFrame, minDf: Int = 2, postingsCap: Int = 1000,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val stats = toks.groupBy("term")
+      .agg(countDistinct(col("id")).as("df"), count(lit(1)).as("total_tf"))
+      .filter(col("df") >= minDf)
+    // heavy terms are pruned BEFORE the list build — collect_set never
+    // sees a group larger than the cap, so max row size is a constant
+    val listed = toks.select("term", "id").distinct()
+      .join(stats.filter(col("df") <= postingsCap).select("term"), Seq("term"), "left_semi")
+      .groupBy("term").agg(sort_array(collect_set(col("id"))).as("__p"))
+      // numeric sort first, THEN stringify (lexicographic "10" < "2" would
+      // diverge from the oracle's ORDER BY doc_id); the transform lambda
+      // is interpreted but runs once per VOCAB term, never per token
+      .select(col("term"),
+        array_join(transform(col("__p"), _.cast("string")), ",").as("postings"))
+    stats.join(listed, Seq("term"), "left_outer")
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+  }
 }

@@ -37,7 +37,8 @@ object Catalog {
     "q77_cube"           -> rel(Relational.q77Cube),
     "q73_lateral_explode" -> rel(Relational.q73LateralExplode),
     "q79_full_outer"     -> rel(Relational.q79FullOuter),
-    "q80_gap_fill"       -> rel(Relational.q80GapFill)
+    "q80_gap_fill"       -> rel(Relational.q80GapFill),
+    "q92_grouping_sets"  -> rel(Relational.q92GroupingSets)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(
@@ -98,7 +99,8 @@ object Catalog {
     "q85_rarity"            -> rel(TrainingData.q85Rarity),
     "q86_semantic_dedup"    -> rel(TrainingData.q86SemanticDedup),
     "q87_dup_spans"         -> rel(TrainingData.q87DupSpans),
-    "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup)
+    "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup),
+    "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex)
   )
 
   val events: Map[String, QueryFn] = Map(

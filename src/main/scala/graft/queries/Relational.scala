@@ -195,6 +195,22 @@ object Relational {
       .orderBy(col("gid").asc,
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** A29: explicit GROUPING SETS — the mixed-set form cube/rollup can't
+    * express: (status × priority), (status), (priority) — note NO grand
+    * total. Same plan family (one Expand + one aggregation); grouping_id
+    * disambiguates subtotal rows from real NULL keys, as in q77. */
+  def q92GroupingSets(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(money(sum(dec(col("o_totalprice")))).as("total"),
+           count(lit(1)).as("n_orders"),
+           grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** A17: CTE pipeline — monthly revenue, then month-over-month growth. */
   def q17Cte(t: Tables): DataFrame = {
     val monthly = t.orders

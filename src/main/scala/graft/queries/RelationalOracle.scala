@@ -161,6 +161,17 @@ object RelationalOracle {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    // A29: explicit mixed grouping sets — no grand-total set, so this is
+    // not expressible as CUBE or ROLLUP; gid bitmask matches Spark's.
+    "q92_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q17_cte" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate) AS month_start,

@@ -158,6 +158,14 @@ object TrainingData {
   def q71Repetition(t: Tables): DataFrame =
     TextAnalysis.repetitionProfile(t.documents, n = 3).orderBy("doc_id")
 
+  /** C38: inverted-index build — term → df / total tf / sorted postings,
+    * head terms (df > 400) pruned to NULL postings BEFORE the list build
+    * (this corpus's ~31-word vocabulary makes most terms head terms, so
+    * the cap path is genuinely exercised). */
+  def q91InvertedIndex(t: Tables): DataFrame =
+    TextAnalysis.invertedIndex(t.documents, minDf = 2, postingsCap = 400)
+      .orderBy("term")
+
   /** C8: stopword-profile language ID. */
   def q37LangId(t: Tables): DataFrame =
     TextAnalysis.langId(t.documents).orderBy("doc_id")

@@ -671,6 +671,27 @@ object TrainingOracle {
         |WHERE levenshtein(a.text, b.text) <= 16
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // C38: inverted index — distinct (term, doc) pairs for df and the
+    // numerically-ordered posting string; head terms (df > cap) carry
+    // NULL postings on both engines.
+    "q91_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), stats AS (
+        |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |         CAST(COUNT(*) AS BIGINT) AS total_tf
+        |  FROM toks GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
+        |), pairs AS (
+        |  SELECT DISTINCT term, doc_id FROM toks
+        |), listed AS (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM pairs GROUP BY term
+        |)
+        |SELECT s.term, s.df, s.total_tf,
+        |       CASE WHEN s.df <= 400 THEN l.postings END AS postings
+        |FROM stats s LEFT JOIN listed l USING (term)
+        |ORDER BY s.term""".stripMargin,
+
     // C25: repetition profile — multiplicity-preserving shingles, exact
     // per-(doc, hash) counts, same 1 - distinct/total arithmetic.
     "q71_repetition" ->

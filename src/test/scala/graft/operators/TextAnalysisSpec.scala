@@ -168,4 +168,21 @@ class TextAnalysisSpec extends SparkSuite {
       (2L, 3L, common + mid + rare, (common + mid + rare) / 3),
       (3L, 1L, common, common)))
   }
+
+  test("invertedIndex: df/tf exact, postings numerically ordered, head terms capped") {
+    val docs = Seq(
+      (2L, "alpha alpha beta"),   // alpha tf=2 here, df counts it once
+      (10L, "alpha beta"),
+      (1L, "alpha gamma"),
+      (3L, "solo"))               // df=1 → dropped by minDf=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, minDf = 2, postingsCap = 2)
+      .select("term", "df", "total_tf", "postings")
+      .as[(String, Long, Long, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // df=3 > cap → postings NULL, stats still exact
+      ("alpha", 3L, 4L, None),
+      // ids sorted numerically: 2,10 (lexicographic would be "10,2")
+      ("beta", 2L, 2L, Some("2,10"))))
+  }
 }
