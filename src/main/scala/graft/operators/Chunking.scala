@@ -55,6 +55,28 @@ object Chunking {
         md5(col("chunk_text")).as("chunk_hash"))
   }
 
+  /** Non-overlapping fixed-token segmentation — the "line" provider for
+    * corpora without newlines (this repo's test corpus): each document
+    * yields ceil(n/width) segments of `width` tokens (last one shorter),
+    * as (id, line_idx, line) rows. Same closed-form posexplode(sequence)
+    * shape as [[chunkByTokens]] (window = stride = width, text retained),
+    * so it stays whole-stage codegen'd with output-proportional fan-out. */
+  def tokenLines(docs: DataFrame, width: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width >= 1)
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__nc", ceil(col("__n").cast("double") / lit(width)).cast("long"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0L), (col("__nc") - 1) * lit(width), lit(width.toLong)))
+          .as(Seq("line_idx", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("line_idx").cast("long").as("line_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start").cast("int") + 1, lit(width)))
+          .as("line"))
+  }
+
   /** C33: pretraining sequence packing — documents are concatenated in
     * stable ascending-id order into one token stream, and the stream is
     * cut into fixed `budget`-token context windows. Each document learns

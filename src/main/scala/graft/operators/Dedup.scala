@@ -402,6 +402,52 @@ object Dedup {
         (col("n_dup_ngrams").cast("double") / col("n_ngrams")).as("dup_coverage"))
   }
 
+  /** C39: cross-document LINE dedup (boilerplate removal, the CCNet /
+    * RefinedWeb preprocessing shape): a line whose text occurs in >=
+    * `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * license blocks, nav chrome); every occurrence is dropped and each
+    * document is rebuilt from its surviving lines in original order.
+    *
+    * Input is an already-segmented (id, idx, line) frame — line splitting
+    * is corpus policy (`split(text, '\n')`, sentence breaks, fixed token
+    * windows), not this operator's concern.
+    *
+    * Scale design: the boilerplate decision shuffles only (line-hash, id)
+    * pairs (distinct, then a count >= minDocs filter); line TEXT stays in
+    * its scan rows until the anti-join prune, and the only wide shuffle of
+    * text is the final groupBy(id) reassembly — output-proportional, the
+    * cost of writing the cleaned corpus at all. The dup-hash side of the
+    * anti join holds only lines seen in >= minDocs documents (Zipf-small:
+    * boilerplate is by definition a tiny distinct set) — AQE broadcasts
+    * it. Reassembly sorts each doc's surviving (idx, line) structs with
+    * `sort_array` and projects the `line` field (GetArrayStructFields —
+    * codegen'd, not an interpreted lambda).
+    *
+    * Output: (id, n_lines, n_kept, kept_ratio, clean_text); `clean_text`
+    * is NULL when every line was boilerplate. */
+  def lineDedup(lines: DataFrame, minDocs: Int = 2, idCol: String = "doc_id",
+                idxCol: String = "line_idx", lineCol: String = "line"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every line")
+    val ex = lines.select(col(idCol).as("id"), col(idxCol).cast("long").as("idx"),
+        col(lineCol).as("line"))
+      .withColumn("h", md5(col("line")))
+    val dupHashes = ex.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs).select("h")
+    val kept = ex.join(dupHashes, Seq("h"), "left_anti")
+    val tot = ex.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val reb = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        sort_array(collect_list(struct(col("idx"), col("line")))).getField("line"))
+        .as("clean_text"))
+    tot.join(reb, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_lines")).as("kept_ratio"),
+        col("clean_text"))
+  }
+
   /** C4: exact n-gram Jaccard pairs within a candidate group (here: same
     * `source`). Computed as an inverted-index join — explode shingles,
     * self-join on (group, shingle-hash), count common shingles per pair,

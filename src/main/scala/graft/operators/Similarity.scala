@@ -297,4 +297,27 @@ object Similarity {
         (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** C40: recall@k EVALUATION of an approximate ANN result against exact
+    * ground truth — the index-quality gate every ANN deploy needs (how
+    * much does LSH/IVF/PQ lose vs brute force?). Inputs are two top-k
+    * frames shaped like this module's outputs: (query_id, neighbor_id,
+    * rank). Per query: n_hit = |truth ∩ approx|, recall = n_hit/n_truth
+    * (n_truth, not k: a query can have < k legal neighbors).
+    *
+    * Scale: in practice ground truth is computed over a SAMPLED query
+    * set (brute force over all queries is the thing ANN avoids), so both
+    * inputs are |queries|·k rows — tiny next to the corpus; the semi
+    * join + two aggregates shuffle only (query_id, neighbor_id) pairs. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val tr = truth.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val ap = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hit = tr.join(ap, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    tr.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth")).as("recall"))
+  }
 }

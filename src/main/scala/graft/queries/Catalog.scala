@@ -38,7 +38,9 @@ object Catalog {
     "q73_lateral_explode" -> rel(Relational.q73LateralExplode),
     "q79_full_outer"     -> rel(Relational.q79FullOuter),
     "q80_gap_fill"       -> rel(Relational.q80GapFill),
-    "q92_grouping_sets"  -> rel(Relational.q92GroupingSets)
+    "q92_grouping_sets"  -> rel(Relational.q92GroupingSets),
+    "q94_unpivot"        -> rel(Relational.q94Unpivot),
+    "q95_histogram"      -> rel(Relational.q95Histogram)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(
@@ -100,7 +102,9 @@ object Catalog {
     "q86_semantic_dedup"    -> rel(TrainingData.q86SemanticDedup),
     "q87_dup_spans"         -> rel(TrainingData.q87DupSpans),
     "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup),
-    "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex)
+    "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex),
+    "q93_line_dedup"        -> rel(TrainingData.q93LineDedup),
+    "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -423,4 +423,48 @@ object Relational {
         col("obs").isNull.as("carried"))
       .orderBy("event_type", "day")
   }
+
+  /** A30: UNPIVOT / melt — wide per-group measures to long (group,
+    * measure, value) form, the shape BI export and destination-schema
+    * mapping want. Spark's `unpivot` plans as a generator (Expand) fused
+    * into the same stage as its input: fan-out = #measures per row, NO
+    * shuffle of its own. Here it melts a pre-aggregated 6-row frame;
+    * melting a raw fact table costs the same — one Expand, rows ×
+    * measures out. All measures share one exact decimal type before the
+    * melt (unpivot requires a common value type; final cast to double). */
+  def q94Unpivot(t: Tables): DataFrame = {
+    val wide = t.lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+           sum(dec(col("l_extendedprice"))).as("sum_price"),
+           sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"))
+    wide.unpivot(
+        ids = Array(col("l_returnflag"), col("l_linestatus")),
+        values = Array(col("sum_qty"), col("sum_price"), col("sum_disc_price")),
+        variableColumnName = "measure", valueColumnName = "value")
+      .select(col("l_returnflag"), col("l_linestatus"), col("measure"),
+        money(col("value")).as("value"))
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+  }
+
+  /** A31: equi-width numeric HISTOGRAM (distribution profiling — the
+    * pre-sync audit and data-quality shape). Bucket assignment is pure
+    * integer arithmetic on exact cents (`floor(price·100) div width`),
+    * so both engines bin identically — no float boundary hazard; one
+    * map-side-partial groupBy on a bounded key space (#buckets), the
+    * cheapest possible shuffle. Out-of-range clamping = width_bucket
+    * semantics with closed edge buckets. */
+  def q95Histogram(t: Tables): DataFrame = {
+    val widthCents = 500000L // 5000.00 per bucket
+    // exact cents: DECIMAL(18,2) * 100 is integral, so the long cast is lossless
+    val cents = (dec(col("l_extendedprice")) * 100).cast("long")
+    t.lineitem
+      .select(least(greatest(cents, lit(0L)), lit(15999999L)).as("__c"))
+      .select(expr(s"__c div $widthCents").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (col("bucket") * lit(5000L)).as("bucket_lo"), col("n"))
+      .orderBy("bucket")
+  }
 }

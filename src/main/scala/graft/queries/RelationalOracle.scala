@@ -318,6 +318,36 @@ object RelationalOracle {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
         |  d.obs IS NULL AS carried
         |FROM spine s LEFT JOIN daily d USING (event_type, day)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    // A30: melt replayed as UNION ALL (portable-exact; DuckDB's UNPIVOT
+    // would work too, but the union form pins names and types explicitly).
+    "q94_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |SELECT * FROM (
+        |  SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure, CAST(sum_qty AS DOUBLE) AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, 'sum_price', CAST(sum_price AS DOUBLE) FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, l_linestatus, 'sum_disc_price', CAST(sum_disc_price AS DOUBLE) FROM wide)
+        |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin,
+
+    // A31: histogram — identical integer-cents binning.
+    "q95_histogram" ->
+      """WITH c AS (
+        |  SELECT LEAST(GREATEST(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0), 15999999) AS cc
+        |  FROM lineitem),
+        |b AS (SELECT cc // 500000 AS bucket FROM c)
+        |SELECT bucket, bucket * 5000 AS bucket_lo, COUNT(*) AS n
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin
   )
 }

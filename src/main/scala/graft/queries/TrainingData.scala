@@ -28,6 +28,16 @@ object TrainingData {
     Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3)
       .orderBy("doc_a", "doc_b")
 
+  /** C39: cross-document line dedup (boilerplate removal). The corpus has
+    * no newlines, so deterministic 8-token segments stand in for lines
+    * (`Chunking.tokenLines` — with real text you'd posexplode
+    * `split(text, '\n')`); a segment appearing in >= 2 distinct docs is
+    * boilerplate and every document is rebuilt without it. */
+  def q93LineDedup(t: Tables): DataFrame =
+    Dedup.lineDedup(Chunking.tokenLines(t.documents, width = 8), minDocs = 2)
+      .withColumn("clean_hash", md5(col("clean_text"))).drop("clean_text")
+      .orderBy("doc_id")
+
   /** C27: incremental near-dup — every 10th doc plays the "newly
     * ingested" slice, the rest are the already-indexed corpus; the new
     * slice probes the persisted band index without any corpus re-scan. */
@@ -113,6 +123,16 @@ object TrainingData {
   def q62AnnIvf(t: Tables): DataFrame =
     Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
+
+  /** C40: ANN recall evaluation — recall@10 of the IVF index (q62 params)
+    * against the exact brute-force ground truth (q34), per query. The
+    * oracle replays BOTH pipelines and the overlap arithmetic exactly. */
+  def q96AnnRecall(t: Tables): DataFrame =
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(t.embeddings, annQueries(t), k = 10),
+      Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4),
+      k = 10)
+    .orderBy("query_id")
 
   /** C28: product-quantized ANN — same query set, scored entirely in the
     * compressed (code) domain; the oracle replays codebooks, codes, query

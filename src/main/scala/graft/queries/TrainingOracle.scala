@@ -125,6 +125,75 @@ object TrainingOracle {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q96: recall@k — replays BOTH the brute-force ground truth (the q34
+    * pipeline) and the IVF approximation (the q62 pipeline) from the same
+    * shared CTE prologue, then the per-query overlap arithmetic. */
+  private def annRecallSql(nlist: Int = 16, nprobe: Int = 4, k: Int = 10): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+       |), tscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("q.ve", "c.ve")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM nv q, nv c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |    FROM tscored) WHERE rank <= $k
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore WHERE vec_id < 10) WHERE rk <= $nprobe
+       |), cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.neighbor_id <> p.query_id
+       |), ascored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${dotSql("q.ve", "c.ve")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN nv q ON q.vec_id = cand.query_id
+       |  JOIN nv c ON c.vec_id = cand.neighbor_id
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |    FROM ascored) WHERE rank <= $k
+       |), hits AS (
+       |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM truth t JOIN approx a
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |  GROUP BY t.query_id
+       |), tc AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id
+       |)
+       |SELECT tc.query_id, tc.n_truth, COALESCE(h.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tc.n_truth AS recall
+       |FROM tc LEFT JOIN hits h ON tc.query_id = h.query_id
+       |ORDER BY tc.query_id""".stripMargin
+
   /** Full DuckDB replay of q76 (PQ ANN): same seeded codebooks (the IVF
     * md5 ranking, sliced per subspace), projection-quantizer assignment
     * (normalized dot, score DESC / centroid ASC tie-break = BestCentroid's
@@ -482,6 +551,7 @@ object TrainingOracle {
     "q35_ann_lsh"          -> annLshSql,
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
+    "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),
 
@@ -889,6 +959,41 @@ object TrainingOracle {
         |  LEAST(n - start, 64) AS n_tokens,
         |  md5(array_to_string(list_slice(toks, start + 1, LEAST(start + 64, n)), ' ')) AS chunk_hash
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // C39: line dedup — replay segmentation, cross-doc df, anti-join prune,
+    // ordered reassembly. Exact: hashes, counts, and one int/int division.
+    "q93_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, toks, n, CAST(ceil(n / 8.0) AS BIGINT) AS nc
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, (nc - 1) * 8, 8)) AS start
+        |  FROM dd),
+        |lines AS (
+        |  SELECT doc_id, start // 8 AS line_idx,
+        |    array_to_string(list_slice(toks, start + 1, LEAST(start + 8, n)), ' ') AS line
+        |  FROM e),
+        |dup AS (
+        |  SELECT h FROM (SELECT DISTINCT md5(line) AS h, doc_id FROM lines)
+        |  GROUP BY h HAVING COUNT(*) >= 2),
+        |kept AS (
+        |  SELECT * FROM lines WHERE md5(line) NOT IN (SELECT h FROM dup)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(string_agg(line, ' ' ORDER BY line_idx)) AS clean_hash
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / t.n_lines AS kept_ratio,
+        |  r.clean_hash
+        |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // C33: packing — ONE global running sum is the spec; graft's two-level
     // distributed scan must equal it exactly.

@@ -181,4 +181,35 @@ class DedupSpec extends SparkSuite {
     assert(reloaded == live)
   }
 
+  test("line dedup drops cross-doc boilerplate, rebuilds docs in order") {
+    // "FOOTER legal text" appears in docs 0,1,2 (boilerplate); each doc also
+    // has unique lines; doc 3 is ONLY boilerplate and must come back empty.
+    val lines = Seq(
+      (0L, 0L, "alpha beta"), (0L, 1L, "FOOTER legal text"), (0L, 2L, "gamma delta"),
+      (1L, 0L, "FOOTER legal text"), (1L, 1L, "unique one"),
+      (2L, 0L, "unique two"), (2L, 1L, "FOOTER legal text"),
+      (3L, 0L, "FOOTER legal text"),
+      // a line repeated INSIDE one doc only is NOT boilerplate (df counts docs)
+      (4L, 0L, "solo repeat"), (4L, 1L, "solo repeat")
+    ).toDF("doc_id", "line_idx", "line")
+    val out = Dedup.lineDedup(lines, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, "alpha beta gamma delta"),
+      (1L, 2L, 1L, "unique one"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, null),
+      (4L, 2L, 2L, "solo repeat solo repeat")))
+  }
+
+  test("tokenLines segments match hand-sliced windows") {
+    val docs = Seq((7L, "a b c d e"), (8L, "x y")).toDF("doc_id", "text")
+    val segs = Chunking.tokenLines(docs, width = 2)
+      .orderBy("doc_id", "line_idx")
+      .select("doc_id", "line_idx", "line").as[(Long, Long, String)].collect().toSeq
+    assert(segs == Seq((7L, 0L, "a b"), (7L, 1L, "c d"), (7L, 2L, "e"), (8L, 0L, "x y")))
+  }
+
 }

@@ -155,4 +155,27 @@ class SimilaritySpec extends SparkSuite {
     // at tau just above the corpus max off-diagonal cosine nothing else drops
     assert(byId.count(!_._2._2) === 1, "only the planted copy drops at tau=0.999")
   }
+
+  test("recall@k counts overlap per query against truth size, not k") {
+    // q0: truth {1,2,3}, approx recovers {1,3,9}      -> 2/3
+    // q1: truth {4,5},   approx recovers both + noise -> 2/2
+    // q2: truth {6},     approx recovers none         -> 0/1
+    val truth = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3),
+      (1L, 4L, 1), (1L, 5L, 2), (2L, 6L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((0L, 1L, 1), (0L, 9L, 2), (0L, 3L, 3),
+      (1L, 5L, 1), (1L, 4L, 2), (1L, 8L, 3), (2L, 7L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(truth, approx, k = 3)
+      .orderBy("query_id")
+      .select("query_id", "n_truth", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 3L, 2L, 2.0 / 3), (1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0)))
+  }
+
+  test("recall@k ignores ranks beyond k on both sides") {
+    val truth = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((0L, 2L, 1), (0L, 9L, 2), (0L, 1L, 3)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(truth, approx, k = 2)
+      .select("n_truth", "n_hit").as[(Long, Long)].head()
+    assert(out == ((2L, 1L))) // truth {1,2}, approx {2,9} -> hit {2}
+  }
 }
