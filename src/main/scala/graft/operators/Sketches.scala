@@ -76,6 +76,25 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("approx_distinct"))
 
+  /** Per-group mergeable COUNT-MIN frequency sketches (binary,
+    * persistable) — the point-lookup analog of [[topKSketches]]: where
+    * top-k answers "what are the heavy hitters?", count-min answers "how
+    * often did THIS item occur?" for any item, in a fixed depth×width
+    * grid (+εN overestimate, never under). Counters are sums, so rollups
+    * land on the IDENTICAL grid a one-shot build produces (q97 pins it). */
+  def freqSketches(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                   depth: Int = 5, width: Int = 2048, seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.CountMinFunctions
+        .countMinSketchOf(col(itemCol), depth, width, seed).as("cms"))
+
+  /** Union previously-built count-min sketches to a coarser grouping —
+    * the rescan-free rollup; read estimates out with
+    * [[graft.functions.CountMinFunctions.countMinEstimate]]. */
+  def rollupFreq(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.CountMinFunctions.countMinMerge(col("cms")).as("cms"))
+
   /** Per-group mergeable TOP-K FREQUENCY sketches (DataSketches
     * frequent-items via `approx_top_k_accumulate`) — the heavy-hitter
     * analog of [[distinctSketches]]/[[quantileSketches]]: build per

@@ -64,25 +64,8 @@ object ProjectLoader {
                 transport: RestSink.Transport,
                 fullRefresh: Boolean = false,
                 enrichProviders: Map[String, EnrichProvider] = Map.empty): SyncRunner#SyncReport = {
-      val sync = syncs.getOrElse(syncId,
-        throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))
-      val md = models.getOrElse(sync.model,
-        throw new IllegalArgumentException(s"sync '$syncId' references unknown model '${sync.model}'"))
-      val conn = connections.getOrElse(sync.destination,
-        throw new IllegalArgumentException(s"sync '$syncId' references unknown connection '${sync.destination}'"))
-
-      // enrichment channels compose in declaration order between validate
-      // and column-map, exactly where the reference runs them (sync.ts:588)
-      val enrich: DataFrame => DataFrame = sync.enrichments.foldLeft(identity[DataFrame] _) {
-        (acc, ref) =>
-          val econn = connections.getOrElse(ref.connection,
-            throw new IllegalArgumentException(
-              s"sync '$syncId' enrichment references unknown connection '${ref.connection}'"))
-          val provider = enrichProviders.getOrElse(econn.kind,
-            throw new IllegalArgumentException(
-              s"no enrichment provider registered for kind '${econn.kind}'"))
-          acc.andThen(provider(econn, ref.options))
-      }
+      val (sync, md, conn) = resolve(syncId)
+      val enrich = enrichFor(syncId, sync, enrichProviders)
 
       registerDatasource(spark, md.datasource)
       // a declared row schema (DDL in the model config) generates the
@@ -105,21 +88,95 @@ object ProjectLoader {
         checkpointEvery = checkpointEvery)
     }
 
-    private def registerDatasource(spark: SparkSession, datasource: String): Unit =
+    private def resolve(syncId: String): (SyncDef, ModelDef, ConnectionDef) = {
+      val sync = syncs.getOrElse(syncId,
+        throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))
+      val md = models.getOrElse(sync.model,
+        throw new IllegalArgumentException(s"sync '$syncId' references unknown model '${sync.model}'"))
+      val conn = connections.getOrElse(sync.destination,
+        throw new IllegalArgumentException(s"sync '$syncId' references unknown connection '${sync.destination}'"))
+      (sync, md, conn)
+    }
+
+    /** Enrichment channels compose in declaration order between validate
+      * and column-map, exactly where the reference runs them (sync.ts:588). */
+    private def enrichFor(syncId: String, sync: SyncDef,
+                          enrichProviders: Map[String, EnrichProvider]): DataFrame => DataFrame =
+      sync.enrichments.foldLeft(identity[DataFrame] _) { (acc, ref) =>
+        val econn = connections.getOrElse(ref.connection,
+          throw new IllegalArgumentException(
+            s"sync '$syncId' enrichment references unknown connection '${ref.connection}'"))
+        val provider = enrichProviders.getOrElse(econn.kind,
+          throw new IllegalArgumentException(
+            s"no enrichment provider registered for kind '${econn.kind}'"))
+        acc.andThen(provider(econn, ref.options))
+      }
+
+    /** B25: run one sync CONTINUOUSLY — the model's `streamTable` (sync
+      * `options.streamTable` or a model config directive) registers as a
+      * Structured Streaming view (schema pinned from a batch read of the
+      * same files); every other table in the datasource registers as a
+      * batch view, so model SQL that joins the stream against dimensions
+      * plans a stream-batch join. The micro-batch pipeline is the full
+      * batch sync (validate → threshold → enrich → map → destination
+      * profile) via [[graft.sync.SyncRunner.runContinuous]]; the stream
+      * checkpoint replaces the cursor, so continuous models declare none. */
+    def runContinuous(spark: SparkSession, syncId: String, store: StateStore,
+                      transport: RestSink.Transport, checkpointDir: String,
+                      enrichProviders: Map[String, EnrichProvider] = Map.empty): Seq[SyncRunner#BatchReport] = {
+      val (sync, md, conn) = resolve(syncId)
+      require(md.cursor.isEmpty,
+        s"continuous sync '$syncId': model '${md.id}' declares a cursor, but the stream " +
+        "checkpoint IS the position — drop the cursor directive")
+      val streamTable = sync.options.get("streamTable").collect { case s: String => s }
+        .orElse(md.config.get("streamTable"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"continuous sync '$syncId' must declare streamTable (sync options or model config)"))
+      registerDatasource(spark, md.datasource, streamTable = Some(streamTable))
+      val validations = md.config.get("schema").map(ddl =>
+        graft.model.SchemaValidation.rules(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))).getOrElse(Nil)
+      val model = Model.fromSql(md.id, md.sql, keyCols = md.keys, cursorCol = None, env = env)
+        .copy(validations = validations)
+      new SyncRunner(store).runContinuous(
+        model.build(spark), model, syncId, checkpointDir,
+        sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
+        enrich = enrichFor(syncId, sync, enrichProviders))
+    }
+
+    private def registerDatasource(spark: SparkSession, datasource: String,
+                                   streamTable: Option[String] = None): Unit =
       if (datasource.startsWith("parquet:")) {
         val dir = Paths.get(datasource.stripPrefix("parquet:"))
         require(Files.isDirectory(dir), s"datasource directory not found: $dir")
         // nanosecond timestamps read as epoch-nanos longs (same choice as
         // queries.Tables — exact arithmetic, no truncation surprises)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        var streamSeen = false
         val st = Files.list(dir)
         try st.iterator().asScala
           .filter(_.toString.endsWith(".parquet"))
           .foreach { p =>
             val name = p.getFileName.toString.stripSuffix(".parquet")
-            spark.read.parquet(p.toString).createOrReplaceTempView(name)
+            if (streamTable.contains(name)) {
+              // streaming view: schema pinned from a batch read (file
+              // streams can't infer), reading the same path incrementally.
+              // The file-stream source force-sets basePath to the source
+              // path itself UNLESS the path is a glob — and basePath must
+              // be a directory, which a single .parquet file is not. A
+              // one-alternative {name} glob keeps our explicit directory
+              // basePath in charge.
+              val schema = spark.read.parquet(p.toString).schema
+              val glob = s"$dir/{${p.getFileName.toString}}"
+              spark.readStream.schema(schema).option("basePath", dir.toString)
+                .parquet(glob)
+                .createOrReplaceTempView(name)
+              streamSeen = true
+            } else spark.read.parquet(p.toString).createOrReplaceTempView(name)
           }
         finally st.close()
+        streamTable.foreach(tn => require(streamSeen,
+          s"streamTable '$tn' not found under $dir"))
       } else if (datasource.startsWith("jdbc:")) {
         // JDBC warehouses read through graft.sources.JdbcSource — models
         // then reference pushed-down subqueries; registration is per-table

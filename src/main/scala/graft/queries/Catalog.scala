@@ -104,7 +104,8 @@ object Catalog {
     "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup),
     "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex),
     "q93_line_dedup"        -> rel(TrainingData.q93LineDedup),
-    "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall)
+    "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall),
+    "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge)
   )
 
   val events: Map[String, QueryFn] = Map(

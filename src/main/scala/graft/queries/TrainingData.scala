@@ -124,6 +124,33 @@ object TrainingData {
     Similarity.ivfTopK(t.embeddings, annQueries(t), k = 10, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
 
+  /** C41: mergeable COUNT-MIN frequency sketches — per-(lang, source)
+    * token-frequency grids rolled up per lang WITHOUT rescanning text,
+    * vs a one-shot per-lang build. CMS counters are sums, so the merge
+    * law is exact grid equality; with width 2048 over this vocabulary no
+    * item collides on all depth rows, so estimates equal exact counts —
+    * three booleans the oracle pins TRUE next to DuckDB's exact counts. */
+  def q97CmsMerge(t: Tables): DataFrame = {
+    import graft.functions.CountMinFunctions.countMinEstimate
+    val toks = t.documents.select(col("lang"), col("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val rolled = Sketches.rollupFreq(
+        Sketches.freqSketches(toks, Seq("lang", "source"), "tok"), Seq("lang"))
+      .withColumnRenamed("cms", "cms_rollup")
+    val oneShot = Sketches.freqSketches(toks, Seq("lang"), "tok")
+      .withColumnRenamed("cms", "cms_oneshot")
+    val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("exact_n"))
+    exact.join(broadcast(rolled), "lang").join(broadcast(oneShot), "lang")
+      .select(col("lang"), col("tok"), col("exact_n"),
+        (countMinEstimate(col("cms_rollup"), col("tok")) ===
+          countMinEstimate(col("cms_oneshot"), col("tok"))).as("merge_consistent"),
+        (countMinEstimate(col("cms_oneshot"), col("tok")) >= col("exact_n"))
+          .as("no_underestimate"),
+        (countMinEstimate(col("cms_oneshot"), col("tok")) === col("exact_n"))
+          .as("estimate_exact"))
+      .orderBy("lang", "tok")
+  }
+
   /** C40: ANN recall evaluation — recall@10 of the IVF index (q62 params)
     * against the exact brute-force ground truth (q34), per query. The
     * oracle replays BOTH pipelines and the overlap arithmetic exactly. */

@@ -566,6 +566,18 @@ object TrainingOracle {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // q97: the CMS merge law + no-underestimate bound as booleans pinned
+    // TRUE, next to exact token counts DuckDB recomputes itself.
+    "q97_cms_merge" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n,
+        |  TRUE AS merge_consistent,
+        |  TRUE AS no_underestimate,
+        |  TRUE AS estimate_exact
+        |FROM toks GROUP BY lang, tok
+        |ORDER BY lang, tok""".stripMargin,
+
     // q60: the HLL merge/accuracy properties as booleans the oracle pins
     // to TRUE, plus the exact distinct count DuckDB recomputes itself.
     "q60_hll_merge" ->

@@ -304,6 +304,51 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D14: continuously-maintained EXACT aggregate state — the streaming
+    * twin of B24 (graft.operators.IncrementalAgg), as [[sketchMaintenance]]
+    * is of the sketch family: every micro-batch's per-group mergeable
+    * state (count / exact-decimal sum / min / max) merges into a persisted
+    * state table, so "totals so far" reads one row per group instead of
+    * rescanning event history. Decimal sums are associative, so the
+    * maintained state equals the one-shot aggregate bit-for-bit — the
+    * spec pins that equality after multi-batch out-of-order ingestion.
+    *
+    * Same exactly-once discipline as D12: batchId-versioned state dirs,
+    * pointer flipped last, replayed batches self-detect and skip. */
+  def aggMaintenance(events: DataFrame, keys: Seq[String], valueCol: String,
+                     stateRoot: String, checkpointDir: String): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target)) {
+          () // replayed batch: already merged and published
+        } else {
+          val fresh = graft.operators.IncrementalAgg.buildState(batch.toDF(), keys, valueCol)
+          val merged = prev match {
+            case Some(p) =>
+              graft.operators.IncrementalAgg.merge(keys, spark.read.parquet(p), fresh)
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the maintained aggregate state out as user-facing values
+    * (n_rows / total / min / max / derived avg) — one row per group. */
+  def aggReadout(spark: SparkSession, stateRoot: String, keys: Seq[String]): DataFrame =
+    readPointer(spark, stateRoot) match {
+      case Some(p) => graft.operators.IncrementalAgg.readout(spark.read.parquet(p), keys)
+      case None => spark.emptyDataFrame
+    }
+
   /** Read the current sketch state as estimates: (group, approx_distinct,
     * top items by estimated count). Reads KBs, never the raw events. */
   def sketchEstimates(spark: SparkSession, stateRoot: String, k: Int = 10): DataFrame =

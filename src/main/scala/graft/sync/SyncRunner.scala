@@ -116,6 +116,40 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
     }
   }
 
+  /** One micro-batch's sync report: what [[run]]'s SyncReport is to a
+    * batch run. */
+  final case class BatchReport(batchId: Long, rowsIn: Long, rowsValid: Long)
+
+  /** B25: CONTINUOUS sync — the same validate → threshold → enrich → map
+    * → sink pipeline applied per micro-batch of a STREAMING model frame
+    * via foreachBatch. The stream's checkpoint replaces the cursor (the
+    * checkpoint IS the stream position — models for continuous syncs
+    * declare no cursor), and the error threshold accumulates across
+    * batches so a slow-burn stream of bad rows still trips the 20%/100
+    * gate. Batch ids are recorded in the state store AFTER a successful
+    * sink; a replayed batch (crash before its marker landed) re-runs the
+    * sink — at-least-once into the destination, which is why every graft
+    * destination profile is idempotent (upserts, audience membership) —
+    * and marker-present batches skip entirely.
+    *
+    * Runs with Trigger.AvailableNow: process everything available, then
+    * stop — re-invocation picks up new files from the checkpoint, the
+    * scheduled-sync deployment shape. */
+  def runContinuous(stream: DataFrame, model: Model, syncId: String,
+                    checkpointDir: String, sink: DataFrame => Unit,
+                    enrich: DataFrame => DataFrame = identity): Seq[BatchReport] = {
+    val reports = scala.collection.mutable.ListBuffer.empty[BatchReport]
+    graft.streaming.EventStreams.runToSink(stream, checkpointDir) { (batch, batchId) =>
+      val doneKey = Seq(s"syncId=$syncId", "$batches", batchId.toString)
+      if (store.get(doneKey).isEmpty) {
+        val (n, nValid, _) = syncOnce(model, batch, enrich, sink)
+        store.set(doneKey, s"""{"rows":$n,"valid":$nValid}""")
+        reports += BatchReport(batchId, n, nValid)
+      }
+    }
+    reports.toSeq
+  }
+
   /** Mid-run checkpointing (reference `checkpointEvery`, sync.ts:566):
     * pack distinct cursor values (in cursor order) into chunks of at least
     * `every` rows, sync chunk-by-chunk, persist the chunk's upper cursor

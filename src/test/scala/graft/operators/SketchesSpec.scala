@@ -94,4 +94,51 @@ class SketchesSpec extends SparkSuite {
       .as[(String, Option[Double])].collect()
     assert(out.length == 1 && out.head._2.isEmpty)
   }
+
+  private lazy val priorities = spark.read.parquet(s"$sfDir/orders.parquet")
+    .select((col("o_orderkey") % 3).as("g"), year(col("o_orderdate")).as("yr"),
+      col("o_orderpriority").as("item"))
+
+  test("count-min rollup grid equals the one-shot grid: identical estimates") {
+    import graft.functions.CountMinFunctions._
+    val rolled = Sketches.rollupFreq(
+      Sketches.freqSketches(priorities, Seq("g", "yr"), "item"), Seq("g"))
+    val oneShot = Sketches.freqSketches(priorities, Seq("g"), "item")
+      .withColumnRenamed("cms", "cms1")
+    val items = priorities.select("g", "item").distinct()
+    val both = items.join(rolled, "g").join(oneShot, "g")
+      .select(col("g"), col("item"),
+        countMinEstimate(col("cms"), col("item")).as("e_roll"),
+        countMinEstimate(col("cms1"), col("item")).as("e_one"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(both.nonEmpty && both.forall(r => r._3 == r._4),
+      s"rollup and one-shot estimates must be identical, got ${both.take(5).toSeq}")
+  }
+
+  test("count-min never underestimates; exact at this width; unseen item is 0") {
+    import graft.functions.CountMinFunctions._
+    val exact = priorities.groupBy("g", "item").agg(count(lit(1)).as("n"))
+    val sk = Sketches.freqSketches(priorities, Seq("g"), "item")
+    val est = exact.join(sk, "g")
+      .select(col("g"), col("item"), col("n"),
+        countMinEstimate(col("cms"), col("item")).as("e"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall(r => r._4 >= r._3), "CMS must never underestimate")
+    assert(est.forall(r => r._4 == r._3), "width 2048 over 5 items: no collisions")
+    val unseen = sk.select(countMinEstimate(col("cms"), lit("NOT-AN-ITEM")).as("e"))
+      .as[Long].collect()
+    assert(unseen.forall(_ == 0L), "an item hashed to untouched counters reads 0")
+  }
+
+  test("count-min merge of an empty group set yields null sketch, not a crash") {
+    import graft.functions.CountMinFunctions._
+    val empty = priorities.filter(lit(false))
+    val merged = Sketches.rollupFreq(
+      Sketches.freqSketches(empty, Seq("g"), "item")
+        .unionByName(Seq((99L, Option.empty[Array[Byte]])).toDF("g", "cms")),
+      Seq("g"))
+    val out = merged.select(col("g"), col("cms").isNull.as("isnull"))
+      .as[(Long, Boolean)].collect()
+    assert(out.length == 1 && out.head._2, "all-null input sketches merge to null")
+  }
 }

@@ -198,4 +198,53 @@ class ProjectSpec extends SparkSuite {
     val r2 = proj.runSync(spark, "orders_to_fb", store, rec2)
     assert(r2.rowsIn == 0 && rec2.rows == 0, "second run is incremental: nothing new")
   }
+
+  test("runContinuous: streaming project sync through the full pipeline; checkpoint + batch markers") {
+    val dir = makeProject()
+    write(dir, "models/orders_stream.sql",
+      s"""--{{ config "datasource" env.WAREHOUSE }}
+         |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |""".stripMargin)
+    write(dir, "syncs/continuous.yaml",
+      """model: orders_stream
+        |destination: fb
+        |options:
+        |  streamTable: orders
+        |""".stripMargin)
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val store = StateStore.inMemory()
+    val ckpt = Files.createTempDirectory("graft-cont-ckpt").toString
+    val rec = new Recorder
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+
+    val reports = proj.runContinuous(spark, "continuous", store, rec, ckpt)
+    assert(reports.map(_.rowsIn).sum == total && rec.rows == total,
+      "every order flows through the micro-batch pipeline to the destination")
+    assert(rec.batches.forall(_ <= 1000), "destination profile applies per micro-batch")
+    assert(reports.forall(r =>
+      store.get(Seq("syncId=continuous", "$batches", r.batchId.toString)).isDefined),
+      "each completed batch leaves a marker in the state store")
+
+    // resume from the stream checkpoint: no new files, no batches
+    val rec2 = new Recorder
+    val again = proj.runContinuous(spark, "continuous", store, rec2, ckpt)
+    assert(again.isEmpty && rec2.rows == 0, "checkpoint resume processes nothing new")
+
+    // fresh checkpoint, same store: batch ids restart at 0, markers catch the replay
+    val rec3 = new Recorder
+    val replay = proj.runContinuous(spark, "continuous", store, rec3,
+      Files.createTempDirectory("graft-cont-ckpt2").toString)
+    assert(replay.isEmpty && rec3.rows == 0, "marker-present batches skip the sink entirely")
+  }
+
+  test("runContinuous: a declared cursor is rejected — the checkpoint is the position") {
+    val dir = makeProject()
+    write(dir, "syncs/cont_bad.yaml",
+      "model: orders_model\ndestination: fb\noptions:\n  streamTable: orders\n")
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val e = intercept[IllegalArgumentException](
+      proj.runContinuous(spark, "cont_bad", StateStore.inMemory(), new Recorder,
+        Files.createTempDirectory("graft-cont-ckpt3").toString))
+    assert(e.getMessage.contains("cursor"))
+  }
 }

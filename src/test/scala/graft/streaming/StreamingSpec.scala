@@ -262,6 +262,41 @@ class StreamingSpec extends SparkSuite {
     assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
   }
 
+  test("D14: incremental aggregate maintenance equals the one-shot batch aggregate") {
+    val rows1 = Seq(
+      (1L, ts(0.0), 1L, "view", 10.25), (2L, ts(1.0), 2L, "view", 3.75),
+      (3L, ts(2.0), 1L, "click", 7.00))
+    val rows2 = Seq(
+      (4L, ts(10.0), 3L, "view", 0.50), (5L, ts(11.0), 1L, "click", 2.25))
+    val in = Files.createTempDirectory("graft-agg-in").toString
+    val state = Files.createTempDirectory("graft-agg-state").toString
+    val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.aggMaintenance(
+      EventStreams.readEvents(spark, in), Seq("event_type"), "value", state, ckpt)
+
+    rows1.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    rows2.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val out = EventStreams.aggReadout(spark, state, Seq("event_type"))
+      .select("event_type", "n_rows", "total", "min_value", "max_value", "avg_value")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // one-shot values over all five rows — decimal sums make this exact
+    assert(out("view") == ((3L, 14.5, 0.5, 10.25, 14.5 / 3)), s"got $out")
+    assert(out("click") == ((2L, 9.25, 2.25, 7.0, 9.25 / 2)), s"got $out")
+
+    // replay with the same checkpoint: nothing double-applies
+    runOnce()
+    val again = EventStreams.aggReadout(spark, state, Seq("event_type"))
+      .select("event_type", "n_rows").as[(String, Long)].collect().toMap
+    assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
+  }
+
   test("D13: continuous ingestion dedup catches cross-batch near-dups via the growing index") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
     val idx = Files.createTempDirectory("graft-ingest-idx").toString
