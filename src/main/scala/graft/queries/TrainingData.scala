@@ -38,6 +38,21 @@ object TrainingData {
       .withColumn("clean_hash", md5(col("clean_text"))).drop("clean_text")
       .orderBy("doc_id")
 
+  /** C42: WITHIN-document line dedup (first occurrence wins). The
+    * synthetic corpus never repeats a segment inside a document (checked:
+    * zero at widths 4/6/8), so the query re-plants each document's first
+    * line at its end — the operator must drop exactly that replant and
+    * rebuild the original text; with real corpora you run the operator
+    * directly on the split lines. */
+  def q98LineDedupIntra(t: Tables): DataFrame = {
+    val lines = Chunking.tokenLines(t.documents, width = 8)
+    val planted = lines.unionByName(
+      lines.filter(col("line_idx") === 0).withColumn("line_idx", lit(1000000L)))
+    Dedup.dedupLinesWithinDoc(planted)
+      .withColumn("clean_hash", md5(col("clean_text"))).drop("clean_text")
+      .orderBy("doc_id")
+  }
+
   /** C27: incremental near-dup — every 10th doc plays the "newly
     * ingested" slice, the rest are the already-indexed corpus; the new
     * slice probes the persisted band index without any corpus re-scan. */

@@ -1007,6 +1007,46 @@ object TrainingOracle {
         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // C42: within-doc line dedup — same segmentation, planted replant of
+    // line 0, first-occurrence window, ordered reassembly. Exact.
+    "q98_line_dedup_intra" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, toks, n, CAST(ceil(n / 8.0) AS BIGINT) AS nc
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, (nc - 1) * 8, 8)) AS start
+        |  FROM dd),
+        |lines0 AS (
+        |  SELECT doc_id, start // 8 AS line_idx,
+        |    array_to_string(list_slice(toks, start + 1, LEAST(start + 8, n)), ' ') AS line
+        |  FROM e),
+        |lines AS (
+        |  SELECT * FROM lines0
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 AS line_idx, line FROM lines0 WHERE line_idx = 0),
+        |kept AS (
+        |  SELECT doc_id, line_idx, line FROM (
+        |    SELECT doc_id, line_idx, line,
+        |           row_number() OVER (PARTITION BY doc_id, md5(line)
+        |                              ORDER BY line_idx) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(string_agg(line, ' ' ORDER BY line_idx)) AS clean_hash
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / t.n_lines AS kept_ratio,
+        |  r.clean_hash
+        |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // C33: packing — ONE global running sum is the spec; graft's two-level
     // distributed scan must equal it exactly.
     "q84_packing" ->

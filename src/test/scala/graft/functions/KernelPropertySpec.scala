@@ -159,4 +159,35 @@ class KernelPropertySpec extends SparkSuite {
     }
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
+
+  test("property: CharHistogram == driver-side codepoint binning, random docs") {
+    val docs = samples(tokenGen, 60).map(_.mkString(" ")).toDF("text")
+    val got = docs.select(col("text"), TextFunctions.charHistogram(col("text")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq)
+    got.foreach { case (text, hist) =>
+      val exp = new Array[Int](28)
+      text.codePoints().forEach { cp =>
+        if (cp == 32) exp(0) += 1
+        else if (cp >= 'a' && cp <= 'z') exp(cp - 96) += 1
+        else exp(27) += 1
+      }
+      assert(hist == exp.toSeq, s"histogram mismatch for '$text'")
+    }
+  }
+
+  test("property: L1Distance bound never prunes a true Levenshtein pair") {
+    val docs = samples(tokenGen, 40).map(_.mkString(" "))
+    val pairs = for (a <- docs; b <- docs) yield (a, b)
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextFunctions.l1Distance(TextFunctions.charHistogram(col("a")),
+          TextFunctions.charHistogram(col("b"))).as("l1"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .as[(String, String, Long, Long)].collect()
+    rows.foreach { case (a, b, l1, lev) =>
+      // the completeness invariant the q88 prefilter rests on
+      assert(lev >= (l1 + 1) / 2, s"bound violated: lev=$lev l1=$l1 for '$a' vs '$b'")
+    }
+    assert(rows.exists(r => r._3 > 0), "fixture exercises non-identical pairs")
+  }
 }

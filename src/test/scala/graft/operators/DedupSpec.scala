@@ -204,6 +204,23 @@ class DedupSpec extends SparkSuite {
       (4L, 2L, 2L, "solo repeat solo repeat")))
   }
 
+  test("within-doc line dedup keeps first occurrence, preserves order, stays per-doc") {
+    val lines = Seq(
+      (0L, 0L, "aa"), (0L, 1L, "bb"), (0L, 2L, "aa"), (0L, 3L, "cc"),
+      (1L, 0L, "xx"), (1L, 1L, "xx"), (1L, 2L, "xx"),
+      // the same line in ANOTHER doc is untouched (dedup is per document)
+      (2L, 0L, "aa")
+    ).toDF("doc_id", "line_idx", "line")
+    val out = Dedup.dedupLinesWithinDoc(lines)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 3L, "aa bb cc"),
+      (1L, 3L, 1L, "xx"),
+      (2L, 1L, 1L, "aa")))
+  }
+
   test("tokenLines segments match hand-sliced windows") {
     val docs = Seq((7L, "a b c d e"), (8L, "x y")).toDF("doc_id", "text")
     val segs = Chunking.tokenLines(docs, width = 2)
