@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps.tokens
 
@@ -247,5 +248,46 @@ object TextAnalysis {
         array_join(transform(col("__p"), _.cast("string")), ",").as("postings"))
     stats.join(listed, Seq("term"), "left_outer")
       .select(col("term"), col("df"), col("total_tf"), col("postings"))
+  }
+
+  /** C44: quality-filter FUNNEL — the per-filter kill report every corpus
+    * cleaning pipeline publishes (how many documents did each rule
+    * remove, in order?). Each document is attributed to the FIRST filter
+    * it fails (the when-chain mirrors how a short-circuiting pipeline
+    * actually drops rows), then one bounded-key aggregation counts kills
+    * and a cumulative window over the |filters|-row stage table derives
+    * per-stage in/out counts.
+    *
+    * Scale: ONE scan of the corpus (the when-chain is a per-row codegen'd
+    * expression), a groupBy on ≤ |filters|+1 keys, and all funnel
+    * arithmetic on a frame with one row per filter — the only
+    * unpartitioned window is over that by-construction tiny frame (the
+    * q17/q84 bounded-window pattern). Corpus totals ride a 1-row
+    * broadcast (the q43 scalar pattern), never a collect. */
+  def filterFunnel(docs: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "need at least one filter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val firstKill = filters.foldRight(lit(null).cast("string")) {
+      case ((name, pred), acc) => when(!coalesce(pred, lit(false)), lit(name)).otherwise(acc)
+    }
+    val kills = docs.select(firstKill.as("__kill"))
+      .filter(col("__kill").isNotNull)
+      .groupBy("__kill").agg(count(lit(1)).as("n_killed"))
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val stages = filters.map(_._1).zipWithIndex
+      .map { case (n, i) => (i.toLong + 1, n) }.toDF("stage", "filter")
+    val w = Window.orderBy("stage")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages
+      .join(kills, col("filter") === col("__kill"), "left_outer")
+      .na.fill(0L, Seq("n_killed"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", sum(col("n_killed")).over(w))
+      .select(col("stage"), col("filter"),
+        (col("__total") - col("__cum") + col("n_killed")).as("n_in"),
+        col("n_killed"),
+        (col("__total") - col("__cum")).as("n_out"))
+      .orderBy("stage")
   }
 }

@@ -106,7 +106,8 @@ object Catalog {
     "q93_line_dedup"        -> rel(TrainingData.q93LineDedup),
     "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall),
     "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge),
-    "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra)
+    "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra),
+    "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel)
   )
 
   val events: Map[String, QueryFn] = Map(
@@ -116,7 +117,8 @@ object Catalog {
     "q58_funnel"       -> rel(Events.q58Funnel),
     "q59_retention"    -> rel(Events.q59Retention),
     "q50_window_agg"  -> rel(Events.q50WindowAgg),
-    "q51_sessionize"  -> rel(Events.q51Sessionize)
+    "q51_sessionize"  -> rel(Events.q51Sessionize),
+    "q99_transitions" -> rel(Events.q99Transitions)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

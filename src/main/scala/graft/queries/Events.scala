@@ -150,4 +150,28 @@ object Events {
       .agg(count(lit(1)).as("n_events"), money(sum(dec(col("value")))).as("sum_value"))
       .orderBy("interval_id")
   }
+
+  /** D15: event TRANSITION matrix (next-event Markov counts) — for each
+    * user's event-time-ordered stream, count (from → to) adjacent-event
+    * transitions and the per-from probability; the path-analysis /
+    * "what happens after a click" shape.
+    *
+    * Scale: ONE window pass partitioned by user (high cardinality; ties
+    * broken by event_id so both engines see the same total order), then a
+    * bounded-key groupBy (|event types|²) with map-side partials. The
+    * probability divides two exact longs — same double on any engine. */
+  def q99Transitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
 }

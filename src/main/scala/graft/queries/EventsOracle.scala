@@ -100,6 +100,25 @@ object EventsOracle {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // D15: next-event transitions — same per-user total order (ts, event_id),
+    // bounded (from, to) counts, exact long/long probability.
+    "q99_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_ns(ts) ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cnt GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n AS DOUBLE) / t.n_from AS prob
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin
   )
 }

@@ -166,6 +166,21 @@ object TrainingData {
       .orderBy("lang", "tok")
   }
 
+  /** C44: quality-filter funnel — ordered corpus-cleaning rules with
+    * first-kill attribution and per-stage in/killed/out counts (the
+    * cleaning report a RefinedWeb-style pipeline publishes). Rules use
+    * only per-row columns both engines compute identically. */
+  def q100FilterFunnel(t: Tables): DataFrame = {
+    val nT = size(TextOps.tokens(col("text")))
+    val awl = (col("n_chars") - (nT - 1)).cast("double") / nT
+    TextAnalysis.filterFunnel(t.documents, Seq(
+      "lang_keep"    -> col("lang").isin("en", "es", "de", "fr"),
+      "min_chars"    -> (col("n_chars") >= 100),
+      "max_chars"    -> (col("n_chars") <= 500),
+      "min_tokens"   -> (nT >= 20),
+      "avg_word_len" -> awl.between(3.0, 8.0)))
+  }
+
   /** C40: ANN recall evaluation — recall@10 of the IVF index (q62 params)
     * against the exact brute-force ground truth (q34), per query. The
     * oracle replays BOTH pipelines and the overlap arithmetic exactly. */

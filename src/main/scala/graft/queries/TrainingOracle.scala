@@ -1007,6 +1007,40 @@ object TrainingOracle {
         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // C44: filter funnel — identical first-kill when-chain, kill counts,
+    // cumulative funnel arithmetic over the 5-row stage table. Exact.
+    "q100_filter_funnel" ->
+      """WITH k AS (
+        |  SELECT CASE
+        |    WHEN NOT (lang IN ('en','es','de','fr')) THEN 'lang_keep'
+        |    WHEN NOT (n_chars >= 100) THEN 'min_chars'
+        |    WHEN NOT (n_chars <= 500) THEN 'max_chars'
+        |    WHEN NOT (len(string_split(text, ' ')) >= 20) THEN 'min_tokens'
+        |    WHEN NOT ((CAST(n_chars AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |              / len(string_split(text, ' ')) BETWEEN 3 AND 8) THEN 'avg_word_len'
+        |    ELSE NULL END AS kill
+        |  FROM documents),
+        |kc AS (
+        |  SELECT kill, CAST(COUNT(*) AS BIGINT) AS n_killed
+        |  FROM k WHERE kill IS NOT NULL GROUP BY kill),
+        |stages AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'lang_keep'), (CAST(2 AS BIGINT), 'min_chars'),
+        |    (CAST(3 AS BIGINT), 'max_chars'), (CAST(4 AS BIGINT), 'min_tokens'),
+        |    (CAST(5 AS BIGINT), 'avg_word_len')) AS s(stage, filter)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        |j AS (
+        |  SELECT s.stage, s.filter, COALESCE(kc.n_killed, 0) AS n_killed
+        |  FROM stages s LEFT JOIN kc ON s.filter = kc.kill)
+        |SELECT stage, filter,
+        |  CAST(total - SUM(n_killed) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_killed AS BIGINT) AS n_in,
+        |  n_killed,
+        |  CAST(total - SUM(n_killed) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_out
+        |FROM j, tot
+        |ORDER BY stage""".stripMargin,
+
     // C42: within-doc line dedup — same segmentation, planted replant of
     // line 0, first-occurrence window, ordered reassembly. Exact.
     "q98_line_dedup_intra" ->

@@ -28,6 +28,28 @@ object FileSink {
     path
   }
 
+  /** C43: range-LAYOUTED parquet write — the data-layout half of scan
+    * performance: `repartitionByRange` on the sort keys gives each output
+    * file a DISJOINT key range (range exchange with sampled boundaries),
+    * `sortWithinPartitions` orders rows inside each file, so parquet
+    * footer min/max stats become airtight: a filter on the leading sort
+    * key prunes whole files (and row groups) instead of scanning the
+    * corpus. This is what turns a 100 TB "read everything and filter"
+    * into "open the two files whose range matches".
+    *
+    * `numFiles` sizes output explicitly (files ≈ total/numFiles rows);
+    * at scale pick ~shuffle-partition-sized files. Deterministic content
+    * per file is NOT guaranteed (range boundaries are sampled) — layout
+    * is a physical property, results of reads are unchanged. */
+  def rangeLayout(df: DataFrame, dir: String, sortCols: Seq[String],
+                  numFiles: Int): Unit = {
+    require(sortCols.nonEmpty && numFiles >= 1)
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   private def writer(df: DataFrame, overwrite: Boolean) =
     df.write.mode(if (overwrite) "overwrite" else "error")
 }

@@ -83,6 +83,16 @@ object ScaleProbe {
       run("canonical_dedup", k)(TextAnalysis.canonicalDedup(docs).count())
       run("domain_cap", k)(Sampling.capPerGroup(docs, "source", "doc_id", 20).count())
     }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // amplification duplicates every doc k-fold → every line becomes
+      // cross-doc boilerplate at k>1: the WORST case for the rebuild side
+      run("line_dedup", k)(
+        Dedup.lineDedup(graft.operators.Chunking.tokenLines(docs, 8), minDocs = 2).count())
+      // dup-saturated worst case for edit distance too: every copy is an
+      // exact (distance-0) match of its original inside the same band
+      run("edit_neardup", k)(Dedup.editDistancePairs(docs, maxDist = 16).count())
+    }
     spark.stop()
   }
 }

@@ -212,6 +212,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "block offsets must broadcast back, never shuffle the docs")
   }
 
+  test("q93/q98: line-dedup rebuild is struct-sort + field projection, never a lambda") {
+    Seq(TrainingData.q93LineDedup(t), TrainingData.q98LineDedupIntra(t)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("lambdafunction"),
+        "ordered reassembly must use sort_array + GetArrayStructFields, not transform()")
+    }
+  }
+
+  test("q88: the histogram prefilter sits BEFORE the Levenshtein verify") {
+    val p = plan(TrainingData.q88EditNeardup(t))
+    assert(p.contains("l1_distance"), "L1 histogram prune must be in the plan")
+    val l1 = p.indexOf("l1_distance")
+    val lev = p.indexOf("levenshtein")
+    assert(lev >= 0 && l1 >= 0, "both kernels present")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

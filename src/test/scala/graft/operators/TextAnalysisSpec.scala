@@ -185,4 +185,30 @@ class TextAnalysisSpec extends SparkSuite {
       // ids sorted numerically: 2,10 (lexicographic would be "10,2")
       ("beta", 2L, 2L, Some("2,10"))))
   }
+
+  test("filter funnel: first-kill attribution, per-stage in/killed/out, zero-kill stages") {
+    val docs = Seq(
+      (0L, 10L, "keep"),  // survives both
+      (1L, 3L, "keep"),   // killed by min_len
+      (2L, 3L, "drop"),   // fails BOTH → attributed to the FIRST (tag_keep)
+      (3L, 20L, "drop")   // killed by tag_keep
+    ).toDF("id", "len", "tag")
+    val out = TextAnalysis.filterFunnel(docs, Seq(
+      "tag_keep" -> (col("tag") === "keep"),
+      "min_len"  -> (col("len") >= 5L),
+      "noop"     -> lit(true)))
+      .select("stage", "filter", "n_in", "n_killed", "n_out")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "tag_keep", 4L, 2L, 2L),
+      (2L, "min_len", 2L, 1L, 1L),
+      (3L, "noop", 1L, 0L, 1L)))
+  }
+
+  test("filter funnel: a NULL predicate kills (treated as failing), like a real pipeline") {
+    val docs = Seq((0L, Some(10L)), (1L, Option.empty[Long])).toDF("id", "len")
+    val out = TextAnalysis.filterFunnel(docs, Seq("min_len" -> (col("len") >= 5L)))
+      .select("n_in", "n_killed", "n_out").as[(Long, Long, Long)].head()
+    assert(out == ((2L, 1L, 1L)))
+  }
 }

@@ -41,4 +41,31 @@ class SinkSpec extends SparkSuite {
     assert(p == s"$root/sync_id=sync1/run_id=run1")
     assert(spark.read.parquet(p).count() == 3)
   }
+
+  test("rangeLayout: disjoint per-file key ranges; a key filter touches few files") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = tmp()
+    FileSink.rangeLayout(docs, dir, Seq("source", "doc_id"), numFiles = 8)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count(), "layout never changes content")
+
+    // per-file (min, max) ranges of the leading sort key must not interleave:
+    // every file's min is >= every other file's max or vice versa (equality
+    // allowed at boundaries — a key can straddle two adjacent files)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("source").as("lo"), max("source").as("hi"))
+      .select("lo", "hi").as[(String, String)].collect().sortBy(_._1)
+    assert(ranges.length > 1, "fixture must produce multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges interleave: $hi1 > $lo2")
+    case _ => ()
+    }
+
+    // the payoff: one key's rows live in at most two adjacent files
+    val touched = back.filter(col("source") === "src5")
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"a single source must touch <= 2 files, got $touched")
+  }
 }
