@@ -71,5 +71,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "simhash64(tokens) takes 1 argument")
         SimHash64(exprs.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("char_histogram"),
+      new ExpressionInfo(classOf[CharHistogram].getName, "char_histogram"),
+      exprs => {
+        require(exprs.length == 1, "char_histogram(text) takes 1 argument")
+        CharHistogram(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("l1_distance"),
+      new ExpressionInfo(classOf[L1Distance].getName, "l1_distance"),
+      exprs => {
+        require(exprs.length == 2, "l1_distance(histA, histB) takes 2 arguments")
+        L1Distance(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("count_min_build"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_build"),
+      exprs => {
+        require(exprs.length == 1 || exprs.length == 4,
+          "count_min_build(item[, depth, width, seed]) takes 1 or 4 arguments")
+        def intLit(i: Int, what: String): Int = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"count_min_build $what must be an integer literal, got $other")
+        }
+        if (exprs.length == 1) CountMinAgg(exprs.head, 5, 2048, 42).toAggregateExpression()
+        else CountMinAgg(exprs.head, intLit(1, "depth"), intLit(2, "width"),
+          intLit(3, "seed")).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("count_min_merge"),
+      new ExpressionInfo(classOf[CountMinMergeAgg].getName, "count_min_merge"),
+      exprs => {
+        require(exprs.length == 1, "count_min_merge(sketch) takes 1 argument")
+        CountMinMergeAgg(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("count_min_query"),
+      new ExpressionInfo(classOf[CountMinQuery].getName, "count_min_query"),
+      exprs => {
+        require(exprs.length == 2, "count_min_query(sketch, item) takes 2 arguments")
+        CountMinQuery(exprs.head, exprs(1))
+      }))
   }
 }

@@ -250,6 +250,25 @@ object TextAnalysis {
       .select(col("term"), col("df"), col("total_tf"), col("postings"))
   }
 
+  /** C45: vocabulary COVERAGE / OOV rate — per-document fraction of
+    * tokens outside a reference vocabulary (tokenizer-coverage and
+    * domain-shift evaluation: a corpus whose OOV rate spikes against the
+    * training vocab will tokenize badly).
+    *
+    * Scale: explode + anti join against the vocab (broadcast — real
+    * tokenizer vocabularies are ~10⁵ rows) + two per-doc counts with
+    * map-side partials; only (id, token) pairs move. */
+  def oovRate(docs: DataFrame, vocab: DataFrame, termCol: String = "term",
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val tot = ex.groupBy("id").agg(count(lit(1)).as("n_tokens"))
+    val oov = ex.join(broadcast(vocab.select(col(termCol).as("tok"))), Seq("tok"), "left_anti")
+      .groupBy("id").agg(count(lit(1)).as("n_oov"))
+    tot.join(oov, Seq("id"), "left_outer").na.fill(0L, Seq("n_oov"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** C44: quality-filter FUNNEL — the per-filter kill report every corpus
     * cleaning pipeline publishes (how many documents did each rule
     * remove, in order?). Each document is attributed to the FIRST filter

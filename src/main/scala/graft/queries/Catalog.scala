@@ -107,7 +107,8 @@ object Catalog {
     "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall),
     "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge),
     "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra),
-    "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel)
+    "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel),
+    "q101_oov_rate"         -> rel(TrainingData.q101OovRate)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -166,6 +166,20 @@ object TrainingData {
       .orderBy("lang", "tok")
   }
 
+  /** C45: OOV rate against the corpus's own 20-term head vocabulary
+    * (deterministic: count DESC, term ASC) — the tokenizer-coverage
+    * check; the head-vocab window runs over the Zipf-small vocab frame,
+    * never the corpus. */
+  def q101OovRate(t: Tables): DataFrame = {
+    val counts = t.documents.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term").asc)
+    val vocab = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20).select("term")
+    TextAnalysis.oovRate(t.documents, vocab).orderBy("doc_id")
+  }
+
   /** C44: quality-filter funnel — ordered corpus-cleaning rules with
     * first-kill attribution and per-stage in/killed/out counts (the
     * cleaning report a RefinedWeb-style pipeline publishes). Rules use

@@ -1007,6 +1007,25 @@ object TrainingOracle {
         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // C45: OOV rate — head vocab (count DESC, term ASC), anti-join counts.
+    "q101_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok AS term, COUNT(*) AS n FROM toks GROUP BY tok),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY n DESC, term ASC) AS rk FROM cnt)
+        |  WHERE rk <= 20),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id),
+        |oov AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+        |  FROM toks WHERE tok NOT IN (SELECT term FROM vocab)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, COALESCE(o.n_oov, 0) AS n_oov,
+        |  CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+        |FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // C44: filter funnel — identical first-kill when-chain, kill counts,
     // cumulative funnel arithmetic over the 5-row stage table. Exact.
     "q100_filter_funnel" ->

@@ -106,6 +106,25 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(sh == hx, "majority token's bits dominate the signature")
   }
 
+  test("SQL registration: char_histogram / l1_distance / count_min family") {
+    val hist = spark.sql("SELECT char_histogram('ab z') AS h").as[Seq[Int]].head()
+    assert(hist(1) == 1 && hist(2) == 1 && hist(26) == 1 && hist(0) == 1 && hist.sum == 4)
+    val l1 = spark.sql(
+      "SELECT l1_distance(char_histogram('abc'), char_histogram('abd')) AS d").as[Long].head()
+    assert(l1 == 2L) // c out, d in
+    val est = spark.sql(
+      """SELECT count_min_query(count_min_build(x), 'a') AS e
+        |FROM VALUES ('a'), ('a'), ('b') AS t(x)""".stripMargin).as[Long].head()
+    assert(est == 2L)
+    val merged = spark.sql(
+      """WITH fine AS (
+        |  SELECT g, count_min_build(x) AS cms FROM VALUES
+        |    (1, 'a'), (1, 'a'), (2, 'a'), (2, 'b') AS t(g, x) GROUP BY g)
+        |SELECT count_min_query(count_min_merge(cms), 'a') AS e FROM fine""".stripMargin)
+      .as[Long].head()
+    assert(merged == 3L, "merged grids sum the per-group counts")
+  }
+
   test("Sampling.pctBucket stays in [0,100) and spreads") {
     val buckets = spark.range(0, 1000)
       .select(graft.operators.Sampling.pctBucket(col("id")).as("b")).as[Long].collect()

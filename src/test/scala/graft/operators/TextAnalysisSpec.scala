@@ -186,6 +186,16 @@ class TextAnalysisSpec extends SparkSuite {
       ("beta", 2L, 2L, Some("2,10"))))
   }
 
+  test("oov rate: counts tokens outside the vocab, denominates by doc length") {
+    val docs = Seq((0L, "a b a z"), (1L, "a a"), (2L, "q r s")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("term")
+    val out = TextAnalysis.oovRate(docs, vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 4L, 1L, 0.25), (1L, 2L, 0L, 0.0), (2L, 3L, 3L, 1.0)))
+  }
+
   test("filter funnel: first-kill attribution, per-stage in/killed/out, zero-kill stages") {
     val docs = Seq(
       (0L, 10L, "keep"),  // survives both
