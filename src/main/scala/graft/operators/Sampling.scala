@@ -147,4 +147,46 @@ object Sampling {
     * so the output drops the rank column samplers want but caps don't. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame =
     reservoirPerStratum(df, groupCol, idCol, cap).drop("sample_rank")
+
+  /** C46: token-budget SELECTION — greedily take rows in (priority DESC,
+    * id ASC) order until the weight budget is exhausted: a row is kept
+    * iff the exact sum of weights of all strictly-better rows is still
+    * below `budget` (so the row that crosses the budget is the last one
+    * in). This is "pick the best docs until N tokens", the data-selection
+    * step before pretraining.
+    *
+    * Scale: the one-phase form is a GLOBAL window over a data-dependent
+    * order — one task. Here it is the C33 two-level scan transplanted to
+    * priority order: integer priorities bucket by `priority div
+    * granularity`; a per-BUCKET weight rollup (tiny: #buckets rows)
+    * yields each bucket's exclusive better-side total; whole buckets past
+    * the budget are PRUNED before any window runs; surviving rows rank
+    * inside their own bucket partition only. Exactly equal to the global
+    * window (bucket order refines priority order; ties cross buckets
+    * never). Degenerate distributions (everything in one bucket) degrade
+    * to the single-task form — pick `granularity` so buckets are small,
+    * the same contract as AQE skew handling.
+    *
+    * Priorities must be integral (exact, cross-engine); weights cast to
+    * long. */
+  def selectUntilBudget(df: DataFrame, priorityCol: String, weightCol: String,
+                        idCol: String, budget: Long, granularity: Long = 1024L): DataFrame = {
+    require(budget >= 0 && granularity >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(priorityCol), col(weightCol).cast("long").as("__w"))
+      .withColumn("__bkt", expr(s"$priorityCol div $granularity"))
+    val wB = w.orderBy(col("__bkt").desc)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    val offsets = base.groupBy("__bkt").agg(sum(col("__w")).as("__tot"))
+      .withColumn("__before", sum(col("__tot")).over(wB) - col("__tot"))
+      .select("__bkt", "__before")
+    val wD = w.partitionBy("__bkt")
+      .orderBy(col(priorityCol).desc, col(idCol).asc)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    base.join(broadcast(offsets), "__bkt")
+      .filter(col("__before") < budget) // prune whole out-of-budget buckets pre-window
+      .withColumn("__pe", sum(col("__w")).over(wD) - col("__w"))
+      .filter(col("__before") + col("__pe") < budget)
+      .select(col(idCol), col(priorityCol), col("__w").as(weightCol))
+  }
 }

@@ -108,7 +108,8 @@ object Catalog {
     "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge),
     "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra),
     "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel),
-    "q101_oov_rate"         -> rel(TrainingData.q101OovRate)
+    "q101_oov_rate"         -> rel(TrainingData.q101OovRate),
+    "q102_budget_select"    -> rel(TrainingData.q102BudgetSelect)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -166,6 +166,17 @@ object TrainingData {
       .orderBy("lang", "tok")
   }
 
+  /** C46: token-budget selection — keep the rarest-vocabulary documents
+    * (rarity_avg priority, doc_id ties) until a 10k-token budget; the
+    * oracle replays the one-phase global prefix window the two-level
+    * bucketed scan must equal exactly. */
+  def q102BudgetSelect(t: Tables): DataFrame =
+    Sampling.selectUntilBudget(
+      TextAnalysis.rarityScore(t.documents)
+        .select(col("doc_id"), col("rarity_avg"), col("n_tokens")),
+      "rarity_avg", "n_tokens", "doc_id", budget = 10000L)
+    .orderBy("doc_id")
+
   /** C45: OOV rate against the corpus's own 20-term head vocabulary
     * (deterministic: count DESC, term ASC) — the tokenizer-coverage
     * check; the head-vocab window runs over the Zipf-small vocab frame,

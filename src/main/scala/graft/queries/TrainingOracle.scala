@@ -1127,6 +1127,28 @@ object TrainingOracle {
         |  FROM toks JOIN v USING (tok) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, rarity_sum,
         |  rarity_sum // n_tokens AS rarity_avg
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // C46: budget selection — the ONE global prefix window is the spec;
+    // graft's bucketed two-level scan must equal it exactly.
+    "q102_budget_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |s AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(1000000000 // cnt) AS BIGINT) AS rarity_sum
+        |  FROM toks JOIN v USING (tok) GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, rarity_sum // n_tokens AS rarity_avg, n_tokens FROM s),
+        |p AS (
+        |  SELECT doc_id, rarity_avg, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY rarity_avg DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS pe
+        |  FROM r)
+        |SELECT doc_id, rarity_avg, n_tokens FROM p
+        |WHERE pe < 10000
+        |ORDER BY doc_id""".stripMargin
   )
 }

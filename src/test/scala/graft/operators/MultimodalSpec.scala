@@ -50,4 +50,19 @@ class MultimodalSpec extends SparkSuite {
     val n = frames.filter(col("media_id") === one._1).count()
     assert(n == one._2 / 60000 + 1)
   }
+
+  test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
+    // the media -> features -> similarity composition a multimodal dedup
+    // pipeline runs; a planted byte-identical payload must come back as
+    // the nearest neighbor at cosine 1 (the decode stub is deterministic)
+    val copy = media.filter(col("media_id") === 7)
+      .withColumn("media_id", lit(100007L))
+    val feats = Multimodal.extractFeatures(media.unionByName(copy)).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val top = graft.operators.Similarity.bruteForceTopK(
+        feats, feats.filter(col("vec_id") === 100007L), k = 1)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].head()
+    assert(top._1 == 7L && top._2 > 0.999999,
+      s"byte-identical media must be the top neighbor at cosine 1, got $top")
+  }
 }

@@ -120,4 +120,28 @@ class SamplingSpec extends SparkSuite {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("selectUntilBudget: two-level bucketed scan equals the one-phase global window") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 200L).map(i => (i, (i * 37) % 500, 10L + i % 7))
+    val df = rows.toDF("id", "prio", "w")
+    val got = Sampling.selectUntilBudget(df, "prio", "w", "id",
+        budget = 600L, granularity = 64L)
+      .select("id").as[Long].collect().toSet
+    // one-phase spec: global prefix-exclusive over (prio DESC, id ASC)
+    val wG = Window.orderBy(col("prio").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("pe", sum(col("w")).over(wG) - col("w"))
+      .filter(col("pe") < 600L).select("id").as[Long].collect().toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+    assert(got.nonEmpty && got.size < 200, "budget must bind")
+  }
+
+  test("selectUntilBudget: the budget-crossing row is kept, the next one is not") {
+    val df = Seq((1L, 100L, 50L), (2L, 90L, 50L), (3L, 80L, 50L)).toDF("id", "prio", "w")
+    // budget 60: row 1 (pe=0) kept, row 2 (pe=50) kept — it CROSSES the
+    // budget — row 3 (pe=100) dropped
+    val got = Sampling.selectUntilBudget(df, "prio", "w", "id", budget = 60L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
 }
