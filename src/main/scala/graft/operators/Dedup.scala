@@ -381,6 +381,27 @@ object Dedup {
       .filter(col("edit_dist").between(0, maxDist))
   }
 
+  /** C47: QUALITY-aware canonical selection — the dedup endgame done
+    * right: within each near-dup cluster keep the copy a QUALITY signal
+    * ranks best (highest score, doc id breaking ties), not an arbitrary
+    * min-id — dedup should discard the truncated/boilerplated copies and
+    * keep the clean one. `clusters` is [[resolveClusters]] output
+    * (doc_id, cluster_id); `quality` maps doc_id → an integral score
+    * (integer so ranking is exact cross-engine).
+    *
+    * Scale: one equi-join on doc_id + one window partitioned by
+    * cluster_id (partition size = cluster size, the same bound cluster
+    * resolution already assumes). */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame,
+                         idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc)
+    clusters.join(quality.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        (col("__rn") === 1).as("kept"))
+  }
+
   /** C36: DUPLICATED-SPAN coverage — the span-level signal behind exact
     * substring dedup: an n-gram that occurs in MORE THAN ONE document is a
     * duplicated span, and a document's dup coverage is the fraction of its

@@ -66,6 +66,13 @@ object ProjectLoader {
                 enrichProviders: Map[String, EnrichProvider] = Map.empty): SyncRunner#SyncReport = {
       val (sync, md, conn) = resolve(syncId)
       val enrich = enrichFor(syncId, sync, enrichProviders)
+      // the sync file can pin full-refresh mode (reference sync options);
+      // the caller flag forces it for one-off replays
+      val fullRefreshEff = fullRefresh || sync.options.get("fullRefresh").exists {
+        case b: Boolean => b
+        case s: String => s.equalsIgnoreCase("true")
+        case _ => false
+      }
 
       registerDatasource(spark, md.datasource)
       // a declared row schema (DDL in the model config) generates the
@@ -83,7 +90,7 @@ object ProjectLoader {
       }
       runner.run(spark, model, syncId,
         sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
-        fullRefresh = fullRefresh,
+        fullRefresh = fullRefreshEff,
         enrich = enrich,
         checkpointEvery = checkpointEvery)
     }

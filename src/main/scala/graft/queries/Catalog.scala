@@ -109,7 +109,8 @@ object Catalog {
     "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra),
     "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel),
     "q101_oov_rate"         -> rel(TrainingData.q101OovRate),
-    "q102_budget_select"    -> rel(TrainingData.q102BudgetSelect)
+    "q102_budget_select"    -> rel(TrainingData.q102BudgetSelect),
+    "q103_canonical_quality" -> rel(TrainingData.q103CanonicalQuality)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -166,6 +166,17 @@ object TrainingData {
       .orderBy("lang", "tok")
   }
 
+  /** C47: quality-aware canonical selection — q74's clusters re-resolved
+    * so each cluster keeps its highest-rarity member (ties → min id),
+    * not an arbitrary min-id canonical. */
+  def q103CanonicalQuality(t: Tables): DataFrame = {
+    val clusters = Dedup.resolveClusters(
+      Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3))
+    val quality = TextAnalysis.rarityScore(t.documents)
+      .select(col("doc_id"), col("rarity_avg").as("score"))
+    Dedup.canonicalByQuality(clusters, quality).orderBy("doc_id")
+  }
+
   /** C46: token-budget selection — keep the rarest-vocabulary documents
     * (rarity_avg priority, doc_id ties) until a 10k-token budget; the
     * oracle replays the one-phase global prefix window the two-level

@@ -672,6 +672,43 @@ object TrainingOracle {
          |FROM reach GROUP BY src
          |ORDER BY doc_id""".stripMargin,
 
+    // C47: q74's recursive closure + the q85 rarity score + per-cluster
+    // argmax (score DESC, id ASC). Exact.
+    "q103_canonical_quality" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), v2 AS (
+         |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+         |), rar AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(1000000000 // cnt) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS score
+         |  FROM toks JOIN v2 USING (tok) GROUP BY doc_id
+         |), ranked AS (
+         |  SELECT c.doc_id, c.cluster_id, r.score,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY r.score DESC, c.doc_id ASC) AS rn
+         |  FROM clusters c JOIN rar r USING (doc_id)
+         |)
+         |SELECT doc_id, cluster_id, score, rn = 1 AS kept
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+
     "q34_ann_brute" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings

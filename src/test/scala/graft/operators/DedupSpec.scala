@@ -204,6 +204,19 @@ class DedupSpec extends SparkSuite {
       (4L, 2L, 2L, "solo repeat solo repeat")))
   }
 
+  test("canonical-by-quality keeps the best-scored cluster member, ties to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 42L), (8L, 42L))
+      .toDF("doc_id", "score")
+    val kept = Dedup.canonicalByQuality(clusters, quality)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L),
+      "cluster 1 keeps its best copy (doc 2); the tie in cluster 7 breaks to min id")
+    val all = Dedup.canonicalByQuality(clusters, quality).count()
+    assert(all == 5L, "one row per clustered doc, kept flag marks the canonical")
+  }
+
   test("within-doc line dedup keeps first occurrence, preserves order, stays per-doc") {
     val lines = Seq(
       (0L, 0L, "aa"), (0L, 1L, "bb"), (0L, 2L, "aa"), (0L, 3L, "cc"),

@@ -197,6 +197,15 @@ class ProjectSpec extends SparkSuite {
     val rec2 = new Recorder
     val r2 = proj.runSync(spark, "orders_to_fb", store, rec2)
     assert(r2.rowsIn == 0 && rec2.rows == 0, "second run is incremental: nothing new")
+
+    // a sync file can pin fullRefresh — the stored cursor is ignored
+    write(dir, "syncs/orders_refresh.yaml",
+      "model: orders_model\ndestination: fb\noptions:\n  fullRefresh: true\n")
+    val proj2 = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val rec3 = new Recorder
+    val r3 = proj2.runSync(spark, "orders_refresh", store, rec3)
+    assert(r3.rowsIn == total && rec3.rows == total,
+      "options.fullRefresh replays the full model output despite the cursor")
   }
 
   test("runContinuous: streaming project sync through the full pipeline; checkpoint + batch markers") {
