@@ -171,6 +171,63 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class TransState(pending: List[(Long, Long, String)],
+                              last: Option[(Long, Long, String)], lastTs: Long)
+  final case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
+  /** D16 (true streaming form of the q99 transition matrix): emits one
+    * (user, from_type, to_type) increment per ADJACENT event pair in the
+    * user's event-time order — `groupBy(from_type, to_type).count` over
+    * the output reproduces the batch matrix incrementally. Adjacency is
+    * order-sensitive, so events buffer in state until the watermark
+    * passes them (an out-of-order arrival below the watermark is dropped
+    * by Spark; above it, it still slots into its true position before the
+    * pair emits); each pair emits exactly once, when its LATER event
+    * ripens. The last ripe event stays in state to bridge batches; a
+    * quiet-period event-time timeout flushes tails (the funnel's
+    * discipline). State per user: the held events plus one bridge tuple. */
+  def transitionUpdates(events: DataFrame, watermark: String = "30 minutes",
+                        quietMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def emitChain(user: Long, prev: Option[(Long, Long, String)],
+                  ripe: List[(Long, Long, String)]): List[TransitionOut] =
+      (prev.toList ++ ripe).sliding(2).collect {
+        case List(a, b) => TransitionOut(user, a._3, b._3)
+      }.toList
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp],
+              col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, String)], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            // watermark ≥ lastTs + quietMs > every held ts → all final
+            val s = state.get
+            val ripe = s.pending.sortBy(e => (e._1, e._2))
+            state.update(TransState(Nil, ripe.lastOption.orElse(s.last), s.lastTs))
+            emitChain(user, s.last, ripe).iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var s = state.getOption.getOrElse(TransState(Nil, None, 0L))
+            val fresh = rows.map(r => (r._2.getTime, r._3, r._4)).toList
+            if (fresh.nonEmpty)
+              s = s.copy(lastTs = math.max(s.lastTs, fresh.iterator.map(_._1).max))
+            val (ripe0, hold) = (s.pending ++ fresh).partition(_._1 < wm)
+            val ripe = ripe0.sortBy(e => (e._1, e._2))
+            val out = emitChain(user, s.last, ripe)
+            s = TransState(hold, ripe.lastOption.orElse(s.last), s.lastTs)
+            state.update(s)
+            if (s.pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wm + 1, s.lastTs + quietMs))
+            out.iterator
+          }
+      }.toDF()
+  }
+
   final case class RetentionState(firstWeek: Long, seen: Set[Long], pending: Set[Long])
   final case class RetentionOut(user_id: Long, cohort_week: Long, week_offset: Long)
 

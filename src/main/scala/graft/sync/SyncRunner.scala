@@ -103,7 +103,7 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
       case _ => model.build(spark)
     }
 
-    checkpointEvery match {
+    val report = checkpointEvery match {
       case Some(every) if model.cursorCol.isDefined =>
         runChunked(model, syncId, increment, lastCursor, every, enrich, sink)
       case _ =>
@@ -114,7 +114,27 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
         newCursor.foreach(v => store.set(cursorKey(syncId), v))
         SyncReport(syncId, n, nValid, n - nValid, newCursor, lastCursor.isDefined)
     }
+    recordRun(report)
+    report
   }
+
+  /** B27: run history — every completed run's report lands in the store
+    * under `syncId=<id>::$runs::<seq>` (the reference keeps sync
+    * bookkeeping in the same KV store), so operators can audit volumes
+    * and validity over time without log archaeology. */
+  private def recordRun(r: SyncReport): Unit = {
+    val prefix = Seq(s"syncId=${r.syncId}", "$runs")
+    val seq = store.size(prefix)
+    store.set(prefix :+ seq.toString,
+      s"""{"rowsIn":${r.rowsIn},"rowsValid":${r.rowsValid},"rowsInvalid":${r.rowsInvalid},""" +
+      s""""newCursor":${r.newCursor.map(c => "\"" + c + "\"").getOrElse("null")},""" +
+      s""""incremental":${r.incremental},"chunks":${r.chunks}}""")
+  }
+
+  /** Recorded run reports for one sync, oldest first: (seq, report json). */
+  def runHistory(syncId: String): Seq[(Long, String)] =
+    store.list(Seq(s"syncId=$syncId", "$runs"))
+      .map { case (k, v) => (k.last.toLong, v) }.sortBy(_._1)
 
   /** One micro-batch's sync report: what [[run]]'s SyncReport is to a
     * batch run. */

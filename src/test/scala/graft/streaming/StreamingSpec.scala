@@ -262,6 +262,49 @@ class StreamingSpec extends SparkSuite {
     assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
   }
 
+  test("D16 streaming: transition increments aggregate to the batch matrix") {
+    val rows = Seq(
+      // user 1: in-order view → click → purchase (2 transitions)
+      (1L, ts(0.0), 1L, "view", 0.0), (2L, ts(1.0), 1L, "click", 0.0),
+      (3L, ts(2.0), 1L, "purchase", 0.0),
+      // user 2 arrives out of ARRIVAL order; event-time chain is
+      // view(0) → click(5) → view(9)
+      (5L, ts(5.0), 2L, "click", 0.0), (4L, ts(0.0), 2L, "view", 0.0),
+      (6L, ts(9.0), 2L, "view", 0.0),
+      // sentinel pushes the watermark far past every quiet window
+      (9L, ts(6000.0), 9L, "sentinel", 0.0))
+    val in = writeEvents(rows)
+    val q = EventStreams.transitionUpdates(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("trans_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("trans_out").groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("view", "click") -> 2L, ("click", "purchase") -> 1L,
+      ("click", "view") -> 1L), s"got $got")
+  }
+
+  test("D16 streaming: a cross-batch pair bridges through state exactly once") {
+    val (mem, df) = eventStream()
+    val q = EventStreams.transitionUpdates(df)
+      .writeStream.format("memory").queryName("trans_ooo").start()
+    try {
+      // batch 1: view at 0; a far event at 100 min ripens it (wm = 70)
+      mem.addData((1L, ts(0.0), 1L, "view", 0.0), (2L, ts(100.0), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: purchase at 200 ripens the click; the view→click pair must
+      // NOT re-emit when the bridged click pairs with the purchase
+      mem.addData((3L, ts(200.0), 1L, "purchase", 0.0))
+      q.processAllAvailable()
+      // batch 3: sentinel flushes the tail
+      mem.addData((9L, ts(6000.0), 9L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_ooo").groupBy("from_type", "to_type").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L), s"got $got")
+  }
+
   test("D14: incremental aggregate maintenance equals the one-shot batch aggregate") {
     val rows1 = Seq(
       (1L, ts(0.0), 1L, "view", 10.25), (2L, ts(1.0), 2L, "view", 3.75),

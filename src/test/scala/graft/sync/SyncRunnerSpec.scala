@@ -39,6 +39,12 @@ class SyncRunnerSpec extends SparkSuite {
     assert(seen.head > 0 && seen(1) == 0)
     // checkpoint survives an empty increment
     assert(store.get(Seq("syncId=s1", "$lastCursor")) == r1.newCursor.map(identity))
+
+    // B27: both runs left an auditable report in the store, oldest first
+    val hist = runner.runHistory("s1")
+    assert(hist.map(_._1) == Seq(0L, 1L))
+    assert(hist.head._2.contains(s""""rowsIn":${r1.rowsIn}"""))
+    assert(hist(1)._2.contains(""""rowsIn":0"""))
   }
 
   test("validation failures trip the error threshold before the sink runs") {
