@@ -31,4 +31,27 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** B28: join-key SKEW profile — the audit you run BEFORE deciding
+    * between a plain shuffle join, AQE skew splitting, and
+    * [[saltedJoin]]: the top-k hottest keys with their share of all
+    * rows, next to the key-space totals. A key whose share approaches
+    * 1/executors is the salting signal.
+    *
+    * Scale: one map-side-partial count per key + a TakeOrderedAndProject
+    * top-k (never a full sort); totals ride a 1-row broadcast. Share is
+    * exact long/long division. */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1)
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total_rows"),
+      count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n"), col("total_rows"), col("n_keys"),
+        (col("n").cast("double") / col("total_rows")).as("share"),
+        (col("max_n").cast("double") * col("n_keys") / col("total_rows")).as("skew_factor"))
+      .orderBy(col("n").desc, col("key").asc)
+  }
 }

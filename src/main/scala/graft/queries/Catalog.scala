@@ -58,7 +58,8 @@ object Catalog {
     "q61_schema_validate"    -> rel(ReverseEtl.q61SchemaValidate),
     "q66_bloom_prefilter"    -> rel(ReverseEtl.q66BloomPrefilter),
     "q89_audience_diff"      -> rel(ReverseEtl.q89AudienceDiff),
-    "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg)
+    "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg),
+    "q104_skew_profile"      -> rel(ReverseEtl.q104SkewProfile)
   )
 
   val trainingData: Map[String, QueryFn] = Map(

@@ -263,4 +263,9 @@ object ReverseEtl {
     graft.model.SchemaValidation.failureCounts(
       t.orders.select(declared.fieldNames.map(col).toIndexedSeq: _*), declared)
   }
+
+  /** B28: join-key skew profile of orders.o_custkey — the pre-join audit
+    * that decides plain shuffle vs AQE splitting vs salting. */
+  def q104SkewProfile(t: Tables): DataFrame =
+    graft.operators.Skew.keyProfile(t.orders, "o_custkey", topK = 10)
 }

@@ -183,6 +183,23 @@ object ReverseEtlOracle {
         |  MAX(o_totalprice) AS max_value,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // B28: key-skew profile — counts, deterministic top-10, exact shares.
+    "q104_skew_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+        |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(MAX(n) AS BIGINT) AS max_n
+        |  FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 10)
+        |SELECT key, n, total_rows, n_keys,
+        |  CAST(n AS DOUBLE) / total_rows AS share,
+        |  CAST(max_n AS DOUBLE) * n_keys / total_rows AS skew_factor
+        |FROM top, t
+        |ORDER BY n DESC, key ASC""".stripMargin
   )
 }

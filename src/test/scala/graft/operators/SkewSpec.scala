@@ -32,4 +32,18 @@ class SkewSpec extends SparkSuite {
       .select("__salt").distinct().count()
     assert(spread == 8, s"hot key should hit all 8 salt buckets, got $spread")
   }
+
+  test("keyProfile surfaces the hot key with its exact share") {
+    // facts: key 0 is hot (the fixture's whole point); profile must rank it
+    // first and the share arithmetic must be exact
+    val prof = Skew.keyProfile(facts, "k", topK = 3)
+      .select("key", "n", "total_rows", "share")
+      .as[(String, Long, Long, Double)].collect()
+    assert(prof.length == 3)
+    val top = prof.head
+    assert(top._1 == "0", "hot key ranks first")
+    assert(prof.sliding(2).forall(p => p(0)._2 >= p(1)._2), "descending by count")
+    assert(top._4 == top._2.toDouble / top._3, "share is the exact division")
+    assert(top._4 > prof(1)._4 * 5, "fixture's hot key dominates")
+  }
 }
