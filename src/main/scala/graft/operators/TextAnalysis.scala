@@ -206,6 +206,32 @@ object TextAnalysis {
     * join is the aggregate, which AQE will broadcast when it fits; the
     * heavy-hitter skew of natural language lands on the *small* join key
     * side (counts), not on replicated rows. */
+  /** C48: BPE merge-candidate scan — the inner step of byte-pair-encoding
+    * tokenizer training: count every ADJACENT symbol pair in the corpus
+    * and rank merge candidates by frequency. One training iteration =
+    * this scan + applying the winning merge; the scan is the scale-
+    * critical part (it touches the whole corpus; the merge rewrites it).
+    *
+    * Scale (100 TB): adjacent pairs are a PER-ROW array operation —
+    * `arrays_zip(slice(tk, 1, n-1), slice(tk, 2, n-1))` (all codegen'd,
+    * no higher-order functions, no window) — so pair extraction runs at
+    * scan speed with zero shuffle; the only shuffle is the map-side-
+    * partial pair count, and the ranking is TakeOrderedAndProject, never
+    * a full sort. A per-doc window-lead formulation would shuffle the
+    * entire token stream; this shuffles only (pair, partial count). */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    // single-token docs: slice length 0 → empty zip → no rows (no filter needed)
+    val zipped = arrays_zip(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1))
+    docs.select(explode(zipped).as("z"))
+      .select(col("z").getField("0").as("tok"), col("z").getField("1").as("next_tok"))
+      .groupBy("tok", "next_tok").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("tok").asc, col("next_tok").asc)
+      .limit(topK)
+  }
+
   def rarityScore(docs: DataFrame, scale: Long = 1000000000L,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))

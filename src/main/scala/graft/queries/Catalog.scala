@@ -59,7 +59,8 @@ object Catalog {
     "q66_bloom_prefilter"    -> rel(ReverseEtl.q66BloomPrefilter),
     "q89_audience_diff"      -> rel(ReverseEtl.q89AudienceDiff),
     "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg),
-    "q104_skew_profile"      -> rel(ReverseEtl.q104SkewProfile)
+    "q104_skew_profile"      -> rel(ReverseEtl.q104SkewProfile),
+    "q105_scd2"              -> rel(ReverseEtl.q105Scd2)
   )
 
   val trainingData: Map[String, QueryFn] = Map(
@@ -111,7 +112,8 @@ object Catalog {
     "q100_filter_funnel"    -> rel(TrainingData.q100FilterFunnel),
     "q101_oov_rate"         -> rel(TrainingData.q101OovRate),
     "q102_budget_select"    -> rel(TrainingData.q102BudgetSelect),
-    "q103_canonical_quality" -> rel(TrainingData.q103CanonicalQuality)
+    "q103_canonical_quality" -> rel(TrainingData.q103CanonicalQuality),
+    "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs)
   )
 
   val events: Map[String, QueryFn] = Map(

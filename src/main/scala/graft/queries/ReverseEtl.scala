@@ -268,4 +268,26 @@ object ReverseEtl {
     * that decides plain shuffle vs AQE splitting vs salting. */
   def q104SkewProfile(t: Tables): DataFrame =
     graft.operators.Skew.keyProfile(t.orders, "o_custkey", topK = 10)
+
+  /** B29: SCD Type-2 history apply — fold the current snapshot into a
+    * versioned dimension history as of 1997-07-01. The history fixture has
+    * an open generation (the prev snapshot, valid since 1995) plus an
+    * already-closed 1994 generation for every 7th key, so all five paths
+    * (closed pass-through, unchanged, update-close+open, soft delete,
+    * brand-new key) are exercised and replayed by the oracle. */
+  def q105Scd2(t: Tables): DataFrame = {
+    val open = prevSnapshot(t)
+      .withColumn("valid_from", lit("1995-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val closedGen = prevSnapshot(t).filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("valid_from", lit("1994-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit("1995-01-01").cast("timestamp"))
+      .withColumn("is_current", lit(false))
+    graft.operators.Scd.applyScd2(
+        open.unionByName(closedGen), currSnapshot(t), Seq("o_orderkey"),
+        effective = lit("1997-07-01").cast("timestamp"))
+      .orderBy("o_orderkey", "valid_from")
+  }
 }

@@ -185,6 +185,42 @@ object ReverseEtlOracle {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // B29: SCD2 apply — closed generation passes through; the open
+    // generation full-outer joins the snapshot and each row expands to its
+    // 1-2 output versions, branch by branch.
+    "q105_scd2" ->
+      s"""WITH prev AS ($prevSnapshot), curr AS ($currSnapshot),
+         |hist_closed AS (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+         |         TIMESTAMP '1994-01-01' AS valid_from,
+         |         TIMESTAMP '1995-01-01' AS valid_to, FALSE AS is_current
+         |  FROM prev WHERE o_orderkey % 7 = 0),
+         |j AS (
+         |  SELECT h.o_orderkey AS hk, h.o_custkey AS hc, h.o_orderstatus AS hs,
+         |         h.o_totalprice AS hp, TIMESTAMP '1995-01-01' AS hf,
+         |         c.o_orderkey AS ck, c.o_custkey AS cc, c.o_orderstatus AS cs,
+         |         c.o_totalprice AS cp,
+         |         (h.o_custkey IS DISTINCT FROM c.o_custkey
+         |          OR h.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+         |          OR h.o_totalprice IS DISTINCT FROM c.o_totalprice) AS chg
+         |  FROM prev h FULL OUTER JOIN curr c ON h.o_orderkey = c.o_orderkey),
+         |applied AS (
+         |  SELECT ck AS o_orderkey, cc AS o_custkey, cs AS o_orderstatus,
+         |         cp AS o_totalprice, TIMESTAMP '1997-07-01' AS valid_from,
+         |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+         |  FROM j WHERE hk IS NULL
+         |  UNION ALL
+         |  SELECT hk, hc, hs, hp, hf, TIMESTAMP '1997-07-01', FALSE
+         |  FROM j WHERE hk IS NOT NULL AND (ck IS NULL OR chg)
+         |  UNION ALL
+         |  SELECT hk, hc, hs, hp, hf, CAST(NULL AS TIMESTAMP), TRUE
+         |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND NOT chg
+         |  UNION ALL
+         |  SELECT ck, cc, cs, cp, TIMESTAMP '1997-07-01', CAST(NULL AS TIMESTAMP), TRUE
+         |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND chg)
+         |SELECT * FROM (SELECT * FROM hist_closed UNION ALL SELECT * FROM applied)
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
     // B28: key-skew profile — counts, deterministic top-10, exact shares.
     "q104_skew_profile" ->
       """WITH c AS (

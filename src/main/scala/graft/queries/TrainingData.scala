@@ -467,4 +467,11 @@ object TrainingData {
           .as("within_tolerance"))
       .orderBy("c_mktsegment")
   }
+
+  /** C48: BPE merge-candidate scan — the top-50 most frequent adjacent
+    * token pairs (the argmax of one byte-pair-encoding training
+    * iteration), extracted per-row with codegen'd slice+zip (no window,
+    * no shuffle of the token stream). */
+  def q106BpePairs(t: Tables): DataFrame =
+    TextAnalysis.bpePairCounts(t.documents, topK = 50)
 }

@@ -1186,6 +1186,21 @@ object TrainingOracle {
         |  FROM r)
         |SELECT doc_id, rarity_avg, n_tokens FROM p
         |WHERE pe < 10000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // C48: adjacent-pair counts — list_zip pads the trailing element with
+    // NULL (graft's slice form just omits it); split tokens are never
+    // NULL, so the IS NOT NULL filter is exactly the trailing-pad drop.
+    "q106_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents),
+        |z AS (
+        |  SELECT unnest(list_zip(tk, tk[2:])) AS z FROM toks),
+        |pairs AS (
+        |  SELECT z[1] AS tok, z[2] AS next_tok FROM z WHERE z[2] IS NOT NULL)
+        |SELECT tok, next_tok, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY tok, next_tok
+        |ORDER BY n_pairs DESC, tok ASC, next_tok ASC
+        |LIMIT 50""".stripMargin
   )
 }

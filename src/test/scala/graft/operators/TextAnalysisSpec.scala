@@ -221,4 +221,26 @@ class TextAnalysisSpec extends SparkSuite {
       .select("n_in", "n_killed", "n_out").as[(Long, Long, Long)].head()
     assert(out == ((2L, 1L, 1L)))
   }
+
+  test("bpePairCounts: adjacent pairs with multiplicity, frequency-ranked, ties by pair") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // pairs: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b"),         // (a,b)
+      (3L, "x"),           // single token: no pairs
+      (4L, "b c")          // (b,c)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(docs, topK = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "b", 3L), ("b", "c", 2L), ("b", "a", 1L)))
+  }
+
+  test("bpePairCounts plan: no window, no lambda, pair agg is partial, top-k is TakeOrdered") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = TextAnalysis.bpePairCounts(docs, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("lambdafunction"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
