@@ -243,6 +243,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** C49: one distributed k-means refinement step (Lloyd iteration) —
+    * the training loop behind every IVF/PQ index and SemDeDup clustering
+    * here (their seeded centroids are the no-training baseline; this is
+    * the "k-means refinement would drop in" path made real). Assignment
+    * is the same per-row codegen'd [[graft.functions.BestCentroid]]
+    * argmax the IVF index uses (scan speed, no join/window over the
+    * corpus); the update step emits one row per (cell, dimension) with
+    * the member count and new centroid coordinate.
+    *
+    * Cross-engine determinism: float sums are partition-order dependent,
+    * so the update sums FIXED-POINT values — `round(x * 1e6)` as longs —
+    * which are exact and associative; the mean divides two exactly-known
+    * numbers once at read-out. Bit-equal under any partitioning, and the
+    * DuckDB oracle replays seed → assign → round → sum → divide exactly.
+    *
+    * Scale (100 TB): the explode fans each vector into `dims` rows, but
+    * partial aggregation collapses them map-side — the shuffle carries
+    * ~nlist × dims × partitions partial sums, independent of corpus
+    * size. Chain calls for more iterations; each is one scan. */
+  def kmeansStep(corpus: DataFrame, nlist: Int = 16, scale: Long = 1000000L,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val mat = cents.map(_._2.toArray).toArray
+    val nrms = cents.map(_._3).toArray
+    corpus
+      .select(graft.functions.VectorFunctions.bestCentroid(col(vecCol), mat, nrms).as("cell"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("cell"), col("dim"),
+        round(col("v").cast("double") * scale).cast("long").as("sv"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"), sum(col("sv")).as("sum_scaled"))
+      .withColumn("mean",
+        col("sum_scaled").cast("double") / scale / col("n_members"))
+  }
+
   /** C35: SEMANTIC dedup (the SemDeDup recipe: cluster the embedding
     * space, prune near-identical pairs only WITHIN a cluster): every
     * vector is assigned to its nearest seeded centroid by the same

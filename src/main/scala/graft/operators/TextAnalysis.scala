@@ -232,6 +232,34 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C50: target-domain IMPORTANCE weights (the DSIR recipe shape: score
+    * every document by how much its token distribution looks like a
+    * target domain vs the whole corpus, then resample by that weight).
+    * Per-token weight = scale·(n_target+1) div (n_corpus+1) — an
+    * add-one-smoothed frequency ratio in EXACT integer arithmetic (the
+    * rarity/C31 pattern: associative, no float-order hazard; the global
+    * normalizers of a true likelihood ratio are corpus-level scalars that
+    * rescale every weight equally, so ranking and thresholding are
+    * unaffected). Per-doc importance = integer mean over its tokens.
+    *
+    * Scale (100 TB): one explode; the vocab aggregate is Zipf-small and
+    * both token counts (corpus + target) ride the SAME map-side-partial
+    * pass — the target side is a conditional count, not a second scan;
+    * AQE broadcasts the vocab join. */
+  def importanceWeights(docs: DataFrame, isTarget: Column, scale: Long = 1000000L,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(
+      count(lit(1)).as("__n_corpus"),
+      count(when(col("__t"), 1)).as("__n_target"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(expr(s"($scale * (__n_target + 1)) div (__n_corpus + 1)")).as("weight_sum"))
+      .withColumn("importance", expr("weight_sum div n_tokens"))
+  }
+
   def rarityScore(docs: DataFrame, scale: Long = 1000000000L,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))

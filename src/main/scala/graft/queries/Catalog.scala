@@ -40,7 +40,8 @@ object Catalog {
     "q80_gap_fill"       -> rel(Relational.q80GapFill),
     "q92_grouping_sets"  -> rel(Relational.q92GroupingSets),
     "q94_unpivot"        -> rel(Relational.q94Unpivot),
-    "q95_histogram"      -> rel(Relational.q95Histogram)
+    "q95_histogram"      -> rel(Relational.q95Histogram),
+    "q108_multi_distinct" -> rel(Relational.q108MultiDistinct)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(
@@ -113,7 +114,9 @@ object Catalog {
     "q101_oov_rate"         -> rel(TrainingData.q101OovRate),
     "q102_budget_select"    -> rel(TrainingData.q102BudgetSelect),
     "q103_canonical_quality" -> rel(TrainingData.q103CanonicalQuality),
-    "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs)
+    "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs),
+    "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
+    "q109_importance"        -> rel(TrainingData.q109Importance)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -467,4 +467,19 @@ object Relational {
       .select(col("bucket"), (col("bucket") * lit(5000L)).as("bucket_lo"), col("n"))
       .orderBy("bucket")
   }
+
+  /** A32: multiple COUNT(DISTINCT) columns in one aggregation — the audit
+    * query shape ("how many customers, clerks, dates per segment").
+    * Catalyst plans N distinct aggregates as ONE Expand (row × N) + a
+    * two-level aggregate, not N self-joins or N scans: one pass over the
+    * fact table at any scale, with the non-distinct aggregates (count,
+    * decimal sum) riding the same Expand. */
+  def q108MultiDistinct(t: Tables): DataFrame =
+    t.orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           countDistinct(col("o_orderstatus")).as("n_statuses"),
+           countDistinct(year(col("o_orderdate"))).as("n_years"),
+           count(lit(1)).as("n_orders"),
+           money(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority")
 }

@@ -348,6 +348,16 @@ object RelationalOracle {
         |b AS (SELECT cc // 500000 AS bucket FROM c)
         |SELECT bucket, bucket * 5000 AS bucket_lo, COUNT(*) AS n
         |FROM b GROUP BY bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "q108_multi_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -474,4 +474,18 @@ object TrainingData {
     * no shuffle of the token stream). */
   def q106BpePairs(t: Tables): DataFrame =
     TextAnalysis.bpePairCounts(t.documents, topK = 50)
+
+  /** C49: one distributed k-means (Lloyd) refinement step over the
+    * embedding corpus — per-row codegen'd cell assignment + fixed-point-
+    * exact per-(cell, dim) centroid update; the oracle replays
+    * seed → assign → round → sum → divide exactly. */
+  def q107KmeansStep(t: Tables): DataFrame =
+    Similarity.kmeansStep(t.embeddings, nlist = 16).orderBy("cell", "dim")
+
+  /** C50: DSIR-shape importance weights — English documents play the
+    * target domain; integer-exact smoothed frequency ratios, averaged
+    * per doc. */
+  def q109Importance(t: Tables): DataFrame =
+    TextAnalysis.importanceWeights(t.documents, isTarget = col("lang") === "en")
+      .orderBy("doc_id")
 }

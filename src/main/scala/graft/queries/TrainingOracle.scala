@@ -125,6 +125,42 @@ object TrainingOracle {
        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q107: one Lloyd step — the q62 seed/assign prologue, then the
+    * fixed-point update: round(x*scale) longs sum exactly in any order,
+    * so the grouped sums and the derived means are bit-equal to Spark's.
+    * unnest + generate_subscripts expand in lockstep (verified), giving
+    * the 0-based dim posexplode produces. */
+  private def kmeansStepSql(nlist: Int = 16, scale: Long = 1000000L): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), ex AS (
+       |  SELECT a.cell, generate_subscripts(v.ve, 1) - 1 AS dim,
+       |         CAST(round(unnest(v.ve) * $scale) AS BIGINT) AS sv
+       |  FROM assign a JOIN v ON v.vec_id = a.vec_id
+       |)
+       |SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(sv) AS BIGINT) AS sum_scaled,
+       |  CAST(SUM(sv) AS DOUBLE) / $scale / COUNT(*) AS mean
+       |FROM ex GROUP BY cell, dim
+       |ORDER BY cell, dim""".stripMargin
+
   /** q96: recall@k — replays BOTH the brute-force ground truth (the q34
     * pipeline) and the IVF approximation (the q62 pipeline) from the same
     * shared CTE prologue, then the per-query overlap arithmetic. */
@@ -551,6 +587,7 @@ object TrainingOracle {
     "q35_ann_lsh"          -> annLshSql,
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
+    "q107_kmeans_step"     -> kmeansStepSql(),
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),
@@ -1187,6 +1224,23 @@ object TrainingOracle {
         |SELECT doc_id, rarity_avg, n_tokens FROM p
         |WHERE pe < 10000
         |ORDER BY doc_id""".stripMargin,
+
+    // C50: importance weights — integer smoothed ratio, replayed exactly;
+    // the target count is a conditional count in the same vocab pass.
+    "q109_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok, COUNT(*) AS nc, COUNT(CASE WHEN t THEN 1 END) AS nt
+        |  FROM toks GROUP BY tok),
+        |s AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM((1000000 * (nt + 1)) // (nc + 1)) AS BIGINT) AS weight_sum
+        |  FROM toks JOIN v USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, weight_sum,
+        |  weight_sum // n_tokens AS importance
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // C48: adjacent-pair counts — list_zip pads the trailing element with
     // NULL (graft's slice form just omits it); split tokens are never

@@ -228,6 +228,19 @@ class PlanSpec extends SparkSuite {
     assert(lev >= 0 && l1 >= 0, "both kernels present")
   }
 
+  test("q108: three distincts plan as ONE Expand, not three scans") {
+    val p = plan(Relational.q108MultiDistinct(t))
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one scan of orders")
+    assert(p.contains("partial_"), "partial aggregation must survive the expand")
+  }
+
+  test("q107: kmeans update shuffles partial sums, not exploded rows") {
+    val p = plan(TrainingData.q107KmeansStep(t))
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), "no window in the assignment path")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

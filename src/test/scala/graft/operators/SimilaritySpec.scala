@@ -178,4 +178,51 @@ class SimilaritySpec extends SparkSuite {
       .select("n_truth", "n_hit").as[(Long, Long)].head()
     assert(out == ((2L, 1L))) // truth {1,2}, approx {2,9} -> hit {2}
   }
+
+  test("kmeansStep: counts partition the corpus and means match a driver-side Lloyd step") {
+    val nlist = 4
+    val out = Similarity.kmeansStep(embeddings, nlist = nlist)
+      .select("cell", "dim", "n_members", "sum_scaled", "mean")
+      .as[(Int, Int, Long, Long, Double)].collect()
+
+    val corpusSize = embeddings.count()
+    val dims = embeddings.select(size(col("embedding"))).as[Int].head()
+    // every dim's member counts sum to the corpus size (each vector in exactly one cell)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == corpusSize)
+    }
+    assert(out.length == nlist * dims || out.map(_._1).distinct.length < nlist)
+
+    // driver-side replay: same seeded centroids, same argmax, same fixed point
+    val all = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val seedRank = all.map { case (id, _) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.take(15), 16) & 0x7FFFFFFFL, id)
+    }.sorted.take(nlist).map(_._2)
+    val cents = seedRank.map(id => all.find(_._1 == id).get._2.map(_.toDouble))
+    val cnrms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def cellOf(v: Seq[Float]): Int = {
+      val scores = cents.zip(cnrms).map { case (c, n) =>
+        v.map(_.toDouble).zip(c).map { case (a, b) => a * b }.sum / n }
+      scores.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+    }
+    val expected = all.groupBy { case (_, v) => cellOf(v) }.flatMap { case (cell, vs) =>
+      (0 until dims).map { d =>
+        // HALF_UP on the shortest decimal repr — Spark's round() semantics
+        // (math.round would round -x.5 towards +inf, not away from zero)
+        val sum = vs.map { case (_, v) =>
+          BigDecimal(v(d).toDouble * 1000000L)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        (cell, d) -> (vs.length.toLong, sum)
+      }
+    }
+    out.foreach { case (cell, dim, n, sum, mean) =>
+      val (en, esum) = expected((cell, dim))
+      assert(n == en && sum == esum, s"cell=$cell dim=$dim")
+      assert(mean == sum.toDouble / 1000000L / n)
+    }
+  }
 }

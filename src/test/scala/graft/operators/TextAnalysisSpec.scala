@@ -222,6 +222,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == ((2L, 1L, 1L)))
   }
 
+  test("importanceWeights: smoothed integer ratios, hand-computed") {
+    val docs = Seq(
+      (1L, "en", "hello world"),       // target
+      (2L, "de", "hallo world"),       // corpus only
+      (3L, "en", "hello hello")        // target
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.importanceWeights(docs, col("lang") === "en", scale = 1000L)
+      .select("doc_id", "n_tokens", "weight_sum", "importance")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // vocab: hello nc=3 nt=3 -> w=1000*4/4=1000; world nc=2 nt=1 -> 1000*2/3=666
+    // hallo nc=1 nt=0 -> 1000*1/2=500
+    assert(out(1L) == ((1L, 2L, 1666L, 833L)))
+    assert(out(2L) == ((2L, 2L, 1166L, 583L)))
+    assert(out(3L) == ((3L, 2L, 2000L, 1000L)))
+  }
+
   test("bpePairCounts: adjacent pairs with multiplicity, frequency-ranked, ties by pair") {
     val docs = Seq(
       (1L, "a b a b c"),   // pairs: (a,b) (b,a) (a,b) (b,c)
