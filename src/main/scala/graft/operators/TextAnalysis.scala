@@ -232,6 +232,41 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C51: DATASET CARD — the per-source corpus report a training-data
+    * release publishes: volume (docs/tokens/chars), exact-duplication
+    * rate, language mix and dominant language. The numbers every "what's
+    * in this corpus" table is made of, as one query.
+    *
+    * Scale (100 TB): the plan is a strictly LINEAR aggregation chain —
+    * corpus → per-(source, lang, content-hash) → per-(source, lang) →
+    * per-source — so the corpus is scanned once BY CONSTRUCTION (no DAG
+    * branch for Catalyst's per-branch column pruning to de-duplicate);
+    * text is dropped at the first aggregate, so only hashes + partial
+    * sums shuffle. The dominant language is a struct-max argmax inside
+    * the final aggregate (nl, then lang — ties pick the
+    * lexicographically larger language; the oracle mirrors that), never
+    * a window. Uniqueness is counted within (source, lang): byte-equal
+    * text in two languages is two corpus entries, and it keeps the
+    * rollup a pure sum. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("lang"), col("n_chars"),
+      size(tokens(col("text"))).cast("long").as("nt"), md5(col("text")).as("h"))
+    val perDoc = base.groupBy("source", "lang", "h").agg(
+      count(lit(1)).as("n"), sum("nt").as("snt"), sum("n_chars").as("sch"))
+    val perLang = perDoc.groupBy("source", "lang").agg(
+      sum("n").as("nl"), sum("snt").as("snt"), sum("sch").as("sch"),
+      count(lit(1)).as("nuh")) // perDoc rows per (source, lang) = distinct hashes
+    perLang.groupBy("source").agg(
+        sum("nl").as("n_docs"), sum("snt").as("n_tokens"), sum("sch").as("n_chars"),
+        sum("nuh").as("n_unique"), count(lit(1)).as("n_langs"),
+        max(struct(col("nl"), col("lang"))).as("__top"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs")).as("dup_ratio"),
+        col("n_langs"), col("__top.lang").as("top_lang"),
+        (col("__top.nl").cast("double") / col("n_docs")).as("top_lang_share"))
+  }
+
   /** C50: target-domain IMPORTANCE weights (the DSIR recipe shape: score
     * every document by how much its token distribution looks like a
     * target domain vs the whole corpus, then resample by that weight).

@@ -116,7 +116,8 @@ object Catalog {
     "q103_canonical_quality" -> rel(TrainingData.q103CanonicalQuality),
     "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs),
     "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
-    "q109_importance"        -> rel(TrainingData.q109Importance)
+    "q109_importance"        -> rel(TrainingData.q109Importance),
+    "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -488,4 +488,9 @@ object TrainingData {
   def q109Importance(t: Tables): DataFrame =
     TextAnalysis.importanceWeights(t.documents, isTarget = col("lang") === "en")
       .orderBy("doc_id")
+
+  /** C51: dataset card — per-source volume, exact-dup rate, language mix;
+    * single corpus scan (plan-asserted), hashes not text in the shuffle. */
+  def q110DatasetCard(t: Tables): DataFrame =
+    TextAnalysis.datasetCard(t.documents).orderBy("source")
 }

@@ -1225,6 +1225,37 @@ object TrainingOracle {
         |WHERE pe < 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // C51: dataset card — same (source, lang, md5) pre-aggregate, same
+    // rollups, same deterministic dominant-language tie-break.
+    "q110_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, md5(text) AS h
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT source, lang, h, COUNT(*) AS n, SUM(nt) AS snt, SUM(n_chars) AS sch
+        |  FROM base GROUP BY 1, 2, 3),
+        |perlang AS (
+        |  SELECT source, lang, SUM(n) AS nl, SUM(snt) AS snt, SUM(sch) AS sch,
+        |         COUNT(*) AS nuh
+        |  FROM perdoc GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang, nl AS top_nl,
+        |         row_number() OVER (PARTITION BY source ORDER BY nl DESC, lang DESC) AS rk
+        |  FROM perlang),
+        |stats AS (
+        |  SELECT source, CAST(SUM(nl) AS BIGINT) AS n_docs,
+        |         CAST(SUM(snt) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(sch) AS BIGINT) AS n_chars,
+        |         CAST(SUM(nuh) AS BIGINT) AS n_unique,
+        |         CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM perlang GROUP BY source)
+        |SELECT s.source, n_docs, n_tokens, n_chars, n_unique,
+        |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_ratio,
+        |  n_langs, t.top_lang, CAST(t.top_nl AS DOUBLE) / n_docs AS top_lang_share
+        |FROM stats s JOIN top t ON s.source = t.source AND t.rk = 1
+        |ORDER BY s.source""".stripMargin,
+
     // C50: importance weights — integer smoothed ratio, replayed exactly;
     // the target count is a conditional count in the same vocab pass.
     "q109_importance" ->

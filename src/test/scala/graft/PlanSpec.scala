@@ -228,6 +228,12 @@ class PlanSpec extends SparkSuite {
     assert(lev >= 0 && l1 >= 0, "both kernels present")
   }
 
+  test("q110: dataset card reads the corpus EXACTLY once (shared pre-aggregate exchange)") {
+    val p = plan(TrainingData.q110DatasetCard(t))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"stats and language-mix rollups must reuse one (source,lang,hash) exchange:\n$p")
+  }
+
   test("q108: three distincts plan as ONE Expand, not three scans") {
     val p = plan(Relational.q108MultiDistinct(t))
     assert("Expand".r.findAllIn(p).size >= 1, p)

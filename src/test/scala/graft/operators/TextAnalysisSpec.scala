@@ -222,6 +222,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == ((2L, 1L, 1L)))
   }
 
+  test("datasetCard: volume, dup rate, language mix per source, hand-computed") {
+    val docs = Seq(
+      (1L, "same text", "en", "web", 9L),
+      (2L, "same text", "en", "web", 9L),   // exact dup of 1
+      (3L, "other words", "de", "web", 11L),
+      (4L, "solo doc", "en", "books", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.datasetCard(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double, Long, String, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("books", 1L, 2L, 8L, 1L, 0.0, 1L, "en", 1.0),
+      ("web", 3L, 6L, 29L, 2L, 1.0 / 3, 2L, "en", 2.0 / 3)))
+  }
+
   test("importanceWeights: smoothed integer ratios, hand-computed") {
     val docs = Seq(
       (1L, "en", "hello world"),       // target
