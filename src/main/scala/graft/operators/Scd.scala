@@ -29,12 +29,15 @@ object Scd {
     * (key + payload + valid_from/valid_to/is_current) as of `effective`:
     *  - new key            → open version (valid_from = effective)
     *  - changed payload    → old version closed at effective + new open version
-    *  - vanished key       → old version closed at effective (soft delete)
+    *  - vanished key       → old version closed at effective (soft delete);
+    *                         with `closeMissing = false` (upsert-slice /
+    *                         CDC-stream mode, where the input is NOT a full
+    *                         snapshot) the open version stays open instead
     *  - unchanged          → open version passes through untouched
     * Payload comparison is null-safe per column (engine-portable — no
     * hash), so a DuckDB oracle can replay the classification exactly. */
   def applyScd2(history: DataFrame, current: DataFrame, keyCols: Seq[String],
-                effective: Column): DataFrame = {
+                effective: Column, closeMissing: Boolean = true): DataFrame = {
     val payload = current.columns.filterNot(keyCols.contains).toSeq
     val outCols = keyCols ++ payload ++ MetaCols
     require(history.columns.toSeq == outCols,
@@ -65,11 +68,13 @@ object Scd {
     // Slot 1: the surviving/closed form of the historical version, or (for
     // brand-new keys) the freshly opened one. Slot 2: the new open version
     // when an update closed slot 1 — null (skipped) otherwise.
+    val openUntouched = version("h_", col("h_valid_from"), nullTs, lit(true))
+    val closedAtEff = version("h_", col("h_valid_from"), effective, lit(false))
     val slot1 =
       when(col("__h").isNull, version("c_", effective, nullTs, lit(true)))
-        .when(col("__c").isNull || changed,
-          version("h_", col("h_valid_from"), effective, lit(false)))
-        .otherwise(version("h_", col("h_valid_from"), nullTs, lit(true)))
+        .when(col("__c").isNull, if (closeMissing) closedAtEff else openUntouched)
+        .when(changed, closedAtEff)
+        .otherwise(openUntouched)
     val slot2 =
       when(col("__h").isNotNull && col("__c").isNotNull && changed,
         version("c_", effective, nullTs, lit(true)))

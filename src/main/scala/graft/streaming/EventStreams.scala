@@ -398,6 +398,65 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D17: continuously-maintained SCD2 dimension history — the streaming
+    * twin of B29 ([[graft.operators.Scd]]), as [[aggMaintenance]] is of
+    * B24: each micro-batch is an UPSERT slice (key + payload + event ts,
+    * NOT a full snapshot), reduced to its latest change per key and
+    * folded into the versioned history with `closeMissing = false` —
+    * absent keys stay open, because absence from a partial slice is not
+    * deletion. The batch's effective timestamp is its max event ts.
+    * Re-sending an unchanged row creates NO new version (the null-safe
+    * payload compare sees through it), so at-least-once upstream delivery
+    * is harmless even across batches.
+    *
+    * Same exactly-once discipline as D12/D14: batchId-versioned state
+    * dirs, pointer flipped last, replayed batches self-detect and skip.
+    * Empty batches publish nothing (no pointer churn). */
+  def scdMaintenance(changes: DataFrame, keys: Seq[String], tsCol: String,
+                     stateRoot: String, checkpointDir: String): Unit = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          () // replayed (already merged and published) or nothing to fold
+        } else {
+          // latest change per key WITHIN the batch (callers must make ties
+          // on tsCol impossible per key — e.g. a change-log sequence ts)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(col(tsCol).desc)
+          val latest = batch.toDF().withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val eff = latest.agg(max(col(tsCol))).head().getTimestamp(0)
+          val cur = latest.drop(tsCol)
+          val hist = prev match {
+            case Some(p) => spark.read.parquet(p)
+            case None =>
+              cur.limit(0)
+                .withColumn("valid_from", lit(null).cast("timestamp"))
+                .withColumn("valid_to", lit(null).cast("timestamp"))
+                .withColumn("is_current", lit(true))
+          }
+          graft.operators.Scd
+            .applyScd2(hist, cur, keys, lit(eff), closeMissing = false)
+            .write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current SCD2 history under the latest published pointer. */
+  def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
+    readPointer(spark, stateRoot) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.emptyDataFrame
+    }
+
   /** Read the maintained aggregate state out as user-facing values
     * (n_rows / total / min / max / derived avg) — one row per group. */
   def aggReadout(spark: SparkSession, stateRoot: String, keys: Seq[String]): DataFrame =

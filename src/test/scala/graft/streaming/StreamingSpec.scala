@@ -340,6 +340,42 @@ class StreamingSpec extends SparkSuite {
     assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
   }
 
+  test("D17: streaming SCD2 — upserts version history, absent keys stay open, " +
+       "re-sent unchanged rows add no version") {
+    val in = Files.createTempDirectory("graft-scd-in").toString
+    val state = Files.createTempDirectory("graft-scd-state").toString
+    val ckpt = Files.createTempDirectory("graft-scd-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.scdMaintenance(
+      spark.readStream.schema("id LONG, name STRING, ts TIMESTAMP").parquet(in),
+      Seq("id"), "ts", state, ckpt)
+    def push(rows: Seq[(Long, String, Timestamp)]): Unit =
+      rows.toDF("id", "name", "ts").coalesce(1).write.mode("append").parquet(in)
+
+    push(Seq((1L, "alice", ts(0)), (2L, "bob", ts(0))))
+    runOnce()
+    // batch 2: update 1, insert 3; key 2 absent — must STAY open (no snapshot close)
+    push(Seq((1L, "alicia", ts(10)), (3L, "carol", ts(10))))
+    runOnce()
+    // batch 3: re-send 2 unchanged — must add NO version
+    push(Seq((2L, "bob", ts(20))))
+    runOnce()
+
+    def history = EventStreams.scdHistory(spark, state)
+      .orderBy("id", "valid_from")
+      .select("id", "name", "valid_to", "is_current")
+      .as[(Long, String, Option[Timestamp], Boolean)].collect().toSeq
+    assert(history == Seq(
+      (1L, "alice", Some(ts(10)), false),   // closed by the batch-2 update
+      (1L, "alicia", None, true),
+      (2L, "bob", None, true),              // one version only, still open
+      (3L, "carol", None, true)))
+
+    // replay with the same checkpoint: nothing double-applies
+    runOnce()
+    assert(history.size == 4)
+  }
+
   test("D13: continuous ingestion dedup catches cross-batch near-dups via the growing index") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
     val idx = Files.createTempDirectory("graft-ingest-idx").toString
