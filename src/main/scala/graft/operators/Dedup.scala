@@ -333,6 +333,40 @@ object Dedup {
         col("n_hit_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** C52: cross-SOURCE overlap matrix — the dataset-curation question
+    * "how much of slice A is already in slice B" (e.g. a web crawl vs a
+    * curated set), answered with distinct-shingle set arithmetic per
+    * source pair: common shingles, Jaccard, and containment
+    * (common / min-side — the directional "is one inside the other"
+    * signal Jaccard hides when sizes differ). Pairs with zero common
+    * shingles are omitted (the join is the sparsity filter).
+    *
+    * Scale (100 TB): text reduces to distinct (source, shingle-hash)
+    * pairs at scan speed (the portable per-row kernel); the self-join on
+    * the hash fans out per shingle by the number of SOURCES sharing it —
+    * bounded by the (small, bounded) source count, never by document
+    * multiplicity, because the distinct collapses first. Everything
+    * shuffled is (source, hash). */
+  def sourceOverlap(docs: DataFrame, n: Int = 8, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.portableShingleHashes
+    val sh = docs.select(col(groupCol).as("g"),
+        explode(portableShingleHashes(split(col(textCol), " "), n)).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("g").as("src_a"), col("h"))
+      .join(sh.select(col("g").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("g").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"),
+        (col("n_common").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   /** C37: EDIT-DISTANCE near-dup pairs — the character-level verify for
     * pairs n-gram methods blur (small in-place edits keep Levenshtein tiny
     * while shredding shingle sets). This operator is EXACT, not heuristic:

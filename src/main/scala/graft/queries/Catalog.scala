@@ -117,7 +117,8 @@ object Catalog {
     "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs),
     "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
     "q109_importance"        -> rel(TrainingData.q109Importance),
-    "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard)
+    "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
+    "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -493,4 +493,9 @@ object TrainingData {
     * single corpus scan (plan-asserted), hashes not text in the shuffle. */
   def q110DatasetCard(t: Tables): DataFrame =
     TextAnalysis.datasetCard(t.documents).orderBy("source")
+
+  /** C52: cross-source shingle-overlap matrix — distinct 8-gram sets per
+    * source, pairwise common/Jaccard/containment. */
+  def q111SourceOverlap(t: Tables): DataFrame =
+    Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
 }

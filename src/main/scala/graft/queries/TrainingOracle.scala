@@ -1225,6 +1225,29 @@ object TrainingOracle {
         |WHERE pe < 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // C52: source-overlap matrix — distinct (source, shingle) sets, the
+    // same portable md5 shingle kernel, pairwise set arithmetic.
+    "q111_source_overlap" ->
+      s"""WITH sh0 AS (
+         |  SELECT source AS g, ${shingleHashSql("string_split(text, ' ')", 8)} AS ss
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT g, unnest(ss) AS h FROM sh0),
+         |sizes AS (SELECT g, COUNT(*) AS n FROM sh GROUP BY g),
+         |pairs AS (
+         |  SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(p.n_common AS BIGINT) AS n_common,
+         |  CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard,
+         |  CAST(p.n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+         |FROM pairs p
+         |JOIN sizes sa ON sa.g = p.src_a
+         |JOIN sizes sb ON sb.g = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     // C51: dataset card — same (source, lang, md5) pre-aggregate, same
     // rollups, same deterministic dominant-language tie-break.
     "q110_dataset_card" ->

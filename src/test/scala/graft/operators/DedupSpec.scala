@@ -242,4 +242,17 @@ class DedupSpec extends SparkSuite {
     assert(segs == Seq((7L, 0L, "a b"), (7L, 1L, "c d"), (7L, 2L, "e"), (8L, 0L, "x y")))
   }
 
+  test("sourceOverlap: shared text overlaps, disjoint sources are absent") {
+    val nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // 9 tokens -> two 8-gram shingles
+    val docs = Seq(
+      (1L, nine, "A"),
+      (2L, nine, "B"),                       // same 2 shingles as A
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8", "B"),  // +1 shingle only in B
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8", "C")   // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, n = 8, groupCol = "source")
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard", "containment")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("A", "B", 2L, 3L, 2L, 2.0 / 3, 1.0)))
+  }
 }
