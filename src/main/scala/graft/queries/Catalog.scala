@@ -41,7 +41,8 @@ object Catalog {
     "q92_grouping_sets"  -> rel(Relational.q92GroupingSets),
     "q94_unpivot"        -> rel(Relational.q94Unpivot),
     "q95_histogram"      -> rel(Relational.q95Histogram),
-    "q108_multi_distinct" -> rel(Relational.q108MultiDistinct)
+    "q108_multi_distinct" -> rel(Relational.q108MultiDistinct),
+    "q112_correlation"    -> rel(Relational.q112Correlation)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(

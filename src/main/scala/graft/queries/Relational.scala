@@ -468,6 +468,38 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** A33: correlation / covariance profile (the "do these two measures
+    * move together" audit) — Pearson r and sample covariance per group,
+    * computed from EXACT decimal power sums (n, Σx, Σy, Σxy, Σx², Σy² on
+    * integer cents; associative, partition-order-proof — the built-in
+    * corr() aggregates doubles in partition order and is not
+    * cross-engine reproducible) with one double-arithmetic read-out both
+    * engines evaluate identically. One map-side-partial pass. */
+  def q112Correlation(t: Tables): DataFrame = {
+    val cents = org.apache.spark.sql.types.DecimalType(18, 0)
+    val x = (dec(col("l_extendedprice")) * 100).cast(cents)
+    val y = (dec(col("l_quantity")) * 100).cast(cents)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    t.lineitem
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("corr_price_qty"),
+        ((d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n"))) /
+          (d(col("n")) - 1) / 10000.0).as("cov_samp"),
+        (d(col("sx")) / 100.0 / d(col("n"))).as("avg_price"),
+        (d(col("sy")) / 100.0 / d(col("n"))).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** A32: multiple COUNT(DISTINCT) columns in one aggregation — the audit
     * query shape ("how many customers, clerks, dates per segment").
     * Catalyst plans N distinct aggregates as ONE Expand (row × N) + a

@@ -350,6 +350,30 @@ object RelationalOracle {
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
 
+    // A33: exact decimal power sums, double read-out with the same
+    // expression structure Spark evaluates — bit-identical results.
+    "q112_correlation" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_price_qty,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1) / 10000.0 AS cov_samp,
+        |  CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS avg_price,
+        |  CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS avg_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
     "q108_multi_distinct" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,

@@ -398,6 +398,24 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D2 (declarative path): sessionization via Spark's NATIVE
+    * `session_window` — gap-merged session aggregation with watermark
+    * state eviction, planned by Catalyst as a session-window state-store
+    * aggregate. The flatMapGroupsWithState path ([[sessionize]]) exists
+    * for richer per-session logic (event-time-ordered folds, custom
+    * emission); when the output is plain per-session aggregates, this
+    * built-in form is less code, AQE/codegen-friendly, and the one to
+    * reach for first. Session = [first event, last event + gap). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** D17: continuously-maintained SCD2 dimension history — the streaming
     * twin of B29 ([[graft.operators.Scd]]), as [[aggMaintenance]] is of
     * B24: each micro-batch is an UPSERT slice (key + payload + event ts,

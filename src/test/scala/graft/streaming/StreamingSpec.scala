@@ -60,6 +60,27 @@ class StreamingSpec extends SparkSuite {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("D2 declarative: built-in session_window emits gap-merged sessions with exact bounds") {
+    val rows = Seq(
+      (1L, ts(0.0), 1L, "view", 1.0), (2L, ts(10.0), 1L, "view", 2.0), // u1 session A
+      (3L, ts(60.0), 1L, "view", 4.0),                                 // u1 session B (> 30 min gap)
+      (4L, ts(5.0), 2L, "view", 8.0),                                  // u2 session
+      (9L, ts(600.0), 9L, "sentinel", 0.0))                            // watermark pusher
+    val in = writeEvents(rows)
+    val q = EventStreams.sessionWindowAgg(EventStreams.readEvents(spark, in))
+      .writeStream.format("memory").queryName("sw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sw_out")
+      .filter(col("user_id") =!= 9L)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, ts(0.0), ts(40.0), 2L, 3.0),   // last event 10 min + 30 min gap
+      (1L, ts(60.0), ts(90.0), 1L, 4.0),
+      (2L, ts(5.0), ts(35.0), 1L, 8.0)))
+  }
+
   test("D2 streaming: gap-closed sessions emit with exact bounds") {
     // user 1: session A (3 events, 0-10 min), 40-min gap, session B (2 events);
     // the sentinel pushes the watermark past B's close boundary so both emit.
