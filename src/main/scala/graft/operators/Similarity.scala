@@ -243,6 +243,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** C53: embedding-column HEALTH profile — the vector-store audit run
+    * before building any index on 10^12 embeddings: per group, the
+    * vector count, dimensionality range (ragged arrays break every
+    * kernel downstream), zero-norm count (undefined cosine), and L2-norm
+    * min/max/mean. Per-row math only (the codegen'd norm kernel) + one
+    * map-side-partial aggregate; min/max doubles are comparison-safe
+    * cross-engine, and the MEAN norm sums fixed-point longs (the C49
+    * trick) so it is partition-order-proof and oracle-exact. */
+  def embeddingProfile(corpus: DataFrame, groupCol: String = "label",
+                       vecCol: String = "embedding",
+                       scale: Long = 1000000L): DataFrame =
+    corpus
+      .select(col(groupCol), size(col(vecCol)).cast("long").as("d"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_vectors"),
+        min("d").as("dim_min"), max("d").as("dim_max"),
+        count(when(col("nrm") === 0.0, 1)).as("n_zero_norm"),
+        min("nrm").as("norm_min"), max("nrm").as("norm_max"),
+        sum(round(col("nrm") * scale).cast("long")).as("norm_sum_scaled"))
+      .withColumn("norm_avg",
+        col("norm_sum_scaled").cast("double") / scale / col("n_vectors"))
+
   /** C49: one distributed k-means refinement step (Lloyd iteration) —
     * the training loop behind every IVF/PQ index and SemDeDup clustering
     * here (their seeded centroids are the no-training baseline; this is

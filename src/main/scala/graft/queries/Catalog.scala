@@ -62,7 +62,8 @@ object Catalog {
     "q89_audience_diff"      -> rel(ReverseEtl.q89AudienceDiff),
     "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg),
     "q104_skew_profile"      -> rel(ReverseEtl.q104SkewProfile),
-    "q105_scd2"              -> rel(ReverseEtl.q105Scd2)
+    "q105_scd2"              -> rel(ReverseEtl.q105Scd2),
+    "q113_expectations"      -> rel(ReverseEtl.q113Expectations)
   )
 
   val trainingData: Map[String, QueryFn] = Map(
@@ -119,7 +120,8 @@ object Catalog {
     "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
     "q109_importance"        -> rel(TrainingData.q109Importance),
     "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
-    "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap)
+    "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
+    "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile)
   )
 
   val events: Map[String, QueryFn] = Map(

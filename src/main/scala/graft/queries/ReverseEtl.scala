@@ -269,6 +269,25 @@ object ReverseEtl {
   def q104SkewProfile(t: Tables): DataFrame =
     graft.operators.Skew.keyProfile(t.orders, "o_custkey", topK = 10)
 
+  /** B30: data-quality EXPECTATIONS report — the table-level pre-sync
+    * gate (dbt-test shape): uniqueness, non-null, accepted values,
+    * freshness in ONE wide aggregate + unpivot; referential integrity as
+    * an anti-join count against the customer dimension. The o_custkey
+    * uniqueness expectation is expected to FAIL (customers order more
+    * than once) — the report reports, the caller gates. */
+  def q113Expectations(t: Tables): DataFrame = {
+    import graft.model.Expectations._
+    report(t.orders,
+      local = Seq(
+        Unique(Seq("o_orderkey")),
+        Unique(Seq("o_custkey")),
+        NotNull("o_custkey"),
+        AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+        Freshness("o_orderdate", "1998-06-01")),
+      fks = Seq(RefIntegrity("o_custkey", "customer.c_custkey",
+        t.customer, "c_custkey")))
+  }
+
   /** B29: SCD Type-2 history apply — fold the current snapshot into a
     * versioned dimension history as of 1997-07-01. The history fixture has
     * an open generation (the prev snapshot, valid since 1995) plus an

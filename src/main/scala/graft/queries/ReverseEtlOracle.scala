@@ -185,6 +185,36 @@ object ReverseEtlOracle {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // B30: expectations — each check recomputed from first principles.
+    "q113_expectations" ->
+      """WITH r AS (
+        |  SELECT 'unique:o_orderkey' AS expectation,
+        |    CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS failures
+        |  UNION ALL
+        |  SELECT 'unique:o_custkey',
+        |    CAST((SELECT COUNT(*) - COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'not_null:o_custkey',
+        |    CAST((SELECT COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'accepted:o_orderstatus',
+        |    CAST((SELECT COUNT(CASE WHEN o_orderstatus IS NOT NULL
+        |                             AND o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+        |          FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'freshness:o_orderdate',
+        |    CAST((SELECT CASE WHEN MAX(o_orderdate) < TIMESTAMP '1998-06-01' THEN 1 ELSE 0 END
+        |          FROM orders) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey->customer.c_custkey',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |          WHERE o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |          AS BIGINT)
+        |)
+        |SELECT expectation, failures, failures = 0 AS passed
+        |FROM r ORDER BY expectation""".stripMargin,
+
     // B29: SCD2 apply — closed generation passes through; the open
     // generation full-outer joins the snapshot and each row expands to its
     // 1-2 output versions, branch by branch.

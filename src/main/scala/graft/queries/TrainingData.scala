@@ -498,4 +498,9 @@ object TrainingData {
     * source, pairwise common/Jaccard/containment. */
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
+
+  /** C53: embedding health profile per label — dims, zero norms, norm
+    * stats with a fixed-point-exact mean. */
+  def q114EmbeddingProfile(t: Tables): DataFrame =
+    Similarity.embeddingProfile(t.embeddings).orderBy("label")
 }

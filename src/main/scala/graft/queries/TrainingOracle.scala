@@ -1225,6 +1225,24 @@ object TrainingOracle {
         |WHERE pe < 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // C53: embedding profile — same per-row norm fold, fixed-point mean.
+    "q114_embedding_profile" ->
+      s"""WITH v AS (
+         |  SELECT label, CAST(len(embedding) AS BIGINT) AS d,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT label, d, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v)
+         |SELECT label,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  MIN(d) AS dim_min, MAX(d) AS dim_max,
+         |  CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT) AS n_zero_norm,
+         |  MIN(nrm) AS norm_min, MAX(nrm) AS norm_max,
+         |  CAST(SUM(CAST(round(nrm * 1000000) AS BIGINT)) AS BIGINT) AS norm_sum_scaled,
+         |  CAST(SUM(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*)
+         |    AS norm_avg
+         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
     // C52: source-overlap matrix — distinct (source, shingle) sets, the
     // same portable md5 shingle kernel, pairwise set arithmetic.
     "q111_source_overlap" ->

@@ -179,6 +179,21 @@ class SimilaritySpec extends SparkSuite {
     assert(out == ((2L, 1L))) // truth {1,2}, approx {2,9} -> hit {2}
   }
 
+  test("embeddingProfile: hand-computed norms, zero-norm count, fixed-point mean") {
+    val vs = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),   // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),   // zero norm
+      (3L, Seq(6.0f, 8.0f), 1))   // norm 10
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingProfile(vs).orderBy("label")
+      .select("label", "n_vectors", "dim_min", "dim_max", "n_zero_norm",
+        "norm_min", "norm_max", "norm_avg")
+      .as[(Int, Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0, 2L, 2L, 2L, 1L, 0.0, 5.0, 2.5),
+      (1, 1L, 2L, 2L, 0L, 10.0, 10.0, 10.0)))
+  }
+
   test("kmeansStep: counts partition the corpus and means match a driver-side Lloyd step") {
     val nlist = 4
     val out = Similarity.kmeansStep(embeddings, nlist = nlist)
