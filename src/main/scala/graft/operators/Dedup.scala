@@ -333,6 +333,41 @@ object Dedup {
         col("n_hit_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** C54: MinHash ESTIMATOR accuracy evaluation — the index-quality gate
+    * for the dedup stack, as ANN recall (C40) is for the vector stack:
+    * for every LSH candidate pair, the signature-agreement estimate
+    * (matching positions / numPerm — the statistic MinHash dedup
+    * thresholds on at scale, where shingle sets are too big to carry)
+    * next to the EXACT Jaccard and the absolute error. Run on a sample
+    * before trusting a numPerm/bands configuration on the full corpus.
+    *
+    * Positionwise agreement is generator arithmetic, not a lambda:
+    * posexplode one signature, `element_at` the other, count matches —
+    * fan-out numPerm per CANDIDATE pair (output-bound, never corpus-
+    * bound). Exact Jaccard rides the same join and survives the
+    * aggregate via first(). */
+  def minhashAccuracy(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                      numPerm: Int = 64, bands: Int = 16, bucketCap: Int = 100): DataFrame = {
+    val sig = portableSignatures(docs, textCol, idCol, numPerm)
+    val pairs = lshBucketPairs(portableBands(sig, numPerm, bands),
+      "band_idx", "band_key", bucketCap)
+    val scored = pairs
+      .join(sig.select(col("id").as("doc_a"), col("hs").as("sh_a"), col("ms").as("ms_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("hs").as("sh_b"), col("ms").as("ms_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.operators.TextOps.jaccard(col("sh_a"), col("sh_b")).as("exact_jaccard"),
+        col("ms_b"), posexplode(col("ms_a")).as(Seq("p", "va")))
+      .select(col("doc_a"), col("doc_b"), col("exact_jaccard"),
+        (col("va") === element_at(col("ms_b"), (col("p") + 1).cast("int")))
+          .cast("long").as("m"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("exact_jaccard")).as("exact_jaccard"), sum(col("m")).as("n_agree"))
+    scored.select(col("doc_a"), col("doc_b"), col("n_agree"),
+      (col("n_agree").cast("double") / numPerm).as("est_jaccard"),
+      col("exact_jaccard"),
+      abs(col("n_agree").cast("double") / numPerm - col("exact_jaccard")).as("abs_err"))
+  }
+
   /** C52: cross-SOURCE overlap matrix — the dataset-curation question
     * "how much of slice A is already in slice B" (e.g. a web crawl vs a
     * curated set), answered with distinct-shingle set arithmetic per

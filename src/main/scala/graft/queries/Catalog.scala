@@ -121,7 +121,8 @@ object Catalog {
     "q109_importance"        -> rel(TrainingData.q109Importance),
     "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
     "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
-    "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile)
+    "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),
+    "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy)
   )
 
   val events: Map[String, QueryFn] = Map(

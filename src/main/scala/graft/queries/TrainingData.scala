@@ -503,4 +503,10 @@ object TrainingData {
     * stats with a fixed-point-exact mean. */
   def q114EmbeddingProfile(t: Tables): DataFrame =
     Similarity.embeddingProfile(t.embeddings).orderBy("label")
+
+  /** C54: MinHash estimator accuracy — signature-agreement estimate vs
+    * exact Jaccard per LSH candidate pair (the dedup-stack analog of the
+    * q96 ANN recall gate). */
+  def q115MinhashAccuracy(t: Tables): DataFrame =
+    Dedup.minhashAccuracy(t.documents).orderBy("doc_a", "doc_b")
 }

@@ -426,6 +426,78 @@ object TrainingOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q115: the q52 signature/band/pair prologue, then per pair the
+    * position-agreement count over the 64 min columns and the exact
+    * set Jaccard — est, exact, |err| replayed bit-for-bit. */
+  private def minhashAccuracySql: String = {
+    val numPerm = 64
+    val bands = 16
+    val rowsPerBand = numPerm / bands
+    val consts = graft.operators.Dedup.permConstants(numPerm)
+    val minCols = consts.zipWithIndex.map { case ((c, d), p) =>
+      s"min(h * $c + $d) AS m$p"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand).map(p => s"m$p").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, concat_ws(',', $key) AS band_key FROM mins"
+    }.mkString("\n  UNION ALL ")
+    val agreeSum = (0 until numPerm)
+      .map(p => s"CASE WHEN x.m$p = y.m$p THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS ss
+       |  FROM tk
+       |), shx AS (
+       |  SELECT doc_id, unnest(ss) AS s FROM sh0
+       |), hs AS (
+       |  SELECT DISTINCT doc_id,
+       |         CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) & 2147483647 AS h
+       |  FROM shx
+       |), mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), sized AS (
+       |  SELECT band_idx, band_key FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 100
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN sized s USING (band_idx, band_key)
+       |  JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |), agree AS (
+       |  SELECT p.doc_a, p.doc_b, CAST($agreeSum AS BIGINT) AS n_agree
+       |  FROM pairs p
+       |  JOIN mins x ON x.doc_id = p.doc_a
+       |  JOIN mins y ON y.doc_id = p.doc_b
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id
+       |), common AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+       |  FROM pairs p
+       |  JOIN hs x ON x.doc_id = p.doc_a
+       |  JOIN hs y ON y.doc_id = p.doc_b AND y.h = x.h
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT a.doc_a, a.doc_b, a.n_agree,
+       |  CAST(a.n_agree AS DOUBLE) / $numPerm AS est_jaccard,
+       |  CAST(COALESCE(c.c, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(c.c, 0)) AS exact_jaccard,
+       |  abs(CAST(a.n_agree AS DOUBLE) / $numPerm -
+       |      CAST(COALESCE(c.c, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(c.c, 0))) AS abs_err
+       |FROM agree a
+       |LEFT JOIN common c ON c.doc_a = a.doc_a AND c.doc_b = a.doc_b
+       |JOIN sizes na ON na.doc_id = a.doc_a
+       |JOIN sizes nb ON nb.doc_id = a.doc_b
+       |ORDER BY a.doc_a, a.doc_b""".stripMargin
+  }
+
   /** DuckDB replay of the INCREMENTAL near-dup probe (q75): same portable
     * signature CTEs as q52, split into new slice vs indexed corpus; the
     * bucket cap applies to the INDEX side only (the probe side supplies
@@ -581,6 +653,7 @@ object TrainingOracle {
 
   val sql: Map[String, String] = Map(
     "q52_minhash_portable" -> minhashPortableSql,
+    "q115_minhash_accuracy" -> minhashAccuracySql,
     "q75_incremental_neardup" -> incrementalNeardupSql,
     "q53_simhash_portable" -> simhashPortableSql,
     "q55_training_pipeline" -> trainingPipelineSql,

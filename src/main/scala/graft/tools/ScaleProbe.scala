@@ -93,6 +93,40 @@ object ScaleProbe {
       // exact (distance-0) match of its original inside the same band
       run("edit_neardup", k)(Dedup.editDistancePairs(docs, maxDist = 16).count())
     }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // pair space grows with corpus volume but the output (top-50) is
+      // constant: expect scan-bound growth
+      run("bpe_pairs", k)(TextAnalysis.bpePairCounts(docs, topK = 50).count())
+      // amplification multiplies doc COUNT but not the distinct-shingle
+      // sets per source: the overlap matrix should be ~flat after the
+      // distinct collapses (scan-bound)
+      run("source_overlap", k)(Dedup.sourceOverlap(docs, n = 8).count())
+      run("dataset_card", k)(TextAnalysis.datasetCard(docs).count())
+      run("importance", k)(
+        TextAnalysis.importanceWeights(docs, col("lang") === "en").count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      // assignment is scan-speed; the update shuffle is nlist x dims
+      // partial sums regardless of k — expect linear scan cost
+      run("kmeans_step", k)(graft.operators.Similarity.kmeansStep(emb, nlist = 16).count())
+      run("embedding_profile", k)(
+        graft.operators.Similarity.embeddingProfile(emb).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+      val open = orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("valid_from", lit("1995-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val snap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      run("scd2_apply", k)(
+        graft.operators.Scd.applyScd2(open, snap, Seq("o_orderkey"),
+          lit("1997-07-01").cast("timestamp")).count())
+    }
     spark.stop()
   }
 }

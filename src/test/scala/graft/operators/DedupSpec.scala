@@ -242,6 +242,31 @@ class DedupSpec extends SparkSuite {
     assert(segs == Seq((7L, 0L, "a b"), (7L, 1L, "c d"), (7L, 2L, "e"), (8L, 0L, "x y")))
   }
 
+  test("minhashAccuracy: identical docs estimate 1.0 exactly; near-dups stay consistent") {
+    val base = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // identical pair
+      (3L, "a b c d e f g h i k")                  // one shingle differs
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashAccuracy(docs)
+      .select("doc_a", "doc_b", "n_agree", "est_jaccard", "exact_jaccard", "abs_err")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+
+    val ident = out((1L, 2L))
+    assert(ident._3 == 64L && ident._4 == 1.0 && ident._5 == 1.0 && ident._6 == 0.0)
+    // the perturbed pairs: 7 of 8 shingles shared, union 9 → exact 7/9;
+    // the estimate is whatever the 64 fixed permutations say (here they
+    // all agree — the single differing shingle is never the min), and
+    // abs_err must be their exact difference
+    out.filterNot(_._1 == ((1L, 2L))).values.foreach {
+      case (_, _, nAgree, est, exact, err) =>
+        assert(exact == 7.0 / 9)
+        assert(est == nAgree.toDouble / 64)
+        assert(math.abs(err - math.abs(est - exact)) < 1e-15)
+    }
+  }
+
   test("sourceOverlap: shared text overlaps, disjoint sources are absent") {
     val nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // 9 tokens -> two 8-gram shingles
     val docs = Seq(
