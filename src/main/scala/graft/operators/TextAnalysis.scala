@@ -232,6 +232,34 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C55: vocabulary COVERAGE CURVE — "what fraction of corpus tokens
+    * does a top-k vocabulary cover", evaluated at several k in one query:
+    * the tokenizer-budget planning curve (choose vocab size by where the
+    * curve flattens), the aggregate complement of C45's per-doc OOV rate.
+    *
+    * Scale (100 TB): the corpus collapses to the Zipf-small vocab frame
+    * in one map-side-partial pass; ranking and the cumulative sum run
+    * over VOCAB rows (the q101 justification — bounded by distinct
+    * tokens, never corpus size), and the k-evaluation is a bounded
+    * explode over the requested budget list. Integer-exact counts;
+    * coverage is one final division. */
+  def coverageCurve(docs: DataFrame, ks: Seq[Long] = Seq(10L, 100L, 1000L, 10000L),
+                    textCol: String = "text"): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    ranked
+      .select(col("cnt"), col("rk"), explode(typedlit(ks)).as("k"))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)).as("covered_tokens"),
+           sum(col("cnt")).as("total_tokens"),
+           sum(when(col("rk") <= col("k"), 1L).otherwise(0L)).as("vocab_used"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("total_tokens"))
+      .orderBy("k")
+  }
+
   /** C51: DATASET CARD — the per-source corpus report a training-data
     * release publishes: volume (docs/tokens/chars), exact-duplication
     * rate, language mix and dominant language. The numbers every "what's

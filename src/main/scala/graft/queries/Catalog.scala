@@ -122,7 +122,8 @@ object Catalog {
     "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
     "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
     "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),
-    "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy)
+    "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy),
+    "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve)
   )
 
   val events: Map[String, QueryFn] = Map(

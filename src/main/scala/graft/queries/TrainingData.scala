@@ -509,4 +509,9 @@ object TrainingData {
     * q96 ANN recall gate). */
   def q115MinhashAccuracy(t: Tables): DataFrame =
     Dedup.minhashAccuracy(t.documents).orderBy("doc_a", "doc_b")
+
+  /** C55: vocabulary coverage curve at budgets 10/100/1000/10000 — the
+    * tokenizer-budget planning complement of q101's OOV rate. */
+  def q116CoverageCurve(t: Tables): DataFrame =
+    TextAnalysis.coverageCurve(t.documents)
 }

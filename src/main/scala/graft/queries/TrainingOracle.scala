@@ -1298,6 +1298,22 @@ object TrainingOracle {
         |WHERE pe < 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // C55: coverage curve — same rank order (count DESC, term ASC), same
+    // budget list, integer-exact sums.
+    "q116_coverage_curve" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |v AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk FROM v),
+        |ks AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT) AS vocab_used,
+        |  CAST(SUM(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS coverage
+        |FROM r CROSS JOIN ks
+        |GROUP BY k ORDER BY k""".stripMargin,
+
     // C53: embedding profile — same per-row norm fold, fixed-point mean.
     "q114_embedding_profile" ->
       s"""WITH v AS (

@@ -468,6 +468,36 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D18: continuous data-quality MONITORING — the streaming face of B30
+    * ([[graft.model.Expectations]]): every micro-batch is scored against
+    * the declared expectations and its report row-set lands under a
+    * batchId-versioned dir (idempotent overwrite → replay-safe without
+    * pointers: a replayed batch rewrites the same report). The history is
+    * the audit trail an on-call pages on ("accepted:status started
+    * failing at batch 12") — per-batch report size is #expectations rows,
+    * so the trail costs KBs regardless of stream volume. */
+  def expectationsMonitor(stream: DataFrame,
+                          local: Seq[graft.model.Expectations.TableLocal],
+                          fks: Seq[graft.model.Expectations.RefIntegrity],
+                          historyRoot: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.model.Expectations.report(batch.toDF(), local, fks)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$historyRoot/v$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The full expectations audit trail: one row per (batch, expectation). */
+  def expectationsHistory(spark: SparkSession, historyRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
+
   /** Current SCD2 history under the latest published pointer. */
   def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
     readPointer(spark, stateRoot) match {

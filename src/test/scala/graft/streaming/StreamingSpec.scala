@@ -361,6 +361,35 @@ class StreamingSpec extends SparkSuite {
     assert(again == Map("view" -> 3L, "click" -> 2L), s"got $again")
   }
 
+  test("D18: streaming expectations monitor — per-batch quality reports, replay-safe") {
+    import graft.model.Expectations._
+    val in = Files.createTempDirectory("graft-exp-in").toString
+    val hist = Files.createTempDirectory("graft-exp-hist").toString
+    val ckpt = Files.createTempDirectory("graft-exp-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.expectationsMonitor(
+      spark.readStream.schema("id LONG, status STRING").parquet(in),
+      local = Seq(Unique(Seq("id")), AcceptedValues("status", Seq("ok", "warn"))),
+      fks = Nil, historyRoot = hist, checkpointDir = ckpt)
+    def push(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "status").coalesce(1).write.mode("append").parquet(in)
+
+    push(Seq((1L, "ok"), (2L, "warn")))       // clean batch
+    runOnce()
+    push(Seq((3L, "ok"), (3L, "BAD")))        // dup id + bad status
+    runOnce()
+
+    val got = EventStreams.expectationsHistory(spark, hist)
+      .select("batch_id", "expectation", "failures")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "accepted:status", 0L), (0L, "unique:id", 0L),
+      (1L, "accepted:status", 1L), (1L, "unique:id", 1L)))
+
+    runOnce() // replay: idempotent, still exactly two reports
+    assert(EventStreams.expectationsHistory(spark, hist).count() == 4L)
+  }
+
   test("D17: streaming SCD2 — upserts version history, absent keys stay open, " +
        "re-sent unchanged rows add no version") {
     val in = Files.createTempDirectory("graft-scd-in").toString
