@@ -95,6 +95,25 @@ object ProjectLoader {
         checkpointEvery = checkpointEvery)
     }
 
+    /** Describe-streams PRE-FLIGHT: diff the model's output schema against
+      * the destination's declared stream row type (see
+      * [[graft.sinks.Destinations]]) without moving a row. Advisory — the
+      * reference validates row-at-a-time inside the connector and skips
+      * bad rows under the error threshold; a caller that wants the hard
+      * gate asserts the returned issue list is clean. Kinds without a
+      * registered stream catalog (custom Spark-native sinks) return Nil. */
+    def modelFit(spark: SparkSession, syncId: String): Seq[graft.sinks.Destinations.Issue] = {
+      val (sync, md, conn) = resolve(syncId)
+      if (!graft.sinks.Destinations.registry.contains(conn.kind)) Nil
+      else {
+        registerDatasource(spark, md.datasource)
+        val model = Model.fromSql(md.id, md.sql, keyCols = md.keys,
+          cursorCol = md.cursor, env = env)
+        val stream = sync.options.get("stream").collect { case s: String => s }
+        graft.sinks.Destinations.modelFit(model.preview(spark, 0).schema, conn.kind, stream)
+      }
+    }
+
     private def resolve(syncId: String): (SyncDef, ModelDef, ConnectionDef) = {
       val sync = syncs.getOrElse(syncId,
         throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))

@@ -117,6 +117,17 @@ class ProjectSpec extends SparkSuite {
     assert(proj.syncs("orders_to_fb").options("checkpointEvery") == 400L)
   }
 
+  test("describe-streams pre-flight: the fb sync's model does not fit the audience stream") {
+    import graft.sinks.Destinations._
+    val proj = ProjectLoader.load(makeProject(), baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val issues = proj.modelFit(spark, "orders_to_fb")
+    // the model emits order columns, not audience rows: email is missing
+    // and every order column would be silently dropped by the connector
+    assert(issues.contains(MissingRequired("email")))
+    assert(issues.collect { case DroppedExtra(c) => c }.toSet ==
+      Set("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+  }
+
   test("model schema directive generates validation rules that gate the sync") {
     val dir = makeProject()
     // "1-URGENT" etc. never try_casts to INT → every row fails the
