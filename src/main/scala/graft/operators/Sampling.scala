@@ -80,6 +80,26 @@ object Sampling {
     }.cast("long")
     val counts = df.groupBy(sourceCol)
       .agg(count(lit(1)).as("__n")).withColumn("__w", w)
+    sampleByWeights(df, sourceCol, idCol, counts)
+  }
+
+  /** C56: TEMPERATURE-flattened mixture (the T=2 source-rebalancing
+    * recipe: sampling shares ∝ n_s^(1/T) instead of n_s, so head domains
+    * shrink and tail domains survive — the standard multi-source
+    * rebalance). Weights are DATA-DERIVED in-plan — `round(sqrt(n_s))`
+    * on the tiny per-source count frame, no driver collect, no config —
+    * then the same largest-downsampling-only mixture machinery as C29.
+    * sqrt is IEEE-correctly-rounded in both engines, and the rounded
+    * weight is integer, so the whole derivation replays exactly. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) + lit(0.5)).cast("long"))
+    sampleByWeights(df, sourceCol, idCol, counts)
+  }
+
+  /** Shared mixture tail: counts(sourceCol, __n, __w) → sampled rows. */
+  private def sampleByWeights(df: DataFrame, sourceCol: String, idCol: String,
+                              counts: DataFrame): DataFrame = {
     val sumw = counts.agg(sum(col("__w")).as("__sumw"))
     val withShare = counts.crossJoin(broadcast(sumw))
       .withColumn("__d", col("__w").cast("double") / col("__sumw").cast("double"))

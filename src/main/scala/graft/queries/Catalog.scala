@@ -123,7 +123,8 @@ object Catalog {
     "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
     "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),
     "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy),
-    "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve)
+    "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve),
+    "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -514,4 +514,12 @@ object TrainingData {
     * tokenizer-budget planning complement of q101's OOV rate. */
   def q116CoverageCurve(t: Tables): DataFrame =
     TextAnalysis.coverageCurve(t.documents)
+
+  /** C56: temperature-flattened (T=2) mixture over LANGUAGE (the skewed
+    * axis of this corpus — en dominates): weights derived in-plan as
+    * round(sqrt(n_lang)), so the head language is downsampled and tail
+    * languages keep their mass; same exact replay as q78. */
+  def q117TemperatureMix(t: Tables): DataFrame =
+    Sampling.temperatureMixture(t.documents, "lang", "doc_id")
+      .select("doc_id", "lang").orderBy("doc_id")
 }

@@ -1040,6 +1040,32 @@ object TrainingOracle {
         |JOIN f ON s.source IS NOT DISTINCT FROM f.source
         |WHERE s.bk < f.thr ORDER BY s.doc_id""".stripMargin,
 
+    // C56: q78's machinery with data-derived weights round(sqrt(n)),
+    // flattening the skewed language axis.
+    "q117_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM c
+        |), d AS (
+        |  SELECT lang, n, CAST(w AS DOUBLE) / CAST(sumw AS DOUBLE) AS ds FROM c, t
+        |), m AS (
+        |  SELECT MIN(CAST(n AS DOUBLE) / ds) AS cap FROM d
+        |), f AS (
+        |  SELECT lang,
+        |         CAST(floor(ds * cap / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS thr
+        |  FROM d, m
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |  FROM documents
+        |)
+        |SELECT s.doc_id, s.lang FROM s
+        |JOIN f ON s.lang IS NOT DISTINCT FROM f.lang
+        |WHERE s.bk < f.thr ORDER BY s.doc_id""".stripMargin,
+
     // C20: under-capacity the frequent-items sketch is exact, so the full
     // rollup read-out must equal exact GROUP BY counts item for item —
     // this pins build, merge, and estimate end-to-end.

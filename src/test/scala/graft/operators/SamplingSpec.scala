@@ -82,6 +82,22 @@ class SamplingSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("temperatureMixture: flattens a skewed axis — head downsampled, tail kept") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Sampling.temperatureMixture(docs, "lang", "doc_id")
+    val got = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // never upsamples; the dominant language loses share
+    got.foreach { case (l, n) => assert(n <= before(l), s"$l upsampled") }
+    val head = before.maxBy(_._2)._1
+    val headShareBefore = before(head).toDouble / before.values.sum
+    val headShareAfter = got(head).toDouble / got.values.sum
+    assert(headShareAfter < headShareBefore,
+      s"head '$head' share must shrink: $headShareBefore -> $headShareAfter")
+    // at least one tail language keeps every row (the cap binds there)
+    assert(before.keys.exists(l => got.getOrElse(l, 0L) == before(l)))
+  }
+
   test("mixtureSample: NULL-source rows form a stratum at defaultWeight, not a silent drop") {
     // two named sources plus rows whose source is NULL; the NULL stratum
     // must be sampled at defaultWeight like any unlisted source — before the
