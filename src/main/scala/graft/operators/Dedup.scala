@@ -341,31 +341,30 @@ object Dedup {
     * next to the EXACT Jaccard and the absolute error. Run on a sample
     * before trusting a numPerm/bands configuration on the full corpus.
     *
-    * Positionwise agreement is generator arithmetic, not a lambda:
-    * posexplode one signature, `element_at` the other, count matches —
-    * fan-out numPerm per CANDIDATE pair (output-bound, never corpus-
-    * bound). Exact Jaccard rides the same join and survives the
-    * aggregate via first(). */
+    * Positionwise agreement is a FLAT 64-term codegen'd sum — numPerm is
+    * a compile-time constant, so the comparison unrolls into per-row
+    * `element_at` arithmetic: one row per candidate pair, no generator,
+    * no re-aggregation (an explode+groupBy formulation fanned every pair
+    * 64x AND let CollapseProject re-inline the set-Jaccard into the
+    * exploded projection — 8x this operator's bench time). Everything is
+    * ONE projection, so codegen's subexpression elimination computes the
+    * agreement sum and the Jaccard once each. */
   def minhashAccuracy(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                       numPerm: Int = 64, bands: Int = 16, bucketCap: Int = 100): DataFrame = {
     val sig = portableSignatures(docs, textCol, idCol, numPerm)
     val pairs = lshBucketPairs(portableBands(sig, numPerm, bands),
       "band_idx", "band_key", bucketCap)
-    val scored = pairs
+    val agree = (1 to numPerm).map(p =>
+      (element_at(col("ms_a"), p) === element_at(col("ms_b"), p)).cast("long"))
+      .reduce(_ + _)
+    val est = agree.cast("double") / numPerm
+    val exact = graft.operators.TextOps.jaccard(col("sh_a"), col("sh_b"))
+    pairs
       .join(sig.select(col("id").as("doc_a"), col("hs").as("sh_a"), col("ms").as("ms_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("hs").as("sh_b"), col("ms").as("ms_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.operators.TextOps.jaccard(col("sh_a"), col("sh_b")).as("exact_jaccard"),
-        col("ms_b"), posexplode(col("ms_a")).as(Seq("p", "va")))
-      .select(col("doc_a"), col("doc_b"), col("exact_jaccard"),
-        (col("va") === element_at(col("ms_b"), (col("p") + 1).cast("int")))
-          .cast("long").as("m"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("exact_jaccard")).as("exact_jaccard"), sum(col("m")).as("n_agree"))
-    scored.select(col("doc_a"), col("doc_b"), col("n_agree"),
-      (col("n_agree").cast("double") / numPerm).as("est_jaccard"),
-      col("exact_jaccard"),
-      abs(col("n_agree").cast("double") / numPerm - col("exact_jaccard")).as("abs_err"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"),
+        est.as("est_jaccard"), exact.as("exact_jaccard"),
+        abs(est - exact).as("abs_err"))
   }
 
   /** C52: cross-SOURCE overlap matrix — the dataset-curation question
