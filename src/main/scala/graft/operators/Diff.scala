@@ -68,6 +68,84 @@ object Diff {
       .select(col(keyCol),
         when(col("__p").isNull, "add").otherwise("remove").as("op"))
 
+  /** B32: THREE-WAY snapshot merge — bidirectional sync's conflict step:
+    * given the last-synced BASE snapshot and the two sides' current
+    * snapshots (warehouse "ours", destination "theirs"), classify every
+    * key and produce the merged row plus its provenance:
+    *  - changed on one side only → that side wins (classic fast-forward)
+    *  - changed identically on both → clean convergence
+    *  - changed differently on both → CONFLICT, resolved ours-wins (the
+    *    warehouse is the source of truth in reverse-ETL; the flag lets a
+    *    caller route conflicts elsewhere instead)
+    *  - deleted on one side, unchanged on the other → delete propagates;
+    *    deleted on one side but EDITED on the other → edit wins (the
+    *    delete was against a stale row), flagged as a conflict
+    * Null-safe per-column compares throughout — engine-portable, no
+    * hashes, so the oracle replays the classification exactly.
+    *
+    * Scale: two co-keyed full-outer joins (base⋈ours⋈theirs); all three
+    * snapshots bucket by key at 100 TB → zero-exchange SMJ, the q22
+    * story. Output: one row per key that needs ANY action or exists
+    * anywhere, with `merged_*` payload, `action` ∈
+    * keep|update|delete, and `resolution` ∈ ours|theirs|both|none. */
+  def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    require(ours.columns.sameElements(base.columns) &&
+            theirs.columns.sameElements(base.columns),
+      "base/ours/theirs must share one schema")
+
+    def pref(df: DataFrame, p: String): DataFrame =
+      df.select((keyCols ++ payload).map(c => col(c).as(s"$p$c")) :+ lit(1).as(s"__$p"): _*)
+
+    val j = pref(base, "b_")
+      .join(pref(ours, "o_"), keyCols.map(k => col(s"b_$k") === col(s"o_$k")).reduce(_ && _), "full_outer")
+      .join(pref(theirs, "t_"),
+        keyCols.map(k => coalesce(col(s"b_$k"), col(s"o_$k")) === col(s"t_$k")).reduce(_ && _),
+        "full_outer")
+
+    def changed(p: String, q: String): Column =
+      payload.map(c => !(col(s"$p$c") <=> col(s"$q$c"))).reduce(_ || _)
+    val inB = col("__b_").isNotNull; val inO = col("__o_").isNotNull; val inT = col("__t_").isNotNull
+    val oursChanged = (inB && inO && changed("b_", "o_")) || (inB && !inO) || (!inB && inO)
+    val theirsChanged = (inB && inT && changed("b_", "t_")) || (inB && !inT) || (!inB && inT)
+    val sameChange = inO === inT &&
+      (!inO || payload.map(c => col(s"o_$c") <=> col(s"t_$c")).reduce(_ && _))
+
+    // who supplies the merged payload
+    val winner =
+      when(oursChanged && theirsChanged && sameChange, "both")
+        .when(oursChanged && theirsChanged && !inO && inT, "theirs") // our delete vs their edit: the edit wins
+        .when(oursChanged && theirsChanged && inO && !inT, "ours")   // their delete vs our edit
+        .when(oursChanged && theirsChanged, "ours")      // edit-edit conflict: warehouse wins
+        .when(oursChanged, "ours")
+        .when(theirsChanged, "theirs")
+        .otherwise("none")                               // unchanged everywhere
+    val conflict = oursChanged && theirsChanged && !sameChange
+    // the winning side may have DELETED the row
+    val winnerPresent =
+      when(col("__w") === "ours", inO)
+        .when(col("__w") === "theirs", inT)
+        .when(col("__w") === "both", inO)
+        .otherwise(inB)
+
+    j.withColumn("__w", winner)
+      .withColumn("__conflict", conflict)
+      .withColumn("__present", winnerPresent)
+      .select(
+        keyCols.map(k => coalesce(col(s"b_$k"), col(s"o_$k"), col(s"t_$k")).as(k)) ++
+          payload.map(c =>
+            when(col("__w").isin("ours", "both"), col(s"o_$c"))
+              .when(col("__w") === "theirs", col(s"t_$c"))
+              .otherwise(col(s"b_$c")).as(s"merged_$c")) ++
+          Seq(
+            when(!col("__present"), "delete")
+              .when(col("__w") === "none", "keep")
+              .otherwise("update").as("action"),
+            col("__w").as("resolution"),
+            col("__conflict").as("conflict")): _*)
+  }
+
   /** Order-insensitive-across-runs, null-discriminating content hash:
     * every column is paired with a null marker so (null, "x") ≠ ("x", null)
     * and xxhash64 sees a stable arity. */

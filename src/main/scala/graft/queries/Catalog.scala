@@ -63,7 +63,8 @@ object Catalog {
     "q90_incremental_agg"    -> rel(ReverseEtl.q90IncrementalAgg),
     "q104_skew_profile"      -> rel(ReverseEtl.q104SkewProfile),
     "q105_scd2"              -> rel(ReverseEtl.q105Scd2),
-    "q113_expectations"      -> rel(ReverseEtl.q113Expectations)
+    "q113_expectations"      -> rel(ReverseEtl.q113Expectations),
+    "q118_three_way_merge"   -> rel(ReverseEtl.q118ThreeWayMerge)
   )
 
   val trainingData: Map[String, QueryFn] = Map(

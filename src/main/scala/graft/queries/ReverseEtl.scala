@@ -288,6 +288,33 @@ object ReverseEtl {
         t.customer, "c_custkey")))
   }
 
+  /** B32: three-way snapshot merge — bidirectional-sync conflict
+    * resolution over deterministic variants of orders: ours edits
+    * status for 1997H2+ rows and deletes every 97th key; theirs edits
+    * price for every 5th key, deletes every 89th, and only knows rows
+    * before 1997-10. Exercises fast-forwards both ways, identical and
+    * conflicting double-edits, delete-vs-edit crossovers, and
+    * one-sided inserts. */
+  def q118ThreeWayMerge(t: Tables): DataFrame = {
+    val base = t.orders
+      .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val ours = t.orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"), lit("O"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+    val theirs = t.orders
+      .filter(col("o_orderdate") < lit("1997-10-01").cast("timestamp") &&
+              col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.operators.Diff.threeWayMerge(base, ours, theirs, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** B29: SCD Type-2 history apply — fold the current snapshot into a
     * versioned dimension history as of 1997-07-01. The history fixture has
     * an open generation (the prev snapshot, valid since 1995) plus an

@@ -185,6 +185,63 @@ object ReverseEtlOracle {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // B32: three-way merge — the same two full-outer joins and the same
+    // branch order, null-safe compares throughout.
+    "q118_three_way_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+        |ours AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |theirs AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-10-01' AND o_orderkey % 89 <> 0),
+        |j AS (
+        |  SELECT COALESCE(b.o_orderkey, o.o_orderkey, t2.o_orderkey) AS k,
+        |    b.o_orderkey IS NOT NULL AS in_b, o.o_orderkey IS NOT NULL AS in_o,
+        |    t2.o_orderkey IS NOT NULL AS in_t,
+        |    b.o_custkey AS b_ck, b.o_orderstatus AS b_st, b.o_totalprice AS b_pr,
+        |    o.o_custkey AS o_ck, o.o_orderstatus AS o_st, o.o_totalprice AS o_pr,
+        |    t2.o_custkey AS t_ck, t2.o_orderstatus AS t_st, t2.o_totalprice AS t_pr
+        |  FROM base b
+        |  FULL OUTER JOIN ours o ON b.o_orderkey = o.o_orderkey
+        |  FULL OUTER JOIN theirs t2 ON COALESCE(b.o_orderkey, o.o_orderkey) = t2.o_orderkey),
+        |c AS (
+        |  SELECT *,
+        |    ((in_b AND in_o AND (b_ck IS DISTINCT FROM o_ck OR b_st IS DISTINCT FROM o_st
+        |                         OR b_pr IS DISTINCT FROM o_pr))
+        |     OR (in_b AND NOT in_o) OR (NOT in_b AND in_o)) AS ours_chg,
+        |    ((in_b AND in_t AND (b_ck IS DISTINCT FROM t_ck OR b_st IS DISTINCT FROM t_st
+        |                         OR b_pr IS DISTINCT FROM t_pr))
+        |     OR (in_b AND NOT in_t) OR (NOT in_b AND in_t)) AS theirs_chg,
+        |    ((in_o = in_t) AND (NOT in_o OR (o_ck IS NOT DISTINCT FROM t_ck
+        |       AND o_st IS NOT DISTINCT FROM t_st AND o_pr IS NOT DISTINCT FROM t_pr))) AS same_chg
+        |  FROM j),
+        |w AS (
+        |  SELECT *,
+        |    CASE WHEN ours_chg AND theirs_chg AND same_chg THEN 'both'
+        |         WHEN ours_chg AND theirs_chg AND NOT in_o AND in_t THEN 'theirs'
+        |         WHEN ours_chg AND theirs_chg AND in_o AND NOT in_t THEN 'ours'
+        |         WHEN ours_chg AND theirs_chg THEN 'ours'
+        |         WHEN ours_chg THEN 'ours'
+        |         WHEN theirs_chg THEN 'theirs'
+        |         ELSE 'none' END AS res,
+        |    (ours_chg AND theirs_chg AND NOT same_chg) AS conflict
+        |  FROM c)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN res IN ('ours','both') THEN o_ck WHEN res = 'theirs' THEN t_ck ELSE b_ck END AS merged_o_custkey,
+        |  CASE WHEN res IN ('ours','both') THEN o_st WHEN res = 'theirs' THEN t_st ELSE b_st END AS merged_o_orderstatus,
+        |  CASE WHEN res IN ('ours','both') THEN o_pr WHEN res = 'theirs' THEN t_pr ELSE b_pr END AS merged_o_totalprice,
+        |  CASE WHEN NOT (CASE WHEN res IN ('ours','both') THEN in_o
+        |                      WHEN res = 'theirs' THEN in_t ELSE in_b END) THEN 'delete'
+        |       WHEN res = 'none' THEN 'keep' ELSE 'update' END AS action,
+        |  res AS resolution, conflict
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
     // B30: expectations — each check recomputed from first principles.
     "q113_expectations" ->
       """WITH r AS (
