@@ -243,6 +243,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** C57: CONTRASTIVE pair mining — assemble (anchor, positive, hard-ish
+    * negative) training pairs from the corpus itself: the positive is the
+    * anchor's nearest same-cell neighbor (exact cosine inside the shared
+    * IVF cell — the index build is reused, the SemDeDup/C35 argument),
+    * negatives are `kNeg` deterministic hash-sampled vectors from OTHER
+    * cells (uniform, reproducible — the rank-hash reservoir machinery,
+    * so no RNG state and the DuckDB oracle replays the draw).
+    *
+    * Scale: anchors are a SAMPLE (broadcast); positive search is bounded
+    * by cell size; the negative draw ranks (anchor × corpus) by a stable
+    * hash through the two-phase salted reservoir — no stratum funnels
+    * through one task, and only (anchor, id, hash) triples shuffle. */
+  def contrastivePairs(corpus: DataFrame, anchors: DataFrame, kNeg: Int = 5,
+                       nlist: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.bestCentroid
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val mat = cents.map(_._2.toArray).toArray
+    val nrms = cents.map(_._3).toArray
+    val assign = corpus.select(col(idCol).as("other_id"),
+      bestCentroid(col(vecCol), mat, nrms).as("cell"))
+    val aAssign = anchors.select(col(idCol).as("query_id"),
+      bestCentroid(col(vecCol), mat, nrms).as("acell"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(broadcast(withNorm(anchors, idCol, vecCol, "query_id", "qv", "qn")), "query_id")
+      .join(withNorm(corpus, idCol, vecCol, "other_id", "cv", "cn"), "other_id")
+      .select(col("query_id"), col("other_id"),
+        (dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("other_id").asc)
+    val positives = score(
+        broadcast(aAssign).join(assign, col("acell") === col("cell"))
+          .filter(col("query_id") =!= col("other_id")).select("query_id", "other_id"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") === 1)
+      .select(col("query_id"), lit("positive").as("pair_type"),
+        col("other_id"), col("cos_sim"))
+    val negCand = broadcast(aAssign).join(assign, col("acell") =!= col("cell"))
+      .select(col("query_id"), col("other_id"),
+        concat_ws(":", col("query_id"), col("other_id")).as("__ck"))
+    val negatives = score(
+        Sampling.reservoirPerStratum(negCand, "query_id", "__ck", kNeg)
+          .select("query_id", "other_id"))
+      .select(col("query_id"), lit("negative").as("pair_type"),
+        col("other_id"), col("cos_sim"))
+    positives.unionByName(negatives)
+  }
+
   /** C53: embedding-column HEALTH profile — the vector-store audit run
     * before building any index on 10^12 embeddings: per group, the
     * vector count, dimensionality range (ragged arrays break every

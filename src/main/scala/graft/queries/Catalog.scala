@@ -125,7 +125,8 @@ object Catalog {
     "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),
     "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy),
     "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve),
-    "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix)
+    "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix),
+    "q119_contrastive_pairs" -> rel(TrainingData.q119ContrastivePairs)
   )
 
   val events: Map[String, QueryFn] = Map(

