@@ -137,7 +137,8 @@ object Catalog {
     "q59_retention"    -> rel(Events.q59Retention),
     "q50_window_agg"  -> rel(Events.q50WindowAgg),
     "q51_sessionize"  -> rel(Events.q51Sessionize),
-    "q99_transitions" -> rel(Events.q99Transitions)
+    "q99_transitions" -> rel(Events.q99Transitions),
+    "q120_anomaly_flags" -> rel(Events.q120AnomalyFlags)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

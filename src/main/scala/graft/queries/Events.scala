@@ -33,6 +33,39 @@ object Events {
            money(sum(dec(col("value")))).as("sum_value"))
       .orderBy("window_start_ns", "event_type")
 
+  /** D19: daily metric ANOMALY flags — the monitoring query a pipeline
+    * pages on: per (day, event_type), the day's total value vs the
+    * trailing-7-day mean and standard deviation, flagged when the
+    * absolute z-score exceeds 2. Cross-engine exactness: daily totals
+    * are DECIMAL sums (associative); the trailing stats come from exact
+    * decimal power sums over the window (the q112 recipe) with ONE
+    * double read-out both engines evaluate identically. The trailing
+    * window runs over the PRE-AGGREGATED day frame — cardinality
+    * #days × #types, bounded at any event volume (the q17 argument) —
+    * partitioned by event_type. */
+  def q120AnomalyFlags(t: Tables): DataFrame = {
+    val DayNs = 86400L * 1000L * 1000L * 1000L
+    val daily = t.events
+      .groupBy(expr(s"ts div ${DayNs}L").as("day"), col("event_type"))
+      .agg(sum(dec(col("value"))).cast(Q.Dec).as("sv")) // re-narrow: keeps sv*sv inside exact precision
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val stats = daily
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("ts1", sum(col("sv")).over(w))
+      .withColumn("ts2", sum(col("sv") * col("sv")).over(w))
+      .filter(col("tn") >= 3) // need history before judging a day
+    stats.select(col("day"), col("event_type"), money(col("sv")).as("day_total"),
+        (d(col("ts1")) / d(col("tn"))).as("trailing_mean"),
+        sqrt((d(col("ts2")) - d(col("ts1")) * d(col("ts1")) / d(col("tn"))) /
+          (d(col("tn")) - 1)).as("trailing_std"))
+      .withColumn("z",
+        (col("day_total") - col("trailing_mean")) / col("trailing_std"))
+      .withColumn("anomaly", abs(col("z")) > 2.0)
+      .orderBy("event_type", "day")
+  }
+
   /** D2: sessionization — 30-min-gap sessions per user via gaps-and-islands:
     * a window-partitioned lag marks session starts, a running sum numbers
     * them, then one aggregation per (user, session). Same answer as the

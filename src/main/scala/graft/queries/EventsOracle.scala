@@ -119,6 +119,32 @@ object EventsOracle {
         |SELECT c.from_type, c.to_type, c.n,
         |       CAST(c.n AS DOUBLE) / t.n_from AS prob
         |FROM cnt c JOIN tot t USING (from_type)
-        |ORDER BY c.from_type, c.to_type""".stripMargin
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+
+    // D19: anomaly flags — decimal daily totals + decimal power sums over
+    // the trailing window, identical double read-out composition.
+    "q120_anomaly_flags" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT day, event_type, sv,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS tn,
+        |    SUM(sv) OVER w AS ts1,
+        |    SUM(sv * sv) OVER w AS ts2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |r AS (
+        |  SELECT day, event_type, CAST(sv AS DOUBLE) AS day_total,
+        |    CAST(ts1 AS DOUBLE) / CAST(tn AS DOUBLE) AS trailing_mean,
+        |    sqrt((CAST(ts2 AS DOUBLE) - CAST(ts1 AS DOUBLE) * CAST(ts1 AS DOUBLE)
+        |            / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1)) AS trailing_std
+        |  FROM s WHERE tn >= 3)
+        |SELECT day, event_type, day_total, trailing_mean, trailing_std,
+        |  (day_total - trailing_mean) / trailing_std AS z,
+        |  abs((day_total - trailing_mean) / trailing_std) > 2.0 AS anomaly
+        |FROM r ORDER BY event_type, day""".stripMargin
   )
 }
