@@ -42,7 +42,8 @@ object Catalog {
     "q94_unpivot"        -> rel(Relational.q94Unpivot),
     "q95_histogram"      -> rel(Relational.q95Histogram),
     "q108_multi_distinct" -> rel(Relational.q108MultiDistinct),
-    "q112_correlation"    -> rel(Relational.q112Correlation)
+    "q112_correlation"    -> rel(Relational.q112Correlation),
+    "q121_winsorize"      -> rel(Relational.q121Winsorize)
   )
 
   val reverseEtl: Map[String, QueryFn] = Map(

@@ -468,6 +468,30 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** A34: percentile WINSORIZATION — the outlier-clipping cleanup step:
+    * clamp a measure into its exact per-group [p05, p95] band and report
+    * rows clipped + the winsorized total. Two passes by nature (exact
+    * percentiles need a full pass before clipping — the single-pass
+    * variant is C19's mergeable quantile sketch with the same query
+    * shape); the tiny per-group percentile frame broadcasts back. The
+    * oracle replays clamp and decimal totals exactly (q45 already pins
+    * Spark percentile == DuckDB quantile_cont). */
+  def q121Winsorize(t: Tables): DataFrame = {
+    val pcts = t.lineitem.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.05D)").as("p05"),
+           expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+    t.lineitem.select("l_returnflag", "l_extendedprice")
+      .join(broadcast(pcts), "l_returnflag")
+      .select(col("l_returnflag"),
+        when(col("l_extendedprice") < col("p05") ||
+             col("l_extendedprice") > col("p95"), 1L).otherwise(0L).as("clipped"),
+        greatest(least(col("l_extendedprice"), col("p95")), col("p05")).as("wv"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("clipped")).as("n_clipped"),
+           money(sum(dec(col("wv")))).as("winsorized_total"))
+      .orderBy("l_returnflag")
+  }
+
   /** A33: correlation / covariance profile (the "do these two measures
     * move together" audit) — Pearson r and sample covariance per group,
     * computed from EXACT decimal power sums (n, Σx, Σy, Σxy, Σx², Σy² on

@@ -350,6 +350,23 @@ object RelationalOracle {
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
 
+    // A34: winsorize — same percentiles (q45-pinned), same clamp, same
+    // decimal total.
+    "q121_winsorize" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS p05,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, p95), p05) AS DECIMAL(18,2)))
+        |       AS DOUBLE) AS winsorized_total
+        |FROM lineitem l JOIN p USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
     // A33: exact decimal power sums, double read-out with the same
     // expression structure Spark evaluates — bit-identical results.
     "q112_correlation" ->
