@@ -335,8 +335,15 @@ object Similarity {
   def kmeansStep(corpus: DataFrame, nlist: Int = 16, scale: Long = 1000000L,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
-    val mat = cents.map(_._2.toArray).toArray
-    val nrms = cents.map(_._3).toArray
+    kmeansStepFrom(corpus, cents.map(_._2.toArray).toArray,
+      cents.map(_._3).toArray, scale, vecCol)
+  }
+
+  /** One Lloyd step against GIVEN centroids — the body [[kmeansStep]] and
+    * [[kmeansTrain]] share. */
+  private def kmeansStepFrom(corpus: DataFrame, mat: Array[Array[Double]],
+                             nrms: Array[Double], scale: Long,
+                             vecCol: String): DataFrame =
     corpus
       .select(graft.functions.VectorFunctions.bestCentroid(col(vecCol), mat, nrms).as("cell"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
@@ -346,6 +353,39 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), sum(col("sv")).as("sum_scaled"))
       .withColumn("mean",
         col("sum_scaled").cast("double") / scale / col("n_members"))
+
+  /** C49 (training loop): iterate Lloyd steps to an actual trained
+    * codebook — the refinement every IVF/PQ/SemDeDup consumer here can
+    * drop in for its seeded centroids. Each iteration is ONE corpus scan
+    * (assignment at codegen speed + the fixed-point update); the centroid
+    * matrix rides the driver between iterations — nlist × dims doubles,
+    * index METADATA, the same object the kernels already embed. Cells
+    * that lose all members (or would go degenerate-zero) keep their
+    * previous centroid, so the argmax kernel's positive-norm contract
+    * holds throughout. Returns the trained matrix plus the per-iteration
+    * max-coordinate movement (the convergence curve a caller thresholds). */
+  def kmeansTrain(corpus: DataFrame, nlist: Int = 16, iters: Int = 5,
+                  scale: Long = 1000000L, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): (Array[Array[Double]], Seq[Double]) = {
+    val seed = ivfCentroids(corpus, idCol, vecCol, nlist)
+    var mat = seed.map(_._2.toArray).toArray
+    var nrms = seed.map(_._3).toArray
+    val moves = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val upd = kmeansStepFrom(corpus, mat, nrms, scale, vecCol)
+        .select(col("cell"), col("dim"), col("mean")).collect()
+      val next = mat.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      for (c <- next.indices) {
+        val n2 = math.sqrt(next(c).foldLeft(0.0)((s, x) => s + x * x))
+        if (n2 == 0.0) next(c) = mat(c).clone() // degenerate cell: keep previous
+      }
+      moves += mat.indices.map(c =>
+        mat(c).indices.map(d => math.abs(mat(c)(d) - next(c)(d))).max).max
+      mat = next
+      nrms = mat.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    (mat, moves.toSeq)
   }
 
   /** C35: SEMANTIC dedup (the SemDeDup recipe: cluster the embedding

