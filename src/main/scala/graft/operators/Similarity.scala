@@ -290,6 +290,28 @@ object Similarity {
     positives.unionByName(negatives)
   }
 
+  /** C58: IVF cell-BALANCE profile — the index-shape audit next to C40's
+    * recall gate: per cell, member count and share, plus the global
+    * balance factor (max cell / ideal cell — 1.0 is perfectly balanced;
+    * a high factor means probe cost is dominated by mega-cells and nlist
+    * or the training needs revisiting). Assignment is the shared per-row
+    * kernel; the profile is one bounded-key aggregate + a 1-row
+    * broadcast (the q104 skew-profile pattern on the cell axis). */
+  def ivfCellProfile(corpus: DataFrame, nlist: Int = 16,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val mat = cents.map(_._2.toArray).toArray
+    val nrms = cents.map(_._3).toArray
+    val cells = corpus
+      .select(graft.functions.VectorFunctions.bestCentroid(col(vecCol), mat, nrms).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"), col("total"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("max_n").cast("double") * nlist / col("total")).as("balance_factor"))
+  }
+
   /** C53: embedding-column HEALTH profile — the vector-store audit run
     * before building any index on 10^12 embeddings: per group, the
     * vector count, dimensionality range (ragged arrays break every

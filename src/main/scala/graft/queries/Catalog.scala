@@ -127,7 +127,8 @@ object Catalog {
     "q115_minhash_accuracy"  -> rel(TrainingData.q115MinhashAccuracy),
     "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve),
     "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix),
-    "q119_contrastive_pairs" -> rel(TrainingData.q119ContrastivePairs)
+    "q119_contrastive_pairs" -> rel(TrainingData.q119ContrastivePairs),
+    "q122_cell_profile"      -> rel(TrainingData.q122CellProfile)
   )
 
   val events: Map[String, QueryFn] = Map(

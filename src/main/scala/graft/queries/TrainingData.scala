@@ -515,6 +515,11 @@ object TrainingData {
   def q116CoverageCurve(t: Tables): DataFrame =
     TextAnalysis.coverageCurve(t.documents)
 
+  /** C58: IVF cell-balance profile — per-cell population and the global
+    * balance factor of the 16-cell index every ANN query here probes. */
+  def q122CellProfile(t: Tables): DataFrame =
+    Similarity.ivfCellProfile(t.embeddings, nlist = 16).orderBy("cell")
+
   /** C57: contrastive pair mining — same anchors as the ANN queries;
     * positives from the shared IVF cell, 5 hash-drawn negatives each. */
   def q119ContrastivePairs(t: Tables): DataFrame =

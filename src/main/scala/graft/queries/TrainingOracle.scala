@@ -161,6 +161,38 @@ object TrainingOracle {
        |FROM ex GROUP BY cell, dim
        |ORDER BY cell, dim""".stripMargin
 
+  /** q122: cell profile — the q62 seed/assign prologue, then counts,
+    * shares, and the global balance factor. */
+  private def cellProfileSql(nlist: Int = 16): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+       |), seeded AS (
+       |  SELECT vec_id, ve,
+       |         row_number() OVER (ORDER BY
+       |           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |             & 2147483647, vec_id) AS rn
+       |  FROM v
+       |), cent AS (
+       |  SELECT rn - 1 AS cell, ve AS ce, sqrt(${dotSql("ve", "ve")}) AS cnrm
+       |  FROM seeded WHERE rn <= $nlist
+       |), ascore AS (
+       |  SELECT v.vec_id, cent.cell, ${dotSql("v.ve", "cent.ce")} / cent.cnrm AS s
+       |  FROM v CROSS JOIN cent
+       |), assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+       |    FROM ascore) WHERE rk = 1
+       |), cells AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell
+       |), t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS max_n FROM cells
+       |)
+       |SELECT cell, n, total,
+       |  CAST(n AS DOUBLE) / total AS share,
+       |  CAST(max_n AS DOUBLE) * $nlist / total AS balance_factor
+       |FROM cells, t ORDER BY cell""".stripMargin
+
   /** q119: contrastive pairs — the q62 seed/assign prologue, positive =
     * same-cell cosine argmax, negatives = rank-hash draw over other-cell
     * pairs (hash asc, then the composite key string asc — exactly the
@@ -722,6 +754,7 @@ object TrainingOracle {
     "q62_ann_ivf"          -> annIvfSql(),
     "q107_kmeans_step"     -> kmeansStepSql(),
     "q119_contrastive_pairs" -> contrastivePairsSql(),
+    "q122_cell_profile"      -> cellProfileSql(),
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),

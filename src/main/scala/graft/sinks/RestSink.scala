@@ -75,6 +75,22 @@ object RestSink {
       byDestination.getOrElse(kind, Config())
   }
 
+  /** B33: delivery PLAN estimate — "how long will this sync take and how
+    * many requests will it make" BEFORE any row moves, from the row count
+    * and the destination's delivery profile: batches = ceil(rows/size),
+    * and the floor on wall time is the token bucket (rows/permitsPerSec
+    * — the bucket meters ROWS, so batch size doesn't change it; 0 = no
+    * floor). The planning face of the reactive rate limiting the
+    * reference does by catching 429s: at 100 M audience members this is
+    * the number a human approves before the run. */
+  final case class Plan(rows: Long, batches: Long, minSeconds: Double)
+  def plan(rows: Long, config: Config): Plan = {
+    require(rows >= 0, "row count must be >= 0")
+    val batches = (rows + config.batchSize - 1) / config.batchSize
+    val floorS = if (config.permitsPerSecond > 0) rows / config.permitsPerSecond else 0.0
+    Plan(rows, batches, floorS)
+  }
+
   /** Push `df` to `transport`. Returns global counts (accumulator-summed
     * across tasks). Throws if the error threshold trips. */
   def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {

@@ -62,6 +62,14 @@ class RestSinkSpec extends SparkSuite {
     assert(r.sentRows == 2500 && r.batches == 2, "2000 + 500 under the mixpanel profile")
   }
 
+  test("delivery plan: batches round up, the token bucket floors wall time") {
+    val p = RestSink.plan(2500, RestSink.Profiles.forDestination("mixpanel"))
+    assert(p == RestSink.Plan(2500, 2, 0.0)) // 2000 + 500, unlimited rate
+    val r = RestSink.plan(100, RestSink.Profiles.forDestination("resend"))
+    assert(r == RestSink.Plan(100, 100, 10.0)) // row-paced at 10 rows/s
+    assert(RestSink.plan(0, RestSink.Config()) == RestSink.Plan(0, 0, 0.0))
+  }
+
   test("persistent failure trips the 20%/100-row error threshold") {
     Recorder.reset()
     Recorder.failAll = true
