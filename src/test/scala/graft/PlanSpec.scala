@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Relational, ReverseEtl, Tables, TrainingData}
+import graft.queries.{Events, Relational, ReverseEtl, Tables, TrainingData}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -245,6 +245,29 @@ class PlanSpec extends SparkSuite {
     val p = plan(TrainingData.q107KmeansStep(t))
     assert(p.contains("partial_count") || p.contains("partial_"), p)
     assert(!p.contains("Window"), "no window in the assignment path")
+  }
+
+  test("q112: correlation runs as ONE partial-aggregated scan") {
+    val p = plan(Relational.q112Correlation(t))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"), "power sums must combine map-side")
+  }
+
+  test("q105: SCD2 apply is one co-keyed join plus a generator — no self-union re-scan") {
+    val p = plan(ReverseEtl.q105Scd2(t))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"exactly one open-generation/snapshot join:\n$p")
+    assert(p.contains("Generate explode"), "versions must expand through one generator")
+  }
+
+  test("q120: the anomaly window is partitioned by event_type (bounded day frame)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val phys = Events.q120AnomalyFlags(t).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val unpartitioned = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty, "no unpartitioned window in the anomaly plan")
   }
 
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
