@@ -128,7 +128,8 @@ object Catalog {
     "q116_coverage_curve"    -> rel(TrainingData.q116CoverageCurve),
     "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix),
     "q119_contrastive_pairs" -> rel(TrainingData.q119ContrastivePairs),
-    "q122_cell_profile"      -> rel(TrainingData.q122CellProfile)
+    "q122_cell_profile"      -> rel(TrainingData.q122CellProfile),
+    "q123_curation_report"   -> rel(TrainingData.q123CurationReport)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -515,6 +515,44 @@ object TrainingData {
   def q116CoverageCurve(t: Tables): DataFrame =
     TextAnalysis.coverageCurve(t.documents)
 
+  /** C59: the CURATION capstone — the full cleaning pipeline as ONE
+    * report: raw → exact dedup (first doc per content hash) → near-dup
+    * cluster canonicals (q74's closure on the survivors) → quality
+    * funnel (q100's rules) → token-budget selection (q102's scan), with
+    * the per-stage survivor counts a dataset release publishes. Each
+    * stage consumes the previous stage's survivors, so the oracle
+    * replays the whole chain end-to-end — the strongest composition
+    * check in the catalog (five operator families in one plan). */
+  def q123CurationReport(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = t.documents
+    val s2 = raw.withColumn("__h", md5(col("text")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__h").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+    val clusters = Dedup.resolveClusters(
+      Dedup.ngramJaccardPairs(s2, groupCol = "source", threshold = 0.3))
+    val s3 = s2.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id").as("__d")),
+      col("doc_id") === col("__d"), "left_anti")
+    val nT = size(TextOps.tokens(col("text")))
+    val awl = (col("n_chars") - (nT - 1)).cast("double") / nT
+    val s4 = s3.filter(col("lang").isin("en", "es", "de", "fr") &&
+      col("n_chars") >= 100 && col("n_chars") <= 500 && nT >= 20 &&
+      awl.between(3.0, 8.0))
+    val s5 = Sampling.selectUntilBudget(
+      TextAnalysis.rarityScore(s4).select(col("doc_id"), col("rarity_avg"), col("n_tokens")),
+      "rarity_avg", "n_tokens", "doc_id", budget = 10000L)
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i.toLong).as("stage"), lit(name).as("name"), col("n_docs"))
+    stage(0, "raw", raw)
+      .unionByName(stage(1, "exact_dedup", s2))
+      .unionByName(stage(2, "near_dup_canonical", s3))
+      .unionByName(stage(3, "quality_funnel", s4))
+      .unionByName(stage(4, "budget_select", s5))
+      .orderBy("stage")
+  }
+
   /** C58: IVF cell-balance profile — per-cell population and the global
     * balance factor of the 16-cell index every ANN query here probes. */
   def q122CellProfile(t: Tables): DataFrame =

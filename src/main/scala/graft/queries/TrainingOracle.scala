@@ -161,6 +161,66 @@ object TrainingOracle {
        |FROM ex GROUP BY cell, dim
        |ORDER BY cell, dim""".stripMargin
 
+  /** q123: curation capstone — the full five-stage chain replayed: exact
+    * dedup, the recursive near-dup closure ON THE SURVIVORS, the funnel
+    * conditions, and the rarity/budget prefix scan, each stage feeding
+    * the next. */
+  private def curationReportSql: String =
+    s"""WITH RECURSIVE s2 AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1
+       |), sh AS (
+       |  SELECT source AS g, doc_id, $shingles3 AS s FROM s2
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), clusters AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |), s3 AS (
+       |  SELECT * FROM s2 WHERE doc_id NOT IN
+       |    (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |), s4 AS (
+       |  SELECT * FROM s3
+       |  WHERE lang IN ('en','es','de','fr') AND n_chars >= 100 AND n_chars <= 500
+       |    AND len(string_split(text, ' ')) >= 20
+       |    AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |          / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+       |), toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s4
+       |), v AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+       |), r AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(1000000000 // cnt) AS BIGINT) AS rarity_sum
+       |  FROM toks JOIN v USING (tok) GROUP BY doc_id
+       |), pr AS (
+       |  SELECT doc_id, rarity_sum // n_tokens AS rarity_avg, n_tokens FROM r
+       |), pw AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(n_tokens) OVER (ORDER BY rarity_avg DESC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS pe
+       |  FROM pr
+       |), s5 AS (SELECT doc_id FROM pw WHERE pe < 10000)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+       |         CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+       |  UNION ALL SELECT 1, 'exact_dedup', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+       |  UNION ALL SELECT 2, 'near_dup_canonical', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+       |  UNION ALL SELECT 3, 'quality_funnel', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+       |  UNION ALL SELECT 4, 'budget_select', CAST((SELECT COUNT(*) FROM s5) AS BIGINT))
+       |ORDER BY stage""".stripMargin
+
   /** q122: cell profile — the q62 seed/assign prologue, then counts,
     * shares, and the global balance factor. */
   private def cellProfileSql(nlist: Int = 16): String =
@@ -755,6 +815,7 @@ object TrainingOracle {
     "q107_kmeans_step"     -> kmeansStepSql(),
     "q119_contrastive_pairs" -> contrastivePairsSql(),
     "q122_cell_profile"      -> cellProfileSql(),
+    "q123_curation_report"   -> curationReportSql,
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
     "q76_pq_ann"           -> pqAnnSql(),
