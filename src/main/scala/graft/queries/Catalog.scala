@@ -141,7 +141,8 @@ object Catalog {
     "q50_window_agg"  -> rel(Events.q50WindowAgg),
     "q51_sessionize"  -> rel(Events.q51Sessionize),
     "q99_transitions" -> rel(Events.q99Transitions),
-    "q120_anomaly_flags" -> rel(Events.q120AnomalyFlags)
+    "q120_anomaly_flags" -> rel(Events.q120AnomalyFlags),
+    "q124_top_paths" -> rel(Events.q124TopPaths)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

@@ -33,6 +33,26 @@ object Events {
            money(sum(dec(col("value")))).as("sum_value"))
       .orderBy("window_start_ns", "event_type")
 
+  /** D20: top event PATHS — the length-3 sequence-mining extension of
+    * the q99 transition matrix: the most common 3-step event sequences
+    * across users (the "what do users actually do" path report). One
+    * user-partitioned window pass with a total (ts, event_id) order
+    * produces both lookaheads; the path count is a map-side-partial
+    * groupBy on a bounded key space (|event types|³) and the ranking is
+    * TakeOrderedAndProject. */
+  def q124TopPaths(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t.events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"), col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+      .limit(25)
+  }
+
   /** D19: daily metric ANOMALY flags — the monitoring query a pipeline
     * pages on: per (day, event_type), the day's total value vs the
     * trailing-7-day mean and standard deviation, flagged when the

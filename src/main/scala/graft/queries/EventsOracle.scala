@@ -121,6 +121,20 @@ object EventsOracle {
         |FROM cnt c JOIN tot t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
+    // D20: top paths — two leads over the same total per-user order.
+    "q124_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS step1,
+        |         lead(event_type, 1) OVER w AS step2,
+        |         lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC))
+        |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+        |LIMIT 25""".stripMargin,
+
     // D19: anomaly flags — decimal daily totals + decimal power sums over
     // the trailing window, identical double read-out composition.
     "q120_anomaly_flags" ->
