@@ -170,33 +170,48 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
     reports.toSeq
   }
 
+  /** Hard cap on mid-run chunk count: bounds driver memory (the planning
+    * pass collects exactly one row per chunk) and the number of
+    * checkpoint round-trips. 10k chunks × `checkpointEvery` rows is far
+    * past any single run's useful granularity. */
+  private val MaxChunks = 10000
+
   /** Mid-run checkpointing (reference `checkpointEvery`, sync.ts:566):
-    * pack distinct cursor values (in cursor order) into chunks of at least
-    * `every` rows, sync chunk-by-chunk, persist the chunk's upper cursor
-    * after each successful sink. A killed run restarts from the last
-    * completed chunk: the resumed increment's cursor predicate excludes
-    * everything already sunk. Boundary planning collects only the cursor
-    * HISTOGRAM (distinct value, count) — cursor cardinality (days, batch
-    * ids) is assumed ≪ row count; rows never reach the driver. */
+    * split the increment into ~`every`-row cursor-ordered ranges (never
+    * splitting one cursor value), sync chunk-by-chunk, persist the
+    * chunk's upper cursor after each successful sink. A killed run
+    * restarts from the last completed chunk: the resumed increment's
+    * cursor predicate excludes everything already sunk.
+    *
+    * Boundary planning must NOT collect a per-cursor-value histogram:
+    * the reference's canonical cursor is a timestamp (docs
+    * incremental.mdx) — near-unique per row, so that histogram is the
+    * row count and a driver OOM at scale. Instead the (column-pruned)
+    * cursor column is `repartitionByRange(K)`-split — Spark's range
+    * partitioner picks the K-1 split points by distributed reservoir
+    * sampling, works for any orderable cursor type (timestamp, numeric,
+    * string), and co-locates equal values, so a per-partition max is a
+    * valid chunk bound that never splits a cursor value. Exactly
+    * K ≤ [[MaxChunks]] boundary rows ever reach the driver. */
   private def runChunked(model: Model, syncId: String, increment: DataFrame,
                          lastCursor: Option[String], every: Long,
                          enrich: DataFrame => DataFrame,
                          sink: DataFrame => Unit): SyncReport = {
     val c = model.cursorCol.get
-    val hist = increment.groupBy(col(c))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col(c).as("v"), col(c).cast("string").as("vs"), col("cnt"))
-      .orderBy("v")
-      .collect()
-
-    // greedy-pack cursor values into ≥`every`-row chunks (last one partial)
-    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Any, String)]
-    var acc = 0L
-    hist.foreach { r =>
-      acc += r.getAs[Long]("cnt")
-      if (acc >= every) { bounds += ((r.get(0), r.getAs[String]("vs"))); acc = 0L }
-    }
-    if (acc > 0) bounds += ((hist.last.get(0), hist.last.getAs[String]("vs")))
+    val n = increment.select(col(c)).count()
+    val k = math.min(MaxChunks.toLong, math.max(1L, (n + every - 1) / every)).toInt
+    val bounds: Array[(Any, String)] =
+      if (n == 0L) Array.empty
+      else increment
+        .select(col(c).as("v"))
+        .repartitionByRange(k, col("v"))
+        .select(spark_partition_id().as("p"), col("v"))
+        .groupBy("p").agg(max("v").as("hi"))
+        .where(col("hi").isNotNull)           // empty range partitions
+        .orderBy("p")                          // range partitions are cursor-ordered
+        .select(col("hi"), col("hi").cast("string").as("his"))
+        .collect()
+        .map(r => (r.get(0), r.getString(1)))
 
     val dt = increment.schema(c).dataType
     var totalN = 0L; var totalValid = 0L

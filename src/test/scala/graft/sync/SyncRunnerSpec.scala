@@ -112,6 +112,53 @@ class SyncRunnerSpec extends SparkSuite {
     assert(firstRun.size + resumed.size == total, "every row delivered exactly once across the crash")
   }
 
+  test("chunked planning stays driver-bounded with a near-unique cursor") {
+    // the reference's canonical cursor is a timestamp — near-unique per
+    // row. Chunk planning must collect ~n/every bounds, NOT the full
+    // per-value histogram (≈ the row count). o_orderkey is unique per
+    // row: the worst case.
+    val store = StateStore.inMemory()
+    val runner = new SyncRunner(store)
+    val m = Model(
+      name = "orders",
+      build = s => s.read.parquet(s"$sfDir/orders.parquet"),
+      keyCols = Seq("o_orderkey"),
+      cursorCol = Some("o_orderkey"))
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val every = total / 8
+
+    val seen = ArrayBuffer.empty[Long]
+    val rep = runner.run(spark, m, "hc1",
+      df => { seen ++= df.select("o_orderkey").as[Long].collect(); () },
+      checkpointEvery = Some(every))
+    assert(rep.rowsIn == total)
+    assert(seen.size == total && seen.toSet.size == total, "every row delivered exactly once")
+    // sampling-based range split: ~8 chunks, never anywhere near `total`
+    assert(rep.chunks >= 4 && rep.chunks <= 16,
+      s"expected ~8 range-split chunks for every=$every over $total unique cursor values, got ${rep.chunks}")
+    // checkpoint is the true max cursor, as a resumable string
+    assert(store.get(Seq("syncId=hc1", "$lastCursor")) == Some(seen.max.toString))
+
+    // crash mid-run with the same near-unique cursor → resume delivers the rest
+    val store2 = StateStore.inMemory()
+    val runner2 = new SyncRunner(store2)
+    var calls = 0
+    val first = ArrayBuffer.empty[Long]
+    intercept[RuntimeException] {
+      runner2.run(spark, m, "hc2", df => {
+        calls += 1
+        if (calls == 3) throw new RuntimeException("lost mid-sync")
+        first ++= df.select("o_orderkey").as[Long].collect()
+      }, checkpointEvery = Some(every))
+    }
+    val resumed = ArrayBuffer.empty[Long]
+    runner2.run(spark, m, "hc2",
+      df => { resumed ++= df.select("o_orderkey").as[Long].collect(); () },
+      checkpointEvery = Some(every))
+    assert(first.toSet.intersect(resumed.toSet).isEmpty, "completed chunks are not re-sunk")
+    assert(first.size + resumed.size == total, "exactly-once across the crash with a unique cursor")
+  }
+
   test("invalid rows advance the cursor identically in chunked and un-chunked runs") {
     // mark the latest-cursor rows invalid: the cursor is a STREAM POSITION,
     // so both modes must checkpoint past them (skipped, not retried)
