@@ -76,7 +76,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `queries` FIRST, summary fields last: a tail-capture of the (long)
+    // line keeps the totals, and a head-capture keeps the early queries —
+    // r6's driver capture truncated 47 of 124 per-query times.
+    val line = f"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total%.3f,"unit":"sec"}"""
+    println(line)
+    // belt-and-braces: the full line also lands on disk, untruncatable
+    try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     pool.shutdownNow()
     spark.stop()
   }

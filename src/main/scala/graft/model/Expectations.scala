@@ -45,11 +45,14 @@ object Expectations {
       count(when(col(c).isNotNull && !col(c).isin(values: _*), 1)).as(name)
   }
 
-  /** 1 when max(tsCol) is older than the threshold (stale table), else 0. */
+  /** 1 when max(tsCol) is older than the threshold (stale table), else 0.
+    * An EMPTY table (max = NULL) counts as stale — no rows at all is the
+    * stalest possible state, not a pass. */
   final case class Freshness(tsCol: String, noOlderThan: String) extends TableLocal {
     val name = s"freshness:$tsCol"
     private[model] def failures: Column =
-      when(max(col(tsCol)) < lit(noOlderThan).cast("timestamp"), 1L)
+      when(max(col(tsCol)).isNull ||
+           max(col(tsCol)) < lit(noOlderThan).cast("timestamp"), 1L)
         .otherwise(0L).as(name)
   }
 

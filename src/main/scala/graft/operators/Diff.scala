@@ -91,6 +91,8 @@ object Diff {
   def threeWayMerge(base: DataFrame, ours: DataFrame, theirs: DataFrame,
                     keyCols: Seq[String]): DataFrame = {
     val payload = base.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty,
+      "snapshot needs at least one non-key column (key-only rows have nothing to merge)")
     require(ours.columns.sameElements(base.columns) &&
             theirs.columns.sameElements(base.columns),
       "base/ours/theirs must share one schema")

@@ -39,6 +39,8 @@ object Scd {
   def applyScd2(history: DataFrame, current: DataFrame, keyCols: Seq[String],
                 effective: Column, closeMissing: Boolean = true): DataFrame = {
     val payload = current.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty,
+      "snapshot needs at least one non-key column (a key-only snapshot has no payload to version)")
     val outCols = keyCols ++ payload ++ MetaCols
     require(history.columns.toSeq == outCols,
       s"history schema must be keys ++ payload ++ $MetaCols; " +

@@ -62,7 +62,16 @@ object Events {
     * double read-out both engines evaluate identically. The trailing
     * window runs over the PRE-AGGREGATED day frame — cardinality
     * #days × #types, bounded at any event volume (the q17 argument) —
-    * partitioned by event_type. */
+    * partitioned by event_type.
+    *
+    * SEMANTICS, stated deliberately: the ROWS frame spans the trailing 7
+    * OBSERVED days per event_type, not 7 calendar days — a zero-event
+    * calendar day produces no row, stretches the lookback across the gap,
+    * and is itself never flagged (the DuckDB oracle mirrors this exactly).
+    * For calendar-true monitoring, densify onto a date spine first (the
+    * q56/q80 gap-fill pattern) with zero totals, then run the same
+    * window; observed-days is kept here because it is the form whose
+    * cross-engine exactness is provable value-for-value. */
   def q120AnomalyFlags(t: Tables): DataFrame = {
     val DayNs = 86400L * 1000L * 1000L * 1000L
     val daily = t.events

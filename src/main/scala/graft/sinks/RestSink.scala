@@ -100,7 +100,12 @@ object RestSink {
     val batches = spark.sparkContext.longAccumulator("restsink.batches")
     val retries = spark.sparkContext.longAccumulator("restsink.retries")
     val columns = df.columns
-    val parts = math.max(1, df.rdd.getNumPartitions)
+    // Rate divisor = max concurrent tasks, NOT df.rdd.getNumPartitions:
+    // df.rdd would bolt an RDD[Row] deserialization step onto the final
+    // plan just to count partitions. defaultParallelism bounds concurrency
+    // from above, so the aggregate send rate never exceeds the configured
+    // permits (fewer partitions than slots just under-fills the budget).
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
     val perTaskRate = if (config.permitsPerSecond > 0) config.permitsPerSecond / parts else 0.0
 
     df.foreachPartition { (rows: Iterator[Row]) =>

@@ -451,7 +451,11 @@ object EventStreams {
           val hist = prev match {
             case Some(p) => spark.read.parquet(p)
             case None =>
-              cur.limit(0)
+              // seed history in applyScd2's required column order
+              // (keys ++ payload ++ meta) — the incoming stream's own
+              // column order may interleave keys and payload
+              val payload = cur.columns.filterNot(keys.contains).toSeq
+              cur.select((keys ++ payload).map(col): _*).limit(0)
                 .withColumn("valid_from", lit(null).cast("timestamp"))
                 .withColumn("valid_to", lit(null).cast("timestamp"))
                 .withColumn("is_current", lit(true))

@@ -40,6 +40,12 @@ class ExpectationsSpec extends SparkSuite {
     assert(out == (("freshness:d", 1L, false)))
   }
 
+  test("an EMPTY table fails freshness (NULL max is stale, not a pass)") {
+    val out = report(fact.limit(0), local = Seq(Freshness("d", "2024-01-01")))
+      .as[(String, Long, Boolean)].head()
+    assert(out == (("freshness:d", 1L, false)))
+  }
+
   test("duplicate expectation names are rejected") {
     intercept[IllegalArgumentException] {
       report(fact, local = Seq(Freshness("d", "2024-01-01"), Freshness("d", "2024-02-01")))

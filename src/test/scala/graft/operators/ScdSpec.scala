@@ -46,6 +46,18 @@ class ScdSpec extends SparkSuite {
     ))
   }
 
+  test("a key-only snapshot is rejected with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyScd2(history, current.select("id"), Seq("id"), eff)
+    }
+    assert(e.getMessage.contains("non-key column"))
+    val e2 = intercept[IllegalArgumentException] {
+      val keysOnly = Seq(1L).toDF("id")
+      Diff.threeWayMerge(keysOnly, keysOnly, keysOnly, Seq("id"))
+    }
+    assert(e2.getMessage.contains("non-key column"))
+  }
+
   test("idempotence: re-applying the same snapshot changes nothing") {
     val once = Scd.applyScd2(history, current, Seq("id"), eff)
     val twice = Scd.applyScd2(once, current, Seq("id"), eff)

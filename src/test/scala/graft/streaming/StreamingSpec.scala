@@ -426,6 +426,22 @@ class StreamingSpec extends SparkSuite {
     assert(history.size == 4)
   }
 
+  test("D17: streaming SCD2 seeds first-batch history even when key columns are not leading") {
+    val in = Files.createTempDirectory("graft-scd2-in").toString
+    val state = Files.createTempDirectory("graft-scd2-state").toString
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    // key `id` is the SECOND column of the stream — the seed history must
+    // still come out in applyScd2's keys ++ payload ++ meta order
+    Seq(("alice", 1L, ts(0)), ("bob", 2L, ts(0)))
+      .toDF("name", "id", "ts").coalesce(1).write.mode("append").parquet(in)
+    EventStreams.scdMaintenance(
+      spark.readStream.schema("name STRING, id LONG, ts TIMESTAMP").parquet(in),
+      Seq("id"), "ts", state, ckpt)
+    val hist = EventStreams.scdHistory(spark, state)
+    assert(hist.columns.toSeq == Seq("id", "name", "valid_from", "valid_to", "is_current"))
+    assert(hist.filter(col("is_current")).count() == 2)
+  }
+
   test("D13: continuous ingestion dedup catches cross-batch near-dups via the growing index") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
     val idx = Files.createTempDirectory("graft-ingest-idx").toString
