@@ -36,25 +36,42 @@ final case class Model(
 
 object Model {
   /** SQL-text model: the reference's authoring surface — a single SELECT
-    * with a `:cursor` named parameter (core/src/lib/sql.ts:22-86). Graft
-    * binds it through Spark's parameterized SQL, so the cursor arrives as
-    * a TYPED literal inside the analyzed plan (pushdown-eligible) — never
-    * string interpolation. The full (first) run binds :cursor to NULL, so
-    * incremental SQL should read `WHERE :cursor IS NULL OR c > :cursor`,
-    * exactly the reference's initial-run convention. */
+    * with `:name` named parameters (core/src/lib/sql.ts:22-86). Graft
+    * binds every parameter through Spark's parameterized SQL, so values
+    * arrive as TYPED literals inside the analyzed plan (pushdown-eligible)
+    * — never string interpolation.
+    *
+    * Load-time guards mirror the reference exactly (sql.ts:22-45):
+    * multi-statement and non-SELECT model text is rejected, and every
+    * declared `:name` must have a value in `params` — except `:cursor`,
+    * which the sync runner owns. The full (first) run binds :cursor to
+    * NULL, so incremental SQL should read
+    * `WHERE :cursor IS NULL OR c > :cursor`, exactly the reference's
+    * initial-run convention. */
   def fromSql(name: String, sqlText: String, keyCols: Seq[String],
               cursorCol: Option[String] = None,
               vars: Map[String, String] = Map.empty,
-              env: Map[String, String] = sys.env): Model = {
-    // templating (text shaping) happens ONCE, before parameter binding —
-    // `:cursor` survives as a typed parameter in the rendered SQL.
+              env: Map[String, String] = sys.env,
+              params: Map[String, Any] = Map.empty): Model = {
+    // templating (text shaping: {{#if}} blocks, table names) happens ONCE,
+    // before parameter binding — `:name` params survive in the rendered SQL.
     val rendered = Template.render(sqlText, vars, env)
-    val hasCursorParam = rendered.contains(":cursor")
+    SqlText.requireSingleSelect(rendered)
+    val declared = SqlText.namedParams(rendered)
+    val hasCursorParam = declared.contains("cursor")
+    val missing = declared.filterNot(_ == "cursor").filterNot(params.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Missing parameter value for :${missing.head}") // sql.ts:70's complaint
+    val bound = params.filter { case (k, _) => declared.contains(k) }
     Model(name,
-      build = s => if (hasCursorParam) s.sql(rendered, Map("cursor" -> null)) else s.sql(rendered),
+      build = s =>
+        if (hasCursorParam) s.sql(rendered, bound + ("cursor" -> null))
+        else if (bound.nonEmpty) s.sql(rendered, bound)
+        else s.sql(rendered),
       keyCols = keyCols,
       cursorCol = cursorCol,
       buildIncremental =
-        if (hasCursorParam) Some((s, v) => s.sql(rendered, Map("cursor" -> v))) else None)
+        if (hasCursorParam) Some((s, v) => s.sql(rendered, bound + ("cursor" -> v))) else None)
   }
 }

@@ -413,11 +413,16 @@ object Dedup {
     *
     * Scale (100 TB): candidates shuffle on (band) with ids + text of
     * band-sized groups only; degenerate bands (a corpus spammed with
-    * equal-length boilerplate) are the q31 bucketCap story — cap with a
-    * pre-filter if a length histogram shows spikes. Emitted pairs carry
-    * the exact distance. */
+    * equal-length boilerplate — constant-width log lines are the classic
+    * case) would go quadratic, so the same skew guard the MinHash bucket
+    * join applies is ON BY DEFAULT here: a length band holding more than
+    * `bandCap` docs is dropped whole before the join (recall loss only
+    * inside pathological bands, reported by nothing matching them —
+    * raise or pass Int.MaxValue to opt out, the exactness contract then
+    * holds corpus-wide). Emitted pairs carry the exact distance. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 16,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        bandCap: Int = 10000): DataFrame = {
     import graft.functions.TextFunctions.{charHistogram, l1Distance}
     val w = maxDist // band width ≥ maxDist ⇒ |Δlen| ≤ maxDist spans ≤ 1 band boundary
     // 28-bin char histogram computed ONCE per doc at scan time: the
@@ -427,9 +432,14 @@ object Dedup {
     // measured 25 s → ~2 s for q88 at sf0.1. Complete: a lower bound
     // never discards a true pair, so results are bit-identical and the
     // one-phase oracle replay is unchanged.
-    val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+    val banded = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
       floor(length(col(textCol)) / w).as("band"),
       charHistogram(col(textCol)).as("hist"))
+    // skew guard: band population via a window on the SAME key the join
+    // shuffles on (one exchange, reused); oversized bands exit the plan
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band")
+    val t = banded.withColumn("__n", count(lit(1)).over(bw))
+      .filter(col("__n") <= bandCap).drop("__n")
     val a = t.select(col("band"), col("id").as("doc_a"), col("txt").as("ta"),
       col("hist").as("ha"))
     val bSide = t.select(col("band"), col("id").as("doc_b"), col("txt").as("tb"),

@@ -15,7 +15,7 @@ import java.nio.file.{Files, Path, Paths}
  */
 object EnvVars {
 
-  private val Placeholder = raw"\$$\{([^}]*)\}".r
+  private val Placeholder = raw"\$$\{([A-Za-z0-9_.\-]+)(?::([^}]*))?\}".r
 
   /** KEY=VALUE lines; blank lines and #-comments ignored; optional quotes. */
   def loadEnvFile(path: Path): Map[String, String] =
@@ -45,16 +45,18 @@ object EnvVars {
     layers.foldLeft(base)((acc, p) => acc ++ loadEnvFile(p))
   }
 
-  /** Substitute `${env.NAME}` in raw file text. */
+  /** Substitute `${env.NAME}` (with optional `${env.NAME:default}`
+    * fallback, template.ts:20-27's defaultVal path) in raw file text. */
   def substitute(text: String, env: Map[String, String], filePath: String = "unknown file"): String =
     Placeholder.replaceAllIn(text, m => {
       val inner = m.group(1).trim
+      val default = Option(m.group(2)).map(_.trim)
       if (!inner.startsWith("env."))
         throw new IllegalArgumentException(
           s"Unsupported placeholder $${$inner} in $filePath. Only $${env.NAME} placeholders are " +
             s"supported. Did you mean $${env.$inner}?")
       val name = inner.stripPrefix("env.")
-      java.util.regex.Matcher.quoteReplacement(env.getOrElse(name,
+      java.util.regex.Matcher.quoteReplacement(env.get(name).orElse(default).getOrElse(
         throw new IllegalArgumentException(s"Environment variable $name (referenced in $filePath) is not defined")))
     })
 }

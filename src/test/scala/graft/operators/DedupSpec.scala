@@ -165,6 +165,19 @@ class DedupSpec extends SparkSuite {
     assert(expected.exists(p => p._1 == 1L && p._2 == 4L), "cross-band pair present in fixture")
   }
 
+  test("edit-distance band cap bounds degenerate constant-length bands by default") {
+    // 12 docs, ALL the same length → one band; distances pairwise ≤ 2.
+    // With bandCap below the band population the band is dropped whole;
+    // with the (default) cap above it, the full exact pair set comes back.
+    val boiler = (1L to 12L).map(i => (i, f"log line number $i%02d")).toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(boiler, maxDist = 4, bandCap = 8)
+    assert(capped.count() == 0, "an over-cap band must not produce quadratic candidates")
+    val full = Dedup.editDistancePairs(boiler, maxDist = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full == (for { a <- 1L to 12L; b <- 1L to 12L if a < b } yield (a, b)).toSet,
+      "default cap (10k) leaves normal corpora complete")
+  }
+
   test("band index survives a parquet write/read roundtrip (the persisted-index path)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val newDocs = docs.filter(col("doc_id") % 10 === 0)

@@ -102,6 +102,10 @@ class ProjectSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](
       EnvVars.substitute("${env.NO_SUCH_VAR_XYZ}", env, "f.yaml"))
     assert(e2.getMessage.contains("not defined"))
+    // ${env.NAME:default} — the reference's defaultVal path (template.ts:20-27)
+    assert(EnvVars.substitute("${env.NO_SUCH_VAR_XYZ:fallback}", env, "f.yaml") == "fallback")
+    assert(EnvVars.substitute("${env.FB_TOKEN:unused_default}", env, "f.yaml") == "from_env_local",
+      "a set variable beats its default")
   }
 
   test("project load: sql-directive models, image-kind connections, syncs") {
