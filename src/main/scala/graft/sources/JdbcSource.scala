@@ -36,11 +36,18 @@ object JdbcSource {
       upperBound: Option[String] = None,
       numPartitions: Int = 8,
       /** Per-partition result fetch size (rows per round trip). */
-      fetchSize: Int = 10000)
+      fetchSize: Int = 10000,
+      /** Warehouse dialect: inferred from the URL when None. Drives the
+        * post-read schema normalization ([[WarehouseDialect.normalize]])
+        * so BigQuery NUMERIC / Snowflake NUMBER / int widths line up
+        * across warehouses. */
+      dialect: Option[WarehouseDialect] = None)
 
   /** Read a warehouse table/relation as a DataFrame. `table` may be a
     * table name or a parenthesized subquery alias — the reference's
-    * "model is a SELECT" maps to the latter. */
+    * "model is a SELECT" maps to the latter. The result schema is
+    * dialect-normalized; pass `dialect = Some(WarehouseDialect.Generic)`
+    * for the raw JDBC schema. */
   def read(spark: SparkSession, t: JdbcTable): DataFrame = {
     var r = spark.read.format("jdbc")
       .option("url", t.url)
@@ -57,6 +64,6 @@ object JdbcSource {
           .option("numPartitions", t.numPartitions.toString)
       case _ => ()
     }
-    r.load()
+    t.dialect.getOrElse(WarehouseDialect.fromUrl(t.url)).normalize(r.load())
   }
 }
