@@ -374,14 +374,27 @@ object TrainingData {
 
   /** C16: mergeable HLL distinct — customers-with-orders per segment,
     * built as per-(segment, year) sketches ROLLED UP via sketch union
-    * (the rescan-free path; deterministic, so rows-only-checkable, but no
-    * DuckDB oracle — HLL implementations differ across engines). */
+    * (the rescan-free path). HLL register layouts differ across engines,
+    * so the gate-facing columns are the ACCURACY CONTRACT instead of the
+    * raw estimate: the exact distinct count (which DuckDB recomputes) and
+    * a within-5%-of-exact flag the oracle pins TRUE — well outside
+    * lgK=12's ~1.6% RSE, so the flag only trips on a broken build/merge.
+    * The estimate itself still drives the flag, and q60 additionally pins
+    * the union merge law. n_years documents the rollup's fan-in. */
   def q46ApproxDistinct(t: Tables): DataFrame = {
     val joined = t.orders
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
     val perYear = Sketches.distinctSketches(joined, Seq("c_mktsegment", "yr"), "o_custkey")
-    Sketches.rollupEstimate(perYear, Seq("c_mktsegment")).orderBy("c_mktsegment")
+    val rolled = Sketches.rollupEstimate(perYear, Seq("c_mktsegment"))
+    val exact = joined.groupBy("c_mktsegment").agg(
+      countDistinct(col("o_custkey")).as("exact_distinct"),
+      countDistinct(col("yr")).as("n_years"))
+    exact.join(rolled, "c_mktsegment")
+      .select(col("c_mktsegment"), col("exact_distinct"), col("n_years"),
+        (abs(col("approx_distinct") - col("exact_distinct")) /
+          col("exact_distinct") <= 0.05).as("within_tolerance"))
+      .orderBy("c_mktsegment")
   }
 
   /** C20: mergeable TOP-K FREQUENCY sketches (DataSketches frequent-items)

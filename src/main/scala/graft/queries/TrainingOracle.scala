@@ -803,7 +803,162 @@ object TrainingOracle {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- exact XXH64 replay: oracles for the PRODUCTION xxhash paths ----
+
+  /** DuckDB scalar macros implementing Spark's `xxhash64` — standard
+    * XXH64 with seed 42 over the string's UTF-8 bytes — in 64-bit modular
+    * arithmetic on HUGEINT (mul via 32-bit limb split, xor through signed
+    * BIGINT, rotations as divide/multiply by powers of two; byte access
+    * via `hex(encode(s))`). Validated value-for-value against Spark's
+    * xxhash64 on empty/short/8B/31B/32B/100B inputs. Prepended as a
+    * CREATE-MACRO statement batch to the oracles below (the gate's single
+    * `execute` call runs multi-statement SQL). */
+  private val xxMacros: String = List(
+    "CREATE OR REPLACE MACRO xx_mod(a) AS a % 18446744073709551616::HUGEINT",
+    "CREATE OR REPLACE MACRO xx_u(b) AS CASE WHEN b < 0 THEN b::HUGEINT + 18446744073709551616::HUGEINT ELSE b::HUGEINT END",
+    "CREATE OR REPLACE MACRO xx_s(h) AS CASE WHEN h >= 9223372036854775808::HUGEINT THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE h::BIGINT END",
+    "CREATE OR REPLACE MACRO xx_mul(a, b) AS xx_mod(((((a // 4294967296) * (b % 4294967296) + (a % 4294967296) * (b // 4294967296)) % 4294967296) * 4294967296) + (a % 4294967296) * (b % 4294967296))",
+    "CREATE OR REPLACE MACRO xx_add(a, b) AS xx_mod(a + b)",
+    "CREATE OR REPLACE MACRO xx_xor(a, b) AS xx_u(xor(xx_s(a), xx_s(b)))",
+    "CREATE OR REPLACE MACRO xx_rotl(x, pl, pr) AS (x % pr) * pl + (x // pr)",
+    "CREATE OR REPLACE MACRO xx_round(acc, x) AS xx_mul(xx_rotl(xx_add(acc, xx_mul(x, 14029467366897019727::HUGEINT)), 2147483648::HUGEINT, 8589934592::HUGEINT), 11400714785074694791::HUGEINT)",
+    "CREATE OR REPLACE MACRO xx_mergeacc(acc, v) AS xx_add(xx_mul(xx_xor(acc, xx_round(0::HUGEINT, v)), 11400714785074694791::HUGEINT), 9650029242287828579::HUGEINT)",
+    "CREATE OR REPLACE MACRO xx_byte(hh, i) AS ((strpos('0123456789ABCDEF', substr(hh, 2*i+1, 1)) - 1) * 16 + (strpos('0123456789ABCDEF', substr(hh, 2*i+2, 1)) - 1))::HUGEINT",
+    "CREATE OR REPLACE MACRO xx_read8(hh, i) AS xx_byte(hh, i) + xx_byte(hh, i+1) * 256::HUGEINT + xx_byte(hh, i+2) * 65536::HUGEINT + xx_byte(hh, i+3) * 16777216::HUGEINT + xx_byte(hh, i+4) * 4294967296::HUGEINT + xx_byte(hh, i+5) * 1099511627776::HUGEINT + xx_byte(hh, i+6) * 281474976710656::HUGEINT + xx_byte(hh, i+7) * 72057594037927936::HUGEINT",
+    "CREATE OR REPLACE MACRO xx_read4(hh, i) AS xx_byte(hh, i) + xx_byte(hh, i+1) * 256::HUGEINT + xx_byte(hh, i+2) * 65536::HUGEINT + xx_byte(hh, i+3) * 16777216::HUGEINT",
+    """CREATE OR REPLACE MACRO xx_stripes(hh, n, seed) AS list_reduce(
+      |  list_prepend(
+      |    {'v1': xx_mod(seed::HUGEINT + 11400714785074694791::HUGEINT + 14029467366897019727::HUGEINT),
+      |     'v2': xx_mod(seed::HUGEINT + 14029467366897019727::HUGEINT),
+      |     'v3': seed::HUGEINT,
+      |     'v4': xx_mod(seed::HUGEINT + 18446744073709551616::HUGEINT - 11400714785074694791::HUGEINT)},
+      |    list_transform(range(0, n // 32), i ->
+      |      {'v1': xx_read8(hh, 32*i), 'v2': xx_read8(hh, 32*i+8),
+      |       'v3': xx_read8(hh, 32*i+16), 'v4': xx_read8(hh, 32*i+24)})),
+      |  (a, x) -> {'v1': xx_round(a.v1, x.v1), 'v2': xx_round(a.v2, x.v2),
+      |             'v3': xx_round(a.v3, x.v3), 'v4': xx_round(a.v4, x.v4)})""".stripMargin,
+    """CREATE OR REPLACE MACRO xx_tail8(acc, hh, n) AS list_reduce(
+      |  list_prepend(acc, list_transform(range(0, (n % 32) // 8), j -> xx_read8(hh, (n // 32) * 32 + 8*j))),
+      |  (a, k) -> xx_add(xx_mul(xx_rotl(xx_xor(a, xx_round(0::HUGEINT, k)), 134217728::HUGEINT, 137438953472::HUGEINT), 11400714785074694791::HUGEINT), 9650029242287828579::HUGEINT))""".stripMargin,
+    """CREATE OR REPLACE MACRO xx_tail4(acc, hh, n) AS CASE WHEN n % 8 >= 4
+      |  THEN xx_add(xx_mul(xx_rotl(xx_xor(acc, xx_mul(xx_read4(hh, n - (n % 8)), 11400714785074694791::HUGEINT)), 8388608::HUGEINT, 2199023255552::HUGEINT), 14029467366897019727::HUGEINT), 1609587929392839161::HUGEINT)
+      |  ELSE acc END""".stripMargin,
+    """CREATE OR REPLACE MACRO xx_tailb(acc, hh, n) AS list_reduce(
+      |  list_prepend(acc, list_transform(range(0, n % 4), j -> xx_byte(hh, n - (n % 4) + j))),
+      |  (a, b) -> xx_mul(xx_rotl(xx_xor(a, xx_mul(b, 2870177450012600261::HUGEINT)), 2048::HUGEINT, 9007199254740992::HUGEINT), 11400714785074694791::HUGEINT))""".stripMargin
+  ).mkString(";\n") + ";\n"
+
+  /** Staged per-token XXH64 pipeline: expects a CTE `tok` exposing
+    * (`carry` columns, tok); emits CTEs ending in `tokh(carry, hu)` with
+    * hu = unsigned xxhash64(tok, seed 42) as HUGEINT in [0, 2^64).
+    *
+    * Every stage is one MATERIALIZED CTE column: DuckDB inlines plain CTE
+    * chains textually, and the macro arguments fan out 2-6× per level, so
+    * an un-staged composition explodes exponentially at bind time
+    * (measured: minutes to bind vs seconds to run staged). */
+  private def xxTokenHashChain(carry: String): String =
+    s"""t0 AS MATERIALIZED (SELECT $carry, upper(hex(encode(tok))) AS hh, octet_length(encode(tok)) AS n FROM tok),
+       |t1 AS MATERIALIZED (SELECT *, CASE WHEN n >= 32 THEN xx_stripes(hh, n, 42) ELSE NULL END AS st FROM t0),
+       |t2 AS MATERIALIZED (SELECT *, CASE WHEN st IS NULL THEN NULL ELSE
+       |         xx_add(xx_add(xx_rotl(st.v1, 2::HUGEINT, 9223372036854775808::HUGEINT),
+       |                       xx_rotl(st.v2, 128::HUGEINT, 144115188075855872::HUGEINT)),
+       |                xx_add(xx_rotl(st.v3, 4096::HUGEINT, 4503599627370496::HUGEINT),
+       |                       xx_rotl(st.v4, 262144::HUGEINT, 70368744177664::HUGEINT))) END AS conv0 FROM t1),
+       |t3 AS MATERIALIZED (SELECT *, CASE WHEN st IS NULL THEN NULL ELSE xx_mergeacc(conv0, st.v1) END AS conv1 FROM t2),
+       |t4 AS MATERIALIZED (SELECT *, CASE WHEN st IS NULL THEN NULL ELSE xx_mergeacc(conv1, st.v2) END AS conv2 FROM t3),
+       |t5 AS MATERIALIZED (SELECT *, CASE WHEN st IS NULL THEN NULL ELSE xx_mergeacc(conv2, st.v3) END AS conv3 FROM t4),
+       |t6 AS MATERIALIZED (SELECT $carry, hh, n, CASE WHEN st IS NULL THEN xx_mod(42::HUGEINT + 2870177450012600261::HUGEINT)
+       |                      ELSE xx_mergeacc(conv3, st.v4) END AS body FROM t5),
+       |t7 AS MATERIALIZED (SELECT $carry, hh, n, xx_add(body, n::HUGEINT) AS acc FROM t6),
+       |t8 AS MATERIALIZED (SELECT $carry, hh, n, xx_tail8(acc, hh, n) AS acc FROM t7),
+       |t9 AS MATERIALIZED (SELECT $carry, hh, n, xx_tail4(acc, hh, n) AS acc FROM t8),
+       |ta AS MATERIALIZED (SELECT $carry, xx_tailb(acc, hh, n) AS acc FROM t9),
+       |tb AS MATERIALIZED (SELECT $carry, xx_mul(xx_xor(acc, acc // 8589934592::HUGEINT), 14029467366897019727::HUGEINT) AS acc FROM ta),
+       |tc AS MATERIALIZED (SELECT $carry, xx_mul(xx_xor(acc, acc // 536870912::HUGEINT), 1609587929392839161::HUGEINT) AS acc FROM tb),
+       |tokh AS MATERIALIZED (SELECT $carry, xx_xor(acc, acc // 4294967296::HUGEINT) AS hu FROM tc)""".stripMargin
+
+  /** q32: FULL replay of the production SimHash path — per-token XXH64
+    * (the macro chain above), ±1 bit votes over the token MULTISET,
+    * sign-threshold signature, 4×16-bit bands, 2..1000 bucket self-join,
+    * Hamming ≤ 3 verify. Deterministic end-to-end: the oracle pins the
+    * exact pair set AND distances of the xxhash production path. */
+  private def simhashXxSql: String = {
+    // BigInt: bit 63's divisor is 2^63, which overflows a Long literal
+    val voteCols = (0 until 64).map(i =>
+      s"sum(CASE WHEN (hu // ${BigInt(1) << i}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val sigSum = (0 until 64).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, (su // ${1L << (16 * b)}::HUGEINT) % 65536 AS band_key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    xxMacros +
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok FROM tk),
+       |${xxTokenHashChain("doc_id")},
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM tokh GROUP BY doc_id),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigSum AS su FROM votes),
+       |sigx AS MATERIALIZED (SELECT doc_id, xx_s(su) AS s FROM sigs),
+       |bands AS MATERIALIZED (
+       |  $bandSelects
+       |), sized AS (
+       |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1000
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN sized z USING (band_idx, band_key)
+       |  JOIN bands b USING (band_idx, band_key)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT p.doc_a, p.doc_b, CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+       |FROM pairs p JOIN sigx sa ON sa.doc_id = p.doc_a JOIN sigx sb ON sb.doc_id = p.doc_b
+       |WHERE bit_count(xor(sa.s, sb.s)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q40: FULL replay of the production rolling-hash fingerprint — each
+    * token's XXH64 reduced mod M (sign-adjusted like HashUtil.xx64ModM),
+    * then the order-sensitive fold acc = (acc*31 + h) mod M over the
+    * document's token sequence (zipped-unnest ordinality keeps order;
+    * all terms < 2^54, exact in BIGINT on both engines). */
+  private def fingerprintXxSql: String = {
+    val M = graft.functions.HashUtil.M
+    xxMacros +
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(toks)+1)) AS ord, unnest(toks) AS tok FROM tk),
+       |${xxTokenHashChain("doc_id, ord")},
+       |hmod AS (SELECT doc_id, ord, ((xx_s(hu) % $M) + $M) % $M AS h FROM tokh)
+       |SELECT doc_id,
+       |       list_reduce(list_prepend(0::BIGINT, list(h ORDER BY ord)),
+       |                   (a, x) -> (a * 31 + x) % $M) AS fingerprint
+       |FROM hmod GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q31: the production MinHash+LSH path is gated against GROUND TRUTH —
+    * the corpus-wide all-pairs exact-Jaccard set at the same 0.7
+    * threshold (the q33 shingle replay, without the per-source grouping).
+    * The production path exact-verifies its LSH candidates, so its output
+    * equals this set exactly when LSH recall is complete — which it is on
+    * the gate corpora (deterministic: same hashes, same corpus every
+    * run), making the oracle a recall + verify-arithmetic proof, stronger
+    * than replaying the LSH (a replay would also bless recall misses). */
+  private def minhashTruthSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shingles3 AS s FROM documents
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q31_dedup_minhash"    -> minhashTruthSql,
+    "q32_dedup_simhash"    -> simhashXxSql,
+    "q40_fingerprint"      -> fingerprintXxSql,
     "q52_minhash_portable" -> minhashPortableSql,
     "q115_minhash_accuracy" -> minhashAccuracySql,
     "q75_incremental_neardup" -> incrementalNeardupSql,
@@ -849,6 +1004,16 @@ object TrainingOracle {
       """SELECT c.c_mktsegment,
         |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS merge_consistent,
+        |  TRUE AS within_tolerance
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q46: the production rollup's accuracy contract — exact distinct +
+    // rollup fan-in recomputed by DuckDB, within-5% flag pinned TRUE.
+    "q46_approx_distinct" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS exact_distinct,
+        |  CAST(COUNT(DISTINCT year(o.o_orderdate)) AS BIGINT) AS n_years,
         |  TRUE AS within_tolerance
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
