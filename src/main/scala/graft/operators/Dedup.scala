@@ -304,6 +304,66 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** C26 (scale alternative): large-star / small-star connected
+    * components — the published MapReduce CC formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) that
+    * converges in O(log² n) alternating rounds regardless of component
+    * DIAMETER, where [[resolveClusters]]' min-label propagation needs
+    * diameter-many rounds. Near-dup clusters are usually shallow (the
+    * propagation's sweet spot); chain-shaped components — doc A ~ B ~ C
+    * without A ~ C, the shape boilerplate drift produces — make diameter
+    * grow with cluster size, and THIS is the variant that stays flat
+    * there.
+    *
+    * Every edge is kept (hi, lo)-oriented; each round is two
+    * grouped-min + join passes (large-star connects strictly-larger
+    * neighbors to min(N(u) ∪ {u}) over the symmetric view; small-star
+    * repoints all smaller neighbors and u itself at the minimum), both
+    * map-side-partial aggregations on the edge frame — no per-node state
+    * on the driver, `localCheckpoint` per round like the propagation
+    * loop. Convergence = edge set unchanged (exact anti-join check, two
+    * scans of the bounded edge frame). Same output contract as
+    * [[resolveClusters]]: (doc_id, cluster_id = component min) for every
+    * node appearing in some pair — the spec pins both implementations
+    * equal, so either can serve q74's oracle. */
+  def resolveClustersStar(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetric view: (v, min(N(u) ∪ {u})) for v > u
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.filter(col("v") > col("u")).join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR on the (hi, lo) orientation: all of N(u) ∪ {u} repoint
+      // at m = min(N(u)) (every neighbor is < u, so m = min(N ∪ {u}))
+      val minsS = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val fromNbrs = ls.join(minsS, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val fromSelf = minsS.select(col("u"), col("m").as("v"))
+      val next = fromNbrs.unionByName(fromSelf)
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = true)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      iter += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $maxIter rounds")
+    // fixpoint is a star forest: u → component min; roots never appear as u
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(roots.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+  }
+
   /** C24: eval-set CONTAMINATION check — for each eval document, how many
     * of its distinct n-gram shingles appear ANYWHERE in the training
     * corpus (the standard pre-release benchmark-leakage test for training

@@ -165,6 +165,27 @@ class DedupSpec extends SparkSuite {
     assert(expected.exists(p => p._1 == 1L && p._2 == 4L), "cross-band pair present in fixture")
   }
 
+  test("large-star/small-star clusters equal min-label propagation on the corpus") {
+    val pairs = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), groupCol = "source", threshold = 0.3)
+    val prop = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toSet
+    val star = Dedup.resolveClustersStar(pairs).as[(Long, Long)].collect().toSet
+    assert(prop.nonEmpty && star == prop,
+      "both CC formulations must produce identical (doc_id, cluster_id = component min)")
+  }
+
+  test("large-star/small-star converges on a long chain where propagation is diameter-bound") {
+    // path graph 0-1-2-…-63: diameter 63. Min-label propagation moves the
+    // label one hop per round (needs ~63); the star alternation closes in
+    // O(log² n) — well under 8 combined rounds.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.resolveClustersStar(chain, maxIter = 8).as[(Long, Long)].collect()
+    assert(star.length == 64 && star.forall(_._2 == 0L), "one component rooted at the min id")
+    intercept[IllegalArgumentException] {
+      Dedup.resolveClusters(chain, maxIter = 8) // diameter-bound: cannot close in 8
+    }
+  }
+
   test("edit-distance band cap bounds degenerate constant-length bands by default") {
     // 12 docs, ALL the same length → one band; distances pairwise ≤ 2.
     // With bandCap below the band population the band is dropped whole;
