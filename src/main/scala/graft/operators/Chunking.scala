@@ -114,4 +114,42 @@ object Chunking {
         expr("__prefix div " + budget).as("window_id"),
         (col("__prefix") % budget).as("window_offset"))
   }
+
+  /** C60: deterministic training-SHARD layout — the output stage of a
+    * data pipeline: globally SHUFFLE the corpus (portable md5 rank hash,
+    * so the "random" order is reproducible run-over-run and replayable by
+    * any engine — never an RNG) and pack documents, in shuffled order,
+    * into ~`shardTokens`-token output shards. Shard id = exclusive token
+    * prefix div budget; pos_in_shard numbers a shard's documents in write
+    * order, so a writer task can stream shard s directly.
+    *
+    * Scale: the same two-level prefix-scan shape as
+    * [[packContextWindows]], but ordered by the HASH — buckets are the
+    * hash's high bits (2^16 of them), each bucket's window is parallel,
+    * and only the bucket-total frame (≤ 65k rows at ANY corpus size)
+    * crosses a single-task window. The per-shard pos window partitions by
+    * shard_id — partition size ≤ shardTokens/min_doc_tokens, bounded by
+    * construction. */
+  def shardLayout(docs: DataFrame, shardTokens: Long,
+                  idCol: String = "doc_id", tokCountCol: String = "n_tokens"): DataFrame = {
+    require(shardTokens >= 1)
+    val base = docs.select(col(idCol), col(tokCountCol).cast("long").as("__tok"))
+      .withColumn("__k", Sampling.rankHash(col(idCol)))      // 60-bit portable hash
+      .withColumn("__bkt", expr(s"__k div ${1L << 44}"))     // high 16 bits → ordered buckets
+    val wLocal = Window.partitionBy("__bkt").orderBy(col("__k"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("__bkt").agg(sum(col("__tok")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wBuckets) - col("__tot"))
+      .select("__bkt", "__off")
+    val placed = base
+      .withColumn("__cum_local", sum(col("__tok")).over(wLocal))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__prefix", col("__off") + col("__cum_local") - col("__tok"))
+      .withColumn("shard_id", expr(s"__prefix div $shardTokens"))
+    val wShard = Window.partitionBy("shard_id").orderBy(col("__k"), col(idCol))
+    placed.select(col(idCol), col("__tok").as("n_tokens"), col("shard_id"),
+      row_number().over(wShard).cast("long").as("pos_in_shard"))
+  }
 }

@@ -34,6 +34,28 @@ object Sampling {
     df.withColumn("bucket", pctBucket(col(idCol)))
       .withColumn("split", splitCol(col("bucket"), trainPct, valPct))
 
+  /** C61: LEAKAGE-SAFE train/val/test split — the hash split keyed by
+    * near-dup CLUSTER instead of document: every member of a cluster
+    * lands in its canonical's split, so near-duplicates can never
+    * straddle train and test (the classic eval-inflation leak that
+    * per-document splitting allows: a test doc whose near-twin sits in
+    * train scores as memorization, not generalization). `clusters` is
+    * [[Dedup.resolveClusters]] output (doc_id, cluster_id); documents in
+    * no cluster split by their own id — identical to [[hashSplit]] for
+    * the non-duplicated majority, so adopting cluster-safety never
+    * reshuffles singleton assignments.
+    *
+    * Scale: one left join on doc_id (clusters ≪ corpus), then the same
+    * per-row md5 arithmetic as hashSplit — no extra shuffle beyond the
+    * join, assignments stable under reruns and appends. */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String = "doc_id",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val keyed = df.join(clusters, Seq(idCol), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    keyed.withColumn("bucket", pctBucket(col("cluster_id")))
+      .withColumn("split", splitCol(col("bucket"), trainPct, valPct))
+  }
+
   /** Stable per-key bucket in [0, 10000) — pctBucket at 0.01% granularity,
     * for fraction thresholds finer than whole percents. */
   def bucket10k(key: Column): Column =

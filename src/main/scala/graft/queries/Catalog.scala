@@ -129,7 +129,9 @@ object Catalog {
     "q117_temperature_mix"   -> rel(TrainingData.q117TemperatureMix),
     "q119_contrastive_pairs" -> rel(TrainingData.q119ContrastivePairs),
     "q122_cell_profile"      -> rel(TrainingData.q122CellProfile),
-    "q123_curation_report"   -> rel(TrainingData.q123CurationReport)
+    "q123_curation_report"   -> rel(TrainingData.q123CurationReport),
+    "q125_shard_layout"      -> rel(TrainingData.q125ShardLayout),
+    "q126_leakage_split"     -> rel(TrainingData.q126LeakageSplit)
   )
 
   val events: Map[String, QueryFn] = Map(

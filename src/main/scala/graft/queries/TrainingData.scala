@@ -566,6 +566,28 @@ object TrainingData {
       .orderBy("stage")
   }
 
+  /** C60: deterministic training-shard layout — the corpus in portable
+    * pseudo-shuffled order packed into ~2000-token output shards; the
+    * oracle replays the shuffle key, the token prefix, and every
+    * (shard_id, pos_in_shard) assignment with one global window. */
+  def q125ShardLayout(t: Tables): DataFrame =
+    Chunking.shardLayout(
+      t.documents.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      shardTokens = 2000L)
+      .orderBy("doc_id")
+
+  /** C61: leakage-safe split — the q41 hash split keyed by near-dup
+    * cluster (q74's closure), so near-duplicates never straddle
+    * train/test; singletons split exactly as q41 does. */
+  def q126LeakageSplit(t: Tables): DataFrame = {
+    val clusters = Dedup.resolveClusters(
+      Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3))
+    Sampling.leakageSafeSplit(t.documents.select("doc_id"), clusters)
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** C58: IVF cell-balance profile — per-cell population and the global
     * balance factor of the 16-cell index every ANN query here probes. */
   def q122CellProfile(t: Tables): DataFrame =

@@ -1082,6 +1082,61 @@ object TrainingOracle {
 
     // C26: same pair set as q33, closure via recursive CTE (UNION dedupes,
     // so the recursion reaches a fixpoint), cluster id = min reachable id.
+    // C60: the two-level prefix-scan shard layout must equal the
+    // ONE-phase global-window form (same md5 shuffle key, same integer
+    // prefix arithmetic) — the q68/q102 distributed-vs-global pattern.
+    "q125_shard_layout" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+        |  FROM documents
+        |), placed AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST((SUM(n_tokens) OVER (ORDER BY k, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |           // 2000 AS BIGINT) AS shard_id,
+        |         k
+        |  FROM base
+        |)
+        |SELECT doc_id, n_tokens, shard_id,
+        |       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT)
+        |         AS pos_in_shard
+        |FROM placed ORDER BY doc_id""".stripMargin,
+
+    // C61: q74's recursive closure keyed into the q41 md5 split — every
+    // doc, cluster-coalesced, split by cluster_id.
+    "q126_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), keyed AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |), b AS (
+         |  SELECT doc_id, cluster_id,
+         |         CAST(CONCAT('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+         |           AS bucket
+         |  FROM keyed
+         |)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     "q74_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents

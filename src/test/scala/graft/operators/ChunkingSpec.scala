@@ -74,4 +74,30 @@ class ChunkingSpec extends SparkSuite {
       (30L, 2000L, 1L, 52L), (31L, 5L, 2L, 4L)))
     assert(out.forall(_._4 < 2048L), "offset must stay inside the window budget")
   }
+
+  test("shardLayout: two-level bucketed scan equals the one-phase global shuffle window") {
+    val docs = (0L until 300L).map(i => (i, 5L + (i * 13) % 40)).toDF("doc_id", "n_tokens")
+    val got = Chunking.shardLayout(docs, shardTokens = 500L)
+      .select("doc_id", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().toSet
+    // one-phase spec: global prefix over (rankHash, doc_id)
+    val wG = Window.orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = docs.withColumn("k", Sampling.rankHash(col("doc_id")))
+      .withColumn("shard_id", expr("(sum(n_tokens) over (order by k, doc_id " +
+        "rows between unbounded preceding and current row) - n_tokens) div 500"))
+      .withColumn("pos_in_shard",
+        row_number().over(Window.partitionBy("shard_id").orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select("doc_id", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == exp)
+    // invariants: every doc placed once; shards are ~budget-sized (each
+    // shard's token total stays under budget + max doc weight)
+    assert(got.size == 300 && got.map(_._1).size == 300)
+    val totals = Chunking.shardLayout(docs, shardTokens = 500L)
+      .groupBy("shard_id").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(totals.forall(_ <= 500L + 44L), s"oversized shard: ${totals.max}")
+    assert(totals.length > 3, "budget must produce multiple shards")
+  }
 }

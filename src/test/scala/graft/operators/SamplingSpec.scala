@@ -160,4 +160,23 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons match hashSplit") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // clusters: {0,1,2} and {10,11}; everything else singleton
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(docs, clusters)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(Set(byDoc(0L)._3, byDoc(1L)._3, byDoc(2L)._3).size == 1, "cluster {0,1,2} splits together")
+    assert(byDoc(10L)._3 == byDoc(11L)._3, "cluster {10,11} splits together")
+    // singletons: identical to the plain per-doc hash split
+    val plain = Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L)
+    assert(out.filterNot(r => clustered(r._1)).forall(r => plain(r._1) == r._3),
+      "non-clustered docs keep their hashSplit assignment")
+    assert(out.length == 100)
+  }
 }
