@@ -59,7 +59,11 @@ object Bench {
     // (queries past the deadline are recorded as -3, never silently lost).
     val deadlineNs = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_S", "480").toLong * 1000L * 1000 * 1000
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // optional comma-separated name filter (substring match) for targeted runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.contains)))
+    val results = selected.map { n =>
       if (System.nanoTime() > deadlineNs) {
         System.err.println(s"[bench] $n skipped: total budget exhausted")
         n -> -3.0

@@ -259,6 +259,48 @@ case class L1Distance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd common-prefix LENGTH of two long-array columns — the LCP
+  * unit of the suffix-ordering dedup ([[graft.operators.Suffix]]): how
+  * many leading elements two token-hash tails share. O(answer) per
+  * pair; nulls inside arrays don't occur on its call sites (hash
+  * arrays are containsNull = false). */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "common_prefix_len"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n && x.getLong(i) == y.getLong(i)) i += 1
+    i.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $i = 0;
+         |while ($i < $n && $a.getLong($i) == $b.getLong($i)) $i++;
+         |${ev.value} = (long) $i;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CommonPrefixLen =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   /** Codegen'd word n-gram shingle hashes of a token-array column
     * (with duplicates; wrap in `array_distinct` for set semantics). */
@@ -276,4 +318,8 @@ object TextFunctions {
   /** Codegen'd L1 distance between two int-array columns. */
   def l1Distance(a: Column, b: Column): Column =
     bridge.column(L1Distance(bridge.expression(a), bridge.expression(b)))
+
+  /** Codegen'd common-prefix length of two long-array columns. */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    bridge.column(CommonPrefixLen(bridge.expression(a), bridge.expression(b)))
 }

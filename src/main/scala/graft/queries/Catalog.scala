@@ -131,7 +131,8 @@ object Catalog {
     "q122_cell_profile"      -> rel(TrainingData.q122CellProfile),
     "q123_curation_report"   -> rel(TrainingData.q123CurationReport),
     "q125_shard_layout"      -> rel(TrainingData.q125ShardLayout),
-    "q126_leakage_split"     -> rel(TrainingData.q126LeakageSplit)
+    "q126_leakage_split"     -> rel(TrainingData.q126LeakageSplit),
+    "q127_suffix_spans"      -> rel(TrainingData.q127SuffixSpans)
   )
 
   val events: Map[String, QueryFn] = Map(

@@ -588,6 +588,14 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C62: exact duplicated-span profile via distributed suffix ordering
+    * (prefix doubling) — per doc, the longest token span recurring
+    * anywhere in the corpus and the count of positions whose duplicated
+    * span reaches 8 tokens. The oracle sorts actual suffix lists and
+    * takes neighbor LCPs — same numbers, one-phase. */
+  def q127SuffixSpans(t: Tables): DataFrame =
+    graft.operators.Suffix.dupSpanProfile(t.documents, minSpan = 8).orderBy("doc_id")
+
   /** C58: IVF cell-balance profile — per-cell population and the global
     * balance factor of the 16-cell index every ANN query here probes. */
   def q122CellProfile(t: Tables): DataFrame =

@@ -1104,6 +1104,43 @@ object TrainingOracle {
         |         AS pos_in_shard
         |FROM placed ORDER BY doc_id""".stripMargin,
 
+    // C62: one-phase suffix-sort replay of the distributed prefix-doubling
+    // path — materialize every token-hash suffix list, sort (DuckDB list
+    // comparison IS lexicographic suffix order), take LCPs with both
+    // sorted neighbors via the first-mismatch position, aggregate per doc.
+    "q127_suffix_spans" ->
+      """CREATE OR REPLACE MACRO sfx_lcp(a, b) AS
+        |  CASE WHEN a IS NULL OR b IS NULL THEN 0
+        |       WHEN list_position(list_transform(range(1, least(len(a), len(b)) + 1),
+        |                                         x -> a[x] = b[x]), false) = 0
+        |       THEN least(len(a), len(b))
+        |       ELSE list_position(list_transform(range(1, least(len(a), len(b)) + 1),
+        |                                         x -> a[x] = b[x]), false) - 1 END;
+        |WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '),
+        |           t -> CAST(CONCAT('0x', substring(md5(t), 1, 15)) AS BIGINT) & 2147483647) AS hs
+        |  FROM documents
+        |), sfx AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos, hs FROM toks
+        |), suf AS MATERIALIZED (
+        |  SELECT doc_id, pos, list_slice(hs, pos, len(hs)) AS s FROM sfx
+        |), nbr AS MATERIALIZED (
+        |  SELECT doc_id, pos, s,
+        |         lag(s)  OVER (ORDER BY s, doc_id, pos) AS ps,
+        |         lead(s) OVER (ORDER BY s, doc_id, pos) AS ns
+        |  FROM suf
+        |), dl AS (
+        |  SELECT doc_id, greatest(sfx_lcp(s, ps), sfx_lcp(s, ns)) AS dup_len
+        |  FROM nbr
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(t.hs) AS BIGINT) AS n_tokens,
+        |       CAST(max(d.dup_len) AS BIGINT) AS max_dup_span,
+        |       CAST(SUM(CASE WHEN d.dup_len >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions
+        |FROM dl d JOIN toks t USING (doc_id)
+        |GROUP BY d.doc_id, len(t.hs) ORDER BY d.doc_id""".stripMargin,
+
     // C61: q74's recursive closure keyed into the q41 md5 split — every
     // doc, cluster-coalesced, split by cluster_id.
     "q126_leakage_split" ->
