@@ -145,7 +145,8 @@ object Catalog {
     "q51_sessionize"  -> rel(Events.q51Sessionize),
     "q99_transitions" -> rel(Events.q99Transitions),
     "q120_anomaly_flags" -> rel(Events.q120AnomalyFlags),
-    "q124_top_paths" -> rel(Events.q124TopPaths)
+    "q124_top_paths" -> rel(Events.q124TopPaths),
+    "q128_asof_forward" -> rel(Events.q128AsofForward)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

@@ -139,6 +139,23 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** D21: FORWARD as-of — for each purchase, the next click strictly
+    * after it (post-conversion behavior attribution; q44's direction
+    * reversed). Same µs-clock convention; oracle = DuckDB ASOF with the
+    * `<` comparator. */
+  def q128AsofForward(t: Tables): DataFrame = {
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us"), col("click_id"), col("ts_us").as("click_ts_us"))
+    graft.operators.AsOf.joinForward(purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts_us", rightTimeCol = "ts_us",
+        rightValueCols = Seq("click_id", "click_ts_us"))
+      .orderBy("event_id")
+  }
+
   /** D7: semi-structured extraction — filter + aggregate on a field inside
     * the JSON `props` payload. `get_json_object` is a per-row codegen'd
     * path expression; at 100 TB prefer parsing ONCE with `from_json` into

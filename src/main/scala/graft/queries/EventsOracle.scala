@@ -19,6 +19,20 @@ object EventsOracle {
         |  ON p.user_id = c.user_id AND p.ts_us > c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q128_asof_forward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |       c.click_id AS asof_click_id, c.ts_us AS asof_click_ts_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_us < c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q48_range_join" ->
       """WITH iv AS (
         |  SELECT i AS interval_id,

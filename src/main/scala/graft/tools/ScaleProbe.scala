@@ -28,11 +28,14 @@ object ScaleProbe {
         .reduce(_ unionByName _)
     }
 
-    def run(label: String, k: Int)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[probe] $label%-22s ${k}%2dx  ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($rows rows)")
-    }
+    // optional comma-separated label filter (substring match)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
+    def run(label: String, k: Int)(f: => Long): Unit =
+      if (only.forall(_.exists(label.contains))) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[probe] $label%-22s ${k}%2dx  ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($rows rows)")
+      }
 
     for (k <- Seq(1, 4, 16)) {
       val docs = amplify(t.documents, "doc_id", k)
@@ -113,6 +116,18 @@ object ScaleProbe {
       run("kmeans_step", k)(graft.operators.Similarity.kmeansStep(emb, nlist = 16).count())
       run("embedding_profile", k)(
         graft.operators.Similarity.embeddingProfile(emb).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      val counted = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      run("shard_layout", k)(graft.operators.Chunking.shardLayout(counted, 2000L).count())
+      // dup-saturated: every amplification copy duplicates every suffix,
+      // so spans saturate — rounds stay log2(maxDocLen), cost ~N·logL
+      run("suffix_spans", k)(graft.operators.Suffix.dupSpanProfile(docs).count())
+      // same dup-saturated pair blow-up as cluster_resolve, star variant
+      run("cluster_star", k)(
+        Dedup.resolveClustersStar(Dedup.minhashPairsPortable(docs, bucketCap = 1000)).count())
     }
     for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
