@@ -642,6 +642,75 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D22: CONTINUOUS shard assignment — the streaming twin of C60
+    * ([[graft.operators.Chunking.shardLayout]]): documents stream in,
+    * each micro-batch is packed (portable-hash order WITHIN the batch,
+    * arrival order across batches) onto the global token axis, and
+    * shard ids keep growing monotonically — a shard left part-full at a
+    * batch boundary is continued by the next batch, exactly as one big
+    * batch layout would have filled it. Emits one assignment slice per
+    * batch: (doc_id, n_tokens, shard_id, token_offset) where
+    * token_offset is the document's global token prefix — enough for a
+    * writer to place every document without any further coordination.
+    *
+    * State = ONE row (cumulative token count), batchId-versioned with
+    * the pointer-flip discipline of D12/D14; assignment slices are
+    * idempotent overwrites, so replays re-emit identical assignments and
+    * never advance the cumulative count twice. */
+  def shardAssign(docs: DataFrame, shardTokens: Long, stateRoot: String,
+                  outRoot: String, checkpointDir: String,
+                  idCol: String = "doc_id", tokCol: String = "n_tokens"): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          () // replayed (slice already written and published) or empty
+        } else {
+          val offset = prev.map(p => spark.read.parquet(p)
+            .select(col("cum_tokens")).head().getLong(0)).getOrElse(0L)
+          // same two-level hash-bucketed prefix as the batch operator
+          val base = batch.toDF().select(col(idCol), col(tokCol).cast("long").as("__tok"))
+            .withColumn("__k", graft.operators.Sampling.rankHash(col(idCol)))
+            .withColumn("__bkt", expr(s"__k div ${1L << 44}"))
+          val wLocal = org.apache.spark.sql.expressions.Window
+            .partitionBy("__bkt").orderBy(col("__k"), col(idCol))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val wBuckets = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val offsets = base.groupBy("__bkt").agg(sum(col("__tok")).as("__tot"))
+            .withColumn("__off", sum(col("__tot")).over(wBuckets) - col("__tot"))
+            .select("__bkt", "__off")
+          val placed = base
+            .withColumn("__cum", sum(col("__tok")).over(wLocal))
+            .join(broadcast(offsets), "__bkt")
+            .withColumn("__prefix", lit(offset) + col("__off") + col("__cum") - col("__tok"))
+          placed.select(col(idCol), col("__tok").as("n_tokens"),
+              expr(s"__prefix div $shardTokens").as("shard_id"),
+              col("__prefix").as("token_offset"))
+            .write.mode("overwrite").parquet(s"$outRoot/v$batchId")
+          val newCum = offset + placed.agg(sum(col("__tok"))).head().getLong(0)
+          spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(newCum)),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("cum_tokens",
+                  org.apache.spark.sql.types.LongType, nullable = false))))
+            .write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All shard assignments emitted so far, oldest batch first. */
+  def shardAssignments(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+
   /** D8: streaming reverse-ETL — any stream into any graft batch sink
     * (RestSink / JdbcSink / Payloads shapers) via foreachBatch: each
     * micro-batch is an ordinary DataFrame, so the WHOLE batch sink

@@ -442,6 +442,43 @@ class StreamingSpec extends SparkSuite {
     assert(hist.filter(col("is_current")).count() == 2)
   }
 
+  test("D22: continuous shard assignment packs across batch boundaries, replay-safe") {
+    val in = Files.createTempDirectory("graft-shard-in").toString
+    val state = Files.createTempDirectory("graft-shard-state").toString
+    val out = Files.createTempDirectory("graft-shard-out").toString
+    val ckpt = Files.createTempDirectory("graft-shard-ckpt").toString
+    def runOnce(): Unit = EventStreams.shardAssign(
+      spark.readStream.schema("doc_id LONG, n_tokens LONG").parquet(in),
+      shardTokens = 100L, state, out, ckpt)
+    def push(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "n_tokens").coalesce(1).write.mode("append").parquet(in)
+
+    push(Seq((1L, 40L), (2L, 40L), (3L, 40L)))  // batch 1: 120 tokens
+    runOnce()
+    push(Seq((4L, 30L), (5L, 30L)))              // batch 2: continues shard 1
+    runOnce()
+
+    val got = EventStreams.shardAssignments(spark, out)
+      .select("doc_id", "n_tokens", "shard_id", "token_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), "every doc assigned exactly once")
+    // token offsets are the gapless global prefix in (batch, hash) order
+    assert(got.map(_._4).toSeq == got.scanLeft(0L)(_ + _._2).dropRight(1).toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._4 / 100L).toSeq, "shard = prefix div budget")
+    // batch 2 CONTINUES the part-full shard: its first doc has offset 120 → shard 1
+    val batch2 = got.filter(r => Set(4L, 5L)(r._1))
+    assert(batch2.head._4 == 120L && batch2.head._3 == 1L,
+      s"batch 2 must continue shard 1, got ${batch2.toSeq}")
+
+    runOnce() // replay with the same checkpoint: nothing re-emitted or double-counted
+    assert(EventStreams.shardAssignments(spark, out).count() == 5)
+    push(Seq((6L, 10L)))
+    runOnce()
+    val last = EventStreams.shardAssignments(spark, out)
+      .filter(col("doc_id") === 6L).select("token_offset").as[Long].head()
+    assert(last == 180L, "cumulative state survives replays and further batches")
+  }
+
   test("D13: continuous ingestion dedup catches cross-batch near-dups via the growing index") {
     val in = Files.createTempDirectory("graft-ingest-in").toString
     val idx = Files.createTempDirectory("graft-ingest-idx").toString
