@@ -47,6 +47,13 @@ object ProjectLoader {
     * reference plus free-form options. */
   final case class EnrichmentRef(connection: String, options: Map[String, Any])
 
+  /** B34: dry-run estimate for one sync — what [[GraftProject.planSync]]
+    * returns for human approval before any row moves. */
+  final case class SyncPlan(syncId: String, destinationKind: String,
+                            lastCursor: Option[String], rows: Long,
+                            delivery: graft.sinks.RestSink.Plan,
+                            fitIssues: Seq[graft.sinks.Destinations.Issue])
+
   /** Builds the row→rows enrichment transform for one enrichment channel:
     * keyed by connection KIND (the reference resolves a provider from the
     * connection the same way, sync.ts:433-436). */
@@ -93,6 +100,35 @@ object ProjectLoader {
         fullRefresh = fullRefreshEff,
         enrich = enrich,
         checkpointEvery = checkpointEvery)
+    }
+
+    /** B34: sync DRY-RUN — the full pre-flight a human reads before
+      * approving a big sync: the increment's row count (respecting the
+      * persisted cursor, so it prices THIS run, not the table), the
+      * destination profile's batch count, and the rate-limit wall-time
+      * floor ([[RestSink.plan]]), plus the modelFit schema issues. Costs
+      * one column-pruned count — no rows move, nothing is checkpointed. */
+    def planSync(spark: SparkSession, syncId: String, store: StateStore,
+                 fullRefresh: Boolean = false): SyncPlan = {
+      val (sync, md, conn) = resolve(syncId)
+      registerDatasource(spark, md.datasource)
+      val model = Model.fromSql(md.id, md.sql, keyCols = md.keys,
+        cursorCol = md.cursor, env = env)
+      val lastCursor =
+        if (fullRefresh) None
+        else store.get(Seq(s"syncId=$syncId", "$lastCursor"))
+      val increment = (model.buildIncremental, model.cursorCol, lastCursor) match {
+        case (Some(bi), _, Some(v)) => bi(spark, v)
+        case (None, Some(c), Some(v)) =>
+          val base = model.build(spark)
+          base.filter(org.apache.spark.sql.functions.col(c) >
+            org.apache.spark.sql.functions.lit(v).cast(base.schema(c).dataType))
+        case _ => model.build(spark)
+      }
+      val rows = increment.count()
+      val profile = RestSink.Profiles.forDestination(conn.kind)
+      SyncPlan(syncId, conn.kind, lastCursor, rows,
+        RestSink.plan(rows, profile), modelFit(spark, syncId))
     }
 
     /** Describe-streams PRE-FLIGHT: diff the model's output schema against

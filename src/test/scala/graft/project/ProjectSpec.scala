@@ -223,6 +223,27 @@ class ProjectSpec extends SparkSuite {
       "options.fullRefresh replays the full model output despite the cursor")
   }
 
+  test("planSync: dry-run prices the increment, the batches, and the rate floor — no rows move") {
+    val dir = makeProject()
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val store = StateStore.inMemory()
+    val total = spark.read.parquet(s"$sfDir/orders.parquet").count()
+
+    val p1 = proj.planSync(spark, "orders_to_fb", store)
+    assert(p1.rows == total && p1.lastCursor.isEmpty)
+    assert(p1.destinationKind == "facebook-ads")
+    assert(p1.delivery.batches == (total + 999) / 1000, "fb profile: 1000-row batches")
+    assert(store.get(Seq("syncId=orders_to_fb", "$lastCursor")).isEmpty,
+      "a dry run must not checkpoint anything")
+
+    // after a real run the plan prices only the NEW increment
+    proj.runSync(spark, "orders_to_fb", store, new Recorder)
+    val p2 = proj.planSync(spark, "orders_to_fb", store)
+    assert(p2.rows == 0 && p2.lastCursor.isDefined, "cursor-aware: nothing new to sync")
+    // fullRefresh prices the whole table again
+    assert(proj.planSync(spark, "orders_to_fb", store, fullRefresh = true).rows == total)
+  }
+
   test("runContinuous: streaming project sync through the full pipeline; checkpoint + batch markers") {
     val dir = makeProject()
     write(dir, "models/orders_stream.sql",
