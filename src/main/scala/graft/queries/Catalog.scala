@@ -146,7 +146,8 @@ object Catalog {
     "q99_transitions" -> rel(Events.q99Transitions),
     "q120_anomaly_flags" -> rel(Events.q120AnomalyFlags),
     "q124_top_paths" -> rel(Events.q124TopPaths),
-    "q128_asof_forward" -> rel(Events.q128AsofForward)
+    "q128_asof_forward" -> rel(Events.q128AsofForward),
+    "q129_asof_nearest" -> rel(Events.q129AsofNearest)
   )
 
   def queries: Map[String, QueryFn] = relational ++ reverseEtl ++ trainingData ++ events

@@ -156,6 +156,22 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** D21 (nearest): the NEAREST click around each purchase, ties to the
+    * prior side — oracle composes DuckDB's two ASOF directions with the
+    * same tie rule, pinning the mode's choice logic value-for-value. */
+  def q129AsofNearest(t: Tables): DataFrame = {
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us").agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us"), col("click_id"))
+    graft.operators.AsOf.joinNearest(purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts_us", rightTimeCol = "ts_us",
+        rightValueCols = Seq("click_id"))
+      .orderBy("event_id")
+  }
+
   /** D7: semi-structured extraction — filter + aggregate on a field inside
     * the JSON `props` payload. `get_json_object` is a per-row codegen'd
     * path expression; at 100 TB prefer parsing ONCE with `from_json` into

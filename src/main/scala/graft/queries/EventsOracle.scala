@@ -33,6 +33,32 @@ object EventsOracle {
         |  ON p.user_id = c.user_id AND p.ts_us < c.ts_us
         |ORDER BY p.event_id""".stripMargin,
 
+    "q129_asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT p.event_id, c.click_id, c.ts_us AS cts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+        |), fw AS (
+        |  SELECT p.event_id, c.click_id, c.ts_us AS cts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts_us < c.ts_us
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |  CASE WHEN fw.cts IS NULL OR (pr.cts IS NOT NULL
+        |            AND (p.ts_us - pr.cts) <= (fw.cts - p.ts_us))
+        |       THEN pr.click_id ELSE fw.click_id END AS asof_click_id,
+        |  CASE WHEN fw.cts IS NULL OR (pr.cts IS NOT NULL
+        |            AND (p.ts_us - pr.cts) <= (fw.cts - p.ts_us))
+        |       THEN pr.cts ELSE fw.cts END AS asof_ts_us
+        |FROM purchases p JOIN pr USING (event_id) JOIN fw USING (event_id)
+        |ORDER BY p.event_id""".stripMargin,
+
     "q48_range_join" ->
       """WITH iv AS (
         |  SELECT i AS interval_id,
