@@ -17,46 +17,64 @@ import org.apache.spark.sql.functions._
  * Spark-first construction, no suffix ARRAYS materialized:
  *
  *  1. tokens → portable md5 31-bit hash per position (engine-replayable);
- *  2. PREFIX DOUBLING over (doc-local) suffixes: after round k every
- *     suffix carries a dense rank that orders suffixes by their first
- *     2^k tokens; one rank-pair join + one distributed dense-rank per
- *     round, log2(max doc tokens) rounds, lineage cut per round. Dense
- *     ranking is the two-level scan: range-repartition the distinct
- *     pairs, per-partition row_number, tiny per-partition offset frame
- *     (numPartitions rows) broadcast back — no global window.
+ *  2. PREFIX DOUBLING with Larsson–Sadakane RETIREMENT over (doc-local)
+ *     suffixes. Ranks are GROUP-START ranks: rank = number of suffixes
+ *     sorted strictly before this suffix's group, so the groups always
+ *     partition [0, N) into contiguous intervals [r, r + mult). After
+ *     round k the rank orders suffixes by their first 2^k tokens. A
+ *     group of mult 1 is RESOLVED — its rank is final and the position
+ *     retires from the working frame; each round re-ranks ONLY the
+ *     active (mult > 1) positions, and a split keeps every subgroup
+ *     inside the parent's interval (new rank = parent rank + #active
+ *     siblings ordered before it), so retired ranks stay globally
+ *     comparable without renumbering. One rank-pair join + one
+ *     interval-split per round, ≤ log2(max doc tokens) rounds, with a
+ *     FIXED-POINT exit: a round where no group splits proves no future
+ *     round can split either (ranks only move when a split moves them),
+ *     so the loop stops as soon as only exact-duplicate suffix classes
+ *     remain. Rank assignment is the two-level scan: range-repartition
+ *     the distinct pairs, per-partition running count, tiny
+ *     per-partition offset frame broadcast back — no global window.
  *  3. Suffixes sharing a final rank are IDENTICAL whole suffixes (dup
  *     length = full tail). For the rest, the nearest neighbor in rank
  *     order bounds every other suffix's common prefix (sorted-order
- *     property), so per RANK one representative joins the next rank's
- *     representative and a codegen'd [[graft.functions.CommonPrefixLen]]
+ *     property), so per GROUP one representative joins the successor
+ *     group's representative (start r + mult — intervals make adjacency
+ *     arithmetic) and a codegen'd [[graft.functions.CommonPrefixLen]]
  *     scans the two token tails — O(answer) work per adjacent pair,
  *     tails shipped only for the adjacent-pair frame.
  *
  * Scale: every step is a key-equality shuffle (rank pairs, rank
  * adjacency, doc join); the only sub-linear frames are the per-round
  * partition-offset tables. At 100 TB the doubling rounds dominate —
- * O(log maxDocLen) passes over (doc, pos, rank) triples, the published
- * asymptote for distributed suffix ranking (prefix doubling /
- * Larsson–Sadakane applied corpus-wide).
+ * O(log maxDocLen) passes, but after retirement each pass pairs and
+ * re-ranks only the still-ambiguous positions (natural text resolves
+ * most suffixes within a few rounds), and the full frame is touched
+ * only for the rank lookup at pos+span and the per-round checkpoint.
  */
 object Suffix {
 
-  /** Distributed dense rank of (c1, c2) pairs → (c1, c2, rank), rank in
-    * [0, #distinct). Two-level: range-partitioned local row_numbers plus
-    * a broadcast offset frame of `parts` rows. */
-  private def denseRankPairs(pairs: DataFrame, parts: Int): DataFrame = {
-    val keys = pairs.select("r1", "r2").distinct()
+  /** Distributed GROUP-START rank of (r1, r2) pairs →
+    * (r1, r2, rank, mult): rank = number of pair-ROWS sorted strictly
+    * before this pair (exclusive running count of group sizes in
+    * (r1, r2) order), mult = rows carrying the pair. Two-level: range-
+    * partitioned local running sums plus a broadcast offset frame of
+    * `parts` rows — no global window. */
+  private def groupStartRanks(pairs: DataFrame, parts: Int): DataFrame = {
+    val keys = pairs.groupBy("r1", "r2").agg(count(lit(1)).as("mult"))
       .repartitionByRange(parts, col("r1"), col("r2"))
       .withColumn("__pid", spark_partition_id())
-    val local = keys.withColumn("__lr",
-      row_number().over(Window.partitionBy("__pid").orderBy(col("r1"), col("r2"))))
+    val wLoc = Window.partitionBy("__pid").orderBy(col("r1"), col("r2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keys.withColumn("__cum", sum(col("mult")).over(wLoc) - col("mult"))
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offsets = local.groupBy("__pid").agg(sum(col("mult")).as("__n"))
       .withColumn("__off", sum(col("__n")).over(wOff) - col("__n"))
       .select("__pid", "__off")
     local.join(broadcast(offsets), "__pid")
-      .select(col("r1"), col("r2"), (col("__off") + col("__lr") - 1).as("rank"))
+      .select(col("r1"), col("r2"),
+        (col("__off") + col("__cum")).as("rank"), col("mult"))
   }
 
   /** Per-document duplicated-span profile:
@@ -76,42 +94,87 @@ object Suffix {
     val positions = toks.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
 
     val maxLen = toks.agg(max(size(col("hs")))).head().getInt(0).toLong
-    val nSuffix = positions.count()
 
-    // round 0: rank by the first token alone
-    var cur = positions.withColumn("r1", col("h")).withColumn("r2", lit(-1L))
-    var ranked = cur.join(denseRankPairs(cur, rankParts), Seq("r1", "r2"))
-      .select(col("doc_id"), col("pos"), col("rank").as("r"))
+    // round 0: group-start rank by the first token alone — the one round
+    // that needs a GLOBAL order, so it uses the skew-proof two-level scan
+    val r0 = groupStartRanks(
+      positions.select(col("h").cast("long").as("r1"), lit(-1L).as("r2")), rankParts)
+    val rankCols = Seq("doc_id", "pos", "r", "mult").map(col)
+    val round0 = positions
+      .select(col("doc_id"), col("pos"), col("h").cast("long").as("r1"), lit(-1L).as("r2"))
+      .join(r0, Seq("r1", "r2"))
+      .select(col("doc_id"), col("pos"), col("rank").as("r"), col("mult"))
       .localCheckpoint(eager = true)
+    // resolved (mult == 1) ranks are FINAL — those positions retire; only
+    // the active remainder is re-paired, re-ranked and re-checkpointed
+    // each round. All frames here are views over already-materialized
+    // checkpoints, so the unions below are scans, not recomputation.
+    var resolved = List(round0.filter(col("mult") === 1).select(rankCols: _*))
+    var active = round0.filter(col("mult") > 1).select(rankCols: _*)
+    var done = round0.agg(max(col("mult"))).head().getLong(0) <= 1L
     var span = 1L
-    var distinctRanks = ranked.agg(max(col("r"))).head().getLong(0) + 1
-    while (span < maxLen && distinctRanks < nSuffix) {
-      val shifted = ranked.select(col("doc_id"), (col("pos") - span).as("pos"),
+    while (span < maxLen && !done) {
+      // pair ONLY the active positions with the rank 2*span ahead; the
+      // retired frames are consulted just for that rank lookup (the
+      // suffix at pos+span may itself already be retired)
+      val all = (active :: resolved).reduce(_ unionByName _)
+      val shifted = all.select(col("doc_id"), (col("pos") - span).as("pos"),
         col("r").as("r2"))
-      val paired = ranked.withColumnRenamed("r", "r1")
+      val paired = active.select(col("doc_id"), col("pos"), col("r").as("r1"))
         .join(shifted, Seq("doc_id", "pos"), "left_outer")
         .na.fill(-1L, Seq("r2")) // tail shorter than 2*span: sorts before any real rank
-      val next = paired.join(denseRankPairs(paired, rankParts), Seq("r1", "r2"))
-        .select(col("doc_id"), col("pos"), col("rank").as("r"))
+      // split each parent interval [r1, r1+mult) among its subgroups:
+      // child start = parent start + active siblings ordered before it.
+      // Within-parent order only — a window partitioned by r1, not a
+      // global sort (partition size is bounded by the parent group's
+      // DISTINCT continuations at depth `span`, which the next doubling
+      // halves; round 0 already handled the one genuinely global order).
+      val wCum = Window.partitionBy("r1").orderBy("r2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val keys = paired.groupBy("r1", "r2").agg(count(lit(1)).as("mult"))
+        .withColumn("__cum", sum(col("mult")).over(wCum) - col("mult"))
+        .withColumn("__siblings", count(lit(1)).over(Window.partitionBy("r1")))
+      // ONE job materializes the round: ReuseExchange computes `paired`
+      // once for both the groupBy and the rank-assignment join
+      val upd = paired.join(keys, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), (col("r1") + col("__cum")).as("r"),
+          col("mult"), col("__siblings"))
         .localCheckpoint(eager = true)
-      ranked.unpersist(blocking = false)
-      ranked = next
-      span *= 2
-      distinctRanks = ranked.agg(max(col("r"))).head().getLong(0) + 1
+      // one trivial scan decides both exits: no parent with ≥2 subgroups
+      // ⇒ FIXED POINT (ranks did not move and no future round can move
+      // them — every surviving group is an identical-whole-suffix class);
+      // max(mult) ⇒ whether any ambiguity is left at all
+      val st = upd.agg(max(col("mult")), max(col("__siblings"))).head()
+      if (st.getLong(1) <= 1L) {
+        done = true // upd ≡ active (no split ⇒ every rank unchanged); drop it
+      } else {
+        resolved = upd.filter(col("mult") === 1).select(rankCols: _*) :: resolved
+        active = upd.filter(col("mult") > 1).select(rankCols: _*)
+        span *= 2
+        done = st.getLong(0) <= 1L
+      }
+      // NOTE: prior-round checkpoints stay pinned — the retired frames
+      // filter over them; total footprint is a geometric series over the
+      // shrinking active set, and the ContextCleaner reclaims the blocks
+      // when the returned frame dies.
     }
+    val ranked = (active :: resolved).reduce(_ unionByName _)
 
-    // one representative (min doc, pos) + multiplicity per final rank
+    // one representative (min doc, pos) per final group; interval ranks
+    // make the successor group addressable as r + mult
     val reps = ranked.groupBy("r")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"), count(lit(1)).as("mult"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"), max(col("mult")).as("mult"))
       .select(col("r"), col("rep.doc_id").as("doc_id"), col("rep.pos").as("pos"),
         col("mult"))
-    // LCP between rank k's representative and rank k+1's — tails compared
-    // directly by the codegen'd kernel (slice ships only adjacent pairs)
+    // LCP between group g's representative and its successor group's —
+    // tails compared directly by the codegen'd kernel (slice ships only
+    // adjacent pairs)
     def tail(dfCol: String, posCol: String) =
       expr(s"slice($dfCol, $posCol + 1, size($dfCol))")
-    val upNbr = reps.select((col("r") - 1).as("r"),
+    val upNbr = reps.select(col("r").as("r_nbr"),
       col("doc_id").as("doc_b"), col("pos").as("pos_b"))
-    val lcpUp = reps.join(upNbr, Seq("r"))
+    val lcpUp = reps.withColumn("r_nbr", col("r") + col("mult"))
+      .join(upNbr, Seq("r_nbr"))
       .join(toks.select(col("doc_id"), col("hs").as("hs_a")), "doc_id")
       .join(toks.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("r"),
@@ -121,11 +184,12 @@ object Suffix {
       .join(lcpUp, Seq("r"), "left_outer")
       .select(col("r"), col("mult"), coalesce(col("lcp_up"), lit(0L)).as("lcp_up"))
     val withDown = perRank
-      .join(perRank.select((col("r") + 1).as("r"), col("lcp_up").as("lcp_down")),
+      .join(perRank.select((col("r") + col("mult")).as("r"), col("lcp_up").as("lcp_down")),
         Seq("r"), "left_outer")
       .na.fill(0L, Seq("lcp_down"))
 
-    val scored = ranked.join(toks.select(col("doc_id"), size(col("hs")).as("n_tokens")), "doc_id")
+    val scored = ranked.select("doc_id", "pos", "r")
+      .join(toks.select(col("doc_id"), size(col("hs")).as("n_tokens")), "doc_id")
       .join(withDown, "r")
       .withColumn("dup_len", greatest(
         col("lcp_up"), col("lcp_down"),
