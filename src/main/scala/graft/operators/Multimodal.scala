@@ -1,18 +1,21 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * C12 — multimodal column plumbing: media as opaque `binary` columns with a
  * typed metadata struct, plus batched per-partition feature extraction.
  *
- * The Spark-side shape is real and tested: schema, partitioning, batch
- * iteration, and the feature-vector contract. The actual codec call is
- * STUBBED (this container has no image/audio libraries): `decodeStub`
- * produces a deterministic fake derived from the bytes. A production build
- * swaps ONLY the body of `decodeStub` for a real decoder (JNI/ffmpeg/etc.)
- * — every surrounding operator is unchanged.
+ * Container-level decode is REAL: [[encodedMediaTable]] assembles
+ * structurally-valid PNG/JPEG/GIF payloads and [[decodeMeta]] parses
+ * format/geometry/depth back out of the bytes with the codegen'd
+ * marker-walking [[graft.functions.ImageMeta]] (oracle-gated end to end
+ * by q130). Only the PIXEL/SAMPLE stage below the container layer is a
+ * deterministic stand-in (`decodeStub` — this environment ships no codec
+ * libraries): a production build swaps ONLY the body of `decodeStub` for
+ * a real pixel decoder (JNI/ffmpeg/etc.) — every surrounding operator,
+ * schema and batch shape is unchanged and tested.
  */
 object Multimodal {
 
@@ -36,6 +39,29 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(1920L)) + 1).cast("int").as("width"),
       (pmod(xxhash64(col(idCol), lit(1)), lit(1080L)) + 1).cast("int").as("height"),
       pmod(xxhash64(col(idCol), lit(2)), lit(600000L)).as("duration_ms"))
+
+  /** Media table whose payloads are REAL image containers: each row gets
+    * structurally-valid PNG, JPEG/JFIF (with a doc-dependent
+    * variable-length COM segment) or GIF89a bytes whose header geometry
+    * derives deterministically from the id — so [[decodeMeta]] exercises
+    * a genuine parse, not a fixture. */
+  def encodedMediaTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.ImageFunctions.imageBytes
+    val kind = pmod(col(idCol), lit(3)).cast("int")
+    docs.select(
+      col(idCol).as("media_id"),
+      element_at(array(lit("png"), lit("jpeg"), lit("gif")), kind + 1).as("kind"),
+      imageBytes(kind,
+        (pmod(xxhash64(col(idCol)), lit(1900L)) + 1).cast("int"),
+        (pmod(xxhash64(col(idCol), lit(1)), lit(1060L)) + 1).cast("int"),
+        when(kind === 0, (pmod(col(idCol), lit(2)) + 1) * 8).otherwise(lit(8)).cast("int"),
+        pmod(col(idCol), lit(13)).cast("int")).as("media"))
+  }
+
+  /** Parse container bytes back to struct(format, width, height, depth)
+    * (null for unrecognizable payloads) — the codegen'd marker walk. */
+  def decodeMeta(media: Column): Column =
+    graft.functions.ImageFunctions.imageMeta(media)
 
   /**
    * STUB — stands in for the real media decoder. Deterministic: features

@@ -132,7 +132,8 @@ object Catalog {
     "q123_curation_report"   -> rel(TrainingData.q123CurationReport),
     "q125_shard_layout"      -> rel(TrainingData.q125ShardLayout),
     "q126_leakage_split"     -> rel(TrainingData.q126LeakageSplit),
-    "q127_suffix_spans"      -> rel(TrainingData.q127SuffixSpans)
+    "q127_suffix_spans"      -> rel(TrainingData.q127SuffixSpans),
+    "q130_image_meta"        -> rel(TrainingData.q130ImageMeta)
   )
 
   val events: Map[String, QueryFn] = Map(

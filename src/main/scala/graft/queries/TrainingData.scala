@@ -614,4 +614,35 @@ object TrainingData {
   def q117TemperatureMix(t: Tables): DataFrame =
     Sampling.temperatureMixture(t.documents, "lang", "doc_id")
       .select("doc_id", "lang").orderBy("doc_id")
+
+  /** C12: REAL image-container decode — per doc, structurally-valid
+    * PNG/JPEG/GIF bytes are assembled (deterministic geometry from
+    * doc_id/n_chars; JPEG gets a doc-dependent variable-length COM
+    * segment) and parsed BACK by the codegen'd marker-walking
+    * [[graft.functions.ImageMeta]]. The oracle predicts the recovered
+    * metadata arithmetically and re-builds the JPEG/GIF bytes (and the
+    * CRC-free PNG prefix) hex-wise in SQL, so both the encoder's byte
+    * layout and the parser's walk are value-gated end to end. */
+  def q130ImageMeta(t: Tables): DataFrame = {
+    import graft.functions.ImageFunctions.{imageBytes, imageMeta}
+    val kind = (col("doc_id") % 3).cast("int")
+    val width = (col("n_chars") % 1900 + 1).cast("int")
+    val height = (col("doc_id") % 1060 + 1).cast("int")
+    val depth = when(kind === 0, (col("doc_id") % 2 + 1) * 8)
+      .when(kind === 1, lit(8))
+      .otherwise(col("doc_id") % 8 + 1).cast("int")
+    val pad = (col("doc_id") % 13).cast("int")
+    t.documents
+      .select(col("doc_id"), kind.as("kind"),
+        imageBytes(kind, width, height, depth, pad).as("media"))
+      .select(col("doc_id"), imageMeta(col("media")).as("m"),
+        // byte-level gate: whole container for the CRC-free formats, the
+        // 29-byte pre-CRC prefix for PNG (CRC-32 is not SQL-expressible)
+        upper(hex(when(col("kind") === 0, expr("substring(media, 1, 29)"))
+          .otherwise(col("media")))).as("media_hex"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.depth").as("depth"), col("media_hex"))
+      .orderBy("doc_id")
+  }
 }

@@ -955,7 +955,48 @@ object TrainingOracle {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
 
+  // C12: predicted round-trip of the image-container codecs — the same
+  // geometry arithmetic the Spark plan feeds graft.functions.ImageBytes,
+  // plus a hex-wise SQL re-construction of the JPEG/JFIF and GIF89a byte
+  // layouts (ISO 10918 marker segments / GIF logical-screen descriptor)
+  // and of the PNG signature+IHDR prefix (RFC 2083; CRC-32 excluded —
+  // not SQL-expressible), so the encoder's bytes and the parser's
+  // recovered metadata are both value-gated.
+  private val imageMetaSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+      |         CAST(n_chars % 1900 + 1 AS INT) AS width,
+      |         CAST(doc_id % 1060 + 1 AS INT) AS height,
+      |         CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 2 + 1) * 8
+      |                   WHEN doc_id % 3 = 1 THEN 8
+      |                   ELSE doc_id % 8 + 1 END AS INT) AS depth,
+      |         CAST(doc_id % 13 AS INT) AS pad
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      |  width, height, depth,
+      |  upper(CASE kind
+      |    WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+      |      || lpad(to_hex(width), 8, '0') || lpad(to_hex(height), 8, '0')
+      |      || lpad(to_hex(depth), 2, '0') || '06' || '000000'
+      |    WHEN 1 THEN 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0102'
+      |      || '00' || '0001' || '0001' || '0000'
+      |      || 'FFFE' || lpad(to_hex(pad + 2), 4, '0') || repeat('78', pad)
+      |      || 'FFC0' || '0011' || lpad(to_hex(depth), 2, '0')
+      |      || lpad(to_hex(height), 4, '0') || lpad(to_hex(width), 4, '0')
+      |      || '03' || '011100' || '021101' || '031101'
+      |      || 'FFDA' || '000C' || '03' || '0100' || '0211' || '0311' || '003F00'
+      |      || 'FFD9'
+      |    ELSE '474946383961'
+      |      || lpad(to_hex(width % 256), 2, '0') || lpad(to_hex(width // 256), 2, '0')
+      |      || lpad(to_hex(height % 256), 2, '0') || lpad(to_hex(height // 256), 2, '0')
+      |      || lpad(to_hex(((depth - 1) % 8) * 16 + ((depth - 1) % 8)), 2, '0')
+      |      || '0000'
+      |  END) AS media_hex
+      |FROM base ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q130_image_meta"      -> imageMetaSql,
     "q31_dedup_minhash"    -> minhashTruthSql,
     "q32_dedup_simhash"    -> simhashXxSql,
     "q40_fingerprint"      -> fingerprintXxSql,

@@ -51,6 +51,65 @@ class MultimodalSpec extends SparkSuite {
     assert(n == one._2 / 60000 + 1)
   }
 
+  test("image codec round-trips: encoded containers parse back to their geometry") {
+    val enc = Multimodal.encodedMediaTable(docs)
+    val back = enc.select(col("media_id"), col("kind"),
+        Multimodal.decodeMeta(col("media")).as("m"))
+      .select($"media_id", $"kind", $"m.format", $"m.width", $"m.height", $"m.depth")
+      .as[(Long, String, String, Int, Int, Int)].collect()
+    assert(back.length == docs.count())
+    back.foreach { case (id, kind, fmt, w, h, d) =>
+      assert(fmt == kind, s"media $id: format $fmt != kind $kind")
+      assert(w >= 1 && w <= 1900 && h >= 1 && h <= 1060, s"media $id: bad geometry $w x $h")
+      assert(if (fmt == "png") d == 8 || d == 16 else d == 8, s"media $id: depth $d")
+    }
+  }
+
+  test("image parser handles golden vectors and rejects corrupt buffers") {
+    import graft.functions.ImageCodecUtil
+    // golden: the canonical 1x1 transparent PNG header bytes
+    val png1x1 = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0, 0, 0, 1, 0, 0, 0, 1, 8, 6, 0, 0, 0, 0x1F, 0x15, 0xC4, 0x89).map(_.toByte)
+    val m = ImageCodecUtil.parse(png1x1)
+    assert(m != null && m.getInt(1) == 1 && m.getInt(2) == 1 && m.getInt(3) == 8)
+    // marker walk must skip fill bytes and RSTn and still find SOF0
+    val jpeg = ImageCodecUtil.encodeJpeg(640, 480, 8, pad = 5)
+    val jm = ImageCodecUtil.parse(jpeg)
+    assert(jm.getString(0) == "jpeg" && jm.getInt(1) == 640 && jm.getInt(2) == 480)
+    val gif = ImageCodecUtil.parse(ImageCodecUtil.encodeGif(320, 200, 5))
+    assert(gif.getString(0) == "gif" && gif.getInt(1) == 320 &&
+      gif.getInt(2) == 200 && gif.getInt(3) == 5)
+    // corrupt/truncated/alien buffers → null, never a wrong answer
+    assert(ImageCodecUtil.parse(Array[Byte]()) == null)
+    assert(ImageCodecUtil.parse("not an image at all".getBytes) == null)
+    assert(ImageCodecUtil.parse(png1x1.take(20)) == null)
+    assert(ImageCodecUtil.parse(jpeg.take(10)) == null)
+    val desync = jpeg.clone(); desync(2) = 0x00 // break the marker chain
+    assert(ImageCodecUtil.parse(desync) == null)
+  }
+
+  test("encoded containers are readable by the JDK's own ImageIO header readers") {
+    import graft.functions.ImageCodecUtil
+    // independent decoder cross-check: javax.imageio ships PNG/JPEG
+    // readers in the JDK — they must agree with our parser on geometry
+    // (the JDK GIF reader reports the IMAGE descriptor's size, which a
+    // header-only stream doesn't carry, so GIF is golden-vector-gated)
+    for ((bytes, w, h) <- Seq(
+        (ImageCodecUtil.encodePng(123, 45, 8), 123, 45),
+        (ImageCodecUtil.encodeJpeg(1279, 721, 8, pad = 11), 1279, 721))) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "JDK must recognize the container")
+      val r = readers.next()
+      r.setInput(in)
+      assert(r.getWidth(0) == w && r.getHeight(0) == h,
+        s"${r.getFormatName}: JDK read ${r.getWidth(0)}x${r.getHeight(0)}, expected ${w}x$h")
+      r.dispose(); in.close()
+    }
+  }
+
   test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
     // the media -> features -> similarity composition a multimodal dedup
     // pipeline runs; a planted byte-identical payload must come back as
