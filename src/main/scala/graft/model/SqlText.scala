@@ -26,7 +26,8 @@ object SqlText {
           val q = out(i); val start = i; i += 1
           var closed = false
           while (i < out.length && !closed) {
-            if (out(i) == q) {
+            if (out(i) == '\\' && i + 1 < out.length) i += 2 // \' and \\ escapes
+            else if (out(i) == q) {
               if (q == '\'' && i + 1 < out.length && out(i + 1) == '\'') i += 2 // '' escape
               else { closed = true; i += 1 }
             } else i += 1

@@ -477,9 +477,13 @@ object Dedup {
     * case) would go quadratic, so the same skew guard the MinHash bucket
     * join applies is ON BY DEFAULT here: a length band holding more than
     * `bandCap` docs is dropped whole before the join (recall loss only
-    * inside pathological bands, reported by nothing matching them —
-    * raise or pass Int.MaxValue to opt out, the exactness contract then
-    * holds corpus-wide). Emitted pairs carry the exact distance. */
+    * inside pathological bands — raise or pass Int.MaxValue to opt out,
+    * the exactness contract then holds corpus-wide). Truncation is NEVER
+    * silent: run [[editDistanceDroppedBands]] with the same arguments to
+    * get the exact bands/doc counts the cap excluded — a pipeline that
+    * caps should gate on that audit frame being empty (or log it), the
+    * way the expectations gate consumes its violation counts. Emitted
+    * pairs carry the exact distance. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text",
                         bandCap: Int = 10000): DataFrame = {
@@ -518,6 +522,20 @@ object Dedup {
         levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist").between(0, maxDist))
   }
+
+  /** Audit companion of [[editDistancePairs]]: the length bands its
+    * `bandCap` skew guard would DROP, one row per excluded band with its
+    * population and length range — so capped recall loss is observable,
+    * never inferred from silence. Empty ⇔ the pair set is exact. */
+  def editDistanceDroppedBands(docs: DataFrame, maxDist: Int = 16,
+                               textCol: String = "text",
+                               bandCap: Int = 10000): DataFrame =
+    docs.select(floor(length(col(textCol)) / maxDist).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > bandCap)
+      .select(col("band"), col("n_docs"),
+        (col("band") * maxDist).as("min_len"),
+        ((col("band") + 1) * maxDist - 1).as("max_len"))
 
   /** C47: QUALITY-aware canonical selection — the dedup endgame done
     * right: within each near-dup cluster keep the copy a QUALITY signal

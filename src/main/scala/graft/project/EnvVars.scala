@@ -16,6 +16,10 @@ import java.nio.file.{Files, Path, Paths}
 object EnvVars {
 
   private val Placeholder = raw"\$$\{([A-Za-z0-9_.\-]+)(?::([^}]*))?\}".r
+  /** Catch-all: any `${…}` at all — placeholders too malformed for
+    * [[Placeholder]] (`${env NAME}`, `${env.NAME!}`) must still FAIL
+    * LOUDLY (template.ts:31), not ride through as literal text. */
+  private val AnyPlaceholder = raw"\$$\{[^}]*\}".r
 
   /** KEY=VALUE lines; blank lines and #-comments ignored; optional quotes. */
   def loadEnvFile(path: Path): Map[String, String] =
@@ -47,7 +51,17 @@ object EnvVars {
 
   /** Substitute `${env.NAME}` (with optional `${env.NAME:default}`
     * fallback, template.ts:20-27's defaultVal path) in raw file text. */
-  def substitute(text: String, env: Map[String, String], filePath: String = "unknown file"): String =
+  def substitute(text: String, env: Map[String, String], filePath: String = "unknown file"): String = {
+    // scan the ORIGINAL text (not the output — substituted secret VALUES
+    // may legitimately contain `${`): every `${…}` span must be a
+    // well-formed placeholder, or the load fails with the same complaint
+    // a wrong prefix gets
+    val wellFormed = Placeholder.findAllMatchIn(text).map(_.start).toSet
+    AnyPlaceholder.findAllMatchIn(text).foreach { m =>
+      if (!wellFormed.contains(m.start))
+        throw new IllegalArgumentException(
+          s"Unsupported placeholder ${m.matched} in $filePath. Only $${env.NAME} placeholders are supported.")
+    }
     Placeholder.replaceAllIn(text, m => {
       val inner = m.group(1).trim
       val default = Option(m.group(2)).map(_.trim)
@@ -59,4 +73,5 @@ object EnvVars {
       java.util.regex.Matcher.quoteReplacement(env.get(name).orElse(default).getOrElse(
         throw new IllegalArgumentException(s"Environment variable $name (referenced in $filePath) is not defined")))
     })
+  }
 }

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import scala.collection.mutable.ArrayBuffer
 
 /**
@@ -36,7 +36,15 @@ object RestSink {
       maxRetries: Int = 3,
       permitsPerSecond: Double = 0.0, // 0 = unlimited
       errorRatioLimit: Double = 0.2,
-      errorMinRows: Long = 100)
+      errorMinRows: Long = 100,
+      /** Upper bound on concurrent write tasks used as the rate divisor.
+        * 0 = snapshot `defaultParallelism` at submit time — correct for
+        * static clusters; under DYNAMIC allocation executors added
+        * mid-write would push true concurrency above that snapshot and
+        * the aggregate send rate past `permitsPerSecond`, so set this to
+        * the allocation cap (spark.dynamicAllocation.maxExecutors ×
+        * cores) to keep the budget honest. */
+      maxConcurrency: Int = 0)
 
   final case class Result(sentRows: Long, failedRows: Long, batches: Long, retries: Long)
 
@@ -91,6 +99,17 @@ object RestSink {
     Plan(rows, batches, floorS)
   }
 
+  /** The per-task rate divisor: an explicit `maxConcurrency` wins (the
+    * only honest bound under dynamic allocation, where executors added
+    * mid-write push true concurrency above any submit-time snapshot);
+    * otherwise the defaultParallelism snapshot bounds concurrency from
+    * above on a static cluster, so the aggregate send rate never exceeds
+    * the configured permits (fewer partitions just under-fills the
+    * budget). */
+  private[sinks] def rateDivisor(spark: SparkSession, config: Config): Int =
+    if (config.maxConcurrency > 0) config.maxConcurrency
+    else math.max(1, spark.sparkContext.defaultParallelism)
+
   /** Push `df` to `transport`. Returns global counts (accumulator-summed
     * across tasks). Throws if the error threshold trips. */
   def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {
@@ -102,10 +121,8 @@ object RestSink {
     val columns = df.columns
     // Rate divisor = max concurrent tasks, NOT df.rdd.getNumPartitions:
     // df.rdd would bolt an RDD[Row] deserialization step onto the final
-    // plan just to count partitions. defaultParallelism bounds concurrency
-    // from above, so the aggregate send rate never exceeds the configured
-    // permits (fewer partitions than slots just under-fills the budget).
-    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    // plan just to count partitions.
+    val parts = rateDivisor(spark, config)
     val perTaskRate = if (config.permitsPerSecond > 0) config.permitsPerSecond / parts else 0.0
 
     df.foreachPartition { (rows: Iterator[Row]) =>

@@ -66,4 +66,27 @@ object JdbcSource {
     }
     t.dialect.getOrElse(WarehouseDialect.fromUrl(t.url)).normalize(r.load())
   }
+
+  /** Read through a modeled [[WarehouseConnection]] — credentials/session
+    * options come from the connection's dialect-specific mapping
+    * (reference: core/src/datasources/{pg,bigquery,snowlake}.ts), the
+    * partitioned-read knobs from `t`. `t.url`/`t.user`/`t.password`/
+    * `t.dialect` are superseded by the connection. */
+  def read(spark: SparkSession, conn: WarehouseConnection, t: JdbcTable): DataFrame = {
+    var r = spark.read.format("jdbc")
+      .option("url", conn.jdbcUrl)
+      .option("dbtable", t.table)
+      .option("fetchsize", t.fetchSize.toString)
+    conn.options.foreach { case (k, v) => r = r.option(k, v) }
+    t.driver.foreach(d => r = r.option("driver", d))
+    (t.partitionColumn, t.lowerBound, t.upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        r = r.option("partitionColumn", c)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
+          .option("numPartitions", t.numPartitions.toString)
+      case _ => ()
+    }
+    conn.dialect.normalize(r.load())
+  }
 }

@@ -60,6 +60,17 @@ sealed trait WarehouseDialect {
 
 object WarehouseDialect {
 
+  /** BigQuery/Snowflake decimal convention: scale-0 relations are
+    * integer-like and narrow to LongType — but ONLY while every value
+    * provably fits (precision ≤ 18; a 19-digit decimal can exceed
+    * Long.MaxValue and would null out with ANSI off or fail with ANSI
+    * on). Wider scale-0 decimals — Snowflake's default NUMBER(38,0)
+    * included — stay DecimalType; declared scale is the 5-type
+    * contract's float. */
+  private[sources] def scaleSplitDecimal(d: DecimalType): Option[DataType] =
+    if (d.scale == 0) { if (d.precision <= 18) Some(LongType) else None }
+    else Some(DoubleType)
+
   /** postgres.ts:16-30 — prefix rules, everything else degrades to string. */
   case object Postgres extends WarehouseDialect {
     val name = "postgres"
@@ -92,7 +103,7 @@ object WarehouseDialect {
     // BQ NUMERIC(38,9)/BIGNUMERIC: scale-0 relations are integer-like,
     // anything carrying scale is the 5-type contract's float
     protected def normalizeDecimal(d: DecimalType): Option[DataType] =
-      Some(if (d.scale == 0) LongType else DoubleType)
+      WarehouseDialect.scaleSplitDecimal(d)
   }
 
   /** snowlake.ts:137-155 — Snowflake NUMBER(p,s) covers ints and decimals. */
@@ -119,7 +130,7 @@ object WarehouseDialect {
     }
     val timestampParamType = "TIMESTAMP_TZ"
     protected def normalizeDecimal(d: DecimalType): Option[DataType] =
-      Some(if (d.scale == 0) LongType else DoubleType)
+      WarehouseDialect.scaleSplitDecimal(d)
   }
 
   /** Unknown warehouses: no coercion beyond integral/float widening. */

@@ -162,6 +162,12 @@ class ModelSpec extends SparkSuite {
     // a ';' INSIDE a string literal is not a statement separator
     assert(Model.fromSql("ok2", "SELECT 'a;b' AS s FROM orders_v LIMIT 1",
       Seq("s")).build(spark).count() == 1)
+    // backslash-escaped quotes (Spark's default parser accepts them) must
+    // not desynchronize the literal scan: the ';' and ':x' here are text
+    assert(SqlText.namedParams(raw"SELECT 'it\'s; fine :x' AS s, '\\' AS t WHERE c = :real") ==
+      Seq("real"))
+    assert(Model.fromSql("ok3", raw"SELECT 'it\'s; really' AS s FROM orders_v LIMIT 1",
+      Seq("s")).build(spark).count() == 1)
   }
 
   test("SQL without :cursor builds plainly (no parameter binding needed)") {

@@ -197,6 +197,16 @@ class DedupSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(full == (for { a <- 1L to 12L; b <- 1L to 12L if a < b } yield (a, b)).toSet,
       "default cap (10k) leaves normal corpora complete")
+    // truncation is observable, never silent: the audit frame names the
+    // dropped band with its population and length range
+    val dropped = Dedup.editDistanceDroppedBands(boiler, maxDist = 4, bandCap = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dropped.length == 1 && dropped.head._2 == 12L,
+      s"audit must report the one over-cap band with all 12 docs, got ${dropped.toSeq}")
+    val (band, _, lo, hi) = dropped.head
+    assert(lo == band * 4 && hi == lo + 3, "length range covers the band")
+    assert(Dedup.editDistanceDroppedBands(boiler, maxDist = 4).isEmpty,
+      "default cap drops nothing here — audit frame empty ⇔ pair set exact")
   }
 
   test("band index survives a parquet write/read roundtrip (the persisted-index path)") {

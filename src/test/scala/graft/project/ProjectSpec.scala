@@ -106,6 +106,16 @@ class ProjectSpec extends SparkSuite {
     assert(EnvVars.substitute("${env.NO_SUCH_VAR_XYZ:fallback}", env, "f.yaml") == "fallback")
     assert(EnvVars.substitute("${env.FB_TOKEN:unused_default}", env, "f.yaml") == "from_env_local",
       "a set variable beats its default")
+    // MALFORMED placeholders (don't even match the well-formed shape)
+    // must still fail loudly, never pass through as literal text
+    for (bad <- Seq("${env NAME}", "${env.NAME!}", "${ env.NAME }", "${}"))
+      assert(intercept[IllegalArgumentException](
+        EnvVars.substitute(s"a $bad b", env, "f.yaml"))
+        .getMessage.contains("Unsupported placeholder"), s"must reject $bad")
+    // ...but a substituted VALUE containing ${ is fine (scan is pre-substitution)
+    val envDollar = env + ("WEIRD" -> "literal ${not a placeholder")
+    assert(EnvVars.substitute("${env.WEIRD}", envDollar, "f.yaml")
+      .startsWith("literal ${"))
   }
 
   test("project load: sql-directive models, image-kind connections, syncs") {

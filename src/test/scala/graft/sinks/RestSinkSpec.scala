@@ -70,6 +70,17 @@ class RestSinkSpec extends SparkSuite {
     assert(RestSink.plan(0, RestSink.Config()) == RestSink.Plan(0, 0, 0.0))
   }
 
+  test("rate divisor: explicit maxConcurrency beats the defaultParallelism snapshot") {
+    // under dynamic allocation the submit-time parallelism snapshot can
+    // undercount true task concurrency; an explicit cap keeps the
+    // aggregate rate inside permitsPerSecond
+    val static = RestSink.rateDivisor(spark, RestSink.Config())
+    assert(static == math.max(1, spark.sparkContext.defaultParallelism))
+    assert(RestSink.rateDivisor(spark, RestSink.Config(maxConcurrency = 96)) == 96)
+    assert(RestSink.rateDivisor(spark, RestSink.Config(maxConcurrency = 0)) == static,
+      "0 keeps the static-cluster default")
+  }
+
   test("persistent failure trips the 20%/100-row error threshold") {
     Recorder.reset()
     Recorder.failAll = true
