@@ -670,34 +670,10 @@ object EventStreams {
         } else {
           val offset = prev.map(p => spark.read.parquet(p)
             .select(col("cum_tokens")).head().getLong(0)).getOrElse(0L)
-          // same two-level hash-bucketed prefix as the batch operator
-          val base = batch.toDF().select(col(idCol), col(tokCol).cast("long").as("__tok"))
-            .withColumn("__k", graft.operators.Sampling.rankHash(col(idCol)))
-            .withColumn("__bkt", expr(s"__k div ${1L << 44}"))
-          val wLocal = org.apache.spark.sql.expressions.Window
-            .partitionBy("__bkt").orderBy(col("__k"), col(idCol))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)
-          val wBuckets = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)
-          val offsets = base.groupBy("__bkt").agg(sum(col("__tok")).as("__tot"))
-            .withColumn("__off", sum(col("__tot")).over(wBuckets) - col("__tot"))
-            .select("__bkt", "__off")
-          val placed = base
-            .withColumn("__cum", sum(col("__tok")).over(wLocal))
-            .join(broadcast(offsets), "__bkt")
-            .withColumn("__prefix", lit(offset) + col("__off") + col("__cum") - col("__tok"))
-          placed.select(col(idCol), col("__tok").as("n_tokens"),
-              expr(s"__prefix div $shardTokens").as("shard_id"),
-              col("__prefix").as("token_offset"))
-            .write.mode("overwrite").parquet(s"$outRoot/v$batchId")
-          val newCum = offset + placed.agg(sum(col("__tok"))).head().getLong(0)
-          spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(newCum)),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("cum_tokens",
-                  org.apache.spark.sql.types.LongType, nullable = false))))
-            .write.mode("overwrite").parquet(target)
+          val placed = placeBatchOnAxis(batch.toDF(), offset, shardTokens, idCol, tokCol)
+          placed.write.mode("overwrite").parquet(s"$outRoot/v$batchId")
+          val newCum = offset + placed.agg(sum(col("n_tokens"))).head().getLong(0)
+          writeCumState(spark, target, newCum)
           writePointer(spark, stateRoot, batchId, target)
         }
       }
@@ -707,9 +683,142 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** The C60 two-level hash-bucketed token-prefix placement of one batch
+    * starting at global token `offset` — shared by [[shardAssign]] and
+    * [[curationSync]]: (idCol, n_tokens, shard_id, token_offset). */
+  private def placeBatchOnAxis(batch: DataFrame, offset: Long, shardTokens: Long,
+                               idCol: String, tokCol: String): DataFrame = {
+    val base = batch.select(col(idCol), col(tokCol).cast("long").as("__tok"))
+      .withColumn("__k", graft.operators.Sampling.rankHash(col(idCol)))
+      .withColumn("__bkt", expr(s"__k div ${1L << 44}"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__bkt").orderBy(col("__k"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wBuckets = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = base.groupBy("__bkt").agg(sum(col("__tok")).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wBuckets) - col("__tot"))
+      .select("__bkt", "__off")
+    base
+      .withColumn("__cum", sum(col("__tok")).over(wLocal))
+      .join(broadcast(offsets), "__bkt")
+      .withColumn("__prefix", lit(offset) + col("__off") + col("__cum") - col("__tok"))
+      .select(col(idCol), col("__tok").as("n_tokens"),
+        expr(s"__prefix div $shardTokens").as("shard_id"),
+        col("__prefix").as("token_offset"))
+  }
+
+  private def writeCumState(spark: SparkSession, target: String, cum: Long): Unit =
+    spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(cum)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cum_tokens",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .write.mode("overwrite").parquet(target)
+
   /** All shard assignments emitted so far, oldest batch first. */
   def shardAssignments(spark: SparkSession, outRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+
+  /** Per-batch curation report of [[curationSync]]. */
+  final case class CurationReport(batchId: Long, rowsIn: Long, invalid: Long,
+                                  dups: Long, kept: Long)
+
+  /** The CONTINUOUS CURATION SYNC — B25's per-micro-batch sync loop
+    * composed with the training-data composites it was built next to:
+    * stream source → B20 schema-driven VALIDATE (rejects quarantined) →
+    * D13 NEAR-DUP PROBE against the persisted band index (matches
+    * recorded, duplicates dropped, survivors appended to the index so
+    * later batches dedupe against them) → D22 SHARD ASSIGN (survivors
+    * packed onto the monotone global token axis) → DESTINATION sink
+    * (per-batch callback — a RestSink delivery profile in the spec).
+    *
+    * One exactly-once discipline wraps the whole composition: everything
+    * a batch writes (rejects, matches, index slices, shard assignments,
+    * cum-token state) is batchId-versioned, the done-marker lands LAST,
+    * and a replayed batch that finds its marker skips every stage — the
+    * destination callback is at-least-once, same contract as
+    * [[graft.sync.SyncRunner.runContinuous]]. State read per batch is
+    * one pointer + one 1-row cum count; index probe cost is the C27
+    * contract (index bytes, not corpus bytes).
+    *
+    * Layout under `root`: `index/{bands,sets}/v<id>`, `matches/v<id>`,
+    * `rejects/v<id>`, `shards/v<id>`, `state/v<id>` + pointer,
+    * `_done_v<id>`. */
+  def curationSync(docs: DataFrame, docSchema: org.apache.spark.sql.types.StructType,
+                   root: String, checkpointDir: String,
+                   shardTokens: Long = 2000L, threshold: Double = 0.7,
+                   idCol: String = "doc_id", textCol: String = "text")
+                  (sink: (DataFrame, Long) => Unit): Seq[CurationReport] = {
+    val reports = scala.collection.mutable.ListBuffer.empty[CurationReport]
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$root/_done_v$batchId")
+        if (!fs.exists(marker)) {
+          val df = batch.toDF().localCheckpoint(eager = true) // one source read
+          // B20: schema-driven validation; rejects are quarantined, not lost
+          val rules = graft.model.SchemaValidation.rules(docSchema)
+          val validCol = rules.map(_._2(df)).reduceOption(_ && _).getOrElse(lit(true))
+          val flagged = df.withColumn("__valid", validCol)
+          flagged.filter(!col("__valid")).drop("__valid")
+            .write.mode("overwrite").parquet(s"$root/rejects/v$batchId")
+          val valid = flagged.filter(col("__valid")).drop("__valid")
+          // D13: probe the index built by PRIOR batches (never the replayed
+          // own-version slice), record matches, drop the duplicates
+          def priorSlices(sub: String): Seq[String] = {
+            val p = new org.apache.hadoop.fs.Path(s"$root/index/$sub")
+            if (!fs.exists(p)) Seq.empty
+            else fs.listStatus(p).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName != s"v$batchId")
+              .map(_.getPath.toString)
+          }
+          val bandDirs = priorSlices("bands")
+          val dupIds: DataFrame = if (bandDirs.isEmpty) valid.select(col(idCol)).limit(0)
+          else {
+            val matches = graft.operators.Dedup.incrementalNearDup(valid,
+              spark.read.parquet(bandDirs: _*), spark.read.parquet(priorSlices("sets"): _*),
+              textCol = textCol, idCol = idCol, threshold = threshold)
+            matches.write.mode("overwrite").parquet(s"$root/matches/v$batchId")
+            spark.read.parquet(s"$root/matches/v$batchId")
+              .select(col("new_id").as(idCol)).distinct()
+          }
+          val kept = valid.join(dupIds, Seq(idCol), "left_anti")
+            .localCheckpoint(eager = true)
+          // survivors (only) enter the index: later batches dedupe against
+          // the canonical copy, never against dropped duplicates
+          val (nb, ns) = graft.operators.Dedup.bandIndex(kept, textCol = textCol, idCol = idCol)
+          nb.write.mode("overwrite").parquet(s"$root/index/bands/v$batchId")
+          ns.write.mode("overwrite").parquet(s"$root/index/sets/v$batchId")
+          // D22: pack survivors onto the global token axis
+          val stateRoot = s"$root/state"
+          val prev = readPointer(spark, stateRoot)
+          val offset = prev.map(p => spark.read.parquet(p)
+            .select(col("cum_tokens")).head().getLong(0)).getOrElse(0L)
+          val withTok = kept.withColumn("__ntok",
+            size(graft.operators.TextOps.tokens(col(textCol))).cast("long"))
+          val placed = placeBatchOnAxis(withTok, offset, shardTokens, idCol, "__ntok")
+          placed.write.mode("overwrite").parquet(s"$root/shards/v$batchId")
+          val newCum = offset + spark.read.parquet(s"$root/shards/v$batchId")
+            .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+          writeCumState(spark, s"$stateRoot/v$batchId", newCum)
+          writePointer(spark, stateRoot, batchId, s"$stateRoot/v$batchId")
+          // destination: curated rows + their placement, per-batch profile
+          sink(kept.join(spark.read.parquet(s"$root/shards/v$batchId"), idCol), batchId)
+          val Seq(nIn, nValid, nKept) = Seq(df, valid, kept).map(_.count())
+          reports += CurationReport(batchId, nIn, nIn - nValid, nValid - nKept, nKept)
+          fs.create(marker, true).close() // publish: batch fully applied
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    reports.toSeq
+  }
 
   /** D8: streaming reverse-ETL — any stream into any graft batch sink
     * (RestSink / JdbcSink / Payloads shapers) via foreachBatch: each

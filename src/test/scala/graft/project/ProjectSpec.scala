@@ -292,6 +292,76 @@ class ProjectSpec extends SparkSuite {
     assert(replay.isEmpty && rec3.rows == 0, "marker-present batches skip the sink entirely")
   }
 
+  test("continuous curation sync: validate → near-dup probe → shard assign → destination, with replay") {
+    // B25 + B20 + D13 + D22 + B13 composed as ONE continuous pipeline
+    // over a growing source directory, across two stream invocations
+    // and a full replay.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.streaming.EventStreams
+    import spark.implicits._
+
+    val in = Files.createTempDirectory("graft-curate-in").toString
+    val root = Files.createTempDirectory("graft-curate-root").toString
+    val ckpt = Files.createTempDirectory("graft-curate-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def doc(i: Long, salt: String) =
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima " +
+        s"mike november oscar papa quebec romeo sierra tango uniform victor $salt")
+
+    // wave 1: 5 clean docs + 1 invalid (null text → fails text_required)
+    val wave1 = (1L to 5L).map(i => doc(i, s"w1x$i")) :+ ((6L, null: String))
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(in)
+    val stream = () => spark.readStream.schema(schema).parquet(in)
+    // (doc_id, shard_id) rows the destination saw; the sink callback runs
+    // on the streaming thread, so guard the buffer
+    val deliveredBuf = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    def delivered = scala.jdk.CollectionConverters.ListHasAsScala(deliveredBuf).asScala.toSeq
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      df.select("doc_id", "shard_id").as[(Long, Long)].collect().foreach(deliveredBuf.add)
+
+    val r1 = EventStreams.curationSync(stream(), schema, root, ckpt, shardTokens = 50L)(sink)
+    assert(r1.map(_.rowsIn).sum == 6 && r1.map(_.invalid).sum == 1 && r1.map(_.dups).sum == 0)
+    assert(r1.map(_.kept).sum == 5 && delivered.map(_._1).toSet == (1L to 5L).toSet)
+    assert(spark.read.parquet(s"$root/rejects/v0").count() == 1, "invalid row quarantined")
+
+    // wave 2: one NEAR-DUP of doc 3 (one salt token differs → jaccard ≥ 0.7
+    // against the index built by wave 1) + one genuinely new doc
+    Seq(doc(103L, "w1x3 extra"),
+        (200L, "zero one two three four five six seven eight nine ten eleven twelve " +
+          "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty done"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val r2 = EventStreams.curationSync(stream(), schema, root, ckpt, shardTokens = 50L)(sink)
+    assert(r2.map(_.rowsIn).sum == 2 && r2.map(_.dups).sum == 1 && r2.map(_.kept).sum == 1,
+      s"cross-batch near-dup must be dropped via the persisted index, got $r2")
+    assert(delivered.map(_._1).count(_ == 200L) == 1 && !delivered.map(_._1).contains(103L))
+    val matches = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/matches")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect()
+    assert(matches.forall(_._1 == 103L) && matches.map(_._2).contains(3L),
+      s"matches name wave-1 canonicals (incl. doc 3) for the one dup, got ${matches.toSeq}")
+
+    // the shard axis is GLOBAL and monotone: wave-2's survivor continues
+    // after wave-1's cumulative token count, exactly as one big batch
+    val offsets = spark.read.option("recursiveFileLookup", "true").parquet(s"$root/shards")
+      .select("doc_id", "token_offset", "n_tokens").as[(Long, Long, Long)].collect()
+    val w1tokens = offsets.filter(_._1 <= 5L).map(_._3).sum
+    assert(offsets.filter(_._1 == 200L).head._2 >= w1tokens,
+      "wave-2 placement starts past every wave-1 token")
+    assert(offsets.map(o => (o._2, o._2 + o._3)).sorted.toSeq.sliding(2).forall {
+      case Seq((_, e), (s, _)) => s == e; case _ => true
+    }, "token prefixes tile the axis with no gaps or overlaps")
+
+    // replay with a FRESH checkpoint, same root: every batch re-arrives,
+    // finds its done-marker, and skips — destination sees nothing new
+    val before = delivered.size
+    val r3 = EventStreams.curationSync(stream(), schema, root,
+      Files.createTempDirectory("graft-curate-ckpt2").toString, shardTokens = 50L)(sink)
+    assert(r3.isEmpty && delivered.size == before,
+      "marker-present batches skip every stage of the composition")
+  }
+
   test("runContinuous: a declared cursor is rejected — the checkpoint is the position") {
     val dir = makeProject()
     write(dir, "syncs/cont_bad.yaml",
