@@ -83,7 +83,13 @@ object Bench {
     // `queries` FIRST, summary fields last: a tail-capture of the (long)
     // line keeps the totals, and a head-capture keeps the early queries —
     // r6's driver capture truncated 47 of 124 per-query times.
-    val line = f"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total%.3f,"unit":"sec"}"""
+    // machine-load stamp: lets cross-round comparisons tell contention
+    // variance from a real regression (r7's 148 s vs 112-132 s mystery)
+    val loadavg = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val line = f"""{"queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // belt-and-braces: the full line also lands on disk, untruncatable
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
