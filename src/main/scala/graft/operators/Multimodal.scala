@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
  * C12 — multimodal column plumbing: media as opaque `binary` columns with a
  * typed metadata struct, plus batched per-partition feature extraction.
  *
- * Container-level decode is REAL: [[encodedMediaTable]] assembles
- * structurally-valid PNG/JPEG/GIF payloads and [[decodeMeta]] parses
- * format/geometry/depth back out of the bytes with the codegen'd
- * marker-walking [[graft.functions.ImageMeta]] (oracle-gated end to end
- * by q130). Only the PIXEL/SAMPLE stage below the container layer is a
- * deterministic stand-in (`decodeStub` — this environment ships no codec
- * libraries): a production build swaps ONLY the body of `decodeStub` for
- * a real pixel decoder (JNI/ffmpeg/etc.) — every surrounding operator,
- * schema and batch shape is unchanged and tested.
+ * Container-level decode is REAL for all three modalities:
+ * [[encodedMediaTable]] assembles structurally-valid PNG/JPEG/GIF
+ * payloads ([[decodeMeta]] marker-walks them back, q130),
+ * [[encodedAudioTable]] WAV/RIFF payloads ([[decodeAudioMeta]]
+ * chunk-walks, q131) and [[encodedVideoTable]] MP4/ISO-BMFF payloads
+ * ([[decodeVideoMeta]] box-walks, q132) — all codegen'd Catalyst
+ * expressions, all oracle-gated end to end. Only the PIXEL/SAMPLE stage
+ * below the container layer is a deterministic stand-in (`decodeStub` —
+ * this environment ships no codec libraries): a production build swaps
+ * ONLY the body of `decodeStub` for a real decoder (JNI/ffmpeg/etc.) —
+ * every surrounding operator, schema and batch shape is unchanged and
+ * tested.
  */
 object Multimodal {
 
@@ -62,6 +65,47 @@ object Multimodal {
     * (null for unrecognizable payloads) — the codegen'd marker walk. */
   def decodeMeta(media: Column): Column =
     graft.functions.ImageFunctions.imageMeta(media)
+
+  /** Media table whose payloads are REAL WAV (RIFF) containers:
+    * structurally-complete PCM files with a variable-length LIST/INFO
+    * comment chunk ahead of `fmt ` (deterministic audio geometry from the
+    * id), so [[decodeAudioMeta]] exercises a genuine chunk walk. */
+  def encodedAudioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.MediaFunctions.audioBytes
+    docs.select(
+      col(idCol).as("media_id"),
+      audioBytes(
+        element_at(array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+          (pmod(col(idCol), lit(5)) + 1).cast("int")),
+        (pmod(col(idCol), lit(2)) + 1).cast("int"),
+        ((pmod(col(idCol), lit(3)) + 1) * 8).cast("int"),
+        (pmod(xxhash64(col(idCol)), lit(480L)) + 1).cast("int"),
+        pmod(col(idCol), lit(11)).cast("int")).as("media"))
+  }
+
+  /** Media table whose payloads are REAL MP4 (ISO BMFF) containers:
+    * `ftyp` + variable-length `free` + `moov`/`mvhd` with deterministic
+    * timescale/duration from the id — [[decodeVideoMeta]] walks boxes. */
+  def encodedVideoTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.MediaFunctions.videoBytes
+    docs.select(
+      col(idCol).as("media_id"),
+      videoBytes(
+        element_at(array(lit(600), lit(1000), lit(24000), lit(30000), lit(90000)),
+          (pmod(col(idCol), lit(5)) + 1).cast("int")),
+        (pmod(xxhash64(col(idCol)), lit(600000L)) + 1),
+        pmod(col(idCol), lit(17)).cast("int")).as("media"))
+  }
+
+  /** Parse WAV bytes back to struct(format, sample_rate, channels, bits,
+    * n_samples) — the codegen'd RIFF chunk walk. */
+  def decodeAudioMeta(media: Column): Column =
+    graft.functions.MediaFunctions.audioMeta(media)
+
+  /** Parse MP4 bytes back to struct(format, brand, timescale, duration)
+    * — the codegen'd ISO BMFF box walk. */
+  def decodeVideoMeta(media: Column): Column =
+    graft.functions.MediaFunctions.videoMeta(media)
 
   /**
    * STUB — stands in for the real media decoder. Deterministic: features

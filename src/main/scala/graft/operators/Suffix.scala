@@ -91,17 +91,32 @@ object Suffix {
     val toks = docs.select(col(idCol).as("doc_id"),
         allShingleHashes(split(col(textCol), " "), 1).as("hs"))
       .localCheckpoint(eager = true)
-    val positions = toks.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
 
     val maxLen = toks.agg(max(size(col("hs")))).head().getInt(0).toLong
 
-    // round 0: group-start rank by the first token alone — the one round
-    // that needs a GLOBAL order, so it uses the skew-proof two-level scan
-    val r0 = groupStartRanks(
-      positions.select(col("h").cast("long").as("r1"), lit(-1L).as("r2")), rankParts)
+    // round 0: group-start rank by the first FOUR tokens at once — two
+    // 63-bit composite keys (hash_i·2^32 + hash_{i+1}+1; 0 encodes "tail
+    // ended", so shorter suffixes sort first exactly as in plain suffix
+    // order) seed the loop at span 4, skipping the two all-positions
+    // doubling rounds that dominate the cost. Composites are built as an
+    // array BEFORE the explode (explode-then-index would duplicate the
+    // token array per position — O(len²) bytes per doc). This is the one
+    // round that needs a GLOBAL order, so it uses the skew-proof
+    // two-level scan.
+    val B = 4294967296L // 2^32; token hashes are 31-bit non-negative
+    val seeded = toks.select(col("doc_id"), expr(
+      s"""transform(sequence(0, size(hs) - 1), i -> named_struct(
+         |  'r1', cast(hs[i] as bigint) * ${B}L +
+         |        if(i + 1 < size(hs), cast(hs[i + 1] as bigint) + 1L, 0L),
+         |  'r2', if(i + 2 < size(hs),
+         |        cast(hs[i + 2] as bigint) * ${B}L +
+         |        if(i + 3 < size(hs), cast(hs[i + 3] as bigint) + 1L, 0L), -1L)))
+         |""".stripMargin).as("seed"))
+      .select(col("doc_id"), posexplode(col("seed")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), col("s.r1").as("r1"), col("s.r2").as("r2"))
+    val r0 = groupStartRanks(seeded.select("r1", "r2"), rankParts)
     val rankCols = Seq("doc_id", "pos", "r", "mult").map(col)
-    val round0 = positions
-      .select(col("doc_id"), col("pos"), col("h").cast("long").as("r1"), lit(-1L).as("r2"))
+    val round0 = seeded
       .join(r0, Seq("r1", "r2"))
       .select(col("doc_id"), col("pos"), col("rank").as("r"), col("mult"))
       .localCheckpoint(eager = true)
@@ -112,7 +127,7 @@ object Suffix {
     var resolved = List(round0.filter(col("mult") === 1).select(rankCols: _*))
     var active = round0.filter(col("mult") > 1).select(rankCols: _*)
     var done = round0.agg(max(col("mult"))).head().getLong(0) <= 1L
-    var span = 1L
+    var span = 4L
     while (span < maxLen && !done) {
       // pair ONLY the active positions with the rank 2*span ahead; the
       // retired frames are consulted just for that rank lookup (the

@@ -133,7 +133,9 @@ object Catalog {
     "q125_shard_layout"      -> rel(TrainingData.q125ShardLayout),
     "q126_leakage_split"     -> rel(TrainingData.q126LeakageSplit),
     "q127_suffix_spans"      -> rel(TrainingData.q127SuffixSpans),
-    "q130_image_meta"        -> rel(TrainingData.q130ImageMeta)
+    "q130_image_meta"        -> rel(TrainingData.q130ImageMeta),
+    "q131_audio_meta"        -> rel(TrainingData.q131AudioMeta),
+    "q132_video_meta"        -> rel(TrainingData.q132VideoMeta)
   )
 
   val events: Map[String, QueryFn] = Map(

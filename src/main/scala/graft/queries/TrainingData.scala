@@ -645,4 +645,57 @@ object TrainingData {
         col("m.depth").as("depth"), col("media_hex"))
       .orderBy("doc_id")
   }
+
+  /** C12 (audio): REAL WAV/RIFF round-trip — per doc, a structurally
+    * complete PCM container (variable-length LIST/INFO comment chunk
+    * ahead of `fmt `, deterministic geometry from doc_id/n_chars) is
+    * assembled and chunk-walked BACK by the codegen'd
+    * [[graft.functions.AudioMeta]]. RIFF carries no checksum, so the
+    * oracle re-builds the ENTIRE byte stream hex-wise in SQL — encoder
+    * layout and parser walk are value-gated end to end. */
+  def q131AudioMeta(t: Tables): DataFrame = {
+    import graft.functions.MediaFunctions.{audioBytes, audioMeta}
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val bits = ((col("doc_id") % 3 + 1) * 8).cast("int")
+    val nSamples = (col("n_chars") % 120 + 1).cast("int")
+    val pad = (col("doc_id") % 11).cast("int")
+    t.documents
+      .select(col("doc_id"),
+        audioBytes(rate, channels, bits, nSamples, pad).as("media"))
+      .select(col("doc_id"), audioMeta(col("media")).as("m"),
+        upper(hex(col("media"))).as("media_hex"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+        col("m.bits").as("bits"), col("m.n_samples").as("n_samples"),
+        expr("m.n_samples * 1000 div m.sample_rate").as("duration_ms"),
+        col("media_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** C12 (video): REAL MP4/ISO-BMFF round-trip — per doc, `ftyp` +
+    * variable-length `free` + `moov`/`mvhd` bytes are assembled and
+    * box-walked BACK by the codegen'd [[graft.functions.VideoMeta]].
+    * No checksum in ISO BMFF either: the oracle re-builds the entire
+    * container hex-wise in SQL. */
+  def q132VideoMeta(t: Tables): DataFrame = {
+    import graft.functions.MediaFunctions.{videoBytes, videoMeta}
+    val timescale = element_at(
+      array(lit(600), lit(1000), lit(24000), lit(30000), lit(90000)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val duration = (col("n_chars") * (col("doc_id") % 7 + 1)).cast("long")
+    val pad = (col("doc_id") % 17).cast("int")
+    t.documents
+      .select(col("doc_id"), videoBytes(timescale, duration, pad).as("media"))
+      .select(col("doc_id"), videoMeta(col("media")).as("m"),
+        upper(hex(col("media"))).as("media_hex"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.brand").as("brand"), col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"),
+        expr("m.duration * 1000 div m.timescale").as("duration_ms"),
+        col("media_hex"))
+      .orderBy("doc_id")
+  }
 }

@@ -995,8 +995,77 @@ object TrainingOracle {
       |  END) AS media_hex
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // hex-building macros shared by the WAV/MP4 container oracles:
+  // one byte, and little/big-endian 16/32-bit words (nesting depth 2 —
+  // safely inside DuckDB's textual macro-inlining budget)
+  private val endianMacros: String =
+    """CREATE OR REPLACE MACRO h2(x) AS lpad(to_hex(CAST(x AS BIGINT) % 256), 2, '0');
+      |CREATE OR REPLACE MACRO u16le(x) AS h2(x) || h2(x // 256);
+      |CREATE OR REPLACE MACRO u32le(x) AS h2(x) || h2(x // 256) || h2(x // 65536) || h2(x // 16777216);
+      |CREATE OR REPLACE MACRO u32be(x) AS h2(x // 16777216) || h2(x // 65536) || h2(x // 256) || h2(x);
+      |""".stripMargin
+
+  // C12 (audio): predicted WAV/RIFF round-trip — the same geometry
+  // arithmetic the Spark plan feeds graft.functions.AudioBytes, plus a
+  // hex-wise SQL re-construction of the ENTIRE RIFF byte stream
+  // (RIFF 1.0: LIST/INFO/ICMT comment chunk, canonical 16-byte `fmt `,
+  // zeroed PCM `data`, word-alignment pads — no checksum anywhere, so
+  // the byte gate is total).
+  private val audioMetaSql: String = endianMacros +
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS BIGINT) AS rate,
+      |         doc_id % 2 + 1 AS ch,
+      |         (doc_id % 3 + 1) * 8 AS bits,
+      |         n_chars % 120 + 1 AS n,
+      |         doc_id % 11 AS pad
+      |  FROM documents),
+      |geo AS (
+      |  SELECT *, ch * (bits // 8) AS block,
+      |         n * ch * (bits // 8) AS dsize,
+      |         pad + pad % 2 AS p2
+      |  FROM base)
+      |SELECT doc_id, 'wav' AS format, CAST(rate AS INT) AS sample_rate,
+      |  CAST(ch AS INT) AS channels, CAST(bits AS INT) AS bits,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  upper('52494646' || u32le(56 + p2 + dsize + dsize % 2) || '57415645'
+      |   || '4C495354' || u32le(12 + p2) || '494E464F'
+      |   || '49434D54' || u32le(pad) || repeat('78', CAST(pad AS INT))
+      |   || CASE WHEN pad % 2 = 1 THEN '00' ELSE '' END
+      |   || '666D7420' || '10000000' || '0100' || u16le(ch) || u32le(rate)
+      |   || u32le(rate * block) || u16le(block) || u16le(bits)
+      |   || '64617461' || u32le(dsize) || repeat('00', CAST(dsize AS INT))
+      |   || CASE WHEN dsize % 2 = 1 THEN '00' ELSE '' END) AS media_hex
+      |FROM geo ORDER BY doc_id""".stripMargin
+
+  // C12 (video): predicted MP4/ISO-BMFF round-trip — ftyp (isom/mp42),
+  // variable-length free box, moov/mvhd v0 (timescale, duration, unity
+  // rate/volume/matrix, next_track_ID 2), all re-built hex-wise.
+  private val videoMetaSql: String = endianMacros +
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         CAST([600,1000,24000,30000,90000][CAST(doc_id % 5 AS INT) + 1] AS BIGINT) AS ts,
+      |         n_chars * (doc_id % 7 + 1) AS dur,
+      |         doc_id % 17 AS pad
+      |  FROM documents)
+      |SELECT doc_id, 'mp4' AS format, 'isom' AS brand, CAST(ts AS INT) AS timescale,
+      |  CAST(dur AS BIGINT) AS duration,
+      |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+      |  upper('00000018' || '66747970' || '69736F6D' || '00000200' || '69736F6D' || '6D703432'
+      |   || u32be(8 + pad) || '66726565' || repeat('00', CAST(pad AS INT))
+      |   || u32be(116) || '6D6F6F76'
+      |   || u32be(108) || '6D766864' || repeat('00', 12)
+      |   || u32be(ts) || u32be(dur)
+      |   || '00010000' || '01000000' || repeat('00', 8)
+      |   || '00010000' || repeat('00', 12) || '00010000' || repeat('00', 12) || '40000000'
+      |   || repeat('00', 24) || '00000002') AS media_hex
+      |FROM base ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q130_image_meta"      -> imageMetaSql,
+    "q131_audio_meta"      -> audioMetaSql,
+    "q132_video_meta"      -> videoMetaSql,
     "q31_dedup_minhash"    -> minhashTruthSql,
     "q32_dedup_simhash"    -> simhashXxSql,
     "q40_fingerprint"      -> fingerprintXxSql,

@@ -110,6 +110,87 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio codec round-trips: WAV containers chunk-walk back to their geometry") {
+    val enc = Multimodal.encodedAudioTable(docs)
+    val back = enc.select(col("media_id"), Multimodal.decodeAudioMeta(col("media")).as("m"))
+      .select($"media_id", $"m.format", $"m.sample_rate", $"m.channels", $"m.bits", $"m.n_samples")
+      .as[(Long, String, Int, Int, Int, Long)].collect()
+    assert(back.length == docs.count())
+    back.foreach { case (id, fmt, rate, ch, bits, n) =>
+      assert(fmt == "wav", s"media $id")
+      assert(Set(8000, 16000, 22050, 44100, 48000)(rate), s"media $id: rate $rate")
+      assert(ch == (id % 2 + 1) && bits == ((id % 3 + 1) * 8).toInt, s"media $id")
+      assert(n >= 1 && n <= 480, s"media $id: n_samples $n")
+    }
+  }
+
+  test("video codec round-trips: MP4 containers box-walk back to their metadata") {
+    val enc = Multimodal.encodedVideoTable(docs)
+    val back = enc.select(col("media_id"), Multimodal.decodeVideoMeta(col("media")).as("m"))
+      .select($"media_id", $"m.format", $"m.brand", $"m.timescale", $"m.duration")
+      .as[(Long, String, String, Int, Long)].collect()
+    assert(back.length == docs.count())
+    back.foreach { case (id, fmt, brand, ts, dur) =>
+      assert(fmt == "mp4" && brand == "isom", s"media $id")
+      assert(Set(600, 1000, 24000, 30000, 90000)(ts), s"media $id: timescale $ts")
+      assert(dur >= 1 && dur <= 600000, s"media $id: duration $dur")
+    }
+  }
+
+  test("audio/video parsers handle golden vectors, mvhd v1, and reject corrupt buffers") {
+    import graft.functions.MediaCodecUtil
+    // WAV round-trip incl. odd comment + odd data sizes (alignment pads)
+    val wav = MediaCodecUtil.encodeWav(44100, 1, 8, 101, pad = 3)
+    val wm = MediaCodecUtil.parseWav(wav)
+    assert(wm.getString(0) == "wav" && wm.getInt(1) == 44100 && wm.getInt(2) == 1 &&
+      wm.getInt(3) == 8 && wm.getLong(4) == 101L)
+    // MP4 v0 round-trip
+    val mp4 = MediaCodecUtil.encodeMp4(90000, 123456L, pad = 7)
+    val vm = MediaCodecUtil.parseMp4(mp4)
+    assert(vm.getString(0) == "mp4" && vm.getString(1) == "isom" &&
+      vm.getInt(2) == 90000 && vm.getLong(3) == 123456L)
+    // hand-built mvhd VERSION 1 (64-bit times) — parser must honor the
+    // wider layout even though our encoder emits v0
+    val v1 = mp4.clone()
+    val moovOff = 24 + 8 + 7
+    val mvhdOff = moovOff + 8
+    // grow mvhd v0 (108) -> v1 (120): rebuild moov with a v1 mvhd
+    val v1mvhd = new Array[Byte](120)
+    v1mvhd(3) = 120; v1mvhd(4) = 'm'; v1mvhd(5) = 'v'; v1mvhd(6) = 'h'; v1mvhd(7) = 'd'
+    v1mvhd(8) = 1 // version
+    v1mvhd(31) = 0x3C // timescale u32be @28 = 60
+    v1mvhd(38) = 0x01; v1mvhd(39) = 0x00 // duration u64be @32 = 256
+    val head = v1.take(mvhdOff)
+    head(moovOff + 3) = (8 + 120).toByte // moov size
+    val golden = head ++ v1mvhd
+    val gm = MediaCodecUtil.parseMp4(golden)
+    assert(gm != null && gm.getInt(2) == 60 && gm.getLong(3) == 256L,
+      s"mvhd v1 parse: $gm")
+    // corrupt/truncated/alien buffers → null, never a wrong answer
+    assert(MediaCodecUtil.parseWav(Array[Byte]()) == null)
+    assert(MediaCodecUtil.parseWav("RIFFxxxxWAVEbroken".getBytes) == null)
+    assert(MediaCodecUtil.parseWav(wav.take(30)) == null) // truncated chunk
+    assert(MediaCodecUtil.parseMp4(wav) == null)
+    assert(MediaCodecUtil.parseWav(mp4) == null)
+    assert(MediaCodecUtil.parseMp4(mp4.take(40)) == null) // truncated moov
+    val desync = mp4.clone(); desync(0) = 0x7F // oversized leading box
+    assert(MediaCodecUtil.parseMp4(desync) == null)
+  }
+
+  test("encoded WAV is readable by the JDK's own javax.sound parser") {
+    import graft.functions.MediaCodecUtil
+    // independent decoder cross-check: the JDK ships a RIFF/WAVE reader
+    val bytes = MediaCodecUtil.encodeWav(22050, 2, 16, 250, pad = 5)
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val af = fmt.getFormat
+    assert(af.getSampleRate == 22050f && af.getChannels == 2 &&
+      af.getSampleSizeInBits == 16,
+      s"JDK read ${af.getSampleRate}/${af.getChannels}ch/${af.getSampleSizeInBits}bit")
+    assert(fmt.getFrameLength == 250, s"JDK frame length ${fmt.getFrameLength}")
+  }
+
   test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
     // the media -> features -> similarity composition a multimodal dedup
     // pipeline runs; a planted byte-identical payload must come back as
