@@ -454,30 +454,48 @@ object TrainingData {
 
   /** C16 verification twin: DuckDB can't replay DataSketches HLL registers,
     * so q60 oracles the PROPERTIES q46 relies on instead — (a) the merge
-    * law: per-(segment, year) sketches unioned up to segment must estimate
-    * exactly what a one-shot segment sketch estimates (union is
-    * per-register max — identical state, identical double); (b) accuracy:
-    * the estimate lands within lgK=12's error envelope of the exact
-    * distinct count, which DuckDB recomputes exactly. Both checks fold
-    * into boolean columns the oracle pins to TRUE, so a hash match IS the
-    * property proof. */
+    * law as grouping-TOPOLOGY independence: the same per-segment value
+    * set partitioned two unrelated ways (by order year; by a custkey hash
+    * bucket) must union up to segment with estimates within 2% of each
+    * other. NO identity holds here once sketches leave sparse mode — a
+    * DataSketches union whose inputs are all still coupon lists re-feeds
+    * them and keeps the order-sensitive HIP estimator, while a union
+    * touching a dense sketch falls back to the composite estimator, so
+    * even two unions of the same value SET can read out through different
+    * estimator paths (measured divergence ≤0.45% at sf0.1; bounded at 2%
+    * ≈ a bit over lgK=12's 1.6% RSE). At toy scale everything stays in
+    * exact coupon mode and all paths agree to the digit, which is what
+    * made an equality gate look safe before sf0.1 exposed it. (b)
+    * accuracy: both the rolled-up and the one-shot estimates land within
+    * lgK=12's error envelope of the exact distinct count, which DuckDB
+    * recomputes exactly. The checks fold into boolean columns the oracle
+    * pins to TRUE, so a hash match IS the property proof. */
   def q60HllMerge(t: Tables): DataFrame = {
     val joined = t.orders
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .select(col("c_mktsegment"), col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        pmod(xxhash64(col("o_custkey")), lit(16L)).as("bucket"))
     val rolled = Sketches
       .rollupEstimate(Sketches.distinctSketches(joined, Seq("c_mktsegment", "yr"), "o_custkey"),
                       Seq("c_mktsegment"))
       .withColumnRenamed("approx_distinct", "rollup_est")
+    val rolled2 = Sketches
+      .rollupEstimate(Sketches.distinctSketches(joined, Seq("c_mktsegment", "bucket"), "o_custkey"),
+                      Seq("c_mktsegment"))
+      .withColumnRenamed("approx_distinct", "rollup2_est")
     val oneShot = Sketches.oneShotEstimate(joined, Seq("c_mktsegment"), "o_custkey")
       .withColumnRenamed("approx_distinct", "oneshot_est")
     val exact = joined.groupBy("c_mktsegment")
       .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-    exact.join(rolled, "c_mktsegment").join(oneShot, "c_mktsegment")
+    exact.join(rolled, "c_mktsegment").join(rolled2, "c_mktsegment")
+      .join(oneShot, "c_mktsegment")
       .select(col("c_mktsegment"), col("exact_distinct"),
-        (col("rollup_est") === col("oneshot_est")).as("merge_consistent"),
+        (abs(col("rollup_est") - col("rollup2_est")) /
+          greatest(col("rollup_est"), col("rollup2_est")) <= 0.02).as("merge_consistent"),
         (abs(col("rollup_est") - col("exact_distinct")) / col("exact_distinct") <= 0.05)
-          .as("within_tolerance"))
+          .as("within_tolerance"),
+        (abs(col("oneshot_est") - col("exact_distinct")) / col("exact_distinct") <= 0.05)
+          .as("oneshot_within_tolerance"))
       .orderBy("c_mktsegment")
   }
 

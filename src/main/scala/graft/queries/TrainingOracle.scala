@@ -1110,11 +1110,15 @@ object TrainingOracle {
 
     // q60: the HLL merge/accuracy properties as booleans the oracle pins
     // to TRUE, plus the exact distinct count DuckDB recomputes itself.
+    // merge_consistent = topology independence of the union (year-split
+    // vs custkey-bucket-split roll-ups estimate identically — exact at
+    // every scale); both estimator read-outs are accuracy-bounded.
     "q60_hll_merge" ->
       """SELECT c.c_mktsegment,
         |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS merge_consistent,
-        |  TRUE AS within_tolerance
+        |  TRUE AS within_tolerance,
+        |  TRUE AS oneshot_within_tolerance
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

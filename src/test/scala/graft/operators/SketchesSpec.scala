@@ -3,9 +3,13 @@ package graft.operators
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
-/** HLL sketch laws: rolled-up (merged) estimates must equal one-shot
-  * estimates over the same data, and both must sit within HLL's error
-  * envelope of the exact distinct count. */
+/** HLL sketch laws: rolled-up (merged) estimates agree with one-shot
+  * estimates over the same data within a tight bound — NOT equality: a
+  * DataSketches union re-feeding all-sparse inputs keeps the HIP
+  * estimator, one touching a dense sketch reads out through the composite
+  * estimator, so estimator paths (and hence digits) can differ once any
+  * group leaves coupon mode (q60 documents the same law at the gate) —
+  * and both sit within HLL's error envelope of the exact distinct count. */
 class SketchesSpec extends SparkSuite {
   import spark.implicits._
 
@@ -13,14 +17,27 @@ class SketchesSpec extends SparkSuite {
     .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
       (col("o_orderkey") % 4).as("g"))
 
-  test("sketch rollup (union of partials) equals the one-shot sketch estimate") {
+  test("sketch rollup (union of partials) agrees with the one-shot sketch estimate") {
     val perYear = Sketches.distinctSketches(orders, Seq("g", "yr"), "o_custkey")
     val rolled = Sketches.rollupEstimate(perYear, Seq("g"))
+      .as[(Long, Long)].collect().toMap
+    // a second, unrelated split of the same value set — rollup topology
+    // must not matter (within the estimator-path bound)
+    val perBucket = Sketches.distinctSketches(
+      orders.withColumn("b", pmod(xxhash64(col("o_custkey")), lit(8L))),
+      Seq("g", "b"), "o_custkey")
+    val rolled2 = Sketches.rollupEstimate(perBucket, Seq("g"))
       .as[(Long, Long)].collect().toMap
     val oneShot = orders.groupBy("g")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12))).as("e"))
       .as[(Long, Long)].collect().toMap
-    assert(rolled == oneShot, "merge-then-estimate must equal estimate-over-all")
+    assert(rolled.keySet == oneShot.keySet && rolled.keySet == rolled2.keySet)
+    rolled.foreach { case (g, e) =>
+      assert(math.abs(e - oneShot(g)).toDouble / math.max(e, oneShot(g)).max(1L) <= 0.02,
+        s"g=$g rolled=$e oneShot=${oneShot(g)} beyond the 2% estimator-path bound")
+      assert(math.abs(e - rolled2(g)).toDouble / math.max(e, rolled2(g)).max(1L) <= 0.02,
+        s"g=$g year-rollup=$e bucket-rollup=${rolled2(g)} beyond the 2% bound")
+    }
   }
 
   test("estimates are within 5% of exact distinct counts") {
