@@ -114,5 +114,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "count_min_query(sketch, item) takes 2 arguments")
         CountMinQuery(exprs.head, exprs(1))
       }))
+    // media container codecs — the multi-arg encoders take one struct
+    // child, so the SQL shims pack the argument list for the caller
+    e.injectFunction((
+      FunctionIdentifier("image_bytes"),
+      new ExpressionInfo(classOf[ImageBytes].getName, "image_bytes"),
+      exprs => {
+        require(exprs.length == 5,
+          "image_bytes(kind, width, height, depth, pad) takes 5 arguments")
+        ImageBytes(org.apache.spark.sql.catalyst.expressions.CreateStruct(exprs))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      exprs => {
+        require(exprs.length == 1, "image_meta(bytes) takes 1 argument")
+        ImageMeta(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("audio_bytes"),
+      new ExpressionInfo(classOf[AudioBytes].getName, "audio_bytes"),
+      exprs => {
+        require(exprs.length == 5,
+          "audio_bytes(sample_rate, channels, bits, n_samples, pad) takes 5 arguments")
+        AudioBytes(org.apache.spark.sql.catalyst.expressions.CreateStruct(exprs))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      exprs => {
+        require(exprs.length == 1, "audio_meta(bytes) takes 1 argument")
+        AudioMeta(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("video_bytes"),
+      new ExpressionInfo(classOf[VideoBytes].getName, "video_bytes"),
+      exprs => {
+        require(exprs.length == 3,
+          "video_bytes(timescale, duration, pad) takes 3 arguments")
+        VideoBytes(org.apache.spark.sql.catalyst.expressions.CreateStruct(exprs))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      exprs => {
+        require(exprs.length == 1, "video_meta(bytes) takes 1 argument")
+        VideoMeta(exprs.head)
+      }))
   }
 }

@@ -125,6 +125,22 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(merged == 3L, "merged grids sum the per-group counts")
   }
 
+  test("SQL registration: media container codec family round-trips via spark.sql") {
+    val img = spark.sql(
+      "SELECT image_meta(image_bytes(0, 640, 480, 8, 0)).width AS w").as[Int].head()
+    assert(img == 640)
+    val wav = spark.sql(
+      """SELECT m.sample_rate AS r, m.channels AS c, m.n_samples AS n
+        |FROM (SELECT audio_meta(audio_bytes(44100, 2, 16, 100, 3)) AS m)""".stripMargin)
+      .as[(Int, Int, Long)].head()
+    assert(wav == ((44100, 2, 100L)))
+    val mp4 = spark.sql(
+      """SELECT m.format AS f, m.timescale AS t, m.duration AS d
+        |FROM (SELECT video_meta(video_bytes(90000, 4500L, 5)) AS m)""".stripMargin)
+      .as[(String, Int, Long)].head()
+    assert(mp4 == (("mp4", 90000, 4500L)))
+  }
+
   test("Sampling.pctBucket stays in [0,100) and spreads") {
     val buckets = spark.range(0, 1000)
       .select(graft.operators.Sampling.pctBucket(col("id")).as("b")).as[Long].collect()
