@@ -1,0 +1,275 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/**
+ * C12 — REAL pixel/sample decode for the formats the JVM can decode
+ * without external codec libraries, closing the decode stub for them:
+ *
+ *  - PNG (RFC 2083): full pixel decode — IDAT concatenation, zlib
+ *    inflate via `java.util.zip.Inflater`, scanline UNFILTERING (all
+ *    five filter types: None/Sub/Up/Average/Paeth) for 8-bit RGBA
+ *    (colour type 6), the layout [[encodePngPixels]] emits. Exactness
+ *    is cross-checked pixel-for-pixel against the JDK's own ImageIO
+ *    PNG reader in `MultimodalSpec`.
+ *  - WAV (RIFF PCM): sample decode — 8-bit unsigned, 16/24-bit
+ *    little-endian signed frames out of the `data` chunk located by
+ *    the [[MediaCodecUtil.parseWav]] chunk walk.
+ *
+ * JPEG/GIF pixels and MP4 samples still need real codec libraries
+ * (DCT/LZW/AV codecs are out of scope in this environment) — those
+ * containers keep the deterministic stand-in, documented in
+ * [[graft.operators.Multimodal]].
+ *
+ * Decoding runs executor-side inside the batched `mapPartitions`
+ * feature stage — per-row byte arithmetic, no driver involvement, so
+ * the shape holds at any scale.
+ */
+object PixelCodecUtil {
+
+  /** Encode an 8-bit RGBA PNG whose pixel (x, y) is `pixelOf(x, y)`
+    * (packed 0xAARRGGBB is NOT used — value is packed RGBA as
+    * (r<<24|g<<16|b<<8|a)). Scanline filters cycle through types
+    * 0..4 by row, so a decoder must implement the full unfilter set.
+    * Real zlib stream (fixed level for determinism), real CRCs. */
+  def encodePngPixels(width: Int, height: Int,
+                      pixelOf: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    val stride = width * 4
+    val raw = new Array[Byte]((stride + 1) * height)
+    val prev = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    var o = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = pixelOf(x, y)
+        cur(x * 4) = (p >>> 24).toByte
+        cur(x * 4 + 1) = (p >>> 16).toByte
+        cur(x * 4 + 2) = (p >>> 8).toByte
+        cur(x * 4 + 3) = p.toByte
+        x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val cb = cur(i) & 0xFF
+        val left = if (i >= 4) cur(i - 4) & 0xFF else 0
+        val up = prev(i) & 0xFF
+        val ul = if (i >= 4) prevAt(prev, i - 4, y) else 0
+        val enc = ft match {
+          case 0 => cb
+          case 1 => cb - left
+          case 2 => cb - (if (y > 0) up else 0)
+          case 3 => cb - ((left + (if (y > 0) up else 0)) >> 1)
+          case 4 => cb - paeth(left, if (y > 0) up else 0, if (y > 0) ul else 0)
+        }
+        raw(o) = enc.toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zl = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zl.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = zl.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    writeChunk(out, "IHDR", {
+      val h = new Array[Byte](13)
+      h(0) = (width >>> 24).toByte; h(1) = (width >>> 16).toByte
+      h(2) = (width >>> 8).toByte; h(3) = width.toByte
+      h(4) = (height >>> 24).toByte; h(5) = (height >>> 16).toByte
+      h(6) = (height >>> 8).toByte; h(7) = height.toByte
+      h(8) = 8 // bit depth
+      h(9) = 6 // colour type RGBA
+      h
+    })
+    writeChunk(out, "IDAT", idat)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def prevAt(prev: Array[Byte], i: Int, y: Int): Int =
+    if (y > 0) prev(i) & 0xFF else 0
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                         data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write(len >>> 24); out.write(len >>> 16); out.write(len >>> 8); out.write(len)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, len)
+    val crc = new CRC32
+    crc.update(tb); crc.update(data)
+    val c = crc.getValue
+    out.write((c >>> 24).toInt); out.write((c >>> 16).toInt)
+    out.write((c >>> 8).toInt); out.write(c.toInt)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode an 8-bit RGBA PNG produced by any encoder (all five filter
+    * types handled) → packed (r<<24|g<<16|b<<8|a) pixels row-major, or
+    * null when the stream is not an 8-bit-RGBA PNG or is corrupt. */
+  def decodePngPixels(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 8) return null
+    if ((b(0) & 0xFF) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return null
+    var width = 0; var height = 0; var depth = -1; var colour = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+      if (len < 0 || i + 12 + len > b.length) return null
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return null
+          width = ((b(i + 8) & 0xFF) << 24) | ((b(i + 9) & 0xFF) << 16) |
+            ((b(i + 10) & 0xFF) << 8) | (b(i + 11) & 0xFF)
+          height = ((b(i + 12) & 0xFF) << 24) | ((b(i + 13) & 0xFF) << 16) |
+            ((b(i + 14) & 0xFF) << 8) | (b(i + 15) & 0xFF)
+          depth = b(i + 16) & 0xFF; colour = b(i + 17) & 0xFF
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunk — skip
+      }
+      i += 12 + len
+    }
+    if (width <= 0 || height <= 0 || depth != 8 || colour != 6) return null
+    val stride = width * 4
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        off += n
+      }
+      if (off != raw.length) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally inflater.end()
+
+    val out = new Array[Int](width * height)
+    val prev = new Array[Int](stride) // unfiltered previous scanline
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val base = y * (stride + 1)
+      val ft = raw(base) & 0xFF
+      if (ft > 4) return null
+      var x = 0
+      while (x < stride) {
+        val f = raw(base + 1 + x) & 0xFF
+        val left = if (x >= 4) cur(x - 4) else 0
+        val up = if (y > 0) prev(x) else 0
+        val ul = if (y > 0 && x >= 4) prev(x - 4) else 0
+        cur(x) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + ((left + up) >> 1)
+          case 4 => f + paeth(left, up, ul)
+        }) & 0xFF
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        out(y * width + px) = (cur(px * 4) << 24) | (cur(px * 4 + 1) << 16) |
+          (cur(px * 4 + 2) << 8) | cur(px * 4 + 3)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    out
+  }
+
+  /** [[MediaCodecUtil.encodeWav]] with a REAL PCM payload: frame s of
+    * channel c carries `sampleOf(s * channels + c)` (clamped to the bit
+    * depth), so decoded audio round-trips value-exactly. */
+  def encodeWavSamples(sampleRate: Int, channels: Int, bits: Int,
+                       samples: Array[Int], pad: Int = 0): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24, s"unsupported bit depth $bits")
+    require(samples.length % channels == 0, "partial trailing frame")
+    val out = MediaCodecUtil.encodeWav(sampleRate, channels, bits,
+      samples.length / channels, pad)
+    // data chunk is the last chunk encodeWav emits — walk to it
+    var i = 12
+    var dOff = -1
+    while (i + 8 <= out.length && dOff < 0) {
+      val size = (out(i + 4) & 0xFFL) | ((out(i + 5) & 0xFFL) << 8) |
+        ((out(i + 6) & 0xFFL) << 16) | ((out(i + 7) & 0xFFL) << 24)
+      if (out(i) == 'd' && out(i + 1) == 'a' && out(i + 2) == 't' && out(i + 3) == 'a') dOff = i + 8
+      else i += 8 + size.toInt + (size & 1).toInt
+    }
+    val bytesPer = bits / 8
+    var s = 0
+    while (s < samples.length) {
+      val v = samples(s)
+      val o = dOff + s * bytesPer
+      bits match {
+        case 8 => out(o) = (math.max(-128, math.min(127, v)) + 128).toByte
+        case 16 =>
+          val c = math.max(-32768, math.min(32767, v))
+          out(o) = c.toByte; out(o + 1) = (c >> 8).toByte
+        case 24 =>
+          val c = math.max(-(1 << 23), math.min((1 << 23) - 1, v))
+          out(o) = c.toByte; out(o + 1) = (c >> 8).toByte; out(o + 2) = (c >> 16).toByte
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Decode PCM samples out of a WAV container: channel-interleaved
+    * frames as Int sample values (8-bit unsigned rebased to signed,
+    * 16/24-bit little-endian signed), or null when the container is
+    * unparseable / not integer PCM. */
+  def decodeWavSamples(b: Array[Byte]): Array[Int] = {
+    val meta = MediaCodecUtil.parseWav(b)
+    if (meta == null) return null
+    val bits = meta.getInt(3)
+    if (bits != 8 && bits != 16 && bits != 24) return null
+    // locate the data chunk (same walk as parseWav)
+    var i = 12
+    var dOff = -1; var dLen = 0L
+    while (i + 8 <= b.length && dOff < 0) {
+      val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
+        ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
+      if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dOff = i + 8; dLen = size
+      } else i += 8 + size.toInt + (size & 1).toInt
+    }
+    if (dOff < 0 || dOff + dLen > b.length) return null
+    val bytesPer = bits / 8
+    val n = (dLen / bytesPer).toInt
+    val out = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      val o = dOff + s * bytesPer
+      out(s) = bits match {
+        case 8 => (b(o) & 0xFF) - 128
+        case 16 => ((b(o) & 0xFF) | (b(o + 1) << 8)).toShort.toInt
+        case 24 => ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) << 16)) << 8 >> 8
+      }
+      s += 1
+    }
+    out
+  }
+}

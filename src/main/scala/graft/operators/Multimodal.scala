@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
  * [[encodedAudioTable]] WAV/RIFF payloads ([[decodeAudioMeta]]
  * chunk-walks, q131) and [[encodedVideoTable]] MP4/ISO-BMFF payloads
  * ([[decodeVideoMeta]] box-walks, q132) — all codegen'd Catalyst
- * expressions, all oracle-gated end to end. Only the PIXEL/SAMPLE stage
- * below the container layer is a deterministic stand-in (`decodeStub` —
- * this environment ships no codec libraries): a production build swaps
- * ONLY the body of `decodeStub` for a real decoder (JNI/ffmpeg/etc.) —
- * every surrounding operator, schema and batch shape is unchanged and
- * tested.
+ * expressions, all oracle-gated end to end. The PIXEL/SAMPLE stage below
+ * the container layer is REAL wherever the JVM suffices: PNG pixels
+ * (zlib inflate + full scanline unfiltering) and WAV PCM samples decode
+ * for real inside [[extractFeatures]] via
+ * [[graft.functions.PixelCodecUtil]], pixel-exactness cross-checked
+ * against the JDK's own ImageIO reader. Only JPEG/GIF pixels and MP4
+ * samples — formats that genuinely need external codec libraries this
+ * environment doesn't ship — keep the deterministic stand-in
+ * (`decodeStub`): a production build swaps ONLY that body for a real
+ * decoder (JNI/ffmpeg/etc.) — every surrounding operator, schema and
+ * batch shape is unchanged and tested.
  */
 object Multimodal {
 
@@ -108,10 +113,12 @@ object Multimodal {
     graft.functions.MediaFunctions.videoMeta(media)
 
   /**
-   * STUB — stands in for the real media decoder. Deterministic: features
-   * are a hash-fold of the payload bytes, so tests are exact. The real
-   * implementation decodes pixels/samples here; signature and batch shape
-   * are the production contract.
+   * STUB — stands in for the real media decoder on formats whose pixel/
+   * sample layer needs codec libraries this environment doesn't ship
+   * (JPEG/GIF pixels, MP4 samples). Deterministic: features are a
+   * hash-fold of the payload bytes, so tests are exact. PNG pixels and
+   * WAV PCM samples do NOT hit this — [[decodeFeatures]] decodes those
+   * for real via [[graft.functions.PixelCodecUtil]].
    */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -125,10 +132,88 @@ object Multimodal {
     out
   }
 
+  /** FeatureDim stats over real RGBA pixels: per-channel mean and std
+    * (8 dims) + an 8-bin luminance histogram, L1-normalized. */
+  private def pixelFeatures(px: Array[Int]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val n = px.length.toFloat
+    val sum = new Array[Double](4); val sq = new Array[Double](4)
+    val hist = new Array[Int](8)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      var c = 0
+      while (c < 4) {
+        val v = (p >>> (24 - 8 * c)) & 0xFF
+        sum(c) += v; sq(c) += v.toDouble * v
+        c += 1
+      }
+      val lum = (((p >>> 24) & 0xFF) * 299 + ((p >>> 16) & 0xFF) * 587 +
+        ((p >>> 8) & 0xFF) * 114) / 1000
+      hist(lum >> 5) += 1
+      i += 1
+    }
+    var c = 0
+    while (c < 4) {
+      val m = sum(c) / n
+      out(c) = (m / 255.0).toFloat
+      out(4 + c) = (math.sqrt(math.max(0.0, sq(c) / n - m * m)) / 255.0).toFloat
+      c += 1
+    }
+    var b = 0
+    while (b < 8) { out(8 + b) = hist(b) / n; b += 1 }
+    out
+  }
+
+  /** FeatureDim stats over real PCM samples (normalized to [-1, 1] at
+    * the given bit depth): mean, RMS, zero-crossing rate, peak + a
+    * 12-bin amplitude histogram, L1-normalized. */
+  private def sampleFeatures(s: Array[Int], bits: Int): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    if (s.isEmpty) return out
+    val scale = 1.0 / (1L << (bits - 1)).toDouble
+    val n = s.length.toDouble
+    var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0
+    val hist = new Array[Int](12)
+    var i = 0
+    while (i < s.length) {
+      val v = s(i) * scale
+      sum += v; sq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+      hist(math.min(11, (a * 12).toInt)) += 1
+      i += 1
+    }
+    out(0) = (sum / n).toFloat
+    out(1) = math.sqrt(sq / n).toFloat
+    out(2) = (zc / n).toFloat
+    out(3) = peak.toFloat
+    var b = 0
+    while (b < 12) { out(4 + b) = (hist(b) / n).toFloat; b += 1 }
+    out
+  }
+
+  /** Per-payload feature dispatch: REAL decode where the JVM suffices
+    * (PNG pixels via Inflater+unfilter, WAV PCM samples), stub for the
+    * codec-library formats. */
+  private[operators] def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+    import graft.functions.{MediaCodecUtil, PixelCodecUtil}
+    val px = PixelCodecUtil.decodePngPixels(payload)
+    if (px != null) return pixelFeatures(px)
+    val sm = PixelCodecUtil.decodeWavSamples(payload)
+    if (sm != null) {
+      val meta = MediaCodecUtil.parseWav(payload)
+      return sampleFeatures(sm, meta.getInt(3))
+    }
+    decodeStub(payload)
+  }
+
   /** Batched per-partition feature extraction — the `mapPartitions` shape a
     * real decoder needs (amortize codec init across a batch; one native
     * context per task, not per row). Typed Dataset in/out keeps encoders
-    * explicit. */
+    * explicit. PNG/WAV payloads are REALLY decoded (pixels/samples →
+    * stats); other formats use the documented stand-in. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[FeatureRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -137,9 +222,28 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // production: one decoder context per batch lives here
-          batch.iterator.map(r => FeatureRow(r.media_id, r.kind, decodeStub(r.media)))
+          batch.iterator.map(r => FeatureRow(r.media_id, r.kind, decodeFeatures(r.media)))
         }
       }
+  }
+
+  /** Media table whose payloads are FULL-PIXEL PNGs (real zlib stream,
+    * real CRCs, filter types cycling 0-4 by row): pixel (x, y) of row id
+    * derives deterministically from (id, x, y), so [[extractFeatures]]
+    * exercises the genuine decode path end to end. */
+  def pixelMediaTable(docs: DataFrame, idCol: String = "doc_id",
+                      width: Int = 24, height: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .map { id =>
+        val bytes = graft.functions.PixelCodecUtil.encodePngPixels(width, height,
+          (x, y) => {
+            val h = scala.util.hashing.MurmurHash3.productHash((id, x, y))
+            h | 0xFF // opaque alpha
+          })
+        (id, bytes)
+      }.toDF("media_id", "media")
   }
 
   /** Metadata-level resize: pure column math (the pixel work happens inside

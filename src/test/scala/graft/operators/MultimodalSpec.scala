@@ -191,6 +191,115 @@ class MultimodalSpec extends SparkSuite {
     assert(fmt.getFrameLength == 250, s"JDK frame length ${fmt.getFrameLength}")
   }
 
+  test("PNG pixel decode is exact: our decoder, our encoder and ImageIO all agree") {
+    import graft.functions.PixelCodecUtil
+    val w = 23; val h = 17 // odd sizes; filters cycle 0-4 across 17 rows
+    def pix(x: Int, y: Int): Int =
+      (scala.util.hashing.MurmurHash3.productHash((x, y, 42)) | 0xFF)
+    val bytes = PixelCodecUtil.encodePngPixels(w, h, pix)
+    // our decoder returns the exact pixels we fed the encoder
+    val ours = PixelCodecUtil.decodePngPixels(bytes)
+    assert(ours != null && ours.length == w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ours(y * w + x) == pix(x, y), s"pixel ($x, $y)")
+    // the JDK's independent PNG decoder agrees pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pix(x, y) // packed RGBA -> ImageIO's packed ARGB
+      val argb = ((p & 0xFF) << 24) | (p >>> 8)
+      assert(img.getRGB(x, y) == argb, s"ImageIO pixel ($x, $y)")
+    }
+    // corrupt zlib stream → null, not garbage pixels
+    val broken = bytes.clone()
+    broken(bytes.length - 20) = (broken(bytes.length - 20) ^ 0x55).toByte
+    // (flip a byte inside IDAT; CRC isn't checked but inflate desyncs or
+    // pixels change — either way decode must not throw)
+    PixelCodecUtil.decodePngPixels(broken) // no exception
+    assert(PixelCodecUtil.decodePngPixels("not a png".getBytes) == null)
+  }
+
+  test("WAV PCM decode is exact both ways: JDK-written audio decodes back; our WAV plays in the JDK") {
+    import graft.functions.{MediaCodecUtil, PixelCodecUtil}
+    import javax.sound.sampled._
+    // direction 1: the JDK writes a 16-bit PCM WAV; our decoder must
+    // recover the exact samples
+    val samples = Array.tabulate(300)(i =>
+      (math.sin(i * 0.1) * 12000).toInt + (i % 7) - 3)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    val decoded = PixelCodecUtil.decodeWavSamples(out.toByteArray)
+    assert(decoded != null && decoded.toSeq == samples.toSeq,
+      "JDK-written PCM must decode value-exactly")
+    // direction 2: our PCM-filled WAV reads back identically through the
+    // JDK's AudioSystem
+    val ours = PixelCodecUtil.encodeWavSamples(16000, 2, 16, samples, pad = 5)
+    assert(PixelCodecUtil.decodeWavSamples(ours).toSeq == samples.toSeq)
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(ours))
+    val jdkBytes = in.readAllBytes()
+    assert(jdkBytes.length == samples.length * 2)
+    samples.indices.foreach { i =>
+      val v = ((jdkBytes(2 * i) & 0xFF) | (jdkBytes(2 * i + 1) << 8)).toShort.toInt
+      assert(v == samples(i), s"sample $i: JDK read $v, wrote ${samples(i)}")
+    }
+    // 8-bit and 24-bit depths round-trip through our own pair
+    val s8 = Array.tabulate(40)(i => i - 20)
+    assert(PixelCodecUtil.decodeWavSamples(
+      PixelCodecUtil.encodeWavSamples(8000, 1, 8, s8)).toSeq == s8.toSeq)
+    val s24 = Array.tabulate(40)(i => i * 100000 - 2000000)
+    assert(PixelCodecUtil.decodeWavSamples(
+      PixelCodecUtil.encodeWavSamples(48000, 1, 24, s24)).toSeq == s24.toSeq)
+    // header-only encodeWav zeroes: 8-bit zero byte decodes to -128
+    val z = PixelCodecUtil.decodeWavSamples(MediaCodecUtil.encodeWav(8000, 1, 8, 4, 0))
+    assert(z.toSeq == Seq(-128, -128, -128, -128))
+  }
+
+  test("feature extraction REALLY decodes PNG pixels and WAV samples (not the stub)") {
+    import graft.functions.PixelCodecUtil
+    // two images identical except one pixel: features must both reflect
+    // real pixel stats (mean channel values in [0,1]) and differ
+    val a = PixelCodecUtil.encodePngPixels(16, 16, (x, y) => (x * 16 + y) << 8 | 0xFF)
+    val b = PixelCodecUtil.encodePngPixels(16, 16,
+      (x, y) => if (x == 3 && y == 3) 0xFFFFFFFF else (x * 16 + y) << 8 | 0xFF)
+    val fa = Multimodal.decodeFeatures(a)
+    val fb = Multimodal.decodeFeatures(b)
+    assert(fa.forall(v => v >= -1.0f && v <= 1.0f), "pixel stats are normalized")
+    assert(fa.toSeq != fb.toSeq, "one-pixel change must move real pixel stats")
+    assert(math.abs(fa.slice(8, 16).sum - 1.0f) < 1e-5, "luminance histogram sums to 1")
+    // silent audio vs a tone: RMS (feature 1) separates them
+    val silent = PixelCodecUtil.encodeWavSamples(8000, 1, 16, Array.fill(100)(0))
+    val tone = PixelCodecUtil.encodeWavSamples(8000, 1, 16,
+      Array.tabulate(100)(i => (math.sin(i * 0.3) * 20000).toInt))
+    val fs = Multimodal.decodeFeatures(silent)
+    val ft = Multimodal.decodeFeatures(tone)
+    assert(fs(1) == 0.0f && ft(1) > 0.3f, s"RMS: silent=${fs(1)} tone=${ft(1)}")
+    assert(ft(3) > 0.5f, "peak amplitude of a near-full-scale tone")
+  }
+
+  test("pixel media table -> feature extraction runs the real PNG decode distributed") {
+    val pixMedia = Multimodal.pixelMediaTable(docs.limit(50))
+      .withColumn("kind", lit("image"))
+      .withColumn("width", lit(24)).withColumn("height", lit(16))
+      .withColumn("duration_ms", lit(0L))
+    val feats = Multimodal.extractFeatures(pixMedia, batchSize = 16).collect()
+    assert(feats.length == 50)
+    // real pixel stats: every feature vector is a valid stat block (means
+    // in [0,1], histogram sums to 1) and distinct ids give distinct stats
+    feats.foreach { f =>
+      assert(f.features.take(8).forall(v => v >= 0f && v <= 1f))
+      assert(math.abs(f.features.drop(8).sum - 1.0f) < 1e-5)
+    }
+    assert(feats.map(_.features.toSeq).distinct.length > 40,
+      "id-derived pixels must yield distinct feature vectors")
+  }
+
   test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
     // the media -> features -> similarity composition a multimodal dedup
     // pipeline runs; a planted byte-identical payload must come back as
