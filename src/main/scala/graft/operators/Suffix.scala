@@ -124,9 +124,18 @@ object Suffix {
     // the active remainder is re-paired, re-ranked and re-checkpointed
     // each round. All frames here are views over already-materialized
     // checkpoints, so the unions below are scans, not recomputation.
-    var resolved = List(round0.filter(col("mult") === 1).select(rankCols: _*))
+    // A round that resolves NOTHING must not cons a frame: each retired
+    // frame is re-scanned by every later round's rank lookup, so on a
+    // dup-saturated corpus (no suffix ever unique) accumulating empty
+    // filters costs O(rounds²) full-frame scans for zero rows — measured
+    // 70 s vs 43 s at the 16× saturated probe before this guard.
+    val st0 = round0.agg(max(col("mult")),
+      sum(when(col("mult") === 1, 1L).otherwise(0L))).head()
+    var resolved =
+      if (st0.getLong(1) > 0L) List(round0.filter(col("mult") === 1).select(rankCols: _*))
+      else Nil
     var active = round0.filter(col("mult") > 1).select(rankCols: _*)
-    var done = round0.agg(max(col("mult"))).head().getLong(0) <= 1L
+    var done = st0.getLong(0) <= 1L
     var span = 4L
     while (span < maxLen && !done) {
       // pair ONLY the active positions with the rank 2*span ahead; the
@@ -158,12 +167,15 @@ object Suffix {
       // one trivial scan decides both exits: no parent with ≥2 subgroups
       // ⇒ FIXED POINT (ranks did not move and no future round can move
       // them — every surviving group is an identical-whole-suffix class);
-      // max(mult) ⇒ whether any ambiguity is left at all
-      val st = upd.agg(max(col("mult")), max(col("__siblings"))).head()
+      // max(mult) ⇒ whether any ambiguity is left at all; the resolved
+      // row count gates the frame cons (see round-0 note)
+      val st = upd.agg(max(col("mult")), max(col("__siblings")),
+        sum(when(col("mult") === 1, 1L).otherwise(0L))).head()
       if (st.getLong(1) <= 1L) {
         done = true // upd ≡ active (no split ⇒ every rank unchanged); drop it
       } else {
-        resolved = upd.filter(col("mult") === 1).select(rankCols: _*) :: resolved
+        if (st.getLong(2) > 0L)
+          resolved = upd.filter(col("mult") === 1).select(rankCols: _*) :: resolved
         active = upd.filter(col("mult") > 1).select(rankCols: _*)
         span *= 2
         done = st.getLong(0) <= 1L

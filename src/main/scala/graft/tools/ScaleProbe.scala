@@ -130,6 +130,25 @@ object ScaleProbe {
         Dedup.resolveClustersStar(Dedup.minhashPairsPortable(docs, bucketCap = 1000)).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // container encode+parse is per-row byte arithmetic inside codegen —
+      // expect pure scan-speed growth
+      run("media_meta", k) {
+        val m = graft.operators.Multimodal.encodedAudioTable(docs)
+        m.select(graft.operators.Multimodal.decodeAudioMeta(col("media")).as("a"))
+          .filter(col("a.sample_rate") > 0).count()
+      }
+      // REAL pixel decode (inflate + unfilter) in the batched feature
+      // stage: per-row cost is width*height, independent of corpus size
+      run("pixel_decode", k) {
+        graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.pixelMediaTable(docs)
+            .withColumn("kind", lit("image"))
+            .withColumn("width", lit(24)).withColumn("height", lit(16))
+            .withColumn("duration_ms", lit(0L))).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
       val open = orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
