@@ -37,8 +37,14 @@ object ProjectLoader {
   final case class ModelDef(id: String, name: String, datasource: String, sql: String,
                             cursor: Option[String], keys: Seq[String],
                             config: Map[String, String])
+  /** `command`/`dir` carry the reference's non-docker package flavor
+    * (types/objects.ts:34-40: `package.type: npm` runs `command` in `dir`
+    * over stdio) — when set, syncs to this connection deliver through the
+    * process-connector protocol ([[graft.sinks.ProcessSink]]) instead of
+    * an in-process profile. */
   final case class ConnectionDef(id: String, kind: String, image: Option[String],
-                                 credentials: Map[String, Any], options: Map[String, Any])
+                                 credentials: Map[String, Any], options: Map[String, Any],
+                                 command: Option[String] = None, dir: Option[String] = None)
   final case class SyncDef(id: String, model: String, destination: String,
                            options: Map[String, Any],
                            enrichments: Seq[EnrichmentRef] = Nil)
@@ -95,11 +101,40 @@ object ProjectLoader {
         case n: Long => n
         case s: String => s.toLong // quoted yaml numbers count too
       }
+      // command connections deliver through the stdio connector protocol
+      // (one process per partition); image/kind connections use the
+      // in-process destination profile
+      val sink: DataFrame => Unit = conn.command match {
+        case Some(cmd) =>
+          val config = processSinkConfig(conn, sync, syncId, fullRefreshEff)
+          df => { graft.sinks.ProcessSink.deliver(df, config); () }
+        case None =>
+          df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () }
+      }
       runner.run(spark, model, syncId,
-        sink = df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () },
+        sink = sink,
         fullRefresh = fullRefreshEff,
         enrich = enrich,
         checkpointEvery = checkpointEvery)
+    }
+
+    /** ProcessSink config for a command connection: stream from the sync's
+      * `stream` option (default = the sync id), credentials/options as the
+      * JSON the connector's zod schemas expect. The command splits on
+      * whitespace (the reference does the same, container.ts:103). */
+    private def processSinkConfig(conn: ConnectionDef, sync: SyncDef,
+                                  syncId: String, fullRefresh: Boolean) = {
+      import org.json4s.jackson.{JsonMethods, Serialization}
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      graft.sinks.ProcessSink.Config(
+        command = conn.command.get.trim.split("\\s+").toSeq,
+        cwd = conn.dir.map(d =>
+          if (Paths.get(d).isAbsolute) d else Paths.get(dir, d).toString),
+        stream = sync.options.get("stream").collect { case s: String => s }.getOrElse(syncId),
+        syncId = syncId,
+        connectionCredentials = Serialization.write(conn.credentials),
+        streamOptions = Serialization.write(sync.options),
+        fullRefresh = fullRefresh)
     }
 
     /** B34: sync DRY-RUN — the full pre-flight a human reads before
@@ -307,17 +342,22 @@ object ProjectLoader {
 
     val connections = filesIn("connections", Seq(".yaml", ".yml")).map { p =>
       val y = Yaml.parse(read(p))
-      val image = y.get("package").collect { case m: Map[_, _] =>
-        m.asInstanceOf[Map[String, Any]].get("image") }.flatten.collect { case s: String => s }
+      val pkg = y.get("package").collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty[String, Any])
+      def pkgStr(k: String): Option[String] = pkg.get(k).collect { case s: String => s }
+      val image = pkgStr("image")
+      val command = pkgStr("command")
       val kind = y.get("kind").collect { case s: String => s }
         .orElse(image.map(kindFromImage))
+        .orElse(command.map(_ => idOf(p))) // command connectors: the file id names the kind
         .getOrElse(throw new IllegalArgumentException(
-          s"connection $p must define package.image or kind"))
+          s"connection $p must define package.image, package.command or kind"))
       ConnectionDef(idOf(p), kind, image,
         y.get("credentials").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
           .getOrElse(Map.empty),
         y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        command = command, dir = pkgStr("dir"))
     }.map(c => c.id -> c).toMap
 
     val syncs = filesIn("syncs", Seq(".yaml", ".yml")).map { p =>
