@@ -589,6 +589,63 @@ object Dedup {
         (col("n_dup_ngrams").cast("double") / col("n_ngrams")).as("dup_coverage"))
   }
 
+  /** C63: exact duplicated-SPAN REMOVAL — the action completing C36/C62's
+    * profiles (the ExactSubstr recipe of suffix-array corpus dedup: a
+    * token span that recurs anywhere in the corpus is cut from every
+    * occurrence EXCEPT one canonical copy; the published treatment keeps
+    * one occurrence per duplicate, Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better").
+    *
+    * Contract (deterministic, engine-replayable):
+    *  - a START is a position whose n-token shingle (portable 31-bit
+    *    hash, [[graft.functions.SignatureFunctions.allShingleHashes]] —
+    *    short docs hash their whole text) occurs >1 time in the corpus;
+    *  - the CANONICAL start of each shingle group is its minimal
+    *    (doc_id, pos); every other occurrence is REDUNDANT;
+    *  - a token is REMOVED iff some redundant start within the previous
+    *    n-1 positions of ITS document covers it; the document is rebuilt
+    *    from surviving tokens in order.
+    *  Overlapping spans cut greedily — a canonical copy overlapped by a
+    *  DIFFERENT redundant span can still lose tokens; that's inherent to
+    *  greedy span removal and identical in any replaying engine.
+    *
+    * Scale design: the only corpus-wide shuffle is the shingle-hash
+    * groupBy (map-side partial min/count); redundant starts are
+    * Zipf-small (duplicated boilerplate), so the start flag join
+    * broadcasts under AQE. Coverage is a per-document window over token
+    * positions (rangeBetween −(n−1)..0 — partition size = one document),
+    * and reassembly is the same output-proportional sort_array rebuild
+    * as the line-dedup family. No pairwise construct anywhere: cost is
+    * O(tokens) + O(redundant starts).
+    *
+    * Output: (doc_id, n_tokens, n_kept, kept_ratio, clean_text);
+    * clean_text is NULL when every token was covered. */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.allShingleHashes
+    val toks = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("hs", allShingleHashes(col("t"), n))
+    val starts = toks.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    // composite (doc, pos) key makes min() the lexicographic canonical;
+    // positions are < 1e9 by construction (a single document's tokens)
+    val ck = col("id") * lit(1000000000L) + col("pos")
+    val canon = starts.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(ck).as("ck"))
+      .filter(col("cnt") >= 2).select("h", "ck")
+    val redundant = starts.join(canon, "h")
+      .filter(ck =!= col("ck")).select(col("id"), col("pos"), lit(1).as("is_start"))
+    val tokens = toks.select(col("id"), posexplode(col("t")).as(Seq("idx", "line")))
+    val wCov = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("idx").cast("long"))
+      .rangeBetween(-(n - 1).toLong, 0L)
+    val flagged = tokens
+      .join(redundant.withColumnRenamed("pos", "idx"), Seq("id", "idx"), "left_outer")
+      .withColumn("covered", max(coalesce(col("is_start"), lit(0))).over(wCov))
+    val kept = flagged.filter(col("covered") === 0).select("id", "idx", "line")
+    rebuildDocs(tokens, kept, idCol)
+      .withColumnRenamed("n_lines", "n_tokens")
+  }
+
   /** C39: cross-document LINE dedup (boilerplate removal, the CCNet /
     * RefinedWeb preprocessing shape): a line whose text occurs in >=
     * `minDocs` DISTINCT documents is boilerplate (headers, footers,

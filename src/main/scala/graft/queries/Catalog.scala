@@ -111,6 +111,7 @@ object Catalog {
     "q88_edit_neardup"      -> rel(TrainingData.q88EditNeardup),
     "q91_inverted_index"    -> rel(TrainingData.q91InvertedIndex),
     "q93_line_dedup"        -> rel(TrainingData.q93LineDedup),
+    "q133_span_removal"     -> rel(TrainingData.q133SpanRemoval),
     "q96_ann_recall"        -> rel(TrainingData.q96AnnRecall),
     "q97_cms_merge"         -> rel(TrainingData.q97CmsMerge),
     "q98_line_dedup_intra"  -> rel(TrainingData.q98LineDedupIntra),

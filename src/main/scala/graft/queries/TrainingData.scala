@@ -53,6 +53,16 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C63: exact duplicated-span REMOVAL (the ExactSubstr cut — the action
+    * on C36/C62's profiles): every corpus-recurring 8-token span is cut
+    * from all but its canonical first occurrence; documents rebuilt from
+    * surviving tokens. clean_text hashes to clean_hash for compact
+    * compare (the full text is the thing being proven). */
+  def q133SpanRemoval(t: Tables): DataFrame =
+    Dedup.removeDuplicateSpans(t.documents, n = 8)
+      .withColumn("clean_hash", md5(col("clean_text"))).drop("clean_text")
+      .orderBy("doc_id")
+
   /** C27: incremental near-dup — every 10th doc plays the "newly
     * ingested" slice, the rest are the already-indexed corpus; the new
     * slice probes the persisted band index without any corpus re-scan. */

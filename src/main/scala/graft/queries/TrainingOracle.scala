@@ -1706,6 +1706,49 @@ object TrainingOracle {
         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
+    // C63: span removal — the exact shingle hashes replayed, canonical =
+    // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
+    // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    "q133_span_removal" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${shingleHashSql("toks", 8)} AS hs FROM tk
+         |), sp AS (
+         |  SELECT doc_id, unnest(range(1, len(hs) + 1)) AS p, hs FROM sh
+         |), st AS (
+         |  SELECT doc_id, p - 1 AS pos, hs[p] AS h FROM sp
+         |), canon AS (
+         |  SELECT h, min(doc_id * 1000000000 + pos) AS ck
+         |  FROM st GROUP BY h HAVING COUNT(*) >= 2
+         |), red AS (
+         |  SELECT st.doc_id, st.pos
+         |  FROM st JOIN canon USING (h)
+         |  WHERE st.doc_id * 1000000000 + st.pos <> canon.ck
+         |), tp AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tk
+         |), tok AS (
+         |  SELECT doc_id, p - 1 AS idx, toks[p] AS line FROM tp
+         |), fl AS (
+         |  SELECT t.doc_id, t.idx, t.line,
+         |    MAX(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY t.doc_id ORDER BY t.idx
+         |            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tok t LEFT JOIN red r ON t.doc_id = r.doc_id AND t.idx = r.pos
+         |), tot AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id
+         |), reb AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         md5(string_agg(line, ' ' ORDER BY idx)) AS clean_hash
+         |  FROM fl WHERE covered = 0 GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_tokens,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / t.n_tokens AS kept_ratio,
+         |  r.clean_hash
+         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     // C45: OOV rate — head vocab (count DESC, term ASC), anti-join counts.
     "q101_oov_rate" ->
       """WITH toks AS (

@@ -324,4 +324,42 @@ class DedupSpec extends SparkSuite {
       .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
     assert(out == Seq(("A", "B", 2L, 3L, 2L, 2.0 / 3, 1.0)))
   }
+
+  test("span removal: redundant occurrences cut, canonical copy survives") {
+    val span = "a b c d e f g h" // exactly n = 8 tokens
+    val docs = Seq(
+      (1L, s"$span x y"),         // canonical occurrence at pos 0
+      (2L, s"p q $span r"),       // redundant occurrence at pos 2
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // all unique: untouched
+      (4L, "s t u"),              // short-doc whole-text dup, canonical
+      (5L, "s t u")               // ... and its redundant copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+
+    // canonical keeps every token; the duplicate loses exactly the span
+    assert(out(0) == (1L, 10L, 10L, 1.0, s"$span x y"))
+    assert(out(1) == (2L, 11L, 3L, 3.0 / 11, "p q r"))
+    assert(out(2)._5 == "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    // short docs hash whole-text: doc 4 canonical, doc 5 fully removed
+    assert(out(3) == (4L, 3L, 3L, 1.0, "s t u"))
+    assert(out(4)._2 == 3L && out(4)._3 == 0L && out(4)._5 == null)
+  }
+
+  test("span removal: overlapping duplicated spans cut greedily, order preserved") {
+    // doc 11 repeats doc 10's opening 9 tokens: two overlapping 8-gram
+    // starts (pos 0 and pos 1) are both redundant in doc 11 — coverage
+    // merges them into one 9-token cut
+    val nine = "k1 k2 k3 k4 k5 k6 k7 k8 k9"
+    val docs = Seq(
+      (10L, s"$nine tail10"),
+      (11L, s"$nine tail11")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(out(0) == (10L, 10L, 10L, 1.0, s"$nine tail10"))
+    assert(out(1) == (11L, 10L, 1L, 0.1, "tail11"))
+  }
 }
