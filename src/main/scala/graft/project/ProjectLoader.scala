@@ -185,6 +185,19 @@ object ProjectLoader {
       }
     }
 
+    /** Model PREVIEW (reference preview.ts:14-22: resolve the model,
+      * create its datasource, run the query, show the first rows): the
+      * model's frame limited to `n` rows — callers render it. The limit
+      * rides into the plan, so a preview never scans past what the source
+      * needs to produce n rows. */
+    def previewModel(spark: SparkSession, modelId: String, n: Int = 10): DataFrame = {
+      val md = models.getOrElse(modelId,
+        throw new IllegalArgumentException(s"Model $modelId not found in $dir"))
+      registerDatasource(spark, md.datasource)
+      Model.fromSql(md.id, md.sql, keyCols = md.keys, cursorCol = md.cursor, env = env)
+        .preview(spark, n)
+    }
+
     private def resolve(syncId: String): (SyncDef, ModelDef, ConnectionDef) = {
       val sync = syncs.getOrElse(syncId,
         throw new IllegalArgumentException(s"unknown sync '$syncId' (have: ${syncs.keys.mkString(", ")})"))
@@ -388,7 +401,7 @@ object ProjectLoader {
   }
 
   /** "syncmaven/facebook:latest" → "facebook-ads" (graft profile family). */
-  private[project] def kindFromImage(image: String): String = {
+  private[graft] def kindFromImage(image: String): String = {
     val base = image.split("/").last.split(":").head
     Map("facebook" -> "facebook-ads", "twitter" -> "twitter-ads")
       .getOrElse(base, base)

@@ -85,7 +85,7 @@ object Yaml {
           out += v
           lines = remaining
         }
-      } else if (item.contains(": ") || item.endsWith(":")) {
+      } else if (!isQuotedScalar(item) && (item.contains(": ") || item.endsWith(":"))) {
         // list item that is a map: re-parse the dash line as the first key
         // at a virtual indent two deeper, followed by the deeper lines
         val virtualIndent = indent + 2
@@ -100,6 +100,13 @@ object Yaml {
     }
     (out.toList, lines)
   }
+
+  /** A whole-line quoted token (`"X-Api-Key: k1"`) is a SCALAR even when
+    * it contains `: ` — without this, the reference http connector's
+    * header lists would misparse as one-entry maps. */
+  private def isQuotedScalar(s: String): Boolean =
+    s.length >= 2 && (s.head == '"' || s.head == '\'') &&
+      s.indexOf(s.head, 1) == s.length - 1
 
   private def unquote(s: String): String =
     if (s.length >= 2 && ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))

@@ -140,6 +140,124 @@ object Destinations {
       throw new IllegalArgumentException(
         s"unknown destination '$kind' (known: ${registry.keys.toSeq.sorted.mkString(",")})"))
 
+  /** One credential property, as a draft-07-ish JSON-schema field: `t` is
+    * the JSON type name ("string" | "integer" | "number" | "boolean" |
+    * "array" | "any"); `enumVals` non-empty pins the accepted values. */
+  final case class CredField(name: String, t: String, required: Boolean,
+                             desc: String = "", enumVals: Seq[String] = Nil)
+
+  /** Per-kind CONNECTION credential schemas, transcribed from the
+    * connectors' own declarations (the reference serves these over the
+    * describe protocol exchange and `add connection` prompts from them,
+    * commands/add.ts:56-97):
+    *  - facebook-ads: accessToken+accountId (facebook-ads/src/index.ts:16-19)
+    *  - twitter-ads: 4 OAuth1 secrets + accountId (twitter-ads/src/index.ts:8-14)
+    *  - hubspot: accessToken (hubspot/src/index.ts:18-20)
+    *  - intercom: accessToken (intercom/src/index.ts:14-16)
+    *  - resend: apiKey (resend/src/index.ts:16-18)
+    *  - mixpanel: projectToken + tuning knobs (mixpanel/credentials.schema.json)
+    *  - google-sheets: service-account key blob (google-sheets/src/index.ts:18-20)
+    *  - file: filePath (file/src/index.ts:6-8)
+    *  - http: url/method/headers/format/body/batchSize/timeout
+    *    (http/src/index.ts:11-38) */
+  val credentialSchemas: Map[String, Seq[CredField]] = Map(
+    "facebook-ads" -> Seq(
+      CredField("accessToken", "string", required = true),
+      CredField("accountId", "string", required = true,
+        desc = "Ad account id; 'act_' prefix optional")),
+    "twitter-ads" -> Seq(
+      CredField("consumerKey", "string", required = true),
+      CredField("consumerSecret", "string", required = true),
+      CredField("accessToken", "string", required = true),
+      CredField("accessTokenSecret", "string", required = true),
+      CredField("accountId", "string", required = true)),
+    "hubspot" -> Seq(
+      CredField("accessToken", "string", required = true, desc = "Hubspot API access token")),
+    "intercom" -> Seq(
+      CredField("accessToken", "string", required = true)),
+    "resend" -> Seq(
+      CredField("apiKey", "string", required = true, desc = "Resend API key")),
+    "mixpanel" -> Seq(
+      CredField("projectToken", "string", required = true),
+      CredField("residency", "string", required = false,
+        desc = "Data residency", enumVals = Seq("EU", "US")),
+      CredField("batchSize", "integer", required = false),
+      CredField("initialSyncDays", "integer", required = false),
+      CredField("lookbackWindow", "integer", required = false)),
+    "google-sheets" -> Seq(
+      CredField("key", "any", required = true, desc = "Service-account key JSON")),
+    "file" -> Seq(
+      CredField("filePath", "string", required = true,
+        desc = "Absolute path of file where to write data")),
+    "http" -> Seq(
+      CredField("url", "string", required = true, desc = "URL of HTTP endpoint"),
+      CredField("method", "string", required = false,
+        enumVals = Seq("GET", "POST", "PUT", "DELETE")),
+      CredField("headers", "array", required = false,
+        desc = "List of headers in format `key: value`"),
+      CredField("format", "string", required = false,
+        enumVals = Seq("ndjson", "json", "array")),
+      CredField("body", "any", required = false, desc = "Request body template"),
+      CredField("batchSize", "number", required = false),
+      CredField("timeout", "number", required = false,
+        desc = "Request timeout in milliseconds")))
+
+  def credentialSchema(kind: String): Seq[CredField] =
+    credentialSchemas.getOrElse(kind,
+      throw new IllegalArgumentException(
+        s"no credential schema for '$kind' (known: ${credentialSchemas.keys.toSeq.sorted.mkString(",")})"))
+
+  /** Validate a parsed credentials object against the kind's schema
+    * (the reference compiles the connector's JSON schema with ajv,
+    * add.ts:72-92). Returns human-readable problems; empty = valid.
+    * Unknown extra keys are rejected — a typo'd optional key silently
+    * ignored is the classic mis-auth footgun. */
+  def validateCredentials(kind: String, creds: Map[String, Any]): Seq[String] = {
+    val schema = credentialSchema(kind)
+    val byName = schema.map(f => f.name -> f).toMap
+    val missing = schema.filter(f => f.required &&
+      !creds.get(f.name).exists(v => v != null && v.toString.nonEmpty))
+      .map(f => s"missing required credential '${f.name}'")
+    val unknown = (creds.keySet -- byName.keySet).toSeq.sorted
+      .map(k => s"unknown credential '$k' (schema has: ${schema.map(_.name).mkString(",")})")
+    val badType = creds.toSeq.flatMap { case (k, v) =>
+      byName.get(k).filter(_ => v != null).flatMap { f =>
+        val ok = f.t match {
+          case "string"  => v.isInstanceOf[String]
+          case "integer" => v.isInstanceOf[Int] || v.isInstanceOf[Long] ||
+            v.isInstanceOf[java.math.BigInteger] || v.isInstanceOf[BigInt]
+          case "number"  => v.isInstanceOf[Int] || v.isInstanceOf[Long] ||
+            v.isInstanceOf[Double] || v.isInstanceOf[java.math.BigDecimal] ||
+            v.isInstanceOf[BigInt] || v.isInstanceOf[java.math.BigInteger]
+          case "boolean" => v.isInstanceOf[Boolean]
+          case "array"   => v.isInstanceOf[Seq[_]] || v.isInstanceOf[List[_]]
+          case _         => true // "any"
+        }
+        val enumOk = f.enumVals.isEmpty || f.enumVals.contains(v.toString)
+        if (!ok) Some(s"credential '$k' must be a ${f.t}, got ${v.getClass.getSimpleName}")
+        else if (!enumOk) Some(s"credential '$k' must be one of ${f.enumVals.mkString("|")}, got '$v'")
+        else None
+      }
+    }
+    missing ++ unknown ++ badType
+  }
+
+  /** The kind's credential schema as draft-07 JSON (the `--json` face of
+    * `destination` — destination.ts:57 prints the connector's schema). */
+  def credentialSchemaJson(kind: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fields = credentialSchema(kind)
+    val props = fields.map { f =>
+      val t = if (f.t == "any") "" else s""""type":"${f.t}""""
+      val en = if (f.enumVals.isEmpty) "" else
+        f.enumVals.map(v => s""""${esc(v)}"""").mkString(""""enum":[""", ",", "]")
+      val d = if (f.desc.isEmpty) "" else s""""description":"${esc(f.desc)}""""
+      s""""${esc(f.name)}":{${Seq(t, en, d).filter(_.nonEmpty).mkString(",")}}"""
+    }.mkString(",")
+    val req = fields.filter(_.required).map(f => s""""${esc(f.name)}"""").mkString(",")
+    s"""{"$$schema":"http://json-schema.org/draft-07/schema#","type":"object","properties":{$props},"required":[$req]}"""
+  }
+
   sealed trait Issue { def column: String; def detail: String }
   final case class MissingRequired(column: String) extends Issue {
     def detail = "required by the stream but absent from the model"

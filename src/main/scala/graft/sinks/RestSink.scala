@@ -31,6 +31,45 @@ object RestSink {
 
   final case class RateLimited(retryAfterMs: Long) extends RuntimeException(s"rate limited, retry after ${retryAfterMs}ms")
 
+  /** Production HTTP transport over the JDK 11+ client (no extra
+    * dependency; instances serialize to executors, the client itself is
+    * rebuilt lazily per-JVM). Batches post as a JSON array. HTTP 429
+    * converts to [[RateLimited]] honoring `Retry-After` seconds — the
+    * push loop then delays and retries, the same reactive pacing the
+    * reference connectors implement per-request (e.g.
+    * connectors/intercom/src/index.ts:330's retry-after handling); any
+    * other non-2xx is a failed batch for the error threshold. */
+  final case class HttpTransport(url: String,
+                                 headers: Map[String, String] = Map.empty,
+                                 method: String = "POST",
+                                 timeoutMs: Long = 10000L) extends Transport {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+    def send(batch: Seq[Map[String, Any]]): Unit = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val body = org.json4s.jackson.Serialization.write(batch.map(_.toMap))
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(
+        b.method(method, java.net.http.HttpRequest.BodyPublishers
+          .ofString(body, java.nio.charset.StandardCharsets.UTF_8)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 429 =>
+          val retryMs = resp.headers().firstValue("Retry-After")
+            .map[Long](s => s.trim.toLong * 1000L).orElse(1000L)
+          throw RateLimited(retryMs)
+        case c if c >= 300 =>
+          throw new RuntimeException(s"HTTP $c from $url: ${resp.body().take(200)}")
+        case _ => ()
+      }
+    }
+  }
+
   final case class Config(
       batchSize: Int = 1000,
       maxRetries: Int = 3,
