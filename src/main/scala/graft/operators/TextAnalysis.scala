@@ -309,6 +309,67 @@ object TextAnalysis {
     * both token counts (corpus + target) ride the SAME map-side-partial
     * pass — the target side is a conditional count, not a second scan;
     * AQE broadcasts the vocab join. */
+  /** C64: STUPID-BACKOFF bigram LM score — the n-gram-LM quality filter
+    * of web-corpus curation (CCNet scores documents by a reference-domain
+    * LM and drops the worst tail; Brants et al. 2007 showed the
+    * normalization-free "stupid backoff" ratio works at corpus scale):
+    * train bigram/unigram counts on the `isTrain` slice (the trusted
+    * reference domain), score EVERY document's bigrams by
+    *
+    *   score(w1,w2) = S·cb(w1,w2) div c1(w1)          bigram seen in train
+    *               = 0.4·S·c(w2) div T                 else, w2 seen
+    *               = 0                                  else
+    *
+    * in EXACT integer fixed-point (S = `scale`; the q109 pattern —
+    * associative sums, no float-order hazard, engine-replayable). cb ≤ c1
+    * always, so scores are bounded by S and per-doc sums can't overflow.
+    * Per-doc lm_avg = integer mean over bigrams — a low value means "the
+    * reference LM finds this text improbable": the drop signal.
+    *
+    * Scale (100 TB): the score depends only on the bigram, so it is
+    * computed once per DISTINCT corpus bigram (a Zipf-small frame — the
+    * vocab joins ride AQE broadcasts) and the token stream joins that
+    * scored vocabulary once; train counts are conditional aggregates on
+    * the same passes, not a second scan. One explode + one stream join +
+    * one per-doc aggregate. */
+  def lmScore(docs: DataFrame, isTrain: Column, scale: Long = 1000000000L,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val base = docs.select(col(idCol), isTrain.as("__t"),
+      tk.as("__tk"), size(tk).cast("long").as("__n"))
+    // doc bigram stream: codegen'd slice+zip (single-token docs drop out)
+    val zipped = arrays_zip(slice(col("__tk"), lit(1), (col("__n") - 1).cast("int")),
+                            slice(col("__tk"), lit(2), (col("__n") - 1).cast("int")))
+    val big = base.select(col(idCol), col("__t"), explode(zipped).as("z"))
+      .select(col(idCol), col("__t"),
+        col("z").getField("0").as("w1"), col("z").getField("1").as("w2"))
+    // train statistics: vocab rows carry the conditional train count (0 =
+    // out-of-domain token), total train tokens is a 1-row broadcast
+    val uni = base.select(col("__t"), explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(when(col("__t"), 1)).as("c"))
+    val total = base.filter(col("__t")).agg(sum("__n").as("total"))
+    val bi = big.filter(col("__t")).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val scored = big.select("w1", "w2").distinct()
+      .join(bi, Seq("w1", "w2"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left_outer")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        when(coalesce(col("cb"), lit(0L)) > 0, expr(s"(${scale}L * cb) div c1"))
+          .when(coalesce(col("c2"), lit(0L)) > 0,
+            expr(s"(4 * ${scale}L * c2) div (10 * total)"))
+          .otherwise(lit(0L)).as("score"))
+    val perDoc = big.join(scored, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("score").as("lm_sum"))
+    base.select(col(idCol), col("__n").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_sum"), lit(0L)).as("lm_sum"),
+        when(col("n_bigrams") > 0, expr("lm_sum div n_bigrams")).as("lm_avg"))
+  }
+
   def importanceWeights(docs: DataFrame, isTarget: Column, scale: Long = 1000000L,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), isTarget.as("__t"),

@@ -122,6 +122,7 @@ object Catalog {
     "q106_bpe_pairs"         -> rel(TrainingData.q106BpePairs),
     "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
     "q109_importance"        -> rel(TrainingData.q109Importance),
+    "q134_lm_score"          -> rel(TrainingData.q134LmScore),
     "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
     "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
     "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),

@@ -523,6 +523,13 @@ object TrainingData {
   def q107KmeansStep(t: Tables): DataFrame =
     Similarity.kmeansStep(t.embeddings, nlist = 16).orderBy("cell", "dim")
 
+  /** C64: stupid-backoff bigram LM scoring — English documents play the
+    * trusted reference domain; every document scored by how probable the
+    * reference LM finds its bigrams, exact integer fixed-point. */
+  def q134LmScore(t: Tables): DataFrame =
+    TextAnalysis.lmScore(t.documents, isTrain = col("lang") === "en")
+      .orderBy("doc_id")
+
   /** C50: DSIR-shape importance weights — English documents play the
     * target domain; integer-exact smoothed frequency ratios, averaged
     * per doc. */

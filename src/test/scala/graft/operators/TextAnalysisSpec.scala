@@ -265,6 +265,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Seq(("a", "b", 3L), ("b", "c", 2L), ("b", "a", 1L)))
   }
 
+  test("lmScore: stupid-backoff fixed-point matches hand-computed train counts") {
+    import spark.implicits._
+    // train slice (en): c(a)=3, c(b)=3, c(c)=1, T=7;
+    // train bigrams: cb(a,b)=3, cb(b,a)=1, cb(b,c)=1; S=1e9
+    val docs = Seq(
+      (1L, "a b a b", "en"),
+      (2L, "a b c", "en"),
+      (3L, "b a x", "xx"), // (a,x) unseen, c(x)=0 → score 0
+      (4L, "q", "xx"),     // single token: no bigrams, lm_avg null
+      (5L, "c c", "xx")    // (c,c) unseen, backoff on c(c)=1
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmScore(docs, isTrain = col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    val sAB = 1000000000L            // 3S div 3
+    val sBA = 1000000000L / 3        // S div 3 = 333333333
+    val sBC = 1000000000L / 3
+    val sCC = 4000000000L * 1 / 70   // 0.4·S·c(c) div T = 57142857
+    assert(out(0) == (1L, 4L, 3L, sAB + sBA + sAB, Some((sAB + sBA + sAB) / 3)))
+    assert(out(1) == (2L, 3L, 2L, sAB + sBC, Some((sAB + sBC) / 2)))
+    assert(out(2) == (3L, 3L, 2L, sBA + 0L, Some(sBA / 2)))
+    assert(out(3) == (4L, 1L, 0L, 0L, None))
+    assert(out(4) == (5L, 2L, 1L, sCC, Some(sCC)))
+  }
+
   test("bpePairCounts plan: no window, no lambda, pair agg is partial, top-k is TakeOrdered") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = TextAnalysis.bpePairCounts(docs, topK = 5)
