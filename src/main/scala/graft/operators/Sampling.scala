@@ -190,6 +190,54 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame =
     reservoirPerStratum(df, groupCol, idCol, cap).drop("sample_rank")
 
+  /** C66: PRIORITY sampling (Duffield–Lund–Thorup 2007) — WEIGHTED
+    * sampling without replacement per stratum, the principled version of
+    * "keep k docs but prefer the heavy/high-quality ones": each row gets
+    * priority q_i = w_i / u_i with u_i uniform in (0,1], the k highest
+    * priorities are the sample, and the (k+1)-th priority τ makes the
+    * sample UNBIASED for weighted totals via the Horvitz–Thompson weight
+    * ŵ_i = max(w_i, τ) (Σ ŵ over the sample estimates Σ w over the
+    * stratum with minimal variance among k-sample schemes — the estimator
+    * a downstream mixture/token accountant needs when it only sees the
+    * sample). u_i = (stable 60-bit md5 rank + 1) / 2^60, so membership is
+    * deterministic, survives reruns/appends, and any engine replays it;
+    * q_i is ONE IEEE division of exact integers — bit-identical
+    * cross-engine, ties broken by id.
+    *
+    * Scale design: same salted TWO-PHASE top-k as [[reservoirPerStratum]]
+    * (phase 1 keeps k+1 per (stratum, lane) — a stratum-wide top-(k+1)
+    * row is also in its own lane's top-(k+1) — phase 2 re-ranks the
+    * ≤ salts·(k+1) survivors), so no stratum ever funnels through one
+    * window task. τ rides the same bounded survivor frame; rows in
+    * strata with ≤ k rows keep ŵ_i = w_i (τ undefined → no clamping). */
+  def prioritySample(df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+                     k: Int, salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0)
+    val u = rankHash(col(idCol)) + lit(1L) // 1 .. 2^60: never zero
+    val lane = pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("#lane"))), 1, 15),
+      16, 10).cast("long"), lit(salts.toLong))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__lane"))
+      .orderBy(col("__q").desc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__q").desc, col(idCol).asc)
+    val survivors = df
+      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__q", col("__w").cast("double") / (u.cast("double") / lit(math.pow(2.0, 60))))
+      .withColumn("__lane", lane)
+      .withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= k + 1)
+      .withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .filter(col("sample_rank") <= k + 1)
+    // τ = the (k+1)-th priority; strata smaller than k+1 rows have none
+    val tau = survivors.filter(col("sample_rank") === k + 1)
+      .select(col(stratumCol), col("__q").as("tau"))
+    survivors.filter(col("sample_rank") <= k)
+      .join(broadcast(tau), Seq(stratumCol), "left_outer")
+      .select(col(stratumCol), col(idCol), col("__w").as("weight"), col("sample_rank"),
+        col("tau"), greatest(col("__w").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("ht_weight"))
+  }
+
   /** C46: token-budget SELECTION — greedily take rows in (priority DESC,
     * id ASC) order until the weight budget is exhausted: a row is kept
     * iff the exact sum of weights of all strictly-better rows is still

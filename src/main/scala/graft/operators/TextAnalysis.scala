@@ -370,6 +370,78 @@ object TextAnalysis {
         when(col("n_bigrams") > 0, expr("lm_sum div n_bigrams")).as("lm_avg"))
   }
 
+  /** C65: MODEL-BASED quality classifier — the trained-filter gate of a
+    * modern curation pipeline (FineWeb-Edu / LLaMA-style: train a small
+    * classifier on a labeled slice, score the whole corpus, keep the
+    * high scorers). Features are `dims` hashed 0/1 token-bucket
+    * indicators plus a bias (the fastText-bag shape, hashed so the
+    * feature space is fixed-width no matter the vocabulary); the model is
+    * a linear scorer trained by FULL-BATCH least-mean-squares gradient
+    * descent:
+    *
+    *   w ← w + Σ_i (y_i·S − w·x_i)·x_i  div  (etaDen·N)
+    *
+    * in EXACT integer fixed-point (S = `scale`, learning rate 1/etaDen).
+    * A batch gradient is an ASSOCIATIVE sum — partition-order-proof,
+    * map-side-combinable — which is why this trains distributively where
+    * per-row SGD (order-dependent) cannot; every engine replays the whole
+    * training trajectory integer-for-integer, so q136's oracle verifies
+    * TRAINING, not just scoring. Scores are fixed-point probabilities-ish
+    * in [~0, ~S]; `predicted` thresholds at S/2.
+    *
+    * Scale (100 TB): the feature frame is (doc, bucket) pairs — built by
+    * one explode + distinct, persisted once and scanned `iters+1` times
+    * (iters is 4; a 5-scan training pass over a persisted id+byte-wide
+    * frame, not the corpus text). Per-iteration driver state is the
+    * gradient — dims+1 integers — the same bounded-metadata contract as
+    * the k-means codebook; gradient sums ride decimal(38,0) so no row
+    * count can overflow them. Scoring is element_at on a broadcast
+    * literal weight array: per-row arithmetic, no join. */
+  def qualityClassifier(docs: DataFrame, isPositive: Column, dims: Int = 16,
+                        iters: Int = 4, scale: Long = 1000000L, etaDen: Long = 4L,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dims > 0 && iters >= 0 && scale > 0 && etaDen > 0)
+    val base = docs.select(col(idCol), isPositive.cast("boolean").as("__y"),
+      tokens(col(textCol)).as("__tk"))
+    val tokenFeats = base.select(col(idCol), explode(col("__tk")).as("__tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"),
+          lit(dims.toLong)).as("b"))
+      .distinct()
+    val feats = tokenFeats
+      .unionByName(base.select(col(idCol), lit(dims.toLong).as("b"))) // bias row per doc
+      .persist()
+    val yF = base.select(col(idCol),
+      when(col("__y"), lit(scale)).otherwise(lit(0L)).as("__ys"))
+    val n = yF.count() // ONE bounded scalar; the denominator of every update
+    def predCol(w: Array[Long]): Column =
+      element_at(array(w.map(lit).toIndexedSeq: _*), (col("b") + 1).cast("int"))
+    var w = Array.fill(dims + 1)(0L)
+    for (_ <- 0 until iters) {
+      val pred = feats.withColumn("__wv", predCol(w))
+        .groupBy(idCol).agg(sum("__wv").as("__pred"))
+      val resid = yF.join(pred, Seq(idCol))
+        .select(col(idCol), (col("__ys") - col("__pred")).as("__r"))
+      val grad = feats.join(resid, Seq(idCol))
+        .groupBy("b").agg(sum(col("__r").cast("decimal(38,0)")).as("__g"))
+        .collect()
+      val next = w.clone()
+      grad.foreach { r =>
+        val b = r.getLong(0).toInt
+        val g = BigInt(r.getDecimal(1).toBigInteger)
+        next(b) = next(b) + (g / BigInt(etaDen * n)).toLong // BigInt /: trunc toward 0
+      }
+      w = next
+    }
+    val scored = feats.withColumn("__wv", predCol(w)).groupBy(col(idCol))
+      .agg((count(lit(1)) - 1).as("n_feats"), sum("__wv").as("score"))
+    val out = base.select(col(idCol), col("__y")).join(scored, Seq(idCol))
+      .select(col(idCol), col("__y").as("label"), col("n_feats"), col("score"),
+        (col("score") * 2 > scale).as("predicted"))
+    feats.unpersist()
+    out
+  }
+
   def importanceWeights(docs: DataFrame, isTarget: Column, scale: Long = 1000000L,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), isTarget.as("__t"),

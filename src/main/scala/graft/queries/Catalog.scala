@@ -101,6 +101,7 @@ object Catalog {
     "q71_repetition"        -> rel(TrainingData.q71Repetition),
     "q67_stratified_sample" -> rel(TrainingData.q67StratifiedSample),
     "q68_reservoir_sample"  -> rel(TrainingData.q68ReservoirSample),
+    "q135_priority_sample"  -> rel(TrainingData.q135PrioritySample),
     "q81_domain_cap"        -> rel(TrainingData.q81DomainCap),
     "q82_canonical_dedup"   -> rel(TrainingData.q82CanonicalDedup),
     "q83_chunking"          -> rel(TrainingData.q83Chunking),

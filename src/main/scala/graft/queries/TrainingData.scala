@@ -439,6 +439,18 @@ object TrainingData {
       .select(col("o_orderstatus"), col("o_orderkey"), col("sample_rank"))
       .orderBy("o_orderstatus", "sample_rank")
 
+  /** C66: PRIORITY sampling — weighted-without-replacement k-per-language
+    * sample (priority w/u over the stable md5 uniform) plus the
+    * Horvitz–Thompson threshold weights that make the sample unbiased for
+    * weighted totals; weight = n_chars + 1 (never zero). The oracle
+    * replays the ONE-phase ranking the two-phase salted selection must
+    * equal, plus τ and ŵ = max(w, τ) exactly. */
+  def q135PrioritySample(t: Tables): DataFrame =
+    Sampling.prioritySample(
+        t.documents.withColumn("w", col("n_chars").cast("long") + lit(1L)),
+        "lang", "doc_id", "w", k = 5)
+      .orderBy("lang", "sample_rank")
+
   /** C19: mergeable quantile sketches, oracled by their accuracy contract
     * (q63's pattern, through a BUILD → persist-shape → MERGE rollup):
     * per-(status, year) sketches union up to status, and the read-out

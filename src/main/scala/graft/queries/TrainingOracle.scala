@@ -1624,6 +1624,31 @@ object TrainingOracle {
         |FROM r WHERE rn <= 100
         |ORDER BY o_orderstatus, sample_rank""".stripMargin,
 
+    // C66: priority sampling — one-phase replay of the salted two-phase
+    // top-(k+1) (same equality argument as q68), then τ = the (k+1)-th
+    // priority and ŵ = max(w, τ). The priority is ONE fixed-order IEEE
+    // expression over exact integers — bit-identical cross-engine.
+    "q135_priority_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
+        |    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS u
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang, doc_id, weight,
+        |    CAST(weight AS DOUBLE) / (CAST(u AS DOUBLE) / 1152921504606846976.0) AS q
+        |  FROM d),
+        |r AS (
+        |  SELECT lang, doc_id, weight, q,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS BIGINT)
+        |      AS sample_rank
+        |  FROM q),
+        |t AS (SELECT lang, q AS tau FROM r WHERE sample_rank = 6)
+        |SELECT r.lang, r.doc_id, r.weight, r.sample_rank, t.tau,
+        |  greatest(CAST(r.weight AS DOUBLE), COALESCE(t.tau, 0.0)) AS ht_weight
+        |FROM r LEFT JOIN t ON r.lang = t.lang
+        |WHERE r.sample_rank <= 5
+        |ORDER BY r.lang, r.sample_rank""".stripMargin,
+
     // C34: domain cap — one-phase replay of the salted two-phase top-k
     // (they are exactly equal; same argument as q68).
     "q81_domain_cap" ->

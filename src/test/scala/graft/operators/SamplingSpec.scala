@@ -63,6 +63,57 @@ class SamplingSpec extends SparkSuite {
       assert(counts(st) == math.min(k.toLong, n), s"$st: ${counts(st)} of expected ${math.min(k.toLong, n)}")
     }
   }
+  test("prioritySample: two-phase selection equals the one-phase ranking, with τ and HT weights") {
+    val k = 9
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("w", col("n_chars").cast("long") + lit(1L))
+    val got = Sampling.prioritySample(docs, "lang", "doc_id", "w", k)
+    val rows = got.select("lang", "doc_id", "weight", "sample_rank", "ht_weight")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    // one-phase spec: rank by q = w / (u / 2^60) DESC, id ASC per stratum
+    val u = Sampling.rankHash(col("doc_id")) + lit(1L)
+    val q = col("w").cast("double") / (u.cast("double") / lit(math.pow(2.0, 60)))
+    val wG = Window.partitionBy("lang").orderBy(q.desc, col("doc_id").asc)
+    val ranked = docs.withColumn("q", q)
+      .withColumn("rn", row_number().over(wG).cast("long"))
+    val tau = ranked.filter(col("rn") === k + 1)
+      .select(col("lang"), col("q").as("tau"))
+    val want = ranked.filter(col("rn") <= k)
+      .join(tau, Seq("lang"), "left_outer")
+      .select(col("lang"), col("doc_id"), col("w"), col("rn"),
+        greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))))
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(rows == want, "salted two-phase priority top-k must equal the global ranking")
+    // every sampled row's priority is >= its stratum's τ, so HT clamping
+    // can only RAISE a weight: ŵ >= w, and ŵ = w wherever w >= τ
+    assert(rows.forall { case (_, _, w, _, ht) => ht >= w.toDouble })
+  }
+
+  test("prioritySample: strata smaller than k keep all rows with ŵ = w") {
+    val docs = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.prioritySample(docs, "lang", "doc_id", "w", k = 5)
+      .select("lang", "doc_id", "weight", "tau", "ht_weight")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getDouble(4)))
+    assert(out.length == 3, "no stratum reaches k+1 rows: everything kept")
+    assert(out.forall(_._4.isEmpty), "τ undefined below k+1 rows")
+    assert(out.forall { case (_, _, w, _, ht) => ht == w.toDouble },
+      "without a threshold the HT weight is the exact weight")
+  }
+
+  test("prioritySample: weighted selection prefers heavy rows") {
+    // one stratum, 200 rows: ids 0..189 weight 1, ids 190..199 weight 10^9.
+    // With priorities w/u, the 10 heavy rows all but surely outrank the
+    // light ones (P[heavy loses to a light row] ~ 1e-9 per pair).
+    val docs = (0L until 200L).map(i => (i, "s", if (i >= 190) 1000000000L else 1L))
+      .toDF("doc_id", "lang", "w")
+    val kept = Sampling.prioritySample(docs, "lang", "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert((190L until 200L).toSet.subsetOf(kept),
+      s"the heavy rows must dominate the sample, got $kept")
+  }
+
   test("mixtureSample: hits target shares by downsampling only, deterministically") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val weights = Map("src0" -> 4, "src1" -> 2)
