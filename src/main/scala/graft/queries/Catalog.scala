@@ -124,6 +124,7 @@ object Catalog {
     "q107_kmeans_step"       -> rel(TrainingData.q107KmeansStep),
     "q109_importance"        -> rel(TrainingData.q109Importance),
     "q134_lm_score"          -> rel(TrainingData.q134LmScore),
+    "q136_quality_classifier" -> rel(TrainingData.q136QualityClassifier),
     "q110_dataset_card"      -> rel(TrainingData.q110DatasetCard),
     "q111_source_overlap"    -> rel(TrainingData.q111SourceOverlap),
     "q114_embedding_profile" -> rel(TrainingData.q114EmbeddingProfile),

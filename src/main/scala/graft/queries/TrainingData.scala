@@ -542,6 +542,15 @@ object TrainingData {
     TextAnalysis.lmScore(t.documents, isTrain = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** C65: model-based quality classifier — English plays the "high
+    * quality" label; 16 hashed token buckets + bias, 4 full-batch LMS
+    * gradient steps in exact integer fixed-point. The oracle replays the
+    * ENTIRE training trajectory (every gradient, every weight) and the
+    * final scores integer-for-integer. */
+  def q136QualityClassifier(t: Tables): DataFrame =
+    TextAnalysis.qualityClassifier(t.documents, isPositive = col("lang") === "en")
+      .orderBy("doc_id")
+
   /** C50: DSIR-shape importance weights — English documents play the
     * target domain; integer-exact smoothed frequency ratios, averaged
     * per doc. */

@@ -2050,6 +2050,50 @@ object TrainingOracle {
         |FROM tk LEFT JOIN s USING (doc_id)
         |ORDER BY tk.doc_id""".stripMargin,
 
+    // C65: the classifier oracle replays TRAINING, not just scoring — all
+    // four full-batch LMS gradient steps staged through MATERIALIZED CTEs
+    // (plain CTE/macro composition inlines textually and explodes at bind
+    // time). DuckDB's `//` floors; the engine's BigInt division truncates
+    // toward zero, hence the sign-split CASE on every update.
+    "q136_quality_classifier" -> {
+      val iters = (1 to 4).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT fe.doc_id, CAST(SUM(w${i - 1}.wv) AS BIGINT) AS pred
+           |  FROM fe JOIN w${i - 1} USING (b) GROUP BY fe.doc_id),
+           |g$i AS MATERIALIZED (
+           |  SELECT fe.b, SUM(base.ys - p$i.pred) AS g
+           |  FROM fe JOIN base USING (doc_id) JOIN p$i USING (doc_id)
+           |  GROUP BY fe.b),
+           |w$i AS MATERIALIZED (
+           |  SELECT w${i - 1}.b, CAST(w${i - 1}.wv + CASE WHEN COALESCE(g$i.g, 0) >= 0
+           |      THEN COALESCE(g$i.g, 0) // (4 * n.n)
+           |      ELSE -((-COALESCE(g$i.g, 0)) // (4 * n.n)) END AS BIGINT) AS wv
+           |  FROM w${i - 1} LEFT JOIN g$i ON w${i - 1}.b = g$i.b CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS ys,
+         |    string_split(text, ' ') AS toks
+         |  FROM documents),
+         |tf AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CONCAT('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 16 AS b
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+         |fe AS MATERIALIZED (
+         |  SELECT doc_id, b FROM tf
+         |  UNION ALL SELECT doc_id, CAST(16 AS BIGINT) AS b FROM base),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wv FROM range(17)),
+         |$iters,
+         |sc AS (
+         |  SELECT fe.doc_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_feats,
+         |         CAST(SUM(w4.wv) AS BIGINT) AS score
+         |  FROM fe JOIN w4 USING (b) GROUP BY fe.doc_id)
+         |SELECT base.doc_id, base.ys = 1000000 AS label, sc.n_feats, sc.score,
+         |  2 * sc.score > 1000000 AS predicted
+         |FROM base JOIN sc USING (doc_id)
+         |ORDER BY base.doc_id""".stripMargin
+    },
+
     "q109_importance" ->
       """WITH toks AS (
         |  SELECT doc_id, lang = 'en' AS t, unnest(string_split(text, ' ')) AS tok

@@ -290,6 +290,77 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4) == (5L, 2L, 1L, sCC, Some(sCC)))
   }
 
+  test("qualityClassifier: distributed LMS training equals the exact integer reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "a dog and a bone", true),
+      (3L, "der hund und die katze", false),
+      (4L, "le chat est sur le tapis", false),
+      (5L, "the quick brown fox", true),
+      (6L, "el perro y el gato", false),
+      (7L, "", true) // empty text: one "" token + bias
+    )
+    val df = docs.map { case (id, t, y) => (id, t, if (y) "en" else "xx") }
+      .toDF("doc_id", "text", "lang")
+    val (dims, iters, scale, etaDen) = (16, 4, 1000000L, 4L)
+    val got = TextAnalysis.qualityClassifier(df, col("lang") === "en",
+        dims, iters, scale, etaDen)
+      .orderBy("doc_id")
+      .select("doc_id", "label", "n_feats", "score", "predicted")
+      .as[(Long, Boolean, Long, Long, Boolean)].collect().toSeq
+
+    // exact in-memory reference of the SAME integer algorithm
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16) % dims).toInt
+    }
+    val feats: Map[Long, Set[Int]] = docs.map { case (id, t, _) =>
+      id -> (t.split(" ", -1).map(bucket).toSet + dims)
+    }.toMap
+    val ys: Map[Long, Long] = docs.map { case (id, _, y) =>
+      id -> (if (y) scale else 0L) }.toMap
+    val n = docs.size.toLong
+    var w = Array.fill(dims + 1)(BigInt(0))
+    for (_ <- 0 until iters) {
+      // NB: iterate the Set, don't `fs.map(w)` — mapping a Set collapses
+      // buckets whose weights happen to be equal before the sum.
+      val resid: Map[Long, BigInt] = feats.map { case (id, fs) =>
+        id -> (BigInt(ys(id)) - fs.toSeq.map(w).sum) }
+      val next = w.clone()
+      (0 to dims).foreach { b =>
+        val g = feats.collect { case (id, fs) if fs(b) => resid(id) }.sum
+        next(b) = next(b) + g / BigInt(etaDen * n)
+      }
+      w = next
+    }
+    val want = docs.map { case (id, t, y) =>
+      val score = feats(id).toSeq.map(w).sum.toLong
+      (id, y, feats(id).size - 1L, score, 2 * score > scale)
+    }
+    assert(got == want, s"trajectory diverged:\n got=$got\nwant=$want")
+  }
+
+  test("qualityClassifier: learns to separate disjoint vocabularies") {
+    import spark.implicits._
+    // 40 docs: positives speak tokens pA/pB, negatives nA/nB — disjoint
+    val df = (0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) "pA pB pA" else "nA nB nA", if (pos) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.qualityClassifier(df, col("lang") === "en")
+      .select("label", "score").as[(Boolean, Long)].collect()
+    val posMin = out.filter(_._1).map(_._2).min
+    val negMax = out.filterNot(_._1).map(_._2).max
+    assert(posMin > negMax,
+      s"positive scores must strictly dominate: posMin=$posMin negMax=$negMax")
+    // determinism: batch gradients are associative sums — rerun is identical
+    val again = TextAnalysis.qualityClassifier(df, col("lang") === "en")
+      .select("label", "score").as[(Boolean, Long)].collect()
+    assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
   test("bpePairCounts plan: no window, no lambda, pair agg is partial, top-k is TakeOrdered") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = TextAnalysis.bpePairCounts(docs, topK = 5)
