@@ -389,14 +389,21 @@ object TextAnalysis {
     * TRAINING, not just scoring. Scores are fixed-point probabilities-ish
     * in [~0, ~S]; `predicted` thresholds at S/2.
     *
-    * Scale (100 TB): the feature frame is (doc, bucket) pairs — built by
-    * one explode + distinct, persisted once and scanned `iters+1` times
-    * (iters is 4; a 5-scan training pass over a persisted id+byte-wide
-    * frame, not the corpus text). Per-iteration driver state is the
-    * gradient — dims+1 integers — the same bounded-metadata contract as
-    * the k-means codebook; gradient sums ride decimal(38,0) so no row
-    * count can overflow them. Scoring is element_at on a broadcast
-    * literal weight array: per-row arithmetic, no join. */
+    * Scale (100 TB): training is ONE corpus-shaped aggregation, however
+    * many iterations run. The batch gradient is Xᵀy − (XᵀX)·w, and both
+    * moment frames are iteration-INVARIANT: XᵀX is the (dims+1)² bucket
+    * co-occurrence matrix, Xᵀy the per-bucket positive-mass vector. A
+    * single self-join aggregate over the persisted (doc, bucket) frame
+    * (fan-out ≤ per-doc-feature-count per row, ≤ (dims+1)² output keys,
+    * map-side partial; the text is tokenized ONCE) computes every
+    * gradient any trajectory will ever need; the iterations themselves
+    * are exact BigInt arithmetic on the driver over that tiny frame.
+    * Driver state is O(dims²) — the k-means-codebook bounded-metadata
+    * contract, and the reason `dims` is a HASHED-bucket width, not a
+    * vocabulary size. N rides the bias⋈bias diagonal (every doc holds
+    * the bias feature); moment sums ride decimal(38,0) so no row count
+    * can overflow them. Scoring is element_at on a broadcast literal
+    * weight array: per-row arithmetic, no join. */
   def qualityClassifier(docs: DataFrame, isPositive: Column, dims: Int = 16,
                         iters: Int = 4, scale: Long = 1000000L, etaDen: Long = 4L,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -410,30 +417,45 @@ object TextAnalysis {
       .distinct()
     val feats = tokenFeats
       .unionByName(base.select(col(idCol), lit(dims.toLong).as("b"))) // bias row per doc
+      .repartition(col(idCol)) // both self-join sides + scoring reuse this exchange
       .persist()
     val yF = base.select(col(idCol),
       when(col("__y"), lit(scale)).otherwise(lit(0L)).as("__ys"))
-    val n = yF.count() // ONE bounded scalar; the denominator of every update
-    def predCol(w: Array[Long]): Column =
-      element_at(array(w.map(lit).toIndexedSeq: _*), (col("b") + 1).cast("int"))
-    var w = Array.fill(dims + 1)(0L)
-    for (_ <- 0 until iters) {
-      val pred = feats.withColumn("__wv", predCol(w))
-        .groupBy(idCol).agg(sum("__wv").as("__pred"))
-      val resid = yF.join(pred, Seq(idCol))
-        .select(col(idCol), (col("__ys") - col("__pred")).as("__r"))
-      val grad = feats.join(resid, Seq(idCol))
-        .groupBy("b").agg(sum(col("__r").cast("decimal(38,0)")).as("__g"))
-        .collect()
-      val next = w.clone()
-      grad.foreach { r =>
-        val b = r.getLong(0).toInt
-        val g = BigInt(r.getDecimal(1).toBigInteger)
-        next(b) = next(b) + (g / BigInt(etaDen * n)).toLong // BigInt /: trunc toward 0
-      }
-      w = next
+    // One pass: gram(b,b2) = #docs containing both buckets; the diagonal
+    // (b == b2) additionally carries Σ ys over docs containing b — Xᵀy —
+    // and the bias⋈bias cell is N itself.
+    val moments = feats.join(yF, Seq(idCol))
+      .join(feats.select(col(idCol), col("b").as("b2")), Seq(idCol))
+      .groupBy("b", "b2")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+           sum(when(col("b") === col("b2"), col("__ys")).otherwise(lit(0L))
+             .cast("decimal(38,0)")).as("__ysum"))
+      .collect() // ≤ (dims+1)² rows — bounded driver metadata
+    val gram = Array.fill(dims + 1, dims + 1)(BigInt(0))
+    val xty = Array.fill(dims + 1)(BigInt(0))
+    moments.foreach { r =>
+      val (b, b2) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      gram(b)(b2) = BigInt(r.getDecimal(2).toBigInteger)
+      if (b == b2) xty(b) = BigInt(r.getDecimal(3).toBigInteger)
     }
-    val scored = feats.withColumn("__wv", predCol(w)).groupBy(col(idCol))
+    val n = gram(dims)(dims) // bias⋈bias: one pair per document
+    var w = Array.fill(dims + 1)(0L)
+    if (n > BigInt(0)) {
+      val den = BigInt(etaDen) * n
+      for (_ <- 0 until iters) {
+        val next = w.clone()
+        var b = 0
+        while (b <= dims) {
+          val g = xty(b) - (0 to dims).map(b2 => gram(b)(b2) * BigInt(w(b2))).sum
+          next(b) = next(b) + (g / den).toLong // BigInt /: trunc toward 0
+          b += 1
+        }
+        w = next
+      }
+    }
+    val predCol: Column =
+      element_at(array(w.map(lit).toIndexedSeq: _*), (col("b") + 1).cast("int"))
+    val scored = feats.withColumn("__wv", predCol).groupBy(col(idCol))
       .agg((count(lit(1)) - 1).as("n_feats"), sum("__wv").as("score"))
     val out = base.select(col(idCol), col("__y")).join(scored, Seq(idCol))
       .select(col(idCol), col("__y").as("label"), col("n_feats"), col("score"),
