@@ -703,6 +703,49 @@ object Dedup {
     rebuildDocs(ex, kept, idCol)
   }
 
+  /** C67: per-DOMAIN boilerplate line removal — the RELATIVE-threshold
+    * member of the line-dedup family (RefinedWeb / Dolma preprocessing:
+    * a line occurring in >= `ratioPct`% of the documents of ITS OWN
+    * domain is site chrome — nav bars, footers, cookie banners — and is
+    * stripped from every document of that domain). Differs from
+    * [[lineDedup]] (C39) on both axes that matter in production: the
+    * decision is per-GROUP (a phrase ubiquitous on one site but rare
+    * elsewhere is removed only there), and the threshold is a FRACTION
+    * of the group's size, not an absolute count — so it auto-scales from
+    * 10-doc domains to 10M-doc domains. `minDocs` floors the rule for
+    * tiny domains (2 docs ⇒ any shared line is 100%).
+    *
+    * `domains` is one (id, domain) row per document — the corpus'
+    * dimension frame, aggregated to per-domain totals (one tiny frame,
+    * broadcast by AQE).
+    *
+    * Scale design: identical shuffle shape to [[lineDedup]] — the
+    * boilerplate decision moves only (domain, line-hash, id) distinct
+    * triples; the verdict frame holds only lines over the threshold
+    * (Zipf-small) and broadcasts into the anti join; the single wide
+    * shuffle of line TEXT is the output-proportional reassembly. */
+  def domainBoilerplate(lines: DataFrame, domains: DataFrame, ratioPct: Int = 50,
+                        minDocs: Int = 2, idCol: String = "doc_id",
+                        idxCol: String = "line_idx", lineCol: String = "line",
+                        domainCol: String = "source"): DataFrame = {
+    require(ratioPct > 0 && ratioPct <= 100, "ratioPct is a percentage of the domain's docs")
+    require(minDocs >= 2, "minDocs < 2 would let a unique line delete itself")
+    val dom = domains.select(col(idCol).as("id"), col(domainCol).as("g"))
+    val ex = lines.select(col(idCol).as("id"), col(idxCol).cast("long").as("idx"),
+        col(lineCol).as("line"))
+      .withColumn("h", md5(col("line")))
+      .join(dom, Seq("id"))
+    val gTotals = dom.groupBy("g").agg(count(lit(1)).as("gdocs"))
+    val boiler = ex.select("g", "h", "id").distinct()
+      .groupBy("g", "h").agg(count(lit(1)).as("ndocs"))
+      .join(gTotals, Seq("g"))
+      .filter(col("ndocs") >= minDocs &&
+        col("ndocs") * 100 >= col("gdocs") * ratioPct)
+      .select("g", "h")
+    val kept = ex.join(boiler, Seq("g", "h"), "left_anti")
+    rebuildDocs(ex.select("id", "idx", "line"), kept, idCol)
+  }
+
   /** Shared doc-rebuild tail for the line-dedup family: total lines vs
     * surviving lines, order-preserving reassembly (sort_array over
     * (idx, line) structs + GetArrayStructFields — codegen'd, no lambda),

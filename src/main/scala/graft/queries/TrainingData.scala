@@ -53,6 +53,29 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C67: per-DOMAIN boilerplate line removal (relative threshold). The
+    * synthetic corpus has no real site chrome, so the query PLANTS it:
+    * every document gains a domain-wide footer line (present in 100% of
+    * its source's docs — must be stripped) and a per-doc contact line
+    * (unique — must survive), and the operator has to return each
+    * document to original-plus-contact form. Organic cross-doc dup
+    * lines sit far below the 50% threshold, so the per-domain ratio
+    * rule is what the oracle actually verifies. */
+  def q137DomainBoilerplate(t: Tables): DataFrame = {
+    val lines = Chunking.tokenLines(t.documents, width = 8)
+    val planted = lines
+      .unionByName(t.documents.select(col("doc_id"),
+        lit(1000000L).as("line_idx"),
+        concat(lit("footer legal "), col("source")).as("line")))
+      .unionByName(t.documents.select(col("doc_id"),
+        lit(1000001L).as("line_idx"),
+        concat(lit("contact "), col("doc_id").cast("string")).as("line")))
+    Dedup.domainBoilerplate(planted, t.documents.select("doc_id", "source"),
+        ratioPct = 50, minDocs = 2)
+      .withColumn("clean_hash", md5(col("clean_text"))).drop("clean_text")
+      .orderBy("doc_id")
+  }
+
   /** C63: exact duplicated-span REMOVAL (the ExactSubstr cut — the action
     * on C36/C62's profiles): every corpus-recurring 8-token span is cut
     * from all but its canonical first occurrence; documents rebuilt from

@@ -1698,6 +1698,56 @@ object TrainingOracle {
 
     // C39: line dedup — replay segmentation, cross-doc df, anti-join prune,
     // ordered reassembly. Exact: hashes, counts, and one int/int division.
+    // C67: the plant (domain footer in every doc, unique contact line per
+    // doc) plus the per-domain relative threshold: a (domain, line) pair
+    // is boilerplate iff its distinct-doc count clears BOTH the minDocs
+    // floor and ratioPct% of the domain's document total.
+    "q137_domain_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |dd AS (
+        |  SELECT doc_id, toks, n, CAST(ceil(n / 8.0) AS BIGINT) AS nc
+        |  FROM d WHERE n > 0),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, (nc - 1) * 8, 8)) AS start
+        |  FROM dd),
+        |lines AS (
+        |  SELECT doc_id, start // 8 AS line_idx,
+        |    array_to_string(list_slice(toks, start + 1, LEAST(start + 8, n)), ' ') AS line
+        |  FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 AS line_idx, 'footer legal ' || source AS line FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1000001 AS line_idx, 'contact ' || CAST(doc_id AS VARCHAR) AS line FROM d),
+        |ldom AS (
+        |  SELECT l.doc_id, d2.source AS g, l.line_idx, l.line, md5(l.line) AS h
+        |  FROM lines l JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)),
+        |gtot AS (SELECT source AS g, COUNT(*) AS gdocs FROM documents GROUP BY 1),
+        |boiler AS (
+        |  SELECT s.g, s.h
+        |  FROM (SELECT g, h, COUNT(*) AS ndocs
+        |        FROM (SELECT DISTINCT g, h, doc_id FROM ldom) GROUP BY g, h) s
+        |  JOIN gtot USING (g)
+        |  WHERE s.ndocs >= 2 AND s.ndocs * 100 >= gtot.gdocs * 50),
+        |kept AS (
+        |  SELECT ldom.* FROM ldom LEFT JOIN boiler
+        |    ON ldom.g = boiler.g AND ldom.h = boiler.h
+        |  WHERE boiler.h IS NULL),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ldom GROUP BY doc_id),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         md5(string_agg(line, ' ' ORDER BY line_idx)) AS clean_hash
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / t.n_lines AS kept_ratio,
+        |  r.clean_hash
+        |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q93_line_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -248,6 +248,50 @@ class DedupSpec extends SparkSuite {
       (4L, 2L, 2L, "solo repeat solo repeat")))
   }
 
+  test("domain boilerplate strips by per-domain ratio, not corpus count") {
+    // "promo" is in 2/4 of domain A's docs (50% — strips at ratioPct=50) and
+    // in 1/2 of domain B's (50% but via a DIFFERENT doc set); "footer" is in
+    // 4/4 of A. A line shared across domains only counts within each.
+    val lines = Seq(
+      (0L, 0L, "footer"), (0L, 1L, "keep zero"),
+      (1L, 0L, "footer"), (1L, 1L, "promo"),
+      (2L, 0L, "footer"), (2L, 1L, "promo"),
+      (3L, 0L, "footer"),
+      (10L, 0L, "promo"), (10L, 1L, "keep ten"),
+      (11L, 0L, "keep eleven")
+    ).toDF("doc_id", "line_idx", "line")
+    val domains = Seq(0L -> "A", 1L -> "A", 2L -> "A", 3L -> "A",
+      10L -> "B", 11L -> "B").toDF("doc_id", "source")
+    val out = Dedup.domainBoilerplate(lines, domains, ratioPct = 50, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, "keep zero"),
+      (1L, 2L, 0L, null), // footer 100%, promo 50% of A — both stripped
+      (2L, 2L, 0L, null),
+      (3L, 1L, 0L, null),
+      // B: "promo" is in only ONE of B's docs — under minDocs, survives
+      (10L, 2L, 2L, "promo keep ten"),
+      (11L, 1L, 1L, "keep eleven")))
+  }
+
+  test("domain boilerplate: minDocs floor protects two-doc domains at low ratio") {
+    val lines = Seq(
+      (0L, 0L, "shared"), (0L, 1L, "only zero"),
+      (1L, 0L, "shared"),
+      (2L, 0L, "lonely")
+    ).toDF("doc_id", "line_idx", "line")
+    val domains = Seq(0L -> "X", 1L -> "X", 2L -> "Y").toDF("doc_id", "source")
+    // ratioPct=1: "shared" (2/2 of X) strips; "lonely" (1/1 of Y = 100%!) is
+    // saved only by the minDocs floor — the regression this spec pins.
+    val out = Dedup.domainBoilerplate(lines, domains, ratioPct = 1, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 1L, "only zero"), (1L, 0L, null), (2L, 1L, "lonely")))
+  }
+
   test("canonical-by-quality keeps the best-scored cluster member, ties to min id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("doc_id", "cluster_id")
