@@ -464,6 +464,59 @@ object TextAnalysis {
     out
   }
 
+  /** C68: classifier CALIBRATION sweep — the step between training a
+    * quality filter (C65) and deploying it: for each candidate cut
+    * threshold, the confusion counts (tp/fp/fn/tn) and precision /
+    * recall / F1 in exact integer fixed-point, so the operator answers
+    * "which threshold keeps X% precision" deterministically on both
+    * engines. Metrics are `scale`-scaled integer quotients (floor —
+    * every operand is non-negative); cells with an empty denominator
+    * (no predicted positives, no actual positives) are NULL, and F1 is
+    * the integer harmonic mean of the two fixed-point metrics.
+    *
+    * Scale (100 TB): never k passes and never a k× row fan-out. Each
+    * row folds into a BUCKET = #thresholds ≤ its score (a chain of
+    * codegen'd comparisons), one partial aggregate reduces the corpus
+    * to ≤ (k+1) (bucket × label-count) rows, and every threshold's
+    * confusion matrix is a suffix sum over that tiny frame (threshold j
+    * predicts positive exactly when bucket ≥ j) — the shuffle carries
+    * k+1 keys no matter the corpus size. Totals ride a 1-row broadcast
+    * (the established bounded-metadata pattern). */
+  def calibrationSweep(scored: DataFrame, thresholds: Seq[Long],
+                       scale: Long = 1000000L, labelCol: String = "label",
+                       scoreCol: String = "score"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct.size == thresholds.size, "thresholds: sorted, distinct, non-empty")
+    val k = thresholds.size
+    val bucket = thresholds.map(t => when(col(scoreCol) >= t, 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = scored
+      .select(col(labelCol).cast("boolean").as("__l"), bucket.as("__bk"))
+      .groupBy("__bk").agg(
+        count(when(col("__l"), 1)).as("__pos"),
+        count(when(!col("__l"), 1)).as("__neg"))
+    val totals = counts.agg(coalesce(sum("__pos"), lit(0L)).as("__tpos"),
+      coalesce(sum("__neg"), lit(0L)).as("__tneg"))
+    val thr = scored.sparkSession.range(1, k + 1L)
+      .select(col("id").cast("int").as("threshold_idx"))
+      .withColumn("threshold",
+        element_at(array(thresholds.map(lit).toIndexedSeq: _*), col("threshold_idx")))
+    thr.join(counts, col("__bk") >= col("threshold_idx"), "left_outer")
+      .groupBy("threshold_idx", "threshold")
+      .agg(coalesce(sum("__pos"), lit(0L)).as("tp"),
+           coalesce(sum("__neg"), lit(0L)).as("fp"))
+      .crossJoin(broadcast(totals)) // 1-row totals frame
+      .select(col("threshold_idx"), col("threshold"), col("tp"), col("fp"),
+        (col("__tpos") - col("tp")).as("fn"), (col("__tneg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0, expr(s"($scale * tp) div (tp + fp)"))
+          .as("precision_fp"),
+        when(col("__tpos") > 0, expr(s"($scale * tp) div __tpos")).as("recall_fp"))
+      .withColumn("f1_fp",
+        when(col("precision_fp").isNotNull && col("recall_fp").isNotNull &&
+          col("precision_fp") + col("recall_fp") > 0,
+          expr("(2 * precision_fp * recall_fp) div (precision_fp + recall_fp)")))
+  }
+
   def importanceWeights(docs: DataFrame, isTarget: Column, scale: Long = 1000000L,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), isTarget.as("__t"),

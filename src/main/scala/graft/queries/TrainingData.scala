@@ -574,6 +574,15 @@ object TrainingData {
     TextAnalysis.qualityClassifier(t.documents, isPositive = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** C68: calibration sweep over the C65 classifier's scores — 7
+    * thresholds at j·scale/8; confusion counts and fixed-point
+    * precision/recall/F1 per threshold, every integer replayed. */
+  def q138Calibration(t: Tables): DataFrame =
+    TextAnalysis.calibrationSweep(
+        TextAnalysis.qualityClassifier(t.documents, isPositive = col("lang") === "en"),
+        thresholds = (1 to 7).map(_ * 125000L), scale = 1000000L)
+      .orderBy("threshold_idx")
+
   /** C50: DSIR-shape importance weights — English documents play the
     * target domain; integer-exact smoothed frequency ratios, averaged
     * per doc. */

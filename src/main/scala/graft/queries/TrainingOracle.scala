@@ -1062,6 +1062,47 @@ object TrainingOracle {
       |   || repeat('00', 24) || '00000002') AS media_hex
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // C65/C68 shared training replay: the classifier oracle verifies
+  // TRAINING, not just scoring — all four full-batch LMS gradient steps
+  // staged through MATERIALIZED CTEs (plain CTE/macro composition inlines
+  // textually and explodes at bind time). DuckDB's `//` floors; the
+  // engine's BigInt division truncates toward zero, hence the sign-split
+  // CASE on every update. Ends at `sc` = per-doc (n_feats, score).
+  private val classifierTrainCtes: String = {
+    val iters = (1 to 4).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT fe.doc_id, CAST(SUM(w${i - 1}.wv) AS BIGINT) AS pred
+         |  FROM fe JOIN w${i - 1} USING (b) GROUP BY fe.doc_id),
+         |g$i AS MATERIALIZED (
+         |  SELECT fe.b, SUM(base.ys - p$i.pred) AS g
+         |  FROM fe JOIN base USING (doc_id) JOIN p$i USING (doc_id)
+         |  GROUP BY fe.b),
+         |w$i AS MATERIALIZED (
+         |  SELECT w${i - 1}.b, CAST(w${i - 1}.wv + CASE WHEN COALESCE(g$i.g, 0) >= 0
+         |      THEN COALESCE(g$i.g, 0) // (4 * n.n)
+         |      ELSE -((-COALESCE(g$i.g, 0)) // (4 * n.n)) END AS BIGINT) AS wv
+         |  FROM w${i - 1} LEFT JOIN g$i ON w${i - 1}.b = g$i.b CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS ys,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(CONCAT('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 16 AS b
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
+       |fe AS MATERIALIZED (
+       |  SELECT doc_id, b FROM tf
+       |  UNION ALL SELECT doc_id, CAST(16 AS BIGINT) AS b FROM base),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wv FROM range(17)),
+       |$iters,
+       |sc AS (
+       |  SELECT fe.doc_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_feats,
+       |         CAST(SUM(w4.wv) AS BIGINT) AS score
+       |  FROM fe JOIN w4 USING (b) GROUP BY fe.doc_id)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q130_image_meta"      -> imageMetaSql,
     "q131_audio_meta"      -> audioMetaSql,
@@ -2100,49 +2141,43 @@ object TrainingOracle {
         |FROM tk LEFT JOIN s USING (doc_id)
         |ORDER BY tk.doc_id""".stripMargin,
 
-    // C65: the classifier oracle replays TRAINING, not just scoring — all
-    // four full-batch LMS gradient steps staged through MATERIALIZED CTEs
-    // (plain CTE/macro composition inlines textually and explodes at bind
-    // time). DuckDB's `//` floors; the engine's BigInt division truncates
-    // toward zero, hence the sign-split CASE on every update.
-    "q136_quality_classifier" -> {
-      val iters = (1 to 4).map { i =>
-        s"""p$i AS MATERIALIZED (
-           |  SELECT fe.doc_id, CAST(SUM(w${i - 1}.wv) AS BIGINT) AS pred
-           |  FROM fe JOIN w${i - 1} USING (b) GROUP BY fe.doc_id),
-           |g$i AS MATERIALIZED (
-           |  SELECT fe.b, SUM(base.ys - p$i.pred) AS g
-           |  FROM fe JOIN base USING (doc_id) JOIN p$i USING (doc_id)
-           |  GROUP BY fe.b),
-           |w$i AS MATERIALIZED (
-           |  SELECT w${i - 1}.b, CAST(w${i - 1}.wv + CASE WHEN COALESCE(g$i.g, 0) >= 0
-           |      THEN COALESCE(g$i.g, 0) // (4 * n.n)
-           |      ELSE -((-COALESCE(g$i.g, 0)) // (4 * n.n)) END AS BIGINT) AS wv
-           |  FROM w${i - 1} LEFT JOIN g$i ON w${i - 1}.b = g$i.b CROSS JOIN n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS ys,
-         |    string_split(text, ' ') AS toks
-         |  FROM documents),
-         |tf AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id,
-         |    CAST(CONCAT('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 16 AS b
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base)),
-         |fe AS MATERIALIZED (
-         |  SELECT doc_id, b FROM tf
-         |  UNION ALL SELECT doc_id, CAST(16 AS BIGINT) AS b FROM base),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
-         |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wv FROM range(17)),
-         |$iters,
-         |sc AS (
-         |  SELECT fe.doc_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_feats,
-         |         CAST(SUM(w4.wv) AS BIGINT) AS score
-         |  FROM fe JOIN w4 USING (b) GROUP BY fe.doc_id)
+    // C65: scoring read-out over the shared training replay (see
+    // classifierTrainCtes above).
+    "q136_quality_classifier" ->
+      s"""$classifierTrainCtes
          |SELECT base.doc_id, base.ys = 1000000 AS label, sc.n_feats, sc.score,
          |  2 * sc.score > 1000000 AS predicted
          |FROM base JOIN sc USING (doc_id)
-         |ORDER BY base.doc_id""".stripMargin
-    },
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // C68: calibration rides the SAME training replay (the shared CTE
+    // prefix), then sweeps 7 thresholds j·125000: per threshold the
+    // confusion counts and floor-division fixed-point precision/recall/F1
+    // (all operands non-negative, so DuckDB `//` == the engine's div).
+    "q138_calibration" ->
+      s"""$classifierTrainCtes,
+         |lab AS MATERIALIZED (
+         |  SELECT base.doc_id, base.ys = 1000000 AS label, sc.score
+         |  FROM base JOIN sc USING (doc_id)),
+         |thr AS (SELECT CAST(range AS INT) AS threshold_idx,
+         |               CAST(range * 125000 AS BIGINT) AS threshold
+         |        FROM range(1, 8)),
+         |agg AS (
+         |  SELECT t.threshold_idx, t.threshold,
+         |    CAST(SUM(CASE WHEN l.score >= t.threshold AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN l.score >= t.threshold AND NOT l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN l.score < t.threshold AND l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN l.score < t.threshold AND NOT l.label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM thr t CROSS JOIN lab l GROUP BY 1, 2)
+         |SELECT threshold_idx, threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN CAST(1000000 * tp // (tp + fp) AS BIGINT) END AS precision_fp,
+         |  CASE WHEN tp + fn > 0 THEN CAST(1000000 * tp // (tp + fn) AS BIGINT) END AS recall_fp,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+         |         AND (1000000 * tp // (tp + fp)) + (1000000 * tp // (tp + fn)) > 0
+         |    THEN CAST(2 * (1000000 * tp // (tp + fp)) * (1000000 * tp // (tp + fn))
+         |         // ((1000000 * tp // (tp + fp)) + (1000000 * tp // (tp + fn))) AS BIGINT)
+         |  END AS f1_fp
+         |FROM agg ORDER BY threshold_idx""".stripMargin,
 
     "q109_importance" ->
       """WITH toks AS (

@@ -361,6 +361,38 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
   }
 
+  test("calibrationSweep: confusion counts and fixed-point metrics match by hand") {
+    import spark.implicits._
+    // scores: pos {90, 60, 30}, neg {70, 20}; thresholds 25/50/75
+    val scored = Seq((true, 90L), (true, 60L), (true, 30L), (false, 70L), (false, 20L))
+      .toDF("label", "score")
+    val out = TextAnalysis.calibrationSweep(scored, Seq(25L, 50L, 75L), scale = 100L)
+      .orderBy("threshold_idx")
+      .select("threshold_idx", "threshold", "tp", "fp", "fn", "tn",
+        "precision_fp", "recall_fp", "f1_fp")
+      .as[(Int, Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      // t=25: tp=3 fp=1 fn=0 tn=1  p=75 r=100  f1=2*75*100/175=85
+      (1, 25L, 3L, 1L, 0L, 1L, Some(75L), Some(100L), Some(85L)),
+      // t=50: tp=2 fp=1 fn=1 tn=1  p=66 r=66   f1=66
+      (2, 50L, 2L, 1L, 1L, 1L, Some(66L), Some(66L), Some(66L)),
+      // t=75: tp=1 fp=0 fn=2 tn=2  p=100 r=33  f1=2*100*33/133=49
+      (3, 75L, 1L, 0L, 2L, 2L, Some(100L), Some(33L), Some(49L))))
+  }
+
+  test("calibrationSweep: empty denominators go NULL, never divide") {
+    import spark.implicits._
+    val allNeg = Seq((false, 10L), (false, 90L)).toDF("label", "score")
+    val out = TextAnalysis.calibrationSweep(allNeg, Seq(50L, 200L), scale = 100L)
+      .orderBy("threshold_idx")
+      .select("tp", "fp", "precision_fp", "recall_fp", "f1_fp")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, Some(0L), None, None),  // recall undefined: no positives exist
+      (0L, 0L, None, None, None)))     // threshold above every score: no predictions
+  }
+
   test("bpePairCounts plan: no window, no lambda, pair agg is partial, top-k is TakeOrdered") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = TextAnalysis.bpePairCounts(docs, topK = 5)
