@@ -17,11 +17,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); read it as epoch-nanos long so
-    * arithmetic stays exact and cross-engine comparable (DuckDB epoch_ns). */
+  /** events.ts normalized to epoch-NANOS long, whatever the writer chose:
+    * TIMESTAMP(NANOS) files read as long directly (nanosAsLong), and
+    * TIMESTAMP(MICROS) files (NTZ or LTZ logical type) convert via
+    * unix_micros ×1000. All downstream arithmetic (`ts div 1000L` → µs,
+    * `ts div 86400000000000` → days) and the DuckDB oracles' logical
+    * epoch_us()/epoch_ns() stay exact either way. NTZ→LTZ cast uses the
+    * session timezone, which GraftSession pins to UTC. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 }
 
