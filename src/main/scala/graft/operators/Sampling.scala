@@ -279,4 +279,71 @@ object Sampling {
       .filter(col("__before") + col("__pe") < budget)
       .select(col(idCol), col(priorityCol), col("__w").as(weightCol))
   }
+
+  /** C70: token-budget WATER-FILLING mixture planner — the allocation step
+    * of multi-source training-data assembly: give every domain an EQUAL
+    * share of a token budget, except that no domain may repeat beyond its
+    * per-domain epoch cap; capped domains saturate and their unused share
+    * redistributes to the rest (the classic water-filling solution).
+    *
+    * Exact integer semantics, defined by the sorted CLOSED FORM rather
+    * than the iterative redistribution loop (provably identical in exact
+    * arithmetic — `SamplingSpec` pins them against each other): rank
+    * domains by (cap ASC, domain ASC); rank-j saturates iff
+    * `cap_j·(N−j+1) + P_{j−1} < B` (P = cap prefix sum), a prefix-monotone
+    * condition; the water level is `(B − Σ_sat cap) div (N − j*)` with the
+    * `mod` remainder granted +1 token to the first `rem` unsaturated
+    * domains in domain order — so the allocation sums to B exactly and
+    * both engines replay it bit-for-bit.
+    *
+    * Scale (100 TB): the corpus collapses to the DOMAIN frame (bounded by
+    * distinct sources) in one map-side-partial scan; the sort, windows and
+    * solver all run on that tiny frame; totals ride 1-row broadcasts — no
+    * driver collect, no iteration, no corpus-sized shuffle.
+    *
+    * @param capFactor integer epoch-cap multiplier, evaluated against the
+    *        `domain` column (e.g. `lit(2)` for a uniform 2-epoch cap).
+    * @param budgetNumer/budgetDenom budget as a fraction of total corpus
+    *        tokens: B = T·numer div denom.
+    */
+  def budgetWaterfill(docs: DataFrame, domainCol: String = "source",
+                      textCol: String = "text", capFactor: Column,
+                      budgetNumer: Int = 2, budgetDenom: Int = 1): DataFrame = {
+    require(budgetNumer >= 1 && budgetDenom >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+    val byCap = w.orderBy(col("cap").asc, col("domain").asc)
+    val dom = docs
+      .select(col(domainCol).as("domain"),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .groupBy("domain").agg(sum("__nt").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * capFactor.cast("long"))
+    val tot = dom.agg(sum("n_tokens").as("t_tokens"),
+      count(lit(1)).as("n_domains"))
+    val ranked = dom.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"t_tokens * $budgetNumer div $budgetDenom"))
+      .withColumn("rk", row_number().over(byCap).cast("long"))
+      .withColumn("pcap", sum(col("cap"))
+        .over(byCap.rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("sat",
+        col("cap") * (col("n_domains") - col("rk") + 1) +
+          (col("pcap") - col("cap")) < col("budget"))
+    val satAgg = ranked.agg(
+      coalesce(max(when(col("sat"), col("rk"))), lit(0L)).as("jstar"),
+      coalesce(sum(when(col("sat"), col("cap"))), lit(0L)).as("satcap"))
+    ranked.crossJoin(broadcast(satAgg))
+      .withColumn("active_n", col("n_domains") - col("jstar"))
+      .withColumn("level", when(col("active_n") > 0,
+        expr("(budget - satcap) div active_n")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("active_n") > 0,
+        expr("(budget - satcap) % active_n")).otherwise(lit(0L)))
+      .withColumn("saturated", col("rk") <= col("jstar"))
+      .withColumn("rku", row_number()
+        .over(w.partitionBy("saturated").orderBy("domain")).cast("long"))
+      .withColumn("allocation", when(col("saturated"), col("cap"))
+        .otherwise(col("level") +
+          when(col("rku") <= col("rem"), 1L).otherwise(0L)))
+      .withColumn("epochs_fp", expr("allocation * 1000000 div n_tokens"))
+      .select("domain", "n_tokens", "cap", "saturated", "allocation",
+        "epochs_fp")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, Dedup, Sampling, Similarity, Sketches, TextAnalysis, TextOps}
+import graft.operators.{Bpe, Chunking, Dedup, Sampling, Similarity, Sketches, TextAnalysis, TextOps}
 
 /**
  * §2C — training-data pipeline queries over `documents` and `embeddings`.
@@ -786,4 +786,30 @@ object TrainingData {
         col("media_hex"))
       .orderBy("doc_id")
   }
+
+  /** C69 (train): full BPE tokenizer training — 6 iterated merges over the
+    * Zipf-small word-frequency frame (ONE corpus scan total); output is the
+    * learned merge trajectory with integer-exact pair counts, applied-
+    * occurrence counts, and the shrinking corpus token total. The oracle
+    * replays every iteration — pair count, argmax tie-break, greedy
+    * leftmost rewrite — stage by stage. */
+  def q139BpeTrain(t: Tables): DataFrame =
+    Bpe.trajectory(t.spark, Bpe.train(t.documents, merges = 6)).orderBy("step")
+
+  /** C69 (encode): the deploy half — per-document word/char/BPE-token
+    * counts under the 6-merge model trained on the same corpus; one corpus
+    * scan + a broadcast join of the vocab-sized token-count frame. */
+  def q140BpeEncode(t: Tables): DataFrame =
+    Bpe.encodeStats(t.documents, Bpe.train(t.documents, merges = 6))
+      .orderBy("doc_id")
+
+  /** C70: token-budget water-filling mixture planner — a 2×-corpus token
+    * budget split equally across sources, except no source may exceed its
+    * epoch cap (factor 1 + len(source)%3 plays the per-domain config);
+    * capped sources saturate, their surplus redistributes. Closed-form
+    * exact integer solve on the domain frame — see Sampling.budgetWaterfill. */
+  def q141BudgetWaterfill(t: Tables): DataFrame =
+    Sampling.budgetWaterfill(t.documents,
+      capFactor = lit(1) + length(col("domain")) % 3)
+      .orderBy("domain")
 }

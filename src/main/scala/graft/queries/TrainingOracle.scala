@@ -1103,7 +1103,120 @@ object TrainingOracle {
        |  FROM fe JOIN w4 USING (b) GROUP BY fe.doc_id)""".stripMargin
   }
 
+  /** C69: the full BPE training replay — per iteration the pair count
+    * (overlaps included, the q106 convention), the (count DESC, left ASC,
+    * right ASC) argmax, and the greedy leftmost non-overlapping rewrite
+    * via the run-parity window rule, stage-materialized exactly like the
+    * engine's per-iteration localCheckpoint. */
+  private def bpeTrainCtes(merges: Int): String = {
+    val iters = (1 to merges).map { i =>
+      val p = i - 1
+      s"""w$i AS (SELECT word, wfreq, pos, sym,
+         |  LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM f$p),
+         |b$i AS MATERIALIZED (
+         |  SELECT sym AS l, nxt AS r, CAST(SUM(wfreq) AS BIGINT) AS cnt
+         |  FROM w$i WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |x$i AS MATERIALIZED (
+         |  SELECT *, COALESCE(m AND ((pos - run_start) % 2 = 0), FALSE) AS do_merge FROM (
+         |    SELECT *, MIN(CASE WHEN m THEN pos END)
+         |        OVER (PARTITION BY word, run_id) AS run_start FROM (
+         |      SELECT *, SUM(rs) OVER (PARTITION BY word ORDER BY pos) AS run_id FROM (
+         |        SELECT *, CASE WHEN m AND NOT COALESCE(
+         |              LAG(m) OVER (PARTITION BY word ORDER BY pos), FALSE)
+         |            THEN 1 ELSE 0 END AS rs FROM (
+         |          SELECT word, wfreq, pos, sym, nxt,
+         |            (sym = (SELECT l FROM b$i)
+         |             AND COALESCE(nxt = (SELECT r FROM b$i), FALSE)) AS m
+         |          FROM w$i))))),
+         |f$i AS MATERIALIZED (
+         |  SELECT word, wfreq,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym FROM (
+         |    SELECT word, wfreq, pos,
+         |      CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym,
+         |      COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY pos),
+         |               FALSE) AS consumed
+         |    FROM x$i) WHERE NOT consumed),
+         |s$i AS (SELECT CAST($i AS INT) AS step,
+         |  (SELECT l FROM b$i) AS "left", (SELECT r FROM b$i) AS "right",
+         |  (SELECT cnt FROM b$i) AS pair_count,
+         |  CAST(COALESCE((SELECT SUM(wfreq) FROM x$i WHERE do_merge), 0) AS BIGINT)
+         |    AS merged_occurrences,
+         |  CAST((SELECT SUM(wfreq) FROM f$i) AS BIGINT) AS corpus_tokens_after)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY word),
+       |f0 AS MATERIALIZED (
+       |  SELECT word, wfreq, CAST(u.i AS INT) AS pos,
+       |         substr(word, CAST(u.i AS INT), 1) AS sym
+       |  FROM wf, LATERAL unnest(range(1, length(word) + 1)) u(i)),
+       |$iters""".stripMargin
+  }
+
+  private val bpeMerges = 6
+
   val sql: Map[String, String] = Map(
+    "q139_bpe_train" ->
+      (bpeTrainCtes(bpeMerges) + "\n" +
+        (1 to bpeMerges).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n") +
+        "\nORDER BY step"),
+
+    "q140_bpe_encode" ->
+      s"""${bpeTrainCtes(bpeMerges)},
+         |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_tokens
+         |       FROM f$bpeMerges GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |       FROM documents)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(pw.word_tokens) AS BIGINT) AS n_tokens
+         |FROM dw JOIN pw USING (word) WHERE length(dw.word) >= 1
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
+    // C70: water-filling replay — domain frame, (cap ASC, domain ASC)
+    // rank, the prefix-monotone saturation test cap·(N−j+1)+P_{j−1} < B,
+    // then the integer water level with the first-rem +1 remainder rule.
+    "q141_budget_waterfill" ->
+      """WITH dom AS MATERIALIZED (
+        |  SELECT source AS domain,
+        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |dc AS (SELECT domain, n_tokens,
+        |         n_tokens * (1 + (length(domain) % 3)) AS cap FROM dom),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+        |               CAST(COUNT(*) AS BIGINT) AS n_domains FROM dc),
+        |rkd AS (
+        |  SELECT dc.*, n_domains, t_tokens * 2 // 1 AS budget,
+        |    ROW_NUMBER() OVER (ORDER BY cap ASC, domain ASC) AS rk,
+        |    SUM(cap) OVER (ORDER BY cap ASC, domain ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS pcap
+        |  FROM dc CROSS JOIN tot),
+        |sd AS (SELECT *,
+        |         cap * (n_domains - rk + 1) + (pcap - cap) < budget AS sat
+        |       FROM rkd),
+        |sa AS (SELECT COALESCE(MAX(CASE WHEN sat THEN rk END), 0) AS jstar,
+        |              CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT) AS satcap
+        |       FROM sd),
+        |fin AS (
+        |  SELECT sd.*, sa.jstar, sa.satcap,
+        |    n_domains - sa.jstar AS active_n,
+        |    CASE WHEN n_domains - sa.jstar > 0
+        |      THEN (budget - sa.satcap) // (n_domains - sa.jstar) ELSE 0 END AS level,
+        |    CASE WHEN n_domains - sa.jstar > 0
+        |      THEN (budget - sa.satcap) % (n_domains - sa.jstar) ELSE 0 END AS rem,
+        |    rk <= sa.jstar AS saturated,
+        |    ROW_NUMBER() OVER (PARTITION BY rk <= sa.jstar ORDER BY domain) AS rku
+        |  FROM sd CROSS JOIN sa)
+        |SELECT domain, n_tokens, cap, saturated, allocation,
+        |  CAST(allocation * 1000000 // n_tokens AS BIGINT) AS epochs_fp
+        |FROM (
+        |  SELECT *, CAST(CASE WHEN saturated THEN cap
+        |    ELSE level + CASE WHEN rku <= rem THEN 1 ELSE 0 END END AS BIGINT)
+        |    AS allocation
+        |  FROM fin)
+        |ORDER BY domain""".stripMargin,
+
     "q130_image_meta"      -> imageMetaSql,
     "q131_audio_meta"      -> audioMetaSql,
     "q132_video_meta"      -> videoMetaSql,

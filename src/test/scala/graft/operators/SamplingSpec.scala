@@ -230,4 +230,51 @@ class SamplingSpec extends SparkSuite {
       "non-clustered docs keep their hashSplit assignment")
     assert(out.length == 100)
   }
+
+  test("budgetWaterfill: closed form matches iterative water-filling; allocation sums to budget") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Sampling.budgetWaterfill(docs,
+        capFactor = lit(1) + length(col("domain")) % 3)
+      .orderBy("domain")
+      .select("domain", "n_tokens", "cap", "saturated", "allocation")
+      .as[(String, Long, Long, Boolean, Long)].collect().toSeq
+
+    // independent reference: domain frame from first principles
+    val doms = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n")).as[(String, Long)].collect()
+      .map { case (s, n) => (s, n, n * (1 + s.length % 3)) }.sortBy(_._1).toSeq
+    val budget = doms.map(_._2).sum * 2
+
+    // iterative water-filling: repeatedly saturate any active domain whose
+    // cap is below the current equal share (cap·|A| < R), exact integers
+    var active = doms.map(d => d._1 -> d._3).toMap
+    var r = budget
+    var changed = true
+    while (changed) {
+      val over = active.filter { case (_, cap) => cap * active.size < r }
+      changed = over.nonEmpty
+      r -= over.values.sum
+      active = active -- over.keys
+    }
+    val satRef = doms.map(_._1).toSet -- active.keys
+    assert(got.map(g => g._1 -> g._4).toMap ==
+      doms.map(d => d._1 -> satRef(d._1)).toMap,
+      "saturation set must match the iterative fixed point")
+
+    // saturated get cap; unsaturated get level (+1 for the first rem)
+    val level = if (active.nonEmpty) r / active.size else 0L
+    val rem = if (active.nonEmpty) r % active.size else 0L
+    val unsatOrder = got.filterNot(_._4).map(_._1) // already domain-sorted
+    val wantAlloc = got.map { g =>
+      if (g._4) g._1 -> g._3
+      else g._1 -> (level + (if (unsatOrder.indexOf(g._1) < rem) 1L else 0L))
+    }.toMap
+    assert(got.map(g => g._1 -> g._5).toMap == wantAlloc)
+    assert(got.map(_._5).sum == budget, "water-filling must spend the budget exactly")
+    assert(got.forall(g => g._5 <= g._3), "no allocation above its cap")
+    // the closed form must actually exercise both branches on this corpus
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must have both saturated and unsaturated domains")
+  }
 }
