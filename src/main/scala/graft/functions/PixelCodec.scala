@@ -15,9 +15,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
  *  - WAV (RIFF PCM): sample decode — 8-bit unsigned, 16/24-bit
  *    little-endian signed frames out of the `data` chunk located by
  *    the [[MediaCodecUtil.parseWav]] chunk walk.
+ *  - GIF (GIF89a): full LZW pixel decode — variable-width codes, clear
+ *    codes, the KwKwK code==next case, 4096-entry capacity handling,
+ *    global/local palettes; [[encodeGifPixels]] emits genuine LZW
+ *    streams, cross-checked against the JDK's ImageIO GIF reader.
  *
- * JPEG/GIF pixels and MP4 samples still need real codec libraries
- * (DCT/LZW/AV codecs are out of scope in this environment) — those
+ * JPEG pixels and MP4 samples still need real codec libraries
+ * (DCT/AV codecs are out of scope in this environment) — those
  * containers keep the deterministic stand-in, documented in
  * [[graft.operators.Multimodal]].
  *
@@ -269,6 +273,238 @@ object PixelCodecUtil {
         case 24 => ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | (b(o + 2) << 16)) << 8 >> 8
       }
       s += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // GIF (GIF89a): REAL LZW — full variable-width dictionary compression
+  // on encode and a spec-compliant decoder (clear codes, the KwKwK
+  // code==next case, width growth at 2^w, 4096-entry capacity reset).
+  // Palette-indexed pixels; exactness is cross-checked against the JDK's
+  // own ImageIO GIF reader in MultimodalSpec.
+  // ---------------------------------------------------------------------
+
+  /** Encode a GIF89a whose pixel (x, y) carries palette index
+    * `indexOf(x, y) mod palette.length`. One frame, global colour table,
+    * genuine LZW with width growth and capacity clear codes. */
+  def encodeGifPixels(width: Int, height: Int, palette: Array[Int],
+                      indexOf: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    require(palette.nonEmpty && palette.length <= 256, "palette must be 1..256 colours")
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    val tableSize = 1 << bits
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('I'); out.write('F')
+    out.write('8'); out.write('9'); out.write('a')
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1)) // global table, 2^bits entries
+    out.write(0); out.write(0)                       // background index, aspect
+    var c = 0
+    while (c < tableSize) {
+      val rgb = if (c < palette.length) palette(c) else 0
+      out.write((rgb >> 16) & 0xFF); out.write((rgb >> 8) & 0xFF); out.write(rgb & 0xFF)
+      c += 1
+    }
+    out.write(0x2C)                                  // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xFF); out.write((width >> 8) & 0xFF)
+    out.write(height & 0xFF); out.write((height >> 8) & 0xFF)
+    out.write(0)                                     // no local table, sequential
+
+    val minCode = math.max(2, bits)
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var nextCode = eoi + 1
+    var w = minCode + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code << nAcc; nAcc += w
+      while (nAcc >= 8) { data.write(acc & 0xFF); acc >>>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    var prefix = -1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val k = java.lang.Math.floorMod(indexOf(x, y), palette.length)
+        if (prefix < 0) prefix = k
+        else {
+          val key = prefix.toLong << 8 | k
+          val hit = dict.get(key)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            emit(prefix)
+            if (nextCode < 4096) {
+              dict.put(key, nextCode); nextCode += 1
+              // decoder lag: it adds no entry for the first code after a
+              // clear, so its counter runs one behind ours — delay width
+              // growth by one code to stay in lock-step (canonical GIF)
+              if (nextCode == (1 << w) + 1 && w < 12) w += 1
+            } else {
+              emit(clear)
+              dict.clear(); nextCode = eoi + 1; w = minCode + 1
+            }
+            prefix = k
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(eoi)
+    if (nAcc > 0) data.write(acc & 0xFF)
+
+    val bytes = data.toByteArray                     // → 255-byte sub-blocks
+    var o = 0
+    while (o < bytes.length) {
+      val n = math.min(255, bytes.length - o)
+      out.write(n); out.write(bytes, o, n)
+      o += n
+    }
+    out.write(0)                                     // block terminator
+    out.write(0x3B)                                  // trailer
+    out.toByteArray
+  }
+
+  /** Decode the first frame of a GIF87a/89a → packed (r<<24|g<<16|b<<8|a)
+    * pixels row-major (alpha 255 — single-frame opaque path), or null on
+    * any unsupported structure (interlace, missing palette) or corrupt
+    * LZW stream. Extensions are skipped by their sub-block framing. */
+  def decodeGifPixels(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 14) return null
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    val width = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+    val height = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+    if (width <= 0 || height <= 0) return null
+    val flags = b(10) & 0xFF
+    var palette: Array[Int] = null
+    var i = 13
+    if ((flags & 0x80) != 0) {
+      val n = 1 << ((flags & 7) + 1)
+      if (i + 3 * n > b.length) return null
+      palette = Array.tabulate(n)(c =>
+        ((b(i + 3 * c) & 0xFF) << 16) | ((b(i + 3 * c + 1) & 0xFF) << 8) |
+          (b(i + 3 * c + 2) & 0xFF))
+      i += 3 * n
+    }
+    while (i < b.length) {
+      (b(i) & 0xFF) match {
+        case 0x21 =>                                 // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && (b(i) & 0xFF) != 0) i += 1 + (b(i) & 0xFF)
+          i += 1
+        case 0x2C =>                                 // image descriptor
+          if (i + 10 > b.length) return null
+          val iw = (b(i + 5) & 0xFF) | ((b(i + 6) & 0xFF) << 8)
+          val ih = (b(i + 7) & 0xFF) | ((b(i + 8) & 0xFF) << 8)
+          val ifl = b(i + 9) & 0xFF
+          i += 10
+          if ((ifl & 0x40) != 0) return null         // interlaced: unsupported
+          if ((ifl & 0x80) != 0) {                   // local palette wins
+            val n = 1 << ((ifl & 7) + 1)
+            if (i + 3 * n > b.length) return null
+            palette = Array.tabulate(n)(c =>
+              ((b(i + 3 * c) & 0xFF) << 16) | ((b(i + 3 * c + 1) & 0xFF) << 8) |
+                (b(i + 3 * c + 2) & 0xFF))
+            i += 3 * n
+          }
+          if (palette == null || i >= b.length) return null
+          val minCode = b(i) & 0xFF
+          if (minCode < 2 || minCode > 11) return null
+          i += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xFF) != 0) {
+            val n = b(i) & 0xFF
+            if (i + 1 + n > b.length) return null
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+          if (idx == null) return null
+          val out = new Array[Int](iw * ih)
+          var p = 0
+          while (p < out.length) {
+            val rgb = palette(idx(p) % palette.length)
+            out(p) = (((rgb >> 16) & 0xFF) << 24) | (((rgb >> 8) & 0xFF) << 16) |
+              ((rgb & 0xFF) << 8) | 0xFF
+            p += 1
+          }
+          return out
+        case 0x3B => return null                     // trailer before any image
+        case _ => return null                        // desynchronized stream
+      }
+    }
+    null
+  }
+
+  /** GIF-variant LZW decode of `data` into exactly `nPixels` indices
+    * (prefix/suffix dictionary tables, iterative expansion — no
+    * recursion, no per-entry byte copies). */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefixT = new Array[Int](4096)
+    val suffixT = new Array[Int](4096)
+    val stack = new Array[Int](4096)
+    var next = eoi + 1
+    var w = minCode + 1
+    val out = new Array[Int](nPixels)
+    var nOut = 0
+    var acc = 0; var nAcc = 0; var pos = 0
+    var prev = -1
+    def read(): Int = {
+      while (nAcc < w) {
+        if (pos >= data.length) return -1
+        acc |= (data(pos) & 0xFF) << nAcc; nAcc += 8; pos += 1
+      }
+      val code = acc & ((1 << w) - 1)
+      acc >>>= w; nAcc -= w
+      code
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefixT(c)
+      c
+    }
+    while (nOut < nPixels) {
+      val code = read()
+      if (code < 0 || code == eoi) return if (nOut == nPixels) out else null
+      if (code == clear) {
+        next = eoi + 1; w = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return null               // first code must be literal
+        out(nOut) = code; nOut += 1
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= 4096)) return null
+        // expand `code` (KwKwK: code == next expands prev + first(prev))
+        var top = 0
+        var c = if (code == next) { stack(top) = firstOf(prev); top += 1; prev }
+                else code
+        while (c >= clear) { stack(top) = suffixT(c); top += 1; c = prefixT(c) }
+        stack(top) = c; top += 1
+        val first = c
+        while (top > 0) {
+          top -= 1
+          if (nOut < nPixels) { out(nOut) = stack(top); nOut += 1 }
+          else return null                           // more pixels than declared
+        }
+        if (next < 4096) {
+          prefixT(next) = prev; suffixT(next) = first
+          next += 1
+          if (next == (1 << w) && w < 12) w += 1
+        }
+        prev = code
+      }
     }
     out
   }

@@ -67,10 +67,9 @@ object Bpe {
     f.withColumn("nxt", lead(col("sym"), 1).over(byWord))
 
   /** Apply one (left, right) merge greedily (leftmost non-overlapping,
-    * run-parity rule) and return the rewritten frame + the do_merge-
-    * flagged intermediate (for the occurrence count). */
-  private def applyMerge(f: DataFrame, left: String, right: String): (DataFrame, DataFrame) = {
-    val flagged = withNext(f)
+    * run-parity rule) and return the rewritten frame. */
+  private def applyMerge(f: DataFrame, left: String, right: String): DataFrame =
+    withNext(f)
       .withColumn("m", col("sym") === lit(left) &&
         coalesce(col("nxt") === lit(right), lit(false)))
       .withColumn("rs",
@@ -81,7 +80,6 @@ object Bpe {
         min(when(col("m"), col("pos"))).over(Window.partitionBy("word", "run_id")))
       .withColumn("do_merge",
         coalesce(col("m") && (col("pos") - col("run_start")) % 2 === 0, lit(false)))
-    val rewritten = flagged
       .withColumn("consumed",
         coalesce(lag(col("do_merge"), 1).over(byWord), lit(false)))
       .filter(!col("consumed"))
@@ -89,8 +87,6 @@ object Bpe {
         when(col("do_merge"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
       .select(col("word"), col("wfreq"),
         row_number().over(byWord).as("pos"), col("sym2").as("sym"))
-    (rewritten, flagged)
-  }
 
   /** Train `merges` BPE merges over the corpus. Fails loud if the pair
     * supply exhausts before `merges` steps (every word fully merged) —
@@ -109,15 +105,16 @@ object Bpe {
         s"BPE pair supply exhausted at step $step of $merges — lower `merges`")
       val (left, right, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      val (rewritten, flagged) = applyMerge(frame, left, right)
-      val next = rewritten.localCheckpoint()
-      val merged = flagged
-        .agg(coalesce(sum(when(col("do_merge"), col("wfreq"))), lit(0L)))
+      val next = applyMerge(frame, left, right).localCheckpoint()
+      // each applied merge removes exactly one (wfreq-weighted) symbol, so
+      // the occurrence count falls out of the token total — no second
+      // window-chain execution per iteration
+      val after = next.agg(coalesce(sum(col("wfreq")), lit(0L)))
         .collect()(0).getLong(0)
       frame.unpersist()
       frame = next
-      tokens -= merged
-      steps += MergeStep(step, left, right, cnt, merged, tokens)
+      steps += MergeStep(step, left, right, cnt, tokens - after, after)
+      tokens = after
     }
     Model(steps.result(), frame)
   }

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
  * ([[decodeVideoMeta]] box-walks, q132) — all codegen'd Catalyst
  * expressions, all oracle-gated end to end. The PIXEL/SAMPLE stage below
  * the container layer is REAL wherever the JVM suffices: PNG pixels
- * (zlib inflate + full scanline unfiltering) and WAV PCM samples decode
- * for real inside [[extractFeatures]] via
- * [[graft.functions.PixelCodecUtil]], pixel-exactness cross-checked
- * against the JDK's own ImageIO reader. Only JPEG/GIF pixels and MP4
- * samples — formats that genuinely need external codec libraries this
- * environment doesn't ship — keep the deterministic stand-in
+ * (zlib inflate + full scanline unfiltering), GIF pixels (complete LZW
+ * decompression — variable-width codes, clear/KwKwK handling, checked
+ * against ImageIO) and WAV PCM samples decode for real inside
+ * [[extractFeatures]] via [[graft.functions.PixelCodecUtil]],
+ * pixel-exactness cross-checked against the JDK's own readers. Only JPEG
+ * pixels and MP4 samples — formats that genuinely need external codec
+ * libraries this environment doesn't ship — keep the deterministic stand-in
  * (`decodeStub`): a production build swaps ONLY that body for a real
  * decoder (JNI/ffmpeg/etc.) — every surrounding operator, schema and
  * batch shape is unchanged and tested.
@@ -115,10 +116,11 @@ object Multimodal {
   /**
    * STUB — stands in for the real media decoder on formats whose pixel/
    * sample layer needs codec libraries this environment doesn't ship
-   * (JPEG/GIF pixels, MP4 samples). Deterministic: features are a
-   * hash-fold of the payload bytes, so tests are exact. PNG pixels and
-   * WAV PCM samples do NOT hit this — [[decodeFeatures]] decodes those
-   * for real via [[graft.functions.PixelCodecUtil]].
+   * (JPEG pixels, MP4 samples). Deterministic: features are a
+   * hash-fold of the payload bytes, so tests are exact. PNG pixels
+   * (zlib inflate + unfilter), GIF pixels (full LZW) and WAV PCM
+   * samples do NOT hit this — [[decodeFeatures]] decodes those for
+   * real via [[graft.functions.PixelCodecUtil]].
    */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -201,6 +203,8 @@ object Multimodal {
     import graft.functions.{MediaCodecUtil, PixelCodecUtil}
     val px = PixelCodecUtil.decodePngPixels(payload)
     if (px != null) return pixelFeatures(px)
+    val gp = PixelCodecUtil.decodeGifPixels(payload)
+    if (gp != null) return pixelFeatures(gp)
     val sm = PixelCodecUtil.decodeWavSamples(payload)
     if (sm != null) {
       val meta = MediaCodecUtil.parseWav(payload)
@@ -227,21 +231,30 @@ object Multimodal {
       }
   }
 
-  /** Media table whose payloads are FULL-PIXEL PNGs (real zlib stream,
-    * real CRCs, filter types cycling 0-4 by row): pixel (x, y) of row id
-    * derives deterministically from (id, x, y), so [[extractFeatures]]
-    * exercises the genuine decode path end to end. */
+  /** Media table whose payloads are FULL-PIXEL images — even ids get PNGs
+    * (real zlib stream, real CRCs, filter types cycling 0-4 by row), odd
+    * ids get GIF89a (real LZW, id-derived 64-colour palette): pixel (x, y)
+    * of row id derives deterministically from (id, x, y), so
+    * [[extractFeatures]] exercises BOTH genuine decode paths end to end. */
   def pixelMediaTable(docs: DataFrame, idCol: String = "doc_id",
                       width: Int = 24, height: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("media_id")).as[Long]
       .map { id =>
-        val bytes = graft.functions.PixelCodecUtil.encodePngPixels(width, height,
-          (x, y) => {
-            val h = scala.util.hashing.MurmurHash3.productHash((id, x, y))
-            h | 0xFF // opaque alpha
-          })
+        val bytes =
+          if (id % 2 == 0)
+            graft.functions.PixelCodecUtil.encodePngPixels(width, height,
+              (x, y) => {
+                val h = scala.util.hashing.MurmurHash3.productHash((id, x, y))
+                h | 0xFF // opaque alpha
+              })
+          else {
+            val palette = Array.tabulate(64)(c =>
+              scala.util.hashing.MurmurHash3.productHash((id, c)) & 0xFFFFFF)
+            graft.functions.PixelCodecUtil.encodeGifPixels(width, height, palette,
+              (x, y) => scala.util.hashing.MurmurHash3.productHash((id, x, y)))
+          }
         (id, bytes)
       }.toDF("media_id", "media")
   }

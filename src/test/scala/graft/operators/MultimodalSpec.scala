@@ -219,6 +219,67 @@ class MultimodalSpec extends SparkSuite {
     assert(PixelCodecUtil.decodePngPixels("not a png".getBytes) == null)
   }
 
+  test("GIF pixel decode is exact: our LZW decoder, our encoder and ImageIO all agree") {
+    import graft.functions.PixelCodecUtil
+    val w = 23; val h = 17
+    val palette = Array.tabulate(64)(c =>
+      scala.util.hashing.MurmurHash3.productHash((c, 9)) & 0xFFFFFF)
+    def idx(x: Int, y: Int): Int =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((x, y, 7)), palette.length)
+    val bytes = PixelCodecUtil.encodeGifPixels(w, h, palette, idx)
+    // our decoder returns the exact palette colours we fed the encoder
+    val ours = PixelCodecUtil.decodeGifPixels(bytes)
+    assert(ours != null && ours.length == w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = palette(idx(x, y))
+      val want = (((rgb >> 16) & 0xFF) << 24) | (((rgb >> 8) & 0xFF) << 16) |
+        ((rgb & 0xFF) << 8) | 0xFF
+      assert(ours(y * w + x) == want, s"pixel ($x, $y)")
+    }
+    // the JDK's independent GIF decoder agrees pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = palette(idx(x, y))
+      assert((img.getRGB(x, y) & 0xFFFFFF) == rgb, s"ImageIO pixel ($x, $y)")
+    }
+    assert(PixelCodecUtil.decodeGifPixels("not a gif".getBytes) == null)
+  }
+
+  test("GIF LZW survives dictionary growth, capacity clears and run-heavy input") {
+    import graft.functions.PixelCodecUtil
+    // 128x96 noise at 256 colours: >4096 distinct sequences force code
+    // widths through 12 bits and at least one capacity clear
+    val palette = Array.tabulate(256)(c => (c * 0x010307) & 0xFFFFFF)
+    def noise(x: Int, y: Int): Int =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((x, y, 13)), 256)
+    val big = PixelCodecUtil.encodeGifPixels(128, 96, palette, noise)
+    val dec = PixelCodecUtil.decodeGifPixels(big)
+    assert(dec != null && dec.length == 128 * 96)
+    val imgB = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    for (y <- 0 until 96; x <- 0 until 128) {
+      val rgb = palette(noise(x, y))
+      assert((imgB.getRGB(x, y) & 0xFFFFFF) == rgb, s"ImageIO pixel ($x, $y)")
+      val want = (((rgb >> 16) & 0xFF) << 24) | (((rgb >> 8) & 0xFF) << 16) |
+        ((rgb & 0xFF) << 8) | 0xFF
+      assert(dec(y * 128 + x) == want, s"our pixel ($x, $y)")
+    }
+    // long constant runs exercise the KwKwK (code == next) decode path
+    val flat = PixelCodecUtil.encodeGifPixels(64, 8, Array(0xFF0000, 0x00FF00),
+      (_, _) => 0)
+    val fd = PixelCodecUtil.decodeGifPixels(flat)
+    assert(fd != null && fd.forall(_ == 0xFF0000FF))
+    val imgF = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(flat))
+    assert((0 until 8).forall(y => (0 until 64).forall(x =>
+      (imgF.getRGB(x, y) & 0xFFFFFF) == 0xFF0000)))
+    // tiny palettes hit the 2-bit minimum code size rule
+    val tiny = PixelCodecUtil.encodeGifPixels(5, 3, Array(0x123456),
+      (_, _) => 0)
+    assert(PixelCodecUtil.decodeGifPixels(tiny).forall(_ == 0x123456FF))
+  }
+
   test("WAV PCM decode is exact both ways: JDK-written audio decodes back; our WAV plays in the JDK") {
     import graft.functions.{MediaCodecUtil, PixelCodecUtil}
     import javax.sound.sampled._
