@@ -205,6 +205,8 @@ object Multimodal {
     if (px != null) return pixelFeatures(px)
     val gp = PixelCodecUtil.decodeGifPixels(payload)
     if (gp != null) return pixelFeatures(gp)
+    val jp = graft.functions.JpegCodecUtil.decodeJpegPixels(payload)
+    if (jp != null) return pixelFeatures(jp)
     val sm = PixelCodecUtil.decodeWavSamples(payload)
     if (sm != null) {
       val meta = MediaCodecUtil.parseWav(payload)
@@ -231,30 +233,33 @@ object Multimodal {
       }
   }
 
-  /** Media table whose payloads are FULL-PIXEL images — even ids get PNGs
-    * (real zlib stream, real CRCs, filter types cycling 0-4 by row), odd
-    * ids get GIF89a (real LZW, id-derived 64-colour palette): pixel (x, y)
-    * of row id derives deterministically from (id, x, y), so
-    * [[extractFeatures]] exercises BOTH genuine decode paths end to end. */
+  /** Media table whose payloads are FULL-PIXEL images — ids cycle through
+    * PNG (real zlib stream, real CRCs, filter types cycling 0-4 by row),
+    * GIF89a (real LZW, id-derived 64-colour palette) and baseline JPEG
+    * (real DCT + Annex-K Huffman entropy stream): pixel (x, y) of row id
+    * derives deterministically from (id, x, y), so [[extractFeatures]]
+    * exercises ALL THREE genuine decode paths end to end. */
   def pixelMediaTable(docs: DataFrame, idCol: String = "doc_id",
                       width: Int = 24, height: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("media_id")).as[Long]
       .map { id =>
-        val bytes =
-          if (id % 2 == 0)
+        def hash(x: Int, y: Int): Int =
+          scala.util.hashing.MurmurHash3.productHash((id, x, y))
+        val bytes = (id % 3) match {
+          case 0 =>
             graft.functions.PixelCodecUtil.encodePngPixels(width, height,
-              (x, y) => {
-                val h = scala.util.hashing.MurmurHash3.productHash((id, x, y))
-                h | 0xFF // opaque alpha
-              })
-          else {
+              (x, y) => hash(x, y) | 0xFF) // opaque alpha
+          case 1 =>
             val palette = Array.tabulate(64)(c =>
               scala.util.hashing.MurmurHash3.productHash((id, c)) & 0xFFFFFF)
             graft.functions.PixelCodecUtil.encodeGifPixels(width, height, palette,
-              (x, y) => scala.util.hashing.MurmurHash3.productHash((id, x, y)))
-          }
+              (x, y) => hash(x, y))
+          case _ =>
+            graft.functions.JpegCodecUtil.encodeJpegPixels(width, height, 85,
+              (x, y) => hash(x, y) & 0xFFFFFF)
+        }
         (id, bytes)
       }.toDF("media_id", "media")
   }

@@ -346,4 +346,44 @@ object Sampling {
       .select("domain", "n_tokens", "cap", "saturated", "allocation",
         "epochs_fp")
   }
+
+  /** C71: mixture-schedule MATERIALIZATION — turn [[budgetWaterfill]]'s
+    * per-domain token allocation into the per-DOCUMENT repetition plan a
+    * training-data assembly job actually executes: every document of a
+    * domain appears `allocation div dom_tokens` times (full epochs), and
+    * the `allocation mod dom_tokens` remainder is one PARTIAL epoch — the
+    * hash-ordered document prefix whose preceding cumulative token count
+    * is still below the remainder (the C46 token-budget boundary rule, so
+    * the boundary document rounds the remainder UP; deterministic, no RNG).
+    *
+    * Scale (100 TB): the plan side is the C70 solve (domain-frame only);
+    * the schedule side is ONE corpus-frame pass — a per-domain window over
+    * (hash, id) for the prefix sum, then a broadcast join of the
+    * domain-sized plan. No document text moves: only (id, domain, token
+    * count) triples shuffle into the window. */
+  def mixtureSchedule(docs: DataFrame, domainCol: String = "source",
+                      idCol: String = "doc_id", textCol: String = "text",
+                      capFactor: Column,
+                      budgetNumer: Int = 2, budgetDenom: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val plan = budgetWaterfill(docs, domainCol, textCol, capFactor,
+        budgetNumer, budgetDenom)
+      .select(col("domain"), col("n_tokens").as("dom_tokens"), col("allocation"))
+    val byHash = w.partitionBy("domain").orderBy(col("rh").asc, col(idCol).asc)
+    docs
+      .select(col(idCol), col(domainCol).as("domain"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("rh", rankHash(col(idCol)))
+      .join(broadcast(plan), Seq("domain"))
+      .withColumn("epochs_full", expr("allocation div dom_tokens"))
+      .withColumn("rem", expr("allocation % dom_tokens"))
+      .withColumn("before", coalesce(
+        sum(col("n_tokens")).over(
+          byHash.rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("partial", col("before") < col("rem"))
+      .withColumn("n_copies",
+        col("epochs_full") + when(col("partial"), 1L).otherwise(0L))
+      .select(col(idCol), col("domain"), col("n_tokens"),
+        col("epochs_full"), col("partial"), col("n_copies"))
+  }
 }

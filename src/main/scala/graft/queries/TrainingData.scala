@@ -812,4 +812,12 @@ object TrainingData {
     Sampling.budgetWaterfill(t.documents,
       capFactor = lit(1) + length(col("domain")) % 3)
       .orderBy("domain")
+
+  /** C71: the EXECUTION of q141's plan — per-document repetition counts:
+    * full epochs for everyone, plus the hash-ordered partial-epoch prefix
+    * covering the remainder (C46's boundary rule, per domain). */
+  def q142MixtureSchedule(t: Tables): DataFrame =
+    Sampling.mixtureSchedule(t.documents,
+      capFactor = lit(1) + length(col("domain")) % 3)
+      .orderBy("doc_id")
 }

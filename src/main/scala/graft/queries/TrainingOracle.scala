@@ -1157,6 +1157,46 @@ object TrainingOracle {
 
   private val bpeMerges = 6
 
+  /** C70/C71 shared replay: the water-filling solve down to the final
+    * per-domain `alloc(domain, n_tokens, cap, saturated, allocation)`. */
+  private val waterfillCtes: String =
+    """WITH dom AS MATERIALIZED (
+      |  SELECT source AS domain,
+      |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |dc AS (SELECT domain, n_tokens,
+      |         n_tokens * (1 + (length(domain) % 3)) AS cap FROM dom),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+      |               CAST(COUNT(*) AS BIGINT) AS n_domains FROM dc),
+      |rkd AS (
+      |  SELECT dc.*, n_domains, t_tokens * 2 // 1 AS budget,
+      |    ROW_NUMBER() OVER (ORDER BY cap ASC, domain ASC) AS rk,
+      |    SUM(cap) OVER (ORDER BY cap ASC, domain ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS pcap
+      |  FROM dc CROSS JOIN tot),
+      |sd AS (SELECT *,
+      |         cap * (n_domains - rk + 1) + (pcap - cap) < budget AS sat
+      |       FROM rkd),
+      |sa AS (SELECT COALESCE(MAX(CASE WHEN sat THEN rk END), 0) AS jstar,
+      |              CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT) AS satcap
+      |       FROM sd),
+      |fin AS (
+      |  SELECT sd.*, sa.jstar, sa.satcap,
+      |    n_domains - sa.jstar AS active_n,
+      |    CASE WHEN n_domains - sa.jstar > 0
+      |      THEN (budget - sa.satcap) // (n_domains - sa.jstar) ELSE 0 END AS level,
+      |    CASE WHEN n_domains - sa.jstar > 0
+      |      THEN (budget - sa.satcap) % (n_domains - sa.jstar) ELSE 0 END AS rem,
+      |    rk <= sa.jstar AS saturated,
+      |    ROW_NUMBER() OVER (PARTITION BY rk <= sa.jstar ORDER BY domain) AS rku
+      |  FROM sd CROSS JOIN sa),
+      |alloc AS MATERIALIZED (
+      |  SELECT domain, n_tokens, cap, saturated,
+      |    CAST(CASE WHEN saturated THEN cap
+      |      ELSE level + CASE WHEN rku <= rem THEN 1 ELSE 0 END END AS BIGINT)
+      |      AS allocation
+      |  FROM fin)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q139_bpe_train" ->
       (bpeTrainCtes(bpeMerges) + "\n" +
@@ -1178,44 +1218,36 @@ object TrainingOracle {
     // rank, the prefix-monotone saturation test cap·(N−j+1)+P_{j−1} < B,
     // then the integer water level with the first-rem +1 remainder rule.
     "q141_budget_waterfill" ->
-      """WITH dom AS MATERIALIZED (
-        |  SELECT source AS domain,
-        |         CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |dc AS (SELECT domain, n_tokens,
-        |         n_tokens * (1 + (length(domain) % 3)) AS cap FROM dom),
-        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
-        |               CAST(COUNT(*) AS BIGINT) AS n_domains FROM dc),
-        |rkd AS (
-        |  SELECT dc.*, n_domains, t_tokens * 2 // 1 AS budget,
-        |    ROW_NUMBER() OVER (ORDER BY cap ASC, domain ASC) AS rk,
-        |    SUM(cap) OVER (ORDER BY cap ASC, domain ASC
-        |                   ROWS UNBOUNDED PRECEDING) AS pcap
-        |  FROM dc CROSS JOIN tot),
-        |sd AS (SELECT *,
-        |         cap * (n_domains - rk + 1) + (pcap - cap) < budget AS sat
-        |       FROM rkd),
-        |sa AS (SELECT COALESCE(MAX(CASE WHEN sat THEN rk END), 0) AS jstar,
-        |              CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT) AS satcap
-        |       FROM sd),
-        |fin AS (
-        |  SELECT sd.*, sa.jstar, sa.satcap,
-        |    n_domains - sa.jstar AS active_n,
-        |    CASE WHEN n_domains - sa.jstar > 0
-        |      THEN (budget - sa.satcap) // (n_domains - sa.jstar) ELSE 0 END AS level,
-        |    CASE WHEN n_domains - sa.jstar > 0
-        |      THEN (budget - sa.satcap) % (n_domains - sa.jstar) ELSE 0 END AS rem,
-        |    rk <= sa.jstar AS saturated,
-        |    ROW_NUMBER() OVER (PARTITION BY rk <= sa.jstar ORDER BY domain) AS rku
-        |  FROM sd CROSS JOIN sa)
-        |SELECT domain, n_tokens, cap, saturated, allocation,
-        |  CAST(allocation * 1000000 // n_tokens AS BIGINT) AS epochs_fp
-        |FROM (
-        |  SELECT *, CAST(CASE WHEN saturated THEN cap
-        |    ELSE level + CASE WHEN rku <= rem THEN 1 ELSE 0 END END AS BIGINT)
-        |    AS allocation
-        |  FROM fin)
-        |ORDER BY domain""".stripMargin,
+      s"""$waterfillCtes
+         |SELECT domain, n_tokens, cap, saturated, allocation,
+         |  CAST(allocation * 1000000 // n_tokens AS BIGINT) AS epochs_fp
+         |FROM alloc ORDER BY domain""".stripMargin,
+
+    // C71: schedule replay — the C70 allocation becomes per-doc copies:
+    // full epochs + the rankHash-ordered partial-epoch prefix whose
+    // preceding cumulative token count stays below the remainder.
+    "q142_mixture_schedule" ->
+      s"""$waterfillCtes,
+         |pd AS (
+         |  SELECT doc_id, source AS domain,
+         |    CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |         AS BIGINT) AS rh
+         |  FROM documents),
+         |sched AS (
+         |  SELECT pd.doc_id, pd.domain, pd.n_tokens,
+         |    a.allocation // a.dom_tokens AS epochs_full,
+         |    a.allocation % a.dom_tokens AS remt,
+         |    COALESCE(SUM(pd.n_tokens) OVER (
+         |      PARTITION BY pd.domain ORDER BY pd.rh ASC, pd.doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_toks
+         |  FROM pd JOIN (SELECT domain, n_tokens AS dom_tokens, allocation
+         |                FROM alloc) a USING (domain))
+         |SELECT doc_id, domain, n_tokens, CAST(epochs_full AS BIGINT) AS epochs_full,
+         |  prev_toks < remt AS partial,
+         |  CAST(epochs_full + CASE WHEN prev_toks < remt THEN 1 ELSE 0 END
+         |       AS BIGINT) AS n_copies
+         |FROM sched ORDER BY doc_id""".stripMargin,
 
     "q130_image_meta"      -> imageMetaSql,
     "q131_audio_meta"      -> audioMetaSql,

@@ -280,6 +280,86 @@ class MultimodalSpec extends SparkSuite {
     assert(PixelCodecUtil.decodeGifPixels(tiny).forall(_ == 0x123456FF))
   }
 
+  test("JPEG baseline codec: our encode→decode agrees with ImageIO within the T.81 IDCT tolerance") {
+    import graft.functions.JpegCodecUtil
+    val w = 40; val h = 24
+    def pix(x: Int, y: Int): Int = {
+      val r = (x * 255 / (w - 1)) & 0xFF
+      val g = (y * 255 / (h - 1)) & 0xFF
+      val b = ((x + y) * 255 / (w + h - 2)) & 0xFF
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = JpegCodecUtil.encodeJpegPixels(w, h, 85, pix)
+    val ours = JpegCodecUtil.decodeJpegPixels(bytes)
+    assert(ours != null && ours.length == w * h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h,
+      "the JDK's reader must accept our baseline stream")
+    var maxJdk = 0; var maxSrc = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = ours(y * w + x); val j = img.getRGB(x, y); val s = pix(x, y)
+      def chans(rgb24: Int) = Seq((rgb24 >> 16) & 0xFF, (rgb24 >> 8) & 0xFF, rgb24 & 0xFF)
+      val oc = Seq((o >>> 24) & 0xFF, (o >>> 16) & 0xFF, (o >>> 8) & 0xFF)
+      maxJdk = math.max(maxJdk, oc.zip(chans(j & 0xFFFFFF)).map(p => math.abs(p._1 - p._2)).max)
+      maxSrc = math.max(maxSrc, oc.zip(chans(s)).map(p => math.abs(p._1 - p._2)).max)
+    }
+    // T.81 permits small IDCT variance between conformant decoders
+    assert(maxJdk <= 2, s"our decode vs ImageIO: max channel diff $maxJdk")
+    // quality-85 smooth gradient: quantization loss stays small
+    assert(maxSrc <= 8, s"our decode vs source: max channel diff $maxSrc")
+  }
+
+  test("JPEG decoder handles foreign streams: ImageIO-written gray and 4:2:0 color") {
+    import graft.functions.JpegCodecUtil
+    import java.awt.image.BufferedImage
+    val w = 32; val h = 20
+    // grayscale: single component, no chroma upsampling — tight agreement
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) // raster samples: no color management
+      gray.getRaster.setSample(x, y, 0, (x * 8 + y * 3) & 0xFF)
+    val gb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "jpeg", gb)
+    val og = JpegCodecUtil.decodeJpegPixels(gb.toByteArray)
+    val jg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gb.toByteArray))
+    assert(og != null, "must decode a JDK-written grayscale JPEG")
+    val maxG = (for (y <- 0 until h; x <- 0 until w) yield
+      math.abs(((og(y * w + x) >>> 24) & 0xFF) - jg.getRaster.getSample(x, y, 0))).max
+    assert(maxG <= 2, s"gray: max diff vs ImageIO $maxG")
+    // color: the JDK writes 4:2:0; we implement libjpeg's own fancy
+    // (triangle) upsampling with its rounding constants, so agreement is
+    // within IDCT + fixed-point color-conversion variance
+    val col = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      col.setRGB(x, y, ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) | 0x40)
+    val cb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(col, "jpeg", cb)
+    val oc = JpegCodecUtil.decodeJpegPixels(cb.toByteArray)
+    val jc = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cb.toByteArray))
+    assert(oc != null, "must decode a JDK-written 4:2:0 color JPEG")
+    val diffs = for (y <- 0 until h; x <- 0 until w) yield {
+      val o = oc(y * w + x); val j = jc.getRGB(x, y)
+      Seq(math.abs(((o >>> 24) & 0xFF) - ((j >> 16) & 0xFF)),
+        math.abs(((o >>> 16) & 0xFF) - ((j >> 8) & 0xFF)),
+        math.abs(((o >>> 8) & 0xFF) - (j & 0xFF))).max
+    }
+    assert(diffs.max <= 6, s"4:2:0: max diff ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 1.0, s"4:2:0: mean diff ${diffs.sum.toDouble / diffs.size}")
+    // progressive streams are rejected with null, never garbage
+    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val pp = pw.getDefaultWriteParam
+    pp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val pb = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(pb)
+    pw.setOutput(ios)
+    pw.write(null, new javax.imageio.IIOImage(col, null, null), pp)
+    ios.close(); pw.dispose()
+    assert(JpegCodecUtil.decodeJpegPixels(pb.toByteArray) == null,
+      "progressive must be rejected, not misdecoded")
+    // truncation must not throw
+    JpegCodecUtil.decodeJpegPixels(gb.toByteArray.take(gb.size() / 2))
+    assert(JpegCodecUtil.decodeJpegPixels("not a jpeg".getBytes) == null)
+  }
+
   test("WAV PCM decode is exact both ways: JDK-written audio decodes back; our WAV plays in the JDK") {
     import graft.functions.{MediaCodecUtil, PixelCodecUtil}
     import javax.sound.sampled._

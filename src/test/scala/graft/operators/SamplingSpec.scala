@@ -277,4 +277,36 @@ class SamplingSpec extends SparkSuite {
     assert(got.exists(_._4) && got.exists(!_._4),
       "fixture must have both saturated and unsaturated domains")
   }
+
+  test("mixtureSchedule: partial epoch is a hash-ordered prefix that just covers the remainder") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cap = lit(1) + length(col("domain")) % 3
+    val plan = Sampling.budgetWaterfill(docs, capFactor = cap)
+      .select("domain", "n_tokens", "allocation")
+      .as[(String, Long, Long)].collect()
+      .map(p => p._1 -> (p._2, p._3)).toMap
+    val sched = Sampling.mixtureSchedule(docs, capFactor = cap)
+      .withColumn("rh", Sampling.rankHash(col("doc_id")))
+      .select("doc_id", "domain", "n_tokens", "epochs_full", "partial", "n_copies", "rh")
+      .as[(Long, String, Long, Long, Boolean, Long, Long)].collect()
+
+    sched.groupBy(_._2).foreach { case (dom, rows) =>
+      val (domTok, alloc) = plan(dom)
+      assert(rows.map(_._3).sum == domTok, s"$dom: token totals agree with the plan")
+      val rem = alloc % domTok
+      assert(rows.forall(_._4 == alloc / domTok), s"$dom: uniform full epochs")
+      assert(rows.forall(r => r._6 == r._4 + (if (r._5) 1L else 0L)))
+      val ordered = rows.sortBy(r => (r._7, r._1))
+      // partial flags form a prefix in (hash, id) order
+      val flags = ordered.map(_._5)
+      assert(!flags.dropWhile(identity).contains(true), s"$dom: partial is a prefix")
+      val partialTok = ordered.takeWhile(_._5).map(_._3)
+      if (rem == 0) assert(partialTok.isEmpty, s"$dom: no partial epoch at rem=0")
+      else {
+        assert(partialTok.sum >= rem, s"$dom: partial prefix covers the remainder")
+        assert(partialTok.dropRight(1).sum < rem,
+          s"$dom: dropping the boundary doc undershoots — minimal prefix")
+      }
+    }
+  }
 }
