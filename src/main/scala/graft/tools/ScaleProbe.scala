@@ -149,6 +149,23 @@ object ScaleProbe {
       }
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // amplification multiplies corpus volume but NOT the vocabulary:
+      // after the one wordFreq scan, all 6 merge iterations run on the
+      // constant-size vocab frame — expect scan-bound growth, flat loop
+      run("bpe_train", k)(
+        graft.operators.Bpe.train(docs, merges = 6).symbols.count())
+      // domain frame is constant-size too: the solve is flat, the only
+      // k-growth is the corpus token-count scan
+      run("waterfill", k)(
+        Sampling.budgetWaterfill(docs,
+          capFactor = lit(1) + length(col("domain")) % 3).count())
+      // schedule adds one corpus-frame window pass — expect linear
+      run("mix_schedule", k)(
+        Sampling.mixtureSchedule(docs,
+          capFactor = lit(1) + length(col("domain")) % 3).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
       val open = orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))

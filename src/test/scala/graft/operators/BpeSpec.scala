@@ -74,6 +74,32 @@ class BpeSpec extends SparkSuite {
       ("aaaa", "aa"), ("aaaa", "aa"), ("ab", "a"), ("ab", "b")))
   }
 
+  test("randomized corpora: engine matches the sequential reference on 20 seeded word sets") {
+    // deterministic pseudo-random corpora stress the run-parity rewrite:
+    // tiny alphabets force long same-char runs and repeated-pair ties
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "ab" + ("cdefg".take(rnd.nextInt(4)))
+      val words = (1 to 8 + rnd.nextInt(8)).map { _ =>
+        (1 to 3 + rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val freqs = words.map(w => w -> (1L + rnd.nextInt(5)))
+      val text = freqs.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.mkString(" ")
+      val docs = Seq((seed.toLong, text)).toDF("doc_id", "text")
+      val wf = freqs.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }
+      val merges = 3
+      val (want, refWords) = refTrain(wf, merges)
+      val model = Bpe.train(docs, merges)
+      val got = model.steps.map(s =>
+        (s.left, s.right, s.pairCount, s.mergedOccurrences, s.corpusTokensAfter))
+      assert(got == want, s"seed $seed: trajectory diverged\n got=$got\nwant=$want")
+      val gotSyms = model.symbols.orderBy("word", "pos")
+        .select("word", "sym").as[(String, String)].collect()
+        .groupBy(_._1).map { case (w, a) => w -> a.map(_._2).toVector }
+      assert(gotSyms == refWords, s"seed $seed: final symbols diverged")
+    }
+  }
+
   test("encodeStats: token totals reconcile with the trajectory's final corpus count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val model = Bpe.train(docs, merges = 6)

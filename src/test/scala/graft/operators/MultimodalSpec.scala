@@ -280,6 +280,31 @@ class MultimodalSpec extends SparkSuite {
     assert(PixelCodecUtil.decodeGifPixels(tiny).forall(_ == 0x123456FF))
   }
 
+  test("GIF LZW round-trips 15 seeded random images exactly (sizes, palettes, patterns vary)") {
+    import graft.functions.PixelCodecUtil
+    for (seed <- 1 to 15) {
+      val rnd = new scala.util.Random(seed)
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val nCol = 1 + rnd.nextInt(256)
+      val palette = Array.fill(nCol)(rnd.nextInt(1 << 24))
+      // mix of noise and runs: runs stress KwKwK, noise stresses growth
+      val runBias = rnd.nextInt(4) // 0 = pure noise … 3 = long runs
+      val idx = Array.tabulate(h, w) { (y, x) =>
+        if (runBias > 0 && (x % (runBias * 5 + 1)) != 0 && x > 0) -1 else rnd.nextInt(nCol)
+      }
+      for (y <- 0 until h; x <- 0 until w) if (idx(y)(x) < 0) idx(y)(x) = idx(y)(x - 1)
+      val bytes = PixelCodecUtil.encodeGifPixels(w, h, palette, (x, y) => idx(y)(x))
+      val dec = PixelCodecUtil.decodeGifPixels(bytes)
+      assert(dec != null && dec.length == w * h, s"seed $seed ($w x $h, $nCol colours)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = palette(idx(y)(x))
+        val want = (((rgb >> 16) & 0xFF) << 24) | (((rgb >> 8) & 0xFF) << 16) |
+          ((rgb & 0xFF) << 8) | 0xFF
+        assert(dec(y * w + x) == want, s"seed $seed pixel ($x, $y)")
+      }
+    }
+  }
+
   test("JPEG baseline codec: our encode→decode agrees with ImageIO within the T.81 IDCT tolerance") {
     import graft.functions.JpegCodecUtil
     val w = 40; val h = 24
