@@ -446,6 +446,212 @@ object PixelCodecUtil {
     null
   }
 
+  // ---------------------------------------------------------------------
+  // MP4 (ISO BMFF) PCM audio tracks: a COMPLETE box tree on encode
+  // (ftyp + moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/smhd/dinf/stbl with
+  // stsd 'twos'/'sowt', stts/stsc/stsz/stco + mdat) and a general
+  // stbl-walking sample decoder. Raw PCM ('twos' big-endian, 'sowt'
+  // little-endian, 16-bit) is the one MP4 payload decodable without AV
+  // codec libraries — compressed tracks (H.264/AAC) remain the
+  // documented stand-in in graft.operators.Multimodal.
+  // ---------------------------------------------------------------------
+
+  /** Decoded PCM track: interleaved samples + geometry. */
+  final case class Mp4Pcm(samples: Array[Int], bits: Int, channels: Int,
+                          sampleRate: Int)
+
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def mp4Box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+    val size = 8 + parts.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(size)
+    out.write(be32(size), 0, 4)
+    out.write(tag.getBytes("US-ASCII"), 0, 4)
+    parts.foreach(p => out.write(p, 0, p.length))
+    out.toByteArray
+  }
+
+  /** Encode a complete single-track PCM MP4 ('twos' big-endian 16-bit):
+    * every box a conformant reader needs, with `stco` pointing at the
+    * real `mdat` payload. Interleaved samples, `timescale = sampleRate`. */
+  def encodeMp4PcmSamples(sampleRate: Int, channels: Int,
+                          samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1 && samples.length % channels == 0)
+    val nFrames = samples.length / channels
+    val frameBytes = 2 * channels
+    def moovAt(mdatPayloadOffset: Long): Array[Byte] = {
+      val mvhd = mp4Box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(sampleRate), be32(nFrames), be32(0x00010000L), be16(0x0100),
+        new Array[Byte](10),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        new Array[Byte](24), be32(2))
+      val tkhd = mp4Box("tkhd", Array[Byte](0, 0, 0, 7), be32(0), be32(0),
+        be32(1), be32(0), be32(nFrames), new Array[Byte](8),
+        be16(0), be16(0), be16(0x0100), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L), be32(0), be32(0))
+      val mdhd = mp4Box("mdhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(sampleRate), be32(nFrames), be16(0x55C4), be16(0)) // 'und'
+      val hdlr = mp4Box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+        "soun".getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+      val smhd = mp4Box("smhd", Array[Byte](0, 0, 0, 0), be16(0), be16(0))
+      val dinf = mp4Box("dinf",
+        mp4Box("dref", Array[Byte](0, 0, 0, 0), be32(1),
+          mp4Box("url ", Array[Byte](0, 0, 0, 1)))) // self-contained
+      val entry = mp4Box("twos", new Array[Byte](6), be16(1),
+        be16(0), be16(0), be32(0), be16(channels), be16(16), be16(0), be16(0),
+        be32(sampleRate.toLong << 16)) // 16.16 fixed
+      val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+      val stts = mp4Box("stts", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(nFrames), be32(1))
+      val stsc = mp4Box("stsc", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(1), be32(nFrames), be32(1))
+      val stsz = mp4Box("stsz", Array[Byte](0, 0, 0, 0),
+        be32(frameBytes), be32(nFrames)) // uniform sample size
+      val stco = mp4Box("stco", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(mdatPayloadOffset))
+      val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = mp4Box("minf", smhd, dinf, stbl)
+      val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+      val trak = mp4Box("trak", tkhd, mdia)
+      mp4Box("moov", mvhd, trak)
+    }
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    // stco is inside moov but moov's SIZE doesn't depend on its value:
+    // build once with 0 to learn the layout, then with the real offset
+    val moovLen = moovAt(0).length
+    val moov = moovAt(ftyp.length + moovLen + 8L)
+    val pcm = new Array[Byte](samples.length * 2)
+    var s = 0
+    while (s < samples.length) {
+      val v = math.max(-32768, math.min(32767, samples(s)))
+      pcm(2 * s) = (v >> 8).toByte; pcm(2 * s + 1) = v.toByte // big-endian
+      s += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    out.write(moov, 0, moov.length)
+    val mdat = mp4Box("mdat", pcm)
+    out.write(mdat, 0, mdat.length)
+    out.toByteArray
+  }
+
+  private def findMp4Box(b: Array[Byte], from: Long, end: Long,
+                         tag: String): Long = {
+    var i = from
+    while (i + 8 <= end) {
+      val size = ((b(i.toInt) & 0xFFL) << 24) | ((b(i.toInt + 1) & 0xFFL) << 16) |
+        ((b(i.toInt + 2) & 0xFFL) << 8) | (b(i.toInt + 3) & 0xFFL)
+      if (size < 8 || i + size > end) return -1L
+      if (b(i.toInt + 4) == tag(0) && b(i.toInt + 5) == tag(1) &&
+          b(i.toInt + 6) == tag(2) && b(i.toInt + 7) == tag(3)) return i
+      i += size
+    }
+    -1L
+  }
+
+  /** Decode the first raw-PCM audio track ('twos'/'sowt' 16-bit) of an
+    * ISO BMFF file via the real sample tables — stsd format, stsz sizes
+    * (uniform or per-sample), stsc chunk mapping, stco offsets — or null
+    * when there is no decodable PCM track (compressed codecs, truncated
+    * tables). */
+  def decodeMp4PcmSamples(b: Array[Byte]): Mp4Pcm = {
+    if (b == null || b.length < 16) return null
+    def u32(i: Long): Long = ((b(i.toInt) & 0xFFL) << 24) |
+      ((b(i.toInt + 1) & 0xFFL) << 16) | ((b(i.toInt + 2) & 0xFFL) << 8) |
+      (b(i.toInt + 3) & 0xFFL)
+    def u16(i: Long): Int = ((b(i.toInt) & 0xFF) << 8) | (b(i.toInt + 1) & 0xFF)
+    if (findMp4Box(b, 0, b.length, "ftyp") != 0L) return null
+    val moov = findMp4Box(b, 0, b.length, "moov")
+    if (moov < 0) return null
+    val moovEnd = moov + u32(moov)
+    var trak = findMp4Box(b, moov + 8, moovEnd, "trak")
+    while (trak >= 0) {
+      val trakEnd = trak + u32(trak)
+      val mdia = findMp4Box(b, trak + 8, trakEnd, "mdia")
+      if (mdia >= 0) {
+        val mdiaEnd = mdia + u32(mdia)
+        val minf = findMp4Box(b, mdia + 8, mdiaEnd, "minf")
+        val mdhd = findMp4Box(b, mdia + 8, mdiaEnd, "mdhd")
+        if (minf >= 0 && mdhd >= 0) {
+          val minfEnd = minf + u32(minf)
+          val stbl = findMp4Box(b, minf + 8, minfEnd, "stbl")
+          if (stbl >= 0) {
+            val stblEnd = stbl + u32(stbl)
+            val stsd = findMp4Box(b, stbl + 8, stblEnd, "stsd")
+            val stsz = findMp4Box(b, stbl + 8, stblEnd, "stsz")
+            val stsc = findMp4Box(b, stbl + 8, stblEnd, "stsc")
+            val stco = findMp4Box(b, stbl + 8, stblEnd, "stco")
+            if (stsd >= 0 && stsz >= 0 && stsc >= 0 && stco >= 0 &&
+                u32(stsd + 12) >= 1) {
+              val e = stsd + 16 // first sample entry
+              val fmt = new String(b, e.toInt + 4, 4, "US-ASCII")
+              if (fmt == "twos" || fmt == "sowt") {
+                val channels = u16(e + 24)
+                val sampleBits = u16(e + 26)
+                val mdhdTs = u32(mdhd + 20).toInt
+                if (channels >= 1 && sampleBits == 16) {
+                  val uniform = u32(stsz + 12)
+                  val nSamples = u32(stsz + 16).toInt
+                  if (nSamples <= 0) return null
+                  val sizes = Array.tabulate(nSamples)(k =>
+                    if (uniform != 0) uniform else u32(stsz + 20 + 4L * k))
+                  val nChunks = u32(stco + 12).toInt
+                  val chunkOff = Array.tabulate(nChunks)(k => u32(stco + 16 + 4L * k))
+                  val nStsc = u32(stsc + 12).toInt
+                  // expand stsc runs → samples-per-chunk for every chunk
+                  val spc = new Array[Int](nChunks)
+                  var r = 0
+                  while (r < nStsc) {
+                    val first = u32(stsc + 16 + 12L * r).toInt
+                    val n = u32(stsc + 20 + 12L * r).toInt
+                    val last = if (r + 1 < nStsc) u32(stsc + 16 + 12L * (r + 1)).toInt
+                               else nChunks + 1
+                    var ch = first
+                    while (ch < last && ch <= nChunks) { spc(ch - 1) = n; ch += 1 }
+                    r += 1
+                  }
+                  val out = Array.newBuilder[Int]
+                  var sample = 0
+                  var chunk = 0
+                  while (chunk < nChunks && sample < nSamples) {
+                    var off = chunkOff(chunk)
+                    var k = 0
+                    while (k < spc(chunk) && sample < nSamples) {
+                      val sz = sizes(sample)
+                      if (off + sz > b.length) return null
+                      var j = 0L
+                      while (j + 1 < sz) {
+                        val v =
+                          if (fmt == "twos")
+                            ((b((off + j).toInt) << 8) | (b((off + j + 1).toInt) & 0xFF)).toShort.toInt
+                          else
+                            ((b((off + j + 1).toInt) << 8) | (b((off + j).toInt) & 0xFF)).toShort.toInt
+                        out += v
+                        j += 2
+                      }
+                      off += sz
+                      sample += 1
+                      k += 1
+                    }
+                    chunk += 1
+                  }
+                  return Mp4Pcm(out.result(), sampleBits, channels, mdhdTs)
+                }
+              }
+            }
+          }
+        }
+      }
+      trak = findMp4Box(b, trakEnd, moovEnd, "trak")
+    }
+    null
+  }
+
   /** GIF-variant LZW decode of `data` into exactly `nPixels` indices
     * (prefix/suffix dictionary tables, iterative expansion — no
     * recursion, no per-entry byte copies). */

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
  * decompression — variable-width codes, clear/KwKwK handling, checked
  * against ImageIO) and WAV PCM samples decode for real inside
  * [[extractFeatures]] via [[graft.functions.PixelCodecUtil]],
- * pixel-exactness cross-checked against the JDK's own readers. Only JPEG
- * pixels and MP4 samples — formats that genuinely need external codec
- * libraries this environment doesn't ship — keep the deterministic stand-in
+ * pixel-exactness cross-checked against the JDK's own readers; baseline
+ * JPEG pixels and raw-PCM MP4 audio tracks decode for real too
+ * ([[graft.functions.JpegCodecUtil]], `decodeMp4PcmSamples`). Only
+ * COMPRESSED AV payloads (H.264/HEVC frames, AAC audio) — codecs that
+ * genuinely need external libraries — keep the deterministic stand-in
  * (`decodeStub`): a production build swaps ONLY that body for a real
  * decoder (JNI/ffmpeg/etc.) — every surrounding operator, schema and
  * batch shape is unchanged and tested.
@@ -114,13 +116,16 @@ object Multimodal {
     graft.functions.MediaFunctions.videoMeta(media)
 
   /**
-   * STUB — stands in for the real media decoder on formats whose pixel/
-   * sample layer needs codec libraries this environment doesn't ship
-   * (JPEG pixels, MP4 samples). Deterministic: features are a
+   * STUB — stands in for the real media decoder on the payloads that
+   * genuinely need codec libraries this environment doesn't ship:
+   * COMPRESSED AV tracks (H.264/HEVC video frames, AAC audio) and any
+   * other non-container byte blob. Deterministic: features are a
    * hash-fold of the payload bytes, so tests are exact. PNG pixels
-   * (zlib inflate + unfilter), GIF pixels (full LZW) and WAV PCM
-   * samples do NOT hit this — [[decodeFeatures]] decodes those for
-   * real via [[graft.functions.PixelCodecUtil]].
+   * (zlib inflate + unfilter), GIF pixels (full LZW), baseline JPEG
+   * pixels (Huffman + IDCT), WAV PCM and raw-PCM MP4 tracks
+   * ('twos'/'sowt' via the real stsd/stsz/stsc/stco walk) do NOT hit
+   * this — [[decodeFeatures]] decodes those for real via
+   * [[graft.functions.PixelCodecUtil]] / [[graft.functions.JpegCodecUtil]].
    */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -212,6 +217,8 @@ object Multimodal {
       val meta = MediaCodecUtil.parseWav(payload)
       return sampleFeatures(sm, meta.getInt(3))
     }
+    val mp = PixelCodecUtil.decodeMp4PcmSamples(payload)
+    if (mp != null) return sampleFeatures(mp.samples, mp.bits)
     decodeStub(payload)
   }
 

@@ -427,6 +427,50 @@ class MultimodalSpec extends SparkSuite {
     assert(z.toSeq == Seq(-128, -128, -128, -128))
   }
 
+  test("MP4 PCM tracks: full box tree round-trips exactly; stco points at the real mdat") {
+    import graft.functions.{MediaCodecUtil, PixelCodecUtil}
+    val samples = Array.tabulate(600)(i => (math.sin(i * 0.05) * 18000).toInt + (i % 5) - 2)
+    val bytes = PixelCodecUtil.encodeMp4PcmSamples(16000, 2, samples)
+    // sample-exact round trip through the real stsd/stsz/stsc/stco walk
+    val dec = PixelCodecUtil.decodeMp4PcmSamples(bytes)
+    assert(dec != null && dec.samples.toSeq == samples.toSeq)
+    assert(dec.channels == 2 && dec.bits == 16 && dec.sampleRate == 16000)
+    // the container-level meta walk (q132's parser) accepts the file
+    val meta = MediaCodecUtil.parseMp4(bytes)
+    assert(meta != null && meta.getInt(2) == 16000 && meta.getLong(3) == 300,
+      "mvhd timescale/duration must read back through the q132 box walk")
+    // structural honesty: the stco offset equals the actual mdat payload
+    // position found by independently scanning the top-level boxes
+    def u32(i: Int): Long = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+      ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    var p = 0; var mdatAt = -1
+    while (p + 8 <= bytes.length && mdatAt < 0) {
+      if (new String(bytes, p + 4, 4, "US-ASCII") == "mdat") mdatAt = p + 8
+      else p += u32(p).toInt
+    }
+    assert(mdatAt > 0)
+    val stcoHex = java.util.HexFormat.of().formatHex(bytes)
+    val stcoIdx = stcoHex.indexOf("7374636f") / 2 // 'stco'
+    val stcoOff = u32(stcoIdx + 12)
+    assert(stcoOff == mdatAt, s"stco says $stcoOff, mdat payload is at $mdatAt")
+    // 'sowt' (little-endian) variant decodes through the same walk
+    val le = bytes.clone()
+    val twosIdx = stcoHex.indexOf("74776f73") / 2 // 'twos'
+    le(twosIdx) = 's'; le(twosIdx + 1) = 'o'; le(twosIdx + 2) = 'w'; le(twosIdx + 3) = 't'
+    val decLe = PixelCodecUtil.decodeMp4PcmSamples(le)
+    assert(decLe != null && decLe.samples.length == samples.length)
+    assert(decLe.samples.toSeq == samples.toSeq.map(v =>
+      (((v & 0xFF) << 8) | ((v >> 8) & 0xFF)).toShort.toInt), "byte-swapped read")
+    // identical samples through MP4 and WAV produce IDENTICAL features —
+    // the sample layer is format-independent once really decoded
+    val wav = PixelCodecUtil.encodeWavSamples(16000, 2, 16, samples)
+    assert(Multimodal.decodeFeatures(bytes).toSeq == Multimodal.decodeFeatures(wav).toSeq,
+      "MP4 and WAV carrying the same PCM must extract the same features")
+    assert(PixelCodecUtil.decodeMp4PcmSamples("not an mp4".getBytes) == null)
+    // header-only encodeMp4 (no track) falls through cleanly
+    assert(PixelCodecUtil.decodeMp4PcmSamples(MediaCodecUtil.encodeMp4(600, 100, 3)) == null)
+  }
+
   test("feature extraction REALLY decodes PNG pixels and WAV samples (not the stub)") {
     import graft.functions.PixelCodecUtil
     // two images identical except one pixel: features must both reflect
