@@ -342,7 +342,14 @@ object Sampling {
       .withColumn("allocation", when(col("saturated"), col("cap"))
         .otherwise(col("level") +
           when(col("rku") <= col("rem"), 1L).otherwise(0L)))
-      .withColumn("epochs_fp", expr("allocation * 1000000 div n_tokens"))
+      // two-term split of allocation·10^6 div n_tokens — exactly equal
+      // (allocation = q·n + r ⇒ the q·n term divides out), but the only
+      // multiply is r·10^6 with r < n_tokens, so the fixed-point column
+      // stays overflow-free up to ~9·10^12 tokens PER DOMAIN (≈36 TB of
+      // text) instead of ~9·10^12 ÷ capFactor total allocation
+      .withColumn("epochs_fp",
+        expr("(allocation div n_tokens) * 1000000 + " +
+          "(allocation % n_tokens) * 1000000 div n_tokens"))
       .select("domain", "n_tokens", "cap", "saturated", "allocation",
         "epochs_fp")
   }

@@ -1220,7 +1220,9 @@ object TrainingOracle {
     "q141_budget_waterfill" ->
       s"""$waterfillCtes
          |SELECT domain, n_tokens, cap, saturated, allocation,
-         |  CAST(allocation * 1000000 // n_tokens AS BIGINT) AS epochs_fp
+         |  CAST((allocation // n_tokens) * 1000000
+         |       + (allocation % n_tokens) * 1000000 // n_tokens
+         |       AS BIGINT) AS epochs_fp
          |FROM alloc ORDER BY domain""".stripMargin,
 
     // C71: schedule replay — the C70 allocation becomes per-doc copies:
