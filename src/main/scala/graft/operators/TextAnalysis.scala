@@ -464,6 +464,82 @@ object TextAnalysis {
     out
   }
 
+  /** C65 (weights face): train the quality classifier and return just the
+    * learned weight vector — the artifact the DEPLOY side (batch
+    * [[scoreDocs]], streaming `EventStreams.classifierMonitor`) broadcasts.
+    * Identical trajectory to [[qualityClassifier]] (same moments, same
+    * BigInt iteration); that method stays self-contained so q136's
+    * oracled plan is untouched. */
+  def trainQualityWeights(docs: DataFrame, isPositive: Column, dims: Int = 16,
+                          iters: Int = 4, scale: Long = 1000000L, etaDen: Long = 4L,
+                          idCol: String = "doc_id", textCol: String = "text"): Array[Long] = {
+    require(dims > 0 && iters >= 0 && scale > 0 && etaDen > 0)
+    val base = docs.select(col(idCol), isPositive.cast("boolean").as("__y"),
+      tokens(col(textCol)).as("__tk"))
+    val feats = docBucketFeatures(base, dims, idCol).persist()
+    val yF = base.select(col(idCol),
+      when(col("__y"), lit(scale)).otherwise(lit(0L)).as("__ys"))
+    val moments = feats.join(yF, Seq(idCol))
+      .join(feats.select(col(idCol), col("b").as("b2")), Seq(idCol))
+      .groupBy("b", "b2")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+           sum(when(col("b") === col("b2"), col("__ys")).otherwise(lit(0L))
+             .cast("decimal(38,0)")).as("__ysum"))
+      .collect()
+    feats.unpersist()
+    val gram = Array.fill(dims + 1, dims + 1)(BigInt(0))
+    val xty = Array.fill(dims + 1)(BigInt(0))
+    moments.foreach { r =>
+      val (b, b2) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      gram(b)(b2) = BigInt(r.getDecimal(2).toBigInteger)
+      if (b == b2) xty(b) = BigInt(r.getDecimal(3).toBigInteger)
+    }
+    val n = gram(dims)(dims)
+    var w = Array.fill(dims + 1)(0L)
+    if (n > BigInt(0)) {
+      val den = BigInt(etaDen) * n
+      for (_ <- 0 until iters) {
+        val next = w.clone()
+        var b = 0
+        while (b <= dims) {
+          val g = xty(b) - (0 to dims).map(b2 => gram(b)(b2) * BigInt(w(b2))).sum
+          next(b) = next(b) + (g / den).toLong
+          b += 1
+        }
+        w = next
+      }
+    }
+    w
+  }
+
+  /** Distinct (doc, hashed-bucket) features + the bias row per doc — the
+    * classifier's design matrix in frame form. */
+  private def docBucketFeatures(base: DataFrame, dims: Int, idCol: String): DataFrame =
+    base.select(col(idCol), explode(col("__tk")).as("__tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"),
+          lit(dims.toLong)).as("b"))
+      .distinct()
+      .unionByName(base.select(col(idCol), lit(dims.toLong).as("b")))
+
+  /** C65 (deploy face): score documents under a trained weight vector —
+    * tokenize, hash to buckets, element_at on the broadcast weight
+    * literal, one per-doc sum. No join, no training, stream-safe (every
+    * op is per-row or a doc-keyed aggregation). */
+  def scoreDocs(docs: DataFrame, weights: Array[Long], dims: Int,
+                scale: Long = 1000000L, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(weights.length == dims + 1, "weights must be dims+1 wide (bias last)")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+    val predCol: Column =
+      element_at(array(weights.map(lit).toIndexedSeq: _*), (col("b") + 1).cast("int"))
+    docBucketFeatures(base, dims, idCol)
+      .withColumn("__wv", predCol)
+      .groupBy(col(idCol))
+      .agg((count(lit(1)) - 1).as("n_feats"), sum("__wv").as("score"))
+      .withColumn("predicted", col("score") * 2 > scale)
+  }
+
   /** C68: classifier CALIBRATION sweep — the step between training a
     * quality filter (C65) and deploying it: for each candidate cut
     * threshold, the confusion counts (tp/fp/fn/tn) and precision /

@@ -502,6 +502,54 @@ object EventStreams {
   def expectationsHistory(spark: SparkSession, historyRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
 
+  /** D23: streaming classifier scoring + DRIFT monitor — the online-
+    * inference face of the trainable quality classifier (C65) deployed
+    * at the cut chosen by the calibration sweep (C68): every micro-batch
+    * of documents is scored against the BROADCAST trained weight vector
+    * (element_at on a literal array — per-row arithmetic, no join, the
+    * same kernel as the batch path), folded into the C68 threshold
+    * buckets (a codegen'd comparison chain, never a k× fan-out), and the
+    * per-bucket score distribution is appended to a versioned history —
+    * the artifact a drift alarm diffs across batches ("did the
+    * predicted-positive rate move against calibration?").
+    *
+    * Scale: per batch, one tokenize+distinct pass and one ≤(k+1)-key
+    * aggregate; driver state is the dims+1 weight literal. History rows
+    * per batch ≤ k+1. */
+  def classifierMonitor(stream: DataFrame, weights: Array[Long], dims: Int,
+                        thresholds: Seq[Long], historyRoot: String,
+                        checkpointDir: String, scale: Long = 1000000L,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct.size == thresholds.size,
+      "thresholds: sorted, distinct, non-empty")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val scored = graft.operators.TextAnalysis.scoreDocs(
+            batch.toDF(), weights, dims, scale, idCol, textCol)
+          val bucket = thresholds
+            .map(t => when(col("score") >= t, 1).otherwise(0))
+            .reduce(_ + _)
+          scored.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("score")).as("score_sum"),
+              sum(when(col("predicted"), 1L).otherwise(0L)).as("n_predicted"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$historyRoot/v$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The drift history: one row per (batch, threshold bucket). */
+  def classifierScoreHistory(spark: SparkSession, historyRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
+
   /** Current SCD2 history under the latest published pointer. */
   def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
     readPointer(spark, stateRoot) match {

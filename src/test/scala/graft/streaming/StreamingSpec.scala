@@ -611,4 +611,61 @@ class StreamingSpec extends SparkSuite {
     // the sink must NOT be re-invoked with already-delivered rows
     EventStreams.runToSink(stream, ckpt) { (_, _) => fail("no new data, no sink call") }
   }
+
+  test("D23: streaming classifier scoring matches the batch kernel; drift history accumulates per batch") {
+    import graft.operators.TextAnalysis
+    val in = Files.createTempDirectory("graft-clf-in").toString
+    val hist = Files.createTempDirectory("graft-clf-hist").toString
+    val ckpt = Files.createTempDirectory("graft-clf-ckpt").toString
+
+    // train on the static documents table (English = positive), deploy
+    // the weights against a stream of new docs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = TextAnalysis.trainQualityWeights(docs, isPositive = col("lang") === "en")
+    // the extracted weights reproduce qualityClassifier's own scores
+    val viaWeights = TextAnalysis.scoreDocs(docs, w, dims = 16)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val viaClassifier = TextAnalysis.qualityClassifier(docs, col("lang") === "en")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(viaWeights == viaClassifier,
+      "trainQualityWeights + scoreDocs must equal the self-contained path")
+
+    val thresholds = Seq(250000L, 500000L, 750000L)
+    def runOnce(): Unit = EventStreams.classifierMonitor(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+      w, dims = 16, thresholds = thresholds, historyRoot = hist, checkpointDir = ckpt)
+
+    val b1 = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val b2 = docs.filter(col("doc_id") >= 40 && col("doc_id") < 90).select("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val history = EventStreams.classifierScoreHistory(spark, hist)
+    val batches = history.select("batch_id").distinct().as[Long].collect().sorted
+    assert(batches.length == 2, s"one history version per batch, got ${batches.toSeq}")
+
+    // every batch's bucket counts equal the batch-computed expectation
+    for ((batch, bid) <- Seq(b1, b2).zip(batches)) {
+      val expect = TextAnalysis.scoreDocs(batch.toDF(), w, dims = 16)
+        .withColumn("bucket",
+          thresholds.map(t => when(col("score") >= t, 1).otherwise(0)).reduce(_ + _))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .as[(Int, Long)].collect().toMap
+      val got = history.filter(col("batch_id") === bid)
+        .select("bucket", "n_docs").as[(Int, Long)].collect().toMap
+      assert(got == expect, s"batch $bid: $got != $expect")
+    }
+    // drift signal is usable: per-batch predicted share derives from history
+    val share = history.groupBy("batch_id")
+      .agg((sum("n_predicted") * 1000000L / sum("n_docs")).as("rate"))
+      .count()
+    assert(share == 2)
+
+    // replay on the same checkpoint: no new data, no new history version
+    runOnce()
+    assert(EventStreams.classifierScoreHistory(spark, hist)
+      .select("batch_id").distinct().count() == 2)
+  }
 }
