@@ -419,7 +419,13 @@ object JpegCodecUtil {
   /** Decode the first scan of a baseline JFIF stream → packed
     * (r<<24|g<<16|b<<8|255) pixels row-major, or null for anything that
     * is not a decodable baseline sequential JPEG. */
-  def decodeJpegPixels(b: Array[Byte]): Array[Int] = {
+  def decodeJpegPixels(b: Array[Byte]): Array[Int] =
+    try decodeJpegPixels0(b)
+    catch { // malformed segments must fall through, never kill the task
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => null
+    }
+
+  private def decodeJpegPixels0(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 4) return null
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
     val qt = new Array[Array[Int]](4)
@@ -444,11 +450,13 @@ object JpegCodecUtil {
         val p0 = i + 4
         m match {
           case 0xC0 | 0xC1 => // baseline / extended sequential SOF
+            if (len < 8) return null
             height = ((b(p0 + 1) & 0xFF) << 8) | (b(p0 + 2) & 0xFF)
             width = ((b(p0 + 3) & 0xFF) << 8) | (b(p0 + 4) & 0xFF)
             nComp = b(p0 + 5) & 0xFF
             if ((b(p0) & 0xFF) != 8 || width == 0 || height == 0 ||
                 (nComp != 1 && nComp != 3)) return null
+            if (len < 8 + 3 * nComp) return null // declared length must hold the components
             var c = 0
             while (c < nComp) {
               compId(c) = b(p0 + 6 + 3 * c) & 0xFF
@@ -463,6 +471,7 @@ object JpegCodecUtil {
           case 0xC4 =>
             var p = p0
             while (p < i + 2 + len) {
+              if (p + 17 > i + 2 + len) return null // 16 length counts must fit
               val tc = (b(p) & 0xFF) >> 4; val th = b(p) & 0x0F
               if (tc > 1 || th > 3) return null
               val bits = new Array[Int](17)
@@ -496,10 +505,12 @@ object JpegCodecUtil {
               p += 1 + n
             }
           case 0xDD =>
+            if (len < 4) return null
             restartInterval = ((b(p0) & 0xFF) << 8) | (b(p0 + 1) & 0xFF)
           case 0xDA =>
+            if (len < 3) return null
             val ns = b(p0) & 0xFF
-            if (ns != nComp) return null
+            if (ns != nComp || len < 6 + 2 * ns) return null
             var c = 0
             while (c < ns) {
               val id = b(p0 + 1 + 2 * c) & 0xFF

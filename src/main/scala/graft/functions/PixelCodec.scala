@@ -406,6 +406,9 @@ object PixelCodecUtil {
           if (i + 10 > b.length) return null
           val iw = (b(i + 5) & 0xFF) | ((b(i + 6) & 0xFF) << 8)
           val ih = (b(i + 7) & 0xFF) | ((b(i + 8) & 0xFF) << 8)
+          // Long check: 65535×65535 overflows Int; also bound allocation
+          // (a 20-byte header must not command a multi-GB buffer)
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26)) return null
           val ifl = b(i + 9) & 0xFF
           i += 10
           if ((ifl & 0x40) != 0) return null         // interlaced: unsupported
@@ -559,7 +562,13 @@ object PixelCodecUtil {
     * (uniform or per-sample), stsc chunk mapping, stco offsets — or null
     * when there is no decodable PCM track (compressed codecs, truncated
     * tables). */
-  def decodeMp4PcmSamples(b: Array[Byte]): Mp4Pcm = {
+  def decodeMp4PcmSamples(b: Array[Byte]): Mp4Pcm =
+    try decodeMp4PcmSamples0(b)
+    catch { // malformed tables must fall through, never kill the task
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => null
+    }
+
+  private def decodeMp4PcmSamples0(b: Array[Byte]): Mp4Pcm = {
     if (b == null || b.length < 16) return null
     def u32(i: Long): Long = ((b(i.toInt) & 0xFFL) << 24) |
       ((b(i.toInt + 1) & 0xFFL) << 16) | ((b(i.toInt + 2) & 0xFFL) << 8) |
@@ -587,7 +596,9 @@ object PixelCodecUtil {
             val stsc = findMp4Box(b, stbl + 8, stblEnd, "stsc")
             val stco = findMp4Box(b, stbl + 8, stblEnd, "stco")
             if (stsd >= 0 && stsz >= 0 && stsc >= 0 && stco >= 0 &&
-                u32(stsd + 12) >= 1) {
+                u32(stsd) >= 16 + 36 && u32(stsd + 12) >= 1 &&
+                u32(mdhd) >= 24 && u32(stsz) >= 20 && u32(stsc) >= 16 &&
+                u32(stco) >= 16) {
               val e = stsd + 16 // first sample entry
               val fmt = new String(b, e.toInt + 4, 4, "US-ASCII")
               if (fmt == "twos" || fmt == "sowt") {
@@ -597,12 +608,17 @@ object PixelCodecUtil {
                 if (channels >= 1 && sampleBits == 16) {
                   val uniform = u32(stsz + 12)
                   val nSamples = u32(stsz + 16).toInt
-                  if (nSamples <= 0) return null
+                  // per-sample sizes must FIT in the stsz box; counts are
+                  // capped so a lying header can't command a huge alloc
+                  if (nSamples <= 0 || nSamples > (1 << 26)) return null
+                  if (uniform == 0 && 20 + 4L * nSamples > u32(stsz)) return null
                   val sizes = Array.tabulate(nSamples)(k =>
                     if (uniform != 0) uniform else u32(stsz + 20 + 4L * k))
                   val nChunks = u32(stco + 12).toInt
+                  if (nChunks < 0 || 16 + 4L * nChunks > u32(stco)) return null
                   val chunkOff = Array.tabulate(nChunks)(k => u32(stco + 16 + 4L * k))
                   val nStsc = u32(stsc + 12).toInt
+                  if (nStsc < 0 || 16 + 12L * nStsc > u32(stsc)) return null
                   // expand stsc runs → samples-per-chunk for every chunk
                   val spc = new Array[Int](nChunks)
                   var r = 0

@@ -94,7 +94,9 @@ object Bpe {
   def train(docs: DataFrame, merges: Int, textCol: String = "text"): Model = {
     require(merges >= 1, "merges must be >= 1")
     var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
-    var tokens = frame.agg(sum(col("wfreq"))).collect()(0).getLong(0)
+    val total = frame.agg(coalesce(sum(col("wfreq")), lit(0L))).collect()(0).getLong(0)
+    require(total > 0, "BPE training corpus is empty")
+    var tokens = total
     val steps = Seq.newBuilder[MergeStep]
     for (step <- 1 to merges) {
       val best = withNext(frame).filter(col("nxt").isNotNull)
@@ -128,12 +130,21 @@ object Bpe {
   }
 
   /** Encode stats per document under a trained model: word count, initial
-    * symbol (character) count, and BPE token count after all merges. One
-    * corpus scan + a broadcast join of the vocab-sized token-count frame. */
+    * symbol (character) count, and BPE token count after all merges. TRUE
+    * deploy semantics: the learned merge LIST is applied (in order) to the
+    * ENCODE corpus's own vocabulary, so words the trainer never saw still
+    * encode (their applicable merges fire; fully-unseen words fall back to
+    * characters) and every document appears in the output. One corpus
+    * scan + the vocab-bounded merge replay + a broadcast join. */
   def encodeStats(docs: DataFrame, model: Model,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val perWord = model.symbols.groupBy("word")
-      .agg(count(lit(1)).as("word_tokens"))
+    var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    for (s <- model.steps) {
+      val next = applyMerge(frame, s.left, s.right).localCheckpoint()
+      frame.unpersist()
+      frame = next
+    }
+    val perWord = frame.groupBy("word").agg(count(lit(1)).as("word_tokens"))
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(broadcast(perWord), Seq("word"))

@@ -294,7 +294,10 @@ object Sampling {
     * condition; the water level is `(B − Σ_sat cap) div (N − j*)` with the
     * `mod` remainder granted +1 token to the first `rem` unsaturated
     * domains in domain order — so the allocation sums to B exactly and
-    * both engines replay it bit-for-bit.
+    * both engines replay it bit-for-bit. If B exceeds the total cap
+    * (infeasible budget), every domain saturates and the result is the
+    * MAX-FEASIBLE allocation Σcap — visible as `saturated` on every row,
+    * not a silent partial fill of B.
     *
     * Scale (100 TB): the corpus collapses to the DOMAIN frame (bounded by
     * distinct sources) in one map-side-partial scan; the sort, windows and

@@ -403,7 +403,12 @@ object TextAnalysis {
     * vocabulary size. N rides the bias⋈bias diagonal (every doc holds
     * the bias feature); moment sums ride decimal(38,0) so no row count
     * can overflow them. Scoring is element_at on a broadcast literal
-    * weight array: per-row arithmetic, no join. */
+    * weight array: per-row arithmetic, no join.
+    *
+    * NOTE: [[trainQualityWeights]]/[[scoreDocs]] deliberately duplicate
+    * this trajectory (the deploy faces can't share the persisted feats
+    * frame without changing this oracled plan); `StreamingSpec` pins the
+    * two paths score-for-score — any divergence fails the suite. */
   def qualityClassifier(docs: DataFrame, isPositive: Column, dims: Int = 16,
                         iters: Int = 4, scale: Long = 1000000L, etaDen: Long = 4L,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -100,6 +100,38 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("encodeStats applies learned merges to UNSEEN words — no document is dropped") {
+    val train = Seq((1L, "aaaa aaaa aaaa bb bb")).toDF("doc_id", "text")
+    val model = Bpe.train(train, merges = 2) // learns (a,a) then (aa,aa) or (b,b)
+    // encode corpus: one word the trainer saw, one partially covered by
+    // learned merges, one with no applicable merge at all
+    val enc = Seq((10L, "aaaa"), (11L, "aaac"), (12L, "xyz")).toDF("doc_id", "text")
+    val got = Bpe.encodeStats(enc, model).orderBy("doc_id")
+      .select("doc_id", "n_words", "n_chars", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sequential reference: apply the merge list in order to each word
+    def refApply(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      for (s <- model.steps) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms(i) == s.left && syms(i + 1) == s.right) {
+            out += (s.left + s.right); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.size
+    }
+    val want = Seq(
+      (10L, 1L, 4L, refApply("aaaa").toLong),
+      (11L, 1L, 4L, refApply("aaac").toLong),
+      (12L, 1L, 3L, refApply("xyz").toLong))
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._1) == Seq(10L, 11L, 12L), "every doc must appear, OOV included")
+  }
+
   test("encodeStats: token totals reconcile with the trajectory's final corpus count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val model = Bpe.train(docs, merges = 6)

@@ -471,6 +471,34 @@ class MultimodalSpec extends SparkSuite {
     assert(PixelCodecUtil.decodeMp4PcmSamples(MediaCodecUtil.encodeMp4(600, 100, 3)) == null)
   }
 
+  test("malformed media payloads return null from every decoder — never a task-killing throw") {
+    import graft.functions.{JpegCodecUtil, PixelCodecUtil}
+    // JPEG: DHT whose declared length can't hold its 16 length counts
+    assert(JpegCodecUtil.decodeJpegPixels(
+      Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x03, 0x00).map(_.toByte)) == null)
+    // JPEG: SOF with 3 components but a too-short declared length
+    assert(JpegCodecUtil.decodeJpegPixels(
+      Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x09, 8, 0, 16, 0, 16, 3).map(_.toByte)) == null)
+    // GIF: image descriptor declaring 65535x65535 (iw*ih overflows Int)
+    val hugeGif = Array[Int](
+      'G', 'I', 'F', '8', '9', 'a', 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0, 0,
+      0x2C, 0, 0, 0, 0, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x02, 0x00, 0x3B
+    ).map(_.toByte)
+    assert(PixelCodecUtil.decodeGifPixels(hugeGif) == null)
+    // MP4: valid tree but an stco entry count far beyond its box size
+    val good = PixelCodecUtil.encodeMp4PcmSamples(8000, 1, Array.fill(16)(7))
+    val hex = java.util.HexFormat.of().formatHex(good)
+    val stcoAt = hex.indexOf("7374636f") / 2 // 'stco' tag
+    val broken = good.clone()
+    broken(stcoAt + 8) = 0x7F.toByte // entry count 0x7F…: lies vs box size
+    assert(PixelCodecUtil.decodeMp4PcmSamples(broken) == null)
+    // MP4: truncated right after moov — mdat offsets dangle
+    assert(PixelCodecUtil.decodeMp4PcmSamples(
+      good.take(good.length - 20)) == null)
+    // all of them fall through extractFeatures' probe chain to the stub
+    Seq(hugeGif, broken).foreach(p => Multimodal.decodeFeatures(p))
+  }
+
   test("feature extraction REALLY decodes PNG pixels and WAV samples (not the stub)") {
     import graft.functions.PixelCodecUtil
     // two images identical except one pixel: features must both reflect
