@@ -138,13 +138,7 @@ object Bpe {
     * scan + the vocab-bounded merge replay + a broadcast join. */
   def encodeStats(docs: DataFrame, model: Model,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
-    for (s <- model.steps) {
-      val next = applyMerge(frame, s.left, s.right).localCheckpoint()
-      frame.unpersist()
-      frame = next
-    }
-    val perWord = frame.groupBy("word").agg(count(lit(1)).as("word_tokens"))
+    val perWord = perWordTokens(docs, model, textCol)
     docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(broadcast(perWord), Seq("word"))
@@ -152,5 +146,53 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).cast("long").as("n_chars"),
         sum(col("word_tokens")).cast("long").as("n_tokens"))
+  }
+
+  /** The learned merge list applied (in order) to a corpus's OWN
+    * vocabulary, reduced to the per-word BPE token count — the frame both
+    * deploy halves (encode, audit) broadcast. Vocab-bounded throughout. */
+  private def perWordTokens(docs: DataFrame, model: Model,
+                            textCol: String): DataFrame = {
+    var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    for (s <- model.steps) {
+      val next = applyMerge(frame, s.left, s.right).localCheckpoint()
+      frame.unpersist()
+      frame = next
+    }
+    frame.groupBy("word").agg(count(lit(1)).as("word_tokens"))
+  }
+
+  /** C72: tokenizer FERTILITY audit — the per-group (language, in the
+    * standard multilingual-tokenizer evaluation) deploy-quality report of
+    * a trained model: fertility (BPE tokens per word — the metric of
+    * Ács/Rust et al. tokenizer studies), chars-per-token compression, and
+    * the unsplit rate (word occurrences the vocabulary keeps whole). A
+    * tokenizer trained on a head language quietly inflates the token bill
+    * of tail languages; this is the audit that makes that visible before
+    * a 100 TB encode run is paid for.
+    *
+    * All ratios are exact integer fixed-point (×10^6, floor division) —
+    * associative sums + one integer op, so both engines agree bit-for-bit.
+    *
+    * Scale: one corpus scan (explode to (group, word) — map-side partial
+    * aggregation), a BROADCAST join of the vocab-sized per-word token
+    * frame, and a group-count-sized result. The merge replay itself is
+    * vocab-bounded (the C69 scale story); corpus text is read once. */
+  def fertilityAudit(docs: DataFrame, model: Model,
+                     groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val perWord = perWordTokens(docs, model, textCol)
+    docs.select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_vocab"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("word_tokens")).cast("long").as("n_tokens"),
+        sum(when(col("word_tokens") === 1, 1L).otherwise(0L)).as("n_unsplit"))
+      .withColumn("fertility_fp", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_fp", expr("n_chars * 1000000 div n_tokens"))
+      .withColumn("unsplit_rate_fp", expr("n_unsplit * 1000000 div n_words"))
   }
 }

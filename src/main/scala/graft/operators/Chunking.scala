@@ -115,6 +115,74 @@ object Chunking {
         (col("__prefix") % budget).as("window_offset"))
   }
 
+  /** C73: CONTENT-DEFINED chunking + chunk-level dedup profile — the
+    * insertion-stable complement of [[chunkByTokens]] (the storage-dedup
+    * recipe — Rabin/gear CDC, LBFS Muthitacharoen et al. 2001 — applied
+    * to token streams): a chunk boundary falls after token p whenever the
+    * rolling window hash of the `w` tokens ENDING at p lands in a fixed
+    * residue class (`hash % divisor == divisor-1`, expected chunk length
+    * ≈ `divisor` tokens). Because the cut decision depends only on a
+    * local window — never on where the previous cut fell — an edit
+    * anywhere in a document moves only the boundaries within `w` tokens
+    * of the edit, and every other chunk re-hashes identically. That is
+    * the property that makes chunk-level dedup robust to the
+    * insert-one-sentence near-duplicates that defeat fixed-width
+    * chunking (C32), at the cost of variable chunk sizes.
+    *
+    * Window hashes are the portable 31-bit shingle hashes
+    * ([[graft.functions.SignatureFunctions.allShingleHashes]]), so a
+    * replaying engine reproduces every boundary. Docs shorter than `w`
+    * hash one window over all tokens; its cut position lies at/past the
+    * last token and is a no-op, so short docs form one whole-doc chunk.
+    *
+    * Scale: one corpus scan computes all window hashes (codegen'd, no
+    * HOF); cut flags are output-proportional; chunk assignment is a
+    * per-document running count (partition = one doc); chunk hashing is
+    * the line-dedup family's output-proportional sort_array rebuild per
+    * (doc, chunk); the only corpus-wide shuffle is the chunk-hash
+    * occurrence count (map-side partial). No pairwise construct.
+    *
+    * Output per doc: (doc_id, n_tokens, n_chunks, n_dup_chunks,
+    * dup_tokens, avg_chunk_tokens_fp, dup_token_ratio_fp) — fixed-point
+    * ×10^6 floor-division ratios, integer-exact on any engine. A chunk
+    * occurrence is DUPLICATED iff its content hash occurs ≥2 times
+    * corpus-wide (any document, including its own). */
+  def cdcChunkProfile(docs: DataFrame, w: Int = 4, divisor: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && divisor >= 2, "need window >= 1 and divisor >= 2")
+    import graft.functions.SignatureFunctions.allShingleHashes
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .withColumn("hs", allShingleHashes(col("t"), w))
+    // a window STARTING at s covers [s, s+w-1]; its cut falls after s+w-1
+    val cuts = toks.select(col("id"), posexplode(col("hs")).as(Seq("s", "h")))
+      .filter(col("h") % divisor === divisor - 1)
+      .select(col("id"), (col("s") + (w - 1)).cast("long").as("idx"),
+        lit(1L).as("is_cut"))
+    val tokenRows = toks.select(col("id"), posexplode(col("t")).as(Seq("idx", "tok")))
+      .withColumn("idx", col("idx").cast("long"))
+    // chunk id = number of cuts strictly BEFORE this token's position
+    val wCuts = Window.partitionBy("id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = tokenRows.join(cuts, Seq("id", "idx"), "left_outer")
+      .withColumn("chunk", coalesce(sum(col("is_cut")).over(wCuts), lit(0L)))
+    val chunks = assigned.groupBy("id", "chunk").agg(
+      count(lit(1)).as("c_tokens"),
+      md5(concat_ws(" ",
+        sort_array(collect_list(struct(col("idx"), col("tok")))).getField("tok")))
+        .as("ch"))
+    val occ = chunks.groupBy("ch").agg(count(lit(1)).as("occs"))
+    chunks.join(occ, "ch")
+      .groupBy("id").agg(
+        sum(col("c_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("occs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("occs") >= 2, col("c_tokens")).otherwise(0L)).as("dup_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_tokens"),
+        expr("n_tokens * 1000000 div n_chunks").as("avg_chunk_tokens_fp"),
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_token_ratio_fp"))
+  }
+
   /** C60: deterministic training-SHARD layout — the output stage of a
     * data pipeline: globally SHUFFLE the corpus (portable md5 rank hash,
     * so the "random" order is reproducible run-over-run and replayable by

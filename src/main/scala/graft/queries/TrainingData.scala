@@ -76,6 +76,14 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C73: content-defined chunking + chunk-level dedup profile — the
+    * insertion-stable CDC cut (window-hash residue boundaries) with
+    * corpus-wide duplicate-chunk accounting; w=4, expected chunk ≈ 8
+    * tokens on this corpus's short documents. */
+  def q144CdcChunking(t: Tables): DataFrame =
+    Chunking.cdcChunkProfile(t.documents, w = 4, divisor = 8)
+      .orderBy("doc_id")
+
   /** C63: exact duplicated-span REMOVAL (the ExactSubstr cut — the action
     * on C36/C62's profiles): every corpus-recurring 8-token span is cut
     * from all but its canonical first occurrence; documents rebuilt from
@@ -802,6 +810,14 @@ object TrainingData {
   def q140BpeEncode(t: Tables): DataFrame =
     Bpe.encodeStats(t.documents, Bpe.train(t.documents, merges = 6))
       .orderBy("doc_id")
+
+  /** C72: tokenizer fertility audit — per language, the deploy-quality
+    * report of the q139-trained 6-merge model: fertility (BPE tokens per
+    * word), chars-per-token compression, unsplit rate — all exact integer
+    * fixed-point, so the oracle replays training AND the audit. */
+  def q143TokenizerFertility(t: Tables): DataFrame =
+    Bpe.fertilityAudit(t.documents, Bpe.train(t.documents, merges = 6))
+      .orderBy("lang")
 
   /** C70: token-budget water-filling mixture planner — a 2×-corpus token
     * budget split equally across sources, except no source may exceed its

@@ -1214,6 +1214,29 @@ object TrainingOracle {
          |  CAST(SUM(pw.word_tokens) AS BIGINT) AS n_tokens
          |FROM dw JOIN pw USING (word) WHERE length(dw.word) >= 1
          |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
+    // C72: fertility-audit replay — shared training CTEs, the per-word
+    // token frame, then the per-language integer fixed-point ratios.
+    "q143_tokenizer_fertility" ->
+      s"""${bpeTrainCtes(bpeMerges)},
+         |pw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS word_tokens
+         |       FROM f$bpeMerges GROUP BY word),
+         |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |a AS (
+         |  SELECT dw.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(COUNT(DISTINCT dw.word) AS BIGINT) AS n_vocab,
+         |    CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(pw.word_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN pw.word_tokens = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_unsplit
+         |  FROM dw JOIN pw USING (word) WHERE length(dw.word) >= 1
+         |  GROUP BY dw.lang)
+         |SELECT lang, n_words, n_vocab, n_chars, n_tokens, n_unsplit,
+         |  n_tokens * 1000000 // n_words AS fertility_fp,
+         |  n_chars * 1000000 // n_tokens AS chars_per_token_fp,
+         |  n_unsplit * 1000000 // n_words AS unsplit_rate_fp
+         |FROM a ORDER BY lang""".stripMargin,
+
     // C70: water-filling replay — domain frame, (cap ASC, domain ASC)
     // rank, the prefix-monotone saturation test cap·(N−j+1)+P_{j−1} < B,
     // then the integer water level with the first-rem +1 remainder rule.
@@ -1972,6 +1995,50 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C73: CDC replay — window hashes, residue-class cuts after position
+    // s+w−1, the strictly-before running cut count as chunk id, ordered
+    // chunk-content md5, corpus-wide occurrence counts, fixed-point ratios.
+    "q144_cdc_chunking" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), sh AS (
+         |  SELECT doc_id, ${shingleHashSql("toks", 4)} AS hs FROM tk
+         |), st AS (
+         |  SELECT doc_id, p - 1 AS s, hs[p] AS h
+         |  FROM (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS p, hs FROM sh)
+         |), cuts AS (
+         |  SELECT doc_id, s + 3 AS idx FROM st WHERE h % 8 = 7
+         |), tok AS (
+         |  SELECT doc_id, p - 1 AS idx, toks[p] AS tok
+         |  FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tk)
+         |), fl AS (
+         |  SELECT t.doc_id, t.idx, t.tok,
+         |    CASE WHEN c.idx IS NOT NULL THEN 1 ELSE 0 END AS is_cut
+         |  FROM tok t LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.idx = c.idx
+         |), ck AS (
+         |  SELECT doc_id, idx, tok,
+         |    COALESCE(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM fl
+         |), chunks AS (
+         |  SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS c_tokens,
+         |         md5(string_agg(tok, ' ' ORDER BY idx)) AS ch
+         |  FROM ck GROUP BY doc_id, chunk
+         |), occ AS (
+         |  SELECT ch, COUNT(*) AS occs FROM chunks GROUP BY ch
+         |), d AS (
+         |  SELECT c.doc_id, CAST(SUM(c.c_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(CASE WHEN o.occs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_chunks,
+         |    CAST(SUM(CASE WHEN o.occs >= 2 THEN c.c_tokens ELSE 0 END) AS BIGINT)
+         |      AS dup_tokens
+         |  FROM chunks c JOIN occ o USING (ch) GROUP BY c.doc_id)
+         |SELECT doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
+         |  n_tokens * 1000000 // n_chunks AS avg_chunk_tokens_fp,
+         |  dup_tokens * 1000000 // n_tokens AS dup_token_ratio_fp
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "q133_span_removal" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -132,6 +132,46 @@ class BpeSpec extends SparkSuite {
     assert(got.map(_._1) == Seq(10L, 11L, 12L), "every doc must appear, OOV included")
   }
 
+  test("fertilityAudit: per-group ratios match a sequential reference, fixed-point exact") {
+    val docs = Seq(
+      (1L, "en", "aaaa aaaa bb cc"),
+      (2L, "en", "aaaa dd"),
+      (3L, "de", "aaac xyz aaaa")).toDF("doc_id", "lang", "text")
+    val model = Bpe.train(docs, merges = 2)
+    def refApply(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      for (s <- model.steps) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms(i) == s.left && syms(i + 1) == s.right) {
+            out += (s.left + s.right); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.size
+    }
+    val corpus = Seq(
+      "en" -> Seq("aaaa", "aaaa", "bb", "cc", "aaaa", "dd"),
+      "de" -> Seq("aaac", "xyz", "aaaa"))
+    val want = corpus.map { case (lang, words) =>
+      val nWords = words.size.toLong
+      val nVocab = words.distinct.size.toLong
+      val nChars = words.map(_.length.toLong).sum
+      val toks = words.map(w => refApply(w).toLong)
+      val nTokens = toks.sum
+      val nUnsplit = toks.count(_ == 1L).toLong
+      (lang, nWords, nVocab, nChars, nTokens, nUnsplit,
+        nTokens * 1000000L / nWords, nChars * 1000000L / nTokens,
+        nUnsplit * 1000000L / nWords)
+    }.sortBy(_._1)
+    val got = Bpe.fertilityAudit(docs, model).orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("encodeStats: token totals reconcile with the trajectory's final corpus count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val model = Bpe.train(docs, merges = 6)

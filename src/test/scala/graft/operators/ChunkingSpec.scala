@@ -100,4 +100,88 @@ class ChunkingSpec extends SparkSuite {
     assert(totals.forall(_ <= 500L + 44L), s"oversized shard: ${totals.max}")
     assert(totals.length > 3, "budget must produce multiple shards")
   }
+
+  /** Sequential reference CDC profile using the same portable hash. */
+  private def refCdc(texts: Seq[(Long, String)], w: Int, d: Int)
+  : Map[Long, (Long, Long, Long, Long)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h31(s: String): Long =
+      graft.functions.HashUtil.md5Hash31(UTF8String.fromString(s))
+    val docChunks: Seq[(Long, Vector[String])] = texts.map { case (id, text) =>
+      val toks = text.split(" ", -1).toVector
+      val n = toks.size
+      val nWin = math.max(n - w + 1, if (n > 0) 1 else 0)
+      val cuts = (0 until nWin)
+        .filter(s => h31(toks.slice(s, s + math.min(w, n)).mkString(" ")) % d == d - 1)
+        .map(s => s + w - 1).toSet
+      val chunks = Vector.newBuilder[String]
+      var cur = Vector.newBuilder[String]
+      for (i <- 0 until n) {
+        cur += toks(i)
+        if (cuts.contains(i) && i < n - 1) { chunks += cur.result().mkString(" "); cur = Vector.newBuilder[String] }
+      }
+      val last = cur.result()
+      if (last.nonEmpty) chunks += last.mkString(" ")
+      id -> chunks.result()
+    }
+    val occ = docChunks.flatMap(_._2).groupBy(identity).map { case (c, o) => c -> o.size }
+    docChunks.map { case (id, chunks) =>
+      val nTokens = chunks.map(_.split(" ", -1).length.toLong).sum
+      val dup = chunks.filter(c => occ(c) >= 2)
+      id -> (nTokens, chunks.size.toLong, dup.size.toLong,
+        dup.map(_.split(" ", -1).length.toLong).sum)
+    }.toMap
+  }
+
+  test("cdcChunkProfile matches a sequential reference, dup accounting corpus-wide") {
+    val rnd = new scala.util.Random(7)
+    val shared = (1 to 40).map(_ => s"s${rnd.nextInt(30)}").mkString(" ")
+    val texts = Seq(
+      1L -> ((1 to 120).map(_ => s"a${rnd.nextInt(50)}").mkString(" ") + " " + shared),
+      2L -> (shared + " " + (1 to 90).map(_ => s"b${rnd.nextInt(50)}").mkString(" ")),
+      3L -> "tiny doc",
+      4L -> "tiny doc")
+    val want = refCdc(texts, w = 4, d = 8)
+    val got = Chunking.cdcChunkProfile(texts.toDF("doc_id", "text"), w = 4, divisor = 8)
+      .select("doc_id", "n_tokens", "n_chunks", "n_dup_chunks", "dup_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the two identical short docs are whole-doc chunks, duplicated
+    assert(got(3L) == ((2L, 1L, 1L, 2L)))
+  }
+
+  test("cdcChunkProfile: a front-of-doc edit leaves all later chunk boundaries intact") {
+    val rnd = new scala.util.Random(11)
+    val body = (1 to 300).map(_ => s"w${rnd.nextInt(80)}").mkString(" ")
+    val docs = Seq(1L -> body, 2L -> ("inserted " + body))
+    // recover actual chunk CONTENT via the reference (operator outputs hashes)
+    def chunksOf(text: String): Vector[String] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      def h31(s: String): Long =
+        graft.functions.HashUtil.md5Hash31(UTF8String.fromString(s))
+      val toks = text.split(" ", -1).toVector
+      val n = toks.size
+      val cuts = (0 until math.max(n - 3, 1))
+        .filter(s => h31(toks.slice(s, s + math.min(4, n)).mkString(" ")) % 8 == 7)
+        .map(_ + 3).toSet
+      val out = Vector.newBuilder[String]; var cur = Vector.newBuilder[String]
+      for (i <- 0 until n) {
+        cur += toks(i)
+        if (cuts.contains(i) && i < n - 1) { out += cur.result().mkString(" "); cur = Vector.newBuilder[String] }
+      }
+      val last = cur.result(); if (last.nonEmpty) out += last.mkString(" ")
+      out.result()
+    }
+    val a = chunksOf(docs(0)._2)
+    val b = chunksOf(docs(1)._2)
+    assert(a.size > 5, s"fixture must chunk well (got ${a.size} chunks)")
+    // CDC property: every chunk of the original except the first survives
+    // the edit verbatim (boundaries are window-local, not cut-chained)
+    assert(a.drop(1).forall(b.contains), "later chunks must be edit-stable")
+    // and the engine agrees with the reference on both docs
+    val got = Chunking.cdcChunkProfile(docs.toDF("doc_id", "text"), w = 4, divisor = 8)
+      .select("doc_id", "n_chunks").as[(Long, Long)].collect().toMap
+    assert(got(1L) == a.size.toLong && got(2L) == b.size.toLong)
+  }
 }
