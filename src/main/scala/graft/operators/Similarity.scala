@@ -410,6 +410,71 @@ object Similarity {
     (mat, moves.toSeq)
   }
 
+  /** C74: PROTOTYPICALITY pruning (the SSL-prototypes data-pruning metric,
+    * Sorscher et al. 2022, "Beyond neural scaling laws": when data is
+    * abundant, the most PROTOTYPICAL examples — nearest their class
+    * prototype — are the least informative and are pruned first): per
+    * label, the prototype is the fixed-point-exact mean vector (the
+    * [[kmeansStep]] update arithmetic — `round(x·10^6)` longs summed
+    * associatively, one divide at read-out, bit-equal under any
+    * partitioning); every vector scores cosine(v, prototype) through the
+    * codegen'd [[graft.functions.DotProduct]] loop, and the top
+    * `prunePct`% most prototypical rows per label are flagged.
+    *
+    * Ranking is the TWO-LEVEL distributed form (rank = bucket offset +
+    * local rank, buckets = 512 cosine sub-intervals): equal sims share a
+    * bucket and break ties by id locally, rows in different buckets are
+    * sim-ordered by construction — exactly equal to the one global
+    * per-label window, without funnelling a 100 TB label through one
+    * task. Zero-norm vectors (and degenerate all-zero prototypes) score
+    * 0 by contract instead of NaN, so ordering is total on both engines.
+    *
+    * Scale: prototype = one corpus scan with map-side partial sums
+    * (labels × dims rows shuffle); scoring joins the label-sized
+    * prototype frame broadcast; the rank windows partition by
+    * (label, bucket) and the offset frame is labels × ≤513 rows.
+    *
+    * Output: (vec_id, label, proto_sim, rank, n_label, pruned). */
+  def prototypicalityPrune(corpus: DataFrame, prunePct: Int = 10,
+                           labelCol: String = "label", idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           scale: Long = 1000000L): DataFrame = {
+    require(prunePct >= 0 && prunePct <= 100, "prunePct must be in [0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val sums = corpus
+      .select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("lbl"), col("dim"),
+        round(col("v").cast("double") * scale).cast("long").as("sv"))
+      .groupBy("lbl", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("s"))
+      .withColumn("c", col("s").cast("double") / scale / col("n"))
+    val cent = sums.groupBy("lbl")
+      .agg(max(col("n")).as("n_label"),
+        sort_array(collect_list(struct(col("dim"), col("c")))).getField("c").as("ce"))
+      .withColumn("cnrm", l2Norm(col("ce")))
+    val scored = corpus
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"), col(vecCol).as("ve"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cent), "lbl")
+      .withColumn("proto_sim",
+        when(col("nrm") === 0.0 || col("cnrm") === 0.0, lit(0.0))
+          .otherwise(dotProduct(col("ve"), col("ce")) / (col("nrm") * col("cnrm"))))
+      .withColumn("bkt", floor((lit(1.0) + col("proto_sim")) * 256).cast("long"))
+    val wLocal = Window.partitionBy("lbl", "bkt")
+      .orderBy(col("proto_sim").desc, col("id").asc)
+    val wBuckets = Window.partitionBy("lbl").orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("lbl", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBuckets), lit(0L)))
+      .select("lbl", "bkt", "off")
+    scored.withColumn("lrk", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("lbl", "bkt"))
+      .withColumn("rank", col("off") + col("lrk"))
+      .select(col("id").as(idCol), col("lbl").as(labelCol), col("proto_sim"),
+        col("rank"), col("n_label"),
+        (col("rank") <= expr(s"n_label * $prunePct div 100")).as("pruned"))
+  }
+
   /** C35: SEMANTIC dedup (the SemDeDup recipe: cluster the embedding
     * space, prune near-identical pairs only WITHIN a cluster): every
     * vector is assigned to its nearest seeded centroid by the same

@@ -608,6 +608,13 @@ object TrainingData {
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
 
+  /** C74: prototypicality pruning — per label, cosine to the fixed-point
+    * exact mean prototype, two-level rank, top-10% most prototypical
+    * flagged pruned (the SSL-prototypes abundant-data rule). */
+  def q145PrototypePrune(t: Tables): DataFrame =
+    Similarity.prototypicalityPrune(t.embeddings, prunePct = 10)
+      .orderBy("vec_id")
+
   /** C53: embedding health profile per label — dims, zero norms, norm
     * stats with a fixed-point-exact mean. */
   def q114EmbeddingProfile(t: Tables): DataFrame =

@@ -1294,6 +1294,43 @@ object TrainingOracle {
     "q123_curation_report"   -> curationReportSql,
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
+
+    // C74: prototypicality replay — fixed-point prototype means per
+    // label (the kmeans update arithmetic), strict-fold cosine, the one
+    // global per-label window the engine's two-level rank equals.
+    "q145_prototype_prune" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT label, generate_subscripts(ve, 1) - 1 AS dim,
+         |         CAST(round(unnest(ve) * 1000000) AS BIGINT) AS sv
+         |  FROM v
+         |), sums AS (
+         |  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(sv) AS BIGINT) AS s
+         |  FROM ex GROUP BY label, dim
+         |), cent AS (
+         |  SELECT label, MAX(n) AS n_label,
+         |         list(CAST(s AS DOUBLE) / 1000000 / n ORDER BY dim) AS ce
+         |  FROM sums GROUP BY label
+         |), cn AS (
+         |  SELECT label, n_label, ce, sqrt(${dotSql("ce", "ce")}) AS cnrm FROM cent
+         |), sc AS (
+         |  SELECT v.vec_id, v.label, cn.n_label,
+         |    CASE WHEN sqrt(${dotSql("v.ve", "v.ve")}) = 0 OR cn.cnrm = 0 THEN 0.0
+         |         ELSE ${dotSql("v.ve", "cn.ce")}
+         |              / (sqrt(${dotSql("v.ve", "v.ve")}) * cn.cnrm) END AS proto_sim
+         |  FROM v JOIN cn USING (label)
+         |), rk AS (
+         |  SELECT vec_id, label, proto_sim, n_label,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY proto_sim DESC, vec_id ASC) AS BIGINT) AS "rank"
+         |  FROM sc)
+         |SELECT vec_id, label, proto_sim, "rank", n_label,
+         |  "rank" <= n_label * 10 // 100 AS pruned
+         |FROM rk ORDER BY vec_id""".stripMargin,
     "q76_pq_ann"           -> pqAnnSql(),
 
     // q64: the quantile-sketch build+merge accuracy contract (q63 pattern)

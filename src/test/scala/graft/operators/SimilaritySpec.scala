@@ -272,4 +272,37 @@ class SimilaritySpec extends SparkSuite {
       assert(mean == sum.toDouble / 1000000L / n)
     }
   }
+
+  test("prototypicalityPrune: two-level rank equals the one global window; prune rule exact") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.prototypicalityPrune(embeddings, prunePct = 10)
+    // one row per vector, ranks are a permutation of 1..n within label
+    val n = embeddings.count()
+    assert(got.count() == n)
+    val bad = got.groupBy("label")
+      .agg(count(lit(1)).as("cnt"), max("rank").as("mx"), min("rank").as("mn"),
+        countDistinct("rank").as("dr"))
+      .filter(col("mx") =!= col("cnt") || col("mn") =!= 1 || col("dr") =!= col("cnt"))
+    assert(bad.count() == 0, "per-label ranks must be a 1..n permutation")
+    // the two-level rank must equal the single global per-label window
+    val wGlobal = Window.partitionBy("label")
+      .orderBy(col("proto_sim").desc, col("vec_id").asc)
+    val mismatch = got
+      .withColumn("grank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") =!= col("grank"))
+    assert(mismatch.count() == 0, "two-level rank diverged from the global window")
+    // prune rule: exactly n_label*10 div 100 rows pruned per label, the top ones
+    val counts = got.groupBy("label")
+      .agg(max("n_label").as("nl"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("np"),
+        max(when(col("pruned"), col("rank"))).as("maxPrunedRank"))
+      .select("nl", "np", "maxPrunedRank")
+      .as[(Long, Long, Option[Long])].collect()
+    counts.foreach { case (nl, np, mx) =>
+      assert(np == nl * 10 / 100)
+      assert(mx.forall(_ == np), "pruned rows must be exactly ranks 1..np")
+    }
+    // zero-norm guard: score is 0.0, never NaN
+    assert(got.filter(col("proto_sim").isNaN).count() == 0)
+  }
 }
