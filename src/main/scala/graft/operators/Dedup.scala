@@ -788,4 +788,47 @@ object Dedup {
         (col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** C75: CONTAINMENT pairs — the ASYMMETRIC member of the near-dup
+    * family (Broder's containment coefficient C(A,B) = |A∩B| / |A|): a
+    * short document living almost entirely INSIDE a longer one (wire
+    * story inside an aggregator page, quoted excerpt, chapter inside a
+    * collection) scores low symmetric Jaccard — the union is dominated
+    * by the long side — and [[ngramJaccardPairs]] never flags it. Here a
+    * pair is emitted when the SMALLER side's shingle set is ≥
+    * `thresholdPct`% covered by the intersection, and the contained doc
+    * is named: the smaller side (larger id on equal sizes — so the kept
+    * canonical is min-(size, id), this module's usual tie-break).
+    *
+    * Threshold compare is exact integer arithmetic
+    * (`common·100 ≥ pct·min(n_a,n_b)`) and the emitted containment is
+    * ×10^6 fixed-point — engine-replayable bit-for-bit.
+    *
+    * Scale: identical inverted-index shape to [[ngramJaccardPairs]] —
+    * distinct portable shingles explode once, pairs materialize only for
+    * docs sharing ≥1 shingle within their group, id-only join rows until
+    * the final size join. Zero-overlap pairs never exist; the group
+    * bound (same `groupCol`) is the candidate cap, exactly as C4. */
+  def containmentPairs(docs: DataFrame, groupCol: String, textCol: String = "text",
+                       idCol: String = "doc_id", ngram: Int = 3,
+                       thresholdPct: Int = 90): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      "thresholdPct must be in (0, 100]: zero-overlap pairs are never materialized")
+    import graft.functions.SignatureFunctions.portableShingleHashes
+    val ex = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      explode(portableShingleHashes(TextOps.tokens(col(textCol)), ngram)).as("h"))
+    val sizes = ex.groupBy("g", "id").agg(count(lit(1)).as("n"))
+    val a = ex.select(col("g"), col("h"), col("id").as("doc_a"))
+    val b = ex.select(col("g"), col("h"), col("id").as("doc_b"))
+    a.join(b, Seq("g", "h")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("g", "doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("g"), col("id").as("doc_a"), col("n").as("n_a")), Seq("g", "doc_a"))
+      .join(sizes.select(col("g"), col("id").as("doc_b"), col("n").as("n_b")), Seq("g", "doc_b"))
+      .filter(col("common") * 100 >= least(col("n_a"), col("n_b")) * thresholdPct)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"),
+        expr("common * 1000000 div least(n_a, n_b)").as("containment_fp"),
+        when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(col("doc_b")).as("contained_id"))
+  }
 }

@@ -608,6 +608,22 @@ object TrainingData {
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
 
+  /** C75: containment pairs — asymmetric near-dup (excerpt-inside-a-page)
+    * over the corpus PLUS planted half-length excerpts (every 97th doc),
+    * so the ≥90% coverage rule has guaranteed positives to prove at
+    * every SF; the contained side is named per the min-(size, id) rule. */
+  def q146Containment(t: Tables): DataFrame = {
+    val base = t.documents.select("doc_id", "source", "text")
+    val toks = split(col("text"), " ")
+    val half = greatest(floor(size(toks) / 2), lit(1)).cast("int")
+    val excerpts = base.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat_ws(" ", slice(toks, lit(1), half)).as("text"))
+    Dedup.containmentPairs(base.unionByName(excerpts), groupCol = "source",
+      ngram = 3, thresholdPct = 90)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** C74: prototypicality pruning — per label, cosine to the fixed-point
     * exact mean prototype, two-level rank, top-10% most prototypical
     * flagged pruned (the SSL-prototypes abundant-data rule). */

@@ -2032,6 +2032,43 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C75: containment replay — planted half-length excerpts, distinct
+    // portable shingles, inverted-index pair counts, the integer ≥90%
+    // coverage test on the smaller side.
+    "q146_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text FROM documents
+         |), exc AS (
+         |  SELECT doc_id + 1000000 AS doc_id, source,
+         |    array_to_string(toks[1:greatest(len(toks) // 2, 1)], ' ') AS text
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |        FROM base WHERE doc_id % 97 = 0)
+         |), corpus AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM exc
+         |), sh AS (
+         |  SELECT doc_id, source AS g,
+         |    list_distinct(${shingleHashSql("toks", 3)}) AS hs
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM corpus)
+         |), ex AS (
+         |  SELECT doc_id, g, unnest(hs) AS h FROM sh
+         |), sz AS (
+         |  SELECT doc_id, g, CAST(len(hs) AS BIGINT) AS n FROM sh
+         |), p AS (
+         |  SELECT a.g, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3
+         |), j AS (
+         |  SELECT p.doc_a, p.doc_b, p.common, sa.n AS n_a, sb.n AS n_b
+         |  FROM p JOIN sz sa ON sa.g = p.g AND sa.doc_id = p.doc_a
+         |         JOIN sz sb ON sb.g = p.g AND sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, common, n_a, n_b,
+         |  common * 1000000 // least(n_a, n_b) AS containment_fp,
+         |  CASE WHEN n_a < n_b THEN doc_a
+         |       WHEN n_b < n_a THEN doc_b ELSE doc_b END AS contained_id
+         |FROM j WHERE common * 100 >= least(n_a, n_b) * 90
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // C73: CDC replay — window hashes, residue-class cuts after position
     // s+w−1, the strictly-before running cut count as chunk id, ordered
     // chunk-content md5, corpus-wide occurrence counts, fixed-point ratios.

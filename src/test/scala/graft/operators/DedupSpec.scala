@@ -406,4 +406,39 @@ class DedupSpec extends SparkSuite {
     assert(out(0) == (10L, 10L, 10L, 1.0, s"$nine tail10"))
     assert(out(1) == (11L, 10L, 1L, 0.1, "tail11"))
   }
+
+  test("containmentPairs flags an excerpt symmetric Jaccard misses; names the contained side") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")       // 58 distinct 3-shingles
+    val excerpt = (10 to 21).map(i => s"w$i").mkString(" ")   // 10 shingles, all inside
+    val docs = Seq(
+      (1L, "s", long),
+      (2L, "s", excerpt),
+      (3L, "s", (100 to 160).map(i => s"x$i").mkString(" ")), // disjoint
+      (4L, "t", excerpt)                                      // other group: no pair
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.containmentPairs(docs, groupCol = "source", ngram = 3,
+      thresholdPct = 90)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "containment_fp", "contained_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 10L, 58L, 10L, 1000000L, 2L)), s"got $got")
+    // motivation check: the symmetric operator does NOT flag this pair at
+    // the same strength (jaccard = 10/58 ≈ 0.17)
+    val sym = Dedup.ngramJaccardPairs(docs, groupCol = "source", ngram = 3,
+      threshold = 0.3)
+    assert(sym.filter(col("doc_a") === 1 && col("doc_b") === 2).count() == 0)
+  }
+
+  test("containmentPairs: equal sizes name the larger id as contained; below-threshold dropped") {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", a), (2L, "s", a),                              // identical: 100%
+      (3L, "s", (1 to 10).map(i => s"w$i").mkString(" ") + " " +
+        (50 to 59).map(i => s"z$i").mkString(" "))             // half overlap: below 90%
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.containmentPairs(docs, groupCol = "source", ngram = 3,
+      thresholdPct = 90)
+      .select("doc_a", "doc_b", "contained_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L)), s"got $got")
+  }
 }
