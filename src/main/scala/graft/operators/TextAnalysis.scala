@@ -22,6 +22,59 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "我", "有", "他", "这", "不", "人")
   )
 
+  /** The classic UTF-8-read-as-Windows-1252 confusable table (the core
+    * trick table of encoding-repair tools like ftfy): each pair maps the
+    * MANGLED character sequence a double-encoding produces back to the
+    * intended character. Longest sequences first, so the 3-byte
+    * punctuation fixes never leave a dangling "â€" for a later rule.
+    * Each (bad, good) is a plain literal — substitution is chained
+    * `replace`, identical on any engine, no regex dialect in play. */
+  val MojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // â€™  → ’  (E2 80 99)
+    "â€œ" -> "“", // â€œ  → “  (E2 80 9C)
+    "â€“" -> "–", // â€“  → –  (E2 80 93)
+    "Ã©" -> "é",       // Ã©   → é  (C3 A9)
+    "Ã¨" -> "è",       // Ã¨   → è  (C3 A8)
+    "Ã¯" -> "ï",       // Ã¯   → ï  (C3 AF)
+    "Ã¼" -> "ü",       // Ã¼   → ü  (C3 BC)
+    "Ã±" -> "ñ")       // Ã±   → ñ  (C3 B1)
+
+  /** C76: ENCODING-ANOMALY (mojibake) detection + repair — the ftfy step
+    * of web-corpus cleaning: text that went UTF-8 → bytes → Windows-1252
+    * → UTF-8 carries telltale "Ã©"/"â€™" sequences; this profiles each
+    * document (occurrence counts of the Latin-1 and punctuation mangle
+    * classes) and applies the inverse mapping. Everything is literal
+    * `replace`/`length`/`md5` arithmetic — no regex, so any replaying
+    * engine agrees exactly; occurrence counts use the
+    * (len − len(removed)) / len(seq) identity.
+    *
+    * Scale: pure per-row column expressions — zero shuffle, codegen'd,
+    * scan-speed; the fix table is a compile-time constant chain.
+    *
+    * Output: (doc_id, n_latin1_seq, n_punct_seq, is_mojibake,
+    * n_chars_before, n_chars_after, repaired_hash). */
+  def mojibakeProfile(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // literal (non-regex) replace — Spark's codegen'd StringReplace
+    def rep(c: Column, bad: String, good: String): Column =
+      call_function("replace", c, lit(bad), lit(good))
+    def occurrences(seq: String): Column =
+      (length(t) - length(rep(t, seq, ""))) / seq.length
+    val repaired = MojibakeFixes.foldLeft(t) { case (c, (bad, good)) =>
+      rep(c, bad, good)
+    }
+    val latin1 = MojibakeFixes.filter(_._1.length == 2)
+    val punct = MojibakeFixes.filter(_._1.length == 3)
+    docs.select(col(idCol),
+      latin1.map(f => occurrences(f._1)).reduce(_ + _).cast("long").as("n_latin1_seq"),
+      punct.map(f => occurrences(f._1)).reduce(_ + _).cast("long").as("n_punct_seq"),
+      length(t).cast("long").as("n_chars_before"),
+      length(repaired).cast("long").as("n_chars_after"),
+      md5(repaired).as("repaired_hash"))
+    .withColumn("is_mojibake", col("n_chars_after") < col("n_chars_before"))
+  }
+
   /** C8: language ID — frequency-weighted stopword-hit score per language,
     * argmax wins (ties broken by profile order), floor of 0 hits → "und"
     * (undetermined). A real system would add char n-gram profiles; the

@@ -11,6 +11,18 @@ import graft.operators.{Bpe, Chunking, Dedup, Sampling, Similarity, Sketches, Te
  */
 object TrainingData {
 
+  /** The intended (clean) q147 suffix — exercises five MojibakeFixes
+    * entries. */
+  val CleanSuffix: String = " café naïve don’t “quote–x"
+
+  /** The planted q147 suffix: [[CleanSuffix]] after its UTF-8 bytes were
+    * mis-decoded as Windows-1252 — computed through the REAL charset pair
+    * (not hand-typed), so the plant is the genuine double-encoding mangle.
+    * Shared with the oracle builder so both engines plant the identical
+    * literal. */
+  val MangledSuffix: String = new String(
+    CleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+
   /** C1: exact dedup by full-content hash. */
   def q30DedupExact(t: Tables): DataFrame =
     Dedup.exact(t.documents).orderBy("canonical_id")
@@ -607,6 +619,18 @@ object TrainingData {
     * source, pairwise common/Jaccard/containment. */
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
+
+  /** C76: mojibake detection + repair — every 89th doc gains a planted
+    * double-encoded suffix (UTF-8 read as Windows-1252), so the ftfy-style
+    * confusable-table repair has guaranteed positives to prove; clean docs
+    * must pass through untouched (hash of the original text). */
+  def q147Mojibake(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 89 === 0,
+        concat(col("text"), lit(TrainingData.MangledSuffix)))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.mojibakeProfile(base).orderBy("doc_id")
+  }
 
   /** C75: containment pairs — asymmetric near-dup (excerpt-inside-a-page)
     * over the corpus PLUS planted half-length excerpts (every 97th doc),

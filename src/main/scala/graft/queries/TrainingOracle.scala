@@ -2032,6 +2032,36 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C76: mojibake replay — identical planted literal, per-sequence
+    // (len − len(removed)) // seqlen counts, the same-order replace chain.
+    "q147_mojibake" -> {
+      import graft.operators.TextAnalysis.MojibakeFixes
+      val latin1 = MojibakeFixes.filter(_._1.length == 2)
+      val punct = MojibakeFixes.filter(_._1.length == 3)
+      def occ(seq: String) =
+        s"(length(text) - length(replace(text, '$seq', ''))) // ${seq.length}"
+      val nl = latin1.map(f => occ(f._1)).mkString(" + ")
+      val np = punct.map(f => occ(f._1)).mkString(" + ")
+      val rep = MojibakeFixes.foldLeft("text") {
+        case (e, (bad, good)) => s"replace($e, '$bad', '$good')"
+      }
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 89 = 0
+         |         THEN text || '${TrainingData.MangledSuffix}'
+         |         ELSE text END AS text FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST($nl AS BIGINT) AS n_latin1_seq,
+         |    CAST($np AS BIGINT) AS n_punct_seq,
+         |    CAST(length(text) AS BIGINT) AS n_chars_before,
+         |    $rep AS rep
+         |  FROM base)
+         |SELECT doc_id, n_latin1_seq, n_punct_seq, n_chars_before,
+         |  CAST(length(rep) AS BIGINT) AS n_chars_after,
+         |  md5(rep) AS repaired_hash,
+         |  length(rep) < n_chars_before AS is_mojibake
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     // C75: containment replay — planted half-length excerpts, distinct
     // portable shingles, inverted-index pair counts, the integer ≥90%
     // coverage test on the smaller side.

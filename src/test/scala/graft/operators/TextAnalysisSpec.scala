@@ -402,4 +402,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("mojibakeProfile repairs a REAL windows-1252 double-encoding back to the original") {
+    def mangle(s: String): String = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val clean1 = "the café – a naïve “quote” he didn’t close"
+    val clean2 = "señor Gaël über naïveté"  // è is in the table too? ë is NOT
+    val plain = "perfectly ordinary ascii text"
+    val docs = Seq(
+      (1L, mangle(clean1)), (2L, mangle(clean2)), (3L, plain)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mojibakeProfile(docs).orderBy("doc_id")
+      .select("doc_id", "n_latin1_seq", "n_punct_seq", "is_mojibake", "repaired_hash")
+      .as[(Long, Long, Long, Boolean, String)].collect().toSeq
+    // clean1: é, ï → latin1 (2); –, “, ’ → punct (3); ” (U+201D) is NOT in
+    // the fix table (its W1252 mangle hits undefined byte 0x9D), so the
+    // repair covers table entries only — count what the table covers.
+    assert(got(0)._2 == 2 && got(0)._3 == 3 && got(0)._4, s"${got(0)}")
+    // every table-covered char round-trips: repair(mangle(x)) == x for a
+    // string built ONLY from covered chars + ascii
+    val covered = "café naïve don’t “quote– ñ ü è"
+    val rt = TextAnalysis.mojibakeProfile(
+        Seq((9L, mangle(covered))).toDF("doc_id", "text"))
+      .select("repaired_hash").as[String].collect().head
+    assert(rt == md5hex(covered), "charset round-trip must restore the original")
+    // ascii doc: untouched, not flagged, hash of the original
+    assert(got(2) == ((3L, 0L, 0L, false, md5hex(plain))), s"${got(2)}")
+  }
 }
