@@ -731,6 +731,81 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D24: streaming token-budget BURN-DOWN monitor — the live third of
+    * the C70→C71 planning family (plan → schedule → EXECUTION tracking):
+    * the water-filling plan's per-domain allocation rides as a broadcast
+    * frame; each micro-batch's per-domain token count folds into a
+    * pointer-versioned cumulative state (one row per domain — KBs), and
+    * a burn-down report (domain, batch_tokens, consumed_tokens,
+    * allocation, remaining, over_budget, batch_id) lands per batch. A
+    * domain crossing its allocation is visible the batch it happens —
+    * the signal that stops over-consuming a source mid-ingest instead of
+    * at the post-hoc audit. Domains absent from the plan report a NULL
+    * allocation and flag over_budget from their first token.
+    *
+    * State/replay discipline = D22's: state is batchId-versioned behind
+    * the pointer flip, a replayed batch sees its own version published
+    * and skips, so consumption never double-counts. Scale: per batch one
+    * map-side-partial token count; state, plan and report are all
+    * domain-frame-sized. */
+  def budgetMonitor(docs: DataFrame, plan: Map[String, Long], stateRoot: String,
+                    reportRoot: String, checkpointDir: String,
+                    domainCol: String = "source", textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val stateSchema = StructType(Seq(
+      StructField("domain", StringType, nullable = true),
+      StructField("consumed_tokens", LongType, nullable = false)))
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          () // replayed (state already published) or empty
+        } else {
+          val batchTok = batch.toDF()
+            .select(col(domainCol).as("domain"),
+              size(split(col(textCol), " ")).cast("long").as("__t"))
+            .groupBy("domain").agg(sum(col("__t")).as("batch_tokens"))
+          val prior = prev.map(p => spark.read.parquet(p))
+            .getOrElse(spark.createDataFrame(
+              java.util.List.of[org.apache.spark.sql.Row](), stateSchema))
+          val next = prior.select(col("domain"), col("consumed_tokens").as("__prior"))
+            .join(batchTok, Seq("domain"), "full_outer")
+            .select(col("domain"),
+              coalesce(col("batch_tokens"), lit(0L)).as("batch_tokens"),
+              (coalesce(col("__prior"), lit(0L)) +
+                coalesce(col("batch_tokens"), lit(0L))).as("consumed_tokens"))
+          import scala.jdk.CollectionConverters._
+          val planDf = spark.createDataFrame(
+            plan.toSeq.sortBy(_._1)
+              .map { case (d, a) => org.apache.spark.sql.Row(d, a) }.asJava,
+            StructType(Seq(
+              StructField("domain", StringType, nullable = true),
+              StructField("allocation", LongType, nullable = false))))
+          next.join(broadcast(planDf), Seq("domain"), "left_outer")
+            .select(col("domain"), col("batch_tokens"), col("consumed_tokens"),
+              col("allocation"),
+              (col("allocation") - col("consumed_tokens")).as("remaining"),
+              coalesce(col("consumed_tokens") > col("allocation"), lit(true))
+                .as("over_budget"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          next.select("domain", "consumed_tokens")
+            .write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The burn-down audit trail: one row per (batch, domain). */
+  def budgetHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   /** The C60 two-level hash-bucketed token-prefix placement of one batch
     * starting at global token `offset` — shared by [[shardAssign]] and
     * [[curationSync]]: (idCol, n_tokens, shard_id, token_offset). */

@@ -668,4 +668,47 @@ class StreamingSpec extends SparkSuite {
     assert(EventStreams.classifierScoreHistory(spark, hist)
       .select("batch_id").distinct().count() == 2)
   }
+
+  test("D24: budget burn-down accumulates per domain, flags crossings the batch they happen") {
+    val in = Files.createTempDirectory("graft-budget-in").toString
+    val state = Files.createTempDirectory("graft-budget-state").toString
+    val report = Files.createTempDirectory("graft-budget-report").toString
+    val ckpt = Files.createTempDirectory("graft-budget-ckpt").toString
+    val plan = Map("web" -> 10L, "books" -> 100L)
+    def runOnce(): Unit = EventStreams.budgetMonitor(
+      spark.readStream.schema("doc_id LONG, source STRING, text STRING").parquet(in),
+      plan, state, report, ckpt)
+    def push(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1).write.mode("append").parquet(in)
+
+    push(Seq((1L, "web", "a b c d e f"), (2L, "books", "x y z")))   // web 6, books 3
+    runOnce()
+    push(Seq((3L, "web", "g h i j k"), (4L, "wild", "q r")))        // web +5 → 11 > 10
+    runOnce()
+
+    val hist = EventStreams.budgetHistory(spark, report)
+      .select("batch_id", "domain", "batch_tokens", "consumed_tokens",
+        "remaining", "over_budget")
+      .as[(Long, String, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // batch 0: within budget
+    assert(hist((0L, "web")) == ((6L, 6L, Some(4L), false)))
+    assert(hist((0L, "books")) == ((3L, 3L, Some(97L), false)))
+    // batch 1: web crosses its allocation THIS batch; books carries state
+    // without new rows; the unplanned domain flags immediately, NULL alloc
+    assert(hist((1L, "web")) == ((5L, 11L, Some(-1L), true)))
+    assert(hist((1L, "books")) == ((0L, 3L, Some(97L), false)))
+    assert(hist((1L, "wild")) == ((2L, 2L, None, true)))
+
+    // replay: no double count, no extra report version
+    runOnce()
+    assert(EventStreams.budgetHistory(spark, report)
+      .select("batch_id").distinct().count() == 2)
+    push(Seq((5L, "books", "m n")))
+    runOnce()
+    val b3 = EventStreams.budgetHistory(spark, report)
+      .filter(col("domain") === "books").agg(max("consumed_tokens"))
+      .as[Long].head()
+    assert(b3 == 5L, "state must survive replay and accumulate further batches")
+  }
 }
