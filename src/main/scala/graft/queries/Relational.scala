@@ -468,6 +468,71 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** A36: MAD robust-outlier audit — median absolute deviation per group,
+    * the ROBUST complement of A34's winsorize: median and MAD survive the
+    * very outliers that drag mean/stddev (and so the p05/p95 clip points)
+    * toward themselves, so `|x − med| > 5·MAD` flags extreme rows without
+    * the estimator itself being contaminated. Two exact percentile passes
+    * by nature (med, then the deviation median) — each pass is one
+    * partial-aggregated scan with the tiny per-group frame broadcast
+    * back; flagged totals in exact decimal. */
+  def q149MadOutliers(t: Tables): DataFrame = {
+    val med = t.lineitem.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med"))
+    val dev = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+    val mad = dev.groupBy("l_returnflag")
+      .agg(expr("percentile(adev, 0.5D)").as("mad"), max(col("med")).as("med"))
+    dev.drop("med").join(broadcast(mad), "l_returnflag")
+      .select(col("l_returnflag"), col("med"), col("mad"),
+        (col("adev") > lit(5.0) * col("mad")).as("flag"),
+        col("l_extendedprice"))
+      .groupBy("l_returnflag")
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_outliers"),
+        money(sum(when(col("flag"), dec(col("l_extendedprice")))
+          .otherwise(lit(0).cast(Dec)))).as("outlier_total"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A35: EQUI-DEPTH histogram — the statistics-build complement of q95's
+    * equi-width buckets (what an optimizer's column statistics and a
+    * partition-balancing planner actually want: every bucket holds the
+    * same row count, bucket BOUNDS move with the data): row's bucket =
+    * (rank−1)·k div n over the exact total value order.
+    *
+    * Scale: the global rank is the TWO-LEVEL distributed form (value-range
+    * buckets on exact cents → local row_number per range + cumulated
+    * range totals broadcast back — identical to the one global window,
+    * spec-pinned in PlanSpec's family), never a full single-task sort;
+    * the total n rides a 1-row broadcast; output is k rows with exact
+    * cent bounds. */
+  def q148EquiDepth(t: Tables): DataFrame = {
+    val k = 16
+    val cents = (dec(col("l_extendedprice")) * 100).cast("long")
+    val base = t.lineitem.select(cents.as("c"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      .withColumn("rb", expr("c div 1000000"))
+    val wLocal = Window.partitionBy("rb")
+      .orderBy(col("c"), col("ok"), col("ln"))
+    val wRanges = Window.orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("rb").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wRanges), lit(0L)))
+      .select("rb", "off")
+    val total = base.agg(count(lit(1)).as("n_total"))
+    base.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "rb")
+      .crossJoin(broadcast(total))
+      .select(expr(s"(off + lrn - 1) * $k div n_total").as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
   /** A34: percentile WINSORIZATION — the outlier-clipping cleanup step:
     * clamp a measure into its exact per-group [p05, p95] band and report
     * rows clipped + the winsorized total. Two passes by nature (exact

@@ -350,6 +350,41 @@ object RelationalOracle {
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
 
+    // A36: MAD — the same two quantile_cont passes (q45-pinned equal to
+    // Spark percentile), same 5·MAD flag, exact decimal flagged total.
+    "q149_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l.l_returnflag, l.l_extendedprice, m.med,
+        |         abs(l.l_extendedprice - m.med) AS adev
+        |  FROM lineitem l JOIN m USING (l_returnflag)),
+        |md AS (
+        |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad, MAX(med) AS med
+        |  FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, MAX(md.med) AS med, MAX(md.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.adev > 5.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.adev > 5.0 * md.mad
+        |                THEN CAST(d.l_extendedprice AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS outlier_total
+        |FROM d JOIN md USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    // A35: equi-depth — the one global rank window the engine's two-level
+    // form equals, the same (rank−1)·k div n bucket rule.
+    "q148_equi_depth" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |         l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, ok, ln) AS rn,
+        |             COUNT(*) OVER () AS n FROM c)
+        |SELECT (rn - 1) * 16 // n AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(c) AS lo_cents, MAX(c) AS hi_cents
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // A34: winsorize — same percentiles (q45-pinned), same clamp, same
     // decimal total.
     "q121_winsorize" ->
