@@ -118,14 +118,16 @@ object Multimodal {
   /**
    * STUB — stands in for the real media decoder on the payloads that
    * genuinely need codec libraries this environment doesn't ship:
-   * COMPRESSED AV tracks (H.264/HEVC video frames, AAC audio) and any
-   * other non-container byte blob. Deterministic: features are a
+   * COMPRESSED VIDEO frames (H.264/HEVC) and transform audio (AAC), and
+   * any other non-container byte blob. Deterministic: features are a
    * hash-fold of the payload bytes, so tests are exact. PNG pixels
    * (zlib inflate + unfilter), GIF pixels (full LZW), baseline JPEG
-   * pixels (Huffman + IDCT), WAV PCM and raw-PCM MP4 tracks
-   * ('twos'/'sowt' via the real stsd/stsz/stsc/stco walk) do NOT hit
-   * this — [[decodeFeatures]] decodes those for real via
-   * [[graft.functions.PixelCodecUtil]] / [[graft.functions.JpegCodecUtil]].
+   * pixels (Huffman + IDCT), WAV PCM, raw-PCM MP4 tracks
+   * ('twos'/'sowt' via the real stsd/stsz/stsc/stco walk) AND IMA ADPCM
+   * compressed audio ([[graft.functions.AdpcmCodecUtil]] — the full
+   * 4-bit adaptive codec) do NOT hit this — [[decodeFeatures]] decodes
+   * those for real via [[graft.functions.PixelCodecUtil]] /
+   * [[graft.functions.JpegCodecUtil]] / [[graft.functions.AdpcmCodecUtil]].
    */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -219,6 +221,8 @@ object Multimodal {
     }
     val mp = PixelCodecUtil.decodeMp4PcmSamples(payload)
     if (mp != null) return sampleFeatures(mp.samples, mp.bits)
+    val ad = graft.functions.AdpcmCodecUtil.decodeWavImaAdpcmSamples(payload)
+    if (ad != null) return sampleFeatures(ad, 16)
     decodeStub(payload)
   }
 

@@ -538,6 +538,100 @@ class MultimodalSpec extends SparkSuite {
       "id-derived pixels must yield distinct feature vectors")
   }
 
+  test("IMA ADPCM: decode matches an independent reference decoder bit-for-bit; error bounded") {
+    import graft.functions.AdpcmCodecUtil
+    // a smooth two-tone signal the adaptive step can track
+    val n = 4000
+    val samples = Array.tabulate(n)(i =>
+      (8000 * math.sin(i * 0.05) + 2500 * math.sin(i * 0.013 + 1.0)).toInt)
+    val wav = AdpcmCodecUtil.encodeWavImaAdpcm(22050, samples, blockAlign = 256)
+    val got = AdpcmCodecUtil.decodeWavImaAdpcmSamples(wav)
+    assert(got != null && got.length == n)
+
+    // independent sequential reference decoder (tables re-derived from the
+    // IMA spec, written against the WAV block layout directly)
+    val stepT = {
+      // the 89-entry table via the spec's 1.1^n generator, rounded — must
+      // reproduce the implementation's constants exactly
+      val t = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+        31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+        494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+        1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+        4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767)
+      t
+    }
+    val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    def refDecode(b: Array[Byte]): Array[Int] = {
+      def u16(i: Int) = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      def u32(i: Int) = (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      val blockAlign = u16(32); val factN = u32(48).toInt; val dOff = 60
+      val spb = (blockAlign - 4) * 2 + 1
+      val out = Array.newBuilder[Int]
+      var w = 0; var blk = 0
+      while (w < factN) {
+        val base = dOff + blk * blockAlign
+        var p = u16(base).toShort.toInt; var ix = b(base + 2) & 0xFF
+        out += p; w += 1
+        var k = 1
+        while (k < spb && w < factN) {
+          val by = b(base + 4 + (k - 1) / 2)
+          val code = if ((k - 1) % 2 == 0) by & 0x0F else (by >> 4) & 0x0F
+          val step = stepT(ix)
+          var d = step >> 3
+          if ((code & 4) != 0) d += step
+          if ((code & 2) != 0) d += step >> 1
+          if ((code & 1) != 0) d += step >> 2
+          p = math.max(-32768, math.min(32767, if ((code & 8) != 0) p - d else p + d))
+          ix = math.max(0, math.min(88, ix + idxT(code)))
+          out += p; w += 1
+          k += 1
+        }
+        blk += 1
+      }
+      out.result()
+    }
+    assert(got.toSeq == refDecode(wav).toSeq, "decoder must match the reference bit-for-bit")
+
+    // lossy error bound on a trackable signal: RMS error well under 5% of amplitude
+    val rms = math.sqrt(samples.zip(got).map { case (a, b) => val d = (a - b).toDouble; d * d }
+      .sum / n)
+    assert(rms < 400.0, s"ADPCM rms error $rms too high for a smooth signal")
+
+    // malformed payloads: truncated, bad step index, oversized fact → null
+    assert(AdpcmCodecUtil.decodeWavImaAdpcmSamples(wav.take(40)) == null)
+    val badIdx = wav.clone; badIdx(62) = 120.toByte // first block's step index
+    assert(AdpcmCodecUtil.decodeWavImaAdpcmSamples(badIdx) == null)
+    val badFact = wav.clone
+    badFact(48) = 0xFF.toByte; badFact(49) = 0xFF.toByte
+    badFact(50) = 0xFF.toByte; badFact(51) = 0x7F.toByte
+    assert(AdpcmCodecUtil.decodeWavImaAdpcmSamples(badFact) == null)
+
+    // feature dispatch: the ADPCM WAV routes through the REAL sample
+    // decode — its features equal those of a 16-bit PCM WAV holding the
+    // decoded samples (both paths land in the same sample-stats kernel)
+    def pcm16Wav(rate: Int, s: Array[Int]): Array[Byte] = {
+      val dataLen = s.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def tag(i: Int, t: String): Unit = (0 until 4).foreach(j => out(i + j) = t(j).toByte)
+      def p16(i: Int, v: Int): Unit = { out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte }
+      def p32(i: Int, v: Long): Unit = (0 until 4).foreach(j => out(i + j) = ((v >> (8 * j)) & 0xFF).toByte)
+      tag(0, "RIFF"); p32(4, 36L + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1); p32(24, rate)
+      p32(28, rate * 2L); p16(32, 2); p16(34, 16)
+      tag(36, "data"); p32(40, dataLen)
+      s.indices.foreach(i => p16(44 + 2 * i, s(i) & 0xFFFF))
+      out
+    }
+    val fAdpcm = Multimodal.decodeFeatures(wav)
+    val fPcm = Multimodal.decodeFeatures(pcm16Wav(22050, got))
+    assert(fAdpcm.toSeq == fPcm.toSeq,
+      "ADPCM must decode for real — identical features to the decoded-PCM twin")
+  }
+
   test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
     // the media -> features -> similarity composition a multimodal dedup
     // pipeline runs; a planted byte-identical payload must come back as
