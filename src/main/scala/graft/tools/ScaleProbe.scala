@@ -166,6 +166,33 @@ object ScaleProbe {
           capFactor = lit(1) + length(col("domain")) % 3).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // CDC: window hashes scan-bound; the only corpus-wide shuffle is the
+      // chunk-hash occurrence count — expect near-linear
+      run("cdc_chunking", k)(
+        graft.operators.Chunking.cdcChunkProfile(docs, w = 4, divisor = 8).count())
+      // containment: candidates are GROUP-bounded by contract; per-copy
+      // sources keep groups disjoint so growth measures group count ×
+      // within-group cost (the operator's actual scale story), not the
+      // dup-saturated k² worst case cluster_star already probes
+      val relabeled = (0 until k).map(i =>
+        t.documents.withColumn("doc_id", col("doc_id") + lit(i * 10_000_000L))
+          .withColumn("source", concat(col("source"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      run("containment", k)(
+        Dedup.containmentPairs(relabeled, groupCol = "source", ngram = 3,
+          thresholdPct = 90).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      // labels keep their identity across copies: label sizes grow k-fold,
+      // the two-level rank must stay near-linear (no one-task label funnel)
+      run("proto_prune", k)(
+        graft.operators.Similarity.prototypicalityPrune(emb, prunePct = 10).count())
+    }
+    // (equi-depth's two-level rank rides the same template shard_layout
+    // already probes — no separate probe needed)
+    for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
       val open = orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
