@@ -20,6 +20,12 @@ object FileSink {
   def parquet(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
     writer(df, overwrite).parquet(path)
 
+  /** ORC — the other columnar lake format (built into Spark; same
+    * distributed per-partition writers and footer statistics as parquet,
+    * so min/max pruning works identically). */
+  def orc(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    writer(df, overwrite).orc(path)
+
   /** Snapshot write for sync bookkeeping: partitioned by sync so a later
     * diff prunes straight to one directory. */
   def snapshot(df: DataFrame, root: String, syncId: String, runId: String): String = {

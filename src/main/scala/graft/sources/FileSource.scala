@@ -44,6 +44,14 @@ object FileSource {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** ORC with explicit schema (columnar, self-describing — the schema
+    * here PINS the expected projection/types rather than parsing rows, so
+    * lake-side schema drift fails the read loudly instead of silently
+    * reshaping the pipeline; no corrupt-column mechanics apply to a
+    * binary columnar format). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Split a PERMISSIVE read into (good rows, dead-letter rows). The
     * parsed frame is cached first: Spark disallows querying a raw file
     * through only its corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_

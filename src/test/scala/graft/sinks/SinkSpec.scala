@@ -35,6 +35,20 @@ class SinkSpec extends SparkSuite {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("orc sink round-trips exactly and reads back schema-pinned with pushdown") {
+    val dir = s"${tmp()}/orc"
+    FileSink.orc(df, dir)
+    val back = graft.sources.FileSource.orc(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("id LONG, name STRING, value DOUBLE"))
+    assert(back.collect().toSet == df.collect().toSet)
+    // columnar contract: a filtered, projected read pushes into the scan
+    import org.apache.spark.sql.functions.col
+    val plan = back.filter(col("id") === 2L).select("name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"), plan)
+    assert(!plan.contains("value"), "unused column must be pruned from the ORC scan")
+  }
+
   test("snapshot layout is partition-prunable by sync and run") {
     val root = tmp()
     val p = FileSink.snapshot(df, root, "sync1", "run1")
