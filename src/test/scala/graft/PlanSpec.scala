@@ -270,6 +270,51 @@ class PlanSpec extends SparkSuite {
     assert(unpartitioned.isEmpty, "no unpartitioned window in the anomaly plan")
   }
 
+  test("q145: prototype/offset frames broadcast; rank windows partition by (label, bucket)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TrainingData.q145PrototypePrune(t)
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "centroid and offset frames must both broadcast into the corpus side")
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    // corpus-side local rank partitions by (label, bucket); the offset
+    // cumulation partitions by label over the labels×buckets tiny frame
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"no unpartitioned window on any 100 TB-side frame (got $windows)")
+  }
+
+  test("q148: the only unpartitioned pieces ride tiny frames — local ranks partition by range") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Relational.q148EquiDepth(t)
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    // exactly one partitioned window touches corpus rows (the per-range
+    // row_number); the unpartitioned one cumulates the ~160-row range
+    // totals frame
+    assert(windows.count(_ >= 1) == 1 && windows.count(_ == 0) == 1,
+      s"expected one per-range corpus window + one tiny-frame cumulation, got $windows")
+    assert(plan(df).contains("BroadcastHashJoin"), "range offsets must broadcast back")
+  }
+
+  test("q144: CDC chunk assignment windows partition by doc — no corpus-wide sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TrainingData.q144CdcChunking(t)
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"every CDC window must partition by document (got arities $windows)")
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
