@@ -151,6 +151,46 @@ object Diff {
   /** Order-insensitive-across-runs, null-discriminating content hash:
     * every column is paired with a null marker so (null, "x") ≠ ("x", null)
     * and xxhash64 sees a stable arity. */
+  /** B39: INCREMENTAL JOIN MAINTENANCE — delta-join view maintenance for
+    * the enrichment views every sync materializes (fact ⋈ broadcast dim):
+    * instead of re-joining 100 TB of fact history against the dimension
+    * every run, the maintained view updates from three bounded inputs —
+    * the fact DELTA (upserts), deleted fact keys, and the dimension's own
+    * changed-key set (exactly what [[snapshotDiff]] on the dim emits, so
+    * B3 feeds B39):
+    *
+    *   V' = (V ∖ touched-or-deleted facts, dim-stale rows re-enriched)
+    *        ∪ (Δfact ⋈ dim)
+    *
+    * Equals the one-shot recompute bit-for-bit (spec-pinned) while
+    * reading only |V| + |Δ| rows: the historical FACT table never
+    * appears in the plan. Caller contract: `oldView`'s columns are the
+    * fact columns ++ `dim`'s non-key columns (the shape `enrich` syncs
+    * materialize).
+    *
+    * Scale: one anti join on the view (the only view-wide work — and a
+    * view scan is the floor for rewriting it), every other join side
+    * (delta, deleted keys, changed dim keys, the dim itself) broadcasts
+    * by contract. */
+  def maintainJoin(oldView: DataFrame, factDelta: DataFrame,
+                   deletedKeys: DataFrame, dim: DataFrame,
+                   dimChangedKeys: DataFrame,
+                   factKey: String, dimKey: String): DataFrame = {
+    val gone = factDelta.select(col(factKey))
+      .unionByName(deletedKeys.select(col(factKey))).distinct()
+    val kept = oldView.join(broadcast(gone), Seq(factKey), "left_anti")
+    val changed = dimChangedKeys.select(col(dimKey))
+    val fresh = kept.join(broadcast(changed), Seq(dimKey), "left_anti")
+    val dimCols = dim.columns.filterNot(_ == dimKey)
+    val relinked = kept.join(broadcast(changed), Seq(dimKey), "left_semi")
+      .drop(dimCols: _*)
+      .join(broadcast(dim), Seq(dimKey), "left")
+    val added = factDelta.join(broadcast(dim), Seq(dimKey), "left")
+    fresh
+      .unionByName(relinked.select(fresh.columns.map(col): _*))
+      .unionByName(added.select(fresh.columns.map(col): _*))
+  }
+
   private def contentHash(cols: Seq[Column]): Column =
     xxhash64(cols.flatMap(c => Seq(c.isNull.cast("int"), c)): _*)
 }

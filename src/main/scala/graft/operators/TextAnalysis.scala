@@ -124,6 +124,32 @@ object TextAnalysis {
         "stopword_ratio" -> stopRatio, "quality_score" -> score)
   }
 
+  /** C77: per-DOMAIN score CALIBRATION — rank-normalize the quality score
+    * within each domain so one global percentile threshold means the same
+    * thing on every source (the per-domain-cut practice of web-corpus
+    * filtering: an absolute score threshold keeps 80% of one site and 2%
+    * of another because score DISTRIBUTIONS differ by domain; the
+    * within-domain percentile is the calibrated unit). pctile_fp ∈
+    * [0, 10^6], best-ranked doc → 10^6; `keep_topN` applies one uniform
+    * "top keepPct% of every domain" cut.
+    *
+    * Scale: the per-domain rank is [[Ranking.groupRankDesc]]'s two-level
+    * form over 512 score sub-intervals — no domain funnels through one
+    * task; everything else is integer arithmetic on the ranked rows. */
+  def scoreCalibration(docs: DataFrame, groupCol: String = "source",
+                       keepPct: Int = 30, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100)
+    val score = qualityFeatures(col(textCol))
+      .collectFirst { case (n, c) if n == "quality_score" => c }.get
+    val base = docs.select(col(idCol), col(groupCol), score.as("quality_score"))
+    Ranking.groupRankDesc(base, groupCol, "quality_score", idCol,
+        floor(col("quality_score") * 512).cast("long"))
+      .withColumn("pctile_fp",
+        expr("(n_group - rank) * 1000000 div greatest(n_group - 1, 1)"))
+      .withColumn("keep_top", col("pctile_fp") >= lit((100L - keepPct) * 10000L))
+  }
+
   /** C10 building block: token counts — whitespace tokens and a BPE-ish
     * regex segmentation (letter runs / digit runs / single symbols). */
   def tokenCounts(text: Column): Seq[(String, Column)] = Seq(

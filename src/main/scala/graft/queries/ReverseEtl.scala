@@ -245,6 +245,33 @@ object ReverseEtl {
     IncrementalAgg.readout(merged, keys).orderBy("o_orderpriority")
   }
 
+  /** B39: incremental JOIN maintenance — the enriched view (orders ⋈
+    * customer segment) maintained from a fact delta, deleted fact keys
+    * and the dim's changed-key set (B3's diff output), never re-joining
+    * fact history; must equal the one-shot recompute the oracle runs. */
+  def q150IncrementalJoin(t: Tables): DataFrame = {
+    import graft.operators.Diff
+    val cutoff = lit("1997-07-01").cast("timestamp")
+    val dimNew = t.customer.select(col("c_custkey"),
+      when(col("c_custkey") % 100 === 0, concat(col("c_mktsegment"), lit("_v2")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val changedKeys = t.customer.filter(col("c_custkey") % 100 === 0)
+      .select("c_custkey")
+    val fact = t.orders.select(
+      col("o_custkey").as("c_custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderdate"))
+    val hist = fact.filter(col("o_orderdate") < cutoff)
+    val delta = fact.filter(col("o_orderdate") >= cutoff)
+    val deleted = hist.filter(col("o_orderkey") % 1000 === 0).select("o_orderkey")
+    // the previously materialized view: history enriched with the OLD dim
+    val oldView = hist.join(
+      t.customer.select("c_custkey", "c_mktsegment"), Seq("c_custkey"), "left")
+    Diff.maintainJoin(oldView, delta, deleted, dimNew, changedKeys,
+      factKey = "o_orderkey", dimKey = "c_custkey")
+      .select("o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
   /** B20: schema-driven validation report — rules GENERATED from a
     * declared row schema (required/type/enum/range/pattern, the zod-style
     * surface sync.ts:557 derives), folded into per-rule failure counts in

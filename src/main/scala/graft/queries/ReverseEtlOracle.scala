@@ -185,6 +185,23 @@ object ReverseEtlOracle {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    // B39: incremental join maintenance must equal the ONE-SHOT recompute
+    // over the post-delta fact against the new dim — that equality IS the
+    // correctness statement, so the oracle runs the one-shot form.
+    "q150_incremental_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 100 = 0 THEN c_mktsegment || '_v2'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer),
+        |f AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderdate < TIMESTAMP '1997-07-01' AND o_orderkey % 1000 = 0))
+        |SELECT f.o_orderkey, f.c_custkey, f.o_totalprice, d.c_mktsegment
+        |FROM f LEFT JOIN dim d USING (c_custkey)
+        |ORDER BY f.o_orderkey""".stripMargin,
+
     // B32: three-way merge — the same two full-outer joins and the same
     // branch order, null-safe compares throughout.
     "q118_three_way_merge" ->

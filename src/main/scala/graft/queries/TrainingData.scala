@@ -620,6 +620,13 @@ object TrainingData {
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
 
+  /** C77: per-domain score calibration — the q38 quality score
+    * rank-normalized within each source (two-level rank), one uniform
+    * top-30% cut applied in calibrated percentile units. */
+  def q151ScoreCalibration(t: Tables): DataFrame =
+    TextAnalysis.scoreCalibration(t.documents, keepPct = 30)
+      .orderBy("doc_id")
+
   /** C76: mojibake detection + repair — every 89th doc gains a planted
     * double-encoded suffix (UTF-8 read as Windows-1252), so the ftfy-style
     * confusable-table repair has guaranteed positives to prove; clean docs

@@ -2032,6 +2032,31 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C77: calibration replay — the q38 score formula, one global
+    // per-source window (the two-level form's equal), integer percentile.
+    "q151_score_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0) * 0.5
+        |    + least(1.0, (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1)) / 8) * 0.3
+        |    + least(1.0, (CAST((length(text) - length(replace(text, 'the', ''))) / 3
+        |        + (length(text) - length(replace(text, ' a ', ''))) / 3 AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1)) * 5) * 0.2
+        |      AS quality_score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS "rank",
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+        |  FROM s)
+        |SELECT doc_id, source, quality_score, "rank", n_group,
+        |  (n_group - "rank") * 1000000 // greatest(n_group - 1, 1) AS pctile_fp,
+        |  (n_group - "rank") * 1000000 // greatest(n_group - 1, 1) >= 700000
+        |    AS keep_top
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // C76: mojibake replay — identical planted literal, per-sequence
     // (len − len(removed)) // seqlen counts, the same-order replace chain.
     "q147_mojibake" -> {

@@ -45,6 +45,41 @@ class BucketedDiffSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"bucketed diff must not shuffle:\n$p")
   }
 
+  test("maintainJoin equals the one-shot recompute; every non-view side broadcasts") {
+    import org.apache.spark.sql.functions._
+    // fact history + delta + a deletion; dim with one changed key
+    val hist = Seq((1L, 10L, 5.0), (2L, 20L, 6.0), (3L, 10L, 7.0), (4L, 30L, 8.0))
+      .toDF("fk", "dk", "v")
+    val delta = Seq((4L, 30L, 9.5), (5L, 20L, 1.0)).toDF("fk", "dk", "v") // update + insert
+    val deleted = Seq(2L).toDF("fk")
+    val dimNew = Seq((10L, "ten_v2"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("dk", "name")
+    val dimOld = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("dk", "name")
+    val changed = Seq(10L).toDF("dk")
+    val oldView = hist.join(dimOld, Seq("dk"), "left")
+    val got = Diff.maintainJoin(oldView, delta, deleted, dimNew, changed,
+      factKey = "fk", dimKey = "dk")
+      .select("fk", "dk", "v", "name").as[(Long, Long, Double, String)]
+      .collect().toSet
+    // one-shot: (hist minus deleted minus delta-touched) + delta, against dimNew
+    val want = Set(
+      (1L, 10L, 5.0, "ten_v2"),   // dim-stale row re-enriched
+      (3L, 10L, 7.0, "ten_v2"),
+      (4L, 30L, 9.5, "thirty"),   // delta update wins
+      (5L, 20L, 1.0, "twenty"))   // delta insert
+    assert(got == want, s"got $got")
+    // plan: the only non-broadcast join work rides the VIEW; all delta/dim
+    // sides broadcast (4 broadcast joins: anti, anti, semi+left, left)
+    val p = Diff.maintainJoin(oldView, delta, deleted, dimNew, changed, "fk", "dk")
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan.toString
+      case other => other.toString
+    }
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), "no view-wide shuffle join anywhere")
+  }
+
   test("bucketed diff classifies insert/update/delete exactly") {
     val got = diff.select("k", Diff.ChangeCol)
       .as[(Long, String)].collect().toMap

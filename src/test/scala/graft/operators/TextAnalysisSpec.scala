@@ -403,6 +403,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("scoreCalibration: two-level rank equals the global window; cut keeps top 30% per domain") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextAnalysis.scoreCalibration(docs, keepPct = 30)
+    val wGlobal = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    assert(got.withColumn("grank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") =!= col("grank")).count() == 0,
+      "two-level rank diverged from the global per-source window")
+    // the cut is domain-calibrated: each source keeps ~keepPct% of itself
+    val shares = got.groupBy("source")
+      .agg((sum(when(col("keep_top"), 1L).otherwise(0L)) * 100.0 / count(lit(1))).as("pct"))
+      .select("pct").as[Double].collect()
+    assert(shares.nonEmpty && shares.forall(p => p >= 25.0 && p <= 35.0),
+      s"every domain must keep ~30% of ITSELF (got ${shares.toSeq})")
+  }
+
   test("mojibakeProfile repairs a REAL windows-1252 double-encoding back to the original") {
     def mangle(s: String): String = new String(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
