@@ -106,6 +106,41 @@ object TextAnalysis {
     }
   }
 
+  /** C78: CODE-SWITCHING (mixed-language) detection — the segment-level
+    * refinement of C8's whole-document language ID: a document that reads
+    * 'en' overall can still interleave other-language blocks (forum
+    * quotes, boilerplate, spam keyword stuffing), and mixed-language text
+    * is a standard drop/route signal in monolingual corpus curation.
+    * Each document is cut into fixed `width`-token segments
+    * ([[Chunking.tokenLines]] — closed-form, no HOF), each segment gets
+    * the C8 language vote, and the per-doc profile reports segment
+    * counts, the distinct identified languages, the majority language
+    * (struct-max argmax, C51's tie-break: ties pick the
+    * lexicographically larger language) and its fixed-point share.
+    *
+    * Scale: one scan + output-proportional segment explode; the decision
+    * frame is (doc, lang) pairs — ≤ profile-count rows per doc. */
+  def codeSwitchProfile(docs: DataFrame, width: Int = 20,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = Chunking.tokenLines(docs.select(col(idCol), col(textCol)),
+      width, idCol, textCol)
+    val per = lines.select(col(idCol), predLang(col("line")).as("seg_lang"))
+      .groupBy(idCol, "seg_lang").agg(count(lit(1)).as("cnt"))
+    per.groupBy(idCol).agg(
+        sum(col("cnt")).as("n_segments"),
+        sum(when(col("seg_lang") =!= "und", col("cnt")).otherwise(0L))
+          .as("n_lang_segments"),
+        countDistinct(when(col("seg_lang") =!= "und", col("seg_lang")))
+          .as("n_langs"),
+        max(struct(col("cnt"), col("seg_lang"))).getField("seg_lang")
+          .as("majority_lang"),
+        max(struct(col("cnt"), col("seg_lang"))).getField("cnt")
+          .as("majority_cnt"))
+      .withColumn("majority_share_fp",
+        expr("majority_cnt * 1000000 div n_segments"))
+      .withColumn("code_switched", col("n_langs") >= 2)
+  }
+
   /** C9 building block: quality features from portable string ops (replace/
     * length only — semantics identical in Spark and DuckDB so the oracle
     * can recompute them). */

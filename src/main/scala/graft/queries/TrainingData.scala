@@ -23,6 +23,11 @@ object TrainingData {
   val MangledSuffix: String = new String(
     CleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
 
+  /** The planted q152 block: 20 German stopword tokens — exactly one
+    * `width=20` segment the C8 vote identifies as 'de'. */
+  val GermanBlock: String =
+    ("der die das und ist nicht mit ein zu den " * 2).trim
+
   /** C1: exact dedup by full-content hash. */
   def q30DedupExact(t: Tables): DataFrame =
     Dedup.exact(t.documents).orderBy("canonical_id")
@@ -619,6 +624,17 @@ object TrainingData {
     * source, pairwise common/Jaccard/containment. */
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
+
+  /** C78: code-switching detection — 20-token segments language-voted;
+    * every 101st doc gains a planted 20-token German block so mixed-
+    * language positives exist at every SF. */
+  def q152CodeSwitch(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 101 === 0,
+        concat(col("text"), lit(" " + TrainingData.GermanBlock)))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.codeSwitchProfile(base, width = 20).orderBy("doc_id")
+  }
 
   /** C77: per-domain score calibration — the q38 quality score
     * rank-normalized within each source (two-level rank), one uniform

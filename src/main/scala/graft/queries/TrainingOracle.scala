@@ -2032,6 +2032,56 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C78: code-switch replay — planted German block, the tokenLines
+    // segment cut, per-segment C8 vote (same argmax + tie order), the
+    // (cnt DESC, lang DESC) majority row and integer share.
+    "q152_code_switch" -> {
+      def segScore(l: String): String = {
+        val set = stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(line, ' '), t -> t IN ($set))) AS BIGINT) AS score_$l"
+      }
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 101 = 0
+         |    THEN text || ' ${TrainingData.GermanBlock}' ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+         |seg AS (
+         |  SELECT doc_id,
+         |    array_to_string(toks[i*20+1 : least((i+1)*20, len(toks))], ' ') AS line
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, (len(toks) + 19) // 20)) AS i FROM tk)),
+         |sc AS (
+         |  SELECT doc_id, ${langs.map(segScore).mkString(",\n         |    ")}
+         |  FROM seg),
+         |pv AS (
+         |  SELECT doc_id,
+         |    CASE ${langs.map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'").mkString(" ")}
+         |         ELSE 'und' END AS seg_lang
+         |  FROM (SELECT *, greatest(${langs.map(l => s"score_$l").mkString(", ")}) AS best
+         |        FROM sc)),
+         |cnts AS (
+         |  SELECT doc_id, seg_lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM pv GROUP BY doc_id, seg_lang),
+         |mj AS (
+         |  SELECT doc_id, seg_lang AS majority_lang, cnt AS majority_cnt,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, seg_lang DESC) AS rk
+         |  FROM cnts),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_segments,
+         |    CAST(SUM(CASE WHEN seg_lang <> 'und' THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS n_lang_segments,
+         |    CAST(COUNT(DISTINCT CASE WHEN seg_lang <> 'und' THEN seg_lang END)
+         |      AS BIGINT) AS n_langs
+         |  FROM cnts GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_segments, a.n_lang_segments, a.n_langs,
+         |  m.majority_lang, m.majority_cnt,
+         |  m.majority_cnt * 1000000 // a.n_segments AS majority_share_fp,
+         |  a.n_langs >= 2 AS code_switched
+         |FROM agg a JOIN mj m ON a.doc_id = m.doc_id AND m.rk = 1
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     // C77: calibration replay — the q38 score formula, one global
     // per-source window (the two-level form's equal), integer percentile.
     "q151_score_calibration" ->

@@ -806,6 +806,71 @@ object EventStreams {
   def budgetHistory(spark: SparkSession, reportRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
 
+  /** D25: CONTINUOUS enrichment-view maintenance — the streaming face of
+    * B39 ([[graft.operators.Diff.maintainJoin]]), closing the
+    * B3 → B39 → D25 family: the fact DELTA streams in (upserts + rows
+    * flagged by `tombstoneCol` as deletes); each micro-batch re-reads the
+    * current dimension, DIFFS it against the dim snapshot stored with the
+    * state (B3 inside the loop — dim inserts/updates/deletes all become
+    * changed keys), and applies the delta-join maintenance to the
+    * pointer-versioned view. Fact history is never re-joined; per batch
+    * the work is one view scan + broadcast joins of delta/dim frames.
+    *
+    * State = {view, dim snapshot} under one batchId version, published
+    * with the D22 pointer-flip — a replayed batch sees its version and
+    * skips, so the view never double-applies a delta. The dim snapshot
+    * rides the state (dims are broadcast-small by the B39 contract), so
+    * dim drift between batches is detected without any dim changelog. */
+  def enrichmentMaintain(facts: DataFrame, dimProvider: () => DataFrame,
+                         stateRoot: String, checkpointDir: String,
+                         factKey: String, dimKey: String,
+                         tombstoneCol: String = "_deleted"): Unit = {
+    val q = facts.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          () // replayed (state already published) or empty
+        } else {
+          val dim = dimProvider()
+          val deletes = batch.toDF().filter(col(tombstoneCol)).select(col(factKey))
+          val upserts = batch.toDF().filter(!col(tombstoneCol)).drop(tombstoneCol)
+          val dimCols = dim.columns.filterNot(_ == dimKey)
+          val (oldView, oldDim) = prev match {
+            case Some(p) =>
+              (spark.read.parquet(s"$p/view"), spark.read.parquet(s"$p/dim"))
+            case None =>
+              val viewSchema = org.apache.spark.sql.types.StructType(
+                upserts.schema.fields ++
+                  dim.schema.fields.filter(_.name != dimKey).map(_.copy(nullable = true)))
+              (spark.createDataFrame(
+                java.util.List.of[org.apache.spark.sql.Row](), viewSchema),
+                spark.createDataFrame(
+                  java.util.List.of[org.apache.spark.sql.Row](), dim.schema))
+          }
+          val changedKeys = graft.operators.Diff
+            .snapshotDiff(dim, oldDim, Seq(dimKey)).select(dimKey)
+          val next = graft.operators.Diff.maintainJoin(
+            oldView, upserts, deletes, dim, changedKeys, factKey, dimKey)
+          next.write.mode("overwrite").parquet(s"$target/view")
+          dim.write.mode("overwrite").parquet(s"$target/dim")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current maintained enrichment view (empty before any batch). */
+  def enrichmentView(spark: SparkSession, stateRoot: String): DataFrame =
+    readPointer(spark, stateRoot) match {
+      case Some(p) => spark.read.parquet(s"$p/view")
+      case None => spark.emptyDataFrame
+    }
+
   /** The C60 two-level hash-bucketed token-prefix placement of one batch
     * starting at global token `offset` — shared by [[shardAssign]] and
     * [[curationSync]]: (idCol, n_tokens, shard_id, token_offset). */

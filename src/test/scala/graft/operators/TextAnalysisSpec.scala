@@ -403,6 +403,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("codeSwitchProfile: segment votes, majority tie-break, und handling — by hand") {
+    val en = ("the a " * 10).trim                      // one 20-token 'en' segment
+    val de = ("der die das und ist nicht mit ein zu den " * 2).trim // one 'de' segment
+    val docs = Seq(
+      (1L, s"$en $de"),        // en + de: tie 1-1 → lexicographically larger wins
+      (2L, "xx qq kk"),        // single und segment (no profile stopwords)
+      (3L, s"$en $en $de")     // 2 en + 1 de: majority en 2/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitchProfile(docs, width = 20).orderBy("doc_id")
+      .select("doc_id", "n_segments", "n_lang_segments", "n_langs",
+        "majority_lang", "majority_cnt", "majority_share_fp", "code_switched")
+      .as[(Long, Long, Long, Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 2L, "en", 1L, 500000L, true),
+      (2L, 1L, 0L, 0L, "und", 1L, 1000000L, false),
+      (3L, 3L, 3L, 2L, "en", 2L, 666666L, true)), s"got $got")
+  }
+
   test("scoreCalibration: two-level rank equals the global window; cut keeps top 30% per domain") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

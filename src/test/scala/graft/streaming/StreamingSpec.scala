@@ -669,6 +669,47 @@ class StreamingSpec extends SparkSuite {
       .select("batch_id").distinct().count() == 2)
   }
 
+  test("D25: continuous enrichment-view maintenance tracks fact deltas AND dim drift, replay-safe") {
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    val state = Files.createTempDirectory("graft-enrich-state").toString
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt").toString
+    var dim = Seq((10L, "ten"), (20L, "twenty")).toDF("dk", "name")
+    def runOnce(): Unit = EventStreams.enrichmentMaintain(
+      spark.readStream.schema("fk LONG, dk LONG, v DOUBLE, _deleted BOOLEAN").parquet(in),
+      () => dim, state, ckpt, factKey = "fk", dimKey = "dk")
+    def push(rows: Seq[(Long, Long, Double, Boolean)]): Unit =
+      rows.toDF("fk", "dk", "v", "_deleted").coalesce(1).write.mode("append").parquet(in)
+    def view(): Set[(Long, Long, Double, String)] =
+      EventStreams.enrichmentView(spark, state)
+        .select("fk", "dk", "v", "name")
+        .as[(Long, Long, Double, String)].collect().toSet
+
+    push(Seq((1L, 10L, 5.0, false), (2L, 20L, 6.0, false)))
+    runOnce()
+    assert(view() == Set((1L, 10L, 5.0, "ten"), (2L, 20L, 6.0, "twenty")))
+
+    // batch 2: fact update + insert + tombstone delete, dim drifts too
+    dim = Seq((10L, "ten_v2"), (20L, "twenty"), (30L, "thirty")).toDF("dk", "name")
+    push(Seq((1L, 10L, 7.5, false), (3L, 30L, 2.0, false), (2L, 0L, 0.0, true)))
+    runOnce()
+    assert(view() == Set((1L, 10L, 7.5, "ten_v2"), (3L, 30L, 2.0, "thirty")),
+      s"got ${view()}")
+
+    // replay on the same checkpoint: nothing double-applies
+    runOnce()
+    assert(view() == Set((1L, 10L, 7.5, "ten_v2"), (3L, 30L, 2.0, "thirty")))
+
+    // a later batch sees the carried state; dim delete nulls its rows out
+    dim = Seq((10L, "ten_v2"), (20L, "twenty")).toDF("dk", "name")
+    push(Seq((4L, 20L, 1.0, false)))
+    runOnce()
+    val v3 = EventStreams.enrichmentView(spark, state)
+      .select("fk", "dk", "v", "name")
+      .as[(Long, Long, Double, Option[String])].collect().toSet
+    assert(v3 == Set((1L, 10L, 7.5, Some("ten_v2")), (4L, 20L, 1.0, Some("twenty")),
+      (3L, 30L, 2.0, None)), s"got $v3")
+  }
+
   test("D24: budget burn-down accumulates per domain, flags crossings the batch they happen") {
     val in = Files.createTempDirectory("graft-budget-in").toString
     val state = Files.createTempDirectory("graft-budget-state").toString
