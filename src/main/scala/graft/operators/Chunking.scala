@@ -115,6 +115,44 @@ object Chunking {
         (col("__prefix") % budget).as("window_offset"))
   }
 
+  /** C79: sequence-PADDING waste audit — the batching-efficiency report
+    * of variable-length training (every sequence in a batch pads to the
+    * batch's cap; the padding share is pure wasted compute, and at 100 TB
+    * the waste IS a budget line): documents land in fixed length buckets
+    * (a codegen'd comparison chain over `caps` — no float log at power-
+    * of-two boundaries), and each bucket reports sequences, real tokens,
+    * and the fixed-point waste under BOTH padding policies — pad-to-cap
+    * (static shapes, XLA-style) and pad-to-longest-in-bucket (dynamic
+    * batches). The two columns side by side are the decision the audit
+    * exists for. Sequences beyond the last cap land in an overflow
+    * bucket capped by their own max (they'd be split upstream by C32).
+    *
+    * Scale: one scan, map-side partial aggregation to ≤ |caps|+1 rows. */
+  def paddingAudit(docs: DataFrame, caps: Seq[Int] = Seq(16, 32, 64, 128, 256, 512),
+                   tokCountCol: String = "n_tokens"): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      "caps: sorted, distinct, non-empty")
+    val n = col(tokCountCol).cast("long")
+    val cap = caps.foldRight(lit(Long.MaxValue)) { (c, acc) =>
+      when(n <= c, c.toLong).otherwise(acc)
+    }
+    docs.select(n.as("n"), cap.as("cap"))
+      .groupBy("cap").agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n")).as("sum_tokens"),
+        max(col("n")).as("max_len"))
+      // only the OVERFLOW bucket caps to its own longest member; real
+      // buckets keep their fixed cap (that's what "static shapes" means)
+      .withColumn("cap",
+        when(col("cap") === Long.MaxValue, col("max_len")).otherwise(col("cap")))
+      .withColumn("padded_static", col("n_seqs") * col("cap"))
+      .withColumn("padded_dynamic", col("n_seqs") * col("max_len"))
+      .withColumn("waste_static_fp",
+        expr("(padded_static - sum_tokens) * 1000000 div padded_static"))
+      .withColumn("waste_dynamic_fp",
+        expr("(padded_dynamic - sum_tokens) * 1000000 div padded_dynamic"))
+  }
+
   /** C73: CONTENT-DEFINED chunking + chunk-level dedup profile — the
     * insertion-stable complement of [[chunkByTokens]] (the storage-dedup
     * recipe — Rabin/gear CDC, LBFS Muthitacharoen et al. 2001 — applied

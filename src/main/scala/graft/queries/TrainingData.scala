@@ -625,6 +625,14 @@ object TrainingData {
   def q111SourceOverlap(t: Tables): DataFrame =
     Dedup.sourceOverlap(t.documents, n = 8).orderBy("src_a", "src_b")
 
+  /** C79: padding-waste audit — length-bucketed batching efficiency under
+    * static (pad-to-cap) vs dynamic (pad-to-longest) policies. */
+  def q153PaddingAudit(t: Tables): DataFrame =
+    Chunking.paddingAudit(
+      t.documents.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))
+      .orderBy("cap")
+
   /** C78: code-switching detection — 20-token segments language-voted;
     * every 101st doc gains a planted 20-token German block so mixed-
     * language positives exist at every SF. */

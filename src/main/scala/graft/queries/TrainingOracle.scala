@@ -2032,6 +2032,33 @@ object TrainingOracle {
     // C63: span removal — the exact shingle hashes replayed, canonical =
     // min (doc,pos) composite, coverage via a 7-PRECEDING range window,
     // rebuild hashed. Mirrors Dedup.removeDuplicateSpans step for step.
+    // C79: padding-audit replay — the same cap comparison chain, both
+    // padding policies, integer fixed-point waste.
+    "q153_padding_audit" ->
+      """WITH l AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (
+        |  SELECT n,
+        |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+        |         WHEN n <= 512 THEN 512 ELSE 9223372036854775807 END AS cap0
+        |  FROM l),
+        |g AS (
+        |  SELECT cap0, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |    CAST(SUM(n) AS BIGINT) AS sum_tokens, CAST(MAX(n) AS BIGINT) AS max_len
+        |  FROM b GROUP BY cap0),
+        |c AS (
+        |  SELECT CASE WHEN cap0 = 9223372036854775807 THEN max_len ELSE cap0 END AS cap,
+        |    n_seqs, sum_tokens, max_len,
+        |    n_seqs * (CASE WHEN cap0 = 9223372036854775807 THEN max_len ELSE cap0 END)
+        |      AS padded_static,
+        |    n_seqs * max_len AS padded_dynamic
+        |  FROM g)
+        |SELECT cap, n_seqs, sum_tokens, max_len, padded_static, padded_dynamic,
+        |  (padded_static - sum_tokens) * 1000000 // padded_static AS waste_static_fp,
+        |  (padded_dynamic - sum_tokens) * 1000000 // padded_dynamic AS waste_dynamic_fp
+        |FROM c ORDER BY cap""".stripMargin,
+
     // C78: code-switch replay — planted German block, the tokenLines
     // segment cut, per-segment C8 vote (same argmax + tie order), the
     // (cnt DESC, lang DESC) majority row and integer share.

@@ -101,6 +101,20 @@ class ChunkingSpec extends SparkSuite {
     assert(totals.length > 3, "budget must produce multiple shards")
   }
 
+  test("paddingAudit: both policies hand-checked; overflow bucket caps at its own max") {
+    val docs = Seq(1L -> 10L, 2L -> 16L, 3L -> 17L, 4L -> 30L, 5L -> 600L, 6L -> 700L)
+      .toDF("doc_id", "n_tokens")
+    val got = Chunking.paddingAudit(docs)
+      .select("cap", "n_seqs", "sum_tokens", "max_len",
+        "padded_static", "padded_dynamic", "waste_static_fp", "waste_dynamic_fp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (16L, 2L, 26L, 16L, 32L, 32L, 187500L, 187500L),
+      (32L, 2L, 47L, 30L, 64L, 60L, 265625L, 216666L),
+      (700L, 2L, 1300L, 700L, 1400L, 1400L, 71428L, 71428L)), s"got $got")
+  }
+
   /** Sequential reference CDC profile using the same portable hash. */
   private def refCdc(texts: Seq[(Long, String)], w: Int, d: Int)
   : Map[Long, (Long, Long, Long, Long)] = {
