@@ -393,6 +393,45 @@ object Dedup {
         col("n_hit_shingles").cast("double") / col("n_shingles"))
   }
 
+  /** C80: SURGICAL decontamination — the REMOVAL action on C24's report
+    * (modern pipelines cut the matching SPANS instead of dropping whole
+    * documents — dropping loses the doc's clean 99%, keeping it leaks the
+    * benchmark): every training-corpus position whose n-token shingle
+    * appears ANYWHERE in the eval set starts a contaminated span; a token
+    * is removed iff some contaminated start within the previous n−1
+    * positions of its document covers it; documents rebuild from the
+    * survivors (the C63 coverage-window machinery pointed at an external
+    * reference set instead of the corpus's own duplicates).
+    *
+    * Scale: eval shingle hashes collapse to a DISTINCT hash set (eval
+    * sets are corpus-tiny — AQE broadcasts the semi join); contaminated
+    * starts are output-proportional; coverage is the per-document window;
+    * rebuild is the line-dedup family's output-proportional reassembly.
+    *
+    * Output: (doc_id, n_tokens, n_kept, kept_ratio, clean_text). */
+  def removeContaminatedSpans(docs: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.{allShingleHashes, portableShingleHashes}
+    val evalH = evalDocs.select(
+        explode(portableShingleHashes(split(col(textCol), " "), n)).as("h"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("hs", allShingleHashes(col("t"), n))
+    val starts = toks.select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"), lit(1).as("is_start"))
+    val tokens = toks.select(col("id"), posexplode(col("t")).as(Seq("idx", "line")))
+    val wCov = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("idx").cast("long"))
+      .rangeBetween(-(n - 1).toLong, 0L)
+    val flagged = tokens
+      .join(starts.withColumnRenamed("pos", "idx"), Seq("id", "idx"), "left_outer")
+      .withColumn("covered", max(coalesce(col("is_start"), lit(0))).over(wCov))
+    val kept = flagged.filter(col("covered") === 0).select("id", "idx", "line")
+    rebuildDocs(tokens, kept, idCol)
+      .withColumnRenamed("n_lines", "n_tokens")
+  }
+
   /** C54: MinHash ESTIMATOR accuracy evaluation — the index-quality gate
     * for the dedup stack, as ANN recall (C40) is for the vector stack:
     * for every LSH candidate pair, the signature-agreement estimate

@@ -315,6 +315,18 @@ object TrainingData {
     Dedup.contamination(ev, corpus, n = 8).orderBy("eval_id")
   }
 
+  /** C80: surgical decontamination — q70's eval split drives span-level
+    * REMOVAL from the training side: contaminated 8-gram spans cut, docs
+    * rebuilt; clean_text hashes to clean_hash for compact compare. */
+  def q154Decontaminate(t: Tables): DataFrame = {
+    val ev = t.documents.filter(col("doc_id") % 50 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 50 =!= 0)
+    Dedup.removeContaminatedSpans(corpus, ev, n = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"), col("kept_ratio"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** C36: duplicated-span coverage — which fraction of each doc's 8-gram
     * positions is covered by spans that occur in other documents too. */
   def q87DupSpans(t: Tables): DataFrame =

@@ -2245,6 +2245,46 @@ object TrainingOracle {
          |  dup_tokens * 1000000 // n_tokens AS dup_token_ratio_fp
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // C80: surgical decontamination replay — eval-set shingle membership
+    // drives the same coverage-window cut and rebuild as q133.
+    "q154_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest(${shingleHashSql("toks", 8)}) AS h
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 50 = 0)
+         |), tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 50 <> 0
+         |), sh AS (
+         |  SELECT doc_id, ${shingleHashSql("toks", 8)} AS hs FROM tk
+         |), st AS (
+         |  SELECT doc_id, p - 1 AS pos, hs[p] AS h
+         |  FROM (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS p, hs FROM sh)
+         |), red AS (
+         |  SELECT st.doc_id, st.pos FROM st JOIN ev USING (h)
+         |), tok AS (
+         |  SELECT doc_id, p - 1 AS idx, toks[p] AS line
+         |  FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM tk)
+         |), fl AS (
+         |  SELECT t.doc_id, t.idx, t.line,
+         |    MAX(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY t.doc_id ORDER BY t.idx
+         |            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tok t LEFT JOIN red r ON t.doc_id = r.doc_id AND t.idx = r.pos
+         |), tot AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id
+         |), reb AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         md5(string_agg(line, ' ' ORDER BY idx)) AS clean_hash
+         |  FROM fl WHERE covered = 0 GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_tokens,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / t.n_tokens AS kept_ratio,
+         |  r.clean_hash
+         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
     "q133_span_removal" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

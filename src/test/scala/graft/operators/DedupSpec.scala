@@ -407,6 +407,26 @@ class DedupSpec extends SparkSuite {
     assert(out(1) == (11L, 10L, 1L, 0.1, "tail11"))
   }
 
+  test("removeContaminatedSpans cuts eval spans surgically; clean docs untouched") {
+    val bench = (1 to 8).map(i => s"b$i").mkString(" ")    // one 8-gram eval phrase
+    val evalDocs = Seq((100L, bench), (101L, "tiny eval")).toDF("doc_id", "text")
+    val head = (1 to 10).map(i => s"c$i").mkString(" ")
+    val tail = (11 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$head $bench $tail"),  // contaminated middle: cut, rest survives
+      (2L, (30 to 45).map(i => s"d$i").mkString(" ")), // fully clean
+      (3L, "tiny eval")             // short doc == eval doc: whole-text shingle, all cut
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(docs, evalDocs, n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got(0)._1 == 1L && got(0)._2 == 28L && got(0)._3 == 20L)
+    assert(got(0)._5 == s"$head $tail", "the eval span must vanish, clean text must survive")
+    assert(got(1) == ((2L, 16L, 16L, 1.0, (30 to 45).map(i => s"d$i").mkString(" "))))
+    assert(got(2)._1 == 3L && got(2)._3 == 0L && got(2)._5 == null,
+      "a doc that IS an eval doc is cut entirely")
+  }
+
   test("containmentPairs flags an excerpt symmetric Jaccard misses; names the contained side") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")       // 58 distinct 3-shingles
     val excerpt = (10 to 21).map(i => s"w$i").mkString(" ")   // 10 shingles, all inside
