@@ -468,6 +468,18 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** A37: hierarchical closure — the recursive-CTE workload over a
+    * synthetic fanout-7 forest on doc ids (parent = id div 7), closed by
+    * path doubling in ⌈log₂ depth⌉ joins; the oracle runs DuckDB's REAL
+    * `WITH RECURSIVE` — two entirely different evaluation strategies
+    * required to agree row-for-row. */
+  def q155Hierarchy(t: Tables): DataFrame = {
+    val edges = t.documents.select(col("doc_id").as("child"),
+      expr("doc_id div 7").as("parent"))
+    graft.operators.Hierarchy.ancestors(edges, "child", "parent")
+      .orderBy("node", "depth")
+  }
+
   /** A36: MAD robust-outlier audit — median absolute deviation per group,
     * the ROBUST complement of A34's winsorize: median and MAD survive the
     * very outliers that drag mean/stddev (and so the p05/p95 clip points)

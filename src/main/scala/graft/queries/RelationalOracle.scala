@@ -350,6 +350,18 @@ object RelationalOracle {
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
 
+    // A37: hierarchy — DuckDB's REAL recursive CTE vs the engine's path
+    // doubling; row-for-row agreement across evaluation strategies.
+    "q155_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS node, doc_id // 7 AS anc FROM documents
+        |  WHERE doc_id <> doc_id // 7),
+        |a AS (
+        |  SELECT node, anc, CAST(1 AS BIGINT) AS depth FROM e
+        |  UNION ALL
+        |  SELECT a.node, e.anc, a.depth + 1 FROM a JOIN e ON a.anc = e.node)
+        |SELECT node, anc, depth FROM a ORDER BY node, depth""".stripMargin,
+
     // A36: MAD — the same two quantile_cont passes (q45-pinned equal to
     // Spark percentile), same 5·MAD flag, exact decimal flagged total.
     "q149_mad_outliers" ->
