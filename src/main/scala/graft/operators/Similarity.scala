@@ -475,6 +475,48 @@ object Similarity {
         (col("rank") <= expr(s"n_label * $prunePct div 100")).as("pruned"))
   }
 
+  /** C81: embedding DRIFT monitor — when the embedding model (or the
+    * upstream data) shifts between two ingest slices, every ANN index,
+    * SemDeDup threshold and classifier trained on the old geometry
+    * silently degrades; this is the audit that catches it before the
+    * re-index bill: per label, the fixed-point-exact prototype of the
+    * OLD slice vs the NEW slice (the [[kmeansStep]] mean arithmetic),
+    * their norms, and the cosine between the two prototypes — a
+    * prototype cosine well under 1 is the re-embedding signal.
+    * One-sided labels report their side's count and a 0 cosine by
+    * contract (never NaN/null — ordering and alerting stay total).
+    *
+    * Scale: one corpus scan to (label, slice, dim) partial sums; the
+    * prototype frame is labels×2 rows; everything after is per-row
+    * arithmetic on that tiny frame. */
+  def embeddingDrift(corpus: DataFrame, isNew: Column, labelCol: String = "label",
+                     vecCol: String = "embedding",
+                     scale: Long = 1000000L): DataFrame = {
+    val sums = corpus.select(col(labelCol).as("lbl"), isNew.as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("lbl"), col("grp"), col("dim"),
+        round(col("v").cast("double") * scale).cast("long").as("sv"))
+      .groupBy("lbl", "grp", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("sv")).as("s"))
+      .withColumn("c", col("s").cast("double") / scale / col("n"))
+    val protos = sums.groupBy("lbl", "grp")
+      .agg(max(col("n")).as("n_vecs"),
+        sort_array(collect_list(struct(col("dim"), col("c")))).getField("c").as("ce"))
+    val prev = protos.filter(!col("grp"))
+      .select(col("lbl"), col("n_vecs").as("n_old"), col("ce").as("co"))
+    val curr = protos.filter(col("grp"))
+      .select(col("lbl"), col("n_vecs").as("n_new"), col("ce").as("cn"))
+    prev.join(curr, Seq("lbl"), "full_outer")
+      .select(col("lbl").as(labelCol),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        l2Norm(col("co")).as("norm_old"), l2Norm(col("cn")).as("norm_new"),
+        when(col("co").isNull || col("cn").isNull ||
+             l2Norm(col("co")) === 0.0 || l2Norm(col("cn")) === 0.0, lit(0.0))
+          .otherwise(dotProduct(col("co"), col("cn")) /
+            (l2Norm(col("co")) * l2Norm(col("cn")))).as("proto_cos"))
+  }
+
   /** C35: SEMANTIC dedup (the SemDeDup recipe: cluster the embedding
     * space, prune near-identical pairs only WITHIN a cluster): every
     * vector is assigned to its nearest seeded centroid by the same

@@ -691,6 +691,12 @@ object TrainingData {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C81: embedding drift — odd vec_ids play the "new ingest slice"; per
+    * label the old-vs-new prototype cosine and norms. */
+  def q156EmbeddingDrift(t: Tables): DataFrame =
+    Similarity.embeddingDrift(t.embeddings, isNew = col("vec_id") % 2 === 1)
+      .orderBy("label")
+
   /** C74: prototypicality pruning — per label, cosine to the fixed-point
     * exact mean prototype, two-level rank, top-10% most prototypical
     * flagged pruned (the SSL-prototypes abundant-data rule). */

@@ -1295,6 +1295,40 @@ object TrainingOracle {
     "q96_ann_recall"       -> annRecallSql(),
     "q86_semantic_dedup"   -> semanticDedupSql(),
 
+    // C81: drift replay — fixed-point prototypes per (label, slice),
+    // strict-fold cosine between them, 0-by-contract on one-sided labels.
+    "q156_embedding_drift" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, (vec_id % 2 = 1) AS grp,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+         |  FROM embeddings
+         |), ex AS (
+         |  SELECT label, grp, generate_subscripts(ve, 1) - 1 AS dim,
+         |         CAST(round(unnest(ve) * 1000000) AS BIGINT) AS sv
+         |  FROM v
+         |), sums AS (
+         |  SELECT label, grp, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(sv) AS BIGINT) AS s
+         |  FROM ex GROUP BY label, grp, dim
+         |), pr AS (
+         |  SELECT label, grp, MAX(n) AS n_vecs,
+         |         list(CAST(s AS DOUBLE) / 1000000 / n ORDER BY dim) AS ce
+         |  FROM sums GROUP BY label, grp
+         |), o AS (SELECT label, n_vecs AS n_old, ce AS co FROM pr WHERE NOT grp),
+         |w AS (SELECT label, n_vecs AS n_new, ce AS cn FROM pr WHERE grp)
+         |SELECT label,
+         |  COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+         |  sqrt(${dotSql("co", "co")}) AS norm_old,
+         |  sqrt(${dotSql("cn", "cn")}) AS norm_new,
+         |  CASE WHEN co IS NULL OR cn IS NULL
+         |         OR sqrt(${dotSql("co", "co")}) = 0
+         |         OR sqrt(${dotSql("cn", "cn")}) = 0 THEN 0.0
+         |       ELSE ${dotSql("co", "cn")}
+         |            / (sqrt(${dotSql("co", "co")}) * sqrt(${dotSql("cn", "cn")})) END
+         |    AS proto_cos
+         |FROM o FULL JOIN w USING (label)
+         |ORDER BY label""".stripMargin,
+
     // C74: prototypicality replay — fixed-point prototype means per
     // label (the kmeans update arithmetic), strict-fold cosine, the one
     // global per-label window the engine's two-level rank equals.

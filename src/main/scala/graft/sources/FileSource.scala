@@ -44,6 +44,26 @@ object FileSource {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** B41: dead-letter REPLAY — the recovery half of the corrupt-record
+    * contract: after the schema is fixed (widened type, new optional
+    * field), the quarantined rows re-parse from their preserved raw text
+    * (`_corrupt` holds the ORIGINAL line verbatim) under the corrected
+    * schema, splitting again into recovered rows and a residue that
+    * stays dead. Nothing is lost across any number of replay rounds —
+    * the raw line rides along until it finally parses.
+    *
+    * Scale: one distributed `from_json` pass over the dead-letter set
+    * (which is tiny relative to the corpus by the error-threshold
+    * contract); no shuffle. */
+  def replayDeadLetters(bad: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val parsed = bad.select(from_json(col(CorruptCol), withCorrupt(schema),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+      .select("r.*")
+    splitCorrupt(parsed)
+  }
+
   /** ORC with explicit schema (columnar, self-describing — the schema
     * here PINS the expected projection/types rather than parsing rows, so
     * lake-side schema drift fails the read loudly instead of silently

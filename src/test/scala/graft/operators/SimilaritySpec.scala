@@ -273,6 +273,22 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("embeddingDrift: identical slices cos≈1, opposite slices cos=-1, one-sided label → 0") {
+    val a = Array(1.0f, 0.0f, 2.0f)
+    val docs = Seq(
+      (0L, 1, a), (1L, 1, a),                                   // label 1: same proto both slices
+      (2L, 2, a), (3L, 2, a.map(-_)),                            // label 2: new slice negated
+      (4L, 3, a)                                                 // label 3: old slice only
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingDrift(docs, isNew = col("vec_id") % 2 === 1)
+      .orderBy("label")
+      .select("label", "n_old", "n_new", "proto_cos")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got(0)._1 == 1 && got(0)._2 == 1 && got(0)._3 == 1 && math.abs(got(0)._4 - 1.0) < 1e-12)
+    assert(got(1)._1 == 2 && math.abs(got(1)._4 + 1.0) < 1e-12)
+    assert(got(2) == ((3, 1L, 0L, 0.0)), "one-sided label scores 0 by contract")
+  }
+
   test("prototypicalityPrune: two-level rank equals the one global window; prune rule exact") {
     import org.apache.spark.sql.expressions.Window
     val got = Similarity.prototypicalityPrune(embeddings, prunePct = 10)

@@ -32,6 +32,26 @@ class FileSourceSpec extends SparkSuite {
     assert(good.columns.toSeq == Seq("id", "email", "score"))
   }
 
+  test("replayDeadLetters: a widened schema recovers quarantined rows; residue stays dead") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    // id arrives as a string in some rows — dead under BIGINT, fine under STRING
+    val f = write(dir, "in.ndjson", Seq(
+      """{"id": 1, "email": "a@b.c", "score": 0.5}""",
+      """{"id": "K-17", "email": "x@y.z", "score": 1.0}""",
+      """{"id": "K-18", "email": "w@v.u", "score": 2.0}""",
+      """utter garbage"""))
+    val (good, bad) = FileSource.splitCorrupt(FileSource.ndjson(spark, f, schema))
+    assert(good.count() == 1 && bad.count() == 3)
+    // fix: id widened to STRING → the two K-rows recover, garbage stays dead
+    val fixed = StructType.fromDDL("id STRING, email STRING, score DOUBLE")
+    val (recovered, stillDead) = FileSource.replayDeadLetters(bad, fixed)
+    assert(recovered.count() == 2)
+    assert(recovered.select("id").as[String].collect().sorted.toSeq == Seq("K-17", "K-18"))
+    assert(stillDead.count() == 1)
+    assert(stillDead.select(FileSource.CorruptCol).as[String].head().contains("garbage"),
+      "the raw line must survive every replay round")
+  }
+
   test("csv: explicit schema, header honored, type-mismatch rows dead-letter") {
     val dir = Files.createTempDirectory("graft-src").toString
     val f = write(dir, "in.csv", Seq(
