@@ -56,6 +56,33 @@ object FileSink {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** B42: snapshot RETENTION vacuum — the state-hygiene half of the
+    * snapshot layout: diff-based syncs only ever read the LATEST run's
+    * snapshot, so older runs are pure storage cost; keep the newest
+    * `keepRuns` per sync (run ids ordered lexicographically — the
+    * timestamp-shaped ids [[snapshot]] callers use sort correctly) and
+    * delete the rest. Returns the deleted paths for the run log. Driver
+    * fs-metadata work only — no data is read. */
+  def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession, root: String,
+                      keepRuns: Int): Seq[String] = {
+    require(keepRuns >= 1, "must keep at least the latest run")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val deleted = Seq.newBuilder[String]
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("sync_id=")).foreach { sync =>
+        val runs = fs.listStatus(sync.getPath).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("run_id="))
+          .sortBy(_.getPath.getName)(Ordering[String].reverse)
+        runs.drop(keepRuns).foreach { old =>
+          fs.delete(old.getPath, true)
+          deleted += old.getPath.toString
+        }
+      }
+    deleted.result()
+  }
+
   private def writer(df: DataFrame, overwrite: Boolean) =
     df.write.mode(if (overwrite) "overwrite" else "error")
 }

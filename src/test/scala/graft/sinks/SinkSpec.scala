@@ -56,6 +56,19 @@ class SinkSpec extends SparkSuite {
     assert(spark.read.parquet(p).count() == 3)
   }
 
+  test("vacuumSnapshots keeps the newest runs per sync, deletes the rest, reports paths") {
+    val root = tmp()
+    for (s <- Seq("s1", "s2"); r <- Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+      FileSink.snapshot(df, root, s, r)
+    val deleted = FileSink.vacuumSnapshots(spark, root, keepRuns = 2)
+    assert(deleted.size == 2 && deleted.forall(_.contains("run_id=2024-01-01")))
+    // the survivors still read, newest runs intact
+    val left = spark.read.parquet(s"$root/sync_id=s1/run_id=2024-01-03")
+    assert(left.count() == 3)
+    assert(!new java.io.File(s"$root/sync_id=s1/run_id=2024-01-01").exists)
+    assert(new java.io.File(s"$root/sync_id=s2/run_id=2024-01-02").exists)
+  }
+
   test("rangeLayout: disjoint per-file key ranges; a key filter touches few files") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
