@@ -602,6 +602,30 @@ object TrainingData {
     TextAnalysis.lmScore(t.documents, isTrain = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** C82: the CCNet-style HEAD/MIDDLE/TAIL split — C64's LM scores cut
+    * into global terciles (bucket 0 = head, the best-scoring third), the
+    * standard perplexity-bucketed corpus partition: head trains as-is,
+    * middle gets a second look, tail drops. The global rank is the
+    * two-level Ranking template (score-interval buckets — no one-task
+    * sort); scoreless docs (no bigrams) sink via a −1 sentinel key. */
+  def q157LmTerciles(t: Tables): DataFrame = {
+    val scored = TextAnalysis.lmScore(t.documents, isTrain = col("lang") === "en")
+      .withColumn("__g", lit(0))
+      .withColumn("__key", coalesce(col("lm_avg"), lit(-1L)))
+    graft.operators.Ranking.groupRankDesc(scored, "__g", "__key", "doc_id",
+        expr("__key div 2000000"))
+      .select(expr("(rank - 1) * 3 div n_group").as("bucket"),
+        col("n_tokens"), col("lm_sum"), col("n_bigrams"), col("__key"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("lm_sum")).as("lm_sum"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        max(when(col("__key") >= 0, col("__key"))).as("lm_avg_max"),
+        min(when(col("__key") >= 0, col("__key"))).as("lm_avg_min"))
+      .orderBy("bucket")
+  }
+
   /** C65: model-based quality classifier — English plays the "high
     * quality" label; 16 hashed token buckets + bias, 4 full-batch LMS
     * gradient steps in exact integer fixed-point. The oracle replays the

@@ -1157,6 +1157,40 @@ object TrainingOracle {
 
   private val bpeMerges = 6
 
+  /** C64's full stupid-backoff replay through the per-doc `s` frame —
+    * shared by the q134 read-out and the q157 tercile split. */
+  private val lmScoreCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang = 'en' AS t, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(CASE WHEN t THEN 1 END) AS c
+      |  FROM (SELECT t, unnest(toks) AS w FROM tk) GROUP BY w),
+      |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS total FROM tk WHERE t),
+      |big AS (
+      |  SELECT doc_id, t, z[1] AS w1, z[2] AS w2
+      |  FROM (SELECT doc_id, t, unnest(list_zip(toks, toks[2:])) AS z FROM tk)
+      |  WHERE z[2] IS NOT NULL),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+      |       FROM big WHERE t GROUP BY w1, w2),
+      |db AS (SELECT DISTINCT w1, w2 FROM big),
+      |scored AS (
+      |  SELECT db.w1, db.w2,
+      |    CASE WHEN COALESCE(bi.cb, 0) > 0
+      |           THEN (CAST(1000000000 AS BIGINT) * bi.cb) // u1.c
+      |         WHEN COALESCE(u2.c, 0) > 0
+      |           THEN (CAST(4000000000 AS BIGINT) * u2.c) // (10 * tot.total)
+      |         ELSE 0 END AS score
+      |  FROM db LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
+      |    LEFT JOIN uni u1 ON db.w1 = u1.w
+      |    LEFT JOIN uni u2 ON db.w2 = u2.w
+      |    CROSS JOIN tot),
+      |s AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(score) AS BIGINT) AS lm_sum
+      |  FROM big JOIN scored ON big.w1 = scored.w1 AND big.w2 = scored.w2
+      |  GROUP BY doc_id)""".stripMargin
+
   /** C70/C71 shared replay: the water-filling solve down to the final
     * per-domain `alloc(domain, n_tokens, cap, saturated, allocation)`. */
   private val waterfillCtes: String =
@@ -2597,43 +2631,38 @@ object TrainingOracle {
     // corpus bigram scored once with the same integer div arithmetic,
     // stream join + per-doc integer mean. Mirrors TextAnalysis.lmScore.
     "q134_lm_score" ->
-      """WITH tk AS (
-        |  SELECT doc_id, lang = 'en' AS t, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |uni AS (
-        |  SELECT w, COUNT(CASE WHEN t THEN 1 END) AS c
-        |  FROM (SELECT t, unnest(toks) AS w FROM tk) GROUP BY w),
-        |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS total FROM tk WHERE t),
-        |big AS (
-        |  SELECT doc_id, t, z[1] AS w1, z[2] AS w2
-        |  FROM (SELECT doc_id, t, unnest(list_zip(toks, toks[2:])) AS z FROM tk)
-        |  WHERE z[2] IS NOT NULL),
-        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
-        |       FROM big WHERE t GROUP BY w1, w2),
-        |db AS (SELECT DISTINCT w1, w2 FROM big),
-        |scored AS (
-        |  SELECT db.w1, db.w2,
-        |    CASE WHEN COALESCE(bi.cb, 0) > 0
-        |           THEN (CAST(1000000000 AS BIGINT) * bi.cb) // u1.c
-        |         WHEN COALESCE(u2.c, 0) > 0
-        |           THEN (CAST(4000000000 AS BIGINT) * u2.c) // (10 * tot.total)
-        |         ELSE 0 END AS score
-        |  FROM db LEFT JOIN bi ON db.w1 = bi.w1 AND db.w2 = bi.w2
-        |    LEFT JOIN uni u1 ON db.w1 = u1.w
-        |    LEFT JOIN uni u2 ON db.w2 = u2.w
-        |    CROSS JOIN tot),
-        |s AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |         CAST(SUM(score) AS BIGINT) AS lm_sum
-        |  FROM big JOIN scored ON big.w1 = scored.w1 AND big.w2 = scored.w2
-        |  GROUP BY doc_id)
-        |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
-        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(s.lm_sum, 0) AS lm_sum,
-        |  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
-        |       THEN s.lm_sum // s.n_bigrams END AS lm_avg
-        |FROM tk LEFT JOIN s USING (doc_id)
-        |ORDER BY tk.doc_id""".stripMargin,
+      s"""$lmScoreCtes
+         |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(s.lm_sum, 0) AS lm_sum,
+         |  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+         |       THEN s.lm_sum // s.n_bigrams END AS lm_avg
+         |FROM tk LEFT JOIN s USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // C82: the CCNet-style head/middle/tail split — the shared LM replay,
+    // one global rank (null scores sink via the −1 sentinel), the
+    // (rank−1)·3 div n tercile rule, per-bucket integer aggregates.
+    "q157_lm_terciles" ->
+      s"""$lmScoreCtes,
+         |d AS (
+         |  SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+         |    COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |    COALESCE(s.lm_sum, 0) AS lm_sum,
+         |    COALESCE(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+         |             THEN s.lm_sum // s.n_bigrams END, -1) AS k
+         |  FROM tk LEFT JOIN s USING (doc_id)),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY k DESC, doc_id ASC)
+         |                 AS BIGINT) AS rn,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS n FROM d)
+         |SELECT (rn - 1) * 3 // n AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(lm_sum) AS BIGINT) AS lm_sum,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         |  MAX(CASE WHEN k >= 0 THEN k END) AS lm_avg_max,
+         |  MIN(CASE WHEN k >= 0 THEN k END) AS lm_avg_min
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // C65: scoring read-out over the shared training replay (see
     // classifierTrainCtes above).
