@@ -543,6 +543,178 @@ object PixelCodecUtil {
     out.toByteArray
   }
 
+  /** A decoded MJPEG track: per-frame ARGB pixel arrays + geometry. */
+  final case class Mp4Mjpeg(frames: Array[Array[Int]], width: Int,
+                            height: Int, timescale: Int)
+
+  /** Encode JPEG frames as a MOTION-JPEG MP4 video track (stsd 'jpeg' —
+    * the intra-only video codec real cameras ship; each sample is a
+    * complete baseline JPEG the existing codec decodes). Full box tree:
+    * vmhd/hdlr 'vide', VideoSampleEntry geometry, per-sample stsz (frames
+    * differ in size), one chunk, stco at the real mdat payload. */
+  def encodeMp4Mjpeg(width: Int, height: Int, fps: Int,
+                     frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty)
+    val n = frames.length
+    def moovAt(mdatPayloadOffset: Long): Array[Byte] = {
+      val mvhd = mp4Box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(fps), be32(n), be32(0x00010000L), be16(0x0100),
+        new Array[Byte](10),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        new Array[Byte](24), be32(2))
+      val tkhd = mp4Box("tkhd", Array[Byte](0, 0, 0, 7), be32(0), be32(0),
+        be32(1), be32(0), be32(n), new Array[Byte](8),
+        be16(0), be16(0), be16(0), be16(0),
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L),
+        be32(width.toLong << 16), be32(height.toLong << 16))
+      val mdhd = mp4Box("mdhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+        be32(fps), be32(n), be16(0x55C4), be16(0))
+      val hdlr = mp4Box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+        "vide".getBytes("US-ASCII"), new Array[Byte](12), Array[Byte](0))
+      val vmhd = mp4Box("vmhd", Array[Byte](0, 0, 0, 1),
+        be16(0), be16(0), be16(0), be16(0))
+      val dinf = mp4Box("dinf",
+        mp4Box("dref", Array[Byte](0, 0, 0, 0), be32(1),
+          mp4Box("url ", Array[Byte](0, 0, 0, 1))))
+      // ISO 14496-12 VideoSampleEntry for an MJPEG ('jpeg') track
+      val entry = mp4Box("jpeg", new Array[Byte](6), be16(1),
+        be16(0), be16(0), new Array[Byte](12),
+        be16(width), be16(height),
+        be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+        new Array[Byte](32), be16(24), be16(0xFFFF))
+      val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+      val stts = mp4Box("stts", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(n), be32(1))
+      val stsc = mp4Box("stsc", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(1), be32(n), be32(1))
+      val stsz = mp4Box("stsz",
+        (Seq(Array[Byte](0, 0, 0, 0), be32(0), be32(n)) ++
+          frames.map(f => be32(f.length))): _*)
+      val stco = mp4Box("stco", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(mdatPayloadOffset))
+      val stbl = mp4Box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = mp4Box("minf", vmhd, dinf, stbl)
+      val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+      val trak = mp4Box("trak", tkhd, mdia)
+      mp4Box("moov", mvhd, trak)
+    }
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val moovLen = moovAt(0).length
+    val moov = moovAt(ftyp.length + moovLen + 8L)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    out.write(moov, 0, moov.length)
+    val payload = new java.io.ByteArrayOutputStream()
+    frames.foreach(f => payload.write(f, 0, f.length))
+    val mdat = mp4Box("mdat", payload.toByteArray)
+    out.write(mdat, 0, mdat.length)
+    out.toByteArray
+  }
+
+  /** Decode the first MJPEG ('jpeg' stsd) video track via the real sample
+    * tables, each sample through the full baseline JPEG decoder — or null
+    * when there is no decodable MJPEG track (other codecs, truncated
+    * tables, any undecodable frame). */
+  def decodeMp4MjpegFrames(b: Array[Byte]): Mp4Mjpeg =
+    try decodeMp4MjpegFrames0(b)
+    catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => null
+    }
+
+  private def decodeMp4MjpegFrames0(b: Array[Byte]): Mp4Mjpeg = {
+    if (b == null || b.length < 16) return null
+    def u32(i: Long): Long = ((b(i.toInt) & 0xFFL) << 24) |
+      ((b(i.toInt + 1) & 0xFFL) << 16) | ((b(i.toInt + 2) & 0xFFL) << 8) |
+      (b(i.toInt + 3) & 0xFFL)
+    def u16(i: Long): Int = ((b(i.toInt) & 0xFF) << 8) | (b(i.toInt + 1) & 0xFF)
+    if (findMp4Box(b, 0, b.length, "ftyp") != 0L) return null
+    val moov = findMp4Box(b, 0, b.length, "moov")
+    if (moov < 0) return null
+    val moovEnd = moov + u32(moov)
+    var trak = findMp4Box(b, moov + 8, moovEnd, "trak")
+    while (trak >= 0) {
+      val trakEnd = trak + u32(trak)
+      val mdia = findMp4Box(b, trak + 8, trakEnd, "mdia")
+      if (mdia >= 0) {
+        val mdiaEnd = mdia + u32(mdia)
+        val minf = findMp4Box(b, mdia + 8, mdiaEnd, "minf")
+        val mdhd = findMp4Box(b, mdia + 8, mdiaEnd, "mdhd")
+        if (minf >= 0 && mdhd >= 0) {
+          val minfEnd = minf + u32(minf)
+          val stbl = findMp4Box(b, minf + 8, minfEnd, "stbl")
+          if (stbl >= 0) {
+            val stblEnd = stbl + u32(stbl)
+            val stsd = findMp4Box(b, stbl + 8, stblEnd, "stsd")
+            val stsz = findMp4Box(b, stbl + 8, stblEnd, "stsz")
+            val stsc = findMp4Box(b, stbl + 8, stblEnd, "stsc")
+            val stco = findMp4Box(b, stbl + 8, stblEnd, "stco")
+            if (stsd >= 0 && stsz >= 0 && stsc >= 0 && stco >= 0 &&
+                u32(stsd) >= 16 + 86 && u32(stsd + 12) >= 1 &&
+                u32(mdhd) >= 24 && u32(stsz) >= 20 && u32(stsc) >= 16 &&
+                u32(stco) >= 16) {
+              val e = stsd + 16
+              val fmt = new String(b, e.toInt + 4, 4, "US-ASCII")
+              if (fmt == "jpeg") {
+                val width = u16(e + 32)
+                val height = u16(e + 34)
+                val mdhdTs = u32(mdhd + 20).toInt
+                val uniform = u32(stsz + 12)
+                val nSamples = u32(stsz + 16).toInt
+                if (nSamples <= 0 || nSamples > (1 << 20)) return null
+                if (uniform == 0 && 20 + 4L * nSamples > u32(stsz)) return null
+                val sizes = Array.tabulate(nSamples)(k =>
+                  if (uniform != 0) uniform else u32(stsz + 20 + 4L * k))
+                val nChunks = u32(stco + 12).toInt
+                if (nChunks < 0 || 16 + 4L * nChunks > u32(stco)) return null
+                val chunkOff = Array.tabulate(nChunks)(k => u32(stco + 16 + 4L * k))
+                val nStsc = u32(stsc + 12).toInt
+                if (nStsc < 0 || 16 + 12L * nStsc > u32(stsc)) return null
+                val spc = new Array[Int](nChunks)
+                var r = 0
+                while (r < nStsc) {
+                  val first = u32(stsc + 16 + 12L * r).toInt
+                  val cnt = u32(stsc + 20 + 12L * r).toInt
+                  val last = if (r + 1 < nStsc) u32(stsc + 16 + 12L * (r + 1)).toInt
+                             else nChunks + 1
+                  var ch = first
+                  while (ch < last && ch <= nChunks) { spc(ch - 1) = cnt; ch += 1 }
+                  r += 1
+                }
+                val frames = Array.newBuilder[Array[Int]]
+                var sample = 0
+                var chunk = 0
+                while (chunk < nChunks && sample < nSamples) {
+                  var off = chunkOff(chunk)
+                  var k = 0
+                  while (k < spc(chunk) && sample < nSamples) {
+                    val sz = sizes(sample)
+                    if (sz <= 0 || off + sz > b.length) return null
+                    val px = graft.functions.JpegCodecUtil.decodeJpegPixels(
+                      java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt))
+                    if (px == null) return null
+                    frames += px
+                    off += sz
+                    sample += 1
+                    k += 1
+                  }
+                  chunk += 1
+                }
+                val fs = frames.result()
+                if (fs.length != nSamples) return null
+                return Mp4Mjpeg(fs, width, height, mdhdTs)
+              }
+            }
+          }
+        }
+      }
+      trak = findMp4Box(b, trakEnd, moovEnd, "trak")
+    }
+    null
+  }
+
   private def findMp4Box(b: Array[Byte], from: Long, end: Long,
                          tag: String): Long = {
     var i = from

@@ -118,8 +118,11 @@ object Multimodal {
   /**
    * STUB — stands in for the real media decoder on the payloads that
    * genuinely need codec libraries this environment doesn't ship:
-   * COMPRESSED VIDEO frames (H.264/HEVC) and transform audio (AAC), and
-   * any other non-container byte blob. Deterministic: features are a
+   * INTER-FRAME video (H.264/HEVC — motion compensation territory;
+   * intra-only MJPEG video decodes for REAL via the sample-table walk +
+   * the baseline JPEG codec) and transform audio (AAC; IMA ADPCM
+   * compressed audio decodes for real), and any other non-container
+   * byte blob. Deterministic: features are a
    * hash-fold of the payload bytes, so tests are exact. PNG pixels
    * (zlib inflate + unfilter), GIF pixels (full LZW), baseline JPEG
    * pixels (Huffman + IDCT), WAV PCM, raw-PCM MP4 tracks
@@ -223,6 +226,9 @@ object Multimodal {
     if (mp != null) return sampleFeatures(mp.samples, mp.bits)
     val ad = graft.functions.AdpcmCodecUtil.decodeWavImaAdpcmSamples(payload)
     if (ad != null) return sampleFeatures(ad, 16)
+    val mj = PixelCodecUtil.decodeMp4MjpegFrames(payload)
+    if (mj != null && mj.frames.nonEmpty)
+      return pixelFeatures(Array.concat(mj.frames: _*))
     decodeStub(payload)
   }
 

@@ -632,6 +632,47 @@ class MultimodalSpec extends SparkSuite {
       "ADPCM must decode for real — identical features to the decoded-PCM twin")
   }
 
+  test("MJPEG MP4: per-frame sample-table walk decodes each frame through the real JPEG codec") {
+    import graft.functions.{JpegCodecUtil, PixelCodecUtil}
+    val (w, h) = (48, 32)
+    // three DIFFERENT frames so a mis-walked sample table cannot pass
+    val frames = Array.tabulate(3)(f =>
+      JpegCodecUtil.encodeJpegPixels(w, h, quality = 80,
+        (x, y) => ((x * 5 + f * 40) << 16) | ((y * 7) << 8) | (f * 90 & 0xFF)))
+    val mp4 = PixelCodecUtil.encodeMp4Mjpeg(w, h, fps = 12, frames)
+    val got = PixelCodecUtil.decodeMp4MjpegFrames(mp4)
+    assert(got != null && got.frames.length == 3 &&
+      got.width == w && got.height == h && got.timescale == 12)
+    // every frame equals its direct single-JPEG decode, pixel for pixel
+    for (f <- 0 until 3) {
+      val direct = JpegCodecUtil.decodeJpegPixels(frames(f))
+      assert(direct != null && got.frames(f).sameElements(direct),
+        s"frame $f diverged from its direct decode")
+    }
+    // malformed guards: truncated payload, lying stsz size → null
+    assert(PixelCodecUtil.decodeMp4MjpegFrames(mp4.take(mp4.length - 40)) == null)
+    val lying = mp4.clone
+    // first stsz per-sample entry lives right after the stsz header; find it
+    val stszAt = {
+      var i = 0; var at = -1
+      while (i + 8 <= lying.length && at < 0) {
+        if (lying(i + 4) == 's' && lying(i + 5) == 't' &&
+            lying(i + 6) == 's' && lying(i + 7) == 'z') at = i
+        i += 1
+      }
+      at
+    }
+    assert(stszAt > 0)
+    lying(stszAt + 20) = 0x7F.toByte // first sample size becomes enormous
+    assert(PixelCodecUtil.decodeMp4MjpegFrames(lying) == null)
+
+    // the feature path routes MJPEG through the REAL pixel decode: a
+    // one-frame MJPEG yields exactly the single JPEG's features
+    val one = PixelCodecUtil.encodeMp4Mjpeg(w, h, fps = 1, Array(frames(0)))
+    assert(Multimodal.decodeFeatures(one).toSeq ==
+      Multimodal.decodeFeatures(frames(0)).toSeq)
+  }
+
   test("extracted features feed the ANN stack end-to-end: a payload copy is its own top hit") {
     // the media -> features -> similarity composition a multimodal dedup
     // pipeline runs; a planted byte-identical payload must come back as
