@@ -144,6 +144,104 @@ object Multimodal {
     out
   }
 
+  /** C83: 64-bit DIFFERENCE HASH (dHash) of an image payload — the
+    * perceptual-dedup fingerprint pixel-exact hashing cannot provide: a
+    * re-encode (PNG → JPEG, quality change) alters every byte and most
+    * pixels slightly, but the 8×8 grid of "is the left luminance box
+    * brighter than its right neighbor" survives, so near-identical images
+    * land within a few Hamming bits. Pure integer arithmetic over the
+    * REAL decoded pixels (9×8 luminance box means via exact pixel-count
+    * division) — deterministic across runs and engines that share the
+    * decoders. Returns null for undecodable payloads. */
+  def perceptualHash(payload: Array[Byte]): java.lang.Long = {
+    import graft.functions.{ImageCodecUtil, PixelCodecUtil, JpegCodecUtil}
+    val meta = ImageCodecUtil.parse(payload)
+    if (meta == null) return null
+    val w = meta.getInt(1); val h = meta.getInt(2)
+    val px = {
+      val p = PixelCodecUtil.decodePngPixels(payload)
+      if (p != null) p else {
+        val g = PixelCodecUtil.decodeGifPixels(payload)
+        if (g != null) g else JpegCodecUtil.decodeJpegPixels(payload)
+      }
+    }
+    if (px == null || w < 9 || h < 8 || px.length < w * h) return null
+    // 9×8 grid of mean luminance, exact integer box sums
+    val box = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            // decoder convention: packed (r<<24 | g<<16 | b<<8 | a)
+            val p = px(y * w + x)
+            s += (((p >>> 24) & 0xFF) * 299 + ((p >>> 16) & 0xFF) * 587 +
+              ((p >>> 8) & 0xFF) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        box(gy)(gx) = s / math.max(1, (y1 - y0) * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      val r = i / 8; val c = i % 8
+      if (box(r)(c) > box(r)(c + 1)) hash |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** C83: image NEAR-DUP pairs via perceptual hash — re-encoded/quality-
+    * shifted copies of an image (different bytes, different exact-pixel
+    * hashes) pair up when their dHashes differ by ≤ `maxHamming` bits.
+    * Candidate generation is the SimHash band trick: 4 × 16-bit bands —
+    * any pair within Hamming 3 shares an identical band by pigeonhole
+    * (the guarantee band-exact matching gives; wider radii re-run with
+    * more/narrower bands) — so candidates come from band-bucket equality
+    * joins, never an all-pairs scan, and are verified by exact popcount.
+    *
+    * Scale: hashing is one mapPartitions decode pass (the extractFeatures
+    * shape); the join carries (band, key, id) rows only. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "media_id",
+                        mediaCol: String = "media"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "band-exact candidates guarantee recall only to Hamming 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Option(perceptualHash(bytes)).map(h => (id, h.longValue()))
+      }).toDF(idCol, "phash")
+    val bands = hashes.select(col(idCol), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("phash"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col("phash").as("ph_a"))
+    val b = bands.select(col("band"), col("key"),
+      col(idCol).as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** FeatureDim stats over real RGBA pixels: per-channel mean and std
     * (8 dims) + an 8-bin luminance histogram, L1-normalized. */
   private def pixelFeatures(px: Array[Int]): Array[Float] = {

@@ -632,6 +632,34 @@ class MultimodalSpec extends SparkSuite {
       "ADPCM must decode for real — identical features to the decoded-PCM twin")
   }
 
+  test("perceptual hash: PNG→JPEG re-encode stays within Hamming 3; different images far; pairs found") {
+    import graft.functions.{JpegCodecUtil, PixelCodecUtil}
+    val (w, h) = (72, 48)
+    // a smooth gradient image in two containers + a genuinely different image
+    // 0xRRGGBB content; PNG wants (r<<24|g<<16|b<<8|a), JPEG wants 0xRRGGBB
+    def smooth(x: Int, y: Int): Int = ((x * 3) << 16) | ((y * 4) << 8) | ((x + y) & 0xFF)
+    def other(x: Int, y: Int): Int = (((w - x) * 3) << 16) | (((h - y) * 5) << 8) | 0x40
+    def asPng(f: (Int, Int) => Int): (Int, Int) => Int = (x, y) => (f(x, y) << 8) | 0xFF
+    val png = PixelCodecUtil.encodePngPixels(w, h, asPng(smooth))
+    val jpg = JpegCodecUtil.encodeJpegPixels(w, h, quality = 90, smooth)
+    val diff = PixelCodecUtil.encodePngPixels(w, h, asPng(other))
+    val hp = Multimodal.perceptualHash(png).longValue()
+    val hj = Multimodal.perceptualHash(jpg).longValue()
+    val hd = Multimodal.perceptualHash(diff).longValue()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hp, hj) <= 3, s"re-encode drifted ${ham(hp, hj)} bits")
+    assert(ham(hp, hd) >= 10, s"different images too close: ${ham(hp, hd)}")
+    assert(Multimodal.perceptualHash("junk".getBytes) == null)
+
+    // the pairs operator finds the re-encoded copy, not the different image
+    val media = Seq(
+      (1L, png), (2L, jpg), (3L, diff)
+    ).toDF("media_id", "media")
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("MJPEG MP4: per-frame sample-table walk decodes each frame through the real JPEG codec") {
     import graft.functions.{JpegCodecUtil, PixelCodecUtil}
     val (w, h) = (48, 32)
