@@ -269,4 +269,73 @@ object Events {
         (col("n").cast("double") / col("n_from")).as("prob"))
       .orderBy("from_type", "to_type")
   }
+
+  /** The q51 sessions reduced to their (user, seq, start, end) intervals —
+    * shared by A38's sweep-line and D26's streaming twin. */
+  private[graft] def sessionIntervals(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    t.events
+      .withColumn("ts_us", expr("ts div 1000L"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapNs / 1000, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+
+  /** A38: interval sweep-line — peak concurrent sessions per day, the
+    * classic "how many intervals overlap at time t" workload (meeting-room /
+    * active-session counting) that a correlated COUNT(*) range predicate
+    * would turn into an O(N²) join. Each q51 session contributes +1 at its
+    * start and −1 just past its end (half-open [start, end+1µs)); the global
+    * time-ordered running sum comes from graft.operators.Sweep — per-day
+    * local windows plus broadcast cumulated day carry-ins, never one global
+    * window task. Ties at one instant are ordered (delta ASC, user, seq) on
+    * both engines: closes apply before opens, so back-to-back sessions never
+    * double-count. A day's peak is the max over boundary instants within it
+    * (the stated contract — a boundary-free day inherits no row). */
+  def q158Concurrency(t: Tables): DataFrame = {
+    val DayUs = 86400000000L
+    val s = sessionIntervals(t)
+    val bounds = s.select(col("user_id"), col("session_seq"),
+        col("start_us").as("t_us"), lit(1L).as("delta"))
+      .unionByName(s.select(col("user_id"), col("session_seq"),
+        (col("end_us") + 1).as("t_us"), lit(-1L).as("delta")))
+    graft.operators.Sweep.runningSum(bounds, expr(s"t_us div ${DayUs}L"),
+        Seq("t_us", "delta", "user_id", "session_seq"), "delta")
+      .withColumn("day", expr(s"t_us div ${DayUs}L"))
+      .groupBy("day")
+      .agg(max(col("running")).as("peak_concurrency"),
+           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+           sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy("day")
+  }
+
+  /** A39: gaps-and-islands — per-user streaks of consecutive ACTIVE DAYS,
+    * the canonical `day − row_number()` island anchor: distinct activity
+    * days per user, islands by the constant anchor, then one bounded
+    * per-user pass for the summary (longest streak ties break to the
+    * earliest start). Per-user windows are fine at any corpus scale — the
+    * frame is that user's distinct days, not the table. */
+  def q159Streaks(t: Tables): DataFrame = {
+    val DayUs = 86400000000L
+    val days = t.events
+      .select(col("user_id"), expr(s"(ts div 1000L) div ${DayUs}L").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val islands = days
+      .withColumn("anchor", col("day") - row_number().over(w))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val best = Window.partitionBy("user_id").orderBy(col("len").desc, col("start_day").asc)
+    islands.withColumn("rn", row_number().over(best))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max(col("len")).as("longest_streak"),
+           min(when(col("rn") === 1, col("start_day"))).as("longest_start_day"))
+      .orderBy("user_id")
+  }
 }

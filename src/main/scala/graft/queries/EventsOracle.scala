@@ -199,6 +199,64 @@ object EventsOracle {
         |SELECT day, event_type, day_total, trailing_mean, trailing_std,
         |  (day_total - trailing_mean) / trailing_std AS z,
         |  abs((day_total - trailing_mean) / trailing_std) > 2.0 AS anomaly
-        |FROM r ORDER BY event_type, day""".stripMargin
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // A38: sweep-line concurrency — the same session intervals as q51, one
+    // running SUM over the deterministic (t, delta, user, seq) total order
+    // (closes before opens at an instant; end+1 makes intervals half-open),
+    // per-day peak over the boundary instants.
+    "q158_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), se AS (
+        |  SELECT user_id, session_seq, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM numbered GROUP BY user_id, session_seq
+        |), b AS (
+        |  SELECT user_id, session_seq, start_us AS t_us, CAST(1 AS BIGINT) AS delta FROM se
+        |  UNION ALL
+        |  SELECT user_id, session_seq, end_us + 1, CAST(-1 AS BIGINT) FROM se
+        |), r AS (
+        |  SELECT t_us // 86400000000 AS day, delta,
+        |    SUM(delta) OVER (ORDER BY t_us ASC, delta ASC, user_id ASC, session_seq ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b)
+        |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrency,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // A39: gaps-and-islands — the day − row_number() anchor; longest-streak
+    // ties break to the earliest start on both engines.
+    "q159_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS BIGINT) AS anchor,
+        |    day
+        |  FROM days
+        |), islands AS (
+        |  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY user_id, anchor
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, start_day ASC) AS rn
+        |  FROM islands)
+        |SELECT user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  MIN(CASE WHEN rn = 1 THEN start_day END) AS longest_start_day
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -363,4 +363,35 @@ object ReverseEtl {
         effective = lit("1997-07-01").cast("timestamp"))
       .orderBy("o_orderkey", "valid_from")
   }
+
+  /** B43: scalar-distribution drift audit — the pre-sync gate that catches
+    * an upstream model or pipeline change before bad rows reach a
+    * destination (the tabular sibling of C81's embedding drift): bucket
+    * `o_totalprice` into fixed 25k-wide bins for a reference period
+    * (orders before 1997) vs the current one, compare per-bin per-million
+    * shares, and report the per-bin gap plus the overall total-variation
+    * distance. Exact integer shares on both engines; one bounded
+    * aggregation + two 1-row broadcast scalars — no full-table second
+    * pass. */
+  def q162DriftAudit(t: Tables): DataFrame = {
+    val split = lit("1997-01-01").cast("timestamp")
+    val binned = t.orders.select(
+      floor(col("o_totalprice") / lit(25000.0)).cast("long").as("bin"),
+      when(col("o_orderdate") < split, 1L).otherwise(0L).as("is_old"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(col("is_old")).as("n_old"),
+      sum(lit(1L) - col("is_old")).as("n_new"))
+    val totals = binned.agg(
+      sum(col("is_old")).as("__told"),
+      sum(lit(1L) - col("is_old")).as("__tnew"))
+    val shares = perBin.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000 div __told").as("share_old_ppm"),
+        expr("n_new * 1000000 div __tnew").as("share_new_ppm"))
+      .withColumn("gap_ppm", abs(col("share_new_ppm") - col("share_old_ppm")))
+    val tvd = shares.agg(expr("sum(gap_ppm) div 2").as("__tvd"))
+    shares.crossJoin(broadcast(tvd))
+      .withColumnRenamed("__tvd", "tvd_ppm")
+      .orderBy("bin")
+  }
 }

@@ -340,6 +340,31 @@ object ReverseEtlOracle {
         |  CAST(n AS DOUBLE) / total_rows AS share,
         |  CAST(max_n AS DOUBLE) * n_keys / total_rows AS skew_factor
         |FROM top, t
-        |ORDER BY n DESC, key ASC""".stripMargin
+        |ORDER BY n DESC, key ASC""".stripMargin,
+
+    // B43: scalar-distribution drift — fixed 25k bins on o_totalprice,
+    // pre-1997 reference vs current, integer ppm shares, TVD scalar.
+    "q162_drift_audit" ->
+      """WITH binned AS (
+        |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS is_old
+        |  FROM orders
+        |), per_bin AS (
+        |  SELECT bin, CAST(SUM(is_old) AS BIGINT) AS n_old,
+        |    CAST(SUM(1 - is_old) AS BIGINT) AS n_new
+        |  FROM binned GROUP BY bin
+        |), t AS (
+        |  SELECT CAST(SUM(is_old) AS BIGINT) AS told,
+        |    CAST(SUM(1 - is_old) AS BIGINT) AS tnew FROM binned
+        |), shares AS (
+        |  SELECT bin, n_old, n_new,
+        |    n_old * 1000000 // told AS share_old_ppm,
+        |    n_new * 1000000 // tnew AS share_new_ppm,
+        |    ABS(n_new * 1000000 // tnew - n_old * 1000000 // told) AS gap_ppm
+        |  FROM per_bin, t
+        |), tvd AS (SELECT CAST(SUM(gap_ppm) // 2 AS BIGINT) AS tvd_ppm FROM shares)
+        |SELECT bin, n_old, n_new, share_old_ppm, share_new_ppm, gap_ppm, tvd_ppm
+        |FROM shares, tvd
+        |ORDER BY bin""".stripMargin
   )
 }

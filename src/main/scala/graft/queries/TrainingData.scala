@@ -956,4 +956,60 @@ object TrainingData {
     Sampling.mixtureSchedule(t.documents,
       capFactor = lit(1) + length(col("domain")) % 3)
       .orderBy("doc_id")
+
+  /** C84: k-anonymity audit — the re-identification-risk gate that belongs
+    * next to C14's PII redaction: before any row leaves the warehouse,
+    * group by the quasi-identifier tuple (nation, segment, account-balance
+    * band), measure every equivalence class's size k, and report the
+    * k-bucket histogram with each bucket's per-mille share of ROWS (the
+    * k=1 bucket is the population a linkage attacker singles out). Two
+    * bounded aggregations — class sizes then a ≤4-row bucket frame — plus
+    * a 1-row broadcast total; nothing here is row-count-bounded. */
+  def q160KAnonymity(t: Tables): DataFrame = {
+    val classes = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("k"))
+    val buckets = classes
+      .withColumn("k_bucket",
+        when(col("k") === 1, "k=1")
+          .when(col("k") < 5, "k=2-4")
+          .when(col("k") < 10, "k=5-9")
+          .otherwise("k>=10"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+    val total = t.customer.agg(count(lit(1)).as("__tot"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("k_bucket"), col("n_classes"), col("n_rows"),
+        expr("n_rows * 1000 div __tot").as("share_permille"))
+      .orderBy("k_bucket")
+  }
+
+  /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
+    * the raw token distribution (C51 counts tokens; this shows their
+    * SHAPE). One term-count aggregation, then everything happens on the
+    * DISTINCT-FREQUENCY frame (O(max count) rows — tiny at any corpus
+    * size): terms with equal count occupy a closed-form global rank run
+    * [rank_lo, rank_hi] (cumulated term counts over the descending
+    * frequency order), so the Zipf law's freq×rank ≈ const check needs no
+    * per-term rank at all — no giant-tie window, no one-task sort. */
+  def q161ZipfProfile(t: Tables): DataFrame = {
+    val terms = t.documents
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val byCount = terms.groupBy("c")
+      .agg(count(lit(1)).as("n_terms"), min(col("w")).as("sample_term"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byCount
+      .withColumn("rank_lo", coalesce(sum(col("n_terms")).over(wDesc), lit(0L)) + 1)
+      .withColumn("rank_hi", col("rank_lo") + col("n_terms") - 1)
+      .select(col("c"), col("n_terms"), col("rank_lo"), col("rank_hi"),
+        (col("c") * col("rank_lo")).as("zipf_lo"),
+        (col("c") * col("rank_hi")).as("zipf_hi"),
+        col("sample_term"))
+      .orderBy(col("c").desc)
+  }
 }

@@ -2730,6 +2730,49 @@ object TrainingOracle {
         |SELECT tok, next_tok, CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM pairs GROUP BY tok, next_tok
         |ORDER BY n_pairs DESC, tok ASC, next_tok ASC
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    // C84: k-anonymity audit — class sizes over the quasi-identifier
+    // tuple, k-bucket histogram, integer per-mille row shares.
+    "q160_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band
+        |), buckets AS (
+        |  SELECT CASE WHEN k = 1 THEN 'k=1'
+        |              WHEN k < 5 THEN 'k=2-4'
+        |              WHEN k < 10 THEN 'k=5-9'
+        |              ELSE 'k>=10' END AS k_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(k) AS BIGINT) AS n_rows
+        |  FROM classes GROUP BY 1
+        |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM customer)
+        |SELECT k_bucket, n_classes, n_rows, n_rows * 1000 // tot AS share_permille
+        |FROM buckets, t
+        |ORDER BY k_bucket""".stripMargin,
+
+    // C85: Zipf rank-frequency profile — term counts, then the
+    // distinct-frequency frame with closed-form global rank runs.
+    "q161_zipf_profile" ->
+      """WITH terms AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |), by_count AS (
+        |  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_terms, MIN(w) AS sample_term
+        |  FROM terms GROUP BY c
+        |), ranked AS (
+        |  SELECT c, n_terms, sample_term,
+        |    COALESCE(SUM(n_terms) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS rank_lo
+        |  FROM by_count)
+        |SELECT c, n_terms, CAST(rank_lo AS BIGINT) AS rank_lo,
+        |  CAST(rank_lo + n_terms - 1 AS BIGINT) AS rank_hi,
+        |  CAST(c * rank_lo AS BIGINT) AS zipf_lo,
+        |  CAST(c * (rank_lo + n_terms - 1) AS BIGINT) AS zipf_hi,
+        |  sample_term
+        |FROM ranked ORDER BY c DESC""".stripMargin
   )
 }
