@@ -1028,4 +1028,59 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /** D26: CONTINUOUS concurrency monitor — the streaming twin of A38's
+    * sweep-line (`Events.q158Concurrency`). A session tracker emits a
+    * BOUNDARY log — (+1, t) when a session opens, (−1, end+1µs) when it
+    * closes — in time order; each micro-batch runs the same two-level
+    * [[graft.operators.Sweep]] running sum, lifted by the carried
+    * open-session count from state, so `running` is the TRUE global
+    * concurrency at every boundary no matter where the stream was cut
+    * (a session open in batch N may not close until batch N+3 — the
+    * carry bridges it). Emits one slice per batch:
+    * (day, peak_concurrency, n_starts, n_ends); slice peaks already
+    * include the carry, so the exact merge law is
+    *   groupBy(day).agg(max(peak), sum(starts), sum(ends)) over slices
+    *     == the one-shot batch q158
+    * (spec-pinned). State = ONE row (Σdelta so far = open sessions at
+    * the axis frontier), batchId-versioned behind the D22 pointer flip:
+    * a replayed batch sees its version published and skips, so the
+    * count never advances twice. */
+  def concurrencyMonitor(boundaries: DataFrame, stateRoot: String,
+                         outRoot: String, checkpointDir: String): Unit = {
+    val q = boundaries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val carry = prev.map(p => spark.read.parquet(p)
+            .select(col("cum_tokens")).head().getLong(0)).getOrElse(0L)
+          val bounds = batch.toDF()
+            .select(col("t_us"), col("delta"), col("user_id"), col("session_seq"))
+          val slice = graft.operators.Sweep
+            .runningSum(bounds, expr("t_us div 86400000000L"),
+              Seq("t_us", "delta", "user_id", "session_seq"), "delta")
+            .withColumn("day", expr("t_us div 86400000000L"))
+            .groupBy("day")
+            .agg(max(col("running") + carry).as("peak_concurrency"),
+                 sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+                 sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+          slice.write.mode("overwrite").parquet(s"$outRoot/v$batchId")
+          val newCum = carry + bounds.agg(sum(col("delta"))).head().getLong(0)
+          writeCumState(spark, target, newCum)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All concurrency slices emitted so far by [[concurrencyMonitor]]. */
+  def concurrencySlices(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
 }

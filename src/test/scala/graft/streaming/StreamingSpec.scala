@@ -752,4 +752,47 @@ class StreamingSpec extends SparkSuite {
       .as[Long].head()
     assert(b3 == 5L, "state must survive replay and accumulate further batches")
   }
+
+  test("D26: continuous concurrency slices merge exactly to the batch q158 sweep") {
+    import graft.queries.{Events, Tables}
+    val in = Files.createTempDirectory("graft-conc-in").toString
+    val state = Files.createTempDirectory("graft-conc-state").toString
+    val out = Files.createTempDirectory("graft-conc-out").toString
+    val ckpt = Files.createTempDirectory("graft-conc-ckpt").toString
+    def runOnce(): Unit = EventStreams.concurrencyMonitor(
+      spark.readStream.schema("t_us LONG, delta LONG, user_id LONG, session_seq LONG")
+        .parquet(in), state, out, ckpt)
+
+    // the real sf0.001 session boundaries, cut into three time-ordered
+    // batches at arbitrary points — opens and closes land in different
+    // batches, so the carry genuinely bridges open sessions
+    val t = Tables(spark, sfDir)
+    val sessions = Events.sessionIntervals(t)
+      .as[(Long, Long, Long, Long)].collect() // user, seq, start, end
+    val bounds = sessions.flatMap { case (u, s, lo, hi) =>
+      Seq((lo, 1L, u, s), (hi + 1, -1L, u, s))
+    }.sortBy(b => (b._1, b._2, b._3, b._4))
+    val chunks = bounds.grouped((bounds.length + 2) / 3).toSeq
+    chunks.zipWithIndex.foreach { case (c, _) =>
+      c.toSeq.toDF("t_us", "delta", "user_id", "session_seq")
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce()
+    }
+    // the merge law: max(peak), sum(starts), sum(ends) per day over slices
+    val merged = EventStreams.concurrencySlices(spark, out)
+      .groupBy("day")
+      .agg(max("peak_concurrency").as("peak_concurrency"),
+           sum("n_starts").as("n_starts"), sum("n_ends").as("n_ends"))
+      .orderBy("day")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val oneShot = Events.q158Concurrency(t)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(merged == oneShot, "slices must merge exactly to the batch sweep")
+
+    runOnce() // replay: no new slices, carry not advanced twice
+    val again = EventStreams.concurrencySlices(spark, out)
+      .groupBy("day").agg(max("peak_concurrency"), sum("n_starts"), sum("n_ends"))
+      .orderBy("day").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == oneShot)
+  }
 }
