@@ -957,6 +957,13 @@ object TrainingData {
       capFactor = lit(1) + length(col("domain")) % 3)
       .orderBy("doc_id")
 
+  /** C86: embedding anisotropy — the dominant-direction audit
+    * (operators/Similarity.anisotropy): exact-integer power iteration
+    * over the milli-scaled second-moment matrix; the oracle replays
+    * every round, every renormalization, every truncating division. */
+  def q163Anisotropy(t: Tables): DataFrame =
+    graft.operators.Similarity.anisotropy(t.embeddings)
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -2732,6 +2732,40 @@ object TrainingOracle {
         |ORDER BY n_pairs DESC, tok ASC, next_tok ASC
         |LIMIT 50""".stripMargin,
 
+    // C86: anisotropy — milli-scaled second moments, eight power-iteration
+    // rounds from all-ones, max-abs renormalization to 1e4, truncating
+    // integer division throughout (DuckDB // and Spark div both truncate
+    // toward zero, negatives included). Rounds generated, not hand-typed.
+    "q163_anisotropy" -> {
+      val rounds = (1 to 8).map { k =>
+        val pv = s"v${k - 1}"
+        s"""u$k AS (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
+           |       FROM m JOIN $pv ON m.j = $pv.j GROUP BY m.i),
+           |x$k AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
+           |v$k AS (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
+      }.mkString("\n")
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+         |  FROM embeddings
+         |), exi AS (
+         |  SELECT sv, generate_subscripts(sv, 1) - 1 AS i, unnest(sv) AS a FROM v
+         |), exij AS (
+         |  SELECT i, a, generate_subscripts(sv, 1) - 1 AS j, unnest(sv) AS b FROM exi
+         |), m AS (
+         |  SELECT i, j, CAST(SUM(a * b) AS BIGINT) AS m
+         |  FROM exij GROUP BY i, j
+         |), v0 AS (SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS vj FROM m),
+         |$rounds
+         |tr AS (SELECT CAST(SUM(m) AS BIGINT) AS trace_fx FROM m WHERE i = j)
+         |SELECT v8.j AS dim, v8.vj AS v_fx,
+         |  CAST(x8.mx // 10000 AS BIGINT) AS lambda_fx,
+         |  tr.trace_fx,
+         |  CAST((x8.mx // 10000) * 1000 // tr.trace_fx AS BIGINT) AS top_share_pm
+         |FROM v8, x8, tr
+         |ORDER BY dim""".stripMargin
+    },
+
     // C84: k-anonymity audit — class sizes over the quasi-identifier
     // tuple, k-bucket histogram, integer per-mille row shares.
     "q160_k_anonymity" ->

@@ -1083,4 +1083,70 @@ object EventStreams {
   /** All concurrency slices emitted so far by [[concurrencyMonitor]]. */
   def concurrencySlices(spark: SparkSession, outRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(outRoot)
+
+  /** D27: CONTINUOUS distribution-drift monitor — the streaming twin of
+    * B43's `q162DriftAudit`: the reference period's per-bin ppm shares
+    * ride as a broadcast frame, each micro-batch's binned counts fold
+    * into pointer-versioned cumulative per-bin state, and a drift report
+    * lands per batch — (bin, batch_n, cum_n, share_cum_ppm, ref_ppm,
+    * gap_ppm, tvd_ppm, batch_id), where shares and TVD are over the
+    * CUMULATIVE current-period histogram so far (the monotone-refining
+    * estimate a monitor wants; a bin unseen in the reference reports
+    * ref_ppm 0 and drifts from its first row). Exact merge law,
+    * spec-pinned: once the stream has delivered the whole current
+    * period, the last batch's report equals the one-shot batch audit.
+    * State and report are bin-frame-sized; per batch one map-side
+    * partial count — replay discipline = D22's pointer flip. */
+  def driftMonitor(rows: DataFrame, refPpm: Map[Long, Long], binWidth: Double,
+                   metricCol: String, stateRoot: String, reportRoot: String,
+                   checkpointDir: String): Unit = {
+    val q = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val binned = batch.toDF()
+            .select(floor(col(metricCol) / lit(binWidth)).cast("long").as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as("batch_n"))
+          val prior = prev.map(p => spark.read.parquet(p))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("bin",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("cum_n",
+                  org.apache.spark.sql.types.LongType, nullable = false)))))
+          val cum = binned.join(prior, Seq("bin"), "full_outer")
+            .select(col("bin"),
+              (coalesce(col("batch_n"), lit(0L)) + coalesce(col("cum_n"), lit(0L))).as("cum_n"),
+              coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+          val ref = spark.createDataFrame(refPpm.toSeq).toDF("bin", "ref_ppm")
+          val report = cum
+            .join(broadcast(ref), Seq("bin"), "full_outer")
+            .na.fill(0L, Seq("cum_n", "batch_n", "ref_ppm"))
+            .crossJoin(broadcast(cum.agg(sum(col("cum_n")).as("__tot"))))
+            .select(col("bin"), col("batch_n"), col("cum_n"),
+              expr("cum_n * 1000000 div __tot").as("share_cum_ppm"), col("ref_ppm"))
+            .withColumn("gap_ppm", abs(col("share_cum_ppm") - col("ref_ppm")))
+          val tvd = report.agg(expr("sum(gap_ppm) div 2").as("tvd_ppm"))
+          report.crossJoin(broadcast(tvd))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          cum.select("bin", "cum_n")
+            .write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drift-report history of [[driftMonitor]], all batches. */
+  def driftHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
 }

@@ -321,4 +321,45 @@ class SimilaritySpec extends SparkSuite {
     // zero-norm guard: score is 0.0, never NaN
     assert(got.filter(col("proto_sim").isNaN).count() == 0)
   }
+
+  test("C86: anisotropy direction matches a double-precision power method") {
+    val emb = graft.queries.Tables(spark, sfDir).embeddings
+    val got = Similarity.anisotropy(emb)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 64)
+    assert(got.map(r => math.abs(r._2)).max == 10000L, "renormalized to max-abs 1e4")
+    val (lam, tr, share) = (got.head._3, got.head._4, got.head._5)
+    assert(got.forall(r => r._3 == lam && r._4 == tr && r._5 == share))
+    assert(lam > 0 && lam <= tr && share > 0 && share <= 1000)
+
+    // double-precision reference: the SAME 8 power rounds over the same
+    // milli-scaled second moments — the operator's contract is an exact
+    // replay of the method, not convergence (that depends on the data's
+    // eigengap; λ after k rounds is a lower bound on the dominant
+    // eigenvalue, and this synthetic corpus is nearly isotropic)
+    val vecs = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1000).toDouble).toArray)
+    val d = 64
+    val m = Array.ofDim[Double](d, d)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < d) { var j = 0; while (j < d) { m(i)(j) += v(i) * v(j); j += 1 }; i += 1 }
+    }
+    var vv = Array.fill(d)(1.0)
+    var lamD = 0.0
+    for (_ <- 1 to 8) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * vv(j)).sum)
+      val mx = u.map(math.abs).max
+      lamD = mx
+      vv = u.map(_ / mx)
+    }
+    assert(math.abs(lam.toDouble - lamD) / lamD < 0.005,
+      s"integer λ=$lam vs double λ=$lamD at the same round count")
+    val cos = {
+      val a = got.map(_._2.toDouble)
+      val dot = a.zip(vv).map { case (x, y) => x * y }.sum
+      math.abs(dot) / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(vv.map(x => x * x).sum))
+    }
+    assert(cos > 0.999, s"direction cosine $cos")
+  }
 }

@@ -753,6 +753,45 @@ class StreamingSpec extends SparkSuite {
     assert(b3 == 5L, "state must survive replay and accumulate further batches")
   }
 
+  test("D27: continuous drift monitor's final report equals the one-shot q162 audit") {
+    import graft.queries.{ReverseEtl, Tables}
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    val state = Files.createTempDirectory("graft-drift-state").toString
+    val report = Files.createTempDirectory("graft-drift-report").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val t = Tables(spark, sfDir)
+    val oneShot = ReverseEtl.q162DriftAudit(t)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val refPpm = oneShot.map(r => r._1 -> r._4).toMap // bin -> share_old_ppm
+
+    // stream the CURRENT period (post-1997 orders) in three arbitrary cuts
+    val cur = t.orders.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    def runOnce(): Unit = EventStreams.driftMonitor(
+      spark.readStream.schema("o_orderkey LONG, o_totalprice DOUBLE").parquet(in),
+      refPpm, binWidth = 25000.0, metricCol = "o_totalprice", state, report, ckpt)
+    cur.grouped((cur.length + 2) / 3).foreach { c =>
+      c.toSeq.toDF("o_orderkey", "o_totalprice").coalesce(1).write.mode("append").parquet(in)
+      runOnce()
+    }
+    val lastBatch = EventStreams.driftHistory(spark, report)
+      .agg(max("batch_id")).as[Long].head()
+    val finalRep = EventStreams.driftHistory(spark, report)
+      .filter(col("batch_id") === lastBatch)
+      .select("bin", "cum_n", "share_cum_ppm", "ref_ppm", "gap_ppm", "tvd_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // once the whole current period has streamed, the cumulative report IS
+    // the batch audit: same bins, counts, current shares, gaps, TVD
+    val expect = oneShot.map(r => (r._1, r._3, r._5, r._4, r._6, r._7)).sortBy(_._1)
+    assert(finalRep == expect)
+
+    runOnce() // replay: nothing double-counts
+    val again = EventStreams.driftHistory(spark, report)
+      .agg(max("batch_id")).as[Long].head()
+    assert(again == lastBatch)
+  }
+
   test("D26: continuous concurrency slices merge exactly to the batch q158 sweep") {
     import graft.queries.{Events, Tables}
     val in = Files.createTempDirectory("graft-conc-in").toString
