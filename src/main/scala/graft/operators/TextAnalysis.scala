@@ -277,6 +277,34 @@ object TextAnalysis {
         lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"))
   }
 
+  /** C87: cross-corpus n-gram NOVELTY — the memorization/benchmark-overlap
+    * audit at span granularity: for each CURRENT document, the fraction of
+    * its distinct n-grams never seen in the REFERENCE corpus (novelty 0 ⇒
+    * fully recoverable from the reference — a memorization risk if the
+    * reference is training data, a contamination signal if it is an eval
+    * set; C24/C80 ask "does it overlap", this scores HOW MUCH). Same
+    * portable md5 shingle kernel as C25/C36, so the oracle replays every
+    * hash; per-doc distinct shingles (array_distinct before the explode —
+    * multiplicity is C25's business), one distinct-hash reference frame,
+    * one hash-partitioned anti join, integer per-mille. Docs shorter than
+    * one n-gram don't appear (no denominator), per contract. */
+  def ngramNovelty(docs: DataFrame, isRef: Column, n: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.SignatureFunctions.allShingleHashes
+    val grams = docs.select(col(idCol), isRef.as("is_ref"),
+      explode(array_distinct(allShingleHashes(split(col(textCol), " "), n))).as("h"))
+    val ref = grams.filter(col("is_ref")).select("h").distinct()
+    val cur = grams.filter(!col("is_ref"))
+    val novel = cur.join(ref, Seq("h"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_novel"))
+    cur.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_pm", expr("n_novel * 1000 div n_grams"))
+      .orderBy(idCol)
+  }
+
   /** C30: canonical text form — Unicode NFC (native codegen'd
     * [[graft.functions.NormalizeNfc]] kernel) → lowercase → collapse runs
     * of whitespace to one space → trim. The standard pre-dedup

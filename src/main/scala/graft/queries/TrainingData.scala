@@ -957,6 +957,11 @@ object TrainingData {
       capFactor = lit(1) + length(col("domain")) % 3)
       .orderBy("doc_id")
 
+  /** C87: cross-corpus n-gram novelty — even doc_ids play the reference
+    * corpus, odd the current one (q156's split convention). */
+  def q164NgramNovelty(t: Tables): DataFrame =
+    TextAnalysis.ngramNovelty(t.documents, isRef = col("doc_id") % 2 === 0)
+
   /** C86: embedding anisotropy — the dominant-direction audit
     * (operators/Similarity.anisotropy): exact-integer power iteration
     * over the milli-scaled second-moment matrix; the oracle replays

@@ -2732,6 +2732,32 @@ object TrainingOracle {
         |ORDER BY n_pairs DESC, tok ASC, next_tok ASC
         |LIMIT 50""".stripMargin,
 
+    // C87: n-gram novelty — same md5 shingle kernel as q71, per-doc
+    // DISTINCT shingles, NOT EXISTS against the reference set.
+    "q164_ngram_novelty" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, doc_id % 2 = 0 AS is_ref, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, is_ref, ${shingleHashSql("toks", 8)} AS hs FROM tk
+         |), ex0 AS (
+         |  SELECT doc_id, is_ref, unnest(hs) AS h FROM sh
+         |), ex AS (
+         |  SELECT DISTINCT doc_id, is_ref, h FROM ex0
+         |), ref AS (SELECT DISTINCT h FROM ex WHERE is_ref),
+         |cur AS (SELECT doc_id, h FROM ex WHERE NOT is_ref),
+         |nov AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+         |  FROM cur WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = cur.h)
+         |  GROUP BY doc_id
+         |), g AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cur GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_grams,
+         |  COALESCE(n.n_novel, 0) AS n_novel,
+         |  COALESCE(n.n_novel, 0) * 1000 // g.n_grams AS novelty_pm
+         |FROM g LEFT JOIN nov n ON g.doc_id = n.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+
     // C86: anisotropy — milli-scaled second moments, eight power-iteration
     // rounds from all-ones, max-abs renormalization to 1e4, truncating
     // integer division throughout (DuckDB // and Spark div both truncate

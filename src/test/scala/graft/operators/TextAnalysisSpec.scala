@@ -467,4 +467,26 @@ class TextAnalysisSpec extends SparkSuite {
     // ascii doc: untouched, not flagged, hash of the original
     assert(got(2) == ((3L, 0L, 0L, false, md5hex(plain))), s"${got(2)}")
   }
+
+  test("C87: n-gram novelty scores planted overlap exactly") {
+    // ref doc 0 holds tokens a..j; current docs copy spans of it
+    val ref = (0 to 9).map(i => ('a' + i).toChar.toString).mkString(" ")
+    val df = Seq(
+      (0L, ref),                                 // reference
+      (1L, ref),                                 // exact copy → novelty 0
+      (3L, "a b c x y z w q r s t u v"),         // shares only 3-gram "a b c"… but n=3 grams overlap just 1
+      (5L, "p1 p2 p3 p4 p5")                     // fully novel
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(df, isRef = col("doc_id") % 2 === 0, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // doc 1: 8 grams, all in ref → 0 novel
+    assert(got.find(_._1 == 1L).get == ((1L, 8L, 0L, 0L)))
+    // doc 3: 11 grams ("a b c" .. "t u v"), exactly one ("a b c") in ref
+    val d3 = got.find(_._1 == 3L).get
+    assert(d3._2 == 11L && d3._3 == 10L && d3._4 == 10L * 1000 / 11L, s"$d3")
+    // doc 5: 3 grams, none in ref → 1000 per-mille
+    assert(got.find(_._1 == 5L).get == ((5L, 3L, 3L, 1000L)))
+    // reference docs never appear in the output
+    assert(got.map(_._1) == Seq(1L, 3L, 5L))
+  }
 }
