@@ -88,4 +88,15 @@ object Scd {
 
     closed.unionByName(applied)
   }
+
+  /** B44: POINT-IN-TIME read of an SCD2 history — the time-travel query
+    * the versioned dimension exists for: the rows valid AT `at` under the
+    * half-open [valid_from, valid_to) membership rule (an open generation
+    * has NULL valid_to). A pure filter — it pushes into the history scan,
+    * so a parquet-backed dimension reads only the generations whose
+    * valid_from stripe survives the predicate. */
+  def asOf(history: DataFrame, at: Column,
+           validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame =
+    history.filter(col(validFrom) <= at &&
+      (col(validTo).isNull || col(validTo) > at))
 }

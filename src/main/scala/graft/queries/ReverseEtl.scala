@@ -364,6 +364,21 @@ object ReverseEtl {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** B44: point-in-time dimension read — the q105 history queried at two
+    * probe instants (inside the closed 1994 generation; after the 1997
+    * apply) through graft.operators.Scd.asOf's half-open membership
+    * filter. Each probe returns exactly one version per live key. */
+  def q165TimeTravel(t: Tables): DataFrame = {
+    val hist = q105Scd2(t)
+    def at(p: String) =
+      graft.operators.Scd.asOf(hist, lit(p).cast("timestamp"))
+        .withColumn("probe", lit(p))
+    at("1994-06-01").unionByName(at("1997-08-01"))
+      .select(col("probe"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("valid_from"))
+      .orderBy("probe", "o_orderkey")
+  }
+
   /** B43: scalar-distribution drift audit — the pre-sync gate that catches
     * an upstream model or pipeline change before bad rows reach a
     * destination (the tabular sibling of C81's embedding drift): bucket

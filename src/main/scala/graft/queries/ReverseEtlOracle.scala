@@ -15,6 +15,40 @@ object ReverseEtlOracle {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin
 
+  /** The q105 SCD2 history construction (closed 1994 generation + the
+    * 1997-07-01 apply), shared by the B29 apply and the B44 time-travel
+    * read. Ends at the `applied` CTE — callers append their own SELECT. */
+  private val scd2HistoryCtes =
+    s"""WITH prev AS ($prevSnapshot), curr AS ($currSnapshot),
+       |hist_closed AS (
+       |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+       |         TIMESTAMP '1994-01-01' AS valid_from,
+       |         TIMESTAMP '1995-01-01' AS valid_to, FALSE AS is_current
+       |  FROM prev WHERE o_orderkey % 7 = 0),
+       |j AS (
+       |  SELECT h.o_orderkey AS hk, h.o_custkey AS hc, h.o_orderstatus AS hs,
+       |         h.o_totalprice AS hp, TIMESTAMP '1995-01-01' AS hf,
+       |         c.o_orderkey AS ck, c.o_custkey AS cc, c.o_orderstatus AS cs,
+       |         c.o_totalprice AS cp,
+       |         (h.o_custkey IS DISTINCT FROM c.o_custkey
+       |          OR h.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+       |          OR h.o_totalprice IS DISTINCT FROM c.o_totalprice) AS chg
+       |  FROM prev h FULL OUTER JOIN curr c ON h.o_orderkey = c.o_orderkey),
+       |applied AS (
+       |  SELECT ck AS o_orderkey, cc AS o_custkey, cs AS o_orderstatus,
+       |         cp AS o_totalprice, TIMESTAMP '1997-07-01' AS valid_from,
+       |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+       |  FROM j WHERE hk IS NULL
+       |  UNION ALL
+       |  SELECT hk, hc, hs, hp, hf, TIMESTAMP '1997-07-01', FALSE
+       |  FROM j WHERE hk IS NOT NULL AND (ck IS NULL OR chg)
+       |  UNION ALL
+       |  SELECT hk, hc, hs, hp, hf, CAST(NULL AS TIMESTAMP), TRUE
+       |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND NOT chg
+       |  UNION ALL
+       |  SELECT ck, cc, cs, cp, TIMESTAMP '1997-07-01', CAST(NULL AS TIMESTAMP), TRUE
+       |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND chg)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q20_cursor_incremental" ->
       s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
@@ -293,37 +327,23 @@ object ReverseEtlOracle {
     // generation full-outer joins the snapshot and each row expands to its
     // 1-2 output versions, branch by branch.
     "q105_scd2" ->
-      s"""WITH prev AS ($prevSnapshot), curr AS ($currSnapshot),
-         |hist_closed AS (
-         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
-         |         TIMESTAMP '1994-01-01' AS valid_from,
-         |         TIMESTAMP '1995-01-01' AS valid_to, FALSE AS is_current
-         |  FROM prev WHERE o_orderkey % 7 = 0),
-         |j AS (
-         |  SELECT h.o_orderkey AS hk, h.o_custkey AS hc, h.o_orderstatus AS hs,
-         |         h.o_totalprice AS hp, TIMESTAMP '1995-01-01' AS hf,
-         |         c.o_orderkey AS ck, c.o_custkey AS cc, c.o_orderstatus AS cs,
-         |         c.o_totalprice AS cp,
-         |         (h.o_custkey IS DISTINCT FROM c.o_custkey
-         |          OR h.o_orderstatus IS DISTINCT FROM c.o_orderstatus
-         |          OR h.o_totalprice IS DISTINCT FROM c.o_totalprice) AS chg
-         |  FROM prev h FULL OUTER JOIN curr c ON h.o_orderkey = c.o_orderkey),
-         |applied AS (
-         |  SELECT ck AS o_orderkey, cc AS o_custkey, cs AS o_orderstatus,
-         |         cp AS o_totalprice, TIMESTAMP '1997-07-01' AS valid_from,
-         |         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-         |  FROM j WHERE hk IS NULL
-         |  UNION ALL
-         |  SELECT hk, hc, hs, hp, hf, TIMESTAMP '1997-07-01', FALSE
-         |  FROM j WHERE hk IS NOT NULL AND (ck IS NULL OR chg)
-         |  UNION ALL
-         |  SELECT hk, hc, hs, hp, hf, CAST(NULL AS TIMESTAMP), TRUE
-         |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND NOT chg
-         |  UNION ALL
-         |  SELECT ck, cc, cs, cp, TIMESTAMP '1997-07-01', CAST(NULL AS TIMESTAMP), TRUE
-         |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND chg)
+      s"""$scd2HistoryCtes
          |SELECT * FROM (SELECT * FROM hist_closed UNION ALL SELECT * FROM applied)
          |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // B44: point-in-time dimension read over the same SCD2 history —
+    // two probe instants (inside the closed 1994 generation; after the
+    // 1997 apply), the half-open [valid_from, valid_to) membership rule.
+    "q165_time_travel" ->
+      s"""$scd2HistoryCtes,
+         |hist AS (SELECT * FROM hist_closed UNION ALL SELECT * FROM applied),
+         |probes AS (SELECT TIMESTAMP '1994-06-01' AS probe UNION ALL
+         |           SELECT TIMESTAMP '1997-08-01')
+         |SELECT strftime(probe, '%Y-%m-%d') AS probe, o_orderkey, o_custkey,
+         |       o_orderstatus, o_totalprice, valid_from
+         |FROM hist, probes
+         |WHERE valid_from <= probe AND (valid_to IS NULL OR valid_to > probe)
+         |ORDER BY probe, o_orderkey""".stripMargin,
 
     // B28: key-skew profile — counts, deterministic top-10, exact shares.
     "q104_skew_profile" ->

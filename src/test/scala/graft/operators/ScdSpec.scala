@@ -70,4 +70,19 @@ class ScdSpec extends SparkSuite {
     assert(opens.forall(_.getLong(1) == 1L))
     assert(opens.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
+
+  test("B44 asOf: at most one version per key at any probe; windows are half-open") {
+    val out = Scd.applyScd2(history, current, Seq("id"), eff)
+    Seq("1996-06-01", "1997-07-01", "1999-01-01").foreach { p =>
+      val snap = Scd.asOf(out, lit(p).cast("timestamp"))
+      val perKey = snap.groupBy("id").count().collect()
+      assert(perKey.forall(_.getLong(1) == 1L), s"probe $p: ${perKey.toSeq}")
+    }
+    // a probe before every valid_from sees nothing
+    assert(Scd.asOf(out, lit("1900-01-01").cast("timestamp")).count() == 0)
+    // half-open: AT the apply instant the NEW generation is visible, the
+    // closed one is not — valid_to is exclusive, valid_from inclusive
+    val atEff = Scd.asOf(out, eff)
+    assert(atEff.filter(!col("is_current") && col("valid_to") === eff).count() == 0)
+  }
 }
