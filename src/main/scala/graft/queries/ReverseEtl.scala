@@ -364,6 +364,36 @@ object ReverseEtl {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** B45: deletion-request PROPAGATION — the right-to-be-forgotten sweep:
+    * requested subject keys (here: customers with deeply negative
+    * balances play the request table) cascade through the schema's
+    * foreign keys — orders by custkey, then lineitem by the purged
+    * orders' keys — as semi joins, and the audit reports per table the
+    * purge count plus an exact key checksum (sum/min/max) so a
+    * compliance reviewer can verify WHAT was purged without the purged
+    * rows themselves surviving in the report. The cascade is join-depth
+    * = FK-depth; each level shuffles on its own key, requests usually
+    * broadcast. */
+  def q166DeletionSweep(t: Tables): DataFrame = {
+    val requests = t.customer.filter(col("c_acctbal") < -800)
+      .select(col("c_custkey").as("k"))
+    val ordersPurged = t.orders
+      .join(requests, col("o_custkey") === col("k"), "left_semi")
+    val orderKeys = ordersPurged.select(col("o_orderkey").as("ok"))
+    val itemsPurged = t.lineitem
+      .join(orderKeys, col("l_orderkey") === col("ok"), "left_semi")
+    def audit(name: String, df: DataFrame, key: String): DataFrame =
+      df.agg(count(lit(1)).as("n_purged"),
+          coalesce(sum(col(key)), lit(0L)).as("key_sum"),
+          min(col(key)).as("key_min"), max(col(key)).as("key_max"))
+        .select(lit(name).as("table_name"), col("n_purged"),
+          col("key_sum"), col("key_min"), col("key_max"))
+    audit("customer", requests.withColumnRenamed("k", "c_custkey"), "c_custkey")
+      .unionByName(audit("orders", ordersPurged, "o_orderkey"))
+      .unionByName(audit("lineitem", itemsPurged, "l_orderkey"))
+      .orderBy("table_name")
+  }
+
   /** B44: point-in-time dimension read — the q105 history queried at two
     * probe instants (inside the closed 1994 generation; after the 1997
     * apply) through graft.operators.Scd.asOf's half-open membership

@@ -345,6 +345,34 @@ object ReverseEtlOracle {
          |WHERE valid_from <= probe AND (valid_to IS NULL OR valid_to > probe)
          |ORDER BY probe, o_orderkey""".stripMargin,
 
+    // B45: deletion propagation — FK cascade via EXISTS, per-table purge
+    // counts with exact key checksums.
+    "q166_deletion_sweep" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < -800),
+        |op AS (
+        |  SELECT o_orderkey FROM orders o
+        |  WHERE EXISTS (SELECT 1 FROM req WHERE req.k = o.o_custkey)),
+        |ip AS (
+        |  SELECT l_orderkey FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM op WHERE op.o_orderkey = l.l_orderkey)),
+        |a AS (
+        |  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_purged,
+        |         CAST(COALESCE(SUM(k), 0) AS BIGINT) AS key_sum,
+        |         CAST(MIN(k) AS BIGINT) AS key_min, CAST(MAX(k) AS BIGINT) AS key_max
+        |  FROM req
+        |  UNION ALL
+        |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT),
+        |         CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT)
+        |  FROM op
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT),
+        |         CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT)
+        |  FROM ip)
+        |SELECT * FROM a ORDER BY table_name""".stripMargin,
+
     // B28: key-skew profile — counts, deterministic top-10, exact shares.
     "q104_skew_profile" ->
       """WITH c AS (

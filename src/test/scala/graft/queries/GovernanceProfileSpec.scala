@@ -76,6 +76,25 @@ class GovernanceProfileSpec extends SparkSuite {
     assert(next - 1 == v)
   }
 
+  test("B45 q166: cascade audit matches a direct recomputation") {
+    val reqs = t.customer.filter($"c_acctbal" < -800)
+      .select("c_custkey").as[Long].collect().toSet
+    val ordKeys = t.orders.select("o_custkey", "o_orderkey").as[(Long, Long)]
+      .collect().filter(r => reqs(r._1)).map(_._2)
+    val ordSet = ordKeys.toSet
+    val itemKeys = t.lineitem.select("l_orderkey").as[Long]
+      .collect().filter(ordSet)
+    val got = ReverseEtl.q166DeletionSweep(t)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    def row(n: String) = got.find(_._1 == n).get
+    assert(row("customer")._2 == reqs.size && row("customer")._3 == reqs.sum)
+    assert(row("orders")._2 == ordKeys.length && row("orders")._3 == ordKeys.sum)
+    assert(row("lineitem")._2 == itemKeys.length && row("lineitem")._3 == itemKeys.sum)
+    assert(row("orders")._4 == (if (ordKeys.isEmpty) None else Some(ordKeys.min)))
+    assert(reqs.nonEmpty && ordKeys.nonEmpty && itemKeys.nonEmpty,
+      "the fixture predicate must actually select subjects at sf0.001")
+  }
+
   test("B43 q162: shares are exact integer ppm and TVD is half the gap sum") {
     val got = ReverseEtl.q162DriftAudit(t)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
