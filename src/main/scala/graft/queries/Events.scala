@@ -272,9 +272,12 @@ object Events {
 
   /** The q51 sessions reduced to their (user, seq, start, end) intervals —
     * shared by A38's sweep-line and D26's streaming twin. */
-  private[graft] def sessionIntervals(t: Tables): DataFrame = {
+  private[graft] def sessionIntervals(t: Tables): DataFrame =
+    sessionIntervalsFrom(t.events)
+
+  private[graft] def sessionIntervalsFrom(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-    t.events
+    events
       .withColumn("ts_us", expr("ts div 1000L"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",

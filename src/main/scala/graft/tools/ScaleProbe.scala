@@ -205,6 +205,42 @@ object ScaleProbe {
         graft.operators.Scd.applyScd2(open, snap, Seq("o_orderkey"),
           lit("1997-07-01").cast("timestamp")).count())
     }
+    for (k <- Seq(1, 4, 16)) {
+      // amplify USERS (sessions stay per-user-shaped); boundary volume
+      // grows k-fold, the sweep's per-day windows and the bucket-offset
+      // frame stay day-count-sized — expect near-linear
+      val ev = amplify(t.events, "user_id", k)
+      run("sweep_concurrency", k) {
+        val s = graft.queries.Events.sessionIntervalsFrom(ev)
+        val bounds = s.select(col("user_id"), col("session_seq"),
+            col("start_us").as("t_us"), lit(1L).as("delta"))
+          .unionByName(s.select(col("user_id"), col("session_seq"),
+            (col("end_us") + 1).as("t_us"), lit(-1L).as("delta")))
+        graft.operators.Sweep.runningSum(bounds, expr("t_us div 86400000000L"),
+          Seq("t_us", "delta", "user_id", "session_seq"), "delta").count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // amplification duplicates shingle SETS, so the reference frame is
+      // ~constant after distinct and the anti join is hash-partitioned —
+      // expect scan-bound growth
+      run("ngram_novelty", k)(
+        TextAnalysis.ngramNovelty(docs, isRef = col("doc_id") % 2 === 0).count())
+      // term-count agg dominates; everything after rides the
+      // distinct-frequency frame — expect scan-bound growth
+      run("zipf_profile", k) {
+        val terms = docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        terms.groupBy("c").agg(count(lit(1))).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      // the d^2 moment agg is the whole cost and it map-side combines;
+      // the 8 power rounds ride the constant d^2 frame — expect linear
+      run("anisotropy", k)(graft.operators.Similarity.anisotropy(emb).count())
+    }
     spark.stop()
   }
 }
