@@ -604,8 +604,11 @@ object Similarity {
     *
     *  - milli-scaled components `sv = round(x·1000)` → the uncentered
     *    second-moment matrix M[i,j] = Σ sv_i·sv_j (ONE corpus scan; the
-    *    d² explode partial-aggregates map-side into a d²-row frame —
-    *    the O(n·d²) work is the mathematics, not the plan);
+    *    O(n·d²) work is the mathematics, not the plan — and it runs as a
+    *    per-partition tight-loop accumulator emitting ONE d²-array per
+    *    partition, the one place here where mapPartitions beats any
+    *    declarative form: the row-generator alternative materializes d²
+    *    shuffle rows per input row, ~100× the arithmetic's true cost);
     *  - `iters` integer power-iteration rounds from the all-ones start,
     *    renormalizing to max-abs 10⁴ each round (products stay < 2⁶³ at
     *    billion-row corpora by construction of the scales);
@@ -626,27 +629,51 @@ object Similarity {
   def anisotropy(emb: DataFrame, vecCol: String = "embedding",
                  iters: Int = 8): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val sv = emb.select(
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as long))").as("sv"))
-    val exI = sv.select(col("sv"), posexplode(col("sv")).as(Seq("i", "a")))
-    val m = exI.select(col("i"), col("a"), posexplode(col("sv")).as(Seq("j", "b")))
-      .groupBy("i", "j").agg(sum(col("a") * col("b")).as("m"))
-    val dims = m.select(col("i").as("j")).distinct()
-    var v = dims.select(col("j"), lit(10000L).as("vj"))
-    var lambdaFrame: DataFrame = null
+    val partials = sv.as[Array[Long]].mapPartitions { rows =>
+      var acc: Array[Long] = null
+      var d = 0
+      rows.foreach { v =>
+        if (acc == null) { d = v.length; acc = new Array[Long](d * d) }
+        var i = 0
+        while (i < d) {
+          val a = v(i); val base = i * d; var j = 0
+          while (j < d) { acc(base + j) += a * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty else Iterator.single((d, acc))
+    }.toDF("d", "mm")
+    // the d²-row moment frame is the ONLY corpus-derived thing the rounds
+    // touch — checkpoint it once so 8 rounds + trace don't re-run the scan
+    val m = partials
+      .select(col("d"), posexplode(col("mm")).as(Seq("idx", "mv")))
+      .select(expr("idx div d").cast("int").as("i"),
+        expr("idx % d").cast("int").as("j"), col("mv"))
+      .groupBy("i", "j").agg(sum(col("mv")).as("m"))
+      .localCheckpoint(true)
+    // the iteration vector is d longs — bounded driver state (the kmeans
+    // centroid convention); each round is one tiny aggregation over m.
+    // Long division in Scala truncates toward zero — same as SQL div.
+    val d = m.agg(max(col("i"))).head().getInt(0) + 1
+    var v = Array.fill(d)(10000L)
+    var lambda = 0L
     for (_ <- 1 to iters) {
-      val u = m.join(broadcast(v), Seq("j")).groupBy("i")
-        .agg(sum(col("m") * col("vj")).as("u"))
-      val mx = u.agg(max(abs(col("u"))).as("mx"))
-      lambdaFrame = mx.select(expr("mx div 10000").as("lambda_fx"))
-      v = u.crossJoin(broadcast(mx))
-        .select(col("i").as("j"), expr("u * 10000 div mx").as("vj"))
+      val vlit = typedlit(v.toSeq)
+      val u = m.groupBy("i")
+        .agg(sum(col("m") * element_at(vlit, col("j") + 1)).as("u"))
+        .orderBy("i").select("u").as[Long].collect()
+      val mx = u.map(math.abs).max
+      lambda = mx / 10000L
+      v = u.map(x => x * 10000L / mx)
     }
-    val trace = m.filter(col("i") === col("j")).agg(sum(col("m")).as("trace_fx"))
-    v.select(col("j").as("dim"), col("vj").as("v_fx"))
-      .crossJoin(broadcast(lambdaFrame))
-      .crossJoin(broadcast(trace))
-      .withColumn("top_share_pm", expr("lambda_fx * 1000 div trace_fx"))
+    val trace = m.filter(col("i") === col("j"))
+      .agg(sum(col("m")).as("t")).head().getLong(0)
+    v.zipWithIndex.toSeq
+      .map { case (vf, i) => (i.toLong, vf, lambda, trace, lambda * 1000L / trace) }
+      .toDF("dim", "v_fx", "lambda_fx", "trace_fx", "top_share_pm")
       .orderBy("dim")
   }
 }
