@@ -424,6 +424,52 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** A40: LINEAR-interpolated gap fill — the numeric complement of A28's
+    * LOCF: a missing day gets the time-weighted blend of its bracketing
+    * observations instead of a stale carry-forward (the right call for
+    * continuous metrics — balances, rates — where LOCF fabricates
+    * plateaus). Both neighbors come from the SAME two one-pass windows
+    * LOCF uses (last/first ignoreNulls, preceding/following frame) — no
+    * self-join, no per-gap explode. Exactness: observations become cents
+    * (exact decimal→long), the blend c0·(nd−day)+c1·(day−pd) is integer,
+    * and ONE final IEEE division by (nd−pd)·100 lands the double — both
+    * engines perform the identical single rounding. Days outside the
+    * observed range report kind='edge' with NULL (interpolation has no
+    * bracketing pair there; extrapolation is a policy, not a default). */
+  def q167InterpFill(t: Tables): DataFrame = {
+    val ev = t.events.select(col("event_type"),
+      expr("ts div 86400000000000").as("day"), col("value"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrev = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("cents"),
+        last(col("cents"), ignoreNulls = true).over(wPrev).as("c0"),
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev).as("pd"),
+        first(col("cents"), ignoreNulls = true).over(wNext).as("c1"),
+        first(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext).as("nd"))
+      .select(col("event_type"), col("day"),
+        when(col("cents").isNotNull, col("cents").cast("double") / 100)
+          .when(col("c0").isNull || col("c1").isNull, lit(null).cast("double"))
+          .otherwise(
+            (col("c0") * (col("nd") - col("day")) + col("c1") * (col("day") - col("pd")))
+              .cast("double") / ((col("nd") - col("pd")) * 100))
+          .as("value_interp"),
+        when(col("cents").isNotNull, "observed")
+          .when(col("c0").isNull || col("c1").isNull, "edge")
+          .otherwise("interpolated").as("kind"))
+      .orderBy("event_type", "day")
+  }
+
   /** A30: UNPIVOT / melt — wide per-group measures to long (group,
     * measure, value) form, the shape BI export and destination-schema
     * mapping want. Spark's `unpivot` plans as a generator (Expand) fused

@@ -320,6 +320,42 @@ object RelationalOracle {
         |FROM spine s LEFT JOIN daily d USING (event_type, day)
         |ORDER BY event_type, day""".stripMargin,
 
+    // A40: linear interpolation — same spine, integer cents blend, ONE
+    // IEEE division; edges (no bracketing pair) stay NULL.
+    "q167_interp_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value FROM events
+        |), daily AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2
+        |), b AS (
+        |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily), b
+        |), j AS (
+        |  SELECT s.event_type, s.day, d.cents,
+        |    last_value(d.cents IGNORE NULLS) OVER wp AS c0,
+        |    last_value(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(d.cents IGNORE NULLS) OVER wn AS c1,
+        |    first_value(CASE WHEN d.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER wn AS nd
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)
+        |  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY s.event_type ORDER BY s.day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, day,
+        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100
+        |       WHEN c0 IS NULL OR c1 IS NULL THEN NULL
+        |       ELSE CAST(c0 * (nd - day) + c1 * (day - pd) AS DOUBLE)
+        |            / ((nd - pd) * 100) END AS value_interp,
+        |  CASE WHEN cents IS NOT NULL THEN 'observed'
+        |       WHEN c0 IS NULL OR c1 IS NULL THEN 'edge'
+        |       ELSE 'interpolated' END AS kind
+        |FROM j ORDER BY event_type, day""".stripMargin,
+
     // A30: melt replayed as UNION ALL (portable-exact; DuckDB's UNPIVOT
     // would work too, but the union form pins names and types explicitly).
     "q94_unpivot" ->
