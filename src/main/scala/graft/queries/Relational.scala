@@ -470,6 +470,50 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** A41: per-metric TREND regression — OLS fit of the daily total against
+    * the day index, per event_type: the "is this metric drifting and where
+    * will it be tomorrow" question that pairs with D19's anomaly flags
+    * (D19 asks "is today surprising", A41 asks "what is the direction").
+    * Same exactness recipe as A33's correlation: daily totals become exact
+    * cents, ALL five power sums (n, Σx, Σy, Σxy, Σx²(+Σy² for R²)) are
+    * exact decimals from one bounded-key aggregation over the tiny per-day
+    * frame, and slope/intercept/R²/forecast are a fixed tree of IEEE
+    * double ops both engines evaluate identically. Scale: the regression
+    * runs on the PRE-AGGREGATED (type, day) frame — corpus size only
+    * touches the first map-side-partial groupBy. */
+  def q168TrendRegression(t: Tables): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val daily = t.events
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg((sum(dec(col("value"))) * 100).cast(big).as("y"))
+      .withColumn("x", col("day").cast(big))
+    val s = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), max(col("day")).as("d1"))
+    s.select(col("event_type"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+         (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0)
+          .as("slope_per_day"),
+        ((d(col("sy")) / 100.0 - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) * d(col("sx"))) /
+          d(col("n"))).as("intercept"),
+        (((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) *
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))) /
+         ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("r2"),
+        ((d(col("sy")) / 100.0 - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) * d(col("sx"))) /
+          d(col("n")) +
+         ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) *
+           (d(col("d1")) + 1.0)).as("forecast_next_day"))
+      .orderBy("event_type")
+  }
+
   /** A30: UNPIVOT / melt — wide per-group measures to long (group,
     * measure, value) form, the shape BI export and destination-schema
     * mapping want. Spark's `unpivot` plans as a generator (Expand) fused
