@@ -342,6 +342,94 @@ case class BestCentroid(child: Expression,
     copy(child = c)
 }
 
+/**
+ * Per-vector statistics against ONE fixed direction, in exact long
+ * arithmetic: for a milli-scaled integer vector `sv` (array<long>) and the
+ * fixed-point direction `v` (the anisotropy power method's output,
+ * components in [−10⁴, 10⁴]) it returns
+ * `struct(dot = Σ sv·v, energy = Σ sv², res_dot = Σ (sv − (dot·v)/vn2)·v)`
+ * — dot with the direction, the row's second-moment energy, and the dot
+ * the ALL-BUT-THE-TOP residual still has with the direction (0 up to the
+ * per-component truncation of the integer projection). Divisions truncate
+ * toward zero (Java `/`), matching Spark `div` and DuckDB `//`.
+ *
+ * One codegen'd pass; the direction rides as a constant reference object
+ * like [[CentroidScores]]'s matrix. Overflow bounds (documented, asserted
+ * by the caller): |sv·v| sums stay < 2⁶³ for d·max|sv|·10⁴ < 9.2e18 — at
+ * d = 4096 that allows |x| up to ~2e11, far beyond any embedding scale;
+ * dot·v < 2⁶³ holds under the same margin.
+ */
+case class TopDirectionStats(child: Expression, v: Array[Long], vn2: Long)
+    extends UnaryExpression {
+
+  require(vn2 > 0, "direction must be nonzero (vn2 = Σ v² > 0)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input (milli-scaled), got $other")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dot", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("energy", org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("res_dot", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def prettyName: String = "top_direction_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sv = input.asInstanceOf[ArrayData]
+    val n = math.min(sv.numElements(), v.length)
+    var dot = 0L; var energy = 0L
+    var i = 0
+    while (i < n) {
+      if (!sv.isNullAt(i)) {
+        val a = sv.getLong(i)
+        dot += a * v(i); energy += a * a
+      }
+      i += 1
+    }
+    var res = 0L
+    i = 0
+    while (i < n) {
+      if (!sv.isNullAt(i)) res += (sv.getLong(i) - (dot * v(i)) / vn2) * v(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(dot, energy, res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sv => {
+      val vr = ctx.addReferenceObj("dir", v, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val a = ctx.freshName("a")
+      val dot = ctx.freshName("dot")
+      val energy = ctx.freshName("energy")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($sv.numElements(), $vr.length);
+         |long $dot = 0L; long $energy = 0L; long $res = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$sv.isNullAt($i)) {
+         |    long $a = $sv.getLong($i);
+         |    $dot += $a * $vr[$i]; $energy += $a * $a;
+         |  }
+         |}
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$sv.isNullAt($i)) {
+         |    $res += ($sv.getLong($i) - ($dot * $vr[$i]) / ${vn2}L) * $vr[$i];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $dot, $energy, $res });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TopDirectionStats =
+    copy(child = c)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two float/double array columns. */
@@ -366,4 +454,8 @@ object VectorFunctions {
   /** Codegen'd symmetric int8 quantization (array<tinyint>). */
   def quantizeI8(v: Column): Column =
     bridge.column(QuantizeI8(bridge.expression(v)))
+
+  /** Per-vector (dot, energy, res_dot) against a fixed direction. */
+  def topDirectionStats(sv: Column, v: Array[Long], vn2: Long): Column =
+    bridge.column(TopDirectionStats(bridge.expression(sv), v, vn2))
 }

@@ -630,6 +630,24 @@ object Similarity {
                  iters: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (m, v, lambda) = momentAndDirection(emb, vecCol, iters)
+    val trace = m.filter(col("i") === col("j"))
+      .agg(sum(col("m")).as("t")).head().getLong(0)
+    v.zipWithIndex.toSeq
+      .map { case (vf, i) => (i.toLong, vf, lambda, trace, lambda * 1000L / trace) }
+      .toDF("dim", "v_fx", "lambda_fx", "trace_fx", "top_share_pm")
+      .orderBy("dim")
+  }
+
+  /** Shared power-method core for C86/C88: the checkpointed d²-row
+    * second-moment frame plus the fixed-point dominant direction after
+    * `iters` integer rounds. Returns (moment frame (i, j, m), direction
+    * v ∈ [−10⁴, 10⁴]ᵈ, λ estimate). See [[anisotropy]] for the scaling
+    * and exactness contract. */
+  private def momentAndDirection(emb: DataFrame, vecCol: String,
+                                 iters: Int): (DataFrame, Array[Long], Long) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val sv = emb.select(
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as long))").as("sv"))
     val partials = sv.as[Array[Long]].mapPartitions { rows =>
@@ -669,11 +687,46 @@ object Similarity {
       lambda = mx / 10000L
       v = u.map(x => x * 10000L / mx)
     }
-    val trace = m.filter(col("i") === col("j"))
-      .agg(sum(col("m")).as("t")).head().getLong(0)
-    v.zipWithIndex.toSeq
-      .map { case (vf, i) => (i.toLong, vf, lambda, trace, lambda * 1000L / trace) }
-      .toDF("dim", "v_fx", "lambda_fx", "trace_fx", "top_share_pm")
-      .orderBy("dim")
+    (m, v, lambda)
+  }
+
+  /** C88: ISOTROPY correction — all-but-the-top (Mu & Viswanath 2018),
+    * the ACTION on [[anisotropy]]'s audit: project the measured dominant
+    * direction out of every embedding, `x' = x − (x·v̂)v̂`, so the common
+    * direction stops inflating every cosine before SemDeDup/ANN
+    * thresholding. Entirely exact integer fixed-point, so the DuckDB
+    * oracle replays it bit-for-bit: milli-scaled components, the power
+    * method's [−10⁴,10⁴] direction, per-component integer projection
+    * `sv_i − (dot·v_i) div vn2` (truncating division on both engines).
+    *
+    * The per-vector audit frame this returns proves the removal: `dot_fx`
+    * (the component along v), `removed_fx = dot² div vn2` (energy the
+    * projection takes out), `removed_pm` (its per-mille share of the
+    * row's energy — the per-row face of the corpus-level top_share_pm),
+    * and `res_dot_fx` — the residual's remaining dot with v, which
+    * integer truncation bounds by Σ|v_i| ≤ d·10⁴ per row (≈0 relative to
+    * dot's 10⁸ scale; EXACTLY 0 in real arithmetic).
+    *
+    * Scale: one corpus scan for the moment matrix (shared with the
+    * audit), then ONE more scan with a codegen'd per-row loop
+    * ([[graft.functions.TopDirectionStats]]) — the direction rides as a
+    * broadcast-sized constant, never a join. */
+  def removeTopDirection(emb: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding", iters: Int = 8): DataFrame = {
+    val (_, v, _) = momentAndDirection(emb, vecCol, iters)
+    val vn2 = v.map(x => x * x).sum
+    val sv = expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as long))")
+    emb
+      .select(col(idCol),
+        graft.functions.VectorFunctions.topDirectionStats(sv, v, vn2).as("s"))
+      .select(col(idCol), col("s.dot").as("dot_fx"), col("s.energy").as("energy_fx"),
+        expr(s"cast(cast(s.dot as decimal(38,0)) * s.dot div ${vn2}L as long)")
+          .as("removed_fx"),
+        col("s.res_dot").as("res_dot_fx"))
+      .select(col(idCol), col("dot_fx"), col("energy_fx"), col("removed_fx"),
+        when(col("energy_fx") === 0L, lit(null).cast("long"))
+          .otherwise(expr("removed_fx * 1000 div energy_fx")).as("removed_pm"),
+        col("res_dot_fx"))
+      .orderBy(idCol)
   }
 }

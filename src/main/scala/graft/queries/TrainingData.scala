@@ -969,6 +969,13 @@ object TrainingData {
   def q163Anisotropy(t: Tables): DataFrame =
     graft.operators.Similarity.anisotropy(t.embeddings)
 
+  /** C88: isotropy correction — all-but-the-top over q163's measured
+    * direction (operators/Similarity.removeTopDirection): per-vector
+    * integer projection audit (dot, energy, removed share, residual dot),
+    * oracle-exact down to the truncating divisions. */
+  def q169IsotropyCorrect(t: Tables): DataFrame =
+    graft.operators.Similarity.removeTopDirection(t.embeddings)
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -2765,10 +2765,10 @@ object TrainingOracle {
     "q163_anisotropy" -> {
       val rounds = (1 to 8).map { k =>
         val pv = s"v${k - 1}"
-        s"""u$k AS (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
+        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
            |       FROM m JOIN $pv ON m.j = $pv.j GROUP BY m.i),
-           |x$k AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
-           |v$k AS (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
+           |x$k AS MATERIALIZED (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
+           |v$k AS MATERIALIZED (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
       }.mkString("\n")
       s"""WITH v AS (
          |  SELECT list_transform(embedding,
@@ -2778,7 +2778,7 @@ object TrainingOracle {
          |  SELECT sv, generate_subscripts(sv, 1) - 1 AS i, unnest(sv) AS a FROM v
          |), exij AS (
          |  SELECT i, a, generate_subscripts(sv, 1) - 1 AS j, unnest(sv) AS b FROM exi
-         |), m AS (
+         |), m AS MATERIALIZED (
          |  SELECT i, j, CAST(SUM(a * b) AS BIGINT) AS m
          |  FROM exij GROUP BY i, j
          |), v0 AS (SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS vj FROM m),
@@ -2790,6 +2790,53 @@ object TrainingOracle {
          |  CAST((x8.mx // 10000) * 1000 // tr.trace_fx AS BIGINT) AS top_share_pm
          |FROM v8, x8, tr
          |ORDER BY dim""".stripMargin
+    },
+
+    // C88: isotropy correction — the q163 power-method replay extended
+    // with the per-vector projection audit: dot/energy per vec_id, the
+    // HUGEINT-squared removed energy, per-mille share, and the truncated
+    // residual dot. Every division truncates toward zero on both engines.
+    "q169_isotropy_correct" -> {
+      val rounds = (1 to 8).map { k =>
+        val pv = s"v${k - 1}"
+        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
+           |       FROM m JOIN $pv ON m.j = $pv.j GROUP BY m.i),
+           |x$k AS MATERIALIZED (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
+           |v$k AS MATERIALIZED (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
+      }.mkString("\n")
+      s"""WITH ve AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+         |  FROM embeddings
+         |), exi AS MATERIALIZED (
+         |  SELECT vec_id, sv, generate_subscripts(sv, 1) - 1 AS i, unnest(sv) AS a FROM ve
+         |), exij AS (
+         |  SELECT i, a, generate_subscripts(sv, 1) - 1 AS j, unnest(sv) AS b FROM exi
+         |), m AS MATERIALIZED (
+         |  SELECT i, j, CAST(SUM(a * b) AS BIGINT) AS m
+         |  FROM exij GROUP BY i, j
+         |), v0 AS (SELECT DISTINCT i AS j, CAST(10000 AS BIGINT) AS vj FROM m),
+         |$rounds
+         |vn AS MATERIALIZED (SELECT CAST(SUM(vj * vj) AS BIGINT) AS vn2 FROM v8),
+         |dots AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(a * v8.vj) AS BIGINT) AS dot,
+         |         CAST(SUM(a * a) AS BIGINT) AS energy
+         |  FROM exi JOIN v8 ON exi.i = v8.j GROUP BY vec_id
+         |), res AS (
+         |  SELECT exi.vec_id,
+         |    CAST(SUM((a - (dot * v8.vj) // vn2) * v8.vj) AS BIGINT) AS res_dot
+         |  FROM exi JOIN v8 ON exi.i = v8.j
+         |       JOIN dots ON dots.vec_id = exi.vec_id, vn
+         |  GROUP BY exi.vec_id
+         |)
+         |SELECT d.vec_id, d.dot AS dot_fx, d.energy AS energy_fx,
+         |  CAST(CAST(d.dot AS HUGEINT) * d.dot // vn.vn2 AS BIGINT) AS removed_fx,
+         |  CASE WHEN d.energy = 0 THEN NULL
+         |       ELSE CAST(CAST(CAST(d.dot AS HUGEINT) * d.dot // vn.vn2 AS BIGINT)
+         |                 * 1000 // d.energy AS BIGINT) END AS removed_pm,
+         |  r.res_dot AS res_dot_fx
+         |FROM dots d JOIN res r ON d.vec_id = r.vec_id, vn
+         |ORDER BY d.vec_id""".stripMargin
     },
 
     // C84: k-anonymity audit — class sizes over the quasi-identifier

@@ -362,4 +362,37 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(cos > 0.999, s"direction cosine $cos")
   }
+
+  test("C88: all-but-the-top removal — invariants + an anisotropic fixture") {
+    val emb = graft.queries.Tables(spark, sfDir).embeddings
+    val got = Similarity.removeTopDirection(emb)
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+    assert(got.length == emb.count())
+    got.foreach { case (id, dot, energy, removed, pm, res) =>
+      assert(removed >= 0 && removed <= energy,
+        s"vec $id: removed $removed outside [0, $energy]")
+      assert(pm.forall(p => p >= 0 && p <= 1000))
+      // truncation bound: |res_dot| < Σ|v_i| ≤ d·10⁴
+      assert(math.abs(res) <= 64L * 10000L, s"vec $id residual dot $res")
+      // in real arithmetic the residual dot is EXACTLY 0; the integer
+      // residue must be negligible next to the dot it cancelled
+      if (math.abs(dot) > 10000000L)
+        assert(math.abs(res).toDouble / math.abs(dot) < 0.01)
+    }
+
+    // a strongly anisotropic fixture: vectors clustered along one axis —
+    // removal must take out almost all of each aligned vector's energy
+    import spark.implicits._
+    val d = 8
+    val aligned = (0 until 200).map { k =>
+      val v = Array.fill(d)(0.001f * (k % 3 - 1))
+      v(2) = 1.0f + 0.01f * (k % 7) // dominant axis with slight spread
+      (k.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val corr = Similarity.removeTopDirection(aligned)
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+    corr.foreach { case (id, _, _, _, pm, _) =>
+      assert(pm.exists(_ > 990), s"aligned vec $id kept ${pm} pm on the axis")
+    }
+  }
 }
