@@ -976,6 +976,25 @@ object TrainingData {
   def q169IsotropyCorrect(t: Tables): DataFrame =
     graft.operators.Similarity.removeTopDirection(t.embeddings)
 
+  /** C89: link-graph PAGERANK (operators/Rank) — the seed-quality
+    * centrality signal, exercised on the real purchase bipartite graph
+    * (customer↔supplier, weight = lineitem count; customers take even
+    * node ids, suppliers odd; symmetrized so every node has out-edges).
+    * Top-100 by fixed-point rank with a total (rank, side, id) order. */
+  def q170PageRank(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+    graft.operators.Rank.pageRank(ed)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        expr("node div 2").as("id"), col("r").as("rank_fx"))
+      .orderBy(col("rank_fx").desc, col("side"), col("id"))
+      .limit(100)
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -2792,6 +2792,41 @@ object TrainingOracle {
          |ORDER BY dim""".stripMargin
     },
 
+    // C89: PageRank — 6 damped rounds replayed CTE-for-CTE (materialized
+    // so the chain evaluates once); per-edge truncating division and the
+    // ((100−d)·scale + d·Σ) // 100 update mirror Spark's div exactly.
+    "q170_pagerank" -> {
+      val rounds = (1 to 6).map { k =>
+        val pv = s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node, CAST((15 * CAST(1000000000 AS BIGINT) + 85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst AS node, CAST(SUM($pv.r * ed.w // ed.wt) AS BIGINT) AS s
+           |    FROM ed JOIN $pv ON $pv.node = ed.src
+           |    GROUP BY ed.dst) c ON n.node = c.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e2 AS (
+         |  SELECT 2 * c AS src, 2 * s + 1 AS dst, w FROM e
+         |  UNION ALL
+         |  SELECT 2 * s + 1 AS src, 2 * c AS dst, w FROM e
+         |), ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM e2 GROUP BY src),
+         |ed AS MATERIALIZED (
+         |  SELECT e2.src, e2.dst, e2.w, ws.wt FROM e2 JOIN ws ON e2.src = ws.src
+         |), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |fin AS (
+         |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |    node // 2 AS id, r AS rank_fx
+         |  FROM r6)
+         |SELECT side, id, rank_fx FROM fin
+         |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
+    },
+
     // C88: isotropy correction — the q163 power-method replay extended
     // with the per-vector projection audit: dot/energy per vec_id, the
     // HUGEINT-squared removed energy, per-mille share, and the truncated
