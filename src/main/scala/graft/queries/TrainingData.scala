@@ -976,6 +976,31 @@ object TrainingData {
   def q169IsotropyCorrect(t: Tables): DataFrame =
     graft.operators.Similarity.removeTopDirection(t.embeddings)
 
+  /** C90: URL canonicalization + URL-keyed dedup (operators/Urls) — the
+    * documents get deterministic planted crawl URLs whose variants differ
+    * exactly in what canonicalization must erase (default port + tracking
+    * param / upper-cased host + trailing slash + fragment / appended
+    * gclid+utm / already-clean), so the rule set is what the oracle
+    * verifies: all four spellings of a page collapse onto ONE canonical
+    * key while distinct pages stay apart. */
+  def q171UrlDedup(t: Tables): DataFrame = {
+    val h = expr("cast(doc_id % 7 as string)")
+    val p = expr("cast(doc_id % 50 as string)")
+    val k = expr("cast(doc_id % 3 as string)")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://ex"), h, lit(".com:443/page/"), p,
+          lit("?utm_source=feed&id="), k))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EX"), h, lit(".COM/page/"), p,
+          lit("/?id="), k, lit("#sec-2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://ex"), h, lit(".com/page/"), p,
+          lit("?id="), k, lit("&utm_campaign=x&gclid=abc")))
+      .otherwise(
+        concat(lit("https://ex"), h, lit(".com/page/"), p, lit("?id="), k))
+    graft.operators.Urls.urlDedup(t.documents, url)
+  }
+
   /** C89: link-graph PAGERANK (operators/Rank) — the seed-quality
     * centrality signal, exercised on the real purchase bipartite graph
     * (customer↔supplier, weight = lineitem count; customers take even

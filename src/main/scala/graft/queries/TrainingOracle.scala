@@ -2792,6 +2792,56 @@ object TrainingOracle {
          |ORDER BY dim""".stripMargin
     },
 
+    // C90: URL canonicalization — the same plant and the same rule set in
+    // DuckDB string/regexp primitives (RE2 and Java regex agree on the
+    // char-class-only patterns; DuckDB regexp_replace needs the explicit
+    // 'g' flag to match Spark's global default).
+    "q171_url_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/page/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://EX' || CAST(doc_id % 7 AS VARCHAR) || '.COM/page/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '/?id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec-2'
+        |      WHEN 2 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x&gclid=abc'
+        |      ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+        |    END AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS c0 FROM planted
+        |), comp AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(c0, '^([A-Za-z]+)://', 1)) AS sch,
+        |    lower(regexp_extract(c0, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+        |    regexp_extract(c0, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(c0, '[?]([^#]*)', 1) AS q0
+        |  FROM parts
+        |), norm AS (
+        |  SELECT doc_id, url, sch,
+        |    CASE WHEN sch = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN sch = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |    array_to_string(list_sort(string_split(
+        |      regexp_replace(regexp_replace(q0, '(^|&)(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'),
+        |                     '^&+', ''), '&')), '&') AS sq
+        |  FROM comp
+        |), canon AS (
+        |  SELECT doc_id, url,
+        |    sch || '://' || host || path ||
+        |      CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canonical_url
+        |  FROM norm
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
     // C89: PageRank — 6 damped rounds replayed CTE-for-CTE (materialized
     // so the chain evaluates once); per-edge truncating division and the
     // ((100−d)·scale + d·Σ) // 100 update mirror Spark's div exactly.
