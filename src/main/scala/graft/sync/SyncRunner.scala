@@ -239,7 +239,30 @@ final class SyncRunner(store: StateStore, threshold: ErrorThreshold = ErrorThres
     val curr = model.build(spark)
     val prevPath = store.get(Seq(s"syncId=$syncId", "$snapshot"))
     val changes = prevPath match {
-      case Some(p) => Diff.snapshotDiff(curr, spark.read.parquet(p), model.keyCols)
+      case Some(p) =>
+        val prev = spark.read.parquet(p)
+        // B46: drift gate BEFORE the row diff — evolve-or-halt with the
+        // per-column plan instead of a row-level failure mid-push.
+        // Nullability is excluded HERE (not in SchemaDrift): the parquet
+        // round-trip does not preserve requiredness, so that dimension is
+        // noise at this boundary — it matters at the destination, where
+        // the declared stream schema (not a snapshot file) is the prev.
+        val drift = graft.model.SchemaDrift.diff(prev.schema, curr.schema)
+          .filterNot(_.change == "nullability_changed")
+        require(drift.forall(_.safe),
+          "snapshot schema drift is not auto-safe:\n" +
+            drift.filterNot(_.safe).map(c => s"  ${c.column}: ${c.action}").mkString("\n"))
+        if (drift.isEmpty) Diff.snapshotDiff(curr, prev, model.keyCols)
+        else {
+          // safe drift only: align the previous snapshot to the current
+          // schema (cast widened columns, null-fill added ones, keep
+          // column identity by name) so the row diff sees one schema
+          val aligned = prev.select(curr.schema.fields.map { f =>
+            if (prev.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+          Diff.snapshotDiff(curr, aligned, model.keyCols)
+        }
       case None    => curr.withColumn(Diff.ChangeCol, lit("insert"))
     }
     sink(changes)

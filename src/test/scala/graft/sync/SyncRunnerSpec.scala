@@ -231,6 +231,35 @@ class SyncRunnerSpec extends SparkSuite {
     assert(changes3 == Map(2L -> "update", 3L -> "delete"))
   }
 
+  test("B46: runDiff evolves through safe schema drift, halts on lossy drift") {
+    val store = StateStore.inMemory()
+    val runner = new SyncRunner(store)
+    val root = Files.createTempDirectory("graft-drift").toString
+    var last: DataFrame = null
+
+    val m1 = Model("docs", s => Seq((1L, 10), (2L, 20)).toDF("id", "v"),
+      keyCols = Seq("id"))
+    runner.runDiff(spark, m1, "dd", root, df => last = df.cache())
+    assert(last.count() == 2)
+
+    // safe drift: v widens int→long, nullable column appears; only rows
+    // whose VALUES changed (or gained a non-null tag) show up
+    val m2 = Model("docs",
+      s => Seq((1L, 10L, Option.empty[String]), (2L, 21L, Some("x")))
+        .toDF("id", "v", "tag"),
+      keyCols = Seq("id"))
+    runner.runDiff(spark, m2, "dd", root, df => last = df.cache())
+    val ch = last.select(col("id"), col(Diff.ChangeCol)).as[(Long, String)].collect().toMap
+    assert(ch == Map(2L -> "update"), s"got $ch")
+
+    // lossy drift: dropping a column must halt with the per-column plan
+    val m3 = Model("docs", s => Seq((1L, 10L)).toDF("id", "v"), keyCols = Seq("id"))
+    val err = intercept[IllegalArgumentException] {
+      runner.runDiff(spark, m3, "dd", root, df => { df.count(); () })
+    }
+    assert(err.getMessage.contains("tag") && err.getMessage.contains("removed"))
+  }
+
   test("snapshot diff distinguishes null from empty payloads") {
     val curr = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("id", "s")
     val prev = Seq((1L, Some("")), (2L, Some(""))).toDF("id", "s")
