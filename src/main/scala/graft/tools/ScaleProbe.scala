@@ -240,6 +240,55 @@ object ScaleProbe {
       // the d^2 moment agg is the whole cost and it map-side combines;
       // the 8 power rounds ride the constant d^2 frame — expect linear
       run("anisotropy", k)(graft.operators.Similarity.anisotropy(emb).count())
+      // correction adds ONE more scan with a codegen'd per-row loop on
+      // top of the shared moment work — expect the same linear shape
+      run("isotropy_correct", k)(
+        graft.operators.Similarity.removeTopDirection(emb).count())
+    }
+    {
+      // pagerank: copies are DISJOINT subgraphs (node ids shift), so edge
+      // and node volume grow k-fold while rounds stay 6; each round is one
+      // co-partitioned join + bounded agg — expect near-linear
+      val e0 = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+      val ed0 = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+        .unionByName(e0.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+      for (k <- Seq(1, 4, 16)) {
+        val n = 10_000_000L
+        val ed = (0 until k).map(i => ed0.select(
+            (col("src") + lit(i * n)).as("src"),
+            (col("dst") + lit(i * n)).as("dst"), col("w")))
+          .reduce(_ unionByName _)
+        run("pagerank", k)(graft.operators.Rank.pageRank(ed).count())
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // canonicalization is per-row regexp work in the scan; the dedup is
+      // one groupBy on the canonical key — expect scan-bound growth
+      val url = concat(lit("HTTPS://EX"), expr("cast(doc_id % 701 as string)"),
+        lit(".COM:443/page/"), expr("cast(doc_id % 5003 as string)"),
+        lit("/?utm_source=feed&id="), expr("cast(doc_id % 13 as string)"), lit("#f"))
+      run("url_dedup", k)(graft.operators.Urls.urlDedup(docs, url).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      // amplify USERS: raw event volume grows k-fold but the (type, day)
+      // daily frame is constant-size — both the interpolation windows and
+      // the regression ride it, so only the first agg should grow
+      val ev = amplify(t.events, "user_id", k)
+      val daily = ev.select(col("event_type"),
+          expr("ts div 86400000000000").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("value")).as("y"))
+      run("daily_frame_ops", k) {
+        // stand-in for interp_fill + trend_regression: the corpus-sized
+        // work is this one partial-aggregated scan; the windows/power
+        // sums both queries add ride the constant (type, day) frame
+        daily.groupBy("event_type")
+          .agg(count(lit(1)), sum(col("y") * col("day")), sum(col("day") * col("day")))
+          .count()
+      }
     }
     spark.stop()
   }
