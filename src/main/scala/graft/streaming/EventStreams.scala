@@ -690,6 +690,65 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D28: continuous URL-FRONTIER dedup — the streaming face of C90
+    * ([[graft.operators.Urls]]), which is how URL dedup actually runs in
+    * a crawl: discovered links stream in, each micro-batch is
+    * canonicalized, collapsed within the batch (min spelling per
+    * canonical key, with the sighting count kept), and anti-joined
+    * against the persisted SEEN set — only first-ever-seen canonical
+    * URLs land in the frontier output a fetcher consumes; every later
+    * spelling of the same page, however many batches later, emits
+    * nothing. The batch then appends its fresh keys to the seen set.
+    *
+    * Exactly-once: frontier slices and seen-key slices are
+    * batchId-versioned with the done-marker-written-LAST discipline of
+    * [[dedupIngest]]; a replayed batch sees its marker and skips, and a
+    * crash between slices and marker re-runs against only PRIOR seen
+    * slices (its own half-written version is excluded), overwriting
+    * idempotently.
+    *
+    * Scale: the anti join probes the seen KEY set — canonical keys only,
+    * a few percent of crawl-log bytes; at scale a periodic compaction
+    * rewrites the slices bucketed by canonical_url so the probe join
+    * stops shuffling the seen side (same operational note as D13's
+    * band index). */
+  def urlFrontier(urls: DataFrame, seenRoot: String, outRoot: String,
+                  checkpointDir: String, urlCol: String = "url"): Unit = {
+    val q = urls.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(seenRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$seenRoot/_done_v$batchId")
+        if (!fs.exists(marker)) {
+          val batchFirst = batch.toDF()
+            .withColumn("canonical_url",
+              graft.operators.Urls.canonicalize(col(urlCol)))
+            .groupBy("canonical_url")
+            .agg(min(col(urlCol)).as("url_example"), count(lit(1)).as("n_seen"))
+          val priorDirs = {
+            val root = new org.apache.hadoop.fs.Path(s"$seenRoot/keys")
+            if (!fs.exists(root)) Seq.empty[String]
+            else fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName != s"v$batchId")
+              .map(_.getPath.toString)
+          }
+          val fresh =
+            if (priorDirs.isEmpty) batchFirst
+            else batchFirst.join(spark.read.parquet(priorDirs: _*),
+              Seq("canonical_url"), "left_anti")
+          fresh.write.mode("overwrite").parquet(s"$outRoot/v$batchId")
+          fresh.select("canonical_url")
+            .write.mode("overwrite").parquet(s"$seenRoot/keys/v$batchId")
+          fs.create(marker, true).close() // publish: batch fully applied
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** D22: CONTINUOUS shard assignment — the streaming twin of C60
     * ([[graft.operators.Chunking.shardLayout]]): documents stream in,
     * each micro-batch is packed (portable-hash order WITHIN the batch,

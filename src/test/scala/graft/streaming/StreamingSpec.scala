@@ -508,6 +508,42 @@ class StreamingSpec extends SparkSuite {
     assert(readMatches() == Set((10L, 1L)))
   }
 
+  test("D28: URL frontier emits each canonical page once across batches and spellings") {
+    val in = Files.createTempDirectory("graft-frontier-in").toString
+    val seen = Files.createTempDirectory("graft-frontier-seen").toString
+    val out = Files.createTempDirectory("graft-frontier-out").toString
+    val ckpt = Files.createTempDirectory("graft-frontier-ckpt").toString
+    def runOnce(): Unit = EventStreams.urlFrontier(
+      spark.readStream.schema("url STRING").parquet(in), seen, out, ckpt)
+    def frontier(): Seq[(String, String, Long)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .select("canonical_url", "url_example", "n_seen")
+        .as[(String, String, Long)].collect().toSeq.sorted
+
+    // batch 1: page A under two spellings (must collapse in-batch), page B
+    Seq("https://a.com:443/p?utm_source=x&id=1",
+        "HTTPS://A.COM/p/?id=1#top",
+        "https://b.com/q").toDF("url").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(frontier() == Seq(
+      ("https://a.com/p?id=1", "HTTPS://A.COM/p/?id=1#top", 2L),
+      ("https://b.com/q", "https://b.com/q", 1L)))
+
+    // batch 2: a THIRD spelling of page A (suppressed — seen across
+    // batches), and a genuinely new page C
+    Seq("https://a.com/p?id=1&gclid=zz",
+        "https://c.com/r?x=2").toDF("url").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(frontier() == Seq(
+      ("https://a.com/p?id=1", "HTTPS://A.COM/p/?id=1#top", 2L),
+      ("https://b.com/q", "https://b.com/q", 1L),
+      ("https://c.com/r?x=2", "https://c.com/r?x=2", 1L)))
+
+    // replay on the same checkpoint: nothing re-emitted
+    runOnce()
+    assert(frontier().size == 3)
+  }
+
   test("D13 crash-replay: a batch whose slices landed but whose done-marker didn't " +
        "does not probe its own slice (no spurious within-batch matches)") {
     val in = Files.createTempDirectory("graft-ingest2-in").toString
