@@ -413,6 +413,50 @@ object ReverseEtlOracle {
         |), tvd AS (SELECT CAST(SUM(gap_ppm) // 2 AS BIGINT) AS tvd_ppm FROM shares)
         |SELECT bin, n_old, n_new, share_old_ppm, share_new_ppm, gap_ppm, tvd_ppm
         |FROM shares, tvd
-        |ORDER BY bin""".stripMargin
+        |ORDER BY bin""".stripMargin,
+
+    // B47: multi-touch attribution — forward ASOF tags each touch with
+    // its next conversion; the U-shaped ppm credit and the truncating
+    // money split mirror the Spark when-chain branch for branch.
+    "q172_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+        |), touches AS (
+        |  SELECT event_id, user_id, event_type AS channel, ts_us
+        |  FROM ev WHERE event_type IN ('view', 'click')
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_ts, MAX(event_id) AS conv_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), tagged AS (
+        |  SELECT t.*, c.conv_id AS c_conv_id, c.conv_ts AS c_conv_ts,
+        |         c.value_cents AS c_value_cents
+        |  FROM touches t ASOF LEFT JOIN conv c
+        |    ON t.user_id = c.user_id AND t.ts_us < c.conv_ts
+        |), inw AS (
+        |  SELECT * FROM tagged
+        |  WHERE c_conv_id IS NOT NULL AND c_conv_ts - ts_us <= 604800000000
+        |), pos AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY c_conv_id ORDER BY ts_us, event_id) AS BIGINT) AS pos,
+        |    CAST(count(*) OVER (PARTITION BY c_conv_id) AS BIGINT) AS n
+        |  FROM inw
+        |), credited AS (
+        |  SELECT channel,
+        |    CASE WHEN pos = 1 THEN 'first' WHEN pos = n THEN 'last'
+        |         ELSE 'middle' END AS position_class,
+        |    CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+        |         WHEN n = 2 THEN CAST(500000 AS BIGINT)
+        |         WHEN pos = 1 THEN CAST(400000 AS BIGINT)
+        |         WHEN pos = n THEN CAST(400000 + (200000 - 200000 // (n - 2) * (n - 2)) AS BIGINT)
+        |         ELSE CAST(200000 // (n - 2) AS BIGINT) END AS credit_ppm,
+        |    c_value_cents
+        |  FROM pos
+        |)
+        |SELECT channel, position_class, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total,
+        |  CAST(SUM(c_value_cents * credit_ppm // 1000000) AS BIGINT) AS attributed_cents_total
+        |FROM credited GROUP BY channel, position_class
+        |ORDER BY channel, position_class""".stripMargin
   )
 }

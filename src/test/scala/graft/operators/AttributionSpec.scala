@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** B47: U-shaped credit must conserve exactly 10⁶ ppm per conversion, honor
+  * the lookback and the first-subsequent-conversion ownership rule. */
+class AttributionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("B47: hand fixture — ownership, lookback, U-split, remainders") {
+    // user 1: three touches then a 1000-cent purchase; a fourth touch AFTER
+    // the purchase belongs to no conversion; user 2: one stale touch
+    // outside the lookback; user 3: exactly two touches → 50/50
+    val touches = Seq(
+      (101L, 1L, "view", 100L), (102L, 1L, "click", 200L), (103L, 1L, "view", 300L),
+      (104L, 1L, "click", 9000L), // after the purchase — orphan
+      (201L, 2L, "view", 0L),     // conv at 20_000: gap > lookback 10_000
+      (301L, 3L, "view", 50L), (302L, 3L, "click", 60L)
+    ).toDF("event_id", "user_id", "channel", "ts_us")
+    val conv = Seq(
+      (1L, 1000L, 11L, 1000L), (2L, 20000L, 22L, 500L), (3L, 100L, 33L, 999L)
+    ).toDF("user_id", "conv_ts", "conv_id", "value_cents")
+
+    val got = Attribution.positionBased(touches, conv, lookbackUs = 10000L)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // user 1: view@100 first (400000 → 400c), click@200 middle
+    // (200000 div 1 = 200000 → 200c), view@300 last (400000 + 0 → 400c);
+    // user 3: view first 500000 → 499c (truncation), click last 500000 → 499c
+    assert(got == Seq(
+      ("click", "last", 1L, 500000L, 499L),
+      ("click", "middle", 1L, 200000L, 200L),
+      ("view", "first", 2L, 900000L, 899L),
+      ("view", "last", 1L, 400000L, 400L)))
+  }
+
+  test("B47: credit conserves 1e6 ppm per conversion on the real events") {
+    val t = graft.queries.Tables(spark, sfDir)
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type").as("channel"), col("ts_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us")
+      .agg(max(col("event_id")).as("conv_id"), lit(100L).as("value_cents"))
+      .select(col("user_id"), col("ts_us").as("conv_ts"), col("conv_id"), col("value_cents"))
+    // re-derive the per-touch credits (pre-aggregation) via the same path
+    val tagged = AsOf.joinForward(touches, conv, "user_id", "ts_us", "conv_ts",
+      Seq("conv_id", "conv_ts", "value_cents"), "c_")
+      .filter(col("c_conv_id").isNotNull &&
+        col("c_conv_ts") - col("ts_us") <= 7L * 86400000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_conv_id").orderBy(col("ts_us"), col("event_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("c_conv_id")
+    val bad = tagged
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("credit",
+        when(col("n") === 1, 1000000L).when(col("n") === 2, 500000L)
+          .when(col("pos") === 1, 400000L)
+          .when(col("pos") === col("n"),
+            lit(400000L) + (lit(200000L) - expr("200000 div (n - 2) * (n - 2)")))
+          .otherwise(expr("200000 div (n - 2)")))
+      .groupBy("c_conv_id").agg(sum(col("credit")).as("total"))
+      .filter(col("total") =!= 1000000L)
+    assert(bad.count() == 0, "every credited conversion must sum to exactly 1e6 ppm")
+    assert(tagged.count() > 0, "fixture must actually credit something")
+  }
+}
