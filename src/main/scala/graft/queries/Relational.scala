@@ -514,6 +514,38 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** A42: TIME-WEIGHTED average over irregular observations — the honest
+    * mean for step-function metrics (balances, inventory levels, plan
+    * tiers): a plain AVG over observation rows overweights densely
+    * sampled stretches; the time-weighted form holds each daily
+    * observation for the days until the next one (the step-function
+    * integral, LOCF's aggregate face — A28 fills the series, this
+    * integrates it). Each observation's weight = gap to the next (lead;
+    * the last holds 1 day); integral and span are exact integers from ONE
+    * window pass over the tiny (type, day) frame, and both averages are
+    * single IEEE divisions mirrored in the oracle. Corpus size touches
+    * only the daily pre-aggregation. */
+  def q173TimeWeightedAvg(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("w_days", coalesce(lead(col("day"), 1).over(w) - col("day"), lit(1L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("day")) - min(col("day")) + 1).as("span_days"),
+        sum(col("cents") * col("w_days")).as("__integral"),
+        sum(col("cents")).as("__plain"))
+      .select(col("event_type"), col("n_obs"), col("span_days"),
+        (col("__integral").cast("double") / (col("span_days") * 100).cast("double"))
+          .as("time_weighted_avg"),
+        (col("__plain").cast("double") / (col("n_obs") * 100).cast("double"))
+          .as("plain_avg"))
+      .orderBy("event_type")
+  }
+
   /** A30: UNPIVOT / melt — wide per-group measures to long (group,
     * measure, value) form, the shape BI export and destination-schema
     * mapping want. Spark's `unpivot` plans as a generator (Expand) fused

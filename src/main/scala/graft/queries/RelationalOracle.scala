@@ -356,6 +356,32 @@ object RelationalOracle {
         |       ELSE 'interpolated' END AS kind
         |FROM j ORDER BY event_type, day""".stripMargin,
 
+    // A42: step-function integral over the same daily frame — lead-gap
+    // weights, exact integer integral/span, the two averages as single
+    // mirrored double divisions.
+    "q173_time_weighted_avg" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value FROM events
+        |), daily AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, day, cents,
+        |    COALESCE(lead(day) OVER (PARTITION BY event_type ORDER BY day) - day, 1) AS w_days
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    MAX(day) - MIN(day) + 1 AS span_days,
+        |    CAST(SUM(cents * w_days) AS BIGINT) AS integral,
+        |    CAST(SUM(cents) AS BIGINT) AS plain
+        |  FROM g GROUP BY event_type
+        |)
+        |SELECT event_type, n_obs, span_days,
+        |  CAST(integral AS DOUBLE) / CAST(span_days * 100 AS DOUBLE) AS time_weighted_avg,
+        |  CAST(plain AS DOUBLE) / CAST(n_obs * 100 AS DOUBLE) AS plain_avg
+        |FROM s ORDER BY event_type""".stripMargin,
+
     // A41: OLS trend fit replayed from the same exact power sums; the
     // slope/intercept/R²/forecast double trees mirror the Spark side
     // op-for-op so each IEEE rounding lands identically.
