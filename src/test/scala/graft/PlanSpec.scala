@@ -315,6 +315,40 @@ class PlanSpec extends SparkSuite {
       s"every CDC window must partition by document (got arities $windows)")
   }
 
+  test("q168: trend regression is partial-aggregated with no window") {
+    val p = plan(Relational.q168TrendRegression(t))
+    assert(p.contains("partial_"), "power sums must combine map-side")
+    assert(!p.contains("Window"), "no window — the fit is pure aggregation")
+  }
+
+  test("q172: attribution joins nothing — as-of is the union+window pass") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = ReverseEtl.q172Attribution(t)
+    val p = plan(df)
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).hasNext,
+      s"no touch×conversion join of any kind:\n$p")
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"every attribution window must be partitioned (user / conversion), got $windows")
+  }
+
+  test("q167/q173: the daily-frame windows are partitioned by series") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq(Relational.q167InterpFill(t), Relational.q173TimeWeightedAvg(t)).foreach { df =>
+      val exec = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      val windows = exec.collect { case w: WindowExec => w.partitionSpec.length }
+      assert(windows.nonEmpty && windows.forall(_ >= 1),
+        s"series windows must partition by event_type, got $windows")
+    }
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
