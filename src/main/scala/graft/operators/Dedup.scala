@@ -870,4 +870,47 @@ object Dedup {
           .when(col("n_b") < col("n_a"), col("doc_b"))
           .otherwise(col("doc_b")).as("contained_id"))
   }
+
+  /** C91: LSH parameter AUTO-TUNING — pick (bands, rowsPerBand) for a
+    * target Jaccard threshold instead of hand-guessing 16×4. The standard
+    * S-curve analysis (Mining of Massive Datasets §3.4): under b bands of
+    * r rows a pair of similarity s collides with P(s) = 1 − (1 − sʳ)ᵇ,
+    * the curve's inflection sits near (1/b)^(1/r), and the best split of
+    * a fixed signature budget minimizes the sum of the false-positive
+    * area below the threshold (∫₀ᵗ P) and the false-negative area above
+    * it (∫ₜ¹ (1−P)) — candidate pairs cost verify work, misses cost
+    * recall, and the integrals ARE those expected costs for a uniform
+    * similarity mix; callers with a known pair-similarity profile can
+    * weight the two (`fpWeight`).
+    *
+    * Driver-side arithmetic over the ≤ numPerm divisor splits (Simpson
+    * integration on a fixed grid — deterministic across platforms: plain
+    * IEEE +/×, no transcendentals). Returns every evaluated split with
+    * its curve numbers so the choice is auditable, best first. */
+  final case class LshChoice(bands: Int, rowsPerBand: Int, inflection: Double,
+                             fpArea: Double, fnArea: Double, cost: Double)
+
+  def tuneLsh(numPerm: Int, threshold: Double, fpWeight: Double = 1.0): Seq[LshChoice] = {
+    require(numPerm > 0 && threshold > 0 && threshold < 1 && fpWeight > 0)
+    def collideP(s: Double, b: Int, r: Int): Double = {
+      var sr = 1.0; var i = 0
+      while (i < r) { sr *= s; i += 1 }
+      1.0 - math.pow(1.0 - sr, b)
+    }
+    def simpson(lo: Double, hi: Double, f: Double => Double): Double = {
+      val n = 256 // even; fixed grid keeps the choice platform-deterministic
+      val h = (hi - lo) / n
+      var acc = f(lo) + f(hi)
+      var i = 1
+      while (i < n) { acc += f(lo + i * h) * (if (i % 2 == 1) 4.0 else 2.0); i += 1 }
+      acc * h / 3.0
+    }
+    val splits = (1 to numPerm).filter(numPerm % _ == 0)
+    splits.map { r =>
+      val b = numPerm / r
+      val fp = simpson(0.0, threshold, s => collideP(s, b, r))
+      val fn = simpson(threshold, 1.0, s => 1.0 - collideP(s, b, r))
+      LshChoice(b, r, math.pow(1.0 / b, 1.0 / r), fp, fn, fpWeight * fp + fn)
+    }.sortBy(c => (c.cost, c.rowsPerBand))
+  }
 }

@@ -461,4 +461,25 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 2L)), s"got $got")
   }
+
+  test("C91: LSH tuning puts the S-curve inflection near the target threshold") {
+    val all = Dedup.tuneLsh(numPerm = 64, threshold = 0.7)
+    assert(all.size == 7) // the divisor splits of 64
+    val best = all.head
+    assert(math.abs(best.inflection - 0.7) < 0.25,
+      s"winner ${best.bands}x${best.rowsPerBand} inflects at ${best.inflection}")
+    // the canonical default 16x4 (inflection 0.5) must NOT win at t=0.7
+    assert(!(best.bands == 16 && best.rowsPerBand == 4))
+    // the curve separates: collisions far above t beat far below it
+    def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, best.rowsPerBand), best.bands)
+    assert(p(0.9) > 0.95 && p(0.3) < 0.2,
+      s"winner curve p(0.9)=${p(0.9)} p(0.3)=${p(0.3)}")
+    // a higher threshold must pick at least as many rows per band
+    val strict = Dedup.tuneLsh(64, 0.9).head
+    val loose = Dedup.tuneLsh(64, 0.4).head
+    assert(strict.rowsPerBand >= best.rowsPerBand &&
+      best.rowsPerBand >= loose.rowsPerBand,
+      s"rows must grow with the threshold: ${loose.rowsPerBand} <= " +
+        s"${best.rowsPerBand} <= ${strict.rowsPerBand}")
+  }
 }
