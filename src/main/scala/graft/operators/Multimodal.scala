@@ -393,4 +393,94 @@ object Multimodal {
     media.filter(col("kind") === "video")
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+
+  /** REAL pixel resize of one image payload (PNG/GIF/JPEG in): decode
+    * through the genuine codecs, nearest-neighbor resample with the
+    * integer source map `src = (dst·srcDim) div dstDim` (deterministic —
+    * no float sampling grid), re-encode as PNG (lossless, our own
+    * encoder, so the output is byte-deterministic too). Aspect ratio is
+    * preserved under `maxDim`; an image already within bounds returns
+    * its ORIGINAL bytes untouched (no decode-re-encode churn on the
+    * fast path). Returns null for undecodable payloads — callers route
+    * those to the dead-letter side. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    import graft.functions.{ImageCodecUtil, JpegCodecUtil, PixelCodecUtil}
+    require(maxDim > 0)
+    val meta = ImageCodecUtil.parse(payload)
+    if (meta == null) return null
+    val w = meta.getInt(1); val h = meta.getInt(2)
+    if (w <= 0 || h <= 0) return null
+    if (w <= maxDim && h <= maxDim) return payload
+    val px = {
+      val p = PixelCodecUtil.decodePngPixels(payload)
+      if (p != null) p else {
+        val g = PixelCodecUtil.decodeGifPixels(payload)
+        if (g != null) g else JpegCodecUtil.decodeJpegPixels(payload)
+      }
+    }
+    if (px == null || px.length < w * h) return null
+    val m = math.max(w, h)
+    val dw = math.max(1, w * maxDim / m)
+    val dh = math.max(1, h * maxDim / m)
+    PixelCodecUtil.encodePngPixels(dw, dh,
+      (x, y) => px((y * h / dh) * w + (x * w / dw)))
+  }
+
+  final case class ResizedRow(media_id: Long, media: Array[Byte],
+                              out_width: Int, out_height: Int)
+
+  /** Distributed REAL resize over a media table — the production face of
+    * [[resizeMeta]] now that the codecs are real: per-partition batched
+    * decode→resample→re-encode (the [[extractFeatures]] shape — one
+    * codec context per task at production scale), undecodable rows
+    * dropped to keep the output typed (route them via [[asMediaTable]]'s
+    * dead-letter convention upstream if they must be kept). */
+  def resizeImages(media: DataFrame, maxDim: Int, batchSize: Int = 64): Dataset[ResizedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            val out = resizeImage(payload, maxDim)
+            if (out == null) Iterator.empty
+            else {
+              val meta = graft.functions.ImageCodecUtil.parse(out)
+              Iterator.single(ResizedRow(id, out, meta.getInt(1), meta.getInt(2)))
+            }
+          }
+        }
+      }
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, media: Array[Byte])
+
+  /** REAL video frame sampling — the pixel-level face of [[sampleFrames]]:
+    * every `everyN`-th frame of an intra-only (Motion-JPEG) video decodes
+    * through the real baseline JPEG codec and re-encodes as a standalone
+    * lossless PNG, so downstream image ops (resize, dHash near-dup,
+    * feature extraction) run on video frames unchanged. Non-MJPEG
+    * payloads yield no rows (inter-frame codecs stay the documented
+    * stand-in). */
+  def sampleVideoFramePixels(media: DataFrame, everyN: Int = 1,
+                             batchSize: Int = 16): Dataset[FrameRow] = {
+    require(everyN >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            val mj = graft.functions.PixelCodecUtil.decodeMp4MjpegFrames(payload)
+            if (mj == null) Iterator.empty
+            else mj.frames.iterator.zipWithIndex
+              .filter(_._2 % everyN == 0)
+              .map { case (frame, i) =>
+                FrameRow(id, i, graft.functions.PixelCodecUtil.encodePngPixels(
+                  mj.width, mj.height, (x, y) => frame(y * mj.width + x)))
+              }
+          }
+        }
+      }
+  }
 }

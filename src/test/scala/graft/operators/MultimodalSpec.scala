@@ -715,4 +715,80 @@ class MultimodalSpec extends SparkSuite {
     assert(top._1 == 7L && top._2 > 0.999999,
       s"byte-identical media must be the top neighbor at cosine 1, got $top")
   }
+
+  test("real resize: nearest-neighbor picks exact source pixels, identity within bounds") {
+    import graft.functions.PixelCodecUtil
+    val (w, h) = (16, 8)
+    def pix(x: Int, y: Int): Int = ((x * 17) << 24) | ((y * 31) << 16) | ((x ^ y) << 8) | 0xFF
+    val png = PixelCodecUtil.encodePngPixels(w, h, pix)
+
+    // within bounds: the ORIGINAL byte array comes back untouched
+    assert(Multimodal.resizeImage(png, 16) eq png)
+
+    // 2x downscale: dst (8,4); nearest map src = (dst*src) div dst picks (2x, 2y)
+    val out = Multimodal.resizeImage(png, 8)
+    val meta = graft.functions.ImageCodecUtil.parse(out)
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 4)
+    val got = PixelCodecUtil.decodePngPixels(out)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(got(y * 8 + x) == pix(x * 2, y * 2), s"pixel ($x,$y)")
+
+    // aspect preserved on a non-square bound: 16x8 → maxDim 4 ⇒ 4x2
+    val small = Multimodal.resizeImage(png, 4)
+    val sm = graft.functions.ImageCodecUtil.parse(small)
+    assert(sm.getInt(1) == 4 && sm.getInt(2) == 2)
+
+    // garbage → null (dead-letter contract)
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 8) == null)
+  }
+
+  test("real resize runs distributed over all three image codecs") {
+    val docs = spark.range(0, 30).toDF("doc_id")
+    val media = Multimodal.pixelMediaTable(docs) // 24x16 PNG/GIF/JPEG payloads
+    val out = Multimodal.resizeImages(media, maxDim = 8).collect()
+    assert(out.length == 30, "every payload decodes and resizes")
+    assert(out.forall(r => r.out_width == 8 && r.out_height == 5)) // 24x16 → 8x5
+    // each output is a decodable PNG whose pixels are the nearest-neighbor
+    // resample of the source's DECODED pixels
+    import graft.functions.{ImageCodecUtil, JpegCodecUtil, PixelCodecUtil}
+    val src = media.select("media_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.foreach { r =>
+      val sp = {
+        val p = PixelCodecUtil.decodePngPixels(src(r.media_id))
+        if (p != null) p else {
+          val g = PixelCodecUtil.decodeGifPixels(src(r.media_id))
+          if (g != null) g else JpegCodecUtil.decodeJpegPixels(src(r.media_id))
+        }
+      }
+      val got = PixelCodecUtil.decodePngPixels(r.media)
+      for (y <- 0 until 5; x <- 0 until 8)
+        assert(got(y * 8 + x) == sp((y * 16 / 5) * 24 + (x * 24 / 8)),
+          s"media ${r.media_id} pixel ($x,$y)")
+    }
+  }
+
+  test("real frame sampling: every Nth MJPEG frame lands as a lossless PNG") {
+    import graft.functions.{JpegCodecUtil, PixelCodecUtil}
+    import spark.implicits._
+    val (w, h) = (32, 24)
+    val frames = Array.tabulate(5)(f =>
+      JpegCodecUtil.encodeJpegPixels(w, h, quality = 85,
+        (x, y) => ((x * 3 + f * 50) << 16) | ((y * 5) << 8) | (f * 40 & 0xFF)))
+    val mp4 = PixelCodecUtil.encodeMp4Mjpeg(w, h, fps = 10, frames)
+    val media = Seq((1L, mp4)).toDF("media_id", "media")
+    val got = Multimodal.sampleVideoFramePixels(media, everyN = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    val decoded = PixelCodecUtil.decodeMp4MjpegFrames(mp4)
+    got.foreach { fr =>
+      val png = PixelCodecUtil.decodePngPixels(fr.media)
+      assert(png.sameElements(decoded.frames(fr.frame_idx)),
+        s"frame ${fr.frame_idx} must round-trip losslessly")
+    }
+    // a non-video payload yields no rows
+    val img = PixelCodecUtil.encodePngPixels(4, 4, (x, y) => (x << 8) | y | 0xFF000000)
+    assert(Multimodal.sampleVideoFramePixels(
+      Seq((2L, img)).toDF("media_id", "media")).isEmpty)
+  }
 }
