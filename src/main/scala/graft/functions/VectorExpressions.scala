@@ -354,10 +354,13 @@ case class BestCentroid(child: Expression,
  * toward zero (Java `/`), matching Spark `div` and DuckDB `//`.
  *
  * One codegen'd pass; the direction rides as a constant reference object
- * like [[CentroidScores]]'s matrix. Overflow bounds (documented, asserted
- * by the caller): |sv·v| sums stay < 2⁶³ for d·max|sv|·10⁴ < 9.2e18 — at
- * d = 4096 that allows |x| up to ~2e11, far beyond any embedding scale;
- * dot·v < 2⁶³ holds under the same margin.
+ * like [[CentroidScores]]'s matrix. Overflow bounds (documented): the
+ * accumulation loop needs d·max|sv|·10⁴ < 2⁶³, but the RESIDUAL loop's
+ * `dot·v_i` term is the binding constraint — it needs
+ * d·max|sv|·10⁸ < 2⁶³, i.e. max|x| below ~2e7 at d = 64 (~3e5 at
+ * d = 4096). Far beyond any real embedding scale, but 10⁴ tighter than
+ * the first loop's bound; past it Java longs wrap silently while the
+ * DuckDB oracle's BIGINT raises.
  */
 case class TopDirectionStats(child: Expression, v: Array[Long], vn2: Long)
     extends UnaryExpression {

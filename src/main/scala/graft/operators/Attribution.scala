@@ -34,9 +34,13 @@ object Attribution {
     * @param lookbackUs   max touch→conversion gap, in the time unit used
     * @return per (channel, position_class): touch count, total credit
     *         ppm, attributed cents — bounded-key output. */
-  def positionBased(touches: DataFrame, conversions: DataFrame, lookbackUs: Long,
-                    userCol: String = "user_id", touchTimeCol: String = "ts_us",
-                    convTimeCol: String = "conv_ts"): DataFrame = {
+  /** The PER-TOUCH credit frame — one row per credited touch with its
+    * conversion ownership (`c_conv_id`), path position, exact ppm credit
+    * and truncated money split. [[positionBased]] aggregates this; specs
+    * assert the conservation invariant directly on it. */
+  def positionBasedCredits(touches: DataFrame, conversions: DataFrame, lookbackUs: Long,
+                           userCol: String = "user_id", touchTimeCol: String = "ts_us",
+                           convTimeCol: String = "conv_ts"): DataFrame = {
     val tagged = AsOf.joinForward(touches, conversions, userCol,
       touchTimeCol, convTimeCol, Seq("conv_id", convTimeCol, "value_cents"), "c_")
     val in = tagged.filter(col("c_conv_id").isNotNull &&
@@ -58,10 +62,15 @@ object Attribution {
           .when(col("pos") === col("n"), "last")
           .otherwise("middle"))
       .withColumn("attributed_cents", expr("c_value_cents * credit_ppm div 1000000"))
+  }
+
+  def positionBased(touches: DataFrame, conversions: DataFrame, lookbackUs: Long,
+                    userCol: String = "user_id", touchTimeCol: String = "ts_us",
+                    convTimeCol: String = "conv_ts"): DataFrame =
+    positionBasedCredits(touches, conversions, lookbackUs, userCol, touchTimeCol, convTimeCol)
       .groupBy("channel", "position_class")
       .agg(count(lit(1)).as("n_touches"),
         sum(col("credit_ppm")).as("credit_ppm_total"),
         sum(col("attributed_cents")).as("attributed_cents_total"))
       .orderBy("channel", "position_class")
-  }
 }

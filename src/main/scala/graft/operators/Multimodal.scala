@@ -404,13 +404,21 @@ object Multimodal {
     * fast path). Returns null for undecodable payloads — callers route
     * those to the dead-letter side. */
   def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val r = resizeCore(payload, maxDim)
+    if (r == null) null else r._1
+  }
+
+  /** Shared resize kernel: (bytes, outWidth, outHeight), null if the
+    * payload doesn't decode. Dimensions come out WITH the bytes so the
+    * distributed path never re-parses its own output. */
+  private def resizeCore(payload: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
     import graft.functions.{ImageCodecUtil, JpegCodecUtil, PixelCodecUtil}
     require(maxDim > 0)
     val meta = ImageCodecUtil.parse(payload)
     if (meta == null) return null
     val w = meta.getInt(1); val h = meta.getInt(2)
     if (w <= 0 || h <= 0) return null
-    if (w <= maxDim && h <= maxDim) return payload
+    if (w <= maxDim && h <= maxDim) return (payload, w, h)
     val px = {
       val p = PixelCodecUtil.decodePngPixels(payload)
       if (p != null) p else {
@@ -422,33 +430,28 @@ object Multimodal {
     val m = math.max(w, h)
     val dw = math.max(1, w * maxDim / m)
     val dh = math.max(1, h * maxDim / m)
-    PixelCodecUtil.encodePngPixels(dw, dh,
-      (x, y) => px((y * h / dh) * w + (x * w / dw)))
+    (PixelCodecUtil.encodePngPixels(dw, dh,
+      (x, y) => px((y * h / dh) * w + (x * w / dw))), dw, dh)
   }
 
   final case class ResizedRow(media_id: Long, media: Array[Byte],
                               out_width: Int, out_height: Int)
 
   /** Distributed REAL resize over a media table — the production face of
-    * [[resizeMeta]] now that the codecs are real: per-partition batched
-    * decode→resample→re-encode (the [[extractFeatures]] shape — one
-    * codec context per task at production scale), undecodable rows
-    * dropped to keep the output typed (route them via [[asMediaTable]]'s
-    * dead-letter convention upstream if they must be kept). */
-  def resizeImages(media: DataFrame, maxDim: Int, batchSize: Int = 64): Dataset[ResizedRow] = {
+    * [[resizeMeta]] now that the codecs are real: one decode→resample→
+    * re-encode map per row (the codecs are pure JVM, so there is no
+    * per-batch context to amortize), undecodable rows dropped to keep
+    * the output typed (route them via [[asMediaTable]]'s dead-letter
+    * convention upstream if they must be kept). */
+  def resizeImages(media: DataFrame, maxDim: Int): Dataset[ResizedRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { case (id, payload) =>
-            val out = resizeImage(payload, maxDim)
-            if (out == null) Iterator.empty
-            else {
-              val meta = graft.functions.ImageCodecUtil.parse(out)
-              Iterator.single(ResizedRow(id, out, meta.getInt(1), meta.getInt(2)))
-            }
-          }
+        rows.flatMap { case (id, payload) =>
+          val r = resizeCore(payload, maxDim)
+          if (r == null) Iterator.empty
+          else Iterator.single(ResizedRow(id, r._1, r._2, r._3))
         }
       }
   }
@@ -462,24 +465,21 @@ object Multimodal {
     * feature extraction) run on video frames unchanged. Non-MJPEG
     * payloads yield no rows (inter-frame codecs stay the documented
     * stand-in). */
-  def sampleVideoFramePixels(media: DataFrame, everyN: Int = 1,
-                             batchSize: Int = 16): Dataset[FrameRow] = {
+  def sampleVideoFramePixels(media: DataFrame, everyN: Int = 1): Dataset[FrameRow] = {
     require(everyN >= 1)
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { case (id, payload) =>
-            val mj = graft.functions.PixelCodecUtil.decodeMp4MjpegFrames(payload)
-            if (mj == null) Iterator.empty
-            else mj.frames.iterator.zipWithIndex
-              .filter(_._2 % everyN == 0)
-              .map { case (frame, i) =>
-                FrameRow(id, i, graft.functions.PixelCodecUtil.encodePngPixels(
-                  mj.width, mj.height, (x, y) => frame(y * mj.width + x)))
-              }
-          }
+        rows.flatMap { case (id, payload) =>
+          val mj = graft.functions.PixelCodecUtil.decodeMp4MjpegFrames(payload)
+          if (mj == null) Iterator.empty
+          else mj.frames.iterator.zipWithIndex
+            .filter(_._2 % everyN == 0)
+            .map { case (frame, i) =>
+              FrameRow(id, i, graft.functions.PixelCodecUtil.encodePngPixels(
+                mj.width, mj.height, (x, y) => frame(y * mj.width + x)))
+            }
         }
       }
   }

@@ -494,23 +494,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"), max(col("day")).as("d1"))
-    s.select(col("event_type"), col("n"),
-        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-         (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0)
-          .as("slope_per_day"),
-        ((d(col("sy")) / 100.0 - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) * d(col("sx"))) /
-          d(col("n"))).as("intercept"),
-        (((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) *
-          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))) /
-         ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("r2"),
-        ((d(col("sy")) / 100.0 - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) * d(col("sx"))) /
-          d(col("n")) +
-         ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / 100.0) *
-           (d(col("d1")) + 1.0)).as("forecast_next_day"))
+    // stage the shared double subtrees ONCE (num/den/deny, then slope,
+    // then intercept) — the oracle mirrors the same staging CTE-for-CTE,
+    // so each IEEE value is computed a single identical way on both sides
+    s.withColumn("num", d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      .withColumn("den", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("deny", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      .withColumn("slope_per_day", col("num") / col("den") / 100.0)
+      .withColumn("intercept",
+        (d(col("sy")) / 100.0 - col("slope_per_day") * d(col("sx"))) / d(col("n")))
+      .select(col("event_type"), col("n"), col("slope_per_day"), col("intercept"),
+        (col("num") * col("num") / (col("den") * col("deny"))).as("r2"),
+        (col("intercept") + col("slope_per_day") * (d(col("d1")) + 1.0))
+          .as("forecast_next_day"))
       .orderBy("event_type")
   }
 

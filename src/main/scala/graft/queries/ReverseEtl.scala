@@ -418,26 +418,6 @@ object ReverseEtl {
     * distance. Exact integer shares on both engines; one bounded
     * aggregation + two 1-row broadcast scalars — no full-table second
     * pass. */
-  /** B47: position-based MULTI-TOUCH attribution (operators/Attribution)
-    * — view/click touches credit their next purchase within a 7-day
-    * lookback, U-shaped 40/40/20 in exact ppm (conversion-conserving by
-    * construction); purchases colliding on (user, µs) merge (summed
-    * cents, max event_id) exactly as q128's as-of dedup convention. */
-  def q172Attribution(t: Tables): DataFrame = {
-    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
-    val touches = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("event_id"), col("user_id"),
-        col("event_type").as("channel"), col("ts_us"))
-    val conv = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts_us")
-      .agg(max(col("event_id")).as("conv_id"),
-        (sum(dec(col("value"))) * 100).cast("long").as("value_cents"))
-      .select(col("user_id"), col("ts_us").as("conv_ts"),
-        col("conv_id"), col("value_cents"))
-    graft.operators.Attribution.positionBased(touches, conv,
-      lookbackUs = 7L * 86400000000L)
-  }
-
   def q162DriftAudit(t: Tables): DataFrame = {
     val split = lit("1997-01-01").cast("timestamp")
     val binned = t.orders.select(
@@ -458,5 +438,25 @@ object ReverseEtl {
     shares.crossJoin(broadcast(tvd))
       .withColumnRenamed("__tvd", "tvd_ppm")
       .orderBy("bin")
+  }
+
+  /** B47: position-based MULTI-TOUCH attribution (operators/Attribution)
+    * — view/click touches credit their next purchase within a 7-day
+    * lookback, U-shaped 40/40/20 in exact ppm (conversion-conserving by
+    * construction); purchases colliding on (user, µs) merge (summed
+    * cents, max event_id) exactly as q128's as-of dedup convention. */
+  def q172Attribution(t: Tables): DataFrame = {
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("channel"), col("ts_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us")
+      .agg(max(col("event_id")).as("conv_id"),
+        (sum(dec(col("value"))) * 100).cast("long").as("value_cents"))
+      .select(col("user_id"), col("ts_us").as("conv_ts"),
+        col("conv_id"), col("value_cents"))
+    graft.operators.Attribution.positionBased(touches, conv,
+      lookbackUs = 7L * 86400000000L)
   }
 }

@@ -985,7 +985,7 @@ object TrainingData {
     * key while distinct pages stay apart. */
   def q171UrlDedup(t: Tables): DataFrame = {
     val h = expr("cast(doc_id % 7 as string)")
-    val p = expr("cast(doc_id % 50 as string)")
+    val p = expr("cast(doc_id % 49 as string)")
     val k = expr("cast(doc_id % 3 as string)")
     val url = when(col("doc_id") % 4 === 0,
         concat(lit("https://ex"), h, lit(".com:443/page/"), p,

@@ -2801,13 +2801,13 @@ object TrainingOracle {
         |  SELECT doc_id,
         |    CASE doc_id % 4
         |      WHEN 0 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/page/' ||
-        |        CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+        |        CAST(doc_id % 49 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
         |      WHEN 1 THEN 'HTTPS://EX' || CAST(doc_id % 7 AS VARCHAR) || '.COM/page/' ||
-        |        CAST(doc_id % 50 AS VARCHAR) || '/?id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec-2'
+        |        CAST(doc_id % 49 AS VARCHAR) || '/?id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec-2'
         |      WHEN 2 THEN 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
-        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x&gclid=abc'
+        |        CAST(doc_id % 49 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x&gclid=abc'
         |      ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
-        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+        |        CAST(doc_id % 49 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR)
         |    END AS url
         |  FROM documents
         |), parts AS (

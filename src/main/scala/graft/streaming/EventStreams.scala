@@ -737,8 +737,12 @@ object EventStreams {
             if (priorDirs.isEmpty) batchFirst
             else batchFirst.join(spark.read.parquet(priorDirs: _*),
               Seq("canonical_url"), "left_anti")
+          // the frontier write is the one computation (canonicalize +
+          // in-batch collapse + the seen-set anti join — the dominant
+          // cost as the seen set grows); the key slice re-reads it
+          // instead of running the probe a second time
           fresh.write.mode("overwrite").parquet(s"$outRoot/v$batchId")
-          fresh.select("canonical_url")
+          spark.read.parquet(s"$outRoot/v$batchId").select("canonical_url")
             .write.mode("overwrite").parquet(s"$seenRoot/keys/v$batchId")
           fs.create(marker, true).close() // publish: batch fully applied
         }

@@ -254,11 +254,13 @@ object ScaleProbe {
         .agg(count(lit(1)).as("w"))
       val ed0 = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
         .unionByName(e0.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+      // shift derived from the REAL max node id so copies stay disjoint
+      // at any scale factor (a fixed 10M would collide past SF ~34)
+      val shift = ed0.agg(max(col("src"))).head().getLong(0) + 1
       for (k <- Seq(1, 4, 16)) {
-        val n = 10_000_000L
         val ed = (0 until k).map(i => ed0.select(
-            (col("src") + lit(i * n)).as("src"),
-            (col("dst") + lit(i * n)).as("dst"), col("w")))
+            (col("src") + lit(i * shift)).as("src"),
+            (col("dst") + lit(i * shift)).as("dst"), col("w")))
           .reduce(_ unionByName _)
         run("pagerank", k)(graft.operators.Rank.pageRank(ed).count())
       }

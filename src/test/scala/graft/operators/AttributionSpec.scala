@@ -43,26 +43,14 @@ class AttributionSpec extends SparkSuite {
       .groupBy("user_id", "ts_us")
       .agg(max(col("event_id")).as("conv_id"), lit(100L).as("value_cents"))
       .select(col("user_id"), col("ts_us").as("conv_ts"), col("conv_id"), col("value_cents"))
-    // re-derive the per-touch credits (pre-aggregation) via the same path
-    val tagged = AsOf.joinForward(touches, conv, "user_id", "ts_us", "conv_ts",
-      Seq("conv_id", "conv_ts", "value_cents"), "c_")
-      .filter(col("c_conv_id").isNotNull &&
-        col("c_conv_ts") - col("ts_us") <= 7L * 86400000000L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("c_conv_id").orderBy(col("ts_us"), col("event_id"))
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy("c_conv_id")
-    val bad = tagged
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("credit",
-        when(col("n") === 1, 1000000L).when(col("n") === 2, 500000L)
-          .when(col("pos") === 1, 400000L)
-          .when(col("pos") === col("n"),
-            lit(400000L) + (lit(200000L) - expr("200000 div (n - 2) * (n - 2)")))
-          .otherwise(expr("200000 div (n - 2)")))
-      .groupBy("c_conv_id").agg(sum(col("credit")).as("total"))
+    // the invariant holds on the OPERATOR's own per-touch frame — not a
+    // re-implementation of its credit chain
+    val credits = Attribution.positionBasedCredits(touches, conv,
+      lookbackUs = 7L * 86400000000L)
+    val bad = credits
+      .groupBy("c_conv_id").agg(sum(col("credit_ppm")).as("total"))
       .filter(col("total") =!= 1000000L)
     assert(bad.count() == 0, "every credited conversion must sum to exactly 1e6 ppm")
-    assert(tagged.count() > 0, "fixture must actually credit something")
+    assert(credits.count() > 0, "fixture must actually credit something")
   }
 }
