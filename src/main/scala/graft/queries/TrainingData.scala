@@ -174,6 +174,43 @@ object TrainingData {
       Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3))
       .orderBy("doc_id")
 
+  /** C92: dedup SAVINGS report — the cost-benefit summary that justifies
+    * (or kills) a dedup pass before anyone runs it on 100 TB: compose
+    * C26's cluster resolution with per-document token counts and report,
+    * per cluster-size bucket, how many clusters/docs exist, how many docs
+    * a keep-the-min-id policy removes, and the exact token savings; the
+    * corpus-level per-mille savings rides a 1-row broadcast total.
+    * Singletons (docs in no near-dup pair) are the size-1 row — kept
+    * whole, zero savings, and the dominant mass on a clean corpus (the
+    * report's point). Everything after the C26 resolution is one bounded
+    * aggregation chain on the (doc, cluster) frame. */
+  def q174DedupSavings(t: Tables): DataFrame = {
+    val clustered = Dedup.resolveClusters(
+      Dedup.ngramJaccardPairs(t.documents, groupCol = "source", threshold = 0.3))
+    val toks = t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val docs = toks.join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val perCluster = docs.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), sum(col("n_tokens")).as("tok"),
+        // keep-the-min-id policy: the kept doc IS the cluster id (C26's
+        // label is the member minimum), so its tokens are min-id's
+        sum(when(col("doc_id") === col("cluster_id"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tok"))
+    val total = toks.agg(sum(col("n_tokens")).as("__total"))
+    perCluster.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"),
+        sum(col("tok") - col("kept_tok")).as("tokens_saved"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_removable"), col("tokens_saved"),
+        expr("tokens_saved * 1000 div __total").as("savings_pm"))
+      .orderBy("cluster_size")
+  }
+
   private def annQueries(t: Tables): DataFrame = t.embeddings.filter(col("vec_id") < 10)
 
   /** C5: brute-force cosine top-10 for the first 10 vectors as queries. */

@@ -1624,6 +1624,49 @@ object TrainingOracle {
          |FROM reach GROUP BY src
          |ORDER BY doc_id""".stripMargin,
 
+    // C92: q74's recursive closure + token counts → per-cluster-size
+    // savings under the keep-the-min-id policy; singletons join in as
+    // their own cluster. Exact integers + `//` per-mille.
+    "q174_dedup_savings" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT source AS g, doc_id, $shingles3 AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), clusters AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), toks AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), docs AS (
+         |  SELECT t.doc_id, t.n_tokens,
+         |    COALESCE(c.cluster_id, t.doc_id) AS cluster_id
+         |  FROM toks t LEFT JOIN clusters c ON t.doc_id = c.doc_id
+         |), per_cluster AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tok,
+         |    CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tok
+         |  FROM docs GROUP BY cluster_id
+         |), total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM toks)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+         |  CAST(SUM(tok - kept_tok) AS BIGINT) AS tokens_saved,
+         |  CAST(CAST(SUM(tok - kept_tok) AS BIGINT) * 1000 // tot AS BIGINT) AS savings_pm
+         |FROM per_cluster, total
+         |GROUP BY sz, tot
+         |ORDER BY cluster_size""".stripMargin,
+
     // C47: q74's recursive closure + the q85 rarity score + per-cluster
     // argmax (score DESC, id ASC). Exact.
     "q103_canonical_quality" ->

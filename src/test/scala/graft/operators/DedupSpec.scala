@@ -462,6 +462,20 @@ class DedupSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 2L)), s"got $got")
   }
 
+  test("C92: dedup savings accounts for every doc, zero savings on singletons") {
+    val t = graft.queries.Tables(spark, sfDir)
+    val rows = graft.queries.TrainingData.q174DedupSavings(t)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nDocs = t.documents.count()
+    assert(rows.map(_._3).sum == nDocs, "every document lands in exactly one bucket")
+    rows.foreach { case (sz, nc, nd, rem, saved, pm) =>
+      assert(nd == sz * nc, s"size-$sz bucket doc count")
+      assert(rem == (sz - 1) * nc, s"size-$sz removable count")
+      if (sz == 1) assert(saved == 0 && pm == 0, "singletons save nothing")
+      else assert(saved > 0, s"size-$sz clusters must save tokens")
+    }
+  }
+
   test("C91: LSH tuning puts the S-curve inflection near the target threshold") {
     val all = Dedup.tuneLsh(numPerm = 64, threshold = 0.7)
     assert(all.size == 7) // the divisor splits of 64
