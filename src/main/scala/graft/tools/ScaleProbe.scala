@@ -275,6 +275,25 @@ object ScaleProbe {
       run("url_dedup", k)(graft.operators.Urls.urlDedup(docs, url).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      // amplify USERS: touches and conversions both grow k-fold but every
+      // window frame stays one user's/one conversion's touches — the
+      // union+window as-of pass and the path ranking are both linear
+      val ev = amplify(t.events, "user_id", k)
+      run("attribution", k) {
+        val e2 = ev.withColumn("ts_us", expr("ts div 1000L"))
+        val touches = e2.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("user_id"),
+            col("event_type").as("channel"), col("ts_us"))
+        val conv = e2.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us")
+          .agg(max(col("event_id")).as("conv_id"), lit(100L).as("value_cents"))
+          .select(col("user_id"), col("ts_us").as("conv_ts"),
+            col("conv_id"), col("value_cents"))
+        graft.operators.Attribution.positionBased(touches, conv,
+          lookbackUs = 7L * 86400000000L).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
       // amplify USERS: raw event volume grows k-fold but the (type, day)
       // daily frame is constant-size — both the interpolation windows and
       // the regression ride it, so only the first agg should grow
