@@ -610,8 +610,14 @@ object Similarity {
     *    declarative form: the row-generator alternative materializes d²
     *    shuffle rows per input row, ~100× the arithmetic's true cost);
     *  - `iters` integer power-iteration rounds from the all-ones start,
-    *    renormalizing to max-abs 10⁴ each round (products stay < 2⁶³ at
-    *    billion-row corpora by construction of the scales);
+    *    renormalizing to max-abs 10⁴ each round. Exact while
+    *    u = Σ_j m·v_j fits int64 — u ≤ d·N·10¹⁰ for unit-norm milli-scaled
+    *    embeddings, so N ≲ 9.2e18/(d·10¹⁰) (~1.4e7 vectors at d=64); past
+    *    that BOTH engines raise (DECIMAL(38,0)→long ANSI cast here,
+    *    HUGEINT→BIGINT cast in the oracle) rather than wrap. The u·10⁴
+    *    renorm intermediate is wide (BigInt / HUGEINT), so it never
+    *    overflows for any u in int64. Corpora beyond the bound should
+    *    subsample or drop the embedding scale to 10² before this audit;
     *  - the eigenvalue estimate is the power method's scaling factor
     *    λ ≈ max|Mv| / max|v|, and the headline number is
     *    top_share_pm = 1000·λ / trace(M) — the per-mille share of total
@@ -674,18 +680,30 @@ object Similarity {
       .localCheckpoint(true)
     // the iteration vector is d longs — bounded driver state (the kmeans
     // centroid convention); each round is one tiny aggregation over m.
-    // Long division in Scala truncates toward zero — same as SQL div.
+    // Long/BigInt division in Scala truncates toward zero — same as SQL div.
+    //
+    // Overflow contract (mirrors the DuckDB oracle exactly): with
+    // unit-norm milli-scaled embeddings (|sv_i| ≤ 10³), m_ij ≤ N·10⁶ and
+    // u_i = Σ_j m_ij·v_j ≤ d·N·10¹⁰ — exact while u fits int64, i.e.
+    // N ≲ 9.2e18/(d·10¹⁰) (~1.4e7 vectors at d=64). The m·v product is
+    // summed as DECIMAL(38,0) and the cast back to long RAISES past that
+    // bound (ANSI overflow), matching the oracle's HUGEINT-sum +
+    // CAST(... AS BIGINT), so both engines fail loudly at the same
+    // boundary instead of wrapping. The renormalization itself is exact
+    // for ALL u in int64: the u·10⁴ intermediate is taken in BigInt
+    // (oracle: HUGEINT), never in long.
     val d = m.agg(max(col("i"))).head().getInt(0) + 1
     var v = Array.fill(d)(10000L)
     var lambda = 0L
     for (_ <- 1 to iters) {
       val vlit = typedlit(v.toSeq)
       val u = m.groupBy("i")
-        .agg(sum(col("m") * element_at(vlit, col("j") + 1)).as("u"))
+        .agg(sum(col("m").cast("decimal(38,0)") * element_at(vlit, col("j") + 1))
+          .cast("long").as("u"))
         .orderBy("i").select("u").as[Long].collect()
       val mx = u.map(math.abs).max
       lambda = mx / 10000L
-      v = u.map(x => x * 10000L / mx)
+      v = u.map(x => (BigInt(x) * 10000 / mx).toLong)
     }
     (m, v, lambda)
   }

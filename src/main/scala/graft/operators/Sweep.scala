@@ -40,6 +40,6 @@ object Sweep {
     b.withColumn("__lsum", sum(col(deltaCol)).over(wLocal))
       .join(broadcast(offsets), Seq("__bkt"))
       .withColumn("running", col("__off") + col("__lsum"))
-      .drop("__lsum", "__g")
+      .drop("__lsum", "__g", "__off")
   }
 }

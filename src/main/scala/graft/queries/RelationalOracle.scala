@@ -419,47 +419,6 @@ object RelationalOracle {
         |  intercept + slope_per_day * (CAST(d1 AS DOUBLE) + 1.0) AS forecast_next_day
         |FROM fit3 ORDER BY event_type""".stripMargin,
 
-    // A41: OLS trend fit replayed from the same exact power sums; the
-    // slope/intercept/R²/forecast double trees mirror the Spark side
-    // op-for-op so each IEEE rounding lands identically.
-    "q168_trend_regression" ->
-      """WITH ev AS (
-        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value FROM events
-        |), daily AS (
-        |  SELECT event_type, day,
-        |    CAST(day AS BIGINT) AS x,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-        |  FROM ev GROUP BY event_type, day
-        |), s AS (
-        |  -- HUGEINT products: BIGINT y*y overflows past ~3e9 daily cents,
-        |  -- where the Spark side's DECIMAL(38,0) keeps going
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(x) AS sx, SUM(y) AS sy, SUM(CAST(x AS HUGEINT) * y) AS sxy,
-        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
-        |    MAX(day) AS d1
-        |  FROM daily GROUP BY event_type
-        |)
-        |SELECT event_type, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
-        |    AS slope_per_day,
-        |  (CAST(sy AS DOUBLE) / 100.0 -
-        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
-        |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
-        |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
-        |  ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2,
-        |  (CAST(sy AS DOUBLE) / 100.0 -
-        |     ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
-        |     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) +
-        |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
-        |  * (CAST(d1 AS DOUBLE) + 1.0) AS forecast_next_day
-        |FROM s ORDER BY event_type""".stripMargin,
-
     // A30: melt replayed as UNION ALL (portable-exact; DuckDB's UNPIVOT
     // would work too, but the union form pins names and types explicitly).
     "q94_unpivot" ->

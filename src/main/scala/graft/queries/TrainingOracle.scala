@@ -2805,13 +2805,16 @@ object TrainingOracle {
     // rounds from all-ones, max-abs renormalization to 1e4, truncating
     // integer division throughout (DuckDB // and Spark div both truncate
     // toward zero, negatives included). Rounds generated, not hand-typed.
+    // The m·v sum and the u·10⁴ renorm intermediate are HUGEINT (Spark:
+    // DECIMAL(38,0) sum / BigInt renorm); the CAST back to BIGINT raises
+    // at the same u ≥ 2⁶³ boundary where the Spark side's ANSI cast does.
     "q163_anisotropy" -> {
       val rounds = (1 to 8).map { k =>
         val pv = s"v${k - 1}"
-        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
+        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(CAST(m.m AS HUGEINT) * $pv.vj) AS BIGINT) AS u
            |       FROM m JOIN $pv ON m.j = $pv.j GROUP BY m.i),
            |x$k AS MATERIALIZED (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
-           |v$k AS MATERIALIZED (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
+           |v$k AS MATERIALIZED (SELECT i AS j, CAST(CAST(u AS HUGEINT) * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
       }.mkString("\n")
       s"""WITH v AS (
          |  SELECT list_transform(embedding,
@@ -2927,10 +2930,10 @@ object TrainingOracle {
     "q169_isotropy_correct" -> {
       val rounds = (1 to 8).map { k =>
         val pv = s"v${k - 1}"
-        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * $pv.vj) AS BIGINT) AS u
+        s"""u$k AS MATERIALIZED (SELECT m.i, CAST(SUM(CAST(m.m AS HUGEINT) * $pv.vj) AS BIGINT) AS u
            |       FROM m JOIN $pv ON m.j = $pv.j GROUP BY m.i),
            |x$k AS MATERIALIZED (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS mx FROM u$k),
-           |v$k AS MATERIALIZED (SELECT i AS j, CAST(u * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
+           |v$k AS MATERIALIZED (SELECT i AS j, CAST(CAST(u AS HUGEINT) * 10000 // mx AS BIGINT) AS vj FROM u$k, x$k),""".stripMargin
       }.mkString("\n")
       s"""WITH ve AS (
          |  SELECT vec_id, list_transform(embedding,
