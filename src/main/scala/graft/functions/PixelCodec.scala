@@ -20,9 +20,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
  *    global/local palettes; [[encodeGifPixels]] emits genuine LZW
  *    streams, cross-checked against the JDK's ImageIO GIF reader.
  *
- * JPEG pixels and MP4 samples still need real codec libraries
- * (DCT/AV codecs are out of scope in this environment) — those
- * containers keep the deterministic stand-in, documented in
+ * JPEG baseline pixels are decoded for real in
+ * [[graft.functions.JpegCodecUtil]] (T.81 huffman + IDCT), and MP4
+ * PCM samples / MJPEG frames in [[MediaCodecUtil]]. The only remaining
+ * stand-ins are the compressed A/V codecs a JVM cannot host here —
+ * H.264/HEVC video and AAC audio — documented in
  * [[graft.operators.Multimodal]].
  *
  * Decoding runs executor-side inside the batched `mapPartitions`
