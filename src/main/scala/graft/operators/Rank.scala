@@ -27,29 +27,49 @@ import org.apache.spark.sql.functions._
  * N·scale·max(w) < 2⁶³ the products are safe (documented, ~1e16 at the
  * 100k-node purchase graph vs 9.2e18).
  *
- * Dangling nodes: callers symmetrize or otherwise guarantee every node
- * has out-edges (a node set = distinct srcs by construction); the damping
- * teleport keeps the chain irreducible either way.
+ * Dangling nodes (no out-edges — real link graphs are full of them) get
+ * the standard treatment: their rank mass is summed each round into a
+ * ONE-ROW frame and redistributed uniformly, `dshare = D div N` per node
+ * (truncating division — up to N−1 ppb-units of walk mass per round are
+ * dropped rather than fabricated, deterministic on both engines). The
+ * 1-row frame rides a broadcast nested-loop join — never a shuffle, never
+ * driver state. Graphs where every node has out-edges (e.g. q170's
+ * symmetrized purchase graph) have D = 0 every round and reproduce the
+ * pre-dangling fixed point bit-for-bit.
  */
 object Rank {
 
-  /** @param edges (src: long, dst: long, w: long) — every node must appear
-    *              as a src (symmetrize bipartite/undirected graphs first).
+  /** @param edges (src: long, dst: long, w: long); the node set is
+    *              distinct(src ∪ dst) — pure sinks are handled by the
+    *              dangling-mass redistribution, no symmetrization needed.
     * @return (node, r) — fixed-point rank after `iters` damped rounds. */
   def pageRank(edges: DataFrame, iters: Int = 6, dampingPct: Int = 85,
                scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("wt"))
     val ed = edges.join(wsum, "src").localCheckpoint(true)
-    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // dangling = nodes that never appear as src; N is one bounded scalar
+    // (the kmeans-d convention), fixed for the whole iteration.
+    val dangling = nodes.join(
+      wsum.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val n = nodes.count()
     var r = nodes.select(col("node"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
+      // this round's dangling mass as a 1-row broadcast: D div N per node
+      val dshare = r.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        .select(expr(s"dmass div ${n}L").as("dshare"))
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(ed("dst").as("node"), expr("r * w div wt").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dshare))
         .select(col("node"),
-          expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * coalesce(s, 0L)) div 100")
+          expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * (coalesce(s, 0L) + dshare)) div 100")
             .as("r"))
         .localCheckpoint(true)
     }

@@ -1057,6 +1057,27 @@ object TrainingData {
       .limit(100)
   }
 
+  /** C89 (dangling path): PAGERANK over the one-directional purchase graph
+    * — customer → supplier edges only, so EVERY supplier is a dangling
+    * sink (no out-edges), the structure a real crawl/link graph is full
+    * of. Exercises [[graft.operators.Rank.pageRank]]'s per-round
+    * dangling-mass redistribution end-to-end against the DuckDB replay:
+    * the suppliers' absorbed rank is recycled uniformly (D div N) instead
+    * of leaking out of the walk. Same fixed-point arithmetic and the same
+    * total (rank, side, id) output order as q170. */
+  def q175PageRankDangling(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+    graft.operators.Rank.pageRank(ed)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        expr("node div 2").as("id"), col("r").as("rank_fx"))
+      .orderBy(col("rank_fx").desc, col("side"), col("id"))
+      .limit(100)
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

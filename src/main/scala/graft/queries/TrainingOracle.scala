@@ -2891,6 +2891,9 @@ object TrainingOracle {
     // C89: PageRank — 6 damped rounds replayed CTE-for-CTE (materialized
     // so the chain evaluates once); per-edge truncating division and the
     // ((100−d)·scale + d·Σ) // 100 update mirror Spark's div exactly.
+    // The operator's dangling-mass term is omitted here because the
+    // symmetrized purchase graph has no danglings (every node is a src),
+    // so D = 0 every round; RankSpec covers the dangling path exactly.
     "q170_pagerank" -> {
       val rounds = (1 to 6).map { k =>
         val pv = s"r${k - 1}"
@@ -2914,6 +2917,48 @@ object TrainingOracle {
          |  SELECT e2.src, e2.dst, e2.w, ws.wt FROM e2 JOIN ws ON e2.src = ws.src
          |), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |fin AS (
+         |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |    node // 2 AS id, r AS rank_fx
+         |  FROM r6)
+         |SELECT side, id, rank_fx FROM fin
+         |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
+    },
+
+    // C89 dangling path: the q170 replay plus the operator's dangling-mass
+    // term — customer→supplier edges only, every supplier a pure sink.
+    // Per round a scalar-subquery CTE computes D div N (the semi-join of
+    // the previous rank frame with the dangling set, truncating division,
+    // exactly the operator's 1-row broadcast) and the damped update adds
+    // it inside the 85·(Σ + dshare) product, mirroring Spark op-for-op.
+    "q175_pagerank_dangling" -> {
+      val rounds = (1 to 6).map { k =>
+        val pv = s"r${k - 1}"
+        s"""d$k AS (SELECT CAST((SELECT COALESCE(SUM(r), 0) FROM $pv WHERE node IN (SELECT node FROM dang))
+           |       // (SELECT n FROM nn) AS BIGINT) AS ds),
+           |r$k AS MATERIALIZED (
+           |  SELECT n.node, CAST((15 * CAST(1000000000 AS BIGINT) + 85 * (COALESCE(c.s, 0) + d$k.ds)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst AS node, CAST(SUM($pv.r * ed.w // ed.wt) AS BIGINT) AS s
+           |    FROM ed JOIN $pv ON $pv.node = ed.src
+           |    GROUP BY ed.dst) c ON n.node = c.node, d$k),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e2 AS (
+         |  SELECT 2 * c AS src, 2 * s + 1 AS dst, w FROM e
+         |), ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM e2 GROUP BY src),
+         |ed AS MATERIALIZED (
+         |  SELECT e2.src, e2.dst, e2.w, ws.wt FROM e2 JOIN ws ON e2.src = ws.src
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM e2 UNION SELECT DISTINCT dst FROM e2
+         |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |dang AS MATERIALIZED (
+         |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e2)
+         |), r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
          |$rounds
          |fin AS (
          |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,

@@ -4,19 +4,28 @@ import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
 /** C89: the fixed-point PageRank must reproduce a driver-side replay of the
-  * damped rounds exactly, rank structure over a star must put the hub on
-  * top, and total walk mass must stay ≈ N·scale (truncation-only loss). */
+  * damped rounds exactly (including the dangling-mass redistribution), rank
+  * structure over a star must put the hub on top, and total walk mass must
+  * stay ≈ N·scale (truncation-only loss). */
 class RankSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Driver-side replay of the exact integer fixed point, dangling term
+    * included: nodes = distinct(src ∪ dst); each round the summed rank of
+    * nodes with no out-edges is divided (truncating) by N and added to
+    * every node's incoming contribution before damping. */
   private def replay(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
     val wt = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val nodes = edges.map(_._1).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val dangling = nodes.filterNot(wt.contains)
+    val n = nodes.size
     var r = nodes.map(_ -> 1000000000L).toMap
     for (_ <- 1 to iters) {
+      val dshare = dangling.map(r).sum / n
       val in = edges.groupBy(_._2).view.mapValues(
         _.map { case (s, _, w) => r(s) * w / wt(s) }.sum).toMap
-      r = nodes.map(n => n -> (15L * 1000000000L + 85L * in.getOrElse(n, 0L)) / 100L).toMap
+      r = nodes.map(nd =>
+        nd -> (15L * 1000000000L + 85L * (in.getOrElse(nd, 0L) + dshare)) / 100L).toMap
     }
     r
   }
@@ -27,6 +36,34 @@ class RankSpec extends SparkSuite {
     val got = Rank.pageRank(edges.toDF("src", "dst", "w"), iters = 6)
       .as[(Long, Long)].collect().toMap
     assert(got == replay(edges, 6))
+  }
+
+  test("C89: dangling sinks — mass redistributes, replay stays exact") {
+    // 4 and 5 are pure sinks (appear only as dst); 5 is a heavy sink fed
+    // by everyone — without the dangling term its absorbed mass would
+    // leak out of the walk and the hub ordering below would differ.
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 1L, 1L), (2L, 4L, 2L),
+      (1L, 5L, 1L), (2L, 5L, 4L), (3L, 5L, 2L), (3L, 1L, 1L))
+    val got = Rank.pageRank(edges.toDF("src", "dst", "w"), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    val exp = replay(edges, 8)
+    assert(got == exp)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "sinks must be in the node set")
+    // the dangling term keeps total mass within truncation loss of N·scale
+    val total = got.values.sum
+    assert(math.abs(total - 5 * 1000000000L) < 5 * 2000L,
+      s"dangling mass must be recycled, not dropped: $total")
+    assert(got(5L) > got(4L), "heavier-fed sink must outrank lighter sink")
+  }
+
+  test("C89: all-dangling degenerate graph converges to teleport-only rank") {
+    // single edge into a sink that never links back: after round 1 the
+    // source holds only teleport mass; replay must still match exactly.
+    val edges = Seq((1L, 2L, 1L))
+    val got = Rank.pageRank(edges.toDF("src", "dst", "w"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == replay(edges, 4))
   }
 
   test("C89: star hub dominates; mass is conserved up to truncation") {
