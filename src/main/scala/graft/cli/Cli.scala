@@ -59,6 +59,7 @@ object Cli {
       case Some("streams")     => streams(args.tail, out)
       case Some("destination") => destination(args.tail, out)
       case Some("sync")        => sync(args.tail, out, spark)
+      case Some("connector-dev") => connectorDev(args.tail, out, spark)
       case Some(other) =>
         out(s"Unknown command: $other"); out(usage); 2
     } catch {
@@ -82,7 +83,12 @@ object Cli {
       |  destination -p <package> [--json]
       |                                 Describe destination credential parameters
       |  sync [dir] [-d dir] [-s ids] [-f] [--state file] [--plan] [-e envfile]
+      |       [--container-runtime bin]
       |                                 Run all or selected syncs of a project
+      |  connector-dev [dir] -m <model-file> -c <connection-file>
+      |       [-s <sync-file-or-id>] [--state file] [-f] [-e envfile]
+      |                                 Test a connector under development:
+      |                                 run a sync against the connector dir
       |""".stripMargin
 
   // ---------------------------------------------------------------- argv
@@ -324,7 +330,8 @@ object Cli {
     val (flags, pos) = parseOpts(args,
       dirAliases ++ Map("-s" -> "select", "--select" -> "select",
         "--state" -> "state", "-f" -> "fullRefresh", "--full-refresh" -> "fullRefresh",
-        "--plan" -> "plan", "-e" -> "env", "--env" -> "env"),
+        "--plan" -> "plan", "-e" -> "env", "--env" -> "env",
+        "--container-runtime" -> "containerRuntime"),
       Set("fullRefresh", "plan"))
     val dir = projectDir(flags, pos)
     val envFiles = flags.get("env+").map(_.split(" ").toSeq)
@@ -347,7 +354,13 @@ object Cli {
         p.fitIssues.foreach(i => out(s"  ⚠ ${i.column}: ${i.detail}"))
       } else try {
         val conn = project.connections(project.syncs(id).destination)
-        val r = project.runSync(spark(), id, store, transportFor(conn), fullRefresh = full)
+        // image connections route through the container runtime when one
+        // is named (`--container-runtime docker`); without it they use the
+        // in-process destination profile (see ProjectLoader.runSync)
+        val rt = flags.get("containerRuntime")
+          .map(b => graft.sinks.ContainerRuntime(binary = b))
+        val r = project.runSync(spark(), id, store, transportFor(project, conn, rt),
+          fullRefresh = full, containerRuntime = rt)
         out(s"✔ $id: ${r.rowsValid}/${r.rowsIn} rows delivered" +
           (if (r.rowsInvalid > 0) s" (${r.rowsInvalid} invalid skipped)" else "") +
           r.newCursor.fold("")(c => s", cursor now $c"))
@@ -357,6 +370,70 @@ object Cli {
     }
     if (failures > 0) 1 else 0
   }
+
+  // ------------------------------------------------------- connector-dev
+
+  /** commands/connector-dev.ts:14-73: test a connector under development —
+    * compose an ad-hoc project from the connector directory plus explicit
+    * model and connection files ([[ProjectLoader.adhoc]]) and run one real
+    * sync with durable state (default `<dir>/.state`, connector-dev.ts:63).
+    * `-s` names a sync file when it points at one, else the sync id of a
+    * synthesized model→connection sync. */
+  private def connectorDev(args: Seq[String], out: String => Unit,
+                           spark: () => SparkSession): Int = {
+    val (flags, pos) = parseOpts(args,
+      dirAliases ++ Map("-m" -> "model", "--model" -> "model",
+        "-c" -> "connection", "--connection" -> "connection",
+        "-s" -> "sync", "--sync" -> "sync",
+        "--state" -> "state", "-f" -> "fullRefresh", "--full-refresh" -> "fullRefresh",
+        "-e" -> "env", "--env" -> "env"),
+      Set("fullRefresh"))
+    val dir = projectDir(flags, pos)
+    val modelFile = flags.getOrElse("model",
+      throw new IllegalArgumentException("connector-dev needs -m <model-file>"))
+    val connFile = flags.getOrElse("connection",
+      throw new IllegalArgumentException("connector-dev needs -c <connection-file>"))
+    val envFiles = flags.get("env+").map(_.split(" ").toSeq)
+      .orElse(flags.get("env").map(Seq(_))).getOrElse(Nil)
+    val project = ProjectLoader.adhoc(dir, modelFile, connFile,
+      syncRef = flags.getOrElse("sync", "sync"), extraEnvFiles = envFiles)
+    val syncId = project.syncs.keys.head
+    val conn = project.connections(project.syncs(syncId).destination)
+    out(s"Running sync $syncId with model ${project.syncs(syncId).model} " +
+      s"and connection ${conn.id}")
+    val store = StateStore.onFile(flags.getOrElse("state",
+      Paths.get(dir, ".state").toString))
+    try {
+      val r = project.runSync(spark(), syncId, store, transportFor(project, conn, None),
+        fullRefresh = flags.contains("fullRefresh"))
+      out(s"✔ $syncId: ${r.rowsValid}/${r.rowsIn} rows delivered" +
+        (if (r.rowsInvalid > 0) s" (${r.rowsInvalid} invalid skipped)" else "") +
+        r.newCursor.fold("")(c => s", cursor now $c"))
+      0
+    } catch {
+      case e: Exception => out(s"✘ $syncId failed: ${e.getMessage}"); 1
+    }
+  }
+
+  /** Stand-in transport for connections that deliver through the stdio
+    * connector protocol — runSync never calls it; reaching it is a
+    * routing bug, not a config error. */
+  private object StdioOnly extends RestSink.Transport {
+    def send(batch: Seq[Map[String, Any]]): Unit =
+      throw new IllegalStateException(
+        "stdio-connector sync must not use the REST transport")
+  }
+
+  /** Pick the wire for one sync: connections that route through the
+    * process/container channel (command, npm, or image-with-runtime) get
+    * the inert [[StdioOnly]] transport — their delivery happens inside
+    * runSync; everything else resolves a real HTTP transport. */
+  private def transportFor(project: ProjectLoader.GraftProject,
+                           conn: ProjectLoader.ConnectionDef,
+                           rt: Option[graft.sinks.ContainerRuntime]): RestSink.Transport =
+    if (project.commandFor(conn).isDefined || (conn.image.isDefined && rt.isDefined))
+      StdioOnly
+    else transportFor(conn)
 
   /** The wire for a connection: `command` connections deliver via the
     * stdio connector protocol inside runSync (never here); everything

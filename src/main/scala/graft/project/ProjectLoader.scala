@@ -41,10 +41,14 @@ object ProjectLoader {
     * (types/objects.ts:34-40: `package.type: npm` runs `command` in `dir`
     * over stdio) — when set, syncs to this connection deliver through the
     * process-connector protocol ([[graft.sinks.ProcessSink]]) instead of
-    * an in-process profile. */
+    * an in-process profile. An npm package without a command derives one
+    * from the dir's package.json `main` at channel-build time
+    * (sync.ts:88-97). `packageType` is the declared `package.type`
+    * (docker default, types/objects.ts:35). */
   final case class ConnectionDef(id: String, kind: String, image: Option[String],
                                  credentials: Map[String, Any], options: Map[String, Any],
-                                 command: Option[String] = None, dir: Option[String] = None)
+                                 command: Option[String] = None, dir: Option[String] = None,
+                                 packageType: Option[String] = None)
   final case class SyncDef(id: String, model: String, destination: String,
                            options: Map[String, Any],
                            enrichments: Seq[EnrichmentRef] = Nil)
@@ -76,7 +80,8 @@ object ProjectLoader {
     def runSync(spark: SparkSession, syncId: String, store: StateStore,
                 transport: RestSink.Transport,
                 fullRefresh: Boolean = false,
-                enrichProviders: Map[String, EnrichProvider] = Map.empty): SyncRunner#SyncReport = {
+                enrichProviders: Map[String, EnrichProvider] = Map.empty,
+                containerRuntime: Option[graft.sinks.ContainerRuntime] = None): SyncRunner#SyncReport = {
       val (sync, md, conn) = resolve(syncId)
       val enrich = enrichFor(syncId, sync, enrichProviders)
       // the sync file can pin full-refresh mode (reference sync options);
@@ -101,14 +106,22 @@ object ProjectLoader {
         case n: Long => n
         case s: String => s.toLong // quoted yaml numbers count too
       }
-      // command connections deliver through the stdio connector protocol
-      // (one process per partition); image/kind connections use the
-      // in-process destination profile
-      val sink: DataFrame => Unit = conn.command match {
-        case Some(cmd) =>
-          val config = processSinkConfig(conn, sync, syncId, fullRefreshEff)
+      // routing (sync.ts:75-107): command/npm connections deliver through
+      // the stdio connector protocol (one process per partition); image
+      // connections do too WHEN a container runtime is supplied (the
+      // reference's docker channel); otherwise image/kind connections use
+      // the in-process Spark-native destination profile — graft's fast
+      // path for clusters without a container runtime on executors.
+      val sink: DataFrame => Unit = (commandFor(conn), conn.image, containerRuntime) match {
+        case (Some(cmdDef), _, _) =>
+          val config = processSinkConfig(conn, sync, syncId, fullRefreshEff,
+            command = Some(cmdDef), image = None)
           df => { graft.sinks.ProcessSink.deliver(df, config); () }
-        case None =>
+        case (None, Some(img), Some(rt)) =>
+          val config = processSinkConfig(conn, sync, syncId, fullRefreshEff,
+            command = None, image = Some((img, rt)))
+          df => { graft.sinks.ProcessSink.deliver(df, config); () }
+        case _ =>
           df => { RestSink.push(df, transport, RestSink.Profiles.forDestination(conn.kind)); () }
       }
       runner.run(spark, model, syncId,
@@ -118,23 +131,50 @@ object ProjectLoader {
         checkpointEvery = checkpointEvery)
     }
 
-    /** ProcessSink config for a command connection: stream from the sync's
-      * `stream` option (default = the sync id), credentials/options as the
-      * JSON the connector's zod schemas expect. The command splits on
-      * whitespace (the reference does the same, container.ts:103). */
+    /** The (command, dir) a connection's connector runs as, or None for
+      * image/in-process destinations. Explicit `package.command` wins; an
+      * npm package without one derives `node <package.json main>` in its
+      * dir — the reference's channel-build rule (sync.ts:88-97; it uses
+      * `process.execPath`, the engine's own node binary — graft is a JVM,
+      * so the derived command names `node` from PATH). */
+    private[graft] def commandFor(conn: ConnectionDef): Option[(String, Option[String])] =
+      conn.command match {
+        case Some(cmd) => Some((cmd, conn.dir))
+        case None if conn.packageType.contains("npm") =>
+          val cdir = conn.dir.getOrElse(throw new IllegalArgumentException(
+            s"connection '${conn.id}': npm package needs dir (or an explicit command)"))
+          val resolved = if (Paths.get(cdir).isAbsolute) Paths.get(cdir) else Paths.get(dir, cdir)
+          val pkgJson = resolved.resolve("package.json")
+          require(Files.exists(pkgJson), s"package.json not found in $resolved")
+          val main = parsePackageJsonMain(pkgJson).getOrElse(throw new IllegalArgumentException(
+            s"$pkgJson should have main field"))
+          Some((s"node $main", Some(cdir)))
+        case None => None
+      }
+
+    /** ProcessSink config for a connector connection — command flavor
+      * (splits on whitespace, container.ts:103) or image flavor (launches
+      * through the given runtime). Stream from the sync's `stream` option
+      * (default = the sync id), credentials/options as the JSON the
+      * connector's zod schemas expect. */
     private def processSinkConfig(conn: ConnectionDef, sync: SyncDef,
-                                  syncId: String, fullRefresh: Boolean) = {
-      import org.json4s.jackson.{JsonMethods, Serialization}
+                                  syncId: String, fullRefresh: Boolean,
+                                  command: Option[(String, Option[String])],
+                                  image: Option[(String, graft.sinks.ContainerRuntime)]) = {
+      import org.json4s.jackson.Serialization
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       graft.sinks.ProcessSink.Config(
-        command = conn.command.get.trim.split("\\s+").toSeq,
-        cwd = conn.dir.map(d =>
+        command = command.map(_._1.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty),
+        cwd = command.flatMap(_._2).map(d =>
           if (Paths.get(d).isAbsolute) d else Paths.get(dir, d).toString),
         stream = sync.options.get("stream").collect { case s: String => s }.getOrElse(syncId),
         syncId = syncId,
         connectionCredentials = Serialization.write(conn.credentials),
         streamOptions = Serialization.write(sync.options),
-        fullRefresh = fullRefresh)
+        fullRefresh = fullRefresh,
+        image = image.map(_._1),
+        runtime = image.map(_._2).getOrElse(graft.sinks.ContainerRuntime()))
     }
 
     /** B34: sync DRY-RUN — the full pre-flight a human reads before
@@ -319,13 +359,28 @@ object ProjectLoader {
       }
     }
 
-    def idOf(p: Path): String = {
-      val n = p.getFileName.toString
-      n.substring(0, n.lastIndexOf('.'))
-    }
+    val models = (filesIn("models", Seq(".sql")) ++ filesIn("models", Seq(".yaml", ".yml")))
+      .map(p => parseModel(p, read(p), env)).map(m => m.id -> m).toMap
 
-    val models = (filesIn("models", Seq(".sql")).map { p =>
-      val text = read(p)
+    val connections = filesIn("connections", Seq(".yaml", ".yml"))
+      .map(p => parseConnection(p, read(p))).map(c => c.id -> c).toMap
+
+    val syncs = filesIn("syncs", Seq(".yaml", ".yml"))
+      .map(p => parseSync(p, read(p))).map(s => s.id -> s).toMap
+
+    GraftProject(projectDir, env, models, connections, syncs)
+  }
+
+  private def idOf(p: Path): String = {
+    val n = p.getFileName.toString
+    n.substring(0, n.lastIndexOf('.'))
+  }
+
+  /** Parse one model file — `.sql` with `--{{ config ... }}` directives,
+    * or `.yaml`/`.yml` with query/datasource keys. `text` is the
+    * env-substituted content. */
+  private[graft] def parseModel(p: Path, text: String, env: Map[String, String]): ModelDef =
+    if (p.toString.endsWith(".sql")) {
       val conf = Directive.findAllMatchIn(text).map { m =>
         val v = Option(m.group(2)).getOrElse(env.getOrElse(m.group(3),
           throw new IllegalArgumentException(s"Environment variable ${m.group(3)} (referenced in $p) is not defined")))
@@ -339,8 +394,8 @@ object ProjectLoader {
           throw new IllegalArgumentException(s"model $p must define datasource")),
         sql, conf.get("cursor"),
         conf.get("primaryKey").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), conf)
-    } ++ filesIn("models", Seq(".yaml", ".yml")).map { p =>
-      val y = Yaml.parse(read(p))
+    } else {
+      val y = Yaml.parse(text)
       def str(k: String): Option[String] = y.get(k).collect { case s: String => s }
       val id = str("id").getOrElse(idOf(p))
       ModelDef(id, str("name").getOrElse(idOf(p)),
@@ -351,53 +406,105 @@ object ProjectLoader {
         str("cursor"),
         str("primaryKey").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
         y.collect { case (k, v: String) => k -> v })
-    }).map(m => m.id -> m).toMap
+    }
 
-    val connections = filesIn("connections", Seq(".yaml", ".yml")).map { p =>
-      val y = Yaml.parse(read(p))
-      val pkg = y.get("package").collect { case m: Map[_, _] =>
-        m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty[String, Any])
-      def pkgStr(k: String): Option[String] = pkg.get(k).collect { case s: String => s }
-      val image = pkgStr("image")
-      val command = pkgStr("command")
-      val kind = y.get("kind").collect { case s: String => s }
-        .orElse(image.map(kindFromImage))
-        .orElse(command.map(_ => idOf(p))) // command connectors: the file id names the kind
-        .getOrElse(throw new IllegalArgumentException(
-          s"connection $p must define package.image, package.command or kind"))
-      ConnectionDef(idOf(p), kind, image,
-        y.get("credentials").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .getOrElse(Map.empty),
-        y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .getOrElse(Map.empty),
-        command = command, dir = pkgStr("dir"))
-    }.map(c => c.id -> c).toMap
+  /** Parse one connection yaml (env-substituted `text`). */
+  private[graft] def parseConnection(p: Path, text: String): ConnectionDef = {
+    val y = Yaml.parse(text)
+    val pkg = y.get("package").collect { case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty[String, Any])
+    def pkgStr(k: String): Option[String] = pkg.get(k).collect { case s: String => s }
+    val image = pkgStr("image")
+    val command = pkgStr("command")
+    val packageType = pkgStr("type")
+    val kind = y.get("kind").collect { case s: String => s }
+      .orElse(image.map(kindFromImage))
+      // command/npm connectors: the file id names the kind
+      .orElse(command.map(_ => idOf(p)))
+      .orElse(packageType.filter(_ == "npm").map(_ => idOf(p)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"connection $p must define package.image, package.command or kind"))
+    ConnectionDef(idOf(p), kind, image,
+      y.get("credentials").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+        .getOrElse(Map.empty),
+      y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+        .getOrElse(Map.empty),
+      command = command, dir = pkgStr("dir"), packageType = packageType)
+  }
 
-    val syncs = filesIn("syncs", Seq(".yaml", ".yml")).map { p =>
-      val y = Yaml.parse(read(p))
-      def str(k: String): String = y.get(k).collect { case s: String => s }
-        .getOrElse(throw new IllegalArgumentException(s"sync $p must define $k"))
-      def asRef(v: Any): EnrichmentRef = v match {
-        case m: Map[_, _] =>
-          val mm = m.asInstanceOf[Map[String, Any]]
-          EnrichmentRef(
-            mm.get("connection").collect { case s: String => s }.getOrElse(
-              throw new IllegalArgumentException(s"enrichment in $p must define connection")),
-            mm.get("options").collect { case o: Map[_, _] => o.asInstanceOf[Map[String, Any]] }
-              .getOrElse(Map.empty))
-        case other => throw new IllegalArgumentException(s"bad enrichment entry in $p: $other")
-      }
-      // reference accepts `enrichments: [...]` or a singular `enrichment:`
-      // (types/objects.ts:60)
-      val enr = y.get("enrichments").collect { case l: List[_] => l.map(asRef) }
-        .orElse(y.get("enrichment").map(e => List(asRef(e))))
-        .getOrElse(Nil)
-      SyncDef(idOf(p), str("model"), str("destination"),
-        y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .getOrElse(Map.empty), enr)
-    }.map(s => s.id -> s).toMap
+  /** Parse one sync yaml (env-substituted `text`). */
+  private[graft] def parseSync(p: Path, text: String): SyncDef = {
+    val y = Yaml.parse(text)
+    def str(k: String): String = y.get(k).collect { case s: String => s }
+      .getOrElse(throw new IllegalArgumentException(s"sync $p must define $k"))
+    def asRef(v: Any): EnrichmentRef = v match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        EnrichmentRef(
+          mm.get("connection").collect { case s: String => s }.getOrElse(
+            throw new IllegalArgumentException(s"enrichment in $p must define connection")),
+          mm.get("options").collect { case o: Map[_, _] => o.asInstanceOf[Map[String, Any]] }
+            .getOrElse(Map.empty))
+      case other => throw new IllegalArgumentException(s"bad enrichment entry in $p: $other")
+    }
+    // reference accepts `enrichments: [...]` or a singular `enrichment:`
+    // (types/objects.ts:60)
+    val enr = y.get("enrichments").collect { case l: List[_] => l.map(asRef) }
+      .orElse(y.get("enrichment").map(e => List(asRef(e))))
+      .getOrElse(Nil)
+    SyncDef(idOf(p), str("model"), str("destination"),
+      y.get("options").collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+        .getOrElse(Map.empty), enr)
+  }
 
-    GraftProject(projectDir, env, models, connections, syncs)
+  /** The connector-dev AD-HOC project (commands/connector-dev.ts:14-73):
+    * one connector directory plus explicit model/connection files compose
+    * a throwaway project so a connector author can run a real sync against
+    * the code in their working tree. The connector dir must hold a
+    * package.json with `main` (connector-dev.ts:28-36); a connection file
+    * that names no command runs `node <main>` in that dir (the npm
+    * channel-build rule, sync.ts:88-97). `syncRef` is a sync FILE when it
+    * points at one, else the sync id for a synthesized model→connection
+    * sync (connector-dev.ts:40-52). */
+  def adhoc(connectorDir: String, modelFile: String, connectionFile: String,
+            syncRef: String = "sync", extraEnvFiles: Seq[String] = Nil,
+            baseEnv: Map[String, String] = sys.env): GraftProject = {
+    val dir = Paths.get(connectorDir).toAbsolutePath.toString
+    val env = EnvVars.projectEnv(dir, extraEnvFiles, baseEnv)
+    def read(p: Path): String =
+      EnvVars.substitute(new String(Files.readAllBytes(p), "UTF-8"), env, p.toString)
+
+    val pkgJson = Paths.get(dir, "package.json")
+    require(Files.exists(pkgJson),
+      s"Connector directory $dir does not contain package.json: $pkgJson")
+    require(parsePackageJsonMain(pkgJson).isDefined,
+      s"Connector package.json does not contain main field")
+
+    val model = parseModel(Paths.get(modelFile), read(Paths.get(modelFile)), env)
+    val conn0 = parseConnection(Paths.get(connectionFile), read(Paths.get(connectionFile)))
+    // the dev connector IS the package under test: no command and no image
+    // means "run this directory" — mark it npm-in-dir so commandFor
+    // derives `node <main>` there (the reference always runs the dev dir)
+    val conn =
+      if (conn0.command.isDefined || conn0.image.isDefined) conn0
+      else conn0.copy(packageType = Some("npm"), dir = conn0.dir.orElse(Some(dir)))
+    val sync =
+      if (Files.exists(Paths.get(syncRef)))
+        parseSync(Paths.get(syncRef), read(Paths.get(syncRef)))
+      else SyncDef(syncRef, model.id, conn.id, Map.empty)
+
+    GraftProject(dir, env,
+      Map(model.id -> model), Map(conn.id -> conn), Map(sync.id -> sync))
+  }
+
+  /** Minimal package.json reader: the `main` field (sync.ts:94-96). */
+  private[graft] def parsePackageJsonMain(p: Path): Option[String] = {
+    import org.json4s._
+    try org.json4s.jackson.JsonMethods.parse(
+      new String(Files.readAllBytes(p), "UTF-8")) \ "main" match {
+      case JString(s) if s.nonEmpty => Some(s)
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
   /** "syncmaven/facebook:latest" → "facebook-ads" (graft profile family). */

@@ -35,13 +35,21 @@ import graft.state.StateStore
  * never cross the network. Durability across tasks comes from the
  * injected store (e.g. [[StateStore.onFile]] on shared storage); the RPC
  * layer itself is stateless.
+ *
+ * Container lanes ([[graft.sinks.ContainerRuntime]]) set `bindAll` so the
+ * in-container connector can reach the server through the host gateway,
+ * and `advertiseHost` names the gateway alias the advertised `RPC_URL`
+ * carries (`host.docker.internal`, docker-channel.ts:52-54); command
+ * lanes keep the loopback default.
  */
-final class StateRpc(store: StateStore) {
+final class StateRpc(store: StateStore, bindAll: Boolean = false,
+                     advertiseHost: String = "127.0.0.1") {
 
-  private val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val server: HttpServer = HttpServer.create(
+    new InetSocketAddress(if (bindAll) "0.0.0.0" else "127.0.0.1", 0), 0)
 
   val port: Int = { start(); server.getAddress.getPort }
-  def url: String = s"http://127.0.0.1:$port"
+  def url: String = s"http://$advertiseHost:$port"
 
   private def start(): Unit = {
     server.createContext("/", (exchange: HttpExchange) => handle(exchange))

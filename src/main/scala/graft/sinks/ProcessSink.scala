@@ -12,7 +12,10 @@ import graft.state.StateStore
  * connector speaking the stdio protocol — the distributed face of the
  * reference's one-container-per-sync delivery
  * (core/src/commands/sync.ts with core/src/docker/docker-channel.ts;
- * studied, not ported).
+ * studied, not ported). Both package flavors ride the same channel:
+ * `command` connectors run as-is, `image` connectors launch through the
+ * pluggable [[ContainerRuntime]] (`docker run -i`, pull-with-fallback,
+ * env via `-e`, RPC_URL through the host gateway).
  *
  * Spark-first execution: `df.toJSON.foreachPartition` — EVERY task spawns
  * its own connector process, opens its own `start-stream`, streams the
@@ -35,8 +38,13 @@ import graft.state.StateStore
  */
 object ProcessSink {
 
+  /** Exactly one of `command` (command-packaged connector, run as-is) or
+    * `image` (image-packaged connector, launched through `runtime` — see
+    * [[ContainerRuntime]]) must be set; both flavors speak the identical
+    * stdio protocol, matching the reference's two container classes
+    * (container.ts:71/166). */
   final case class Config(
-      command: Seq[String],
+      command: Seq[String] = Seq.empty,
       cwd: Option[String] = None,
       env: Map[String, String] = Map.empty,
       stream: String,
@@ -46,15 +54,43 @@ object ProcessSink {
       fullRefresh: Boolean = false,
       errorRatioLimit: Double = 0.2,
       errorMinRows: Long = 100,
-      replyTimeoutMs: Long = 60000)
+      replyTimeoutMs: Long = 60000,
+      image: Option[String] = None,
+      runtime: ContainerRuntime = ContainerRuntime()) {
+    require(command.nonEmpty != image.isDefined,
+      "exactly one of command or image must be set")
+  }
+
+  /** Build the stdio channel for one lane. Image configs resolve through
+    * the container runtime: pull-with-fallback, then `docker run -i` with
+    * the env (incl. RPC_URL) as `-e` flags — the container sees the env,
+    * the docker CLI process itself needs none. */
+  private def openChannel(config: Config, rpcUrl: Option[String]): StdioConnector =
+    config.image match {
+      case Some(img) =>
+        config.runtime.ensureImage(img, s => System.err.println(s"[container] $s"))
+        new StdioConnector(
+          config.runtime.launchCommand(img, config.env ++ rpcUrl.map("RPC_URL" -> _)),
+          cwd = None, env = Map.empty, replyTimeoutMs = config.replyTimeoutMs)
+      case None =>
+        new StdioConnector(config.command, config.cwd,
+          config.env ++ rpcUrl.map("RPC_URL" -> _),
+          replyTimeoutMs = config.replyTimeoutMs)
+    }
+
+  /** The state RPC for one lane: container lanes bind all interfaces and
+    * advertise the host-gateway alias (docker-channel.ts:52-54); command
+    * lanes stay on loopback. */
+  private def openRpc(config: Config, store: StateStore): StateRpc =
+    new StateRpc(store, bindAll = config.image.isDefined,
+      advertiseHost = if (config.image.isDefined) config.runtime.rpcHost else "127.0.0.1")
 
   /** Driver-side preflight: run the connector's `describe` and
     * `describe-streams` one-shots and verify the configured stream
     * exists, mirroring the engine's pre-sync exchange
     * (core/src/commands/sync.ts). Returns the declared spec pair. */
   def preflight(config: Config): (ConnectionSpec, StreamSpec) = {
-    val chan = new StdioConnector(config.command, config.cwd, config.env,
-      replyTimeoutMs = config.replyTimeoutMs)
+    val chan = openChannel(config, rpcUrl = None)
     val spec = chan.describe()
     val streams = chan.streams(DescribeStreams(parseJson(config.connectionCredentials)))
     require(streams.streams.exists(_.name == config.stream),
@@ -80,10 +116,8 @@ object ProcessSink {
     df.toJSON.foreachPartition { (rows: Iterator[String]) =>
       if (rows.hasNext) { // empty partitions spawn nothing
         val store = storeFactory()
-        val rpc = new StateRpc(store)
-        val chan = new StdioConnector(config.command, config.cwd,
-          config.env + ("RPC_URL" -> rpc.url),
-          replyTimeoutMs = config.replyTimeoutMs)
+        val rpc = openRpc(config, store)
+        val chan = openChannel(config, Some(rpc.url))
         try {
           chan.startStream(StartStream(config.stream,
             parseJson(config.connectionCredentials),
@@ -128,8 +162,7 @@ object ProcessSink {
     val pairs = df.toJSON.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val chan = new StdioConnector(config.command, config.cwd, config.env,
-          replyTimeoutMs = config.replyTimeoutMs)
+        val chan = openChannel(config, rpcUrl = None)
         // the connector must not outlive its task even if downstream stops
         // early (limit, failure): tie the process to the task lifecycle
         Option(org.apache.spark.TaskContext.get())

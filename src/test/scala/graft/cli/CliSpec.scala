@@ -177,6 +177,71 @@ class CliSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("connector-dev runs a dev sync against a script connector with durable state") {
+    val dir = tmp() // the connector-under-development's working tree
+    val outDir = tmp()
+    def write(rel: String, text: String): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, text.getBytes("UTF-8"))
+      ()
+    }
+    // connector-dev.ts:28-36: the dir must look like a connector package
+    write("package.json", """{"name": "dev-connector", "main": "connector.sh"}""")
+    write("connector.sh",
+      s"""#!/bin/sh
+         |n=0
+         |out="$outDir/lane.$$$$.ndjson"
+         |while IFS= read -r line; do
+         |  case "$$line" in
+         |    *'"type":"row"'*) n=$$((n+1)); printf '%s\\n' "$$line" >> "$$out" ;;
+         |    *'"end-stream"'*)
+         |      echo "{\\"type\\":\\"stream-result\\",\\"payload\\":{\\"received\\":$$n,\\"success\\":$$n,\\"skipped\\":0,\\"failed\\":0}}"
+         |      exit 0 ;;
+         |  esac
+         |done
+         |""".stripMargin)
+    Files.setPosixFilePermissions(Paths.get(dir, "connector.sh"),
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x"))
+    // explicit model + connection files, not a project layout
+    write("dev-model.sql",
+      s"""--{{ config "datasource" "parquet:$sfDir" }}
+         |--{{ config "cursor" "o_orderdate" }}
+         |--{{ config "primaryKey" "o_orderkey" }}
+         |SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         |WHERE :cursor IS NULL OR o_orderdate > :cursor
+         |""".stripMargin)
+    write("dev-connection.yaml",
+      """package:
+        |  type: npm
+        |  command: /bin/sh connector.sh
+        |  dir: .
+        |credentials:
+        |  apiKey: "k"
+        |""".stripMargin)
+
+    val (code, out) = cli("connector-dev", dir,
+      "-m", s"$dir/dev-model.sql", "-c", s"$dir/dev-connection.yaml")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("Running sync sync with model dev-model")))
+    val delivered = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(delivered.nonEmpty && delivered.forall(_.contains("\"o_orderkey\"")))
+    assert(out.exists(l => l.contains(s"${delivered.length}/${delivered.length} rows delivered")))
+    // state is durable at <dir>/.state (connector-dev.ts:63): the second
+    // dev run resumes from the cursor and moves no rows
+    assert(Files.exists(Paths.get(dir, ".state")))
+    val (code2, out2) = cli("connector-dev", dir,
+      "-m", s"$dir/dev-model.sql", "-c", s"$dir/dev-connection.yaml")
+    assert(code2 == 0 && out2.exists(_.contains("0/0 rows delivered")))
+    // a dir without package.json is refused loudly (connector-dev.ts:29-31)
+    val bare = tmp()
+    val (bad, badOut) = cli("connector-dev", bare,
+      "-m", s"$dir/dev-model.sql", "-c", s"$dir/dev-connection.yaml")
+    assert(bad == 1 && badOut.exists(_.contains("package.json")))
+  }
+
   test("unknown command and unknown flag fail with usage, not a stack trace") {
     val (code, out) = cli("frobnicate")
     assert(code == 2 && out.exists(_.contains("Unknown command")))

@@ -373,6 +373,72 @@ class ProjectSpec extends SparkSuite {
     assert(e.getMessage.contains("cursor"))
   }
 
+  test("image connection: with a container runtime the sync delivers through the stdio channel") {
+    val dir = makeProject()
+    val outDir = Files.createTempDirectory("graft-img-out").toString
+    // the connector image `syncmaven/facebook:latest` resolves to —
+    // basename `facebook`, exactly as the fake runtime maps it
+    write(dir, "facebook.sh",
+      s"""#!/bin/sh
+         |n=0
+         |out="$outDir/lane.$$$$.ndjson"
+         |while IFS= read -r line; do
+         |  case "$$line" in
+         |    *'"type":"row"'*) n=$$((n+1)); printf '%s\\n' "$$line" >> "$$out" ;;
+         |    *'"end-stream"'*)
+         |      echo "{\\"type\\":\\"stream-result\\",\\"payload\\":{\\"received\\":$$n,\\"success\\":$$n,\\"skipped\\":0,\\"failed\\":0}}"
+         |      exit 0 ;;
+         |  esac
+         |done
+         |""".stripMargin)
+    write(dir, "fakedocker",
+      s"""#!/bin/sh
+         |cmd="$$1"; shift
+         |case "$$cmd" in
+         |  pull) echo "$$1" >> "$outDir/pull.log"; exit 0 ;;
+         |  run)
+         |    image=""
+         |    while [ $$# -gt 0 ]; do
+         |      case "$$1" in
+         |        -e) export "$$2"; shift 2 ;;
+         |        --add-host|--name) shift 2 ;;
+         |        -i|--rm) shift ;;
+         |        *) image="$$1"; shift ;;
+         |      esac
+         |    done
+         |    base=$${image##*/}; base=$${base%%:*}
+         |    exec /bin/sh "$dir/$$base.sh" ;;
+         |esac
+         |""".stripMargin)
+    Seq("facebook.sh", "fakedocker").foreach(s =>
+      Files.setPosixFilePermissions(Paths.get(dir, s),
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x")))
+
+    val proj = ProjectLoader.load(dir, baseEnv = Map("WAREHOUSE" -> s"parquet:$sfDir"))
+    val rt = graft.sinks.ContainerRuntime(
+      binary = Paths.get(dir, "fakedocker").toString, rpcHost = "127.0.0.1")
+    val rec = new Recorder
+    // the stock fb connection (package.image: syncmaven/facebook:latest)
+    // routes through the container channel when a runtime is supplied...
+    val r = proj.runSync(spark, "orders_to_fb", StateStore.inMemory(), rec,
+      containerRuntime = Some(rt))
+    assert(r.rowsIn > 0 && r.rowsValid == r.rowsIn)
+    val rows = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(rows.length.toLong == r.rowsIn, "every row crossed the container boundary")
+    assert(rec.rows == 0L, "the REST transport must stay untouched")
+    val pulls = scala.io.Source.fromFile(s"$outDir/pull.log").getLines().toSeq
+    assert(pulls.nonEmpty && pulls.distinct == Seq("syncmaven/facebook:latest"))
+    // ...and without a runtime the same sync posts through the in-process
+    // profile (no new container lanes)
+    val rec2 = new Recorder
+    val r2 = proj.runSync(spark, "orders_to_fb", StateStore.inMemory(), rec2)
+    assert(rec2.rows == r2.rowsIn)
+    val after = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".ndjson"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(after.length == rows.length)
+  }
+
   test("command connection: the sync delivers through a real connector process") {
     val dir = makeProject()
     val outDir = Files.createTempDirectory("graft-cmd-out").toString

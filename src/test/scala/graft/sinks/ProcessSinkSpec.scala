@@ -103,6 +103,134 @@ class ProcessSinkSpec extends SparkSuite with Matchers {
     e.getMessage should include("does not declare stream 'nope'")
   }
 
+  /** A flag-compatible fake container runtime: `pull` records the image,
+    * `run` strips the docker flags, exports every `-e` var into the child
+    * env and execs `<dir>/<image basename>.sh` — so the protocol traffic
+    * crosses the same runtime boundary a real `docker run -i` would. */
+  private def writeFakeRuntime(dir: Path, outDir: Path,
+                               pullExit: Int = 0): Path =
+    writeScript(dir, "fakedocker",
+      s"""cmd="$$1"; shift
+         |case "$$cmd" in
+         |  pull)
+         |    echo "$$1" >> "$outDir/pull.log"
+         |    exit $pullExit ;;
+         |  run)
+         |    image=""
+         |    while [ $$# -gt 0 ]; do
+         |      case "$$1" in
+         |        -e) export "$$2"; shift 2 ;;
+         |        --add-host|--name) shift 2 ;;
+         |        -i|--rm) shift ;;
+         |        *) image="$$1"; shift ;;
+         |      esac
+         |    done
+         |    base=$${image##*/}; base=$${base%%:*}
+         |    exec /bin/sh "$dir/$$base.sh" ;;
+         |esac
+         |""".stripMargin)
+
+  test("image config: delivery through the pluggable container runtime (pull, -e env, RPC_URL)") {
+    val dir = Files.createTempDirectory("graft-psink")
+    val outDir = Files.createTempDirectory("graft-psink-out")
+    // the connector the image resolves to — records its env to prove the
+    // -e injection crossed the runtime boundary
+    writeScript(dir, "dest.sh",
+      s"""n=0
+         |out="$outDir/lane.$$$$.ndjson"
+         |printf 'RPC_URL=%s\\nMY_TOKEN=%s\\n' "$$RPC_URL" "$$MY_TOKEN" > "$outDir/env.$$$$"
+         |while IFS= read -r line; do
+         |  case "$$line" in
+         |    *'"type":"row"'*) n=$$((n+1)); printf '%s\\n' "$$line" >> "$$out" ;;
+         |    *'"end-stream"'*)
+         |      echo "{\\"type\\":\\"stream-result\\",\\"payload\\":{\\"received\\":$$n,\\"success\\":$$n,\\"skipped\\":0,\\"failed\\":0}}"
+         |      exit 0 ;;
+         |  esac
+         |done
+         |""".stripMargin)
+    val runtime = writeFakeRuntime(dir, outDir)
+
+    val df = spark.range(20).select(col("id"), concat(lit("user"), col("id")).as("name"))
+      .repartition(3)
+    val status = ProcessSink.deliver(df,
+      ProcessSink.Config(
+        image = Some("acme/dest:latest"),
+        env = Map("MY_TOKEN" -> "t0"),
+        stream = "audience",
+        runtime = ContainerRuntime(binary = runtime.toString, rpcHost = "127.0.0.1")))
+    status shouldBe Status(20, 20, 0, 0)
+
+    // the reference pulls per container init (container.ts:188-195):
+    // one pull per lane, all for the configured image
+    val pulls = scala.io.Source.fromFile(s"$outDir/pull.log").getLines().toSeq
+    pulls.length shouldBe 3
+    pulls.distinct shouldBe Seq("acme/dest:latest")
+
+    // rows crossed the container boundary, one lane per partition
+    val lanes = Files.list(outDir).toArray.map(_.toString).filter(_.contains("lane."))
+    lanes.length shouldBe 3
+    lanes.flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq).length shouldBe 20
+
+    // env injection: the config env and the advertised RPC_URL both
+    // arrived as -e vars; the URL names the runtime's rpcHost
+    val envs = Files.list(outDir).toArray.map(_.toString).filter(_.contains("env."))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
+    envs.count(_ == "MY_TOKEN=t0") shouldBe 3
+    envs.count(_.matches("RPC_URL=http://127\\.0\\.0\\.1:\\d+")) shouldBe 3
+  }
+
+  test("image config: pull failure falls back to the local image; pullPolicy=never skips the pull") {
+    val dir = Files.createTempDirectory("graft-psink")
+    val outDir = Files.createTempDirectory("graft-psink-out")
+    writeScript(dir, "dest.sh",
+      """n=0
+        |while IFS= read -r line; do
+        |  case "$line" in
+        |    *'"type":"row"'*) n=$((n+1)) ;;
+        |    *'"end-stream"'*)
+        |      echo "{\"type\":\"stream-result\",\"payload\":{\"received\":$n,\"success\":$n,\"skipped\":0,\"failed\":0}}"
+        |      exit 0 ;;
+        |  esac
+        |done
+        |""".stripMargin)
+    val failingPull = writeFakeRuntime(dir, outDir, pullExit = 1)
+    val df = spark.range(5).toDF("id").repartition(1)
+    // container.ts:188-195: a failed pull logs and proceeds with the local image
+    ProcessSink.deliver(df, ProcessSink.Config(
+      image = Some("acme/dest:latest"), stream = "s",
+      runtime = ContainerRuntime(binary = failingPull.toString, rpcHost = "127.0.0.1")))
+      .success shouldBe 5
+    scala.io.Source.fromFile(s"$outDir/pull.log").getLines().length shouldBe 1
+    // pullPolicy=never: no pull attempt at all
+    ProcessSink.deliver(df, ProcessSink.Config(
+      image = Some("acme/dest:latest"), stream = "s",
+      runtime = ContainerRuntime(binary = failingPull.toString, rpcHost = "127.0.0.1",
+        pullPolicy = "never")))
+      .success shouldBe 5
+    scala.io.Source.fromFile(s"$outDir/pull.log").getLines().length shouldBe 1
+  }
+
+  test("ContainerRuntime.launchCommand emits the docker-run flag shape") {
+    val rt = ContainerRuntime()
+    val cmd = rt.launchCommand("acme/img:1.0", Map("B" -> "2", "A" -> "1"))
+    cmd.head shouldBe "docker"
+    cmd.slice(1, 4) shouldBe Seq("run", "-i", "--rm")
+    cmd.containsSlice(Seq("--add-host", "host.docker.internal:host-gateway")) shouldBe true
+    // env flags are sorted for determinism
+    cmd.containsSlice(Seq("-e", "A=1", "-e", "B=2")) shouldBe true
+    cmd.last shouldBe "acme/img:1.0"
+    // container names are sanitized and unique per launch
+    val name1 = cmd(cmd.indexOf("--name") + 1)
+    val name2 = rt.launchCommand("acme/img:1.0", Map.empty)
+    name1 should startWith("graft-acme-img-1.0-")
+    name1 should not be name2(name2.indexOf("--name") + 1)
+    // exactly one of command/image is enforced
+    an[IllegalArgumentException] should be thrownBy
+      ProcessSink.Config(stream = "s")
+    an[IllegalArgumentException] should be thrownBy
+      ProcessSink.Config(command = Seq("x"), image = Some("i"), stream = "s")
+  }
+
   test("enrich: per-partition keep-alive sessions round-trip every row in order") {
     val dir = Files.createTempDirectory("graft-psink")
     // echoes the request row back enriched with a literal tag; the row
