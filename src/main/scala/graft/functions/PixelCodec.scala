@@ -22,9 +22,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
  *
  * JPEG baseline pixels are decoded for real in
  * [[graft.functions.JpegCodecUtil]] (T.81 huffman + IDCT), and MP4
- * PCM samples / MJPEG frames in [[MediaCodecUtil]]. The only remaining
- * stand-ins are the compressed A/V codecs a JVM cannot host here —
- * H.264/HEVC video and AAC audio — documented in
+ * PCM samples / MJPEG frames in [[MediaCodecUtil]], which also walks
+ * AAC ADTS frames and Ogg Vorbis pages (real RFC 3533 CRCs) at the
+ * container level. The only remaining stand-ins are the compressed
+ * A/V transform codecs a JVM cannot host here — H.264/HEVC video and
+ * AAC/Vorbis sample decode — documented in
  * [[graft.operators.Multimodal]].
  *
  * Decoding runs executor-side inside the batched `mapPartitions`

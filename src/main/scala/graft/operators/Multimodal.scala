@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
  * [[encodedMediaTable]] assembles structurally-valid PNG/JPEG/GIF
  * payloads ([[decodeMeta]] marker-walks them back, q130),
  * [[encodedAudioTable]] WAV/RIFF payloads ([[decodeAudioMeta]]
- * chunk-walks, q131) and [[encodedVideoTable]] MP4/ISO-BMFF payloads
+ * chunk-walks, q131; AAC ADTS frame walks and Ogg Vorbis page walks
+ * with real RFC 3533 CRCs live in [[graft.functions.MediaCodecUtil]],
+ * q176/q177) and [[encodedVideoTable]] MP4/ISO-BMFF payloads
  * ([[decodeVideoMeta]] box-walks, q132) — all codegen'd Catalyst
  * expressions, all oracle-gated end to end. The PIXEL/SAMPLE stage below
  * the container layer is REAL wherever the JVM suffices: PNG pixels
@@ -22,9 +24,11 @@ import org.apache.spark.sql.functions._
  * pixel-exactness cross-checked against the JDK's own readers; baseline
  * JPEG pixels and raw-PCM MP4 audio tracks decode for real too
  * ([[graft.functions.JpegCodecUtil]], `decodeMp4PcmSamples`). Only
- * COMPRESSED AV payloads (H.264/HEVC frames, AAC audio) — codecs that
- * genuinely need external libraries — keep the deterministic stand-in
- * (`decodeStub`): a production build swaps ONLY that body for a real
+ * COMPRESSED AV payloads (H.264/HEVC frames, AAC raw_data_blocks,
+ * Vorbis audio packets) — transform codecs that genuinely need external
+ * libraries — keep the deterministic stand-in (`decodeStub`); their
+ * CONTAINERS (ADTS frame chains, Ogg pages incl. checksums) parse for
+ * real. A production build swaps ONLY the stand-in body for a real
  * decoder (JNI/ffmpeg/etc.) — every surrounding operator, schema and
  * batch shape is unchanged and tested.
  */

@@ -928,6 +928,66 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C12 (audio, AAC): REAL ADTS round-trip — per doc, a multi-frame AAC
+    * ADTS stream (7-byte headers, protection_absent, AAC-LC, id-derived
+    * sampling-frequency index/channel config/frame count/payload size) is
+    * assembled and frame-walked BACK by the codegen'd
+    * [[graft.functions.AdtsMeta]]: syncwords, 13-bit frame lengths,
+    * config consistency across frames, 1024 samples per raw_data_block.
+    * protection_absent means no CRC anywhere, so the oracle re-builds the
+    * ENTIRE stream hex-wise in SQL — the byte gate is total. The
+    * raw_data_block payload itself stays opaque filler (the documented
+    * AAC sample-decode boundary, operators/Multimodal header). */
+  def q176AdtsMeta(t: Tables): DataFrame = {
+    import graft.functions.MediaFunctions.{adtsBytes, adtsMeta}
+    val sfi = (col("doc_id") % 9 + 3).cast("int") // indexes 3..11: 48000..8000 Hz
+    val channels = (col("doc_id") % 3 + 1).cast("int")
+    val frames = (col("n_chars") % 9 + 1).cast("int")
+    val payloadLen = (col("doc_id") % 50).cast("int")
+    t.documents
+      .select(col("doc_id"), adtsBytes(sfi, channels, frames, payloadLen).as("media"))
+      .select(col("doc_id"), adtsMeta(col("media")).as("m"),
+        upper(hex(col("media"))).as("media_hex"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+        col("m.profile").as("profile"), col("m.frames").as("frames"),
+        col("m.n_samples").as("n_samples"),
+        expr("m.n_samples * 1000 div m.sample_rate").as("duration_ms"),
+        col("media_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** C12 (audio, Vorbis): REAL Ogg container round-trip — per doc, a
+    * two-page Ogg stream (BOS page carrying the genuine 30-byte Vorbis
+    * identification header, EOS page whose granule position is the PCM
+    * sample total, real RFC 3533 page CRCs) is assembled and page-walked
+    * BACK by the codegen'd [[graft.functions.OggMeta]], which verifies
+    * every page's capture pattern, lacing-table sizing and checksum. The
+    * CRC keeps the byte stream out of SQL reach (unlike ADTS/WAV/MP4), so
+    * the oracle gates the PARSED metadata arithmetically and the spec
+    * pins the CRC against RFC 3533 test vectors. Audio packets stay
+    * opaque filler (the documented Vorbis sample-decode boundary). */
+  def q177OggMeta(t: Tables): DataFrame = {
+    import graft.functions.MediaFunctions.{oggMeta, oggVorbisBytes}
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val totalSamples = (col("n_chars") * 50 + 1).cast("long")
+    val payloadLen = (col("doc_id") % 200 + 1).cast("int")
+    val serial = (col("doc_id") % 100000).cast("int")
+    t.documents
+      .select(col("doc_id"),
+        oggVorbisBytes(channels, rate, totalSamples, payloadLen, serial).as("media"))
+      .select(col("doc_id"), oggMeta(col("media")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+        col("m.pages").as("pages"), col("m.total_samples").as("total_samples"),
+        col("m.serial").as("serial"),
+        expr("m.total_samples * 1000 div m.sample_rate").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** C12 (video): REAL MP4/ISO-BMFF round-trip — per doc, `ftyp` +
     * variable-length `free` + `moov`/`mvhd` bytes are assembled and
     * box-walked BACK by the codegen'd [[graft.functions.VideoMeta]].

@@ -1039,6 +1039,53 @@ object TrainingOracle {
       |   || CASE WHEN dsize % 2 = 1 THEN '00' ELSE '' END) AS media_hex
       |FROM geo ORDER BY doc_id""".stripMargin
 
+  // C12 (audio, AAC): predicted ADTS round-trip — every 7-byte header
+  // field re-derived bit-arithmetically (profile AAC-LC, sfi, channel
+  // config straddling the byte boundary, the 13-bit frame_length split
+  // across three bytes, VBR fullness, rdb=1) and the whole multi-frame
+  // stream re-built hex-wise: protection_absent means no CRC, so the
+  // byte gate is total, like WAV/MP4.
+  private val adtsMetaSql: String = endianMacros +
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         CAST(doc_id % 9 + 3 AS BIGINT) AS sfi,
+      |         CAST([48000,44100,32000,24000,22050,16000,12000,11025,8000][CAST(doc_id % 9 AS INT) + 1] AS BIGINT) AS rate,
+      |         doc_id % 3 + 1 AS ch,
+      |         n_chars % 9 + 1 AS frames,
+      |         doc_id % 50 AS plen
+      |  FROM documents),
+      |geo AS (SELECT *, plen + 7 AS flen FROM base)
+      |SELECT doc_id, 'aac-adts' AS format, CAST(rate AS INT) AS sample_rate,
+      |  CAST(ch AS INT) AS channels, 2 AS profile,
+      |  CAST(frames AS BIGINT) AS frames,
+      |  CAST(frames * 1024 AS BIGINT) AS n_samples,
+      |  CAST(frames * 1024 * 1000 // rate AS BIGINT) AS duration_ms,
+      |  upper(repeat(
+      |    'FFF1' || h2(64 + sfi * 4 + ch // 4) || h2((ch % 4) * 64 + flen // 2048)
+      |    || h2((flen // 8) % 256) || h2((flen % 8) * 32 + 31) || 'FC'
+      |    || repeat('AA', CAST(plen AS INT)), CAST(frames AS INT))) AS media_hex
+      |FROM geo ORDER BY doc_id""".stripMargin
+
+  // C12 (audio, Vorbis): predicted Ogg metadata — the generation
+  // parameters re-derived arithmetically (two pages, identification
+  // header channels/rate, EOS granule = total samples). The RFC 3533
+  // page CRC keeps the byte stream itself out of SQL reach (unlike the
+  // checksum-free ADTS/WAV/MP4 containers), so the gate is the parsed
+  // metadata; MultimodalSpec pins the CRC bit-exactly.
+  private val oggMetaSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         doc_id % 2 + 1 AS ch,
+      |         CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS BIGINT) AS rate,
+      |         n_chars * 50 + 1 AS ts,
+      |         doc_id % 100000 AS serial
+      |  FROM documents)
+      |SELECT doc_id, 'ogg-vorbis' AS format, CAST(rate AS INT) AS sample_rate,
+      |  CAST(ch AS INT) AS channels, CAST(2 AS BIGINT) AS pages,
+      |  CAST(ts AS BIGINT) AS total_samples, CAST(serial AS BIGINT) AS serial,
+      |  CAST(ts * 1000 // rate AS BIGINT) AS duration_ms
+      |FROM base ORDER BY doc_id""".stripMargin
+
   // C12 (video): predicted MP4/ISO-BMFF round-trip — ftyp (isom/mp42),
   // variable-length free box, moov/mvhd v0 (timescale, duration, unity
   // rate/volume/matrix, next_track_ID 2), all re-built hex-wise.
@@ -1310,6 +1357,8 @@ object TrainingOracle {
 
     "q130_image_meta"      -> imageMetaSql,
     "q131_audio_meta"      -> audioMetaSql,
+    "q176_adts_meta"       -> adtsMetaSql,
+    "q177_ogg_meta"        -> oggMetaSql,
     "q132_video_meta"      -> videoMetaSql,
     "q31_dedup_minhash"    -> minhashTruthSql,
     "q32_dedup_simhash"    -> simhashXxSql,
