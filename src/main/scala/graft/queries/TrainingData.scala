@@ -1138,6 +1138,52 @@ object TrainingData {
       .limit(100)
   }
 
+  /** C98: Z-ORDER layout audit ([[graft.operators.Layout]]) — cluster the
+    * orders table by the bit-interleaved (custkey-bucket, order-day) Morton
+    * key into 64 equal-width "files", keep per-file min/max footer stats,
+    * and price three box probes (customer band / date band / both) against
+    * the SAME probes on a single-dimension date-sorted layout. The report
+    * a table-maintenance job publishes before rewriting 100 TB: how many
+    * files each layout lets a scan skip. Everything integer-exact — the
+    * oracle replays interleave, file assignment, stats and overlap
+    * bit-for-bit. */
+  def q178ZorderLayout(t: Tables): DataFrame = {
+    import graft.operators.Layout
+    val files = 64
+    val base = t.orders.select(
+      (col("o_custkey") % 65536).cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("dd"))
+    val zstats = Layout.fileStats(
+      Layout.assignFiles(base, Layout.zOrderKey(Seq(col("ck"), col("dd"))), files),
+      Seq("ck", "dd"))
+    val dstats = Layout.fileStats(
+      Layout.assignFiles(base, col("dd"), files), Seq("ck", "dd"))
+    val probes = Seq(
+      ("ck_band", Seq(("ck", 100L, 199L))),
+      ("day_band", Seq(("dd", 365L, 729L))),
+      ("box", Seq(("ck", 100L, 199L), ("dd", 365L, 729L))))
+    val touched = (for {
+      (layout, stats) <- Seq(("zorder", zstats), ("datesort", dstats))
+      (pname, p) <- probes
+    } yield Layout.filesTouched(stats, p)
+      .select(lit(layout).as("layout"), lit(pname).as("probe"),
+        col("files_touched"), col("files_total")))
+      .reduce(_ unionAll _)
+    // probe selectivity context in ONE corpus scan (layout-independent)
+    val counts = base.agg(
+      sum(when(col("ck").between(100, 199), 1L).otherwise(0L)).as("ck_band"),
+      sum(when(col("dd").between(365, 729), 1L).otherwise(0L)).as("day_band"),
+      sum(when(col("ck").between(100, 199) && col("dd").between(365, 729), 1L)
+        .otherwise(0L)).as("box"))
+      .select(expr(
+        "stack(3, 'ck_band', ck_band, 'day_band', day_band, 'box', box) AS (probe, rows_in_probe)"))
+    touched.join(broadcast(counts), "probe")
+      .select(col("layout"), col("probe"), col("files_touched"),
+        col("files_total"), col("rows_in_probe"))
+      .orderBy("layout", "probe")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -2975,6 +2975,56 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C98: Z-order layout audit — bit-interleave, equal-width file
+    // assignment over the broadcast max, per-file min/max footer stats and
+    // conjunctive box-overlap pruning replayed integer-for-integer; the
+    // Morton expression is generated (bit b of dim i → position 2b+i),
+    // matching operators/Layout.zOrderKey's layout exactly.
+    "q178_zorder_layout" -> {
+      val zexpr = (0 until 16).flatMap(b => Seq(
+        s"(((ck >> $b) & 1) << ${2 * b})",
+        s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
+         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |  FROM orders
+         |), zb AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM base),
+         |zmx AS (SELECT MAX(zk) AS mx FROM zb),
+         |zf AS (SELECT ck, dd, zk * 64 // (mx + 1) AS f FROM zb, zmx),
+         |zs AS (SELECT f, MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM zf GROUP BY f),
+         |dmx AS (SELECT MAX(dd) AS mx FROM base),
+         |dfx AS (SELECT ck, dd, dd * 64 // (mx + 1) AS f FROM base, dmx),
+         |ds AS (SELECT f, MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM dfx GROUP BY f),
+         |pr AS (SELECT * FROM (VALUES
+         |  ('ck_band', 100, 199, NULL, NULL),
+         |  ('day_band', NULL, NULL, 365, 729),
+         |  ('box', 100, 199, 365, 729)) AS v(probe, cklo, ckhi, ddlo, ddhi)),
+         |tz AS (SELECT 'zorder' AS layout, probe,
+         |  CAST(SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+         |        AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo)) THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |  CAST(COUNT(*) AS BIGINT) AS files_total
+         |  FROM zs, pr GROUP BY probe),
+         |td AS (SELECT 'datesort' AS layout, probe,
+         |  CAST(SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+         |        AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo)) THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |  CAST(COUNT(*) AS BIGINT) AS files_total
+         |  FROM ds, pr GROUP BY probe),
+         |cnt AS (
+         |  SELECT 'ck_band' AS probe, CAST(COUNT(*) AS BIGINT) AS rows_in_probe
+         |  FROM base WHERE ck BETWEEN 100 AND 199
+         |  UNION ALL
+         |  SELECT 'day_band', CAST(COUNT(*) AS BIGINT) FROM base WHERE dd BETWEEN 365 AND 729
+         |  UNION ALL
+         |  SELECT 'box', CAST(COUNT(*) AS BIGINT) FROM base
+         |  WHERE ck BETWEEN 100 AND 199 AND dd BETWEEN 365 AND 729)
+         |SELECT layout, probe, files_touched, files_total, rows_in_probe
+         |FROM (SELECT * FROM tz UNION ALL SELECT * FROM td) u
+         |JOIN cnt USING (probe)
+         |ORDER BY layout, probe""".stripMargin
+    },
+
     // C89 dangling path: the q170 replay plus the operator's dangling-mass
     // term — customer→supplier edges only, every supplier a pure sink.
     // Per round a scalar-subquery CTE computes D div N (the semi-join of

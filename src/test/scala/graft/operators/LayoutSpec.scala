@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** C98: the Morton key must match a driver-side reference interleave
+  * bit-for-bit, file assignment must respect the equal-width contract,
+  * and the pruning report must show z-order's multi-dimensional locality
+  * beating a single-dimension sort on a box probe. */
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def refZ(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (b <- 0 until bits; i <- xs.indices)
+      z |= ((xs(i) >> b) & 1L) << (b * xs.length + i)
+    z
+  }
+
+  test("C98: zOrderKey equals the reference interleave on random dims (2 and 3 dims)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+      rnd.nextInt(128).toLong))
+    val df = rows.toDF("x", "y", "w")
+    val got2 = df.select(col("x"), col("y"),
+      Layout.zOrderKey(Seq(col("x"), col("y")), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got2.foreach { case (x, y, z) =>
+      assert(z == refZ(Seq(x, y), 16), s"($x,$y)") }
+    val got3 = df.select(col("x") % 128, col("y") % 128, col("w"),
+      Layout.zOrderKey(Seq(col("x") % 128, col("y") % 128, col("w")), 7).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (x, y, w, z) =>
+      assert(z == refZ(Seq(x, y, w), 7), s"($x,$y,$w)") }
+    // interleave is a bijection on the padded domain: no collisions
+    assert(got2.map(_._3).distinct.length == got2.map(t => (t._1, t._2)).distinct.length)
+  }
+
+  test("C98: assignFiles is the equal-width contract; bounds hold; empty-safe stats") {
+    val df = (0L until 1000L).toDF("k")
+    val assigned = Layout.assignFiles(df, col("k"), 10)
+    val got = assigned.select(col("k"), col("__file")).as[(Long, Long)].collect()
+    got.foreach { case (k, f) => assert(f == k * 10 / 1000, s"k=$k") }
+    assert(got.map(_._2).distinct.sorted.toSeq == (0L to 9L))
+    // stats carry min/max per file for every dim
+    val stats = Layout.fileStats(assigned.withColumn("d2", col("k") % 7), Seq("k", "d2"))
+    assert(stats.count() == 10)
+    val row = stats.filter(col("__file") === 3).head()
+    assert(row.getAs[Long]("min_k") == 300L && row.getAs[Long]("max_k") == 399L)
+  }
+
+  test("C98: on a uniform grid, z-order prunes a box probe; a 1-D sort cannot") {
+    // 64x64 grid of points, 64 files: the z-layout packs 8x8 tiles per
+    // file, so a 16x16 box touches exactly the 4-9 overlapping tiles; the
+    // x-sorted layout slices the grid into x-strips, and a box spanning
+    // 16 x-values touches every strip in that x range but ALL y — more
+    // files than tiles once the y band is selective.
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val z = Layout.fileStats(
+      Layout.assignFiles(grid, Layout.zOrderKey(Seq(col("x"), col("y")), 6), 64),
+      Seq("x", "y"))
+    val xs = Layout.fileStats(
+      Layout.assignFiles(grid, col("x"), 64), Seq("x", "y"))
+    val probe = Seq(("x", 8L, 23L), ("y", 8L, 23L))
+    val (zt, ztot) = Layout.filesTouched(z, probe)
+      .as[(Long, Long)].head()
+    val (xt, xtot) = Layout.filesTouched(xs, probe)
+      .as[(Long, Long)].head()
+    assert(ztot == 64 && xtot == 64)
+    // 16x16 box over 8x8 tiles: at most 3x3 = 9 tiles overlap
+    assert(zt <= 9, s"z-order touched $zt files")
+    // x-sorted: every one of the 16 x-strips overlaps the box
+    assert(xt == 16, s"x-sort touched $xt files")
+    assert(zt < xt, "z-order must beat the 1-D sort on a box probe")
+  }
+}
