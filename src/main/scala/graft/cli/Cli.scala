@@ -270,16 +270,38 @@ object Cli {
   // ------------------------------------------------------------- streams
 
   /** streams.ts: the stream catalog of a destination — by package name,
-    * or by connection id when a project dir holds one. */
+    * or by connection id when a project dir holds one. A connection that
+    * routes through the stdio channel (command/npm, or image with
+    * `--container-runtime`) is asked LIVE: the reference's streams
+    * command runs `describe-streams` on the actual connector
+    * (streams.ts:15-63), so graft does too. */
   private def streams(args: Seq[String], out: String => Unit): Int = {
-    val (flags, pos) = parseOpts(args, dirAliases, Set.empty)
+    val (flags, pos) = parseOpts(args,
+      dirAliases ++ Map("--container-runtime" -> "containerRuntime"), Set.empty)
     val ref = pos.headOption.getOrElse(
       throw new IllegalArgumentException("usage: streams <package-or-connection> [-d dir]"))
     val dir = projectDir(flags, Nil)
+    val connFileExists =
+      Files.exists(Paths.get(dir, "connections", ref + ".yml")) ||
+        Files.exists(Paths.get(dir, "connections", ref + ".yaml"))
+    if (connFileExists) {
+      val project = ProjectLoader.load(dir)
+      val conn = project.connections(ref)
+      val rt = flags.get("containerRuntime")
+        .map(b => graft.sinks.ContainerRuntime(binary = b))
+      (project.commandFor(conn), conn.image, rt) match {
+        case (Some((cmd, cdir)), _, _) =>
+          return liveStreams(conn, out,
+            command = Some((cmd, cdir.map(d =>
+              if (Paths.get(d).isAbsolute) d else Paths.get(dir, d).toString))),
+            image = None)
+        case (None, Some(img), Some(r)) =>
+          return liveStreams(conn, out, command = None, image = Some((img, r)))
+        case _ => () // registry-backed kinds fall through
+      }
+    }
     val kind =
-      if (Files.exists(Paths.get(dir, "connections", ref + ".yml")) ||
-          Files.exists(Paths.get(dir, "connections", ref + ".yaml")))
-        ProjectLoader.load(dir).connections(ref).kind
+      if (connFileExists) ProjectLoader.load(dir).connections(ref).kind
       else ProjectLoader.kindFromImage(ref)
     val spec = Destinations.describe(kind)
     out(s"Destination $kind — ${spec.streams.length} stream(s), default '${spec.defaultStream}':")
@@ -369,6 +391,44 @@ object Cli {
       }
     }
     if (failures > 0) 1 else 0
+  }
+
+  /** Run `describe-streams` on the live connector and render its declared
+    * streams — names, default, and the rowType's JSON-schema properties
+    * when the connector publishes them. */
+  private def liveStreams(conn: ProjectLoader.ConnectionDef, out: String => Unit,
+                          command: Option[(String, Option[String])],
+                          image: Option[(String, graft.sinks.ContainerRuntime)]): Int = {
+    import org.json4s._
+    import org.json4s.jackson.Serialization
+    implicit val fmts: Formats = DefaultFormats
+    val config = graft.sinks.ProcessSink.Config(
+      command = command.map(_._1.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      cwd = command.flatMap(_._2),
+      stream = "-",
+      connectionCredentials = Serialization.write(conn.credentials),
+      image = image.map(_._1),
+      runtime = image.map(_._2).getOrElse(graft.sinks.ContainerRuntime()))
+    val (_, spec) = graft.sinks.ProcessSink.describe(config)
+    out(s"Destination ${conn.id} (live connector) — ${spec.streams.length} stream(s), " +
+      s"default '${spec.defaultStream}':")
+    spec.streams.foreach { s =>
+      out(s"  ${s.name}")
+      s.rowType \ "properties" match {
+        case JObject(fields) =>
+          val required = (s.rowType \ "required") match {
+            case JArray(vs) => vs.collect { case JString(n) => n }.toSet
+            case _ => Set.empty[String]
+          }
+          fields.foreach { case (fname, fschema) =>
+            val t = (fschema \ "type") match { case JString(t) => t; case _ => "any" }
+            out(s"    $fname: $t${if (required(fname)) " (required)" else ""}")
+          }
+        case _ => ()
+      }
+    }
+    0
   }
 
   // ------------------------------------------------------- connector-dev

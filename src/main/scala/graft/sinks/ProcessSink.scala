@@ -90,12 +90,20 @@ object ProcessSink {
     * exists, mirroring the engine's pre-sync exchange
     * (core/src/commands/sync.ts). Returns the declared spec pair. */
   def preflight(config: Config): (ConnectionSpec, StreamSpec) = {
-    val chan = openChannel(config, rpcUrl = None)
-    val spec = chan.describe()
-    val streams = chan.streams(DescribeStreams(parseJson(config.connectionCredentials)))
+    val (spec, streams) = describe(config)
     require(streams.streams.exists(_.name == config.stream),
       s"connector does not declare stream '${config.stream}' " +
         s"(declares: ${streams.streams.map(_.name).mkString(", ")})")
+    (spec, streams)
+  }
+
+  /** The connector's own `describe` + `describe-streams` one-shots without
+    * the stream-existence gate — what the reference's `streams` command
+    * runs against a live connector (commands/streams.ts:15-63). */
+  def describe(config: Config): (ConnectionSpec, StreamSpec) = {
+    val chan = openChannel(config, rpcUrl = None)
+    val spec = chan.describe()
+    val streams = chan.streams(DescribeStreams(parseJson(config.connectionCredentials)))
     (spec, streams)
   }
 

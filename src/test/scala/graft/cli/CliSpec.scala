@@ -177,6 +177,45 @@ class CliSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("streams asks a command connection's LIVE connector via describe-streams") {
+    val dir = tmp()
+    cli("init", dir)
+    def write(rel: String, text: String): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, text.getBytes("UTF-8"))
+      ()
+    }
+    write("connector.sh",
+      """#!/bin/sh
+        |while IFS= read -r line; do
+        |  case "$line" in
+        |    *'"describe-streams"'*)
+        |      echo '{"type":"stream-spec","payload":{"defaultStream":"contacts","streams":[{"name":"contacts","rowType":{"type":"object","required":["email"],"properties":{"email":{"type":"string"},"age":{"type":"integer"}}}},{"name":"companies","rowType":{}}]}}' ;;
+        |    *'"describe"'*)
+        |      echo '{"type":"spec","payload":{"roles":["destination"],"connectionCredentials":{}}}' ;;
+        |  esac
+        |done
+        |""".stripMargin)
+    Files.setPosixFilePermissions(Paths.get(dir, "connector.sh"),
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x"))
+    write("connections/live_dest.yml",
+      """package:
+        |  type: npm
+        |  command: /bin/sh connector.sh
+        |  dir: .
+        |credentials:
+        |  apiKey: "k"
+        |""".stripMargin)
+    val (code, out) = cli("streams", "live_dest", "-d", dir)
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("live connector")), "must query the connector, not the registry")
+    assert(out.exists(_.contains("2 stream(s)")) && out.exists(_.contains("default 'contacts'")))
+    assert(out.exists(_.trim == "contacts") && out.exists(_.trim == "companies"))
+    assert(out.exists(_.contains("email: string (required)")))
+    assert(out.exists(_.contains("age: integer")))
+  }
+
   test("connector-dev runs a dev sync against a script connector with durable state") {
     val dir = tmp() // the connector-under-development's working tree
     val outDir = tmp()
