@@ -264,6 +264,32 @@ object ScaleProbe {
           .reduce(_ unionByName _)
         run("pagerank", k)(graft.operators.Rank.pageRank(ed).count())
       }
+      for (k <- Seq(1, 4, 16)) {
+        // dangling variant: one-directional edges, every supplier a pure
+        // sink — adds per round one semi-join aggregate over the
+        // (amplified) dangling set plus a 1-row broadcast; expect the
+        // same near-linear growth as the symmetrized walk
+        val edd = (0 until k).map(i => e0.select(
+            (col("c") * 2 + lit(i * shift)).as("src"),
+            (col("s") * 2 + 1 + lit(i * shift)).as("dst"), col("w")))
+          .reduce(_ unionByName _)
+        run("pagerank_dangling", k)(graft.operators.Rank.pageRank(edd).count())
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+      // per-row codegen'd interleave + one broadcast max + a files-sized
+      // aggregate: expect scan-bound growth
+      run("zorder_layout", k) {
+        val base = orders.select(
+          (col("o_custkey") % 65536).cast("long").as("ck"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("dd"))
+        graft.operators.Layout.fileStats(
+          graft.operators.Layout.assignFiles(base,
+            graft.operators.Layout.zOrderKey(Seq(col("ck"), col("dd"))), 64),
+          Seq("ck", "dd")).count()
+      }
     }
     for (k <- Seq(1, 4, 16)) {
       val docs = amplify(t.documents, "doc_id", k)
