@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * C99: two-sample KOLMOGOROV–SMIRNOV drift audit per slice — the
+ * distribution-shift gate of corpus maintenance: for every slice (a
+ * source, a snapshot, a shard) measure the KS distance between the
+ * slice's distribution of a metric and the REST of the corpus, so "which
+ * domain's length/quality profile moved" answers deterministically
+ * before a retrain. Complements the embedding-space drift pair (C81
+ * prototype cosine, D23 score-bucket monitor) with the classic
+ * nonparametric whole-distribution test on any numeric column.
+ *
+ * EXACT integer form, so the DuckDB oracle replays it bit-for-bit: with
+ * per-slice counts cumulated over the ordered value domain into the
+ * scaled ECDFs c_s(v) and n_s = |slice|, the KS numerator is
+ * `D_num(s) = max_v |c_s(v)·n_rest − c_rest(v)·n_s|` and the reported
+ * statistic is `ks_pm = 1000·D_num div (n_s·n_rest)` — the per-mille KS
+ * distance, no doubles anywhere. Products stay < 2⁶³ while the corpus
+ * row count is < ~3·10⁹; beyond that, pre-bucketize values (the usual
+ * practice for unbounded domains anyway) and/or widen to DECIMAL on
+ * both engines.
+ *
+ * Scale shape: ONE corpus scan reduces to the (slice × value) count
+ * frame; everything after rides the dense slice×value grid — sized by
+ * the VALUE DOMAIN times the slice count, independent of corpus rows
+ * (bucketize the metric first when its domain is unbounded). The grid
+ * is built with broadcast slice/total frames (a 1-row and a
+ * slices-sized broadcast — no shuffle-side cartesian), and the ECDF
+ * windows partition by slice with value-domain-bounded frames.
+ */
+object Drift {
+
+  /** Per-slice two-sample KS vs the rest of the corpus.
+    * @return (slice, n_slice, n_rest, ks_pm, ks_at_value) — the
+    *         per-mille KS distance and the smallest metric value
+    *         attaining it (largest distance wins; value breaks ties). */
+  def ksDrift(df: DataFrame, sliceCol: Column, valueCol: Column): DataFrame = {
+    val counts = df.select(sliceCol.as("slice"), valueCol.as("v"))
+      .groupBy("slice", "v").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("slice").agg(sum(col("c")).as("n_s"))
+    val grandTotal = counts.agg(sum(col("c")).as("n_all"))
+    // dense slice×value grid: every slice sees every observed value, so
+    // the cumulated ECDFs align at the same steps
+    val grid = counts.select("v").distinct()
+      .crossJoin(broadcast(totals.crossJoin(broadcast(grandTotal))))
+      .join(counts, Seq("slice", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    // the global cumulated count at each value — from the per-value
+    // totals, cumulated over the tiny distinct-value frame
+    val globalCum = counts.groupBy("v").agg(sum(col("c")).as("cv"))
+      .withColumn("call", sum(col("cv")).over(
+        Window.partitionBy(lit(1)).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "call")
+    val wCum = Window.partitionBy("slice").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = grid
+      .withColumn("cs", sum(col("c")).over(wCum))
+      .join(globalCum, "v")
+      .withColumn("n_rest", col("n_all") - col("n_s"))
+      .withColumn("crest", col("call") - col("cs"))
+      .withColumn("dnum", abs(col("cs") * col("n_rest") - col("crest") * col("n_s")))
+    val wPick = Window.partitionBy("slice").orderBy(col("dnum").desc, col("v").asc)
+    diffs.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("slice"), col("n_s").as("n_slice"), col("n_rest"),
+        expr("dnum * 1000 div (n_s * n_rest)").as("ks_pm"),
+        col("v").as("ks_at_value"))
+  }
+}

@@ -1184,6 +1184,21 @@ object TrainingData {
       .orderBy("layout", "probe")
   }
 
+  /** C99: per-source KS drift audit ([[graft.operators.Drift.ksDrift]]) —
+    * every source's document-length distribution against the rest of the
+    * corpus, as the exact per-mille two-sample Kolmogorov–Smirnov
+    * distance plus the length at which the ECDFs diverge most. The
+    * distribution-shift gate a corpus-maintenance job runs per snapshot:
+    * "which domain's profile moved" with no doubles and no RNG. */
+  def q179KsDrift(t: Tables): DataFrame = {
+    graft.operators.Drift.ksDrift(t.documents, col("source"), col("n_chars"))
+      .select(col("slice"), col("n_slice").cast("long").as("n_slice"),
+        col("n_rest").cast("long").as("n_rest"),
+        col("ks_pm").cast("long").as("ks_pm"),
+        col("ks_at_value").cast("long").as("ks_at_value"))
+      .orderBy("slice")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -2975,6 +2975,40 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C99: per-source KS drift — the scaled-ECDF integer form replayed
+    // window-for-window: dense slice×value grid, per-slice cumulated
+    // counts, the global cumulated counts, D_num = |cs·n_rest −
+    // c_rest·n_s| maximized with the (dnum DESC, v ASC) pick, per-mille
+    // truncating division.
+    "q179_ks_drift" ->
+      """WITH counts AS (
+        |  SELECT source AS slice, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY slice),
+        |gt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts),
+        |vals AS (SELECT DISTINCT v FROM counts),
+        |grid AS (
+        |  SELECT t.slice, vals.v, t.n_s, gt.n_all, COALESCE(c.c, 0) AS c
+        |  FROM vals CROSS JOIN tot t CROSS JOIN gt
+        |  LEFT JOIN counts c ON c.slice = t.slice AND c.v = vals.v
+        |), gcum AS (
+        |  SELECT v, CAST(SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS call
+        |  FROM (SELECT v, SUM(c) AS cv FROM counts GROUP BY v)
+        |), d AS (
+        |  SELECT g.slice, g.v, g.n_s, g.n_all - g.n_s AS n_rest,
+        |    CAST(SUM(g.c) OVER (PARTITION BY g.slice ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+        |    gc.call
+        |  FROM grid g JOIN gcum gc ON g.v = gc.v
+        |), d2 AS (
+        |  SELECT slice, v, n_s, n_rest, ABS(cs * n_rest - (call - cs) * n_s) AS dnum FROM d
+        |), p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY slice ORDER BY dnum DESC, v ASC) AS rn FROM d2
+        |)
+        |SELECT slice, n_s AS n_slice, n_rest,
+        |  CAST(dnum * 1000 // (n_s * n_rest) AS BIGINT) AS ks_pm,
+        |  CAST(v AS BIGINT) AS ks_at_value
+        |FROM p WHERE rn = 1 ORDER BY slice""".stripMargin,
+
     // C98: Z-order layout audit — bit-interleave, equal-width file
     // assignment over the broadcast max, per-file min/max footer stats and
     // conjunctive box-overlap pruning replayed integer-for-integer; the
