@@ -71,4 +71,44 @@ object Drift {
         expr("dnum * 1000 div (n_s * n_rest)").as("ks_pm"),
         col("v").as("ks_at_value"))
   }
+
+  /** Per-slice two-sample KS against a FIXED reference distribution —
+    * the monitoring form: the reference is the calibration corpus's
+    * (value, count) frame, incoming data drifts against it. The ECDFs
+    * step at the UNION of both value sets (a reference-only step can be
+    * where the gap peaks), cumulated with the same integer arithmetic as
+    * [[ksDrift]].
+    * @param reference (v, c) rows — the reference value counts.
+    * @return (slice, n_slice, n_ref, ks_pm, ks_at_value). */
+  def ksVsReference(df: DataFrame, reference: DataFrame,
+                    sliceCol: Column, valueCol: Column): DataFrame = {
+    val counts = df.select(sliceCol.as("slice"), valueCol.as("v"))
+      .groupBy("slice", "v").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("slice").agg(sum(col("c")).as("n_s"))
+    val ref = reference.select(col("v").cast("long").as("v"), col("c").cast("long").as("rc"))
+    val refTotal = ref.agg(sum(col("rc")).as("n_ref"))
+    // the ECDF step grid: union of batch and reference values
+    val values = counts.select("v").union(ref.select("v")).distinct()
+    val refCum = values.join(ref, Seq("v"), "left")
+      .withColumn("rc", coalesce(col("rc"), lit(0L)))
+      .withColumn("cref", sum(col("rc")).over(
+        Window.partitionBy(lit(1)).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "cref")
+    val wCum = Window.partitionBy("slice").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = values
+      .crossJoin(broadcast(totals.crossJoin(broadcast(refTotal))))
+      .join(counts, Seq("slice", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cs", sum(col("c")).over(wCum))
+      .join(refCum, "v")
+      .withColumn("dnum", abs(col("cs") * col("n_ref") - col("cref") * col("n_s")))
+    val wPick = Window.partitionBy("slice").orderBy(col("dnum").desc, col("v").asc)
+    diffs.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("slice"), col("n_s").as("n_slice"), col("n_ref"),
+        expr("dnum * 1000 div (n_s * n_ref)").as("ks_pm"),
+        col("v").as("ks_at_value"))
+  }
 }

@@ -550,6 +550,45 @@ object EventStreams {
   def classifierScoreHistory(spark: SparkSession, historyRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
 
+  /** D29: streaming KS DRIFT monitor — the whole-distribution companion
+    * to D23's score buckets: every micro-batch's per-slice metric
+    * distribution is tested against the FIXED calibration reference
+    * ([[graft.operators.Drift.ksVsReference]] — exact per-mille
+    * two-sample KS, integer arithmetic) and the per-slice statistics are
+    * appended as a versioned history; an alarm reads the history and
+    * fires on `ks_pm` above its tolerance ("this source's length/quality
+    * profile no longer looks like what we calibrated on").
+    *
+    * Scale: the reference rides as a value-domain-sized literal frame
+    * (KBs — bucketize unbounded metrics first), each batch reduces to
+    * its (slice × value) counts, and every window rides that grid.
+    * History rows per batch = |slices in batch|. */
+  def ksDriftMonitor(stream: DataFrame, reference: Seq[(Long, Long)],
+                     historyRoot: String, checkpointDir: String,
+                     sliceCol: String, valueCol: String): Unit = {
+    require(reference.nonEmpty, "reference distribution must be non-empty")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val refDf = reference.toDF("v", "c")
+          graft.operators.Drift.ksVsReference(
+              batch.toDF(), refDf, col(sliceCol), col(valueCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$historyRoot/v$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The KS drift history: one row per (batch, slice). */
+  def ksDriftHistory(spark: SparkSession, historyRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
+
   /** Current SCD2 history under the latest published pointer. */
   def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
     readPointer(spark, stateRoot) match {

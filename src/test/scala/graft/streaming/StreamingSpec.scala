@@ -705,6 +705,61 @@ class StreamingSpec extends SparkSuite {
       .select("batch_id").distinct().count() == 2)
   }
 
+  test("D29: streaming KS drift matches the batch kernel; a biased batch scores higher; replay-safe") {
+    import graft.operators.Drift
+    val in = Files.createTempDirectory("graft-ks-in").toString
+    val hist = Files.createTempDirectory("graft-ks-hist").toString
+    val ckpt = Files.createTempDirectory("graft-ks-ckpt").toString
+
+    // calibration reference: the static corpus's length distribution
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reference = docs.groupBy(col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toSeq
+
+    def runOnce(): Unit = EventStreams.ksDriftMonitor(
+      spark.readStream.schema("doc_id LONG, source STRING, n_chars LONG").parquet(in),
+      reference, historyRoot = hist, checkpointDir = ckpt,
+      sliceCol = "source", valueCol = "n_chars")
+
+    // batch 1: an unbiased slice of the corpus; batch 2: only LONG docs —
+    // a genuinely drifted distribution
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    b1.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val b2 = docs.filter(col("n_chars") > 400)
+      .select(col("doc_id"), lit("drifted").as("source"), col("n_chars").cast("long").as("n_chars"))
+    b2.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val history = EventStreams.ksDriftHistory(spark, hist)
+    val batches = history.select("batch_id").distinct().as[Long].collect().sorted
+    assert(batches.length == 2, s"one history version per batch, got ${batches.toSeq}")
+
+    // each batch's history rows equal the batch-computed kernel output
+    val refDf = reference.toDF("v", "c")
+    for ((batch, bid) <- Seq(b1, b2).zip(batches)) {
+      val expect = Drift.ksVsReference(batch.toDF(), refDf, col("source"), col("n_chars"))
+        .select("slice", "ks_pm").as[(String, Long)].collect().toMap
+      val got = history.filter(col("batch_id") === bid)
+        .select("slice", "ks_pm").as[(String, Long)].collect().toMap
+      assert(got == expect, s"batch $bid: $got != $expect")
+    }
+    // the alarm signal works: the long-docs batch drifts far more than
+    // any unbiased per-source slice of batch 1
+    val calmMax = history.filter(col("batch_id") === batches(0))
+      .agg(max("ks_pm")).as[Long].head()
+    val drifted = history.filter(col("batch_id") === batches(1) && col("slice") === "drifted")
+      .select("ks_pm").as[Long].head()
+    assert(drifted > calmMax && drifted > 500,
+      s"drifted=$drifted must exceed calm max=$calmMax")
+
+    // replay on the same checkpoint: no new data, no new history version
+    runOnce()
+    assert(EventStreams.ksDriftHistory(spark, hist)
+      .select("batch_id").distinct().count() == 2)
+  }
+
   test("D25: continuous enrichment-view maintenance tracks fact deltas AND dim drift, replay-safe") {
     val in = Files.createTempDirectory("graft-enrich-in").toString
     val state = Files.createTempDirectory("graft-enrich-state").toString
