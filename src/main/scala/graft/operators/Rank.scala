@@ -48,7 +48,9 @@ object Rank {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val wsum = edges.groupBy("src").agg(sum(col("w")).as("wt"))
     val ed = edges.join(wsum, "src").localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
+    // src side rides the already-unique wsum frame; only dst needs the
+    // corpus-side distinct
+    val nodes = wsum.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     // dangling = nodes that never appear as src; N is one bounded scalar
@@ -57,17 +59,26 @@ object Rank {
       wsum.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint(true)
     val n = nodes.count()
+    // graphs where every node has out-edges (the symmetrized case) have
+    // D = 0 every round by construction — skip the per-round semi-join
+    // and broadcast entirely, which keeps the dangling feature free for
+    // the common case (one bounded existence probe up front)
+    val hasDanglings = !dangling.isEmpty
     var r = nodes.select(col("node"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
-      // this round's dangling mass as a 1-row broadcast: D div N per node
-      val dshare = r.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-        .select(expr(s"dmass div ${n}L").as("dshare"))
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(ed("dst").as("node"), expr("r * w div wt").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dshare))
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val withShare =
+        if (hasDanglings) {
+          // this round's dangling mass as a 1-row broadcast: D div N
+          val dshare = r.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+            .select(expr(s"dmass div ${n}L").as("dshare"))
+          joined.crossJoin(broadcast(dshare))
+        } else joined.withColumn("dshare", lit(0L))
+      r = withShare
         .select(col("node"),
           expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * (coalesce(s, 0L) + dshare)) div 100")
             .as("r"))
