@@ -620,6 +620,43 @@ case class OggMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** FLAC roundtrip probe: struct<seed:long, n:int, step:int, rate:int> →
+  * struct(format, sample_rate, channels, bits, total_samples, sum_s,
+  * min_s, max_s, wsum_s, roundtrip_ok) — synthesizes the deterministic
+  * sawtooth, encodes as real FLAC, decodes and verifies
+  * ([[FlacCodecUtil.synthRoundtrip]]). Codegen'd. */
+case class FlacProbe(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.length == 4 &&
+      s.fields.map(_.dataType).sameElements(
+        Array[DataType](LongType, IntegerType, IntegerType, IntegerType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<long,int,int,int>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType), StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType), StructField("bits", IntegerType),
+    StructField("total_samples", LongType), StructField("sum_s", LongType),
+    StructField("min_s", LongType), StructField("max_s", LongType),
+    StructField("wsum_s", LongType), StructField("roundtrip_ok", BooleanType)))
+  override def prettyName: String = "flac_probe"
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = input.asInstanceOf[InternalRow]
+    FlacCodecUtil.synthRoundtrip(r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, row => s"""
+      |${ev.value} = graft.functions.FlacCodecUtil.synthRoundtrip(
+      |  $row.getLong(0), $row.getInt(1), $row.getInt(2), $row.getInt(3));
+    """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): FlacProbe =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object MediaFunctions {
   /** Synthesize WAV bytes from (sample_rate, channels, bits, n_samples,
@@ -668,4 +705,10 @@ object MediaFunctions {
     * pages, total_samples, serial). */
   def oggMeta(bytes: Column): Column =
     bridge.column(OggMeta(bridge.expression(bytes)))
+
+  /** FLAC encode→decode roundtrip probe over the deterministic sawtooth
+    * (seed, n, step, rate). */
+  def flacProbe(seed: Column, n: Column, step: Column, rate: Column): Column =
+    bridge.column(FlacProbe(bridge.expression(
+      F.struct(seed.cast("long"), n.cast("int"), step.cast("int"), rate.cast("int")))))
 }

@@ -21,12 +21,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
  *    streams, cross-checked against the JDK's ImageIO GIF reader.
  *
  * JPEG baseline pixels are decoded for real in
- * [[graft.functions.JpegCodecUtil]] (T.81 huffman + IDCT), and MP4
- * PCM samples / MJPEG frames in [[MediaCodecUtil]], which also walks
- * AAC ADTS frames and Ogg Vorbis pages (real RFC 3533 CRCs) at the
- * container level. The only remaining stand-ins are the compressed
- * A/V transform codecs a JVM cannot host here — H.264/HEVC video and
- * AAC/Vorbis sample decode — documented in
+ * [[graft.functions.JpegCodecUtil]] (T.81 huffman + IDCT), MP4
+ * PCM samples / MJPEG frames in [[MediaCodecUtil]] (which also walks
+ * AAC ADTS frames and Ogg Vorbis pages with real RFC 3533 CRCs at the
+ * container level), and lossless compressed audio in
+ * [[FlacCodecUtil]] (full FLAC encode+decode). The only remaining
+ * stand-ins are the LOSSY transform codecs a JVM cannot host here —
+ * H.264/HEVC video and AAC/Vorbis sample decode — documented in
  * [[graft.operators.Multimodal]].
  *
  * Decoding runs executor-side inside the batched `mapPartitions`

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
  * pixel-exactness cross-checked against the JDK's own readers; baseline
  * JPEG pixels and raw-PCM MP4 audio tracks decode for real too
  * ([[graft.functions.JpegCodecUtil]], `decodeMp4PcmSamples`). Only
- * COMPRESSED AV payloads (H.264/HEVC frames, AAC raw_data_blocks,
- * Vorbis audio packets) — transform codecs that genuinely need external
+ * COMPRESSED audio decode is REAL for the lossless family: FLAC
+ * streams (fixed predictors + Rice residuals, CRC-8/16, STREAMINFO
+ * MD5 — [[graft.functions.FlacCodecUtil]]) and IMA ADPCM both decode
+ * to exact samples inside the feature path. Only LOSSY transform
+ * payloads (H.264/HEVC frames, AAC raw_data_blocks, Vorbis audio
+ * packets) — psychoacoustic codecs that genuinely need external
  * libraries — keep the deterministic stand-in (`decodeStub`); their
  * CONTAINERS (ADTS frame chains, Ogg pages incl. checksums) parse for
  * real. A production build swaps ONLY the stand-in body for a real
@@ -328,6 +332,8 @@ object Multimodal {
     if (mp != null) return sampleFeatures(mp.samples, mp.bits)
     val ad = graft.functions.AdpcmCodecUtil.decodeWavImaAdpcmSamples(payload)
     if (ad != null) return sampleFeatures(ad, 16)
+    val fl = graft.functions.FlacCodecUtil.decodeFlac(payload)
+    if (fl != null) return sampleFeatures(fl.samples.flatten, fl.bits)
     val mj = PixelCodecUtil.decodeMp4MjpegFrames(payload)
     if (mj != null && mj.frames.nonEmpty)
       return pixelFeatures(Array.concat(mj.frames: _*))

@@ -988,6 +988,33 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** C12 (audio, FLAC): REAL lossless compressed-audio codec exercised
+    * end-to-end — per doc a deterministic sawtooth is encoded as genuine
+    * FLAC (fixed predictors, Rice residuals, CRC-8/16, STREAMINFO MD5)
+    * and decoded back by [[graft.functions.FlacCodecUtil]]; the oracle
+    * computes the decoded stream's metadata and order-sensitive integer
+    * sample statistics from the closed form, so any decode defect —
+    * wrong samples, wrong order, wrong count — breaks the exact match.
+    * The codec is lossless, which is what makes a compressed-audio
+    * format SQL-gateable at all. */
+  def q180FlacRoundtrip(t: Tables): DataFrame = {
+    import graft.functions.MediaFunctions.flacProbe
+    val n = (col("n_chars") % 400 + 50).cast("int")
+    val step = (col("doc_id") % 97 + 1).cast("int")
+    val rate = element_at(
+      array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)),
+      (col("doc_id") % 5 + 1).cast("int"))
+    t.documents
+      .select(col("doc_id"), flacProbe(col("doc_id"), n, step, rate).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.sample_rate").as("sample_rate"), col("m.channels").as("channels"),
+        col("m.bits").as("bits"), col("m.total_samples").as("total_samples"),
+        col("m.sum_s").as("sum_s"), col("m.min_s").as("min_s"),
+        col("m.max_s").as("max_s"), col("m.wsum_s").as("wsum_s"),
+        col("m.roundtrip_ok").as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** C12 (video): REAL MP4/ISO-BMFF round-trip — per doc, `ftyp` +
     * variable-length `free` + `moov`/`mvhd` bytes are assembled and
     * box-walked BACK by the codegen'd [[graft.functions.VideoMeta]].

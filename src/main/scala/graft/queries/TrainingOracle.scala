@@ -1086,6 +1086,35 @@ object TrainingOracle {
       |  CAST(ts * 1000 // rate AS BIGINT) AS duration_ms
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // C12 (audio, FLAC): the lossless-codec gate — the decoded stream's
+  // metadata and ORDER-SENSITIVE integer sample stats computed from the
+  // same closed-form sawtooth the Spark kernel synthesizes; the lateral
+  // generate_series replays every sample, so a decode defect of any kind
+  // (value, order, count) breaks sum/min/max/Σi·x exactly. roundtrip_ok
+  // is pinned TRUE (the kernel's own decode==input check).
+  private val flacRoundtripSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         n_chars % 400 + 50 AS n,
+      |         doc_id % 97 + 1 AS step,
+      |         CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1] AS INT) AS rate
+      |  FROM documents),
+      |samp AS (
+      |  SELECT b.doc_id, b.n, b.rate, i.i,
+      |         CAST((b.doc_id * 31 + i.i * b.step) % 4096 - 2048 AS BIGINT) AS x
+      |  FROM base b, LATERAL (SELECT unnest(generate_series(0, b.n - 1)) AS i) i),
+      |st AS (
+      |  SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
+      |         CAST(SUM(x) AS BIGINT) AS sum_s,
+      |         CAST(MIN(x) AS BIGINT) AS min_s,
+      |         CAST(MAX(x) AS BIGINT) AS max_s,
+      |         CAST(SUM(i * x) AS BIGINT) AS wsum_s
+      |  FROM samp GROUP BY doc_id)
+      |SELECT doc_id, 'flac' AS format, rate AS sample_rate, 1 AS channels,
+      |  16 AS bits, CAST(n AS BIGINT) AS total_samples,
+      |  sum_s, min_s, max_s, wsum_s, TRUE AS roundtrip_ok
+      |FROM st ORDER BY doc_id""".stripMargin
+
   // C12 (video): predicted MP4/ISO-BMFF round-trip — ftyp (isom/mp42),
   // variable-length free box, moov/mvhd v0 (timescale, duration, unity
   // rate/volume/matrix, next_track_ID 2), all re-built hex-wise.
@@ -1359,6 +1388,7 @@ object TrainingOracle {
     "q131_audio_meta"      -> audioMetaSql,
     "q176_adts_meta"       -> adtsMetaSql,
     "q177_ogg_meta"        -> oggMetaSql,
+    "q180_flac_roundtrip"  -> flacRoundtripSql,
     "q132_video_meta"      -> videoMetaSql,
     "q31_dedup_minhash"    -> minhashTruthSql,
     "q32_dedup_simhash"    -> simhashXxSql,

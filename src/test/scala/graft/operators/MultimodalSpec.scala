@@ -621,6 +621,16 @@ class MultimodalSpec extends SparkSuite {
     val ft = Multimodal.decodeFeatures(tone)
     assert(fs(1) == 0.0f && ft(1) > 0.3f, s"RMS: silent=${fs(1)} tone=${ft(1)}")
     assert(ft(3) > 0.5f, "peak amplitude of a near-full-scale tone")
+    // FLAC payloads route through the REAL lossless decode: identical PCM
+    // through WAV and FLAC containers extracts IDENTICAL features
+    val pcm = Array.tabulate(400)(i => (math.sin(i * 0.21) * 18000).toInt)
+    val viaWav = Multimodal.decodeFeatures(
+      PixelCodecUtil.encodeWavSamples(8000, 1, 16, pcm))
+    val viaFlac = Multimodal.decodeFeatures(
+      graft.functions.FlacCodecUtil.encodeFlac(Array(pcm), 8000, 16))
+    assert(viaFlac.toSeq == viaWav.toSeq,
+      "FLAC and WAV of the same PCM must yield identical features")
+    assert(viaFlac(1) > 0.3f, "FLAC features come from real samples, not the stub")
   }
 
   test("pixel media table -> feature extraction runs the real PNG decode distributed") {
