@@ -76,4 +76,71 @@ object Layout {
       sum(when(overlap, 1L).otherwise(0L)).as("files_touched"),
       count(lit(1)).as("files_total"))
   }
+
+  /** Materialize the clustered layout as REAL parquet: one directory per
+    * assigned file id (`__file=N/`), rows co-located by the cluster key —
+    * the write a table-maintenance `OPTIMIZE ZORDER`-style job performs.
+    * The repartition co-locates each logical file's rows so every
+    * `__file=N` directory holds that file's row set. */
+  def writeClustered(df: DataFrame, key: Column, files: Int, path: String): Unit =
+    assignFiles(df, key, files)
+      .repartition(col("__file"))
+      .write.mode("overwrite").partitionBy("__file").parquet(path)
+
+  /** Read the ACTUAL parquet footer statistics of a [[writeClustered]]
+    * layout — the min/max each row group's metadata physically carries,
+    * which is exactly what engine-side file skipping consults. Returns
+    * the same (\_\_file, n_rows, min_d/max_d...) frame shape as
+    * [[fileStats]], aggregated from the real footers (driver-side footer
+    * walk over the files-sized layout — no data pages are read). */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                  dims: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("__file="))
+    val rows = parts.toSeq.map { dir =>
+      val fileId = dir.getPath.getName.stripPrefix("__file=").toLong
+      var n = 0L
+      val mins = scala.collection.mutable.Map.empty[String, Long]
+      val maxs = scala.collection.mutable.Map.empty[String, Long]
+      fs.listStatus(dir.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            reader.getFooter.getBlocks.asScala.foreach { block =>
+              n += block.getRowCount
+              block.getColumns.asScala.foreach { c =>
+                val name = c.getPath.toDotString
+                if (dims.contains(name)) {
+                  val st = c.getStatistics
+                  require(st != null && !st.isEmpty, s"no stats for $name in ${f.getPath}")
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                  mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn)
+                  maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx)
+                }
+              }
+            }
+          } finally reader.close()
+        }
+      org.apache.spark.sql.Row.fromSeq(
+        fileId +: n +: dims.flatMap(d => Seq(mins(d), maxs(d))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.LongType) ::
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType) ::
+      dims.flatMap(d => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$d",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(s"max_$d",
+          org.apache.spark.sql.types.LongType))).toList)
+    spark.createDataFrame(rows.asJava, schema)
+  }
 }

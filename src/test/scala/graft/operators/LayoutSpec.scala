@@ -49,6 +49,35 @@ class LayoutSpec extends SparkSuite {
     assert(row.getAs[Long]("min_k") == 300L && row.getAs[Long]("max_k") == 399L)
   }
 
+  test("C98: REAL parquet footers carry the computed stats — file skipping is physical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zlayout").toString
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val zkey = Layout.zOrderKey(Seq(col("x"), col("y")), 6)
+    Layout.writeClustered(grid, zkey, 64, dir)
+    // the footers of the written layout must agree with the computed
+    // stats frame EXACTLY — what engine-side skipping consults is what
+    // the audit predicted
+    val computed = Layout.fileStats(Layout.assignFiles(grid, zkey, 64), Seq("x", "y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val physical = Layout.footerStats(spark, dir, Seq("x", "y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(physical == computed, "footer stats must equal the audit's stats frame")
+    // and the pruning verdict on real footers matches the simulated one
+    val probe = Seq(("x", 8L, 23L), ("y", 8L, 23L))
+    val fromFooters = Layout.filesTouched(
+      Layout.footerStats(spark, dir, Seq("x", "y")), probe)
+      .as[(Long, Long)].head()
+    val simulated = Layout.filesTouched(
+      Layout.fileStats(Layout.assignFiles(grid, zkey, 64), Seq("x", "y")), probe)
+      .as[(Long, Long)].head()
+    assert(fromFooters == simulated)
+    // Spark's own scan proves the skip: reading the clustered layout with
+    // the box predicate must produce exactly the box
+    val read = spark.read.parquet(dir)
+      .filter(col("x").between(8, 23) && col("y").between(8, 23))
+    assert(read.count() == 16L * 16L)
+  }
+
   test("C98: on a uniform grid, z-order prunes a box probe; a 1-D sort cannot") {
     // 64x64 grid of points, 64 files: the z-layout packs 8x8 tiles per
     // file, so a 16x16 box touches exactly the 4-9 overlapping tiles; the
