@@ -39,6 +39,68 @@ import org.apache.spark.sql.functions._
  */
 object Rank {
 
+  /** PERSONALIZED PageRank: the teleport lands on a seed set instead of
+    * uniformly — the topic-focused variant web curation uses to expand a
+    * trusted seed list into a ranked neighborhood ("which domains does
+    * the walk from THESE seeds keep visiting"). Same Spark shape as
+    * [[pageRank]] (K co-partitioned rounds, zero driver state, exact
+    * integer fixed-point), with the seed membership riding a broadcast
+    * flag on the node frame:
+    *
+    *  - total walk mass is ONE unit `U = scale`; initialization and the
+    *    per-round teleport give each seed `U div |S|` /
+    *    `((100−d)·U div 100) div |S|` (truncating — up to |S|−1 units
+    *    lost per term, deterministic on both engines);
+    *  - dangling mass teleports to the SEEDS (`D div |S|` inside the
+    *    damped term), the standard PPR formulation — walks restart at
+    *    the personalization vector, never uniformly.
+    *
+    * @param seeds one column `node`; must be non-empty and a subset of
+    *              the graph's nodes for the mass accounting to hold. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 6,
+                           dampingPct: Int = 85,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wt"))
+    val ed = edges.join(wsum, "src").localCheckpoint(true)
+    val nodes0 = wsum.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nS = seedSet.count()
+    require(nS > 0, "personalized PageRank needs at least one seed")
+    val nodes = nodes0
+      .join(seedSet.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+      .localCheckpoint(true)
+    val dangling = nodes.select("node")
+      .join(wsum.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val hasDanglings = !dangling.isEmpty
+    val teleport = ((100L - dampingPct) * scale / 100L) / nS
+    var r = nodes.select(col("node"),
+      when(col("__seed"), lit(scale / nS)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("node"))
+        .select(ed("dst").as("node"), expr("r * w div wt").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val withShare =
+        if (hasDanglings) {
+          val dshare = r.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+            .select(expr(s"dmass div ${nS}L").as("dshare"))
+          joined.crossJoin(broadcast(dshare))
+        } else joined.withColumn("dshare", lit(0L))
+      r = withShare
+        .select(col("node"), col("__seed"),
+          (expr(s"$dampingPct * (coalesce(s, 0L) + if(__seed, dshare, 0L)) div 100") +
+            when(col("__seed"), lit(teleport)).otherwise(lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select("node", "r")
+  }
+
   /** @param edges (src: long, dst: long, w: long); the node set is
     *              distinct(src ∪ dst) — pure sinks are handled by the
     *              dangling-mass redistribution, no symmetrization needed.

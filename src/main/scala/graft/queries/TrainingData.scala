@@ -1226,6 +1226,33 @@ object TrainingData {
       .orderBy("slice")
   }
 
+  /** C101: PERSONALIZED PageRank ([[graft.operators.Rank
+    * .personalizedPageRank]]) — the walk restarts at the ten
+    * highest-volume customers (order count, custkey tie-break — integer
+    * ordering so both engines pick identical seeds), ranking the
+    * supplier/customer neighborhood those seeds actually reach: the
+    * seed-expansion computation of topic-focused web curation, on the
+    * symmetrized purchase graph. Exact fixed-point with 1-unit total
+    * mass; top-100 with the total (rank, side, id) order. */
+  def q181PersonalizedPagerank(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+    val seeds = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey").asc)
+      .limit(10)
+      .select((col("o_custkey") * 2).as("node"))
+    graft.operators.Rank.personalizedPageRank(ed, seeds)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        expr("node div 2").as("id"), col("r").as("rank_fx"))
+      .orderBy(col("rank_fx").desc, col("side"), col("id"))
+      .limit(100)
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

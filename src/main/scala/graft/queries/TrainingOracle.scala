@@ -3089,6 +3089,54 @@ object TrainingOracle {
          |ORDER BY layout, probe""".stripMargin
     },
 
+    // C101: personalized PageRank — the q170 graph with the teleport on
+    // the 10 highest-order-count customers (integer seed pick, custkey
+    // tie-break). r0 = U div S on seeds; each round 85%·contrib plus the
+    // seed teleport ((15·U div 100) div S); no danglings on the
+    // symmetrized graph, so no dshare term. Divisions truncate in the
+    // operator's exact order (U div 100 first, then div S).
+    "q181_ppr" -> {
+      val scale = 1000000000000L
+      val rounds = (1 to 6).map { k =>
+        val pv = s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node, CAST(85 * COALESCE(c.s, 0) // 100 AS BIGINT)
+           |      + CASE WHEN n.sd THEN (15 * CAST($scale AS BIGINT) // 100) // ns.s ELSE 0 END AS r
+           |  FROM nodes n CROSS JOIN ns LEFT JOIN (
+           |    SELECT ed.dst AS node, CAST(SUM($pv.r * ed.w // ed.wt) AS BIGINT) AS s
+           |    FROM ed JOIN $pv ON $pv.node = ed.src
+           |    GROUP BY ed.dst) c ON n.node = c.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e2 AS (
+         |  SELECT 2 * c AS src, 2 * s + 1 AS dst, w FROM e
+         |  UNION ALL
+         |  SELECT 2 * s + 1 AS src, 2 * c AS dst, w FROM e
+         |), ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM e2 GROUP BY src),
+         |ed AS MATERIALIZED (
+         |  SELECT e2.src, e2.dst, e2.w, ws.wt FROM e2 JOIN ws ON e2.src = ws.src
+         |), seeds AS MATERIALIZED (
+         |  SELECT 2 * o_custkey AS node FROM orders GROUP BY o_custkey
+         |  ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10
+         |), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM seeds),
+         |nodes AS MATERIALIZED (
+         |  SELECT node, node IN (SELECT node FROM seeds) AS sd
+         |  FROM (SELECT DISTINCT src AS node FROM e2)
+         |), r0 AS (
+         |  SELECT node, CASE WHEN sd THEN CAST($scale AS BIGINT) // ns.s ELSE 0 END AS r
+         |  FROM nodes CROSS JOIN ns),
+         |$rounds
+         |fin AS (
+         |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |    node // 2 AS id, r AS rank_fx
+         |  FROM r6)
+         |SELECT side, id, rank_fx FROM fin
+         |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
+    },
+
     // C89 dangling path: the q170 replay plus the operator's dangling-mass
     // term — customer→supplier edges only, every supplier a pure sink.
     // Per round a scalar-subquery CTE computes D div N (the semi-join of

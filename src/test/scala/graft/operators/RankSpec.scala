@@ -82,6 +82,61 @@ class RankSpec extends SparkSuite {
       s"total mass $total vs ${n * 1000000000L}")
   }
 
+  /** Driver replay of the personalized fixed point: teleport and dangling
+    * mass both land on the seed set, divisions in the operator's order. */
+  private def replayPpr(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                        iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val wt = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val dangling = nodes.filterNot(wt.contains)
+    val nS = seeds.size.toLong
+    val tele = ((100L - 85L) * scale / 100L) / nS
+    var r = nodes.map(n => n -> (if (seeds(n)) scale / nS else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dshare = dangling.map(r).sum / nS
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / wt(s) }.sum).toMap
+      r = nodes.map { n =>
+        val seedExtra = if (seeds(n)) dshare else 0L
+        n -> (85L * (in.getOrElse(n, 0L) + seedExtra) / 100L +
+          (if (seeds(n)) tele else 0L))
+      }.toMap
+    }
+    r
+  }
+
+  test("C101: personalized PageRank matches the driver replay; mass concentrates near the seeds") {
+    // two loosely-bridged clusters plus a dangling sink hanging off the
+    // seed cluster: the walk from seed 1 must rank its own cluster far
+    // above the distant cluster, and the sink's mass must restart at the seed
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 5L), (3L, 1L, 5L), // seed cluster
+      (3L, 4L, 1L),                                            // weak bridge
+      (4L, 5L, 5L), (5L, 6L, 5L), (6L, 4L, 5L),               // far cluster
+      (2L, 7L, 2L))                                            // 7 = dangling sink
+    val got = Rank.personalizedPageRank(
+      edges.toDF("src", "dst", "w"), Seq(Tuple1(1L)).toDF("node"), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == replayPpr(edges, Set(1L), 8))
+    assert(got.keySet == (1L to 7L).toSet)
+    // locality: every seed-cluster node outranks every far-cluster node
+    for (near <- Seq(1L, 2L, 3L); far <- Seq(4L, 5L, 6L))
+      assert(got(near) > got(far), s"near=$near far=$far: $got")
+    // total mass stays ≈ one unit (truncation-only loss)
+    val total = got.values.sum
+    assert(total > 999990000000L && total <= 1000000000000L, s"mass $total")
+  }
+
+  test("C101: multi-seed replay with tied structure splits the teleport exactly") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+    val got = Rank.personalizedPageRank(
+      edges.toDF("src", "dst", "w"), Seq(1L, 3L).map(Tuple1(_)).toDF("node"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == replayPpr(edges, Set(1L, 3L), 5))
+    // symmetric components with symmetric seeds: identical ranks
+    assert(got(1L) == got(3L) && got(2L) == got(4L))
+  }
+
   test("C89: q170 plan has no cartesian product") {
     val t = graft.queries.Tables(spark, sfDir)
     val df = graft.queries.TrainingData.q170PageRank(t)
