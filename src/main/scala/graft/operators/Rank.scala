@@ -101,6 +101,63 @@ object Rank {
     r.select("node", "r")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the link-analysis dual to
+    * PageRank: a node is a good HUB if it points at good authorities and
+    * a good AUTHORITY if good hubs point at it. On a bipartite
+    * interaction graph (customers→suppliers, crawl-frontier→domains) the
+    * duality is the natural reading: hub scores rank the pointing side,
+    * authority scores the pointed-at side.
+    *
+    * Exact integer power iteration, so the DuckDB oracle replays every
+    * round: scores are fixed-point longs starting at 10⁴; each round
+    * computes `auth(v) = Σ_{u→v} hub(u)·w` then `hub(u) = Σ_{u→v}
+    * auth(v)·w` and renormalizes EACH side to max 10⁴ by truncating
+    * division (the q163 power-method convention — wide intermediates via
+    * DECIMAL(38,0)/HUGEINT sums, loud failure past int64 on both
+    * engines). Each round is two co-partitioned join+agg passes with
+    * `localCheckpoint` lineage cuts; zero driver state beyond the two
+    * 1-row maxima.
+    *
+    * @return (node, hub_fx, auth_fx) — fixed-point scores in [0, 10⁴];
+    *         nodes with no out-edges have hub 0, no in-edges auth 0. */
+  def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1)
+    val ed = edges.select("src", "dst", "w").localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(10000L).as("h"))
+    var auth = nodes.select(col("node"), lit(10000L).as("a"))
+    for (_ <- 1 to iters) {
+      val a1 = ed.join(hub, ed("src") === hub("node"))
+        .select(ed("dst").as("node"),
+          (col("h").cast("decimal(38,0)") * col("w")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val aJoined = nodes.join(a1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
+      val amax = aJoined.agg(max(col("s")).as("mx"))
+      auth = aJoined.crossJoin(broadcast(amax))
+        .select(col("node"),
+          when(col("mx") > 0, expr("cast(s * 10000 div mx as long)"))
+            .otherwise(lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val h1 = ed.join(auth, ed("dst") === auth("node"))
+        .select(ed("src").as("node"),
+          (col("a").cast("decimal(38,0)") * col("w")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      val hJoined = nodes.join(h1, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
+      val hmax = hJoined.agg(max(col("s")).as("mx"))
+      hub = hJoined.crossJoin(broadcast(hmax))
+        .select(col("node"),
+          when(col("mx") > 0, expr("cast(s * 10000 div mx as long)"))
+            .otherwise(lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    nodes.join(hub, "node").join(auth, "node")
+      .select(col("node"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+  }
+
   /** @param edges (src: long, dst: long, w: long); the node set is
     *              distinct(src ∪ dst) — pure sinks are handled by the
     *              dangling-mass redistribution, no symmetrization needed.

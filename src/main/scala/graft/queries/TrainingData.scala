@@ -1253,6 +1253,27 @@ object TrainingData {
       .limit(100)
   }
 
+  /** C102: HITS hubs & authorities ([[graft.operators.Rank.hits]]) on the
+    * one-directional purchase graph — customers are pure hubs ("buys
+    * broadly from important suppliers"), suppliers pure authorities
+    * ("bought by important customers"): the Kleinberg duality read
+    * directly off the bipartite structure, complementing PageRank's
+    * single centrality. Exact integer power iteration (10⁴ renorm per
+    * side per round); top-100 by score with a total order. */
+  def q182Hits(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+    graft.operators.Rank.hits(ed)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        expr("node div 2").as("id"), col("hub_fx"), col("auth_fx"),
+        greatest(col("hub_fx"), col("auth_fx")).as("score_fx"))
+      .orderBy(col("score_fx").desc, col("side"), col("id"))
+      .limit(100)
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -3089,6 +3089,49 @@ object TrainingOracle {
          |ORDER BY layout, probe""".stripMargin
     },
 
+    // C102: HITS — 8 double-sided power rounds replayed CTE-for-CTE:
+    // HUGEINT hub·w / auth·w sums (Spark: DECIMAL(38,0)), per-side MAX
+    // renorm to 10⁴ with truncating division, zero scores for empty
+    // sides, greatest() total order.
+    "q182_hits" -> {
+      val rounds = (1 to 8).map { k =>
+        val ph = s"h${k - 1}"
+        s"""a${k}s AS (SELECT ed.dst AS node, SUM(CAST($ph.h AS HUGEINT) * ed.w) AS s
+           |       FROM ed JOIN $ph ON $ph.node = ed.src GROUP BY ed.dst),
+           |a${k}j AS (SELECT n.node, COALESCE(a${k}s.s, 0) AS s
+           |       FROM nodes n LEFT JOIN a${k}s ON n.node = a${k}s.node),
+           |a${k}m AS (SELECT MAX(s) AS mx FROM a${k}j),
+           |a$k AS MATERIALIZED (SELECT node,
+           |       CASE WHEN mx > 0 THEN CAST(s * 10000 // mx AS BIGINT) ELSE 0 END AS a
+           |       FROM a${k}j, a${k}m),
+           |h${k}s AS (SELECT ed.src AS node, SUM(CAST(a$k.a AS HUGEINT) * ed.w) AS s
+           |       FROM ed JOIN a$k ON a$k.node = ed.dst GROUP BY ed.src),
+           |h${k}j AS (SELECT n.node, COALESCE(h${k}s.s, 0) AS s
+           |       FROM nodes n LEFT JOIN h${k}s ON n.node = h${k}s.node),
+           |h${k}m AS (SELECT MAX(s) AS mx FROM h${k}j),
+           |h$k AS MATERIALIZED (SELECT node,
+           |       CASE WHEN mx > 0 THEN CAST(s * 10000 // mx AS BIGINT) ELSE 0 END AS h
+           |       FROM h${k}j, h${k}m),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), ed AS MATERIALIZED (
+         |  SELECT 2 * c AS src, 2 * s + 1 AS dst, w FROM e
+         |), nodes AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node FROM ed UNION SELECT DISTINCT dst FROM ed
+         |), h0 AS (SELECT node, CAST(10000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |fin AS (
+         |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |    node // 2 AS id, h8.h AS hub_fx, a8.a AS auth_fx,
+         |    GREATEST(h8.h, a8.a) AS score_fx
+         |  FROM h8 JOIN a8 USING (node))
+         |SELECT side, id, hub_fx, auth_fx, score_fx FROM fin
+         |ORDER BY score_fx DESC, side, id LIMIT 100""".stripMargin
+    },
+
     // C101: personalized PageRank — the q170 graph with the teleport on
     // the 10 highest-order-count customers (integer seed pick, custkey
     // tie-break). r0 = U div S on seeds; each round 85%·contrib plus the

@@ -137,6 +137,48 @@ class RankSpec extends SparkSuite {
     assert(got(1L) == got(3L) && got(2L) == got(4L))
   }
 
+  /** Driver replay of the integer HITS rounds (BigInt sums, truncating
+    * renorm to 10⁴ per side). */
+  private def replayHits(edges: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(_ -> 10000L).toMap
+    var auth = nodes.map(_ -> 10000L).toMap
+    for (_ <- 1 to iters) {
+      val aSum = nodes.map(n => n -> edges.filter(_._2 == n)
+        .map { case (s, _, w) => BigInt(hub(s)) * w }.sum).toMap
+      val amx = aSum.values.max
+      auth = nodes.map(n => n ->
+        (if (amx > 0) (aSum(n) * 10000 / amx).toLong else 0L)).toMap
+      val hSum = nodes.map(n => n -> edges.filter(_._1 == n)
+        .map { case (_, d, w) => BigInt(auth(d)) * w }.sum).toMap
+      val hmx = hSum.values.max
+      hub = nodes.map(n => n ->
+        (if (hmx > 0) (hSum(n) * 10000 / hmx).toLong else 0L)).toMap
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("C102: HITS matches the driver replay; duality holds on a bipartite graph") {
+    // customers 1..3 → suppliers 11..13; customer 1 buys broadly from the
+    // popular suppliers, supplier 11 is bought by everyone
+    val edges = Seq(
+      (1L, 11L, 5L), (1L, 12L, 3L), (1L, 13L, 1L),
+      (2L, 11L, 4L), (2L, 12L, 1L),
+      (3L, 11L, 2L))
+    val got = Rank.hits(edges.toDF("src", "dst", "w"), iters = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == replayHits(edges, 8))
+    // bipartite duality: pure sources have auth 0, pure sinks hub 0
+    for (c <- Seq(1L, 2L, 3L)) assert(got(c)._2 == 0L, s"customer $c auth")
+    for (s <- Seq(11L, 12L, 13L)) assert(got(s)._1 == 0L, s"supplier $s hub")
+    // the broadest hub and the most-bought authority top their sides at 10^4
+    assert(got(1L)._1 == 10000L, s"hub: $got")
+    assert(got(11L)._2 == 10000L, s"auth: $got")
+    // ordering follows link structure
+    assert(got(2L)._1 > got(3L)._1 && got(12L)._2 > got(13L)._2)
+  }
+
   test("C89: q170 plan has no cartesian product") {
     val t = graft.queries.Tables(spark, sfDir)
     val df = graft.queries.TrainingData.q170PageRank(t)
