@@ -101,6 +101,38 @@ object Rank {
     r.select("node", "r")
   }
 
+  /** Multi-source BFS SEED DISTANCE — hop count from the nearest seed,
+    * the crawl-depth quality prior of web curation (Common Crawl-style
+    * "how far from the trusted frontier was this page found"; pages
+    * beyond depth d are routinely down-weighted or dropped). Frontier
+    * BFS as bounded relational rounds: round k expands ONLY the nodes
+    * first reached at hop k−1 (the frontier), so each round is one
+    * co-partitioned join + a min-aggregate over (settled ∪ expansions),
+    * `localCheckpoint` cutting lineage; K rounds = K bounded shuffles,
+    * zero driver state. Nodes unreached within `maxHops` are absent
+    * from the result (callers left-join and treat null as "beyond
+    * horizon").
+    *
+    * @return (node, hops) for every node within `maxHops` of a seed. */
+  def seedDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 0)
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+    var frontier = dist
+    var k = 1
+    while (k <= maxHops && !frontier.isEmpty) {
+      val expand = ed.join(frontier, ed("src") === frontier("node"))
+        .select(ed("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(expand)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      frontier = dist.filter(col("d") === k)
+      k += 1
+    }
+    dist
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — the link-analysis dual to
     * PageRank: a node is a good HUB if it points at good authorities and
     * a good AUTHORITY if good hubs point at it. On a bipartite

@@ -1274,6 +1274,32 @@ object TrainingData {
       .limit(100)
   }
 
+  /** C103: seed-distance DEPTH profile ([[graft.operators.Rank
+    * .seedDistance]]) — hop count from the ten PPR seed customers across
+    * the symmetrized purchase graph, reported as the per-(side, hops)
+    * histogram plus the unreached remainder: the crawl-depth prior
+    * ("how far from the trusted frontier") as a corpus-level audit. */
+  def q183SeedDistance(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+    val seeds = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey").asc)
+      .limit(10)
+      .select((col("o_custkey") * 2).as("node"))
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val hops = graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4)
+    nodes.join(hops, Seq("node"), "left")
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        coalesce(col("d"), lit(-1L)).as("hops"))
+      .groupBy("side", "hops").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "hops")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -3089,6 +3089,46 @@ object TrainingOracle {
          |ORDER BY layout, probe""".stripMargin
     },
 
+    // C103: seed distance — 4 BFS rounds replayed: each round unions the
+    // settled frame with the frontier's expansions and re-minimizes
+    // (expanding from ALL settled nodes rather than the frontier is
+    // min-equivalent, so the oracle uses the simpler form); unreached
+    // nodes report hops = -1.
+    "q183_seed_distance" -> {
+      val rounds = (1 to 4).map { k =>
+        val pv = s"d${k - 1}"
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+           |    SELECT node, d FROM $pv
+           |    UNION ALL
+           |    SELECT ed.dst AS node, $pv.d + 1 AS d
+           |    FROM ed JOIN $pv ON ed.src = $pv.node
+           |  ) GROUP BY node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), ed AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT 2 * c AS src, 2 * s + 1 AS dst FROM e
+         |    UNION ALL
+         |    SELECT 2 * s + 1 AS src, 2 * c AS dst FROM e)
+         |), seeds AS MATERIALIZED (
+         |  SELECT 2 * o_custkey AS node FROM orders GROUP BY o_custkey
+         |  ORDER BY COUNT(*) DESC, o_custkey ASC LIMIT 10
+         |), nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds),
+         |$rounds
+         |fin AS (
+         |  SELECT CASE WHEN n.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |    COALESCE(d4.d, -1) AS hops
+         |  FROM nodes n LEFT JOIN d4 ON n.node = d4.node)
+         |SELECT side, hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM fin GROUP BY side, hops
+         |ORDER BY side, hops""".stripMargin
+    },
+
     // C102: HITS — 8 double-sided power rounds replayed CTE-for-CTE:
     // HUGEINT hub·w / auth·w sums (Spark: DECIMAL(38,0)), per-side MAX
     // renorm to 10⁴ with truncating division, zero scores for empty

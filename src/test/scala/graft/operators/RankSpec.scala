@@ -179,6 +179,33 @@ class RankSpec extends SparkSuite {
     assert(got(2L)._1 > got(3L)._1 && got(12L)._2 > got(13L)._2)
   }
 
+  test("C103: seed distance equals brute-force BFS; horizon and unreached handled") {
+    // chain 1→2→3→4→5, branch 2→6, island 8→9, second seed 7→4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L),
+      (8L, 9L), (7L, 4L)).map { case (a, b) => (a, b, 1L) }
+    def brute(seeds: Set[Long], maxHops: Int): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      for (k <- 1 to maxHops) {
+        val expand = edges.filter(e => dist.get(e._1).contains(k - 1L))
+          .map(_._2).filterNot(dist.contains)
+        dist = dist ++ expand.map(_ -> k.toLong)
+      }
+      dist
+    }
+    for (maxHops <- Seq(0, 1, 2, 6)) {
+      val got = Rank.seedDistance(edges.toDF("src", "dst", "w"),
+        Seq(1L, 7L).map(Tuple1(_)).toDF("node"), maxHops)
+        .as[(Long, Long)].collect().toMap
+      assert(got == brute(Set(1L, 7L), maxHops), s"maxHops=$maxHops")
+    }
+    // min over multiple paths: node 4 is 1 hop from seed 7, not 3 from 1
+    val full = Rank.seedDistance(edges.toDF("src", "dst", "w"),
+      Seq(1L, 7L).map(Tuple1(_)).toDF("node"), 6)
+      .as[(Long, Long)].collect().toMap
+    assert(full(4L) == 1L && full(5L) == 2L && full(6L) == 2L)
+    assert(!full.contains(8L) && !full.contains(9L), "island stays unreached")
+  }
+
   test("C89: q170 plan has no cartesian product") {
     val t = graft.queries.Tables(spark, sfDir)
     val df = graft.queries.TrainingData.q170PageRank(t)
