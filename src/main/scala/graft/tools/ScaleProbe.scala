@@ -276,6 +276,39 @@ object ScaleProbe {
         run("pagerank_dangling", k)(graft.operators.Rank.pageRank(edd).count())
       }
     }
+    {
+      val e0 = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("w"))
+      val base = e0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+      val shift = base.agg(greatest(max(col("src")), max(col("dst"))))
+        .head().getLong(0) + 1
+      def amp(k: Int) = (0 until k).map(i => base.select(
+          (col("src") + lit(i * shift)).as("src"),
+          (col("dst") + lit(i * shift)).as("dst"), col("w")))
+        .reduce(_ unionByName _)
+      for (k <- Seq(1, 4, 16)) {
+        // two join+agg passes and two 1-row maxima per round — expect the
+        // pagerank growth shape
+        run("hits", k)(graft.operators.Rank.hits(amp(k)).count())
+      }
+      for (k <- Seq(1, 4, 16)) {
+        val ed = amp(k)
+        val seeds = ed.select(col("src").as("node")).distinct().orderBy("node").limit(10)
+        run("ppr", k)(graft.operators.Rank.personalizedPageRank(ed, seeds).count())
+        // frontier BFS: rounds bounded by maxHops; per-round cost tracks
+        // the frontier, not the corpus — expect sublinear
+        run("seed_distance", k)(
+          graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4).count())
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // one corpus scan to the (slice × value) counts; windows ride the
+      // value-domain grid — expect scan-bound growth, constant output
+      run("ks_drift", k)(
+        graft.operators.Drift.ksDrift(docs, col("source"), col("n_chars")).count())
+    }
     for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
       // per-row codegen'd interleave + one broadcast max + a files-sized
