@@ -22,6 +22,10 @@ object GraftSession {
   /** Apply graft's conf set to any builder (cluster deploys reuse this). */
   def tune(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder = b
     .config("spark.sql.shuffle.partitions", parallelism.toString)
+    // several overflow contracts (power-method sums, HITS renorm) promise
+    // a LOUD ANSI failure at the int64 boundary instead of null/wrap —
+    // pin the Spark 4 default explicitly so a user profile can't break it
+    .config("spark.sql.ansi.enabled", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -284,8 +284,8 @@ object Cli {
     val connFileExists =
       Files.exists(Paths.get(dir, "connections", ref + ".yml")) ||
         Files.exists(Paths.get(dir, "connections", ref + ".yaml"))
-    if (connFileExists) {
-      val project = ProjectLoader.load(dir)
+    val loaded = if (connFileExists) Some(ProjectLoader.load(dir)) else None
+    loaded.foreach { project =>
       val conn = project.connections(ref)
       val rt = flags.get("containerRuntime")
         .map(b => graft.sinks.ContainerRuntime(binary = b))
@@ -300,9 +300,8 @@ object Cli {
         case _ => () // registry-backed kinds fall through
       }
     }
-    val kind =
-      if (connFileExists) ProjectLoader.load(dir).connections(ref).kind
-      else ProjectLoader.kindFromImage(ref)
+    val kind = loaded.map(_.connections(ref).kind)
+      .getOrElse(ProjectLoader.kindFromImage(ref))
     val spec = Destinations.describe(kind)
     out(s"Destination $kind — ${spec.streams.length} stream(s), default '${spec.defaultStream}':")
     spec.streams.foreach { s =>
@@ -397,14 +396,13 @@ object Cli {
     * streams — names, default, and the rowType's JSON-schema properties
     * when the connector publishes them. */
   private def liveStreams(conn: ProjectLoader.ConnectionDef, out: String => Unit,
-                          command: Option[(String, Option[String])],
+                          command: Option[(Seq[String], Option[String])],
                           image: Option[(String, graft.sinks.ContainerRuntime)]): Int = {
     import org.json4s._
     import org.json4s.jackson.Serialization
     implicit val fmts: Formats = DefaultFormats
     val config = graft.sinks.ProcessSink.Config(
-      command = command.map(_._1.trim.split("\\s+").toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty),
+      command = command.map(_._1).getOrElse(Seq.empty),
       cwd = command.flatMap(_._2),
       stream = "-",
       connectionCredentials = Serialization.write(conn.credentials),

@@ -446,6 +446,8 @@ object FlacCodecUtil {
       case -1 => throw new IllegalArgumentException("reserved samplesize")
       case v => v
     }
+    if (chAssign > 10) throw new IllegalArgumentException(
+      s"reserved channel assignment $chAssign") // 11-15 are reserved codes
     val nch = if (chAssign < 8) chAssign + 1 else 2
     if (nch != siCh) throw new IllegalArgumentException("channel mismatch")
     // header CRC-8 (covers sync..here, byte-aligned)

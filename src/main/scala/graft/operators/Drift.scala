@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
  * scaled ECDFs c_s(v) and n_s = |slice|, the KS numerator is
  * `D_num(s) = max_v |c_s(v)·n_rest − c_rest(v)·n_s|` and the reported
  * statistic is `ks_pm = 1000·D_num div (n_s·n_rest)` — the per-mille KS
- * distance, no doubles anywhere. Products stay < 2⁶³ while the corpus
- * row count is < ~3·10⁹; beyond that, pre-bucketize values (the usual
- * practice for unbounded domains anyway) and/or widen to DECIMAL on
- * both engines.
+ * distance, no doubles anywhere. The D_num cross products stay < 2⁶³
+ * while the corpus row count is < ~3·10⁹ (N² bound); the final
+ * `·1000 div (n_s·n_rest)` step is taken in DECIMAL(38,0) (oracle:
+ * HUGEINT) so it adds NO tighter bound. Beyond ~3·10⁹ rows,
+ * pre-bucketize values (the usual practice for unbounded domains
+ * anyway) and/or widen the cumulations to DECIMAL on both engines.
  *
  * Scale shape: ONE corpus scan reduces to the (slice × value) count
  * frame; everything after rides the dense slice×value grid — sized by
@@ -68,7 +70,8 @@ object Drift {
     diffs.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("slice"), col("n_s").as("n_slice"), col("n_rest"),
-        expr("dnum * 1000 div (n_s * n_rest)").as("ks_pm"),
+        expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_rest) as long)")
+          .as("ks_pm"),
         col("v").as("ks_at_value"))
   }
 
@@ -108,7 +111,8 @@ object Drift {
     diffs.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("slice"), col("n_s").as("n_slice"), col("n_ref"),
-        expr("dnum * 1000 div (n_s * n_ref)").as("ks_pm"),
+        expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_ref) as long)")
+          .as("ks_pm"),
         col("v").as("ks_at_value"))
   }
 }

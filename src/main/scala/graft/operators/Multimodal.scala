@@ -333,7 +333,19 @@ object Multimodal {
     val ad = graft.functions.AdpcmCodecUtil.decodeWavImaAdpcmSamples(payload)
     if (ad != null) return sampleFeatures(ad, 16)
     val fl = graft.functions.FlacCodecUtil.decodeFlac(payload)
-    if (fl != null) return sampleFeatures(fl.samples.flatten, fl.bits)
+    if (fl != null) {
+      // interleave channels so stereo features match the WAV/MP4 paths'
+      // frame order (zero-crossing stats are order-sensitive)
+      val n = fl.samples(0).length
+      val inter = new Array[Int](n * fl.channels)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < fl.channels) { inter(i * fl.channels + c) = fl.samples(c)(i); c += 1 }
+        i += 1
+      }
+      return sampleFeatures(inter, fl.bits)
+    }
     val mj = PixelCodecUtil.decodeMp4MjpegFrames(payload)
     if (mj != null && mj.frames.nonEmpty)
       return pixelFeatures(Array.concat(mj.frames: _*))

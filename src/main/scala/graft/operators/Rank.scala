@@ -69,6 +69,10 @@ object Rank {
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
     val nS = seedSet.count()
     require(nS > 0, "personalized PageRank needs at least one seed")
+    // out-of-graph seeds would silently leak teleport mass (they count in
+    // |S| but hold no node row) — fail loudly instead
+    require(seedSet.join(nodes0, Seq("node"), "left_anti").isEmpty,
+      "every seed must be a node of the graph")
     val nodes = nodes0
       .join(seedSet.withColumn("__seed", lit(true)), Seq("node"), "left")
       .withColumn("__seed", coalesce(col("__seed"), lit(false)))

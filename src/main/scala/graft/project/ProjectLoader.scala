@@ -131,15 +131,19 @@ object ProjectLoader {
         checkpointEvery = checkpointEvery)
     }
 
-    /** The (command, dir) a connection's connector runs as, or None for
-      * image/in-process destinations. Explicit `package.command` wins; an
-      * npm package without one derives `node <package.json main>` in its
-      * dir — the reference's channel-build rule (sync.ts:88-97; it uses
-      * `process.execPath`, the engine's own node binary — graft is a JVM,
-      * so the derived command names `node` from PATH). */
-    private[graft] def commandFor(conn: ConnectionDef): Option[(String, Option[String])] =
+    /** The (command vector, dir) a connection's connector runs as, or
+      * None for image/in-process destinations. An explicit
+      * `package.command` splits on whitespace (the reference does the
+      * same, container.ts:103); an npm package without one derives
+      * `node <package.json main>` in its dir — the reference's
+      * channel-build rule (sync.ts:88-97; it uses `process.execPath`,
+      * the engine's own node binary — graft is a JVM, so the derived
+      * command names `node` from PATH). The derived form keeps `main` as
+      * ONE argv element, so a main path containing spaces survives. */
+    private[graft] def commandFor(conn: ConnectionDef): Option[(Seq[String], Option[String])] =
       conn.command match {
-        case Some(cmd) => Some((cmd, conn.dir))
+        case Some(cmd) =>
+          Some((cmd.trim.split("\\s+").toSeq.filter(_.nonEmpty), conn.dir))
         case None if conn.packageType.contains("npm") =>
           val cdir = conn.dir.getOrElse(throw new IllegalArgumentException(
             s"connection '${conn.id}': npm package needs dir (or an explicit command)"))
@@ -148,24 +152,23 @@ object ProjectLoader {
           require(Files.exists(pkgJson), s"package.json not found in $resolved")
           val main = parsePackageJsonMain(pkgJson).getOrElse(throw new IllegalArgumentException(
             s"$pkgJson should have main field"))
-          Some((s"node $main", Some(cdir)))
+          Some((Seq("node", main), Some(cdir)))
         case None => None
       }
 
     /** ProcessSink config for a connector connection — command flavor
-      * (splits on whitespace, container.ts:103) or image flavor (launches
-      * through the given runtime). Stream from the sync's `stream` option
-      * (default = the sync id), credentials/options as the JSON the
-      * connector's zod schemas expect. */
+      * (argv from [[commandFor]]) or image flavor (launches through the
+      * given runtime). Stream from the sync's `stream` option (default =
+      * the sync id), credentials/options as the JSON the connector's zod
+      * schemas expect. */
     private def processSinkConfig(conn: ConnectionDef, sync: SyncDef,
                                   syncId: String, fullRefresh: Boolean,
-                                  command: Option[(String, Option[String])],
+                                  command: Option[(Seq[String], Option[String])],
                                   image: Option[(String, graft.sinks.ContainerRuntime)]) = {
       import org.json4s.jackson.Serialization
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       graft.sinks.ProcessSink.Config(
-        command = command.map(_._1.trim.split("\\s+").toSeq.filter(_.nonEmpty))
-          .getOrElse(Seq.empty),
+        command = command.map(_._1).getOrElse(Seq.empty),
         cwd = command.flatMap(_._2).map(d =>
           if (Paths.get(d).isAbsolute) d else Paths.get(dir, d).toString),
         stream = sync.options.get("stream").collect { case s: String => s }.getOrElse(syncId),

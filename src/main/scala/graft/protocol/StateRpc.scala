@@ -40,16 +40,22 @@ import graft.state.StateStore
  * in-container connector can reach the server through the host gateway,
  * and `advertiseHost` names the gateway alias the advertised `RPC_URL`
  * carries (`host.docker.internal`, docker-channel.ts:52-54); command
- * lanes keep the loopback default.
+ * lanes keep the loopback default. A non-loopback bind is guarded by a
+ * per-lane `token` baked into the advertised URL's path — connectors
+ * append verbs to RPC_URL, so the capability rides along transparently
+ * and requests without it are rejected (the reference binds its express
+ * server unauthenticated; the token closes that exposure).
  */
 final class StateRpc(store: StateStore, bindAll: Boolean = false,
-                     advertiseHost: String = "127.0.0.1") {
+                     advertiseHost: String = "127.0.0.1",
+                     token: Option[String] = None) {
 
   private val server: HttpServer = HttpServer.create(
     new InetSocketAddress(if (bindAll) "0.0.0.0" else "127.0.0.1", 0), 0)
 
   val port: Int = { start(); server.getAddress.getPort }
-  def url: String = s"http://$advertiseHost:$port"
+  def url: String =
+    s"http://$advertiseHost:$port" + token.fold("")(t => s"/$t")
 
   private def start(): Unit = {
     server.createContext("/", (exchange: HttpExchange) => handle(exchange))
@@ -70,11 +76,20 @@ final class StateRpc(store: StateStore, bindAll: Boolean = false,
   private def handle(exchange: HttpExchange): Unit = {
     val out = exchange.getResponseBody
     try {
+      val rawPath = exchange.getRequestURI.getPath
+      val path = token match {
+        case Some(t) if rawPath.startsWith(s"/$t/") => rawPath.substring(t.length + 1)
+        case Some(_) =>
+          // missing/wrong capability: reject before touching the store
+          exchange.sendResponseHeaders(403, -1)
+          return
+        case None => rawPath
+      }
       val body =
         try JsonMethods.parse(new String(
           exchange.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
         catch { case _: Exception => JObject() }
-      exchange.getRequestURI.getPath match {
+      path match {
         case "/state.get" =>
           // miss replies {} rather than erroring (docker-channel.ts:185-187)
           val v = store.get(keyOf(body \ "key")).getOrElse("{}")

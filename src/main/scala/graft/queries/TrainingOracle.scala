@@ -3035,7 +3035,7 @@ object TrainingOracle {
         |  SELECT *, row_number() OVER (PARTITION BY slice ORDER BY dnum DESC, v ASC) AS rn FROM d2
         |)
         |SELECT slice, n_s AS n_slice, n_rest,
-        |  CAST(dnum * 1000 // (n_s * n_rest) AS BIGINT) AS ks_pm,
+        |  CAST(CAST(dnum AS HUGEINT) * 1000 // (CAST(n_s AS HUGEINT) * n_rest) AS BIGINT) AS ks_pm,
         |  CAST(v AS BIGINT) AS ks_at_value
         |FROM p WHERE rn = 1 ORDER BY slice""".stripMargin,
 

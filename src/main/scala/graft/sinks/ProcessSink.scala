@@ -78,12 +78,17 @@ object ProcessSink {
           replyTimeoutMs = config.replyTimeoutMs)
     }
 
-  /** The state RPC for one lane: container lanes bind all interfaces and
-    * advertise the host-gateway alias (docker-channel.ts:52-54); command
-    * lanes stay on loopback. */
+  /** The state RPC for one lane: container lanes bind all interfaces,
+    * advertise the host-gateway alias (docker-channel.ts:52-54) and carry
+    * a per-lane capability token in the URL path (the non-loopback bind
+    * would otherwise expose the store to the executor's network — the
+    * reference leaves its server open; graft does not); command lanes
+    * stay on loopback, token-free. */
   private def openRpc(config: Config, store: StateStore): StateRpc =
-    new StateRpc(store, bindAll = config.image.isDefined,
-      advertiseHost = if (config.image.isDefined) config.runtime.rpcHost else "127.0.0.1")
+    if (config.image.isDefined)
+      new StateRpc(store, bindAll = true, advertiseHost = config.runtime.rpcHost,
+        token = Some(java.util.UUID.randomUUID().toString.replace("-", "")))
+    else new StateRpc(store)
 
   /** Driver-side preflight: run the connector's `describe` and
     * `describe-streams` one-shots and verify the configured stream

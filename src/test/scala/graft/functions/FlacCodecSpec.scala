@@ -119,6 +119,26 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(decodeFlac(enc.take(enc.length - 3)) == null)
     assert(decodeFlac(enc.take(30)) == null)
     assert(decodeFlac(Array[Byte]()) == null)
+    // reserved channel-assignment codes (11-15) are rejected even with
+    // valid CRCs — never decoded as if they were plain stereo
+    val x2 = Array.tabulate(64)(i => i - 32)
+    val st = encodeFlac(Array(x2, x2), 8000, 16, blockSize = 64)
+    val frameStart = 42 + {
+      // find the frame: metadata is 4 magic + 4 header + 34 streaminfo
+      0
+    }
+    val patched = st.clone()
+    // byte3 of the frame header holds chAssign<<4 | ss<<1: force 11
+    patched(frameStart + 3) = ((11 << 4) | (4 << 1)).toByte
+    // re-CRC the header and the frame so only the semantic check can fire
+    val headerLen = 7 // 32-bit fixed part + 1-byte coded number + 2-byte bs
+    patched(frameStart + headerLen) =
+      FlacCodecUtil.crc8(patched, frameStart, frameStart + headerLen).toByte
+    val fLen = patched.length - frameStart - 2
+    val c16 = FlacCodecUtil.crc16(patched, frameStart, frameStart + fLen)
+    patched(patched.length - 2) = (c16 >> 8).toByte
+    patched(patched.length - 1) = c16.toByte
+    assert(decodeFlac(patched) == null, "reserved channel assignment must be rejected")
   }
 
   test("the chosen subframes actually compress structured signals") {

@@ -631,6 +631,17 @@ class MultimodalSpec extends SparkSuite {
     assert(viaFlac.toSeq == viaWav.toSeq,
       "FLAC and WAV of the same PCM must yield identical features")
     assert(viaFlac(1) > 0.3f, "FLAC features come from real samples, not the stub")
+    // STEREO: the FLAC path must interleave channels to match the WAV
+    // frame order (zero-crossing stats are order-sensitive)
+    val left = Array.tabulate(300)(i => (math.sin(i * 0.17) * 15000).toInt)
+    val right = Array.tabulate(300)(i => (math.cos(i * 0.29) * 9000).toInt)
+    val interleaved = Array.tabulate(600)(i => if (i % 2 == 0) left(i / 2) else right(i / 2))
+    val stereoWav = Multimodal.decodeFeatures(
+      PixelCodecUtil.encodeWavSamples(8000, 2, 16, interleaved))
+    val stereoFlac = Multimodal.decodeFeatures(
+      graft.functions.FlacCodecUtil.encodeFlac(Array(left, right), 8000, 16))
+    assert(stereoFlac.toSeq == stereoWav.toSeq,
+      "stereo FLAC features must match the interleaved WAV path")
   }
 
   test("pixel media table -> feature extraction runs the real PNG decode distributed") {

@@ -176,7 +176,35 @@ class ProcessSinkSpec extends SparkSuite with Matchers {
     val envs = Files.list(outDir).toArray.map(_.toString).filter(_.contains("env."))
       .flatMap(p => scala.io.Source.fromFile(p).getLines().toSeq)
     envs.count(_ == "MY_TOKEN=t0") shouldBe 3
-    envs.count(_.matches("RPC_URL=http://127\\.0\\.0\\.1:\\d+")) shouldBe 3
+    // container lanes carry a per-lane capability token in the URL path
+    // (the non-loopback bind is guarded; connectors append verbs to the
+    // base URL so the token rides along transparently)
+    envs.count(_.matches("RPC_URL=http://127\\.0\\.0\\.1:\\d+/[0-9a-f]{32}")) shouldBe 3
+  }
+
+  test("state RPC with a token rejects unauthenticated requests, serves tokened ones") {
+    import graft.protocol.StateRpc
+    import graft.state.StateStore
+    val store = StateStore.inMemory()
+    store.set(Seq("k"), """{"v":1}""")
+    val rpc = new StateRpc(store, bindAll = false, advertiseHost = "127.0.0.1",
+      token = Some("cafebabe"))
+    try {
+      def post(url: String): Int = {
+        val c = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST"); c.setDoOutput(true)
+        c.getOutputStream.write("""{"key":"k"}""".getBytes("UTF-8"))
+        c.getOutputStream.close()
+        c.getResponseCode
+      }
+      rpc.url should endWith("/cafebabe")
+      post(s"${rpc.url}/state.get") shouldBe 200
+      // no token, wrong token: rejected before the store is touched
+      val base = rpc.url.stripSuffix("/cafebabe")
+      post(s"$base/state.get") shouldBe 403
+      post(s"$base/deadbeef/state.get") shouldBe 403
+    } finally rpc.close()
   }
 
   test("image config: pull failure falls back to the local image; pullPolicy=never skips the pull") {
