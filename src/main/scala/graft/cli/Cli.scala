@@ -85,6 +85,10 @@ object Cli {
       |  sync [dir] [-d dir] [-s ids] [-f] [--state file] [--plan] [-e envfile]
       |       [--container-runtime bin]
       |                                 Run all or selected syncs of a project
+      |  sync -p <package> -m <model-sql|@file> -c <json|@file>
+      |       [--datasource ds] [--stream s] [-o json] [--checkpoint-every n]
+      |       [--sync-id id] [--state file]
+      |                                 Ad-hoc: run one sync without a project
       |  connector-dev [dir] -m <model-file> -c <connection-file>
       |       [-s <sync-file-or-id>] [--state file] [-f] [-e envfile]
       |                                 Test a connector under development:
@@ -352,8 +356,18 @@ object Cli {
       dirAliases ++ Map("-s" -> "select", "--select" -> "select",
         "--state" -> "state", "-f" -> "fullRefresh", "--full-refresh" -> "fullRefresh",
         "--plan" -> "plan", "-e" -> "env", "--env" -> "env",
-        "--container-runtime" -> "containerRuntime"),
+        "--container-runtime" -> "containerRuntime",
+        "-p" -> "package", "--package" -> "package",
+        "-t" -> "packageType", "--package-type" -> "packageType",
+        "-m" -> "model", "--model" -> "model",
+        "-c" -> "credentials", "--credentials" -> "credentials",
+        "--datasource" -> "datasource", "--stream" -> "stream",
+        "-o" -> "streamOptions", "--stream-options" -> "streamOptions",
+        "--checkpoint-every" -> "checkpointEvery", "--sync-id" -> "syncId"),
       Set("fullRefresh", "plan"))
+    // ad-hoc mode (commands/index.ts:109-139): -p <package> -m <model>
+    // -c <credentials> runs one sync WITHOUT a project directory
+    if (flags.contains("model")) return adhocSync(flags, out, spark)
     val dir = projectDir(flags, pos)
     val envFiles = flags.get("env+").map(_.split(" ").toSeq)
       .orElse(flags.get("env").map(Seq(_))).getOrElse(Nil)
@@ -427,6 +441,56 @@ object Cli {
       }
     }
     0
+  }
+
+  /** AD-HOC sync (commands/index.ts:109-139): one sync composed entirely
+    * from flags — `-p` package (image name, or an npm dir with
+    * `-t npm`), `-m` model (inline SQL with `--{{ config }}` directives,
+    * or @file), `-c` credentials (JSON or @file), `--datasource` when the
+    * model text doesn't declare one, `--stream`/`-o`/`--checkpoint-every`
+    * as sync options, `--sync-id` for durable state keys. No project
+    * directory is touched. */
+  private def adhocSync(flags: Map[String, String], out: String => Unit,
+                        spark: () => SparkSession): Int = {
+    val pkg = flags.getOrElse("package",
+      throw new IllegalArgumentException("ad-hoc sync needs -p <package> with -m and -c"))
+    val modelText = readArgOrFile(flags("model"))
+    val md0 = ProjectLoader.parseModel(
+      Paths.get("adhoc.sql"), modelText, sys.env.toMap)
+    val md = flags.get("datasource").map(ds => md0.copy(datasource = ds)).getOrElse(md0)
+    val creds = parseJsonObject(readArgOrFile(flags.getOrElse("credentials", "{}")))
+    val packageType = flags.getOrElse("packageType", "docker")
+    val conn =
+      if (packageType == "npm")
+        ProjectLoader.ConnectionDef("adhoc", "adhoc", image = None,
+          credentials = creds, options = Map.empty,
+          dir = Some(pkg), packageType = Some("npm"))
+      else
+        ProjectLoader.ConnectionDef("adhoc", ProjectLoader.kindFromImage(pkg),
+          image = Some(pkg), credentials = creds, options = Map.empty)
+    val syncId = flags.getOrElse("syncId", "sync")
+    val options: Map[String, Any] =
+      flags.get("stream").map[(String, Any)]("stream" -> _).toMap ++
+      flags.get("checkpointEvery").map[(String, Any)](n => "checkpointEvery" -> n.toLong).toMap ++
+      flags.get("streamOptions").map(parseJsonObject).getOrElse(Map.empty)
+    val sync = ProjectLoader.SyncDef(syncId, md.id, conn.id, options)
+    val project = ProjectLoader.GraftProject(
+      System.getProperty("user.dir"), sys.env.toMap,
+      Map(md.id -> md), Map(conn.id -> conn), Map(syncId -> sync))
+    val store = StateStore.onFile(flags.getOrElse("state",
+      Paths.get(System.getProperty("user.dir"), ".state").toString))
+    val rt = flags.get("containerRuntime")
+      .map(b => graft.sinks.ContainerRuntime(binary = b))
+    try {
+      val r = project.runSync(spark(), syncId, store, transportFor(project, conn, rt),
+        fullRefresh = flags.contains("fullRefresh"), containerRuntime = rt)
+      out(s"✔ $syncId: ${r.rowsValid}/${r.rowsIn} rows delivered" +
+        (if (r.rowsInvalid > 0) s" (${r.rowsInvalid} invalid skipped)" else "") +
+        r.newCursor.fold("")(c => s", cursor now $c"))
+      0
+    } catch {
+      case e: Exception => out(s"✘ $syncId failed: ${e.getMessage}"); 1
+    }
   }
 
   // ------------------------------------------------------- connector-dev

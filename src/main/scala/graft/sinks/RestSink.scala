@@ -151,6 +151,25 @@ object RestSink {
 
   /** Push `df` to `transport`. Returns global counts (accumulator-summed
     * across tasks). Throws if the error threshold trips. */
+  /** Wire-safe value normalization: temporal and binary column values
+    * become the JSON strings a REST destination expects (ISO-8601 /
+    * base64). Without this, java.time values reach json4s's reflective
+    * fallback, which the JPMS module system blocks (`opens java.time` is
+    * never granted) — every row of a sync with a timestamp column would
+    * fail at the transport. Scalars pass through untouched. */
+  private[sinks] def jsonSafe(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case t: java.time.Instant => t.toString
+    case t: java.time.LocalDateTime => t.toString
+    case t: java.time.LocalDate => t.toString
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case m: scala.collection.Map[_, _] =>
+      m.iterator.map { case (k, x) => k -> jsonSafe(x) }.toMap
+    case s: scala.collection.Seq[_] => s.map(jsonSafe)
+    case other => other
+  }
+
   def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("restsink.sent")
@@ -188,7 +207,7 @@ object RestSink {
       }
 
       rows.foreach { r =>
-        buf += columns.iterator.map(c => c -> r.getAs[Any](c)).toMap
+        buf += columns.iterator.map(c => c -> jsonSafe(r.getAs[Any](c))).toMap
         if (buf.size >= config.batchSize) flush()
       }
       flush()

@@ -216,6 +216,46 @@ class CliSpec extends SparkSuite {
     assert(out.exists(_.contains("age: integer")))
   }
 
+  test("ad-hoc sync: -p/-m/-c runs one sync with no project directory") {
+    val received = ArrayBuffer.empty[String]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/adhoc", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes, "UTF-8")
+      received.synchronized { received += body }
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val state = Files.createTempFile("graft-adhoc-state", ".json").toString
+      val model =
+        s"""--{{ config "datasource" "parquet:$sfDir" }}
+           |--{{ config "cursor" "o_orderdate" }}
+           |--{{ config "primaryKey" "o_orderkey" }}
+           |SELECT o_orderkey, o_orderdate FROM orders
+           |WHERE :cursor IS NULL OR o_orderdate > :cursor
+           |""".stripMargin
+      val (code, out) = cli("sync",
+        "-p", "syncmaven/http", "-m", model,
+        "-c", s"""{"url": "http://127.0.0.1:$port/adhoc"}""",
+        "--sync-id", "adhoc_orders", "--state", state)
+      assert(code == 0, out.mkString("\n"))
+      assert(out.exists(_.contains("adhoc_orders:")), out.mkString("\n"))
+      val n = received.synchronized { received.size }
+      assert(n > 0, "rows must reach the HTTP destination")
+      // cursor state persisted under --sync-id: the re-run is an empty increment
+      val (code2, out2) = cli("sync",
+        "-p", "syncmaven/http", "-m", model,
+        "-c", s"""{"url": "http://127.0.0.1:$port/adhoc"}""",
+        "--sync-id", "adhoc_orders", "--state", state)
+      assert(code2 == 0 && out2.exists(_.contains("0/0 rows delivered")), out2.mkString("\n"))
+      assert(received.synchronized(received.size) == n, "no re-delivery on resume")
+      // missing package fails loudly
+      val (bad, badOut) = cli("sync", "-m", model, "-c", "{}")
+      assert(bad == 1 && badOut.exists(_.contains("needs -p")))
+    } finally server.stop(0)
+  }
+
   test("connector-dev runs a dev sync against a script connector with durable state") {
     val dir = tmp() // the connector-under-development's working tree
     val outDir = tmp()

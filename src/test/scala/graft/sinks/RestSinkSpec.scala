@@ -14,6 +14,14 @@ object Recorder {
   def reset(): Unit = { batches.clear(); rateLimitFirstN = 0; failAll = false }
 }
 
+/** Captures full row maps (top-level for closure serializability). */
+object RowCapture {
+  val rows = new ConcurrentLinkedQueue[Map[String, Any]]()
+}
+class CapturingTransport extends RestSink.Transport {
+  def send(batch: Seq[Map[String, Any]]): Unit = batch.foreach(RowCapture.rows.add)
+}
+
 class FakeTransport extends RestSink.Transport {
   def send(batch: Seq[Map[String, Any]]): Unit = {
     if (Recorder.failAll) throw new RuntimeException("boom")
@@ -79,6 +87,27 @@ class RestSinkSpec extends SparkSuite {
     assert(RestSink.rateDivisor(spark, RestSink.Config(maxConcurrency = 96)) == 96)
     assert(RestSink.rateDivisor(spark, RestSink.Config(maxConcurrency = 0)) == static,
       "0 keeps the static-cluster default")
+  }
+
+  test("temporal and binary columns reach the wire as ISO-8601 / base64 strings") {
+    // java.time values have no json4s serializer and the module system
+    // blocks the reflective fallback — without normalization EVERY row
+    // of a timestamp-bearing sync fails at the transport
+    RowCapture.rows.clear()
+    val in = Seq((1L, java.sql.Timestamp.valueOf("2021-06-01 12:30:00"),
+        java.sql.Date.valueOf("2021-06-02"), Array[Byte](1, 2, 3)))
+      .toDF("id", "ts", "d", "blob")
+    val res = RestSink.push(in, new CapturingTransport)
+    assert(res.sentRows == 1 && res.failedRows == 0, s"$res")
+    val row = RowCapture.rows.asScala.head
+    assert(row("id") == 1L)
+    assert(row("ts").toString.startsWith("2021-06-01T12:30:00"), row("ts").toString)
+    assert(row("d") == "2021-06-02")
+    assert(row("blob") == java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3)))
+    // and the serialized JSON form the HTTP transport would emit is valid
+    val json = org.json4s.jackson.Serialization.write(
+      Seq(row))(org.json4s.DefaultFormats)
+    assert(json.contains("\"2021-06-02\""))
   }
 
   test("persistent failure trips the 20%/100-row error threshold") {
