@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -75,6 +76,34 @@ object Layout {
     stats.agg(
       sum(when(overlap, 1L).otherwise(0L)).as("files_touched"),
       count(lit(1)).as("files_total"))
+  }
+
+  /** COMPACTION plan over a layout's file-stats frame: pack adjacent
+    * small files (in cluster-key order, so the grouping PRESERVES the
+    * layout's locality) into groups of ~`targetRows`, the bin a
+    * maintenance job rewrites as one file. Deterministic prefix-sum
+    * assignment — `group = cum_prev div targetRows` — over the
+    * files-sized frame (the lit(1) window is bounded by the FILE count,
+    * never the corpus), exactly replayable. Per group: file span, row
+    * total and the per-dim min/max envelope (the post-compaction footer
+    * stats, so the plan itself predicts pruning quality after the
+    * rewrite). */
+  def compactionPlan(stats: DataFrame, targetRows: Long,
+                     dims: Seq[String]): DataFrame = {
+    require(targetRows >= 1)
+    val w = Window.partitionBy(lit(1)).orderBy("__file")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("__cum", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"__cum div ${targetRows}L"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows") +:
+        min(col("__file")).as("file_lo") +:
+        max(col("__file")).as("file_hi") +:
+        dims.flatMap(d => Seq(min(col(s"min_$d")).as(s"min_$d"),
+          max(col(s"max_$d")).as(s"max_$d"))): _*)
+      .orderBy("grp")
   }
 
   /** Materialize the clustered layout as REAL parquet: one directory per

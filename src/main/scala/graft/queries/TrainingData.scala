@@ -1300,6 +1300,24 @@ object TrainingData {
       .orderBy("side", "hops")
   }
 
+  /** C104: COMPACTION plan over the q178 Z-layout ([[graft.operators
+    * .Layout.compactionPlan]]) — pack the 64-way clustered files into
+    * ~2000-row rewrite groups in cluster-key order, so compaction heals
+    * small files WITHOUT destroying z-locality; each group's predicted
+    * post-rewrite min/max envelope ships with the plan. The second half
+    * of the table-maintenance pair (cluster, then compact). */
+  def q184CompactionPlan(t: Tables): DataFrame = {
+    import graft.operators.Layout
+    val base = t.orders.select(
+      (col("o_custkey") % 65536).cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("dd"))
+    val stats = Layout.fileStats(
+      Layout.assignFiles(base, Layout.zOrderKey(Seq(col("ck"), col("dd"))), 64),
+      Seq("ck", "dd"))
+    Layout.compactionPlan(stats, targetRows = 2000, Seq("ck", "dd"))
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

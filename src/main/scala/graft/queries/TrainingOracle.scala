@@ -3220,6 +3220,36 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C104: compaction plan — the q178 z-stats frame plus the exclusive
+    // prefix-sum group assignment (cum_prev div target) and per-group
+    // envelope aggregation, replayed integer-for-integer.
+    "q184_compaction_plan" -> {
+      val zexpr = (0 until 16).flatMap(b => Seq(
+        s"(((ck >> $b) & 1) << ${2 * b})",
+        s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
+         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |  FROM orders
+         |), zb AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM base),
+         |zmx AS (SELECT MAX(zk) AS mx FROM zb),
+         |zf AS (SELECT ck, dd, zk * 64 // (mx + 1) AS f FROM zb, zmx),
+         |zs AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM zf GROUP BY f),
+         |cum AS (SELECT *, COALESCE(SUM(n_rows) OVER (ORDER BY f
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+         |       FROM zs),
+         |grp AS (SELECT *, CAST(cp // 2000 AS BIGINT) AS grp FROM cum)
+         |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |  MIN(f) AS file_lo, MAX(f) AS file_hi,
+         |  MIN(mnc) AS min_ck, MAX(mxc) AS max_ck,
+         |  MIN(mnd) AS min_dd, MAX(mxd) AS max_dd
+         |FROM grp GROUP BY grp
+         |ORDER BY grp""".stripMargin
+    },
+
     // C89 dangling path: the q170 replay plus the operator's dangling-mass
     // term — customer→supplier edges only, every supplier a pure sink.
     // Per round a scalar-subquery CTE computes D div N (the semi-join of

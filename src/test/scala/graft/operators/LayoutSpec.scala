@@ -78,6 +78,39 @@ class LayoutSpec extends SparkSuite {
     assert(read.count() == 16L * 16L)
   }
 
+  test("C104: compaction plan packs files in cluster order, covers all rows, respects the target") {
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val stats = Layout.fileStats(
+      Layout.assignFiles(grid, Layout.zOrderKey(Seq(col("x"), col("y")), 6), 64),
+      Seq("x", "y"))
+    val plan = Layout.compactionPlan(stats, targetRows = 256, Seq("x", "y"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // every row and every file is covered exactly once
+    assert(plan.map(_._3).sum == 64L * 64L, "row total")
+    assert(plan.map(_._2).sum == 64L, "file total")
+    // groups are contiguous, non-overlapping file spans in cluster order
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, s"spans must not overlap: $a $b")
+      case _ => ()
+    }
+    // the prefix-sum rule: every group except possibly the last reaches
+    // the target once its last file lands (cum_prev < target * (g+1))
+    plan.dropRight(1).foreach { g =>
+      assert(g._3 >= 256 - 64 + 1, s"group ${g._1} too small: ${g._3} rows")
+    }
+    // uniform 8x8 tiles of 64 rows → exactly 4 files per 256-row group
+    assert(plan.forall(_._2 == 4) && plan.length == 16)
+    // group envelopes equal the union of their files' envelopes
+    val byFile = stats.as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    plan.foreach { g =>
+      val files = (g._4 to g._5).flatMap(byFile.get)
+      assert(g._6 == files.map(_._3).min && g._7 == files.map(_._4).max, s"x envelope of $g")
+      assert(g._8 == files.map(_._5).min && g._9 == files.map(_._6).max, s"y envelope of $g")
+    }
+  }
+
   test("C98: on a uniform grid, z-order prunes a box probe; a 1-D sort cannot") {
     // 64x64 grid of points, 64 files: the z-layout packs 8x8 tiles per
     // file, so a 16x16 box touches exactly the 4-9 overlapping tiles; the
