@@ -259,6 +259,31 @@ class ProcessSinkSpec extends SparkSuite with Matchers {
       ProcessSink.Config(command = Seq("x"), image = Some("i"), stream = "s")
   }
 
+  test("enrich: the image channel drives enrichment sessions through the fake runtime too") {
+    val dir = Files.createTempDirectory("graft-psink")
+    val outDir = Files.createTempDirectory("graft-psink-out")
+    writeScript(dir, "enr.sh",
+      """while IFS= read -r line; do
+        |  case "$line" in
+        |    *'"enrichment-request"'*)
+        |      row=$(printf '%s' "$line" | sed 's/.*"row"://; s/}}$//')
+        |      printf '{"type":"enrichment-response","payload":{"row":{"orig":%s,"via":"container"}}}\n' "$row" ;;
+        |  esac
+        |done
+        |""".stripMargin)
+    val runtime = writeFakeRuntime(dir, outDir)
+    val df = spark.range(4).toDF("id").repartition(2)
+    val out = ProcessSink.enrich(df, ProcessSink.Config(
+      image = Some("acme/enr:1"), stream = "-",
+      runtime = ContainerRuntime(binary = runtime.toString, rpcHost = "127.0.0.1")))
+    val tags = out.withColumn("via", get_json_object(col("enriched"), "$.via"))
+      .select("via").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(tags.length == 4 && tags.forall(_ == "container"))
+    // pulls happened per lane
+    scala.io.Source.fromFile(s"$outDir/pull.log").getLines()
+      .toSeq.distinct shouldBe Seq("acme/enr:1")
+  }
+
   test("enrich: per-partition keep-alive sessions round-trip every row in order") {
     val dir = Files.createTempDirectory("graft-psink")
     // echoes the request row back enriched with a literal tag; the row
