@@ -1318,6 +1318,44 @@ object TrainingData {
     Layout.compactionPlan(stats, targetRows = 2000, Seq("ck", "dd"))
   }
 
+  /** C105: layout DECAY audit — the "when to re-OPTIMIZE" signal: the
+    * historical half of orders is z-clustered (the last OPTIMIZE), the
+    * recent half lands as time-ordered APPEND files (how ingestion
+    * actually writes), and the same box probe is priced in three states —
+    * clustered-only, with appends, and after re-clustering everything.
+    * The decay (extra files touched per probe) is what a maintenance
+    * scheduler thresholds on. Pure composition of the C98 pieces, exact. */
+  def q185LayoutDecay(t: Tables): DataFrame = {
+    import graft.operators.Layout
+    val base = t.orders.select(
+      (col("o_custkey") % 65536).cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("dd"))
+    val split = 1800L // clustered history vs fresh appends
+    val hist = base.filter(col("dd") < split)
+    val fresh = base.filter(col("dd") >= split)
+    val zkey = Layout.zOrderKey(Seq(col("ck"), col("dd")))
+    val histStats = Layout.fileStats(Layout.assignFiles(hist, zkey, 48), Seq("ck", "dd"))
+    // appends arrive time-ordered: small files cut by ingestion day window
+    val freshStats = Layout.fileStats(
+      fresh.withColumn("__file", expr("1000 + (dd - 1800) div 32")), Seq("ck", "dd"))
+    val decayed = histStats.unionByName(freshStats)
+    val reclustered = Layout.fileStats(Layout.assignFiles(base, zkey, 64), Seq("ck", "dd"))
+    val probes = Seq(
+      ("ck_band", Seq(("ck", 100L, 199L))),
+      ("box_hist", Seq(("ck", 100L, 199L), ("dd", 365L, 729L))),
+      ("box_fresh", Seq(("ck", 100L, 199L), ("dd", 1900L, 2100L))))
+    (for {
+      (state, stats) <- Seq(("clustered", histStats), ("with_appends", decayed),
+        ("reclustered", reclustered))
+      (pname, p) <- probes
+    } yield Layout.filesTouched(stats, p)
+      .select(lit(state).as("layout_state"), lit(pname).as("probe"),
+        col("files_touched"), col("files_total")))
+      .reduce(_ unionAll _)
+      .orderBy("layout_state", "probe")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

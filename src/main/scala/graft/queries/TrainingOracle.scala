@@ -3220,6 +3220,59 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C105: layout decay — three file-stats frames (clustered history,
+    // +time-ordered appends, full re-cluster) and the same NULL-guarded
+    // overlap pricing as q178, replayed integer-for-integer.
+    "q185_layout_decay" -> {
+      val zexpr = (0 until 16).flatMap(b => Seq(
+        s"(((ck >> $b) & 1) << ${2 * b})",
+        s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
+         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |  FROM orders
+         |), hist AS (SELECT * FROM base WHERE dd < 1800),
+         |fresh AS (SELECT * FROM base WHERE dd >= 1800),
+         |hz AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM hist),
+         |hmx AS (SELECT MAX(zk) AS mx FROM hz),
+         |hf AS (SELECT ck, dd, zk * 48 // (mx + 1) AS f FROM hz, hmx),
+         |hs AS (SELECT f, MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM hf GROUP BY f),
+         |fs AS (SELECT 1000 + (dd - 1800) // 32 AS f,
+         |       MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM fresh GROUP BY 1),
+         |ds AS (SELECT * FROM hs UNION ALL SELECT * FROM fs),
+         |rz AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM base),
+         |rmx AS (SELECT MAX(zk) AS mx FROM rz),
+         |rf AS (SELECT ck, dd, zk * 64 // (mx + 1) AS f FROM rz, rmx),
+         |rs AS (SELECT f, MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd
+         |       FROM rf GROUP BY f),
+         |pr AS (SELECT * FROM (VALUES
+         |  ('ck_band', 100, 199, NULL, NULL),
+         |  ('box_hist', 100, 199, 365, 729),
+         |  ('box_fresh', 100, 199, 1900, 2100)) AS v(probe, cklo, ckhi, ddlo, ddhi)),
+         |priced AS (
+         |  SELECT 'clustered' AS layout_state, probe,
+         |    CAST(SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+         |          AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo)) THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |    CAST(COUNT(*) AS BIGINT) AS files_total
+         |  FROM hs, pr GROUP BY probe
+         |  UNION ALL
+         |  SELECT 'with_appends', probe,
+         |    CAST(SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+         |          AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo)) THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(COUNT(*) AS BIGINT)
+         |  FROM ds, pr GROUP BY probe
+         |  UNION ALL
+         |  SELECT 'reclustered', probe,
+         |    CAST(SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+         |          AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo)) THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(COUNT(*) AS BIGINT)
+         |  FROM rs, pr GROUP BY probe)
+         |SELECT layout_state, probe, files_touched, files_total
+         |FROM priced ORDER BY layout_state, probe""".stripMargin
+    },
+
     // C104: compaction plan — the q178 z-stats frame plus the exclusive
     // prefix-sum group assignment (cum_prev div target) and per-group
     // envelope aggregation, replayed integer-for-integer.
