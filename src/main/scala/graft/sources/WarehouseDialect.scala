@@ -133,6 +133,71 @@ object WarehouseDialect {
       WarehouseDialect.scaleSplitDecimal(d)
   }
 
+  /** MySQL — the reference lists it "coming soon"
+    * (docs/references/sources/mysql.mdx); graft delivers it through the
+    * same JDBC reader. OLTP money convention: DECIMAL stays exact, like
+    * Postgres. TINYINT(1)/BIT(1) is MySQL's boolean spelling. */
+  case object MySql extends WarehouseDialect {
+    val name = "mysql"
+    def genericType(nativeType: String): String = {
+      val t = nativeType.toUpperCase
+      val base = t.takeWhile(_ != '(').trim
+      base match {
+        case "TINYINT" | "BIT" =>
+          // TINYINT(1)/BIT(1) is the boolean convention; wider is integral
+          val width = raw"\(\s*(\d+)\s*\)".r
+            .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(4)
+          if (width == 1) "boolean" else "integer"
+        case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "MEDIUMINT" |
+             "SERIAL" | "YEAR" => "integer"
+        case "BOOL" | "BOOLEAN" => "boolean"
+        case "VARCHAR" | "CHAR" | "TEXT" | "TINYTEXT" | "MEDIUMTEXT" |
+             "LONGTEXT" | "ENUM" | "SET" | "JSON" => "string"
+        case "DATE" | "DATETIME" | "TIMESTAMP" | "TIME" => "date"
+        case "FLOAT" | "DOUBLE" | "REAL" | "DECIMAL" | "NUMERIC" => "float"
+        case _ => "string"
+      }
+    }
+    val timestampParamType = "DATETIME"
+    // exact money math, like Postgres (documented divergence from the
+    // 5-type contract's float)
+    protected def normalizeDecimal(d: DecimalType): Option[DataType] = None
+  }
+
+  /** ClickHouse — the reference points users at its Postgres-protocol
+    * proxy "meanwhile" (docs/references/sources/clickhouse.mdx); graft
+    * speaks to it natively over JDBC. OLAP decimal convention: scale-0
+    * narrows to long like BigQuery/Snowflake. Nullable(T)/LowCardinality
+    * (T) wrappers unwrap before the type match. */
+  case object ClickHouse extends WarehouseDialect {
+    val name = "clickhouse"
+    def genericType(nativeType: String): String = {
+      var t = nativeType.trim
+      // unwrap Nullable(...) / LowCardinality(...) (possibly nested)
+      val wrapper = raw"(?i)^(Nullable|LowCardinality)\((.*)\)$$".r
+      var changed = true
+      while (changed) changed = t match {
+        case wrapper(_, inner) => t = inner.trim; true
+        case _ => false
+      }
+      val base = t.toUpperCase.takeWhile(_ != '(').trim
+      base match {
+        case "INT8" | "INT16" | "INT32" | "INT64" | "INT128" | "INT256" |
+             "UINT8" | "UINT16" | "UINT32" | "UINT64" => "integer"
+        case "BOOL" | "BOOLEAN" => "boolean"
+        case "STRING" | "FIXEDSTRING" | "ENUM8" | "ENUM16" | "UUID" | "IPV4" |
+             "IPV6" => "string"
+        case "DATE" | "DATE32" | "DATETIME" | "DATETIME64" => "date"
+        case "FLOAT32" | "FLOAT64" | "DECIMAL" | "DECIMAL32" | "DECIMAL64" |
+             "DECIMAL128" | "DECIMAL256" => "float"
+        case _ => "string" // arrays, maps, tuples: JSON-ish text
+      }
+    }
+    val timestampParamType = "DateTime64(3)"
+    protected def normalizeDecimal(d: DecimalType): Option[DataType] =
+      WarehouseDialect.scaleSplitDecimal(d)
+  }
+
   /** Unknown warehouses: no coercion beyond integral/float widening. */
   case object Generic extends WarehouseDialect {
     val name = "generic"
@@ -149,6 +214,10 @@ object WarehouseDialect {
         u.startsWith("postgres://")) Postgres
     else if (u.contains("bigquery")) BigQuery
     else if (u.startsWith("jdbc:snowflake:")) Snowflake
+    else if (u.startsWith("jdbc:mysql:") || u.startsWith("jdbc:mariadb:") ||
+        u.startsWith("mysql://")) MySql
+    else if (u.startsWith("jdbc:clickhouse:") || u.startsWith("jdbc:ch:") ||
+        u.startsWith("clickhouse://")) ClickHouse
     else Generic
   }
 }

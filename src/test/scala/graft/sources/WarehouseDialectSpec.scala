@@ -54,7 +54,35 @@ class WarehouseDialectSpec extends SparkSuite {
     assert(fromUrl("postgres://u@h/db") == Postgres)
     assert(fromUrl("jdbc:bigquery://https://www.googleapis.com/bigquery/v2;ProjectId=p") == BigQuery)
     assert(fromUrl("jdbc:snowflake://acct.snowflakecomputing.com/") == Snowflake)
+    assert(fromUrl("jdbc:mysql://h:3306/db") == MySql)
+    assert(fromUrl("jdbc:mariadb://h/db") == MySql)
+    assert(fromUrl("jdbc:clickhouse://h:8123/db") == ClickHouse)
+    assert(fromUrl("jdbc:ch://h/db") == ClickHouse)
     assert(fromUrl("jdbc:derby:memory:x") == Generic)
+  }
+
+  test("mysql generic types: TINYINT(1)/BIT(1) booleans, exact DECIMAL, the 'coming soon' source delivered") {
+    val d = MySql
+    assert(d.genericType("TINYINT(1)") == "boolean" && d.genericType("BIT(1)") == "boolean")
+    assert(d.genericType("TINYINT") == "integer" && d.genericType("tinyint(4)") == "integer")
+    assert(d.genericType("BIGINT") == "integer" && d.genericType("MEDIUMINT(9)") == "integer")
+    assert(d.genericType("VARCHAR(255)") == "string" && d.genericType("enum('a','b')") == "string")
+    assert(d.genericType("JSON") == "string")
+    assert(d.genericType("DATETIME") == "date" && d.genericType("TIMESTAMP") == "date")
+    assert(d.genericType("DECIMAL(10,2)") == "float" && d.genericType("DOUBLE") == "float")
+    assert(d.timestampParamType == "DATETIME")
+  }
+
+  test("clickhouse generic types: wrappers unwrap, scale-0 decimals split like BQ/SF") {
+    val d = ClickHouse
+    assert(d.genericType("UInt64") == "integer" && d.genericType("Int8") == "integer")
+    assert(d.genericType("Nullable(Int32)") == "integer")
+    assert(d.genericType("LowCardinality(Nullable(String))") == "string")
+    assert(d.genericType("FixedString(16)") == "string" && d.genericType("Enum8('a'=1)") == "string")
+    assert(d.genericType("DateTime64(3)") == "date" && d.genericType("Date32") == "date")
+    assert(d.genericType("Decimal(18,4)") == "float" && d.genericType("Float32") == "float")
+    assert(d.genericType("Bool") == "boolean")
+    assert(d.genericType("Array(String)") == "string")
   }
 
   test("normalize: BigQuery/Snowflake decimals split on scale; pg keeps NUMERIC exact") {
