@@ -454,9 +454,14 @@ object Cli {
                         spark: () => SparkSession): Int = {
     val pkg = flags.getOrElse("package",
       throw new IllegalArgumentException("ad-hoc sync needs -p <package> with -m and -c"))
-    val modelText = readArgOrFile(flags("model"))
-    val md0 = ProjectLoader.parseModel(
-      Paths.get("adhoc.sql"), modelText, sys.env.toMap)
+    val cwd = System.getProperty("user.dir")
+    // -e env files layer over .env/.env.local exactly like project mode
+    val envFiles = flags.get("env+").map(_.split(" ").toSeq)
+      .orElse(flags.get("env").map(Seq(_))).getOrElse(Nil)
+    val env = graft.project.EnvVars.projectEnv(cwd, envFiles, sys.env)
+    val modelText = graft.project.EnvVars.substitute(
+      readArgOrFile(flags("model")), env, "adhoc model")
+    val md0 = ProjectLoader.parseModel(Paths.get("adhoc.sql"), modelText, env)
     val md = flags.get("datasource").map(ds => md0.copy(datasource = ds)).getOrElse(md0)
     val creds = parseJsonObject(readArgOrFile(flags.getOrElse("credentials", "{}")))
     val packageType = flags.getOrElse("packageType", "docker")
@@ -468,20 +473,32 @@ object Cli {
       else
         ProjectLoader.ConnectionDef("adhoc", ProjectLoader.kindFromImage(pkg),
           image = Some(pkg), credentials = creds, options = Map.empty)
-    val syncId = flags.getOrElse("syncId", "sync")
+    // default id derives from model+kind, so two different ad-hoc syncs
+    // sharing a state file do NOT share a cursor key (a constant "sync"
+    // would silently resume model B from model A's high-water mark)
+    val syncId = flags.getOrElse("syncId", s"adhoc-${conn.kind}-${md.id}")
     val options: Map[String, Any] =
       flags.get("stream").map[(String, Any)]("stream" -> _).toMap ++
       flags.get("checkpointEvery").map[(String, Any)](n => "checkpointEvery" -> n.toLong).toMap ++
       flags.get("streamOptions").map(parseJsonObject).getOrElse(Map.empty)
     val sync = ProjectLoader.SyncDef(syncId, md.id, conn.id, options)
     val project = ProjectLoader.GraftProject(
-      System.getProperty("user.dir"), sys.env.toMap,
-      Map(md.id -> md), Map(conn.id -> conn), Map(syncId -> sync))
+      cwd, env, Map(md.id -> md), Map(conn.id -> conn), Map(syncId -> sync))
     val store = StateStore.onFile(flags.getOrElse("state",
-      Paths.get(System.getProperty("user.dir"), ".state").toString))
+      Paths.get(cwd, ".state").toString))
     val rt = flags.get("containerRuntime")
       .map(b => graft.sinks.ContainerRuntime(binary = b))
     try {
+      if (flags.contains("plan")) {
+        // --plan is a DRY RUN here too — pricing, never delivery
+        val p = project.planSync(spark(), syncId, store,
+          fullRefresh = flags.contains("fullRefresh"))
+        out(s"✔ $syncId → ${p.destinationKind}: ${p.rows} rows in ${p.delivery.batches} " +
+          s"batch(es), min ${p.delivery.minSeconds}s" +
+          p.lastCursor.fold("")(c => s", cursor > $c"))
+        p.fitIssues.foreach(i => out(s"  ⚠ ${i.column}: ${i.detail}"))
+        return 0
+      }
       val r = project.runSync(spark(), syncId, store, transportFor(project, conn, rt),
         fullRefresh = flags.contains("fullRefresh"), containerRuntime = rt)
       out(s"✔ $syncId: ${r.rowsValid}/${r.rowsIn} rows delivered" +

@@ -149,8 +149,6 @@ object RestSink {
     if (config.maxConcurrency > 0) config.maxConcurrency
     else math.max(1, spark.sparkContext.defaultParallelism)
 
-  /** Push `df` to `transport`. Returns global counts (accumulator-summed
-    * across tasks). Throws if the error threshold trips. */
   /** Wire-safe value normalization: temporal and binary column values
     * become the JSON strings a REST destination expects (ISO-8601 /
     * base64). Without this, java.time values reach json4s's reflective
@@ -170,6 +168,8 @@ object RestSink {
     case other => other
   }
 
+  /** Push `df` to `transport`. Returns global counts (accumulator-summed
+    * across tasks). Throws if the error threshold trips. */
   def push(df: DataFrame, transport: Transport, config: Config = Config()): Result = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("restsink.sent")

@@ -141,12 +141,18 @@ object WarehouseDialect {
     val name = "mysql"
     def genericType(nativeType: String): String = {
       val t = nativeType.toUpperCase
-      val base = t.takeWhile(_ != '(').trim
+      // base = first word before any width: 'BIGINT UNSIGNED' and
+      // 'INT(11) UNSIGNED' both match on their integral base (MySQL
+      // 8.0.17+ reports unsigned columns exactly like this)
+      val base = t.takeWhile(_ != '(').trim.split("\\s+").head
       base match {
         case "TINYINT" | "BIT" =>
-          // TINYINT(1)/BIT(1) is the boolean convention; wider is integral
+          // TINYINT(1)/BIT(1) is the boolean convention; wider is
+          // integral. Bare BIT defaults to BIT(1) (MySQL's own M=1
+          // default); bare TINYINT is the 4-wide integral.
           val width = raw"\(\s*(\d+)\s*\)".r
-            .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(4)
+            .findFirstMatchIn(t).map(_.group(1).toInt)
+            .getOrElse(if (base == "BIT") 1 else 4)
           if (width == 1) "boolean" else "integer"
         case "INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "MEDIUMINT" |
              "SERIAL" | "YEAR" => "integer"
@@ -183,7 +189,8 @@ object WarehouseDialect {
       val base = t.toUpperCase.takeWhile(_ != '(').trim
       base match {
         case "INT8" | "INT16" | "INT32" | "INT64" | "INT128" | "INT256" |
-             "UINT8" | "UINT16" | "UINT32" | "UINT64" => "integer"
+             "UINT8" | "UINT16" | "UINT32" | "UINT64" | "UINT128" |
+             "UINT256" => "integer"
         case "BOOL" | "BOOLEAN" => "boolean"
         case "STRING" | "FIXEDSTRING" | "ENUM8" | "ENUM16" | "UUID" | "IPV4" |
              "IPV6" => "string"

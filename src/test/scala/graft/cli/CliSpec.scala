@@ -250,6 +250,14 @@ class CliSpec extends SparkSuite {
         "--sync-id", "adhoc_orders", "--state", state)
       assert(code2 == 0 && out2.exists(_.contains("0/0 rows delivered")), out2.mkString("\n"))
       assert(received.synchronized(received.size) == n, "no re-delivery on resume")
+      // --plan is a dry run in ad-hoc mode too: prices, never delivers
+      val (pc, pOut) = cli("sync",
+        "-p", "syncmaven/http", "-m", model,
+        "-c", s"""{"url": "http://127.0.0.1:$port/adhoc"}""",
+        "--sync-id", "adhoc_plan_only", "--state", state, "--plan")
+      assert(pc == 0 && pOut.exists(l => l.contains("adhoc_plan_only") && l.contains("rows in")),
+        pOut.mkString("\n"))
+      assert(received.synchronized(received.size) == n, "--plan must not deliver")
       // missing package fails loudly
       val (bad, badOut) = cli("sync", "-m", model, "-c", "{}")
       assert(bad == 1 && badOut.exists(_.contains("needs -p")))

@@ -94,14 +94,17 @@ class RestSinkSpec extends SparkSuite {
     // blocks the reflective fallback — without normalization EVERY row
     // of a timestamp-bearing sync fails at the transport
     RowCapture.rows.clear()
-    val in = Seq((1L, java.sql.Timestamp.valueOf("2021-06-01 12:30:00"),
+    val ts = java.sql.Timestamp.valueOf("2021-06-01 12:30:00")
+    val in = Seq((1L, ts,
         java.sql.Date.valueOf("2021-06-02"), Array[Byte](1, 2, 3)))
       .toDF("id", "ts", "d", "blob")
     val res = RestSink.push(in, new CapturingTransport)
     assert(res.sentRows == 1 && res.failedRows == 0, s"$res")
     val row = RowCapture.rows.asScala.head
     assert(row("id") == 1L)
-    assert(row("ts").toString.startsWith("2021-06-01T12:30:00"), row("ts").toString)
+    // expected built from the same Timestamp so the assert holds in any
+    // host timezone (jsonSafe renders UTC instants)
+    assert(row("ts") == ts.toInstant.toString, row("ts").toString)
     assert(row("d") == "2021-06-02")
     assert(row("blob") == java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2, 3)))
     // and the serialized JSON form the HTTP transport would emit is valid

@@ -64,8 +64,14 @@ class WarehouseDialectSpec extends SparkSuite {
   test("mysql generic types: TINYINT(1)/BIT(1) booleans, exact DECIMAL, the 'coming soon' source delivered") {
     val d = MySql
     assert(d.genericType("TINYINT(1)") == "boolean" && d.genericType("BIT(1)") == "boolean")
+    assert(d.genericType("BIT") == "boolean", "bare BIT is BIT(1), MySQL's own default")
     assert(d.genericType("TINYINT") == "integer" && d.genericType("tinyint(4)") == "integer")
     assert(d.genericType("BIGINT") == "integer" && d.genericType("MEDIUMINT(9)") == "integer")
+    // MySQL 8.0.17+ reports unsigned columns with the suffix, no width
+    assert(d.genericType("INT UNSIGNED") == "integer")
+    assert(d.genericType("BIGINT UNSIGNED") == "integer")
+    assert(d.genericType("int(10) unsigned") == "integer")
+    assert(d.genericType("TINYINT(1) UNSIGNED") == "boolean")
     assert(d.genericType("VARCHAR(255)") == "string" && d.genericType("enum('a','b')") == "string")
     assert(d.genericType("JSON") == "string")
     assert(d.genericType("DATETIME") == "date" && d.genericType("TIMESTAMP") == "date")
@@ -76,6 +82,7 @@ class WarehouseDialectSpec extends SparkSuite {
   test("clickhouse generic types: wrappers unwrap, scale-0 decimals split like BQ/SF") {
     val d = ClickHouse
     assert(d.genericType("UInt64") == "integer" && d.genericType("Int8") == "integer")
+    assert(d.genericType("UInt128") == "integer" && d.genericType("Nullable(UInt256)") == "integer")
     assert(d.genericType("Nullable(Int32)") == "integer")
     assert(d.genericType("LowCardinality(Nullable(String))") == "string")
     assert(d.genericType("FixedString(16)") == "string" && d.genericType("Enum8('a'=1)") == "string")
