@@ -1356,6 +1356,48 @@ object TrainingData {
       .orderBy("layout_state", "probe")
   }
 
+  /** C106: layout ADVISOR — which clustering to rewrite with, decided
+    * from the probe workload itself: price every candidate layout
+    * (single-dim sorts and the 2-D Morton interleave, plus a
+    * price-band dimension) against the workload's probes and report
+    * total files touched per candidate — the evidence row a maintenance
+    * job attaches to its OPTIMIZE proposal. Completes the suite:
+    * audit (q178) → advisor (q186) → compaction plan (q184) → decay
+    * re-trigger (q185). Exact composition of the C98 pieces. */
+  def q186LayoutAdvisor(t: Tables): DataFrame = {
+    import graft.operators.Layout
+    val base = t.orders.select(
+      (col("o_custkey") % 65536).cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("dd"),
+      // integer-cents band (the q95 recipe): exact on both engines
+      expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 100000")
+        .as("pb"))
+    val dims = Seq("ck", "dd", "pb")
+    val candidates: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("sort_ck" -> col("ck")),
+      ("sort_dd" -> col("dd")),
+      ("z_ck_dd" -> Layout.zOrderKey(Seq(col("ck"), col("dd")))),
+      ("z_ck_pb" -> Layout.zOrderKey(Seq(col("ck"), col("pb")))),
+      ("z_dd_pb" -> Layout.zOrderKey(Seq(col("dd"), col("pb")))))
+    val workload = Seq(
+      Seq(("ck", 100L, 199L)),
+      Seq(("dd", 365L, 729L)),
+      Seq(("ck", 100L, 199L), ("dd", 365L, 729L)),
+      Seq(("pb", 100L, 150L)),
+      Seq(("ck", 100L, 199L), ("pb", 100L, 150L)))
+    (for ((name, key) <- candidates) yield {
+      val stats = Layout.fileStats(Layout.assignFiles(base, key, 64), dims)
+      workload.map(p => Layout.filesTouched(stats, p))
+        .reduce(_ unionAll _)
+        .agg(sum(col("files_touched")).as("workload_files_touched"),
+          max(col("files_total")).as("files_total"))
+        .select(lit(name).as("candidate"), col("workload_files_touched"),
+          col("files_total"))
+    }).reduce(_ unionAll _)
+      .orderBy("candidate")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -3220,6 +3220,55 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C106: layout advisor — five candidate layouts (two sorts, three
+    // Morton pairs) priced over the five-probe workload; each candidate
+    // is an equal-width assignment over its own key domain, stats carry
+    // ALL THREE dims, probes use the q178 NULL-guard form, and the
+    // verdict is the workload sum.
+    "q186_layout_advisor" -> {
+      def z(a: String, b: String) = (0 until 16).flatMap(bit => Seq(
+        s"((($a >> $bit) & 1) << ${2 * bit})",
+        s"((($b >> $bit) & 1) << ${2 * bit + 1})")).mkString(" | ")
+      val candidates = Seq(
+        ("sort_ck", "ck"), ("sort_dd", "dd"),
+        ("z_ck_dd", z("ck", "dd")), ("z_ck_pb", z("ck", "pb")),
+        ("z_dd_pb", z("dd", "pb")))
+      val priced = candidates.map { case (name, keyExpr) =>
+        s"""SELECT '$name' AS candidate,
+           |  CAST(SUM(ft) AS BIGINT) AS workload_files_touched,
+           |  CAST(MAX(tot) AS BIGINT) AS files_total
+           |FROM (
+           |  SELECT pr.probe,
+           |    SUM(CASE WHEN (cklo IS NULL OR (mnc <= ckhi AND mxc >= cklo))
+           |         AND (ddlo IS NULL OR (mnd <= ddhi AND mxd >= ddlo))
+           |         AND (pblo IS NULL OR (mnp <= pbhi AND mxp >= pblo)) THEN 1 ELSE 0 END) AS ft,
+           |    COUNT(*) AS tot
+           |  FROM (
+           |    SELECT f, MIN(ck) AS mnc, MAX(ck) AS mxc, MIN(dd) AS mnd, MAX(dd) AS mxd,
+           |           MIN(pb) AS mnp, MAX(pb) AS mxp
+           |    FROM (SELECT ck, dd, pb, zk * 64 // (mxk + 1) AS f
+           |          FROM (SELECT ck, dd, pb, CAST($keyExpr AS BIGINT) AS zk FROM base) kb,
+           |               (SELECT MAX(CAST($keyExpr AS BIGINT)) AS mxk FROM base) km)
+           |    GROUP BY f) s, pr
+           |  GROUP BY pr.probe)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
+         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS pb
+         |  FROM orders
+         |), pr AS (SELECT * FROM (VALUES
+         |  ('p1', 100, 199, NULL, NULL, NULL, NULL),
+         |  ('p2', NULL, NULL, 365, 729, NULL, NULL),
+         |  ('p3', 100, 199, 365, 729, NULL, NULL),
+         |  ('p4', NULL, NULL, NULL, NULL, 100, 150),
+         |  ('p5', 100, 199, NULL, NULL, 100, 150))
+         |  AS v(probe, cklo, ckhi, ddlo, ddhi, pblo, pbhi))
+         |SELECT candidate, workload_files_touched, files_total FROM (
+         |$priced
+         |) ORDER BY candidate""".stripMargin
+    },
+
     // C105: layout decay — three file-stats frames (clustered history,
     // +time-ordered appends, full re-cluster) and the same NULL-guarded
     // overlap pricing as q178, replayed integer-for-integer.
