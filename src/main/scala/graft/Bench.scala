@@ -79,15 +79,21 @@ object Bench {
     }
 
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
-    // Global deadline: whatever happens per query, the bench itself always
-    // finishes and prints its JSON line well inside any external timeout
-    // (queries past the deadline are recorded as -3, never silently lost).
-    val deadlineNs = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_S", "480").toLong * 1000L * 1000 * 1000
     // optional comma-separated name filter (substring match) for targeted runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+    // Global deadline: whatever happens per query, the bench itself always
+    // finishes and prints its JSON line well inside any external timeout
+    // (queries past the deadline are recorded as -3, never silently lost).
+    // The default SCALES WITH THE CATALOG — warmup + timed run is ~2×
+    // mean query time, so a fixed 480 s starves a 186-query catalog
+    // (BENCH_r09 recorded ≥19 queries as -3 exactly this way); 4 s per
+    // selected query keeps the old floor for small runs and grows with
+    // coverage.
+    val budgetS = sys.env.get("SPARK_GRAFT_TOTAL_BUDGET_S").map(_.toLong)
+      .getOrElse(math.max(480L, 4L * selected.size))
+    val deadlineNs = System.nanoTime() + budgetS * 1000L * 1000 * 1000
     val results = selected.map { n =>
       if (System.nanoTime() > deadlineNs) {
         System.err.println(s"[bench] $n skipped: total budget exhausted")

@@ -38,7 +38,7 @@ object FlacCodecUtil {
 
   // ------------------------------------------------------------ bit io
 
-  private final class BitWriter {
+  private[functions] final class BitWriter {
     private val buf = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nbits = 0
@@ -55,7 +55,7 @@ object FlacCodecUtil {
     def toBytes: Array[Byte] = { require(nbits == 0, "unaligned"); buf.toByteArray }
   }
 
-  private final class BitReader(b: Array[Byte], var pos: Int) {
+  private[functions] final class BitReader(b: Array[Byte], var pos: Int) {
     private var bit = 0
     def bytePos: Int = pos
     def aligned: Boolean = bit == 0
@@ -177,8 +177,9 @@ object FlacCodecUtil {
   }
 
   /** UTF-8-style coded number: t bytes carry 5t+1 payload bits (t=2..6;
-    * t=7 carries 36). */
-  private def codedNumber(w: BitWriter, v: Long): Unit =
+    * t=7 — lead byte 0xFE, six continuation bytes — carries the 36-bit
+    * sample numbers variable-blocksize streams need, RFC 9639 §9.1.5). */
+  private[functions] def codedNumber(w: BitWriter, v: Long): Unit =
     if (v < 0x80) w.write(v, 8)
     else {
       def payloadBits(t: Int): Int = if (t == 7) 36 else 5 * t + 1
@@ -189,6 +190,31 @@ object FlacCodecUtil {
       var k = t - 2
       while (k >= 0) { w.write(0x80L | ((v >>> (6 * k)) & 0x3F), 8); k -= 1 }
     }
+
+  /** Inverse of [[codedNumber]]: leading-ones count t of the lead byte
+    * selects the width — t=0 is a bare 7-bit value, t=2..6 carries
+    * `7−t` head bits + 6 per continuation byte, and t=7 (0xFE lead, zero
+    * head payload, six continuation bytes) carries the 36-bit sample
+    * numbers of variable-blocksize streams (RFC 9639 §9.1.5). t=1 (a
+    * continuation byte in lead position) and t=8 (0xFF) are malformed. */
+  private[functions] def readCodedNumber(r: BitReader): Long = {
+    val first = r.read(8).toInt
+    var extra = 0
+    var f = first
+    while ((f & 0x80) != 0) { extra += 1; f <<= 1 }
+    if (extra == 1 || extra > 7) throw new IllegalArgumentException("coded number")
+    var v: Long =
+      if (extra == 0) first.toLong
+      else first.toLong & ((1L << (7 - extra)) - 1)
+    var i = 0
+    while (i < math.max(0, extra - 1)) {
+      val c = r.read(8).toInt
+      if ((c & 0xC0) != 0x80) throw new IllegalArgumentException("cont byte")
+      v = (v << 6) | (c & 0x3F)
+      i += 1
+    }
+    v
+  }
 
   private def fixedResidual(x: Array[Int], off: Int, bs: Int, order: Int): Array[Long] = {
     val r = new Array[Long](bs - order)
@@ -418,16 +444,7 @@ object FlacCodecUtil {
     val ssBits = r.read(3).toInt
     if (r.read(1) != 0) throw new IllegalArgumentException("reserved2")
     // coded number (UTF-8 style)
-    val first = r.read(8).toInt
-    var extra = 0
-    var f = first
-    while ((f & 0x80) != 0) { extra += 1; f <<= 1 }
-    if (extra == 1 || extra > 6) throw new IllegalArgumentException("coded number")
-    var i = 0
-    while (i < math.max(0, extra - 1)) {
-      if ((r.read(8).toInt & 0xC0) != 0x80) throw new IllegalArgumentException("cont byte")
-      i += 1
-    }
+    readCodedNumber(r)
     val blockSize = BlockSizeTable(bsBits) match {
       case -1 => throw new IllegalArgumentException("reserved blocksize")
       case -2 => r.read(8).toInt + 1

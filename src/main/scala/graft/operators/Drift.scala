@@ -37,20 +37,45 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** Per-slice two-sample KS vs the rest of the corpus.
+    *
+    * Degenerate corpora are handled in-plan (no eager driver counts):
+    * a single-slice corpus has n_rest = 0 and KS-vs-nothing is
+    * undefined, so `ks_pm` comes back NULL rather than an ANSI
+    * division error. `maxDistinctValues` bounds the slice×value grid —
+    * an unbounded continuous metric would silently build a
+    * corpus-sized grid; past the bound the query fails LOUDLY
+    * (raise_error names the fix: bucketize the metric first). The
+    * default leaves the plan byte-identical to the unguarded form.
+    *
     * @return (slice, n_slice, n_rest, ks_pm, ks_at_value) — the
     *         per-mille KS distance and the smallest metric value
     *         attaining it (largest distance wins; value breaks ties). */
-  def ksDrift(df: DataFrame, sliceCol: Column, valueCol: Column): DataFrame = {
+  def ksDrift(df: DataFrame, sliceCol: Column, valueCol: Column,
+              maxDistinctValues: Long = Long.MaxValue): DataFrame = {
     val counts = df.select(sliceCol.as("slice"), valueCol.as("v"))
       .groupBy("slice", "v").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("slice").agg(sum(col("c")).as("n_s"))
-    val grandTotal = counts.agg(sum(col("c")).as("n_all"))
+    val guarded = maxDistinctValues != Long.MaxValue
+    val grandTotal =
+      if (guarded)
+        counts.agg(sum(col("c")).as("n_all"),
+          countDistinct(col("v")).as("n_v"))
+      else counts.agg(sum(col("c")).as("n_all"))
     // dense slice×value grid: every slice sees every observed value, so
     // the cumulated ECDFs align at the same steps
-    val grid = counts.select("v").distinct()
+    val grid0 = counts.select("v").distinct()
       .crossJoin(broadcast(totals.crossJoin(broadcast(grandTotal))))
       .join(counts, Seq("slice", "v"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
+    // the loud-fail rides the count column itself, so column pruning can
+    // never optimize the check away — it fires iff any grid row is built
+    val grid = if (guarded)
+      grid0.withColumn("c",
+        when(col("n_v") <= lit(maxDistinctValues), col("c"))
+          .otherwise(raise_error(format_string(
+            "ksDrift: %d distinct metric values exceed maxDistinctValues=%d — bucketize the metric first",
+            col("n_v"), lit(maxDistinctValues))).cast("long")))
+    else grid0
     // the global cumulated count at each value — from the per-value
     // totals, cumulated over the tiny distinct-value frame
     val globalCum = counts.groupBy("v").agg(sum(col("c")).as("cv"))
@@ -70,7 +95,11 @@ object Drift {
     diffs.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("slice"), col("n_s").as("n_slice"), col("n_rest"),
-        expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_rest) as long)")
+        // n_rest = 0 (single-slice corpus): KS vs nothing is undefined —
+        // NULL, not an ANSI division error (CaseWhen branches evaluate
+        // conditionally, so the div never runs)
+        when(col("n_rest") > 0,
+          expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_rest) as long)"))
           .as("ks_pm"),
         col("v").as("ks_at_value"))
   }
@@ -111,7 +140,9 @@ object Drift {
     diffs.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("slice"), col("n_s").as("n_slice"), col("n_ref"),
-        expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_ref) as long)")
+        // an empty reference has n_ref = 0: NULL, not a division error
+        when(col("n_ref") > 0,
+          expr("cast(cast(dnum as decimal(38,0)) * 1000 div (cast(n_s as decimal(38,0)) * n_ref) as long)"))
           .as("ks_pm"),
         col("v").as("ks_at_value"))
   }

@@ -48,14 +48,19 @@ object Layout {
   /** Equal-width file assignment over the observed key domain:
     * `file = key · files div (max+1)` with the 1-row broadcast max —
     * deterministic, sort-free, and exactly replayable (unlike a
-    * rank-based equal-count split, which needs a global sort). Appends
-    * `__file`. */
+    * rank-based equal-count split, which needs a global sort). The
+    * product is widened to DECIMAL(38,0) before the divide, so the full
+    * key domain zOrderKey permits (bits·dims ≤ 63) is usable at any file
+    * count — `__k · files` near the 63-bit bound would overflow int64.
+    * The quotient is ≤ files, so the final long cast is always safe.
+    * Appends `__file`. */
   def assignFiles(df: DataFrame, key: Column, files: Int): DataFrame = {
     require(files >= 1)
     val mx = df.agg(max(key).cast("long").as("__mx"))
     df.withColumn("__k", key.cast("long"))
       .crossJoin(broadcast(mx))
-      .withColumn("__file", expr(s"__k * $files div (__mx + 1)"))
+      .withColumn("__file", expr(
+        s"cast(cast(__k as decimal(38,0)) * $files div (cast(__mx as decimal(38,0)) + 1) as long)"))
       .drop("__k", "__mx")
   }
 
@@ -116,50 +121,86 @@ object Layout {
       .repartition(col("__file"))
       .write.mode("overwrite").partitionBy("__file").parquet(path)
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; it IS a
+    * `Writable`, so ship it to executors through its own wire format.
+    * (Spark's internal `SerializableConfiguration` is `private[spark]` —
+    * this is the same 6-line trick, public API only.) */
+  private final class SerializableConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Read the ACTUAL parquet footer statistics of a [[writeClustered]]
     * layout — the min/max each row group's metadata physically carries,
     * which is exactly what engine-side file skipping consults. Returns
     * the same (\_\_file, n_rows, min_d/max_d...) frame shape as
-    * [[fileStats]], aggregated from the real footers (driver-side footer
-    * walk over the files-sized layout — no data pages are read). */
+    * [[fileStats]], aggregated from the real footers; no data pages are
+    * read.
+    *
+    * Scale shape: the driver only LISTS the layout (the same metadata
+    * walk any scan's file index performs); each footer is opened and
+    * decoded ON AN EXECUTOR (`parallelize` over the leaf files → one
+    * partial-stats row per physical file), and the per-logical-file
+    * rollup is an ordinary files-sized groupBy. A 10⁶-file table costs a
+    * parallel footer sweep, not hours of sequential driver I/O. */
   def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
                   dims: Seq[String]): DataFrame = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val parts = fs.listStatus(root).filter(_.isDirectory)
+    // driver side: names only — (logical file id, physical file path)
+    val leaves: Seq[(Long, String)] = fs.listStatus(root)
+      .filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("__file="))
-    val rows = parts.toSeq.map { dir =>
-      val fileId = dir.getPath.getName.stripPrefix("__file=").toLong
-      var n = 0L
-      val mins = scala.collection.mutable.Map.empty[String, Long]
-      val maxs = scala.collection.mutable.Map.empty[String, Long]
-      fs.listStatus(dir.getPath).filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
-          try {
-            reader.getFooter.getBlocks.asScala.foreach { block =>
-              n += block.getRowCount
-              block.getColumns.asScala.foreach { c =>
-                val name = c.getPath.toDotString
-                if (dims.contains(name)) {
-                  val st = c.getStatistics
-                  require(st != null && !st.isEmpty, s"no stats for $name in ${f.getPath}")
-                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
-                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
-                  mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn)
-                  maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx)
-                }
+      .toSeq.flatMap { dir =>
+        val fileId = dir.getPath.getName.stripPrefix("__file=").toLong
+        fs.listStatus(dir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => fileId -> f.getPath.toString)
+      }
+    val sconf = new SerializableConf(conf)
+    val dimList = dims.toIndexedSeq // serializable, stable order
+    val slices = math.max(1, math.min(leaves.size,
+      spark.sparkContext.defaultParallelism))
+    // executor side: decode footers, one partial row per physical file
+    val partials = spark.sparkContext
+      .parallelize(leaves, slices)
+      .map { case (fileId, p) =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val fp = new org.apache.hadoop.fs.Path(p)
+        var n = 0L
+        val mins = scala.collection.mutable.Map.empty[String, Long]
+        val maxs = scala.collection.mutable.Map.empty[String, Long]
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(fp, sconf.conf))
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            n += block.getRowCount
+            block.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              if (dimList.contains(name)) {
+                val st = c.getStatistics
+                require(st != null && !st.isEmpty, s"no stats for $name in $p")
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), mn)
+                maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue), mx)
               }
             }
-          } finally reader.close()
-        }
-      org.apache.spark.sql.Row.fromSeq(
-        fileId +: n +: dims.flatMap(d => Seq(mins(d), maxs(d))))
-    }
+          }
+        } finally reader.close()
+        org.apache.spark.sql.Row.fromSeq(
+          fileId +: n +: dimList.flatMap(d => Seq(mins(d), maxs(d))))
+      }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("__file",
         org.apache.spark.sql.types.LongType) ::
@@ -170,6 +211,11 @@ object Layout {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(s"max_$d",
           org.apache.spark.sql.types.LongType))).toList)
-    spark.createDataFrame(rows.asJava, schema)
+    // files-sized rollup of the physical-file partials per logical file
+    spark.createDataFrame(partials, schema)
+      .groupBy("__file").agg(
+        sum(col("n_rows")).as("n_rows"),
+        dims.flatMap(d => Seq(min(col(s"min_$d")).as(s"min_$d"),
+          max(col(s"max_$d")).as(s"max_$d"))): _*)
   }
 }

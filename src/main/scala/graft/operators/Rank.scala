@@ -61,28 +61,39 @@ object Rank {
                            dampingPct: Int = 85,
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wt"))
-    val ed = edges.join(wsum, "src").localCheckpoint(true)
-    val nodes0 = wsum.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    // The caller's edge build (often an expensive corpus aggregation) is
+    // evaluated exactly ONCE: `wt` rides a src-partitioned window on the
+    // same shuffle the per-round join needs anyway — the r9 join-against-
+    // groupBy shape re-evaluated the edge plan in wsum, ed AND the node
+    // frame (4 corpus passes before round 1).
+    val ed = edges.withColumn("wt",
+      sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val srcs = ed.select(col("src").as("node")).distinct()
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
-    val nS = seedSet.count()
+    // node frame with BOTH flags fused in (seed membership + dangling) —
+    // one distinct, one checkpoint; the per-flag frames of the r9 shape
+    // cost three extra upfront barriers
+    val nodes = srcs
+      .union(ed.select(col("dst").as("node")))
+      .distinct()
+      .join(srcs.withColumn("__out", lit(true)), Seq("node"), "left")
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"),
+        col("__out").isNull.as("__dang"))
+      .localCheckpoint(true)
+    // one bounded job: in-graph seed count + dangling existence
+    val totals = nodes.agg(
+      sum(when(col("__seed"), 1L).otherwise(0L)).as("n_seed_in_graph"),
+      sum(when(col("__dang"), 1L).otherwise(0L)).as("nd")).head()
+    val nS = seedSet.count() // checkpointed seeds-sized frame — cheap
     require(nS > 0, "personalized PageRank needs at least one seed")
     // out-of-graph seeds would silently leak teleport mass (they count in
     // |S| but hold no node row) — fail loudly instead
-    require(seedSet.join(nodes0, Seq("node"), "left_anti").isEmpty,
-      "every seed must be a node of the graph")
-    val nodes = nodes0
-      .join(seedSet.withColumn("__seed", lit(true)), Seq("node"), "left")
-      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
-      .localCheckpoint(true)
-    val dangling = nodes.select("node")
-      .join(wsum.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val hasDanglings = !dangling.isEmpty
+    require(totals.getLong(0) == nS, "every seed must be a node of the graph")
+    val hasDanglings = totals.getLong(1) > 0L
     val teleport = ((100L - dampingPct) * scale / 100L) / nS
-    var r = nodes.select(col("node"),
+    var r = nodes.select(col("node"), col("__seed"), col("__dang"),
       when(col("__seed"), lit(scale / nS)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
@@ -91,13 +102,14 @@ object Rank {
       val joined = nodes.join(contrib, Seq("node"), "left")
       val withShare =
         if (hasDanglings) {
-          val dshare = r.join(dangling, Seq("node"), "left_semi")
-            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+          // the flag rides the rank frame: bare aggregation, no semi-join
+          val dshare = r
+            .agg(coalesce(sum(when(col("__dang"), col("r"))), lit(0L)).as("dmass"))
             .select(expr(s"dmass div ${nS}L").as("dshare"))
           joined.crossJoin(broadcast(dshare))
         } else joined.withColumn("dshare", lit(0L))
       r = withShare
-        .select(col("node"), col("__seed"),
+        .select(col("node"), col("__seed"), col("__dang"),
           (expr(s"$dampingPct * (coalesce(s, 0L) + if(__seed, dshare, 0L)) div 100") +
             when(col("__seed"), lit(teleport)).otherwise(lit(0L))).as("r"))
         .localCheckpoint(true)
@@ -162,36 +174,42 @@ object Rank {
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
+    // Each half-round checkpoints the RAW SUMS frame (join+agg), collects
+    // the side's max as ONE bounded driver scalar (the same kmeans-d /
+    // pageRank-N convention), and renormalizes with the max as a LITERAL
+    // — a plain codegen'd projection over the checkpointed data. The r9
+    // shape checkpointed AFTER a crossJoin(broadcast(max)) renorm, so the
+    // 1-row broadcast embedded a SECOND copy of the whole join+agg
+    // subtree and every half-round paid the expensive pass twice, plus a
+    // BroadcastNestedLoopJoin (A/B-measured ~20% slower than the scalar
+    // form even before the double compute). Nodes absent from a sums
+    // frame have score 0 IMPLICITLY (zero mass, can't win the max —
+    // scores are non-negative), so the r9 per-half-round zero-fill join
+    // against the node frame is dropped too; the fill happens once, in
+    // the final output.
+    def pass(score: DataFrame, joinKey: String, outKey: String,
+             scoreCol: String): DataFrame = {
+      val sums = ed.join(score, ed(joinKey) === score("node"))
+        .select(ed(outKey).as("node"),
+          (col(scoreCol).cast("decimal(38,0)") * col("w")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+        .localCheckpoint(true)
+      val mx = sums.agg(max(col("s"))).head().getDecimal(0)
+      if (mx != null && mx.signum > 0)
+        sums.select(col("node"),
+          expr(s"cast(s * 10000 div cast('${mx.toPlainString}' as decimal(38,0)) as long)")
+            .as(scoreCol))
+      else sums.select(col("node"), lit(0L).as(scoreCol))
+    }
     var hub = nodes.select(col("node"), lit(10000L).as("h"))
     var auth = nodes.select(col("node"), lit(10000L).as("a"))
     for (_ <- 1 to iters) {
-      val a1 = ed.join(hub, ed("src") === hub("node"))
-        .select(ed("dst").as("node"),
-          (col("h").cast("decimal(38,0)") * col("w")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      val aJoined = nodes.join(a1, Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
-      val amax = aJoined.agg(max(col("s")).as("mx"))
-      auth = aJoined.crossJoin(broadcast(amax))
-        .select(col("node"),
-          when(col("mx") > 0, expr("cast(s * 10000 div mx as long)"))
-            .otherwise(lit(0L)).as("a"))
-        .localCheckpoint(true)
-      val h1 = ed.join(auth, ed("dst") === auth("node"))
-        .select(ed("src").as("node"),
-          (col("a").cast("decimal(38,0)") * col("w")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-      val hJoined = nodes.join(h1, Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("s"))
-      val hmax = hJoined.agg(max(col("s")).as("mx"))
-      hub = hJoined.crossJoin(broadcast(hmax))
-        .select(col("node"),
-          when(col("mx") > 0, expr("cast(s * 10000 div mx as long)"))
-            .otherwise(lit(0L)).as("h"))
-        .localCheckpoint(true)
+      auth = pass(hub, "src", "dst", "h").withColumnRenamed("h", "a")
+      hub = pass(auth, "dst", "src", "a").withColumnRenamed("a", "h")
     }
-    nodes.join(hub, "node").join(auth, "node")
-      .select(col("node"), col("h").as("hub_fx"), col("a").as("auth_fx"))
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_fx"),
+        coalesce(col("a"), lit(0L)).as("auth_fx"))
   }
 
   /** @param edges (src: long, dst: long, w: long); the node set is
@@ -201,25 +219,34 @@ object Rank {
   def pageRank(edges: DataFrame, iters: Int = 6, dampingPct: Int = 85,
                scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wt"))
-    val ed = edges.join(wsum, "src").localCheckpoint(true)
-    // src side rides the already-unique wsum frame; only dst needs the
-    // corpus-side distinct
-    val nodes = wsum.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
-    // dangling = nodes that never appear as src; N is one bounded scalar
-    // (the kmeans-d convention), fixed for the whole iteration.
-    val dangling = nodes.join(
-      wsum.select(col("src").as("node")), Seq("node"), "left_anti")
+    // The caller's edge build (often an expensive corpus aggregation) is
+    // evaluated exactly ONCE: `wt` rides a src-partitioned window on the
+    // same shuffle the per-round join needs anyway — the r9 join-against-
+    // groupBy shape re-evaluated the edge plan in wsum, ed AND the node
+    // frame (4 corpus passes before round 1, the q170 idle regression).
+    val ed = edges.withColumn("wt",
+      sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val srcs = ed.select(col("src").as("node")).distinct()
+    // node frame with the dangling flag FUSED in ("never appears as
+    // src" = left join against the src set) — one materialization
+    // instead of the r9 shape's separate anti-join checkpoint
+    val nodes = srcs
+      .union(ed.select(col("dst").as("node")))
+      .distinct()
+      .join(srcs.withColumn("__out", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.as("__dang"))
+      .localCheckpoint(true)
+    // N and the dangling-existence probe from ONE bounded job on the
+    // checkpointed node frame (was two: count + isEmpty)
+    val totals = nodes.agg(count(lit(1)).as("n"),
+      sum(when(col("__dang"), 1L).otherwise(0L)).as("nd")).head()
+    val n = totals.getLong(0)
     // graphs where every node has out-edges (the symmetrized case) have
-    // D = 0 every round by construction — skip the per-round semi-join
-    // and broadcast entirely, which keeps the dangling feature free for
-    // the common case (one bounded existence probe up front)
-    val hasDanglings = !dangling.isEmpty
-    var r = nodes.select(col("node"), lit(scale).as("r"))
+    // D = 0 every round by construction — skip the per-round dangling
+    // aggregation and broadcast entirely
+    val hasDanglings = totals.getLong(1) > 0L
+    var r = nodes.select(col("node"), col("__dang"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(ed("dst").as("node"), expr("r * w div wt").as("c"))
@@ -227,18 +254,20 @@ object Rank {
       val joined = nodes.join(contrib, Seq("node"), "left")
       val withShare =
         if (hasDanglings) {
-          // this round's dangling mass as a 1-row broadcast: D div N
-          val dshare = r.join(dangling, Seq("node"), "left_semi")
-            .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+          // this round's dangling mass as a 1-row broadcast: D div N —
+          // the flag rides the rank frame, so this is a bare aggregation
+          // over r, no semi-join
+          val dshare = r
+            .agg(coalesce(sum(when(col("__dang"), col("r"))), lit(0L)).as("dmass"))
             .select(expr(s"dmass div ${n}L").as("dshare"))
           joined.crossJoin(broadcast(dshare))
         } else joined.withColumn("dshare", lit(0L))
       r = withShare
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * (coalesce(s, 0L) + dshare)) div 100")
             .as("r"))
         .localCheckpoint(true)
     }
-    r
+    r.select("node", "r")
   }
 }

@@ -1125,18 +1125,42 @@ object TrainingData {
     graft.operators.Urls.urlDedup(t.documents, url)
   }
 
+  /** The PURCHASE GRAPH all five graph queries (q170/q175/q181/q182/q183)
+    * walk: ONE lineitem⋈orders aggregation to weighted customer→supplier
+    * edges (weight = lineitem count; customers take even node ids,
+    * suppliers odd so both sides share one id space). `symmetrized` adds
+    * the reversed edges, giving every node out-edges — the variant the
+    * undirected walks use. Shared so the suite has exactly one
+    * definition of the graph — also the frame a real user would
+    * materialize once per corpus snapshot and feed to every graph
+    * analysis. */
+  private def purchaseEdges(t: Tables, symmetrized: Boolean): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("w"))
+    val fwd = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
+    if (symmetrized)
+      fwd.unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
+    else fwd
+  }
+
+  /** The ten highest-order-volume customers as graph seeds (order count,
+    * custkey tie-break — integer ordering so both engines pick identical
+    * seeds); shared by q181 (PPR) and q183 (seed distance). */
+  private def purchaseSeeds(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey").asc)
+      .limit(10)
+      .select((col("o_custkey") * 2).as("node"))
+
   /** C89: link-graph PAGERANK (operators/Rank) — the seed-quality
     * centrality signal, exercised on the real purchase bipartite graph
     * (customer↔supplier, weight = lineitem count; customers take even
     * node ids, suppliers odd; symmetrized so every node has out-edges).
     * Top-100 by fixed-point rank with a total (rank, side, id) order. */
   def q170PageRank(t: Tables): DataFrame = {
-    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
-    graft.operators.Rank.pageRank(ed)
+    graft.operators.Rank.pageRank(purchaseEdges(t, symmetrized = true))
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
         expr("node div 2").as("id"), col("r").as("rank_fx"))
@@ -1153,11 +1177,7 @@ object TrainingData {
     * of leaking out of the walk. Same fixed-point arithmetic and the same
     * total (rank, side, id) output order as q170. */
   def q175PageRankDangling(t: Tables): DataFrame = {
-    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-    graft.operators.Rank.pageRank(ed)
+    graft.operators.Rank.pageRank(purchaseEdges(t, symmetrized = false))
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
         expr("node div 2").as("id"), col("r").as("rank_fx"))
@@ -1177,9 +1197,14 @@ object TrainingData {
   def q178ZorderLayout(t: Tables): DataFrame = {
     import graft.operators.Layout
     val files = 64
+    // epoch at min(o_orderdate) so dd is NON-NEGATIVE, per zOrderKey's
+    // contract — a later epoch makes ~40% of days negative, and their
+    // two's-complement low bits wrap to the top of the key domain,
+    // silently splitting the date dimension (q184/q185/q186 share this
+    // anchor; the oracle replays it)
     val base = t.orders.select(
       (col("o_custkey") % 65536).cast("long").as("ck"),
-      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
         .cast("long").as("dd"))
     val zstats = Layout.fileStats(
       Layout.assignFiles(base, Layout.zOrderKey(Seq(col("ck"), col("dd"))), files),
@@ -1235,17 +1260,8 @@ object TrainingData {
     * symmetrized purchase graph. Exact fixed-point with 1-unit total
     * mass; top-100 with the total (rank, side, id) order. */
   def q181PersonalizedPagerank(t: Tables): DataFrame = {
-    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
-    val seeds = t.orders.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("o_custkey").asc)
-      .limit(10)
-      .select((col("o_custkey") * 2).as("node"))
-    graft.operators.Rank.personalizedPageRank(ed, seeds)
+    graft.operators.Rank.personalizedPageRank(
+      purchaseEdges(t, symmetrized = true), purchaseSeeds(t))
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
         expr("node div 2").as("id"), col("r").as("rank_fx"))
@@ -1261,11 +1277,7 @@ object TrainingData {
     * single centrality. Exact integer power iteration (10⁴ renorm per
     * side per round); top-100 by score with a total order. */
   def q182Hits(t: Tables): DataFrame = {
-    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-    graft.operators.Rank.hits(ed)
+    graft.operators.Rank.hits(purchaseEdges(t, symmetrized = false))
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
         expr("node div 2").as("id"), col("hub_fx"), col("auth_fx"),
@@ -1280,16 +1292,8 @@ object TrainingData {
     * histogram plus the unreached remainder: the crawl-depth prior
     * ("how far from the trusted frontier") as a corpus-level audit. */
   def q183SeedDistance(t: Tables): DataFrame = {
-    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("w"))
-    val ed = e.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"), col("w"))
-      .unionAll(e.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"), col("w")))
-    val seeds = t.orders.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("o_custkey").asc)
-      .limit(10)
-      .select((col("o_custkey") * 2).as("node"))
+    val ed = purchaseEdges(t, symmetrized = true)
+    val seeds = purchaseSeeds(t)
     val nodes = ed.select(col("src").as("node")).distinct()
     val hops = graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4)
     nodes.join(hops, Seq("node"), "left")
@@ -1310,7 +1314,7 @@ object TrainingData {
     import graft.operators.Layout
     val base = t.orders.select(
       (col("o_custkey") % 65536).cast("long").as("ck"),
-      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
         .cast("long").as("dd"))
     val stats = Layout.fileStats(
       Layout.assignFiles(base, Layout.zOrderKey(Seq(col("ck"), col("dd"))), 64),
@@ -1329,7 +1333,7 @@ object TrainingData {
     import graft.operators.Layout
     val base = t.orders.select(
       (col("o_custkey") % 65536).cast("long").as("ck"),
-      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
         .cast("long").as("dd"))
     val split = 1800L // clustered history vs fresh appends
     val hist = base.filter(col("dd") < split)
@@ -1368,7 +1372,7 @@ object TrainingData {
     import graft.operators.Layout
     val base = t.orders.select(
       (col("o_custkey") % 65536).cast("long").as("ck"),
-      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
         .cast("long").as("dd"),
       // integer-cents band (the q95 recipe): exact on both engines
       expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 100000")

@@ -3050,7 +3050,7 @@ object TrainingOracle {
         s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
       s"""WITH base AS (
          |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
-         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
          |  FROM orders
          |), zb AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM base),
          |zmx AS (SELECT MAX(zk) AS mx FROM zb),
@@ -3254,7 +3254,7 @@ object TrainingOracle {
       }.mkString("\nUNION ALL\n")
       s"""WITH base AS (
          |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
-         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+         |         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS pb
          |  FROM orders
          |), pr AS (SELECT * FROM (VALUES
@@ -3278,7 +3278,7 @@ object TrainingOracle {
         s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
       s"""WITH base AS (
          |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
-         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
          |  FROM orders
          |), hist AS (SELECT * FROM base WHERE dd < 1800),
          |fresh AS (SELECT * FROM base WHERE dd >= 1800),
@@ -3331,7 +3331,7 @@ object TrainingOracle {
         s"(((dd >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
       s"""WITH base AS (
          |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS ck,
-         |         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+         |         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
          |  FROM orders
          |), zb AS (SELECT ck, dd, CAST($zexpr AS BIGINT) AS zk FROM base),
          |zmx AS (SELECT MAX(zk) AS mx FROM zb),

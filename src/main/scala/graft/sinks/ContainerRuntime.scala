@@ -1,7 +1,7 @@
 package graft.sinks
 
 /**
- * B39 — pluggable container runtime for IMAGE-packaged connectors: turns a
+ * B48 — pluggable container runtime for IMAGE-packaged connectors: turns a
  * `package.image` declaration into a stdio-speaking child process via the
  * container CLI (`docker run -i`), graft's counterpart of the reference's
  * dockerode-driven `DockerContainer` (core/src/docker/container.ts:166-247;
@@ -16,8 +16,11 @@ package graft.sinks
  *    the local image on failure — `pullPolicy = "always"`; `"never"`
  *    skips the pull (tests, air-gapped clusters).
  *  - env injection (ContainerCreate `Env`, container.ts:199-210): every
- *    config env var rides an `-e K=V` flag, including the engine-supplied
- *    `RPC_URL` state side-channel.
+ *    config env var rides a bare `-e K` passthrough flag with the value
+ *    set in the docker CLI's own environment (deliberate divergence from
+ *    the reference's in-argv values: argv is world-readable via
+ *    /proc/<pid>/cmdline), including the engine-supplied `RPC_URL` state
+ *    side-channel.
  *  - host gateway (`ExtraHosts: host.docker.internal:host-gateway`,
  *    container.ts:206-208): the in-container `RPC_URL` names
  *    [[rpcHost]] (default `host.docker.internal`), and the engine binds
@@ -67,15 +70,24 @@ final case class ContainerRuntime(
 
   /** The `docker run` line for one connector lane — the CLI spelling of
     * the reference's ContainerCreate options (container.ts:199-217):
-    * attached stdio (`-i`), host gateway alias, env as `-e` flags (sorted
-    * for determinism), a unique name, remove-on-exit. */
+    * attached stdio (`-i`), host gateway alias, env as BARE `-e K` flags
+    * (sorted for determinism), a unique name, remove-on-exit.
+    *
+    * The `-e` flags are deliberately value-free: `docker run -e K`
+    * forwards K's value from the docker CLI's OWN process environment, so
+    * the caller must launch this argv with the env map applied via
+    * `ProcessBuilder.environment()` (StdioConnector does). Spelling
+    * `-e K=V` here would put connector credentials and the per-lane
+    * StateRpc capability token into argv, which is world-readable through
+    * /proc/<pid>/cmdline on every executor host — the env-passthrough
+    * form keeps secrets out of the process table entirely. */
   def launchCommand(image: String, env: Map[String, String]): Seq[String] = {
     val name = "graft-" + image.replaceAll("[^A-Za-z0-9_.-]", "-") + "-" +
       java.lang.Long.toHexString(System.nanoTime())
     Seq(binary, "run", "-i", "--rm",
       "--add-host", "host.docker.internal:host-gateway",
       "--name", name) ++
-      env.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("-e", s"$k=$v") } ++
+      env.keys.toSeq.sorted.flatMap(k => Seq("-e", k)) ++
       extraArgs :+ image
   }
 }

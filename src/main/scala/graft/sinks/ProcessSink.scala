@@ -63,15 +63,18 @@ object ProcessSink {
 
   /** Build the stdio channel for one lane. Image configs resolve through
     * the container runtime: pull-with-fallback, then `docker run -i` with
-    * the env (incl. RPC_URL) as `-e` flags — the container sees the env,
-    * the docker CLI process itself needs none. */
+    * bare `-e K` passthrough flags — the VALUES ride the docker CLI's own
+    * process environment (ProcessBuilder.environment()), never argv, so
+    * credentials and the RPC capability token stay out of the
+    * world-readable /proc/<pid>/cmdline on executor hosts. */
   private def openChannel(config: Config, rpcUrl: Option[String]): StdioConnector =
     config.image match {
       case Some(img) =>
         config.runtime.ensureImage(img, s => System.err.println(s"[container] $s"))
+        val laneEnv = config.env ++ rpcUrl.map("RPC_URL" -> _)
         new StdioConnector(
-          config.runtime.launchCommand(img, config.env ++ rpcUrl.map("RPC_URL" -> _)),
-          cwd = None, env = Map.empty, replyTimeoutMs = config.replyTimeoutMs)
+          config.runtime.launchCommand(img, laneEnv),
+          cwd = None, env = laneEnv, replyTimeoutMs = config.replyTimeoutMs)
       case None =>
         new StdioConnector(config.command, config.cwd,
           config.env ++ rpcUrl.map("RPC_URL" -> _),

@@ -141,6 +141,38 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(decodeFlac(patched) == null, "reserved channel assignment must be rejected")
   }
 
+  test("coded numbers round-trip at every width incl. the 7-byte 36-bit form") {
+    // RFC 9639 §9.1.5: t=7 (0xFE lead, six continuation bytes) carries the
+    // 36-bit sample numbers of variable-blocksize streams; the decoder must
+    // accept it — the encoder's own codedNumber can emit it.
+    val cases = Seq(
+      0L, 0x7FL,                        // 1 byte
+      0x80L, 0x7FFL,                    // 2 bytes (11 bits)
+      0x800L, 0xFFFFL,                  // 3 bytes (16 bits)
+      0x10000L, 0x1FFFFFL,              // 4 bytes (21 bits)
+      0x200000L, 0x3FFFFFFL,            // 5 bytes (26 bits)
+      0x4000000L, 0x7FFFFFFFL,          // 6 bytes (31 bits)
+      0x80000000L, 0xFFFFFFFFFL)        // 7 bytes (36 bits)
+    for (v <- cases) {
+      val w = new BitWriter
+      codedNumber(w, v)
+      val bytes = w.toBytes
+      val r = new BitReader(bytes, 0)
+      assert(readCodedNumber(r) == v, s"coded-number roundtrip of $v")
+      assert(r.bytePos == bytes.length, s"all bytes consumed for $v")
+    }
+    // the 7-byte form's lead byte is exactly 0xFE
+    val w7 = new BitWriter
+    codedNumber(w7, 0x80000000L)
+    assert((w7.toBytes.head & 0xFF) == 0xFE)
+    assert(w7.toBytes.length == 7)
+    // 0xFF lead (t=8) and a lone continuation byte (t=1) stay malformed
+    for (bad <- Seq(0xFF, 0x80))
+      assertThrows[IllegalArgumentException](
+        readCodedNumber(new BitReader(Array(bad.toByte, 0x80.toByte,
+          0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte), 0)))
+  }
+
   test("the chosen subframes actually compress structured signals") {
     val ramp = Array.tabulate(4096)(i => i % 2048 - 1024)
     val enc = encodeFlac(Array(ramp), 44100, 16, blockSize = 1024)

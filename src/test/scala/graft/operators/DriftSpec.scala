@@ -58,6 +58,40 @@ class DriftSpec extends SparkSuite {
     assert(gotDis("hi") == ((1000L, 40L)), s"hi: ${gotDis("hi")}")
   }
 
+  test("C99: degenerate corpora — single slice yields NULL ks_pm, not a division error") {
+    val one = (1 to 30).map(i => ("only", i.toLong))
+    val got = Drift.ksDrift(one.toDF("src", "x"), col("src"), col("x"))
+      .select("slice", "n_rest", "ks_pm").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 0L)
+    assert(got(0).isNullAt(2), "ks_pm must be NULL when there is no rest-of-corpus")
+    // empty reference in the monitoring form: same contract
+    val refEmpty = Seq.empty[(Long, Long)].toDF("v", "c")
+    val vsRef = Drift.ksVsReference(one.toDF("src", "x"), refEmpty, col("src"), col("x"))
+      .select("ks_pm").collect()
+    assert(vsRef.forall(_.isNullAt(0)))
+  }
+
+  test("C99: maxDistinctValues bounds the grid loudly; within-bound results are unchanged") {
+    val rows = (1 to 200).map(i => (s"s${i % 2}", i.toLong)) // 200 distinct values
+    val df = rows.toDF("src", "x")
+    // within the bound: identical to the unguarded result
+    val unguarded = Drift.ksDrift(df, col("src"), col("x"))
+      .select("slice", "ks_pm").as[(String, Long)].collect().toMap
+    val guarded = Drift.ksDrift(df, col("src"), col("x"), maxDistinctValues = 1000)
+      .select("slice", "ks_pm").as[(String, Long)].collect().toMap
+    assert(guarded == unguarded)
+    // past the bound: loud failure naming the remedy, not a silent
+    // corpus-sized grid
+    val e = intercept[Exception] {
+      Drift.ksDrift(df, col("src"), col("x"), maxDistinctValues = 50)
+        .select("slice").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bucketize")), s"got: ${messages(e)}")
+  }
+
   test("C99: every window in the plan is partitioned (no corpus-wide single task)") {
     val t = graft.queries.Tables(spark, sfDir)
     val df = graft.queries.TrainingData.q179KsDrift(t)

@@ -244,8 +244,11 @@ class ProcessSinkSpec extends SparkSuite with Matchers {
     cmd.head shouldBe "docker"
     cmd.slice(1, 4) shouldBe Seq("run", "-i", "--rm")
     cmd.containsSlice(Seq("--add-host", "host.docker.internal:host-gateway")) shouldBe true
-    // env flags are sorted for determinism
-    cmd.containsSlice(Seq("-e", "A=1", "-e", "B=2")) shouldBe true
+    // env flags are sorted, and bare (passthrough) — values must NEVER
+    // land in argv, where /proc/<pid>/cmdline makes them world-readable
+    cmd.containsSlice(Seq("-e", "A", "-e", "B")) shouldBe true
+    cmd.exists(_.contains("=1")) shouldBe false
+    cmd.exists(_.contains("=2")) shouldBe false
     cmd.last shouldBe "acme/img:1.0"
     // container names are sanitized and unique per launch
     val name1 = cmd(cmd.indexOf("--name") + 1)
