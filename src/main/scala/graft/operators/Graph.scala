@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * C107-C109: graph COHESION suite — the structural corpus-quality
+ * measures that complement the centrality family (Rank): butterfly
+ * counting (bipartite clustering), connected components (co-occurrence
+ * cluster discovery — the graph face of dedup clustering), and k-core
+ * decomposition (the dense interaction backbone). All three are EXACT
+ * integer computations with bounded relational rounds, so the DuckDB
+ * oracle replays them bit-for-bit; none keeps driver state beyond
+ * bounded scalars (the kmeans-d / pageRank-N convention).
+ *
+ * Reference context: the reference's pipelines treat co-occurrence
+ * clusters and interaction density as curation signals (the same role
+ * its audience/dedup grouping plays — studied, not ported); web-corpus
+ * curation uses exactly these measures on link/co-citation graphs
+ * (butterfly counts for bipartite cohesion, components for mirror-site
+ * groups, k-cores for spam-farm density).
+ */
+object Graph {
+
+  /** BUTTERFLY count — the bipartite clustering primitive: a butterfly
+    * is a complete 2×2 biclique (two left nodes sharing two right
+    * nodes), the bipartite analog of the triangle (bipartite graphs
+    * have none). Counted from the LEFT (src) pivot: per src, every
+    * unordered dst pair is one wedge; k wedges on the same dst pair
+    * make C(k,2) butterflies.
+    *
+    * CALLER PICKS THE PIVOT SIDE: wedge volume is Σ C(deg,2) over the
+    * pivot side, so feed the side with the smaller square-degree sum as
+    * `src` (the Chiba–Nishizeki vertex-priority convention — on a
+    * customers×suppliers graph the many-low-degree customer side beats
+    * the few-high-degree supplier side by orders of magnitude). Scale
+    * shape: one self-join co-partitioned on src (expansion bounded by
+    * pivot-side degree), one bounded groupBy on the dst pair, two
+    * 1-row aggregates; hub pivots are the skew risk — cap or re-pivot.
+    * Wedge/butterfly sums ride DECIMAL(38,0) so k near int64's root
+    * cannot overflow the C(k,2) products.
+    *
+    * @param edges (src, dst) — bipartite, deduplicated internally.
+    * @return ONE row: (n_src, n_dst, n_edges, n_wedges, n_butterflies). */
+  def butterflies(edges: DataFrame): DataFrame = {
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val a = ed.as("a")
+    val b = ed.as("b")
+    val pairs = a.join(b, col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("d1"), col("b.dst").as("d2"))
+      .agg(count(lit(1)).as("k"))
+    val wedgeStats = pairs.agg(
+      coalesce(sum(col("k").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("n_wedges_dec"),
+      coalesce(sum(expr("cast(k as decimal(38,0)) * (k - 1) div 2").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("n_butterflies_dec"))
+    val edgeStats = ed.agg(
+      countDistinct(col("src")).as("n_src"),
+      countDistinct(col("dst")).as("n_dst"),
+      count(lit(1)).as("n_edges"))
+    edgeStats.crossJoin(broadcast(wedgeStats))
+      .select(col("n_src"), col("n_dst"), col("n_edges"),
+        col("n_wedges_dec").cast("long").as("n_wedges"),
+        col("n_butterflies_dec").cast("long").as("n_butterflies"))
+  }
+
+  /** CONNECTED COMPONENTS by min-label propagation WITH pointer
+    * doubling — each round takes the min label over the closed
+    * neighborhood, then compresses one pointer hop (`l ← label(l)`,
+    * always defined: labels are node ids and monotonically
+    * non-increasing), so label reach at least doubles per round and
+    * `rounds = R` covers components of diameter ≈ 2^R. Deterministic
+    * and exactly replayable: the component id IS the component's
+    * minimum node id.
+    *
+    * Scale shape per round: one co-partitioned edge⋈label join, one
+    * min-aggregation, one label-sized self-join, `localCheckpoint`
+    * lineage cut — K bounded shuffles total, zero driver state beyond
+    * the per-round convergence scalar: Σ labels is monotonically
+    * non-increasing, so an unchanged sum proves the fixed point and
+    * later rounds are skipped (the oracle replays ALL R rounds —
+    * post-convergence rounds are no-ops, so the results agree).
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED (symmetrized
+    *              internally).
+    * @return (node, comp) for every node with ≥1 edge. */
+  def components(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1)
+    val und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var lbl = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("l"))
+      .localCheckpoint(true)
+    var prevSum: Option[java.math.BigDecimal] = None
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val nbMin = und.join(lbl, und("src") === lbl("node"))
+        .select(und("dst").as("node"), col("l"))
+        .unionByName(lbl)
+        .groupBy("node").agg(min(col("l")).as("l"))
+      // pointer hop l ← label(l): rename one side so the self-join
+      // resolves unambiguously
+      val parent = nbMin.select(col("node").as("pnode"), col("l").as("pl"))
+      lbl = nbMin.join(parent, col("l") === col("pnode"))
+        .select(col("node"), col("pl").as("l"))
+        .localCheckpoint(true)
+      val s = lbl.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      r += 1
+    }
+    lbl.select(col("node"), col("l").as("comp"))
+  }
+
+  /** K-CORE — the maximal subgraph where every node keeps degree ≥ k,
+    * by synchronous peeling: each round computes degrees, drops
+    * under-k nodes, and removes their edges; the fixed point is the
+    * k-core. `rounds` bounds the peeling (R rounds peel any graph
+    * whose degeneracy ordering has ≤ R waves); an unchanged edge count
+    * proves the fixed point (peeling is monotone), so converged graphs
+    * skip the remaining rounds while the oracle's full-R replay
+    * produces the identical frame.
+    *
+    * Scale shape per round: one degree aggregation + two
+    * co-partitioned semi-joins + `localCheckpoint`; everything is
+    * edge-frame-sized and shrinks monotonically.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED (symmetrized
+    *              internally; degrees are undirected degrees).
+    * @return (node, deg) — the k-core members with their in-core
+    *         degree; empty when the k-core is empty. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var prevCount = -1L
+    var r = 0
+    while (r < rounds && prevCount != 0L) {
+      val cnt = und.count()
+      if (cnt == prevCount) r = rounds // fixed point — skip the rest
+      else {
+        prevCount = cnt
+        val keep = und.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select("node")
+        val keepDst = keep.select(col("node").as("node2"))
+        und = und
+          .join(keep, und("src") === keep("node"), "left_semi")
+          .join(keepDst, col("dst") === keepDst("node2"), "left_semi")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

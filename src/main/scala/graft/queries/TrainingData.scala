@@ -1402,6 +1402,71 @@ object TrainingData {
       .orderBy("candidate")
   }
 
+  /** The PART CO-PURCHASE graph shared by q188/q189: parts appearing in
+    * the SAME order, kept when the pairing repeats (`w ≥ minW`) — the
+    * co-occurrence backbone corpus curation clusters on (co-cited pages,
+    * co-bought items). The per-order pair expansion is bounded by order
+    * size (≤7 lineitems in TPC-H — document the cap when order sizes are
+    * unbounded); the repeat filter makes the result sparse. */
+  private def copurchaseEdges(t: Tables, minW: Long): DataFrame = {
+    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    p.as("a").join(p.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+      .select("src", "dst")
+  }
+
+  /** C107: BUTTERFLY count ([[graft.operators.Graph.butterflies]]) on the
+    * full customer×supplier purchase graph — the bipartite cohesion
+    * measure (2×2 bicliques): how much co-purchasing structure the graph
+    * carries beyond star shapes. Pivoted on the CUSTOMER side (the
+    * many-low-degree side — its Σ C(deg,2) wedge volume is orders of
+    * magnitude below the supplier side's, the vertex-priority rule).
+    * One-row exact integer summary. */
+  def q187Butterflies(t: Tables): DataFrame = {
+    val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    graft.operators.Graph.butterflies(e)
+      .select(col("n_src").as("n_customers"), col("n_dst").as("n_suppliers"),
+        col("n_edges"), col("n_wedges"), col("n_butterflies"))
+  }
+
+  /** C108: CONNECTED COMPONENTS ([[graft.operators.Graph.components]])
+    * over the repeat co-purchase part graph — co-occurrence cluster
+    * discovery, the graph face of dedup clustering (mirror-site groups
+    * in web curation). Min-label propagation with pointer doubling,
+    * component id = min part key; top-10 components by size with the
+    * total component count riding every row. */
+  def q188Components(t: Tables): DataFrame = {
+    val comp = graft.operators.Graph.components(copurchaseEdges(t, 2))
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+    val total = sizes.agg(count(lit(1)).as("n_components"))
+    sizes.crossJoin(broadcast(total))
+      .orderBy(col("n_nodes").desc, col("comp").asc)
+      .limit(10)
+      .select("comp", "n_nodes", "n_components")
+  }
+
+  /** C109: K-CORE ([[graft.operators.Graph.kCore]], k=3) of the repeat
+    * co-purchase part graph — the dense interaction backbone (spam-farm
+    * density in link graphs, consistently-co-bought assortments here):
+    * every member keeps ≥3 in-core neighbors after peeling. One-row
+    * summary; an empty core (as at sparse SFs) reports zeros — itself
+    * the signal. */
+  def q189KCore(t: Tables): DataFrame = {
+    graft.operators.Graph.kCore(copurchaseEdges(t, 2), k = 3)
+      .agg(
+        count(lit(1)).as("n_core_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("sum_deg"),
+        coalesce(min(col("deg")), lit(0L)).as("min_deg"),
+        coalesce(max(col("deg")), lit(0L)).as("max_deg"))
+      .select(col("n_core_nodes"), expr("sum_deg div 2").as("n_core_edges"),
+        col("min_deg"), col("max_deg"))
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -3005,6 +3005,89 @@ object TrainingOracle {
          |ORDER BY rank_fx DESC, side, id LIMIT 100""".stripMargin
     },
 
+    // C107: butterfly count — customer-pivot wedges (supplier pairs per
+    // customer), k per pair, Σ C(k,2) in HUGEINT ≙ Spark's DECIMAL(38,0).
+    "q187_butterflies" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.dst AS d1, b.dst AS d2, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY 1, 2
+        |), ws AS (
+        |  SELECT COALESCE(CAST(SUM(CAST(k AS HUGEINT)) AS BIGINT), 0) AS n_wedges,
+        |         COALESCE(CAST(SUM(CAST(k AS HUGEINT) * (k - 1) // 2) AS BIGINT), 0) AS n_butterflies
+        |  FROM pairs
+        |), es AS (
+        |  SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_customers,
+        |         CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_suppliers,
+        |         CAST(COUNT(*) AS BIGINT) AS n_edges
+        |  FROM e)
+        |SELECT es.n_customers, es.n_suppliers, es.n_edges, ws.n_wedges, ws.n_butterflies
+        |FROM es, ws""".stripMargin,
+
+    // C108: connected components — 8 rounds of (closed-neighborhood min,
+    // pointer hop) replayed round-for-round; post-convergence rounds are
+    // no-ops, so Spark's early exit lands on the same labels.
+    "q188_components" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""m$k AS MATERIALIZED (
+           |  SELECT node, MIN(l) AS l FROM (
+           |    SELECT node, l FROM l${k - 1}
+           |    UNION ALL
+           |    SELECT und.dst AS node, p.l FROM und JOIN l${k - 1} p ON p.node = und.src
+           |  ) GROUP BY node),
+           |l$k AS MATERIALIZED (
+           |  SELECT x.node, p.l FROM m$k x JOIN m$k p ON x.l = p.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM ew UNION SELECT dst, src FROM ew
+         |), l0 AS (
+         |  SELECT node, node AS l FROM (SELECT DISTINCT src AS node FROM und)
+         |),
+         |$rounds
+         |sizes AS (SELECT l AS comp, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l8 GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM sizes)
+         |SELECT comp, n_nodes, n_components FROM sizes, tot
+         |ORDER BY n_nodes DESC, comp ASC LIMIT 10""".stripMargin
+    },
+
+    // C109: k-core (k=3) — 12 synchronous peel rounds replayed
+    // round-for-round; peeling is monotone, so Spark's fixed-point early
+    // exit and the full-R replay yield the identical core.
+    "q189_kcore" -> {
+      val rounds = (1 to 12).map { k =>
+        s"""d$k AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e${k - 1} GROUP BY 1),
+           |kp$k AS MATERIALIZED (SELECT node FROM d$k WHERE d >= 3),
+           |e$k AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${k - 1} e
+           |  JOIN kp$k a ON e.src = a.node JOIN kp$k b ON e.dst = b.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), e0 AS MATERIALIZED (
+         |  SELECT src, dst FROM ew UNION SELECT dst, src FROM ew
+         |),
+         |$rounds
+         |core AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e12 GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+         |       COALESCE(CAST(SUM(deg) AS BIGINT), 0) // 2 AS n_core_edges,
+         |       COALESCE(MIN(deg), 0) AS min_deg,
+         |       COALESCE(MAX(deg), 0) AS max_deg
+         |FROM core""".stripMargin
+    },
+
     // C99: per-source KS drift — the scaled-ECDF integer form replayed
     // window-for-window: dense slice×value grid, per-slice cumulated
     // counts, the global cumulated counts, D_num = |cs·n_rest −

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** C107-C109: the cohesion suite must match driver-side brute force on
+  * random fixtures (butterfly enumeration, union-find components,
+  * iterative peeling), hit its analytic shapes (bicliques, paths,
+  * cliques), and converge inside the round budget with the early-exit
+  * landing on the same fixed point as extra rounds. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- butterflies
+
+  /** Brute force: enumerate left-pivot wedges, count per dst pair. */
+  private def bruteButterflies(edges: Seq[(Long, Long)]): (Long, Long) = {
+    val ded = edges.distinct
+    val bySrc = ded.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val wedges = bySrc.values.map(ds => ds.size.toLong * (ds.size - 1) / 2).sum
+    val pairCounts = bySrc.values.flatMap(ds =>
+      for (i <- ds.indices; j <- i + 1 until ds.size) yield (ds(i), ds(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val butterflies = pairCounts.values.map(k => k * (k - 1) / 2).sum
+    (wedges, butterflies)
+  }
+
+  test("C107: butterflies match brute force on a random bipartite fixture") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, 100L + rnd.nextInt(12)))
+    val (wedges, flies) = bruteButterflies(edges)
+    val got = Graph.butterflies(edges.toDF("src", "dst"))
+      .select("n_src", "n_dst", "n_edges", "n_wedges", "n_butterflies")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._3 == edges.distinct.size.toLong, "dedup before counting")
+    assert(got._4 == wedges && got._5 == flies, s"got $got, want ($wedges, $flies)")
+  }
+
+  test("C107: analytic shapes — complete bipartite K(a,b) has C(a,2)*C(b,2) butterflies; a star has none") {
+    val k34 = for (l <- 1L to 3L; r <- 10L to 13L) yield (l, r)
+    val gotK = Graph.butterflies(k34.toDF("src", "dst"))
+      .select("n_wedges", "n_butterflies").as[(Long, Long)].head()
+    // wedges: 3 lefts x C(4,2)=6; butterflies: C(4,2) pairs x C(3,2)=3
+    assert(gotK == ((18L, 18L)), s"K(3,4): $gotK")
+    val star = (1L to 5L).map(r => (0L, 10L + r))
+    val gotS = Graph.butterflies(star.toDF("src", "dst"))
+      .select("n_wedges", "n_butterflies").as[(Long, Long)].head()
+    assert(gotS._1 == 10L && gotS._2 == 0L, s"star: $gotS")
+  }
+
+  // -------------------------------------------------------- components
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = par.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); par(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    par.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("C108: components equal union-find on a random sparse fixture") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(60)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val want = unionFind(edges)
+    val got = Graph.components(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "component labels must be the per-component min node id")
+  }
+
+  test("C108: a 120-node path converges inside 8 doubling rounds to one component") {
+    val path = (0L until 119L).map(i => (i, i + 1))
+    val got = Graph.components(path.toDF("src", "dst")).as[(Long, Long)].collect()
+    assert(got.length == 120 && got.forall(_._2 == 0L),
+      "pointer doubling must close a diameter-119 path in 8 rounds")
+  }
+
+  test("C108: early exit lands on the same labels as a larger round budget") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(40)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val a = Graph.components(edges.toDF("src", "dst"), rounds = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Graph.components(edges.toDF("src", "dst"), rounds = 20)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------------ k-core
+
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges.flatMap(e => Seq(e, e.swap)).distinct if a != b)
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, s) if s.size < k => n }.toSeq
+      changed = drop.nonEmpty
+      for (n <- drop) { for (m <- adj(n)) adj(m) -= n; adj -= n }
+    }
+    adj.map { case (n, s) => n -> s.size }.toMap
+  }
+
+  test("C109: k-core equals brute-force peeling on a random fixture") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    for (k <- Seq(2, 3, 5)) {
+      val want = bruteKCore(edges, k)
+      val got = Graph.kCore(edges.toDF("src", "dst"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want.map { case (n, d) => n -> d.toLong },
+        s"k=$k: got ${got.size} core nodes, want ${want.size}")
+    }
+  }
+
+  test("C109: a clique survives any k below its size; a tree has an empty 2-core") {
+    val clique = for (a <- 0L until 6L; b <- 0L until 6L if a < b) yield (a, b)
+    val gotC = Graph.kCore(clique.toDF("src", "dst"), 5).as[(Long, Long)].collect()
+    assert(gotC.length == 6 && gotC.forall(_._2 == 5L))
+    // a star is a tree: the 2-core must be empty
+    val star = (1L to 8L).map(i => (0L, i))
+    assert(Graph.kCore(star.toDF("src", "dst"), 2).isEmpty)
+  }
+
+  test("C107-C109: the q187/q188/q189 plans have no cartesian product") {
+    val t = graft.queries.Tables(spark, sfDir)
+    for (df <- Seq(graft.queries.TrainingData.q187Butterflies(t),
+      graft.queries.TrainingData.q188Components(t),
+      graft.queries.TrainingData.q189KCore(t))) {
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      assert(df.count() >= 1)
+    }
+  }
+}
