@@ -114,6 +114,89 @@ object Graph {
     lbl.select(col("node"), col("l").as("comp"))
   }
 
+  /** TRIANGLE count + global clustering coefficient — the classic graph
+    * cohesion pair: triangles via the ORIENTED enumeration (every
+    * undirected edge kept once as `a < b`, triangles found as
+    * `ab ⋈ bc ⋈ ac` over the oriented frame, so each triangle is
+    * counted exactly once and the quadratic wedge expansion runs over
+    * oriented — roughly halved — adjacency), wedges as Σ C(deg, 2)
+    * over true undirected degrees, and the global clustering
+    * coefficient as the per-mille ratio 1000·3·triangles div wedges
+    * (truncating integer division, exactly replayable; NULL when the
+    * graph has no wedges).
+    *
+    * Scale shape: two co-partitioned self-joins for triangles (skew
+    * bounded by max oriented degree — pre-orient by degree instead of
+    * id when hubs dominate), one degree aggregation for wedges, 1-row
+    * output. DECIMAL(38,0) wedge sums, same bound story as
+    * [[butterflies]].
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED; self-loops and
+    *              duplicates dropped.
+    * @return ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         gcc_pm). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val ori = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct().localCheckpoint(true)
+    val ab = ori
+    val bc = ori.select(col("a").as("b2"), col("b").as("c"))
+    val ac = ori.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = ori.select(col("a").as("node"))
+      .unionAll(ori.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("cast(d as decimal(38,0)) * (d - 1) div 2")
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("w_dec"))
+    val edgeCount = ori.agg(count(lit(1)).as("n_edges"))
+    edgeCount.crossJoin(broadcast(degStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        col("w_dec").cast("long").as("n_wedges"), col("n_triangles"),
+        when(col("w_dec") > 0,
+          expr("cast(3 * n_triangles as decimal(38,0)) * 1000 div w_dec").cast("long"))
+          .as("gcc_pm"))
+  }
+
+  /** Neighborhood JACCARD similarity join — "items that co-occur with
+    * the same things": for every node pair with ≥1 common neighbor,
+    * `J = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|` as an exact per-mille
+    * (1000·k div (deg a + deg b − k)), kept when ≥ `minJPm`. The
+    * graph-neighborhood face of the dedup family's set-similarity
+    * joins (related-page / related-item discovery in curation).
+    *
+    * Scale shape: common-neighbor counts ride the same per-pivot wedge
+    * expansion as [[butterflies]] (one self-join co-partitioned on the
+    * pivot, Σ C(deg,2) rows — cap hub pivots the same way); degrees
+    * join in bounded; the threshold prunes before the output.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED; deduplicated.
+    * @return (a, b, common, deg_a, deg_b, j_pm), a < b. */
+  def neighborhoodJaccard(edges: DataFrame, minJPm: Long): DataFrame = {
+    val und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // common neighbors: both a and b adjacent to pivot c → one wedge row
+    val x = und.select(col("src").as("c"), col("dst").as("a"))
+    val y = und.select(col("src").as("c2"), col("dst").as("b"))
+    val common = x.join(y, col("c") === col("c2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val degA = deg.select(col("node").as("a"), col("d").as("deg_a"))
+    val degB = deg.select(col("node").as("b"), col("d").as("deg_b"))
+    common.join(degA, "a").join(degB, "b")
+      .withColumn("j_pm",
+        expr("1000 * common div (deg_a + deg_b - common)"))
+      .filter(col("j_pm") >= minJPm)
+      .select("a", "b", "common", "deg_a", "deg_b", "j_pm")
+  }
+
   /** K-CORE — the maximal subgraph where every node keeps degree ≥ k,
     * by synchronous peeling: each round computes degrees, drops
     * under-k nodes, and removes their edges; the fixed point is the

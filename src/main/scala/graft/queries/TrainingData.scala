@@ -1467,6 +1467,48 @@ object TrainingData {
         col("min_deg"), col("max_deg"))
   }
 
+  /** C110: TRIANGLE count + global clustering coefficient
+    * ([[graft.operators.Graph.triangles]]) of the repeat co-purchase
+    * part graph — how much of the co-occurrence structure closes into
+    * cliques vs stays star-shaped; the unipartite complement of q187's
+    * bipartite butterflies. One-row exact integer summary. */
+  def q190Triangles(t: Tables): DataFrame =
+    graft.operators.Graph.triangles(copurchaseEdges(t, 2))
+
+  /** C111: neighborhood JACCARD similarity join
+    * ([[graft.operators.Graph.neighborhoodJaccard]]) — "parts bought
+    * alongside the same parts": exact per-mille neighborhood overlap on
+    * the repeat co-purchase backbone, threshold 200‰, top-20 with a
+    * total (j_pm desc, a, b) order — the related-item discovery a
+    * curation pipeline runs on co-occurrence graphs. */
+  def q191NeighborhoodJaccard(t: Tables): DataFrame =
+    graft.operators.Graph.neighborhoodJaccard(copurchaseEdges(t, 2), minJPm = 200)
+      .orderBy(col("j_pm").desc, col("a").asc, col("b").asc)
+      .limit(20)
+
+  /** C112: L-DIVERSITY audit — the attribute-disclosure complement of
+    * q160's k-anonymity: within each quasi-identifier class (nation ×
+    * market segment), how many DISTINCT sensitive values (account-balance
+    * band) appear; an l=1 class leaks its members' sensitive value to
+    * anyone who can place them in the class, even when k is large. Per-l
+    * histogram with each bucket's per-mille share of rows — two bounded
+    * aggregations + a 1-row broadcast total, the q160 shape. */
+  def q192LDiversity(t: Tables): DataFrame = {
+    val classes = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct(col("bal_band")).as("l"), count(lit(1)).as("n_rows"))
+    val buckets = classes.groupBy("l").agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("n_rows")).as("n_rows"))
+    val total = classes.agg(sum(col("n_rows")).as("n_total"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("l"), col("n_classes"), col("n_rows"),
+        expr("1000 * n_rows div n_total").as("rows_pm"))
+      .orderBy("l")
+  }
+
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs
     * next to C14's PII redaction: before any row leaves the warehouse,
     * group by the quasi-identifier tuple (nation, segment, account-balance

@@ -3088,6 +3088,78 @@ object TrainingOracle {
          |FROM core""".stripMargin
     },
 
+    // C110: triangles via the oriented a<b<c enumeration + wedges from
+    // undirected degrees; gcc as truncating per-mille, NULL when no
+    // wedges.
+    "q190_triangles" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+        |), ew AS MATERIALIZED (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), ori AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM ew WHERE src <> dst
+        |), tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM ori ab JOIN ori bc ON ab.b = bc.a
+        |  JOIN ori ac ON ab.a = ac.a AND bc.b = ac.b
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM ori UNION ALL SELECT b AS node FROM ori
+        |  ) GROUP BY node
+        |), ds AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         COALESCE(CAST(SUM(CAST(d AS HUGEINT) * (d - 1) // 2) AS HUGEINT), 0) AS w
+        |  FROM deg
+        |), es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ori)
+        |SELECT ds.n_nodes, es.n_edges, CAST(ds.w AS BIGINT) AS n_wedges,
+        |  tri.n_triangles,
+        |  CASE WHEN ds.w > 0
+        |    THEN CAST(CAST(3 * tri.n_triangles AS HUGEINT) * 1000 // ds.w AS BIGINT)
+        |  END AS gcc_pm
+        |FROM ds, es, tri""".stripMargin,
+
+    // C111: neighborhood Jaccard — common-neighbor wedge counts joined
+    // with undirected degrees, exact per-mille, threshold + top-20.
+    "q191_neighborhood_jaccard" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+        |), ew AS MATERIALIZED (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), und AS MATERIALIZED (
+        |  SELECT src, dst FROM ew WHERE src <> dst
+        |  UNION SELECT dst, src FROM ew WHERE src <> dst
+        |), com AS (
+        |  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2
+        |), deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1)
+        |SELECT com.a, com.b, com.common, da.d AS deg_a, db.d AS deg_b,
+        |  1000 * com.common // (da.d + db.d - com.common) AS j_pm
+        |FROM com JOIN deg da ON com.a = da.node JOIN deg db ON com.b = db.node
+        |WHERE 1000 * com.common // (da.d + db.d - com.common) >= 200
+        |ORDER BY j_pm DESC, a ASC, b ASC LIMIT 20""".stripMargin,
+
+    // C112: l-diversity — distinct sensitive bands per QI class, per-l
+    // histogram with per-mille row share.
+    "q192_l_diversity" ->
+      """WITH classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS l,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM customer GROUP BY 1, 2
+        |), buckets AS (
+        |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(n_rows) AS BIGINT) AS n_rows
+        |  FROM classes GROUP BY l
+        |), tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM classes)
+        |SELECT l, n_classes, n_rows, 1000 * n_rows // n_total AS rows_pm
+        |FROM buckets, tot ORDER BY l""".stripMargin,
+
     // C99: per-source KS drift — the scaled-ECDF integer form replayed
     // window-for-window: dense slice×value grid, per-slice cumulated
     // counts, the global cumulated counts, D_num = |cs·n_rest −

@@ -48,6 +48,54 @@ class GraphSpec extends SparkSuite {
     assert(gotS._1 == 10L && gotS._2 == 0L, s"star: $gotS")
   }
 
+  // --------------------------------------------------------- triangles
+
+  test("C110: triangle count + gcc match brute force on a random fixture") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(220)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val tri = und.map { case (a, b) => (adj(a) & adj(b)).count(c => c > b).toLong }.sum
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val got = Graph.triangles(edges.toDF("src", "dst"))
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "gcc_pm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._1 == adj.size.toLong && got._2 == und.size.toLong)
+    assert(got._3 == wedges && got._4 == tri, s"got $got, want ($wedges, $tri)")
+    assert(got._5 == 3 * tri * 1000 / wedges)
+  }
+
+  test("C110: analytic shapes — K4 has 4 triangles and gcc 1000; a star has none and gcc 0") {
+    val k4 = for (a <- 0L until 4L; b <- 0L until 4L if a < b) yield (a, b)
+    val gotK = Graph.triangles(k4.toDF("src", "dst"))
+      .select("n_triangles", "gcc_pm").as[(Long, Long)].head()
+    assert(gotK == ((4L, 1000L)), s"K4: $gotK")
+    val star = (1L to 6L).map(i => (0L, i))
+    val gotS = Graph.triangles(star.toDF("src", "dst"))
+      .select("n_triangles", "gcc_pm").as[(Long, Long)].head()
+    assert(gotS == ((0L, 0L)), s"star: $gotS")
+  }
+
+  // ----------------------------------------------- neighborhood jaccard
+
+  test("C111: neighborhood Jaccard matches brute force, threshold prunes") {
+    val rnd = new scala.util.Random(37)
+    val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      common = (adj(a) & adj(b)).size.toLong if common > 0
+      jpm = 1000L * common / (adj(a).size + adj(b).size - common) if jpm >= 300
+    } yield (a, b, common, adj(a).size.toLong, adj(b).size.toLong, jpm)).toSet
+    val got = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 300)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   // -------------------------------------------------------- components
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -128,11 +176,13 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(star.toDF("src", "dst"), 2).isEmpty)
   }
 
-  test("C107-C109: the q187/q188/q189 plans have no cartesian product") {
+  test("C107-C111: the q187-q191 plans have no cartesian product") {
     val t = graft.queries.Tables(spark, sfDir)
     for (df <- Seq(graft.queries.TrainingData.q187Butterflies(t),
       graft.queries.TrainingData.q188Components(t),
-      graft.queries.TrainingData.q189KCore(t))) {
+      graft.queries.TrainingData.q189KCore(t),
+      graft.queries.TrainingData.q190Triangles(t),
+      graft.queries.TrainingData.q191NeighborhoodJaccard(t))) {
       assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
       assert(df.count() >= 1)
     }

@@ -61,6 +61,26 @@ class GovernanceProfileSpec extends SparkSuite {
     }
   }
 
+  test("C112 q192: l-diversity buckets match a brute-force class recomputation") {
+    val rows = t.customer
+      .selectExpr("c_nationkey", "c_mktsegment",
+        "cast(floor(c_acctbal / 1000.0) as long) as band")
+      .as[(Long, String, Long)].collect()
+    val classes = rows.groupBy(r => (r._1, r._2)).view.mapValues { rs =>
+      (rs.map(_._3).distinct.size.toLong, rs.size.toLong)
+    }.toMap
+    val total = rows.size.toLong
+    val want = classes.values.groupBy(_._1).map { case (l, vs) =>
+      val nRows = vs.map(_._2).sum
+      (l, vs.size.toLong, nRows, 1000L * nRows / total)
+    }.toSeq.sortBy(_._1)
+    val got = TrainingData.q192LDiversity(t)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // every row lands in exactly one bucket
+    assert(got.map(_._3).sum == total)
+  }
+
   test("C85 q161: rank runs tile 1..V with no gaps, Zipf products ordered") {
     val got = TrainingData.q161ZipfProfile(t)
       .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSeq
