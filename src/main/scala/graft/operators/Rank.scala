@@ -125,12 +125,17 @@ object Rank {
     * first reached at hop k−1 (the frontier), so each round is one
     * co-partitioned join + a min-aggregate over (settled ∪ expansions),
     * `localCheckpoint` cutting lineage; K rounds = K bounded shuffles,
-    * zero driver state. Nodes unreached within `maxHops` are absent
-    * from the result (callers left-join and treat null as "beyond
-    * horizon").
+    * zero driver state. By default nodes unreached within `maxHops` are
+    * absent from the result; `includeUnreached = true` left-joins the
+    * graph's src-node set (derived from the ALREADY-CHECKPOINTED edge
+    * frame — no second pass over the caller's edge build) so unreached
+    * nodes appear with NULL hops.
     *
-    * @return (node, hops) for every node within `maxHops` of a seed. */
-  def seedDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6): DataFrame = {
+    * @return (node, d) for every node within `maxHops` of a seed; with
+    *         `includeUnreached`, every src node, d NULL when beyond the
+    *         horizon. */
+  def seedDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+                   includeUnreached: Boolean = false): DataFrame = {
     require(maxHops >= 0)
     val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
     var dist = seeds.select(col("node")).distinct()
@@ -146,7 +151,9 @@ object Rank {
       frontier = dist.filter(col("d") === k)
       k += 1
     }
-    dist
+    if (!includeUnreached) dist
+    else ed.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left")
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) — the link-analysis dual to

@@ -1294,9 +1294,11 @@ object TrainingData {
   def q183SeedDistance(t: Tables): DataFrame = {
     val ed = purchaseEdges(t, symmetrized = true)
     val seeds = purchaseSeeds(t)
-    val nodes = ed.select(col("src").as("node")).distinct()
-    val hops = graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4)
-    nodes.join(hops, Seq("node"), "left")
+    // includeUnreached derives the node set from seedDistance's OWN
+    // checkpointed edge frame — the r9 shape's outer distinct re-ran the
+    // whole lineitem⋈orders aggregation a second time
+    graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4,
+        includeUnreached = true)
       .select(
         when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
         coalesce(col("d"), lit(-1L)).as("hops"))
@@ -1507,6 +1509,31 @@ object TrainingData {
       .select(col("l"), col("n_classes"), col("n_rows"),
         expr("1000 * n_rows div n_total").as("rows_pm"))
       .orderBy("l")
+  }
+
+  /** C113: degree ASSORTATIVITY of the purchase bipartite graph — do
+    * high-degree customers buy from high-degree suppliers? The classic
+    * link-graph health scalar (disassortative graphs are hub-dominated —
+    * exactly the shape crawl frontiers degrade into), as Pearson
+    * correlation over the edge list's endpoint degrees: exact integer
+    * power sums (the q112 discipline — degrees are bounded longs, the
+    * sums never see a double), ONE final double formula so both engines
+    * compute the identical IEEE result. */
+  def q193Assortativity(t: Tables): DataFrame = {
+    val ed = purchaseEdges(t, symmetrized = false).select("src", "dst")
+    val dc = ed.groupBy("src").agg(count(lit(1)).as("x"))
+    val ds = ed.groupBy("dst").agg(count(lit(1)).as("y"))
+    ed.join(dc, "src").join(ds, "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_edges"),
+        expr("""(cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+               (sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) *
+                sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))""")
+          .as("assortativity"))
   }
 
   /** C84: k-anonymity audit — the re-identification-risk gate that belongs

@@ -3160,6 +3160,28 @@ object TrainingOracle {
         |SELECT l, n_classes, n_rows, 1000 * n_rows // n_total AS rows_pm
         |FROM buckets, tot ORDER BY l""".stripMargin,
 
+    // C113: degree assortativity — exact integer power sums over edge
+    // endpoint degrees, one final double formula (the q112 discipline).
+    "q193_assortativity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT o_custkey AS c, l_suppkey AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1),
+        |ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1),
+        |j AS (SELECT dc.x, ds.y FROM e JOIN dc ON e.c = dc.c JOIN ds ON e.s = ds.s),
+        |sm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM j)
+        |SELECT n AS n_edges,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |   SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS assortativity
+        |FROM sm""".stripMargin,
+
     // C99: per-source KS drift — the scaled-ECDF integer form replayed
     // window-for-window: dense slice×value grid, per-slice cumulated
     // counts, the global cumulated counts, D_num = |cs·n_rest −

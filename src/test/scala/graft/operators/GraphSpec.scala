@@ -176,6 +176,28 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(star.toDF("src", "dst"), 2).isEmpty)
   }
 
+  test("C113: assortativity matches a driver-side double replay on sf0.001") {
+    val t = graft.queries.Tables(spark, sfDir)
+    val edges = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s")).count()
+      .select("c", "s").as[(Long, Long)].collect()
+    val dc = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ds = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map { case (c, s) => (dc(c), ds(s)) }
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxy = xs.map { case (x, y) => x * y }.sum.toDouble
+    val sxx = xs.map { case (x, _) => x * x }.sum.toDouble
+    val syy = xs.map { case (_, y) => y * y }.sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = graft.queries.TrainingData.q193Assortativity(t)
+      .as[(Long, Double)].head()
+    assert(got._1 == xs.length.toLong)
+    assert(math.abs(got._2 - want) < 1e-12, s"got ${got._2}, want $want")
+    assert(got._2 >= -1.0 && got._2 <= 1.0)
+  }
+
   test("C107-C111: the q187-q191 plans have no cartesian product") {
     val t = graft.queries.Tables(spark, sfDir)
     for (df <- Seq(graft.queries.TrainingData.q187Butterflies(t),
