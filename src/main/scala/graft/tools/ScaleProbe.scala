@@ -196,7 +196,7 @@ object ScaleProbe {
       val orders = amplify(t.orders, "o_orderkey", k)
       val open = orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("valid_from", lit("1995-01-01").cast("timestamp"))
+        .withColumn("valid_from", lit("1992-01-01").cast("timestamp"))
         .withColumn("valid_to", lit(null).cast("timestamp"))
         .withColumn("is_current", lit(true))
       val snap = orders.filter(col("o_orderkey") % 97 =!= 0)
@@ -301,6 +301,25 @@ object ScaleProbe {
         run("seed_distance", k)(
           graft.operators.Rank.seedDistance(ed, seeds, maxHops = 4).count())
       }
+      for (k <- Seq(1, 4, 16)) {
+        val ed = amp(k).select("src", "dst")
+        // pivot-wedge expansion is bounded by pivot degree — amplified
+        // copies are DISJOINT id-shifted subgraphs, so wedge volume and
+        // runtime should both grow ~k (scan-bound), never k^2
+        run("butterflies", k)(
+          graft.operators.Graph.butterflies(ed).count())
+        run("triangles", k)(
+          graft.operators.Graph.triangles(ed).count())
+        // label rounds are diameter-bound: disjoint copies leave the
+        // diameter unchanged, so the ROUND count stays flat and runtime
+        // tracks the per-round scans
+        run("components", k)(
+          graft.operators.Graph.components(ed).count())
+        run("kcore", k)(
+          graft.operators.Graph.kCore(ed, k = 3).count())
+        run("nbr_jaccard", k)(
+          graft.operators.Graph.neighborhoodJaccard(ed, minJPm = 200).count())
+      }
     }
     for (k <- Seq(1, 4, 16)) {
       val docs = amplify(t.documents, "doc_id", k)
@@ -316,7 +335,7 @@ object ScaleProbe {
       run("zorder_layout", k) {
         val base = orders.select(
           (col("o_custkey") % 65536).cast("long").as("ck"),
-          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
             .cast("long").as("dd"))
         graft.operators.Layout.fileStats(
           graft.operators.Layout.assignFiles(base,
