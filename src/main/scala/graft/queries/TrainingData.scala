@@ -1565,6 +1565,38 @@ object TrainingData {
       .orderBy("k_bucket")
   }
 
+  /** C114: t-CLOSENESS audit (operators/Privacy) — the third leg of the
+    * privacy trio over the SAME quasi-identifier design as q160/q192
+    * (nation × segment classes, banded account balance as the ordered
+    * sensitive attribute): per class, the per-mille ordered EMD between
+    * the class's balance-band distribution and the corpus's — the
+    * distributional leak k-anonymity and l-diversity both miss. Exact
+    * integer arithmetic end-to-end (cumulated-count cross products,
+    * DECIMAL(38,0) final division), so the oracle replays bit-for-bit.
+    * Worst classes first. */
+  def q194TCloseness(t: Tables): DataFrame = {
+    val base = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+    graft.operators.Privacy
+      .tCloseness(base, Seq("c_nationkey", "c_mktsegment"), col("bal_band"))
+      .orderBy(col("t_pm").desc, col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** C115: CUSUM changepoint detection (operators/Changepoint) — WHEN
+    * each order-priority lane's daily volume shifted: the time-localized
+    * complement of the distribution drift tests (q179 KS says "moved",
+    * CUSUM says "moved HERE"). Daily order counts per priority, the
+    * mean-referenced cumulated walk in exact ×n integer scaling, peak
+    * upward/downward excursions per-mille of total mass with the dates
+    * attaining them. */
+  def q195Cusum(t: Tables): DataFrame =
+    graft.operators.Changepoint
+      .cusum(t.orders.groupBy(col("o_orderpriority"), col("o_orderdate"))
+          .agg(count(lit(1)).as("x")),
+        col("o_orderpriority"), col("o_orderdate"), col("x"))
+      .orderBy("series")
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -3182,6 +3182,105 @@ object TrainingOracle {
         |  AS assortativity
         |FROM sm""".stripMargin,
 
+    // C114: t-closeness — the ordered-EMD closed form replayed
+    // step-for-step: dense class×value grid, per-class and global
+    // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT
+    // truncating division by n_c·n·(m−1).
+    "q194_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS v
+        |  FROM customer
+        |), counts AS (
+        |  SELECT c_nationkey, c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3
+        |), totals AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_c
+        |  FROM counts GROUP BY 1, 2
+        |), grand AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS m
+        |  FROM counts
+        |), vals AS (SELECT DISTINCT v FROM counts),
+        |gcum AS (
+        |  SELECT v, SUM(gv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS gv FROM counts GROUP BY v)
+        |), grid AS (
+        |  SELECT t.c_nationkey, t.c_mktsegment, t.n_c, g.n_all, g.m, vals.v,
+        |    COALESCE(c.c, 0) AS c
+        |  FROM vals CROSS JOIN totals t CROSS JOIN grand g
+        |  LEFT JOIN counts c ON c.c_nationkey = t.c_nationkey
+        |    AND c.c_mktsegment = t.c_mktsegment AND c.v = vals.v
+        |), cums AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |  FROM grid
+        |), terms AS (
+        |  SELECT cums.c_nationkey, cums.c_mktsegment, n_c, n_all, m,
+        |    ABS(cum_c * n_all - gcum.cum_g * n_c) AS term
+        |  FROM cums JOIN gcum ON cums.v = gcum.v
+        |)
+        |SELECT c_nationkey, c_mktsegment, n_c AS n_rows,
+        |  CASE WHEN m > 1 THEN CAST(SUM(CAST(term AS HUGEINT)) * 1000
+        |    // (CAST(n_c AS HUGEINT) * n_all * (m - 1)) AS BIGINT)
+        |  ELSE 0 END AS t_pm
+        |FROM terms GROUP BY c_nationkey, c_mktsegment, n_c, n_all, m
+        |ORDER BY t_pm DESC, c_nationkey, c_mktsegment""".stripMargin,
+
+    // C115: per-priority CUSUM — the closed-form walk replayed
+    // window-for-window: cum' = n·cumsum − rn·Σx, high = cum' − running
+    // min (with the virtual 0 origin), low symmetric, earliest-peak
+    // tie-break, per-mille HUGEINT truncating division by n·Σx.
+    "q195_cusum" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS series, o_orderdate AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2
+        |), s AS (
+        |  SELECT series, t, x,
+        |    CAST(COUNT(*) OVER (PARTITION BY series) AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY series) AS BIGINT) AS sx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY t) AS BIGINT) AS rn,
+        |    CAST(SUM(x) OVER (PARTITION BY series ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d
+        |), k AS (
+        |  SELECT *, n * cum - rn * sx AS cumk FROM s
+        |), e AS (
+        |  SELECT *,
+        |    cumk - LEAST(CAST(0 AS BIGINT), MIN(cumk) OVER (PARTITION BY series
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_high,
+        |    GREATEST(CAST(0 AS BIGINT), MAX(cumk) OVER (PARTITION BY series
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cumk AS s_low
+        |  FROM k
+        |), o AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN s_high = 0 THEN t END) OVER (PARTITION BY series
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h0,
+        |    MAX(CASE WHEN s_low = 0 THEN t END) OVER (PARTITION BY series
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l0
+        |  FROM e
+        |), r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY s_high DESC, t) AS rh,
+        |    ROW_NUMBER() OVER (PARTITION BY series ORDER BY s_low DESC, t) AS rl
+        |  FROM o
+        |)
+        |SELECT series, MAX(n) AS n_points, MAX(sx) AS total,
+        |  MAX(CASE WHEN rh = 1 THEN CASE WHEN sx > 0
+        |    THEN CAST(CAST(s_high AS HUGEINT) * 1000
+        |      // (CAST(n AS HUGEINT) * sx) AS BIGINT) ELSE 0 END END) AS high_pm,
+        |  MAX(CASE WHEN rh = 1 THEN h0 END) AS high_onset,
+        |  MAX(CASE WHEN rh = 1 THEN t END) AS high_at,
+        |  MAX(CASE WHEN rl = 1 THEN CASE WHEN sx > 0
+        |    THEN CAST(CAST(s_low AS HUGEINT) * 1000
+        |      // (CAST(n AS HUGEINT) * sx) AS BIGINT) ELSE 0 END END) AS low_pm,
+        |  MAX(CASE WHEN rl = 1 THEN l0 END) AS low_onset,
+        |  MAX(CASE WHEN rl = 1 THEN t END) AS low_at
+        |FROM r WHERE rh = 1 OR rl = 1
+        |GROUP BY series ORDER BY series""".stripMargin,
+
     // C99: per-source KS drift — the scaled-ECDF integer form replayed
     // window-for-window: dense slice×value grid, per-slice cumulated
     // counts, the global cumulated counts, D_num = |cs·n_rest −
