@@ -40,6 +40,63 @@ import org.apache.spark.sql.functions._
  */
 object Changepoint {
 
+  /** Per-series two-sided CUSUM vs a FIXED reference level, with carried
+    * excursion state — the ONLINE form (the batch form's k is the
+    * series' own mean; a monitor's k is the calibration level, so the
+    * statistic is incrementally maintainable). The recursion
+    * S_t = max(0, S_{t−1} + (x_t − k)) with S_0 = C (the carry from all
+    * prior batches) unrolls to the SAME closed form with the virtual
+    * origin moved: S_t = cum_t − min(−C, min_{i≤t} cum_i) — so a batch
+    * cut anywhere continues the exact walk (the kernel-equality law the
+    * D30 spec pins). Low side symmetric.
+    *
+    * @param df      this batch's observations.
+    * @param carried prior state, one row per series: (series, s_high,
+    *                s_low); series absent here start at 0/0.
+    * @param level   the reference level k (pre-scale fractional levels
+    *                and values to integers).
+    * @return one row per series SEEN IN df: (series, n_points, end_high,
+    *         end_low, peak_high, peak_high_at, peak_low, peak_low_at) —
+    *         the carry-out state and this batch's peak excursions with
+    *         earliest-tie times (peaks include the carry, so an elevated
+    *         walk keeps alarming while it stays elevated). */
+  def cusumVsReference(df: DataFrame, series: Column, timeCol: Column, value: Column,
+                       level: Long, carried: Option[DataFrame] = None): DataFrame = {
+    val base = df.select(series.as("series"), timeCol.as("t"), value.as("x"))
+    val state = carried.getOrElse(
+      df.sparkSession.emptyDataFrame
+        .select(lit(null).cast(base.schema("series").dataType).as("series"),
+          lit(0L).as("s_high"), lit(0L).as("s_low")).limit(0))
+      .select(col("series"), col("s_high").as("c_high"), col("s_low").as("c_low"))
+    val wAll = Window.partitionBy("series")
+    val wCum = Window.partitionBy("series").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = base
+      // carried state is one row per monitored series — broadcast-sized
+      .join(broadcast(state), Seq("series"), "left")
+      .withColumn("c_high", coalesce(col("c_high"), lit(0L)))
+      .withColumn("c_low", coalesce(col("c_low"), lit(0L)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(Window.partitionBy("series").orderBy("t")))
+      .withColumn("cum", sum(col("x") - lit(level)).over(wCum))
+      .withColumn("s_high", col("cum") - least(-col("c_high"), min(col("cum")).over(wCum)))
+      .withColumn("s_low", greatest(col("c_low"), max(col("cum")).over(wCum)) - col("cum"))
+    val wHigh = Window.partitionBy("series").orderBy(col("s_high").desc, col("t").asc)
+    val wLow = Window.partitionBy("series").orderBy(col("s_low").desc, col("t").asc)
+    scored
+      .withColumn("rh", row_number().over(wHigh))
+      .withColumn("rl", row_number().over(wLow))
+      .filter(col("rh") === 1 || col("rl") === 1 || col("rn") === col("n"))
+      .groupBy("series")
+      .agg(max(col("n")).as("n_points"),
+        max(when(col("rn") === col("n"), col("s_high"))).as("end_high"),
+        max(when(col("rn") === col("n"), col("s_low"))).as("end_low"),
+        max(when(col("rh") === 1, col("s_high"))).as("peak_high"),
+        max(when(col("rh") === 1, col("t"))).as("peak_high_at"),
+        max(when(col("rl") === 1, col("s_low"))).as("peak_low"),
+        max(when(col("rl") === 1, col("t"))).as("peak_low_at"))
+  }
+
   /** Per-series two-sided CUSUM vs the series' own mean level.
     *
     * @param df      observations.

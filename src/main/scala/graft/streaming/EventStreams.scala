@@ -589,6 +589,77 @@ object EventStreams {
   def ksDriftHistory(spark: SparkSession, historyRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
 
+  /** D30: streaming CUSUM monitor — the time-localizing companion to
+    * D29's per-batch distribution test: per monitored series, the
+    * two-sided CUSUM excursion vs the FIXED calibration level k runs
+    * CONTINUOUSLY across batches ([[graft.operators.Changepoint
+    * .cusumVsReference]] — the carried-origin closed form, so the walk
+    * is exactly the one an unbroken stream would produce wherever the
+    * micro-batches cut it). D29 asks "does this batch look calibrated?"
+    * — a slow drift never makes any single batch look bad; CUSUM
+    * accumulates the small per-batch biases until the excursion crosses
+    * the threshold, then reports WHEN.
+    *
+    * Per batch: observations pre-aggregate to (series, t) points, the
+    * windowed kernel advances every seen series' walk from the carried
+    * state, the carry-out unions with untouched series' state
+    * (batchId-versioned dirs + pointer flip — D12's exactly-once
+    * discipline; replayed batches self-detect and skip), and the history
+    * appends one row per seen series with the batch's peak excursions
+    * and alarm flags. State = ONE row per monitored series; nothing
+    * rescans event history.
+    *
+    * @param level     calibration level k (integer; pre-scale fractions).
+    * @param threshold alarm when a peak excursion reaches it (same
+    *                  integer units as the values). */
+  def cusumMonitor(stream: DataFrame, level: Long, threshold: Long,
+                   stateRoot: String, historyRoot: String, checkpointDir: String,
+                   seriesCol: String, timeCol: String, valueCol: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          () // replayed batch (already advanced and published) or no data
+        } else {
+          val pts = batch.groupBy(col(seriesCol).as("series"), col(timeCol).as("t"))
+            .agg(sum(col(valueCol)).as("x"))
+          val carried = prev.map(p => spark.read.parquet(p))
+          val advanced = graft.operators.Changepoint.cusumVsReference(
+            pts, col("series"), col("t"), col("x"), level, carried)
+          advanced.withColumn("batch_id", lit(batchId))
+            .withColumn("alarm_high", col("peak_high") >= threshold)
+            .withColumn("alarm_low", col("peak_low") >= threshold)
+            .write.mode("overwrite").parquet(s"$historyRoot/v$batchId")
+          val freshState = advanced.select(col("series"),
+            col("end_high").as("s_high"), col("end_low").as("s_low"))
+          val merged = carried match {
+            case Some(st) => st.join(freshState.select("series"), Seq("series"), "left_anti")
+              .unionByName(freshState)
+            case None => freshState
+          }
+          merged.write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The CUSUM history: one row per (batch, series). */
+  def cusumHistory(spark: SparkSession, historyRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
+
+  /** The current CUSUM walk state: one row per monitored series. */
+  def cusumState(spark: SparkSession, stateRoot: String): DataFrame =
+    readPointer(spark, stateRoot) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.emptyDataFrame
+    }
+
   /** Current SCD2 history under the latest published pointer. */
   def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
     readPointer(spark, stateRoot) match {

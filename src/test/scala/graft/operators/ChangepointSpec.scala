@@ -76,6 +76,40 @@ class ChangepointSpec extends SparkSuite {
     assert(z._1 == 0L && z._4 == 0L)
   }
 
+  test("D30 kernel: the carried closed form equals the recursion across every cut point") {
+    val rnd = new scala.util.Random(9)
+    val level = 20L
+    val xs = Seq.tabulate(30)(_ => level + rnd.nextInt(11) - 5)
+    // recursion truth
+    def refAt(upto: Int): (Long, Long) = {
+      var h = 0L; var l = 0L
+      xs.take(upto).foreach { x =>
+        h = math.max(0L, h + (x - level)); l = math.max(0L, l - (x - level))
+      }
+      (h, l)
+    }
+    for (cut <- Seq(1, 7, 15, 29)) {
+      // first segment from the zero origin
+      val seg1 = xs.take(cut).zipWithIndex.map { case (x, i) => ("s", i, x) }
+        .toDF("k", "t", "x")
+      val st1 = Changepoint.cusumVsReference(seg1, col("k"), col("t"), col("x"), level)
+        .select("series", "end_high", "end_low")
+      val (h1, l1) = refAt(cut)
+      val got1 = st1.as[(String, Long, Long)].collect().head
+      assert((got1._2, got1._3) == ((h1, l1)), s"cut $cut seg1: $got1")
+      // second segment carried from the first — must land on the
+      // unbroken series' end state
+      val seg2 = xs.drop(cut).zipWithIndex.map { case (x, i) => ("s", cut + i, x) }
+        .toDF("k", "t", "x")
+      val carried = st1.select(col("series"),
+        col("end_high").as("s_high"), col("end_low").as("s_low"))
+      val got2 = Changepoint
+        .cusumVsReference(seg2, col("k"), col("t"), col("x"), level, Some(carried))
+        .select("end_high", "end_low").as[(Long, Long)].collect().head
+      assert(got2 == refAt(xs.size), s"cut $cut: $got2 != ${refAt(xs.size)}")
+    }
+  }
+
   test("C115: multiple series stay independent under one partitioned pass") {
     val a = Seq.tabulate(50)(i => if (i < 25) 3L else 8L)
     val b = Seq.tabulate(50)(i => if (i < 25) 8L else 3L)

@@ -925,4 +925,76 @@ class StreamingSpec extends SparkSuite {
       .orderBy("day").as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == oneShot)
   }
+
+  test("D30: streaming CUSUM continues the exact walk across any batch cut; alarms on slow drift; replay-safe") {
+    val in = Files.createTempDirectory("graft-cusum-in").toString
+    val state = Files.createTempDirectory("graft-cusum-state").toString
+    val hist = Files.createTempDirectory("graft-cusum-hist").toString
+    val ckpt = Files.createTempDirectory("graft-cusum-ckpt").toString
+    val level = 10L
+    val threshold = 40L
+
+    // series "calm": noise around the calibration level; series "drift":
+    // level + 2 every point — no single batch looks alarming, the
+    // accumulated excursion does
+    val rnd = new scala.util.Random(5)
+    val pts = (0 until 60).flatMap { t =>
+      Seq(("calm", t.toLong, level + rnd.nextInt(5) - 2),
+        ("drift", t.toLong, level + 2L))
+    }
+
+    // the driver-side textbook recursion — the truth the monitor's
+    // carried closed form must reproduce at every cut
+    def ref(vals: Seq[Long]): (Long, Long) = {
+      var h = 0L; var l = 0L
+      vals.foreach { x =>
+        h = math.max(0L, h + (x - level)); l = math.max(0L, l - (x - level))
+      }
+      (h, l)
+    }
+    val refEnd = Map(
+      "calm" -> ref(pts.filter(_._1 == "calm").sortBy(_._2).map(_._3)),
+      "drift" -> ref(pts.filter(_._1 == "drift").sortBy(_._2).map(_._3)))
+
+    def runOnce(): Unit = EventStreams.cusumMonitor(
+      spark.readStream.schema("series STRING, t LONG, x LONG").parquet(in),
+      level, threshold, stateRoot = state, historyRoot = hist,
+      checkpointDir = ckpt, seriesCol = "series", timeCol = "t", valueCol = "x")
+
+    // three UNEVEN cuts — the carry must bridge them exactly
+    for ((lo, hi) <- Seq((0, 13), (13, 41), (41, 60))) {
+      pts.filter(p => p._2 >= lo && p._2 < hi).toDF("series", "t", "x")
+        .coalesce(1).write.mode("append").parquet(in)
+      runOnce()
+    }
+
+    val end = EventStreams.cusumState(spark, state)
+      .select("series", "s_high", "s_low").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(end("calm") == refEnd("calm"), s"calm: ${end("calm")} != ${refEnd("calm")}")
+    assert(end("drift") == refEnd("drift"), s"drift: ${end("drift")} != ${refEnd("drift")}")
+
+    // the slow drift alarms (2/point × 60 points ≫ threshold), and only
+    // once the walk has had time to accumulate — never in batch 1
+    val history = EventStreams.cusumHistory(spark, hist)
+    val alarms = history.filter(col("alarm_high"))
+      .select("series", "batch_id").as[(String, Long)].collect().toSeq
+    assert(alarms.nonEmpty && alarms.forall(_._1 == "drift"), s"alarms: $alarms")
+    val firstAlarm = alarms.map(_._2).min
+    val batches = history.select("batch_id").distinct().as[Long].collect().sorted
+    assert(batches.length == 3)
+    assert(firstAlarm > batches.head, "a slow drift must take >1 batch to alarm")
+    assert(!end.contains("calm-alarm")) // calm never alarms
+    assert(history.filter(col("alarm_high") && col("series") === "calm").count() == 0)
+
+    // replay on the same checkpoint: no new data — state pointer and
+    // history versions unchanged
+    runOnce()
+    assert(EventStreams.cusumHistory(spark, hist)
+      .select("batch_id").distinct().count() == 3)
+    val endAgain = EventStreams.cusumState(spark, state)
+      .select("series", "s_high", "s_low").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(endAgain == end)
+  }
 }
