@@ -389,6 +389,32 @@ object ScaleProbe {
           .count()
       }
     }
+    for (k <- Seq(1, 4, 16)) {
+      val cust = amplify(t.customer, "c_custkey", k)
+      // one corpus scan to (class × value) counts; the dense grid and its
+      // ECDF windows are QI-cardinality × value-domain sized (constant
+      // under amplification) — expect scan-bound growth, constant output
+      run("t_closeness", k) {
+        val base = cust.select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+        graft.operators.Privacy.tCloseness(base,
+          Seq("c_nationkey", "c_mktsegment"), col("bal_band")).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+      // series-amplified: each copy becomes its OWN monitored series, so
+      // the (series × day) walk frame grows k-fold while per-series
+      // partitions stay horizon-sized — expect near-linear, never a
+      // one-task funnel (no global window anywhere)
+      val pts = orders.select(
+          concat(col("o_orderpriority"), lit("#"),
+            (col("o_orderkey") / lit(10_000_000L)).cast("long")).as("series"),
+          col("o_orderdate").as("t"))
+        .groupBy("series", "t").agg(count(lit(1)).as("x"))
+      run("cusum", k)(
+        graft.operators.Changepoint.cusum(pts, col("series"), col("t"), col("x")).count())
+    }
     spark.stop()
   }
 }
