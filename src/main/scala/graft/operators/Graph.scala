@@ -240,4 +240,65 @@ object Graph {
     }
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** K-TRUSS — the EDGE-cohesion analog of [[kCore]] (Cohen 2008): the
+    * maximal subgraph where every edge sits in ≥ k−2 triangles (its
+    * "support"), by synchronous peeling — each round counts per-edge
+    * support via the oriented triangle enumeration ([[triangles]]'
+    * a<b<c shape) and drops under-supported edges. A triangle-free
+    * edge has support 0 implicitly (it can't appear in the support
+    * frame), so the survivors are exactly the support frame filtered
+    * at the threshold. Trusses cut the spam/mirror noise cores keep: a
+    * high-degree star survives k-core but has NO triangles, so the
+    * truss drops it — the standard community-backbone extraction on
+    * co-occurrence graphs.
+    *
+    * Peeling is deterministic and monotone, so ANY shared round budget
+    * replays exactly: an unchanged edge count proves the fixed point
+    * (remaining rounds are no-ops in both engines) and a budget-capped
+    * run still equals the oracle's identical-R unroll round-for-round.
+    *
+    * Scale shape per round: the two co-partitioned self-joins of the
+    * triangle enumeration (expansion bounded by max oriented degree —
+    * pre-orient by degree when hubs dominate), one support aggregation
+    * on the edge key, one semi-join, `localCheckpoint`; the frame
+    * shrinks monotonically and there is no driver state beyond the
+    * fixed-point counter.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED; self-loops and
+    *              duplicates dropped.
+    * @return (a, b) — the k-truss's edges, oriented a < b; empty when
+    *         the truss is empty. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct().localCheckpoint(true)
+    val minSup = (k - 2).toLong
+    var prevCount = -1L
+    var r = 0
+    while (r < rounds && prevCount != 0L) {
+      val cnt = e.count()
+      if (cnt == prevCount) r = rounds // fixed point — skip the rest
+      else {
+        prevCount = cnt
+        val bc = e.select(col("a").as("b2"), col("b").as("c"))
+        val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+        val tris = e.join(bc, col("b") === col("b2"))
+          .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a"), col("b"), col("c"))
+        val keep = tris.select(col("a"), col("b"))
+          .unionAll(tris.select(col("a"), col("c").as("b")))
+          .unionAll(tris.select(col("b").as("a"), col("c").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("s"))
+          .filter(col("s") >= minSup)
+          .select("a", "b")
+        e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint(true)
+        r += 1
+      }
+    }
+    e
+  }
 }

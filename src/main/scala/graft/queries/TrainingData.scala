@@ -1597,6 +1597,26 @@ object TrainingData {
         col("o_orderpriority"), col("o_orderdate"), col("x"))
       .orderBy("series")
 
+  /** C116: K-TRUSS backbone ([[graft.operators.Graph.kTruss]]) of the
+    * repeat co-purchase part graph — the edge-cohesion completion of the
+    * q187-q191 suite: q189's 3-core keeps every node with ≥3 neighbors
+    * (stars included); the 3-truss keeps only edges sitting in a
+    * triangle AFTER the peel cascades — the community backbone with
+    * star/spam structure peeled off (on this sparse repeat-co-purchase
+    * graph the cascade is sharp: 3445 → 181 edges at sf0.01; the
+    * 4-truss is empty, so k=3 is the informative cut). One-row exact
+    * integer summary like q189's. */
+  def q196KTruss(t: Tables): DataFrame = {
+    val truss = graft.operators.Graph.kTruss(copurchaseEdges(t, 2), k = 3)
+    truss.select(col("a").as("node")).unionAll(truss.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_truss_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("sum_deg"),
+        coalesce(max(col("deg")), lit(0L)).as("max_deg"))
+      .select(expr("sum_deg div 2").as("n_truss_edges"),
+        col("n_truss_nodes"), col("max_deg"))
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

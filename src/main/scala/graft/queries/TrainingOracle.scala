@@ -3182,6 +3182,49 @@ object TrainingOracle {
         |  AS assortativity
         |FROM sm""".stripMargin,
 
+    // C116: k-truss — the support peel unrolled round-for-round (6
+    // rounds, same budget as the Spark side; rounds past the fixed
+    // point are no-ops in both engines, so any shared budget replays
+    // exactly). Each round: oriented a<b<c triangle enumeration,
+    // per-edge support from the three projections, filter at k−2 = 1.
+    "q196_k_truss" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""tr$r AS (
+           |  SELECT ab.a AS a, ab.b AS b, bc.b AS c
+           |  FROM e${r - 1} ab JOIN e${r - 1} bc ON ab.b = bc.a
+           |  JOIN e${r - 1} ac ON ac.a = ab.a AND ac.b = bc.b
+           |), sup$r AS (
+           |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s FROM (
+           |    SELECT a, b FROM tr$r
+           |    UNION ALL SELECT a, c AS b FROM tr$r
+           |    UNION ALL SELECT b AS a, c AS b FROM tr$r
+           |  ) GROUP BY 1, 2
+           |), e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN sup$r s ON e.a = s.a AND e.b = s.b AND s.s >= 1
+           |),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), e0 AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM ew
+         |),
+         |$rounds
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM e6 UNION ALL SELECT b AS node FROM e6
+         |  ) GROUP BY 1
+         |)
+         |SELECT COALESCE(CAST(SUM(deg) AS BIGINT), 0) // 2 AS n_truss_edges,
+         |       CAST(COUNT(*) AS BIGINT) AS n_truss_nodes,
+         |       COALESCE(MAX(deg), 0) AS max_deg
+         |FROM deg""".stripMargin
+    },
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT

@@ -209,4 +209,67 @@ class GraphSpec extends SparkSuite {
       assert(df.count() >= 1)
     }
   }
+
+  // ------------------------------------------------------------ k-truss
+
+  /** Brute force: iterate support counting + filtering to fixed point. */
+  private def bruteTruss(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 < p._2).toSet
+    var changed = true
+    while (changed) {
+      val adj = e.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      val kept = e.filter { case (a, b) =>
+        (adj.getOrElse(a, Set.empty[Long]) & adj.getOrElse(b, Set.empty[Long]))
+          .size >= k - 2
+      }
+      changed = kept != e
+      e = kept
+    }
+    e
+  }
+
+  test("C116: k-truss matches brute-force peeling on a random fixture") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(220)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    for (k <- Seq(3, 4, 5)) {
+      val got = Graph.kTruss(edges.toDF("src", "dst"), k, rounds = 12)
+        .as[(Long, Long)].collect().toSet
+      assert(got == bruteTruss(edges, k), s"k=$k")
+    }
+  }
+
+  test("C116: analytic shapes — a 4-clique survives the 4-truss, stars and lone triangles are peeled") {
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (1L to 8L).map(i => (100L, 100L + i))
+    val loneTriangle = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val df = (clique ++ star ++ loneTriangle).toDF("src", "dst")
+    val got = Graph.kTruss(df, k = 4).as[(Long, Long)].collect().toSet
+    assert(got == clique.toSet, s"got $got")
+    // the lone triangle DOES survive the 3-truss (support 1 ≥ 1)
+    val t3 = Graph.kTruss(df, k = 3).as[(Long, Long)].collect().toSet
+    assert(t3 == (clique ++ loneTriangle).toSet)
+    // chained peel: removing a clique edge's neighbor can cascade — a
+    // 4-clique plus one pendant triangle on its edge peels back to the
+    // clique (the pendant's two new edges have support 1)
+    val pendant = Seq((1L, 50L), (2L, 50L))
+    val t4 = Graph.kTruss((clique ++ pendant).toDF("src", "dst"), k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(t4 == clique.toSet)
+  }
+
+  test("C116: budget-capped run equals the same-budget unroll; early exit lands on the fixed point") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(150)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+    val df = edges.toDF("src", "dst")
+    // generous budget = fixed point; the default budget must match it on
+    // a graph this small (peel waves << 6)
+    val fixed = Graph.kTruss(df, k = 4, rounds = 20).as[(Long, Long)].collect().toSet
+    val capped = Graph.kTruss(df, k = 4).as[(Long, Long)].collect().toSet
+    assert(capped == fixed)
+    assert(fixed == bruteTruss(edges, 4))
+  }
 }
