@@ -1617,6 +1617,26 @@ object TrainingData {
         col("n_truss_nodes"), col("max_deg"))
   }
 
+  /** C117: SEASONAL-DECOMPOSITION anomalies (operators/Seasonal) — the
+    * periodic-series complement of q195's CUSUM: daily order volume
+    * carries a day-of-week pattern, so raw deviations mislabel every
+    * quiet Sunday; the classical additive decomposition removes the
+    * centered-MA trend and the per-weekday seasonal index, and the ten
+    * largest |residuals| are the days that were genuinely unusual.
+    * Exact ×7-scaled integer arithmetic throughout; phase anchored at
+    * 1992-01-01 so both engines share the weekday convention. */
+  def q197SeasonalAnomalies(t: Tables): DataFrame = {
+    val daily = t.orders.groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Seasonal.decompose(daily, col("d"), col("x"),
+        (datediff(col("d"), lit("1992-01-01").cast("date")) % 7).cast("long"),
+        period = 7)
+      .orderBy(abs(col("resid")).desc, col("t").asc)
+      .limit(10)
+      .select(col("t").as("d"), col("x"), col("phase"), col("trend_num"),
+        col("seasonal_fx"), col("resid"))
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -3225,6 +3225,40 @@ object TrainingOracle {
          |FROM deg""".stripMargin
     },
 
+    // C117: seasonal anomalies — the ×7-scaled classical decomposition
+    // replayed step-for-step: centered 7-day MA (interior rows only),
+    // per-phase truncating mean of the detrended series, phase-mean
+    // centering, |residual| top-10 with date tie-break. `//` and `div`
+    // agree on negative operands (both truncate toward zero).
+    "q197_seasonal_anomalies" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), w AS (
+        |  SELECT d, x,
+        |    CAST(date_diff('day', DATE '1992-01-01', d) % 7 AS BIGINT) AS phase,
+        |    CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_num,
+        |    COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n
+        |  FROM daily
+        |), detr AS (
+        |  SELECT d, x, phase, trend_num, 7 * x - trend_num AS dd
+        |  FROM w WHERE n = 7
+        |), seas0 AS (
+        |  SELECT phase, CAST(SUM(dd) AS BIGINT) AS s_num,
+        |    CAST(COUNT(*) AS BIGINT) AS n_p
+        |  FROM detr GROUP BY 1
+        |), seas1 AS (SELECT phase, CAST(s_num // n_p AS BIGINT) AS s_raw FROM seas0),
+        |seas AS (
+        |  SELECT phase,
+        |    s_raw - CAST((SELECT CAST(SUM(s_raw) AS BIGINT) FROM seas1) // 7 AS BIGINT) AS seasonal_fx
+        |  FROM seas1
+        |)
+        |SELECT detr.d, x, detr.phase, trend_num, seasonal_fx,
+        |  dd - seasonal_fx AS resid
+        |FROM detr JOIN seas ON detr.phase = seas.phase
+        |ORDER BY ABS(dd - seasonal_fx) DESC, detr.d
+        |LIMIT 10""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT
