@@ -1637,6 +1637,26 @@ object TrainingData {
         col("seasonal_fx"), col("resid"))
   }
 
+  /** C118: RECORD-LINKAGE scoring (operators/Linkage) — identity
+    * resolution over the customer table: block on (nation, balance
+    * band), score candidate pairs by weighted agreement on segment and
+    * two name-digit fields (the testdata customer schema carries no
+    * phone/address columns — the digits stand in for the fuzzy fields
+    * a real CRM feed has, with realistic 1-in-10 agreement odds),
+    * classify at the Fellegi-Sunter thresholds. Top-200 under a total
+    * (score, id, id) order so both engines cut the same boundary. */
+  def q198RecordLinkage(t: Tables): DataFrame = {
+    val fields = Seq(
+      (col("c_mktsegment"), 25L, -12L),
+      (expr("substring(c_name, length(c_name), 1)"), 20L, -10L),
+      (expr("substring(c_name, length(c_name) - 1, 1)"), 15L, -8L))
+    graft.operators.Linkage.scorePairs(t.customer, col("c_custkey"),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        fields, upper = 50L, lower = 20L)
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(200)
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -3259,6 +3259,34 @@ object TrainingOracle {
         |ORDER BY ABS(dd - seasonal_fx) DESC, detr.d
         |LIMIT 10""".stripMargin,
 
+    // C118: record linkage — the blocked self-join replayed pair-for-
+    // pair: identical block keys, null-safe field agreement (IS NOT
+    // DISTINCT FROM ≙ <=>), identical integer weights and thresholds,
+    // the same total (score DESC, id, id) order at the LIMIT boundary.
+    "q198_record_linkage" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_nationkey AS b0,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b1,
+        |    c_mktsegment AS f0,
+        |    SUBSTRING(c_name, LENGTH(c_name), 1) AS f1,
+        |    SUBSTRING(c_name, LENGTH(c_name) - 1, 1) AS f2
+        |  FROM customer
+        |), sized AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY b0, b1) AS bn FROM recs
+        |  ) WHERE bn <= 10000
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (CASE WHEN a.f0 IS NOT DISTINCT FROM b.f0 THEN 25 ELSE -12 END +
+        |     CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN 20 ELSE -10 END +
+        |     CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN 15 ELSE -8 END) AS score
+        |  FROM sized a JOIN sized b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.id < b.id
+        |)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 50 THEN 'match' ELSE 'possible' END AS linkage_class
+        |FROM pairs WHERE score >= 20
+        |ORDER BY score DESC, id_a, id_b LIMIT 200""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT
