@@ -1657,6 +1657,34 @@ object TrainingData {
       .limit(200)
   }
 
+  /** C119: GOLDEN-RECORD selection — the identity-resolution endgame
+    * composing q198's linkage with C26's cluster closure: match-grade
+    * pairs (score ≥ upper only) link records into entities via
+    * connected components, and each entity keeps one golden record
+    * (highest balance, min-id ties) — the survivorship step a reverse-
+    * ETL "merge duplicate contacts" sync runs before any upsert. Per
+    * entity: member count, the golden id, its balance. */
+  def q199GoldenRecord(t: Tables): DataFrame = {
+    val fields = Seq(
+      (col("c_mktsegment"), 25L, -12L),
+      (expr("substring(c_name, length(c_name), 1)"), 20L, -10L),
+      (expr("substring(c_name, length(c_name) - 1, 1)"), 15L, -8L))
+    val matches = graft.operators.Linkage.scorePairs(t.customer, col("c_custkey"),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        fields, upper = 50L, lower = 50L) // match-grade links only
+    val clusters = Dedup.resolveClusters(matches, "id_a", "id_b")
+      .select(col("doc_id").as("c_custkey"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    clusters.join(t.customer, "c_custkey")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("c_custkey"))).as("golden_custkey"),
+        max(when(col("rn") === 1, col("c_acctbal"))).as("golden_acctbal"))
+      .orderBy(col("n_members").desc, col("cluster_id").asc)
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

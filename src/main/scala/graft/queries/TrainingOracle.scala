@@ -3287,6 +3287,50 @@ object TrainingOracle {
         |FROM pairs WHERE score >= 20
         |ORDER BY score DESC, id_a, id_b LIMIT 200""".stripMargin,
 
+    // C119: golden record — q198's match-grade pairs (score >= 50),
+    // the q74 recursive closure for entity membership (label =
+    // LEAST(self, min reachable)), then the survivorship pick replayed
+    // with the identical (balance DESC, id ASC) window.
+    "q199_golden_record" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS id, c_nationkey AS b0,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b1,
+        |    c_mktsegment AS f0,
+        |    SUBSTRING(c_name, LENGTH(c_name), 1) AS f1,
+        |    SUBSTRING(c_name, LENGTH(c_name) - 1, 1) AS f2
+        |  FROM customer
+        |), sized AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY b0, b1) AS bn FROM recs
+        |  ) WHERE bn <= 10000
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sized a JOIN sized b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.id < b.id
+        |  WHERE (CASE WHEN a.f0 IS NOT DISTINCT FROM b.f0 THEN 25 ELSE -12 END +
+        |         CASE WHEN a.f1 IS NOT DISTINCT FROM b.f1 THEN 20 ELSE -10 END +
+        |         CASE WHEN a.f2 IS NOT DISTINCT FROM b.f2 THEN 15 ELSE -8 END) >= 50
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), clusters AS (
+        |  SELECT src AS c_custkey, LEAST(src, MIN(dst)) AS cluster_id
+        |  FROM reach GROUP BY src
+        |), ranked AS (
+        |  SELECT cluster_id, cu.c_custkey, cu.c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY cu.c_acctbal DESC, cu.c_custkey ASC) AS rn
+        |  FROM clusters JOIN customer cu USING (c_custkey)
+        |)
+        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MAX(CASE WHEN rn = 1 THEN c_custkey END) AS golden_custkey,
+        |  MAX(CASE WHEN rn = 1 THEN c_acctbal END) AS golden_acctbal
+        |FROM ranked GROUP BY cluster_id
+        |ORDER BY n_members DESC, cluster_id ASC""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT

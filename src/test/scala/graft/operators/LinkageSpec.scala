@@ -63,6 +63,31 @@ class LinkageSpec extends SparkSuite {
       (2L, 3L, 8L, "possible")))
   }
 
+  test("C119: golden-record composition — match pairs cluster transitively, survivorship picks max-value/min-id") {
+    // a, b, c chain into ONE entity via transitive match links (a-b and
+    // b-c match; a-c never compared across its block is irrelevant —
+    // same block here); d is a singleton (no match-grade link)
+    val rows = Seq(
+      (1L, "blk", "s", "t", 50L), (2L, "blk", "s", "t", 80L),
+      (3L, "blk", "s", "t", 80L), (4L, "blk", "u", "v", 99L))
+    val matches = Linkage.scorePairs(rows.toDF("id", "blk", "fx", "fy", "bal"),
+      col("id"), Seq(col("blk")),
+      Seq((col("fx"), 25L, -12L), (col("fy"), 20L, -10L)),
+      upper = 40L, lower = 40L)
+    val clusters = Dedup.resolveClusters(matches, "id_a", "id_b")
+    val got = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L))) // d absent: singleton
+    // survivorship: max bal 80 tie → min id 2
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("bal").desc, col("id").asc)
+    val golden = clusters.withColumnRenamed("doc_id", "id")
+      .join(rows.toDF("id", "blk", "fx", "fy", "bal"), "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("cluster_id", "id", "bal")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(golden == Set((1L, 2L, 80L)))
+  }
+
   test("C118: over-cap blocks are dropped whole, small blocks survive") {
     val big = (1L to 50L).map(i => (i, "big", "s", "t"))
     val small = Seq((100L, "sm", "s", "t"), (101L, "sm", "s", "t"))
