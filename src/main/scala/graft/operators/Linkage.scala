@@ -72,4 +72,35 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("score"),
         when(col("score") >= upper, "match").otherwise("possible").as("linkage_class"))
   }
+
+  /** Score PROBE records against an INDEX — the incremental form (D31):
+    * new records arriving in a stream compare against the persisted
+    * record store, never against each other here (within-batch pairs
+    * are [[scorePairs]]' job). Same blocking/weights/thresholds; the
+    * cap applies to INDEX blocks (the side that grows without bound).
+    *
+    * @param probe new records; @param index stored records. Both must
+    *              carry the id/block/field columns the extractors name.
+    * @return (id_probe, id_index, score, linkage_class). */
+  def scoreAgainst(probe: DataFrame, index: DataFrame, idCol: Column,
+                   blockCols: Seq[Column], fields: Seq[(Column, Long, Long)],
+                   upper: Long, lower: Long, blockCap: Int = 10000): DataFrame = {
+    require(fields.nonEmpty && upper >= lower)
+    val bNames = blockCols.indices.map(i => s"__b$i")
+    def shape(df: DataFrame, idName: String, fTag: String) = df.select(
+      idCol.as(idName) +:
+        (blockCols.zip(bNames).map { case (c, n) => c.as(n) } ++
+          fields.zipWithIndex.map { case ((c, _, _), i) => c.as(s"__$fTag$i") }): _*)
+    val idx = shape(index, "id_index", "fb")
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(bNames.map(col): _*)))
+      .filter(col("__bn") <= blockCap).drop("__bn")
+    val score = fields.zipWithIndex.map { case ((_, agree, disagree), i) =>
+      when(col(s"__fa$i") <=> col(s"__fb$i"), lit(agree)).otherwise(lit(disagree))
+    }.reduce(_ + _)
+    shape(probe, "id_probe", "fa").join(idx, bNames.toSeq)
+      .withColumn("score", score)
+      .filter(col("score") >= lower)
+      .select(col("id_probe"), col("id_index"), col("score"),
+        when(col("score") >= upper, "match").otherwise("possible").as("linkage_class"))
+  }
 }

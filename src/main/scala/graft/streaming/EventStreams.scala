@@ -660,6 +660,120 @@ object EventStreams {
       case None => spark.emptyDataFrame
     }
 
+  /** D31: INCREMENTAL identity resolution — the streaming face of
+    * C118/C119 and how contact dedup actually runs in a reverse-ETL
+    * ingest: new records stream in, each micro-batch is scored against
+    * the PERSISTED record store ([[graft.operators.Linkage
+    * .scoreAgainst]] — blocked, match-grade only) and within itself
+    * ([[graft.operators.Linkage.scorePairs]] + the C26 closure), then
+    * every new record is assigned an entity id:
+    *
+    *  - a record matching existing entities adopts the SMALLEST matched
+    *    entity id (deterministic survivorship);
+    *  - within-batch transitive clusters mint ONE entity (the min
+    *    member record id) unless a member matched an existing entity —
+    *    then the whole cluster adopts the smallest such;
+    *  - a record bridging ≥2 existing entities emits MERGE EVENTS
+    *    (kept = the adopted min, merged = each other entity) rather
+    *    than retro-rewriting history — the standard late-merge ledger:
+    *    readers fold the ledger when they need the fully-merged view.
+    *
+    * Exactly-once: record slices, assignment slices, and merge slices
+    * are batchId-versioned with [[dedupIngest]]'s done-marker-LAST
+    * discipline (a replayed batch skips; a crash re-runs against only
+    * PRIOR slices and overwrites idempotently). Per-ingest cost is
+    * blocked-probe-join-sized — independent of how many batches came
+    * before (the store grows, but the probe is block-partitioned; at
+    * scale, compact the record slices bucketed by block key so the
+    * probe stops shuffling the stored side — D13's operational note).
+    *
+    * @param fields (columnName, agreeWeight, disagreeWeight).
+    * @param matchThreshold score ≥ this links records into one entity. */
+  def linkageIngest(records: DataFrame, stateRoot: String, outRoot: String,
+                    checkpointDir: String, idCol: String,
+                    blockCols: Seq[String], fields: Seq[(String, Long, Long)],
+                    matchThreshold: Long): Unit = {
+    val q = records.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(stateRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$stateRoot/_done_v$batchId")
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val root = new org.apache.hadoop.fs.Path(s"$stateRoot/records")
+          val priorDirs =
+            if (!fs.exists(root)) Seq.empty[String]
+            else fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName != s"v$batchId")
+              .map(_.getPath.toString)
+          val b = batch.toDF()
+          val cFields = fields.map { case (n, a, d) => (col(n), a, d) }
+          val cBlocks = blockCols.map(col)
+          // candidate entities from the stored records (empty on batch 0)
+          val cand = if (priorDirs.nonEmpty) {
+            val prior = spark.read.parquet(priorDirs: _*)
+            graft.operators.Linkage.scoreAgainst(b, prior, col(idCol),
+                cBlocks, cFields, matchThreshold, matchThreshold)
+              .join(prior.select(col(idCol).as("id_index"), col("entity_id")), "id_index")
+              .select(col("id_probe").as("rec"), col("entity_id").as("cand"))
+              .distinct()
+          } else b.sparkSession.emptyDataFrame
+            .select(lit(null).cast(b.schema(idCol).dataType).as("rec"),
+              lit(null).cast(b.schema(idCol).dataType).as("cand")).limit(0)
+          // within-batch clusters (match-grade links, transitive closure);
+          // the C26 label IS the min member id — the mint id
+          val within = graft.operators.Linkage.scorePairs(b, col(idCol),
+            cBlocks, cFields, matchThreshold, matchThreshold)
+          val clusters = graft.operators.Dedup
+            .resolveClusters(within, "id_a", "id_b")
+            .select(col("doc_id").as("rec"), col("cluster_id"))
+          val labeled = b.select(col(idCol).as("rec"))
+            .join(clusters, Seq("rec"), "left")
+            .withColumn("cluster_id", coalesce(col("cluster_id"), col("rec")))
+            .join(cand, Seq("rec"), "left")
+          // one entity per cluster: smallest matched existing entity,
+          // else the mint (cluster label)
+          val perCluster = labeled.groupBy("cluster_id")
+            .agg(min(col("cand")).as("adopted"))
+            .withColumn("entity_id", coalesce(col("adopted"), col("cluster_id")))
+          // labeled carries one row per (record, candidate entity) — a
+          // bridging record has several; the assignment is per RECORD
+          val assigned = labeled.select(col("rec"), col("cluster_id")).distinct()
+            .join(perCluster.select("cluster_id", "entity_id"), "cluster_id")
+            .select(col("rec").as(idCol), col("entity_id"))
+          // merge ledger: every OTHER matched entity of the cluster folds
+          // into the adopted one
+          val merges = labeled.join(perCluster.select("cluster_id", "entity_id"), "cluster_id")
+            .filter(col("cand").isNotNull && col("cand") =!= col("entity_id"))
+            .select(col("entity_id").as("entity_kept"), col("cand").as("entity_merged"))
+            .distinct()
+          assigned.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outRoot/assign/v$batchId")
+          merges.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outRoot/merge/v$batchId")
+          b.join(assigned, idCol)
+            .write.mode("overwrite").parquet(s"$stateRoot/records/v$batchId")
+          fs.create(marker, true).close() // publish: batch fully applied
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All resolved records so far: the stored rows + their entity ids. */
+  def linkageEntities(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$stateRoot/records")
+
+  /** The assignment history: one row per (batch, record). */
+  def linkageAssignments(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$outRoot/assign")
+
+  /** The merge ledger: (entity_kept, entity_merged, batch_id). */
+  def linkageMerges(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$outRoot/merge")
+
   /** Current SCD2 history under the latest published pointer. */
   def scdHistory(spark: SparkSession, stateRoot: String): DataFrame =
     readPointer(spark, stateRoot) match {

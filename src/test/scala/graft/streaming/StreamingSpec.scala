@@ -997,4 +997,48 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(endAgain == end)
   }
+
+  test("D31: incremental identity resolution — adopt, mint, transitive clusters, merge ledger, replay-safe") {
+    val in = Files.createTempDirectory("graft-link-in").toString
+    val state = Files.createTempDirectory("graft-link-state").toString
+    val out = Files.createTempDirectory("graft-link-out").toString
+    val ckpt = Files.createTempDirectory("graft-link-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.linkageIngest(
+      spark.readStream.schema("id LONG, blk STRING, f0 STRING, f1 STRING").parquet(in),
+      stateRoot = state, outRoot = out, checkpointDir = ckpt,
+      idCol = "id", blockCols = Seq("blk"),
+      fields = Seq(("f0", 30L, -5L), ("f1", 30L, -5L)), matchThreshold = 25L)
+
+    // batch 1: records 1+2 link transitively (one minted entity 1),
+    // 5 and 7 are singletons
+    Seq((1L, "b", "X", "Y"), (2L, "b", "X", "Y"), (5L, "b", "W", "Z"),
+      (7L, "c", "Q", "R")).toDF("id", "blk", "f0", "f1")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    // batch 2: 9 matches the stored 1/2 → ADOPTS entity 1; 10 mints
+    Seq((9L, "b", "X", "Y"), (10L, "b", "T", "U")).toDF("id", "blk", "f0", "f1")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    // batch 3: 20 = (X, Z) bridges entity 1 (agrees f0 with 1/2/9:
+    // 30−5 = 25) AND entity 5 (agrees f1 with 5: −5+30 = 25) → adopts
+    // the smaller entity 1 and the ledger records 5 folding into 1
+    Seq((20L, "b", "X", "Z")).toDF("id", "blk", "f0", "f1")
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val entities = EventStreams.linkageEntities(spark, state)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(entities == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L,
+      9L -> 1L, 10L -> 10L, 20L -> 1L), s"entities: $entities")
+    val merges = EventStreams.linkageMerges(spark, out)
+      .select("entity_kept", "entity_merged", "batch_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merges.map(m => (m._1, m._2)) == Set((1L, 5L)), s"merges: $merges")
+
+    // replay on the same checkpoint: no new data — nothing changes
+    runOnce()
+    assert(EventStreams.linkageEntities(spark, state).count() == 7)
+    assert(EventStreams.linkageMerges(spark, out).count() == 1)
+  }
 }
