@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * C120/C121: DISTRIBUTION-SHAPE audits — two classic one-pass shape
+ * statistics the quality/drift family (KS C99, TVD B43, CUSUM C115)
+ * doesn't cover:
+ *
+ *  - BENFORD's-law audit (C120): naturally-grown magnitude data has
+ *    first significant digits distributed log10(1+1/d) — fabricated,
+ *    capped, or unit-mangled feeds don't. The classic
+ *    fraud/data-quality screen on money columns. Per slice, the
+ *    per-mille total-variation distance between the observed
+ *    first-digit shares and the Benford expectation (both sides in
+ *    integer per-mille — the expectation as the shared literal vector
+ *    ⌊1000·log10(1+1/d)⌋, so both engines compare against identical
+ *    constants and the statistic replays bit-for-bit).
+ *
+ *  - GINI concentration (C121): how concentrated a corpus's mass is
+ *    across its units ("5% of domains hold 80% of tokens") — the
+ *    dataset-card concentration scalar next to the Zipf profile (C85
+ *    shows the SHAPE, Gini compresses it to one comparable number).
+ *    Exact integer form of the sorted-rank formula
+ *    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over ascending-sorted xᵢ:
+ *    per-mille with a single truncating division of cross-multiplied
+ *    DECIMAL(38,0) terms — no doubles anywhere.
+ *
+ * Scale shape: each audit is ONE scan reduced to a bounded frame
+ * (9 digits × slices; one row per unit), then window/aggregate work on
+ * that frame. The Gini rank window partitions BY SLICE (units per
+ * slice = domains/sources — bounded by design; this is a per-slice
+ * card statistic, not a per-row one).
+ */
+object Audits {
+
+  /** ⌊1000·log10(1+1/d)⌋ for d = 1..9 — the shared Benford per-mille
+    * expectation (sums to 998; the TVD against it is still exact and
+    * shared). */
+  val benfordPm: Seq[Long] = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+
+  /** Per-slice Benford audit over a positive INTEGER column — scale
+    * money to cents first (`cast(x as decimal(18,2)) * 100`): scaling
+    * by a power of ten preserves the first significant digit, and the
+    * digit of an integer is engine-exact (string head of the decimal
+    * rendering — a float log10/pow route would hinge on cross-engine
+    * ULP agreement).
+    *
+    * @param valueCol positive integer values (rows <= 0 are ignored —
+    *                 no first significant digit).
+    * @return one row per slice: (slice, n_rows, tvd_pm, worst_digit,
+    *         worst_gap_pm) — TVD = Σ|obs−exp| div 2 in per-mille, the
+    *         digit with the largest |gap|, and that gap (signed,
+    *         observed − expected; smallest digit wins ties). */
+  def benford(df: DataFrame, sliceCol: Column, valueCol: Column): DataFrame = {
+    val digits = df.select(sliceCol.as("slice"), valueCol.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .withColumn("d", substring(col("v").cast("string"), 1, 1).cast("long"))
+      .filter(col("d").between(1, 9))
+    val counts = digits.groupBy("slice", "d").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("slice").agg(sum(col("c")).as("n"))
+    val expect = benfordPm.zipWithIndex
+      .map { case (pm, i) => (i + 1L, pm) }
+    val expectDf = digits.sparkSession.createDataFrame(expect).toDF("d", "exp_pm")
+    // dense slice×digit grid: a missing digit is a 301-per-mille gap,
+    // not a missing row
+    val grid = expectDf.crossJoin(broadcast(totals))
+      .join(counts, Seq("slice", "d"), "left")
+      .withColumn("obs_pm", expr("coalesce(c, 0) * 1000 div n"))
+      .withColumn("gap", col("obs_pm") - col("exp_pm"))
+    val wPick = Window.partitionBy("slice").orderBy(abs(col("gap")).desc, col("d").asc)
+    grid.withColumn("rk", row_number().over(wPick))
+      .groupBy("slice")
+      .agg(max(col("n")).as("n_rows"),
+        expr("sum(abs(gap)) div 2").as("tvd_pm"),
+        max(when(col("rk") === 1, col("d"))).as("worst_digit"),
+        max(when(col("rk") === 1, col("gap"))).as("worst_gap_pm"))
+  }
+
+  /** Per-slice Gini concentration of a non-negative mass column over
+    * units (one input row per unit, pre-aggregated by the caller).
+    *
+    * @return one row per slice: (slice, n_units, total, gini_pm) —
+    *         1000·G truncating; single-unit or zero-mass slices are 0
+    *         by definition. */
+  def gini(units: DataFrame, sliceCol: Column, massCol: Column): DataFrame = {
+    val base = units.select(sliceCol.as("slice"), massCol.as("x"))
+    val w = Window.partitionBy("slice").orderBy(col("x").asc)
+    base
+      .withColumn("i", row_number().over(w))
+      .withColumn("ix", col("i") * col("x"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_units"), sum(col("x")).as("total"),
+        sum(col("ix").cast("decimal(38,0)")).as("six"))
+      // G·1000 = (2000·Σi·x − 1000·(n+1)·Σx) div (n·Σx)
+      .select(col("slice"), col("n_units"), col("total"),
+        when(col("total") > 0 && col("n_units") > 1,
+          expr("cast((2000 * six - cast(1000 as decimal(38,0)) * (n_units + 1) * total) div (cast(n_units as decimal(38,0)) * total) as long)"))
+          .otherwise(lit(0L)).as("gini_pm"))
+  }
+}

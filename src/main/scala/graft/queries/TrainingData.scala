@@ -1685,6 +1685,32 @@ object TrainingData {
       .orderBy(col("n_members").desc, col("cluster_id").asc)
   }
 
+  /** C120: BENFORD's-law audit (operators/Audits) — the classic
+    * first-digit fraud/data-quality screen on money columns, per
+    * order-priority slice: naturally-grown magnitudes follow
+    * log10(1+1/d); a capped, fabricated, or unit-mangled feed doesn't.
+    * Money → exact cents (decimal), digit = integer string head,
+    * per-mille TVD vs the shared literal expectation. */
+  def q200Benford(t: Tables): DataFrame =
+    graft.operators.Audits.benford(
+        t.orders.select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        col("o_orderpriority"), col("cents"))
+      .orderBy("slice")
+
+  /** C121: GINI concentration (operators/Audits) — the dataset-card
+    * concentration scalar next to the Zipf profile (C85 shows the
+    * token distribution's SHAPE; Gini compresses "how much of this
+    * source's mass sits in few domains" to one comparable per-mille
+    * number). Units = documents (per-doc token mass); exact integer
+    * sorted-rank formula. */
+  def q201Gini(t: Tables): DataFrame = {
+    val units = t.documents.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("mass"))
+    graft.operators.Audits.gini(units, col("source"), col("mass"))
+      .orderBy("slice")
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

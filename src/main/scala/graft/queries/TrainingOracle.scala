@@ -3331,6 +3331,66 @@ object TrainingOracle {
         |FROM ranked GROUP BY cluster_id
         |ORDER BY n_members DESC, cluster_id ASC""".stripMargin,
 
+    // C120: Benford audit — exact cents, integer-string first digit,
+    // the same ⌊1000·log10(1+1/d)⌋ literal expectation vector, dense
+    // slice×digit grid, per-mille TVD and the worst |gap| digit.
+    "q200_benford" ->
+      """WITH digits AS (
+        |  SELECT o_orderpriority AS slice,
+        |    CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |        FROM orders)
+        |  WHERE v > 0
+        |), counts AS (
+        |  SELECT slice, d, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM digits WHERE d BETWEEN 1 AND 9 GROUP BY 1, 2
+        |), totals AS (SELECT slice, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+        |expect(d, exp_pm) AS (VALUES (1, 301), (2, 176), (3, 124), (4, 96),
+        |  (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)),
+        |grid AS (
+        |  SELECT t.slice, e.d, t.n,
+        |    COALESCE(c.c, 0) * 1000 // t.n AS obs_pm,
+        |    CAST(e.exp_pm AS BIGINT) AS exp_pm
+        |  FROM expect e CROSS JOIN totals t
+        |  LEFT JOIN counts c ON c.slice = t.slice AND c.d = e.d
+        |), gaps AS (
+        |  SELECT slice, d, n, obs_pm - exp_pm AS gap,
+        |    ROW_NUMBER() OVER (PARTITION BY slice
+        |      ORDER BY ABS(obs_pm - exp_pm) DESC, d ASC) AS rk
+        |  FROM grid
+        |)
+        |SELECT slice, MAX(n) AS n_rows,
+        |  CAST(SUM(ABS(gap)) AS BIGINT) // 2 AS tvd_pm,
+        |  MAX(CASE WHEN rk = 1 THEN d END) AS worst_digit,
+        |  MAX(CASE WHEN rk = 1 THEN gap END) AS worst_gap_pm
+        |FROM gaps GROUP BY slice ORDER BY slice""".stripMargin,
+
+    // C121: Gini — the ascending-rank formula with tie-invariant Σi·x
+    // (equal masses commute inside the sum), cross-multiplied per-mille
+    // truncating division in HUGEINT.
+    "q201_gini" ->
+      """WITH units AS (
+        |  SELECT source AS slice,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT slice, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY slice ORDER BY x ASC) AS BIGINT) AS i
+        |  FROM units
+        |), agg AS (
+        |  SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(x) AS BIGINT) AS total,
+        |    SUM(CAST(i AS HUGEINT) * x) AS six
+        |  FROM ranked GROUP BY slice
+        |)
+        |SELECT slice, n_units, total,
+        |  CASE WHEN total > 0 AND n_units > 1 THEN
+        |    CAST((2000 * six - CAST(1000 AS HUGEINT) * (n_units + 1) * total)
+        |      // (CAST(n_units AS HUGEINT) * total) AS BIGINT)
+        |  ELSE 0 END AS gini_pm
+        |FROM agg ORDER BY slice""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT
