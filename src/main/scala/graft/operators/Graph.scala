@@ -241,6 +241,49 @@ object Graph {
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Per-node LOCAL clustering coefficient — the node-level face of
+    * [[triangles]]' global one: LCC(v) = triangles through v /
+    * C(deg v, 2), per-mille. The node-quality signal the global
+    * coefficient averages away: a mirror-site/community member sits in
+    * a near-clique (LCC → 1000), a spam hub fans out to strangers
+    * (high degree, LCC → 0) — exactly the per-node discrimination
+    * crawl curation wants next to the k-core/k-truss cuts.
+    *
+    * Scale shape: the same oriented a<b<c enumeration as [[triangles]]
+    * (two co-partitioned self-joins), then per-node triangle counts
+    * from the three member projections and one degree aggregation —
+    * all bounded-key groupBys; no new shuffle class.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED; deduplicated.
+    * @param minDeg report only nodes with degree ≥ this (LCC of a
+    *               degree-1 node is undefined — no wedge).
+    * @return (node, deg, tri, lcc_pm). */
+  def localClustering(edges: DataFrame, minDeg: Long = 2L): DataFrame = {
+    val ori = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct().localCheckpoint(true)
+    val bc = ori.select(col("a").as("b2"), col("b").as("c"))
+    val ac = ori.select(col("a").as("a3"), col("b").as("c3"))
+    val tris = ori.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tris.select(col("a").as("node"))
+      .unionAll(tris.select(col("b").as("node")))
+      .unionAll(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val deg = ori.select(col("a").as("node"))
+      .unionAll(ori.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= minDeg)
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .select(col("node"), col("deg"), col("tri"),
+        expr("cast(cast(tri as decimal(38,0)) * 2000 div (cast(deg as decimal(38,0)) * (deg - 1)) as long)")
+          .as("lcc_pm"))
+  }
+
   /** K-TRUSS — the EDGE-cohesion analog of [[kCore]] (Cohen 2008): the
     * maximal subgraph where every edge sits in ≥ k−2 triangles (its
     * "support"), by synchronous peeling — each round counts per-edge

@@ -1711,6 +1711,17 @@ object TrainingData {
       .orderBy("slice")
   }
 
+  /** C122: per-node LOCAL clustering coefficient
+    * ([[graft.operators.Graph.localClustering]]) on the repeat
+    * co-purchase part graph — the node-level discrimination q190's
+    * global coefficient averages away: near-clique members (LCC→1000)
+    * vs fan-out hubs (LCC→0). Top-20 by (lcc_pm, tri, node) among
+    * nodes with ≥3 neighbors, total order. */
+  def q202LocalClustering(t: Tables): DataFrame =
+    graft.operators.Graph.localClustering(copurchaseEdges(t, 2), minDeg = 3)
+      .orderBy(col("lcc_pm").desc, col("tri").desc, col("node").asc)
+      .limit(20)
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -3391,6 +3391,40 @@ object TrainingOracle {
         |  ELSE 0 END AS gini_pm
         |FROM agg ORDER BY slice""".stripMargin,
 
+    // C122: per-node local clustering — the oriented a<b<c triangle
+    // enumeration, per-node counts from the three member projections,
+    // undirected degrees, per-mille 2·tri div (deg·(deg−1)), the same
+    // total top-20 order.
+    "q202_local_clustering" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+        |), ew AS MATERIALIZED (
+        |  SELECT a.pk AS src, b.pk AS dst
+        |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), e AS MATERIALIZED (SELECT src AS a, dst AS b FROM ew),
+        |tr AS (
+        |  SELECT ab.a, ab.b, bc.b AS c
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        |), tpn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM tr
+        |    UNION ALL SELECT b FROM tr
+        |    UNION ALL SELECT c FROM tr
+        |  ) GROUP BY 1
+        |), deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        |  ) GROUP BY 1
+        |)
+        |SELECT deg.node, deg.deg, COALESCE(tpn.tri, 0) AS tri,
+        |  CAST(CAST(COALESCE(tpn.tri, 0) AS HUGEINT) * 2000
+        |    // (CAST(deg.deg AS HUGEINT) * (deg.deg - 1)) AS BIGINT) AS lcc_pm
+        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+        |WHERE deg.deg >= 3
+        |ORDER BY lcc_pm DESC, tri DESC, deg.node ASC LIMIT 20""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT

@@ -210,6 +210,35 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------- local clustering
+
+  test("C122: per-node LCC matches brute force; cliques score 1000, star centers 0") {
+    val rnd = new scala.util.Random(37)
+    val edges = Seq.fill(200)((rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(p => p._1 != p._2)
+    val ded = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 < p._2).distinct
+    val adj = ded.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ref = adj.collect { case (v, ns) if ns.size >= 2 =>
+      val tri = ns.toSeq.combinations(2).count(p => adj(p(0)).contains(p(1)))
+      (v, (ns.size.toLong, tri.toLong,
+        BigInt(tri) * 2000 / (BigInt(ns.size) * (ns.size - 1))))
+    }.toMap
+    val got = Graph.localClustering(edges.toDF("src", "dst"), minDeg = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, BigInt(r._4)))).toMap
+    assert(got == ref)
+    // analytic: a 4-clique member has LCC 1000; a star center 0
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (1L to 5L).map(i => (100L, 100L + i))
+    val shapes = Graph.localClustering((clique ++ star).toDF("src", "dst"), minDeg = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert((1L to 4L).forall(v => shapes(v) == 1000L))
+    assert(shapes(100L) == 0L)
+    assert(!shapes.contains(101L)) // leaves: degree 1, no wedge
+  }
+
   // ------------------------------------------------------------ k-truss
 
   /** Brute force: iterate support counting + filtering to fixed point. */
