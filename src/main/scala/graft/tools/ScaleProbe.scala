@@ -415,6 +415,64 @@ object ScaleProbe {
       run("cusum", k)(
         graft.operators.Changepoint.cusum(pts, col("series"), col("t"), col("x")).count())
     }
+    {
+      // disjoint id-shifted copies of the co-purchase graph (the
+      // cohesion-suite convention): peel ROUNDS are structure-bound and
+      // stay flat; per-round triangle enumeration is the growing term
+      val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = p.as("a").join(p.as("b"),
+          col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("src", "dst")
+      val shift = e0.agg(greatest(max(col("src")), max(col("dst")))).head().getLong(0) + 1
+      for (k <- Seq(1, 4, 16)) {
+        val ed = (0 until k).map(i => e0.select(
+            (col("src") + lit(i * shift)).as("src"),
+            (col("dst") + lit(i * shift)).as("dst")))
+          .reduce(_ unionByName _)
+        run("k_truss", k)(graft.operators.Graph.kTruss(ed, k = 3).count())
+        run("local_clustering", k)(
+          graft.operators.Graph.localClustering(ed, minDeg = 3).count())
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+      // the daily frame is horizon-sized: amplification grows the VALUES
+      // (counts per day), not the frame — expect flat after the one scan
+      run("seasonal", k) {
+        val daily = orders.groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Seasonal.decompose(daily, col("d"), col("x"),
+          (datediff(col("d"), lit("1992-01-01").cast("date")) % 7).cast("long"), 7).count()
+      }
+      // benford: one scan to a 9×slices frame — scan-bound
+      run("benford", k)(
+        graft.operators.Audits.benford(
+          orders.select(col("o_orderpriority"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c")),
+          col("o_orderpriority"), col("c")).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val cust = amplify(t.customer, "c_custkey", k)
+      // blocked pairs: copies land in the SAME blocks (nation × band), so
+      // block sizes grow k-fold and pair volume ~k² — the probe shows the
+      // operator tracks its OUTPUT (the honest asymptote for a
+      // pair-producer; real ingests re-block finer, and blockCap bounds
+      // the worst case)
+      run("linkage", k)(
+        graft.operators.Linkage.scorePairs(cust, col("c_custkey"),
+          Seq(col("c_nationkey"), floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+          Seq((col("c_mktsegment"), 25L, -12L),
+            (expr("substring(c_name, length(c_name), 1)"), 20L, -10L)),
+          upper = 40L, lower = 10L).count())
+      // gini: one row per unit, per-slice windows — near-linear
+      run("gini", k)(
+        graft.operators.Audits.gini(
+          cust.select(col("c_mktsegment"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("m")),
+          col("c_mktsegment"), col("m")).count())
+    }
     spark.stop()
   }
 }
