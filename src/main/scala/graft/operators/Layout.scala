@@ -218,4 +218,109 @@ object Layout {
         dims.flatMap(d => Seq(min(col(s"min_$d")).as(s"min_$d"),
           max(col(s"max_$d")).as(s"max_$d"))): _*)
   }
+
+  /** C123: [[writeClustered]] WITH a parquet BLOOM FILTER on a
+    * point-lookup column — the layout for the "fetch THIS key" access
+    * pattern the min/max suite can't serve: a table clustered by date
+    * has every file's customer-id range spanning ~the whole domain, so
+    * range skipping prunes nothing for an id lookup; the per-file
+    * split-block bloom filter (parquet-format BloomFilter, SBBF) prunes
+    * all files the key can't be in, at a few bytes per distinct value.
+    * `ndv` sizes the filter (parquet's expected-distinct-values knob —
+    * undersizing inflates the false-positive rate, never false
+    * negatives). */
+  def writeClusteredWithBloom(df: DataFrame, key: Column, files: Int,
+                              path: String, bloomCol: String, ndv: Long): Unit =
+    assignFiles(df, key, files)
+      .repartition(col("__file"))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", ndv.toString)
+      .partitionBy("__file").parquet(path)
+
+  /** Probe the REAL bloom filters and row-group stats of a
+    * [[writeClusteredWithBloom]] layout for point lookups: per probe
+    * key, how many logical files pass the min/max range test vs the
+    * bloom test — the file-skipping arithmetic an engine's scan
+    * planner performs, priced from the physical footers (no data pages
+    * read). Bloom filters have NO false negatives, so `bloom_pass`
+    * always covers the key's true owner files; the audit's point is
+    * `bloom_pass ≪ range_pass` on scattered-key layouts.
+    *
+    * Same scale shape as [[footerStats]]: driver lists names, each
+    * footer decodes on an executor (all probe keys tested per one
+    * footer open), files-sized rollup.
+    *
+    * @param column an INT64 column carrying a bloom filter.
+    * @return one row per key: (key, files_total, range_pass,
+    *         bloom_pass). */
+  def bloomProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                 column: String, keys: Seq[Long]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val leaves: Seq[(Long, String)] = fs.listStatus(root)
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("__file="))
+      .toSeq.flatMap { dir =>
+        val fileId = dir.getPath.getName.stripPrefix("__file=").toLong
+        fs.listStatus(dir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => fileId -> f.getPath.toString)
+      }
+    val sconf = new SerializableConf(conf)
+    val probeKeys = keys.toIndexedSeq
+    val colName = column
+    val slices = math.max(1, math.min(leaves.size,
+      spark.sparkContext.defaultParallelism))
+    // executor side: per physical file, every key's (range, bloom) flags
+    val partials = spark.sparkContext.parallelize(leaves, slices)
+      .flatMap { case (fileId, p) =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val range = scala.collection.mutable.Map.empty[Long, Boolean]
+        val bloom = scala.collection.mutable.Map.empty[Long, Boolean]
+        probeKeys.foreach { k => range(k) = false; bloom(k) = false }
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(fp, sconf.conf))
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.find(_.getPath.toDotString == colName)
+              .foreach { cmeta =>
+                val st = cmeta.getStatistics
+                require(st != null && !st.isEmpty, s"no stats for $colName in $p")
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cmeta)
+                require(bf != null, s"no bloom filter for $colName in $p")
+                probeKeys.foreach { k =>
+                  if (k >= mn && k <= mx) range(k) = true
+                  if (bf.findHash(bf.hash(k))) bloom(k) = true
+                }
+              }
+          }
+        } finally reader.close()
+        probeKeys.map(k => org.apache.spark.sql.Row(k, fileId, range(k), bloom(k)))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.BooleanType)))
+    // per-logical-file OR of the physical flags, then the per-key counts
+    spark.createDataFrame(partials, schema)
+      .groupBy("key", "__file")
+      .agg(max(col("r")).as("r"), max(col("b")).as("b"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("r"), 1L).otherwise(0L)).as("range_pass"),
+        // a file an engine actually skips must fail EITHER test — the
+        // effective read set is range ∧ bloom
+        sum(when(col("b"), 1L).otherwise(0L)).as("bloom_pass"))
+  }
 }

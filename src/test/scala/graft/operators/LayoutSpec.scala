@@ -135,4 +135,56 @@ class LayoutSpec extends SparkSuite {
     assert(xt == 16, s"x-sort touched $xt files")
     assert(zt < xt, "z-order must beat the 1-D sort on a box probe")
   }
+
+  test("C123: REAL parquet bloom filters prune point lookups where min/max cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // a date-clustered layout whose id column is SCATTERED: every file's
+    // id range spans ~the whole domain, so range skipping is useless for
+    // an id lookup — exactly the bloom filter's case. ids are a bijection
+    // (reversed within the day) so present/absent is deterministic.
+    val rows = (for (day <- 0L until 16L; i <- 0L until 200L)
+      yield (day, day * 200L + (199L - i))).toDF("day", "id")
+    Layout.writeClusteredWithBloom(rows, col("day"), 16, dir,
+      bloomCol = "id", ndv = 200L)
+    val present = Seq(0L, 399L, 1600L, 3199L) // days 0, 1, 8, 15
+    val absent = Seq(999999L, 555555L)
+    val got = Layout.bloomProbe(spark, dir, "id", present ++ absent)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (k <- present) {
+      val (total, range, bloom) = got(k)
+      assert(total == 16L)
+      // min/max: file f holds ids [f*200, f*200+199] — contiguous per
+      // file here, so range DOES prune this fixture; the point is bloom
+      // NEVER misses the owner...
+      assert(bloom >= 1L, s"key $k: bloom must pass its owner file")
+      // ...and never passes (beyond false positives) what range proves
+      // impossible: the owner file passes both
+      assert(range >= 1L)
+    }
+    // scattered fixture for the range-useless case: ids striped ACROSS
+    // files so every file's [min, max] covers the domain
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bloom2").toString
+    val striped = (for (f <- 0L until 16L; i <- 0L until 200L)
+      yield (f, i * 16L + f)).toDF("day", "id") // file f: ids ≡ f (mod 16)
+    Layout.writeClusteredWithBloom(striped, col("day"), 16, dir2,
+      bloomCol = "id", ndv = 200L)
+    // mid-domain keys (edge keys would let min/max prune after all):
+    // residues 0, 1, 2, 3 — one owner file each
+    val probes = Seq(1600L, 1617L, 1634L, 1651L)
+    val got2 = Layout.bloomProbe(spark, dir2, "id", probes)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (k <- probes) {
+      val (total, range, bloom) = got2(k)
+      assert(total == 16L)
+      assert(range == 16L, s"key $k: striped ranges must NOT prune (got $range)")
+      assert(bloom < 16L, s"key $k: bloom must prune striped files")
+      assert(bloom >= 1L, s"key $k: no false negatives")
+    }
+    // absent keys: bloom may false-positive a few files, never all
+    val gotAbs = Layout.bloomProbe(spark, dir2, "id", Seq(777777L))
+      .as[(Long, Long, Long, Long)].head()
+    assert(gotAbs._4 < 16L, s"absent key passed all files: $gotAbs")
+  }
 }
