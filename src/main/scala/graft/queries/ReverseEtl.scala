@@ -459,4 +459,41 @@ object ReverseEtl {
     graft.operators.Attribution.positionBased(touches, conv,
       lookbackUs = 7L * 86400000000L)
   }
+
+  /** B49: REFERENTIAL-INTEGRITY audit — the cross-table data-quality
+    * gate next to B30's column-level expectations: before a sync trusts
+    * an enrichment join, count every child row whose foreign key has no
+    * parent (orphans break joins silently — an inner enrichment DROPS
+    * them, a left one NULLs the payload). One anti-join + one count per
+    * declared relation, per-mille orphan rate; NULL keys counted
+    * separately (a null FK is absent-by-design, an orphan is a broken
+    * promise). All five TPC-H-ish relations audited in one frame. */
+  /** One relation's integrity frame — public so specs can feed broken
+    * fixtures ([[q204ReferentialIntegrity]] composes five of these). */
+  def integrityAudit(relation: String, child: DataFrame, key: String,
+                     parent: DataFrame, pkey: String): DataFrame = {
+    val keys = child.select(col(key).as("k"))
+    val p = parent.select(col(pkey).as("pk")).distinct()
+    val nTotal = keys.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orphans = keys.filter(col("k").isNotNull)
+      .join(p, col("k") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    nTotal.crossJoin(broadcast(orphans))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_null_keys"), col("n_orphans"),
+        expr("n_orphans * 1000 div n_rows").as("orphans_pm"))
+  }
+
+  def q204ReferentialIntegrity(t: Tables): DataFrame = {
+    def audit(relation: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      integrityAudit(relation, child, key, parent, pkey)
+    audit("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+      .unionByName(audit("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"))
+      .orderBy("relation")
+  }
 }

@@ -392,6 +392,31 @@ object ReverseEtlOracle {
 
     // B43: scalar-distribution drift — fixed 25k bins on o_totalprice,
     // pre-1997 reference vs current, integer ppm shares, TVD scalar.
+    // B49: referential integrity — one anti-join count per declared
+    // relation, NULL keys ledgered separately, per-mille truncating.
+    "q204_referential_integrity" -> {
+      def rel(name: String, child: String, key: String,
+              parent: String, pkey: String): String =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child WHERE $key IS NULL) AS n_null_keys,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child c
+           |     WHERE c.$key IS NOT NULL
+           |       AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS n_orphans""".stripMargin
+      val rels = Seq(
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      s"""WITH audits AS (
+         |${rels.mkString("\n UNION ALL\n")}
+         |)
+         |SELECT relation, n_rows, n_null_keys, n_orphans,
+         |  n_orphans * 1000 // n_rows AS orphans_pm
+         |FROM audits ORDER BY relation""".stripMargin
+    },
+
     "q162_drift_audit" ->
       """WITH binned AS (
         |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,

@@ -1722,6 +1722,16 @@ object TrainingData {
       .orderBy(col("lcc_pm").desc, col("tri").desc, col("node").asc)
       .limit(20)
 
+  /** C124: index-accelerated SUBSTRING search (operators/Search) —
+    * "find every document containing THIS literal" via the pattern's
+    * character-8-gram prefilter + exact verify; the result contract is
+    * strict equality with the full-scan contains, which the oracle
+    * pins directly. */
+  def q203SubstringSearch(t: Tables): DataFrame =
+    graft.operators.Search.substringSearch(t.documents,
+        col("doc_id"), col("text"), "table scan")
+      .orderBy("doc_id")
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

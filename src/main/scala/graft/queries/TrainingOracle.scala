@@ -3425,6 +3425,13 @@ object TrainingOracle {
         |WHERE deg.deg >= 3
         |ORDER BY lcc_pm DESC, tri DESC, deg.node ASC LIMIT 20""".stripMargin,
 
+    // C124: substring search — the oracle IS the full-scan contains the
+    // accelerated form must exactly equal.
+    "q203_substring_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(text, 'table scan')
+        |ORDER BY doc_id""".stripMargin,
+
     // C114: t-closeness — the ordered-EMD closed form replayed
     // step-for-step: dense class×value grid, per-class and global
     // cumulated counts, term = |cum_c·n − cum_g·n_c|, per-mille HUGEINT
