@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
  *   t_pm = 1000 · Σ_v term(v) div (n_c · n · (m−1))
  *
  * (per-mille EMD; the Σ and the division are taken in DECIMAL(38,0) /
- * HUGEINT so the m·n² intermediate adds no practical bound). A
- * single-value domain (m = 1) makes every distribution identical — t_pm
- * is 0 by definition, not a division error.
+ * HUGEINT so the m·n² sum adds no bound beyond the per-term one — each
+ * term's cross product is int64, safe while the corpus row count stays
+ * under ~3·10⁹, the same N² contract as [[Drift.ksDrift]]; widen the
+ * term to DECIMAL on both engines past that). A single-value domain
+ * (m = 1) makes every distribution identical — t_pm is 0 by
+ * definition, not a division error.
  *
  * Scale shape: ONE corpus scan reduces to the (class × value) count
  * frame; everything after rides the dense class×value grid — sized by
