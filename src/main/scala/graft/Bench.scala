@@ -94,19 +94,39 @@ object Bench {
     val budgetS = sys.env.get("SPARK_GRAFT_TOTAL_BUDGET_S").map(_.toLong)
       .getOrElse(math.max(480L, 4L * selected.size))
     val deadlineNs = System.nanoTime() + budgetS * 1000L * 1000 * 1000
-    val results = selected.map { n =>
-      if (System.nanoTime() > deadlineNs) {
+    // Graceful degradation under a tight external budget (a driver that
+    // pins SPARK_GRAFT_TOTAL_BUDGET_S below ~2×catalog-seconds): a
+    // COLD-timed query is strictly more information than a -3 skip, so
+    // when the remaining budget can no longer afford warmup+timed for
+    // the remaining queries (projected from the running mean cost), drop
+    // the warmups FIRST and only record -3 when even single runs don't
+    // fit. BENCH_r09 lost ≥19 queries to the old skip-only policy.
+    var spentNs = 0L
+    var ran = 0
+    val results = selected.zipWithIndex.map { case (n, i) =>
+      val remainNs = deadlineNs - System.nanoTime()
+      val left = selected.size - i
+      val avgNs = if (ran == 0) 2_000_000_000L else spentNs / ran
+      if (remainNs < avgNs * left / 2) {
         System.err.println(s"[bench] $n skipped: total budget exhausted")
         n -> -3.0
       } else {
-        if (warmup) {
+        val t0 = System.nanoTime()
+        // warmup only while the projected full warm cost (running mean ×
+        // remaining queries, 30% headroom) still fits the remaining budget
+        if (warmup && remainNs > avgNs * left * 13L / 10L) {
           once(n)
           // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
           // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
           // not land inside the timed window.
           System.gc()
+        } else if (warmup) {
+          System.err.println(s"[bench] $n: warmup dropped (budget pressure)")
         }
-        n -> once(n)
+        val r = once(n)
+        spentNs += System.nanoTime() - t0
+        ran += 1
+        n -> r
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
