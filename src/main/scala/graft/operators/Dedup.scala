@@ -913,4 +913,74 @@ object Dedup {
       LshChoice(b, r, math.pow(1.0 / b, 1.0 / r), fp, fn, fpWeight * fp + fn)
     }.sortBy(c => (c.cost, c.rowsPerBand))
   }
+
+  /** C125: EXACT set-similarity self-join with PREFIX FILTERING — the
+    * exact-threshold complement of the MinHash family (C2 trades recall
+    * for speed; this is the AllPairs/PPJoin shape of Bayardo et al. 2007
+    * / Chaudhuri et al. 2006: EVERY pair with Jaccard ≥ τ, NO false
+    * negatives, still never all-pairs). Sets are distinct `n`-token
+    * shingle strings; similarity is the exact per-mille
+    * `1000·|A∩B| div (|A|+|B|−|A∩B|)`.
+    *
+    * The filter: J(A,B) ≥ τ forces `|A∩B| ≥ ceil(τ·|A|)` and
+    * `≥ ceil(τ·|B|)` (since |A∩B| ≤ min side). Order every set by GLOBAL
+    * shingle frequency (rarest first, ties by value — a total order both
+    * engines replay); with per-set required overlap α(n) = ceil(τ·n), any
+    * qualifying pair must collide inside the first `n − α(n) + 1`
+    * shingles of BOTH sets, so candidates are generated by an equi-join
+    * on PREFIX shingles only. The length filter
+    * `1000·min(|A|,|B|) ≥ τ_pm·max(|A|,|B|)` prunes further before
+    * verification.
+    *
+    * Scale shape: shingle → global count (one agg; frequency join is
+    * broadcastable when the vocab is, shuffle otherwise) → per-doc
+    * rank window (partitioned by doc — no global sort; the "global"
+    * order is the raw `(count, shingle)` key, never a dense rank) →
+    * prefix equi-join on the RAREST shingles (candidate volume is
+    * Σ C(prefix-freq, 2), tiny under rare-first ordering — the whole
+    * point of the technique) → verify only candidates via one
+    * co-partitioned intersection count. At 100 TB every step is a
+    * key-equality shuffle; nothing is quadratic in the corpus.
+    *
+    * @param minJPm Jaccard threshold in per-mille (e.g. 500 = 0.5).
+    * @return (doc_a, doc_b, common, n_a, n_b, j_pm), doc_a < doc_b,
+    *         j_pm ≥ minJPm — exactly the brute-force answer. */
+  def exactJaccardJoin(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                       n: Int = 3, minJPm: Long = 500L): DataFrame = {
+    require(n >= 1 && minJPm >= 1 && minJPm <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col(textCol), " ")
+    val shingleExpr = expr(
+      s"transform(sequence(0, size(__ws) - $n), i -> concat_ws(' ', slice(__ws, i + 1, $n)))")
+    val sh = docs.select(col(idCol).as("id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("id"), explode(shingleExpr).as("s"))
+      .distinct()
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("cf"))
+    val w = Window.partitionBy("id")
+    val ranked = sh.join(freq, "s")
+      .select(col("id"), col("s"),
+        row_number().over(w.orderBy(col("cf").asc, col("s").asc)).as("p"),
+        count(lit(1)).over(w).as("sz"))
+    val prefix = ranked
+      .filter(expr(s"p <= sz - (($minJPm * sz + 999) div 1000) + 1"))
+      .select(col("id"), col("s"), col("sz"))
+      .localCheckpoint(true)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          lit(1000) * least(col("a.sz"), col("b.sz")) >=
+            lit(minJPm) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sz").as("n_a"), col("b.sz").as("n_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("j_pm", expr("1000 * common div (n_a + n_b - common)"))
+      .filter(col("j_pm") >= minJPm)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "j_pm")
+  }
 }

@@ -1732,6 +1732,17 @@ object TrainingData {
         col("doc_id"), col("text"), "table scan")
       .orderBy("doc_id")
 
+  /** C125: EXACT set-similarity self-join with prefix filtering
+    * ([[graft.operators.Dedup.exactJaccardJoin]]) — the exact-threshold
+    * complement of the MinHash near-dup family: EVERY document pair with
+    * shingle-set Jaccard ≥ 0.5, no false negatives, generated from a
+    * rare-first prefix equi-join instead of all-pairs. The oracle is the
+    * BRUTE-FORCE join — the gate proves the filter theorem holds on real
+    * data (prefix pruning loses nothing, adds nothing). */
+  def q205ExactJaccard(t: Tables): DataFrame =
+    graft.operators.Dedup.exactJaccardJoin(t.documents, minJPm = 500L)
+      .orderBy("doc_a", "doc_b")
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

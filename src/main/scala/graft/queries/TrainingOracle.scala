@@ -3988,6 +3988,26 @@ object TrainingOracle {
         |FROM buckets, t
         |ORDER BY k_bucket""".stripMargin,
 
+    // C125: exact set-similarity join — the oracle is the BRUTE-FORCE
+    // all-pairs intersection join (no prefix filter): equality proves the
+    // prefix-filter theorem loses no pair and invents none.
+    "q205_exact_jaccard" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS s
+        |  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3
+        |), sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |com AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+        |  1000 * common // (sa.n + sb.n - common) AS j_pm
+        |FROM com JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
+        |WHERE 1000 * common // (sa.n + sb.n - common) >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->
