@@ -58,4 +58,99 @@ object Search {
         .select("doc_id")
     }
   }
+
+  /** Fixed-point binary logarithm, 10 fractional bits, as a SQL
+    * expression over the (positive BIGINT) sub-expression `x`:
+    * `log2q10(x) = round-down fixed point of 1024·log2(x)` computed by
+    * the classic integer mantissa-squaring algorithm — `e = ⌊log2 x⌋`
+    * from the bit length, mantissa scaled to 2^20, then ten exact
+    * integer squaring steps each emitting one fraction bit. Every step
+    * is int64 (mantissa < 2^21, square < 2^42) and floor-divides, so the
+    * value is a deterministic pure-integer function both engines replay
+    * bit-for-bit — the portable surrogate for the IEEE `ln` BM25 needs
+    * (cross-engine float logs are not hash-stable; this is).
+    *
+    * The fold rides Spark's `aggregate` higher-order function (codegen'd
+    * lambda, no UDF); the DuckDB oracle replays it with `list_reduce`
+    * over the same struct state. */
+  def log2q10Sql(x: String): String = {
+    val e = s"(length(bin($x)) - 1)"
+    val m0 = s"(CASE WHEN $e >= 20 THEN ($x) div shiftleft(1L, $e - 20) " +
+      s"ELSE ($x) * shiftleft(1L, 20 - $e) END)"
+    s"""aggregate(sequence(1, 10),
+       |  named_struct('m', CAST($m0 AS BIGINT), 'acc', CAST($e AS BIGINT) * 1024L, 'w', 512L),
+       |  (s, i) -> CASE WHEN s.m * s.m div 1048576L >= 2097152L
+       |            THEN named_struct('m', s.m * s.m div 2097152L, 'acc', s.acc + s.w, 'w', s.w div 2L)
+       |            ELSE named_struct('m', s.m * s.m div 1048576L, 'acc', s.acc, 'w', s.w div 2L) END,
+       |  s -> s.acc)""".stripMargin
+  }
+
+  /** C126: BM25 ranked retrieval — the SCORED companion to the exact
+    * substring/term lookups (C124 finds "documents containing X"; this
+    * ranks "the best documents FOR query X"): Okapi BM25 with the
+    * Lucene-shaped always-positive idf `log2((2N+2)/(2df+1))` and the
+    * standard saturated term frequency, every quantity exact-integer so
+    * the ranking is bit-stable across engines — idf in q10 fixed point
+    * (units 2^-10, via [[log2q10Sql]]), length norm and tf saturation in
+    * per-mille, score = Σ idf_q10·tfs_pm (units 2^-10·10^-3).
+    *
+    * Scale shape: corpus stats are ONE tiny agg (broadcast 1-row); the
+    * term frame is filtered to the queries' literal vocabulary BEFORE
+    * any shuffle (a codegen'd `IN` on the scan, so df/tf aggregate only
+    * matching postings); query terms and idf join broadcast; and the
+    * final per-query top-k runs through [[Ranking.groupRankDesc]]'s
+    * two-level bucketed rank — a popular query matching half the corpus
+    * never funnels through one window task. A real deployment
+    * materializes the tf/df frames once (the C38 index discipline) and
+    * scores per query at posting-list cost.
+    *
+    * Overflow contract: the length-norm product `1000·dl·N` is taken in
+    * DECIMAL(38,0) (at web scale dl·N exceeds int64); everything after
+    * the divide is back in int64 with documented bounds (idf_q10 ≤
+    * ~64·1024, tfs_pm ≤ k1+1000, per-term product ≤ 2^27·|q|).
+    *
+    * @param queries (query_id, space-separated terms) literals; repeated
+    *                terms in a query count once.
+    * @return (query_id, rank, doc_id, score_q10pm, n_terms) — rank ≤ k,
+    *         ties broken by doc_id ASC, only docs matching ≥1 term. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+               k1Pm: Long = 1200L, bPm: Long = 750L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && k1Pm >= 0 && bPm >= 0 && bPm <= 1000)
+    val spark = docs.sparkSession
+    val termSet = queries.flatMap(_._2.split(" ")).distinct
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    // postings for the query vocabulary only — the IN prefilter rides the
+    // scan, so the groupBy shuffles matching (doc, term) rows, not the corpus
+    val tf = toks.filter(col("term").isInCollection(termSet))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("l_total"))
+    val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+        text.split(" ").distinct.map(t => (qid, t))
+      }).toDF("query_id", "term")
+    val idf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q10",
+        expr(s"${log2q10Sql("2 * n_docs + 2")} - ${log2q10Sql("2 * df + 1")}"))
+      .select("term", "idf_q10")
+    val scored = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("dlnorm_pm", expr(
+        "CAST(CAST(1000 AS DECIMAL(38,0)) * dl * n_docs div l_total AS BIGINT)"))
+      .withColumn("tfs_pm", expr(
+        s"tf * ${k1Pm + 1000L}L * 1000000L div " +
+          s"(tf * 1000000L + ${k1Pm}L * (1000L * ${1000L - bPm}L + ${bPm}L * dlnorm_pm))"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("idf_q10 * tfs_pm")).as("score_q10pm"),
+        count(lit(1)).as("n_terms"))
+    Ranking.groupRankDesc(scored, "query_id", "score_q10pm", "doc_id",
+        expr("score_q10pm div 1024"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q10pm", "n_terms")
+  }
 }

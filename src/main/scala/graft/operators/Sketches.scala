@@ -16,6 +16,103 @@ import org.apache.spark.sql.functions._
  */
 object Sketches {
 
+  private val U64 = "18446744073709551616" // 2^64 as decimal literal
+
+  /** C127: KMV (k-minimum-values / bottom-k theta) distinct sketch rows
+    * per slice — the SET-OPERATION completion of the sketch family (C16's
+    * HLL unions but cannot intersect; C41's count-min counts occurrences,
+    * not identity): keeping the k smallest distinct unsigned `xxhash64`
+    * values of a slice supports cardinality (`(k−1)·2^64 div h_k`,
+    * Bar-Yossef et al. 2002 / the DataSketches theta estimator), and —
+    * because bottom-k sets are closed under union — JACCARD and
+    * INTERSECTION estimates between any two slices from the sketches
+    * alone, no rescan (Beyer et al. SIGMOD 2007).
+    *
+    * Everything is exact integer: hashes live in DECIMAL(38,0) unsigned
+    * space (signed xxhash64 + 2^64 when negative — unsigned order), the
+    * estimate is one integer division, so DuckDB replays the pipeline
+    * value-for-value through the xx macro chain.
+    *
+    * Scale shape: distinct (slice, hash) → the C22 salted two-phase
+    * smallest-k (per-(slice,salt) window prune to k, then per-slice
+    * re-rank of ≤ salts·k survivors — no slice ever funnels its full
+    * distinct set through one task). Sketch size is k rows per slice,
+    * independent of corpus size — the artifact a real deployment
+    * persists per ingest batch and merges by re-ranking.
+    *
+    * @return (slice, rk (1-based ascending), hu DECIMAL(38,0), n_kept,
+    *         est) — n_kept < k ⟹ the slice's distinct count was < k and
+    *         est is exact. */
+  def kmvSketches(df: DataFrame, sliceCol: String, valueCol: String,
+                  k: Int = 256, salts: Int = 16): DataFrame = {
+    require(k >= 2 && salts >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val hu = when(xxhash64(col(valueCol)) < 0,
+        xxhash64(col(valueCol)).cast("decimal(38,0)") + expr(s"CAST($U64 AS DECIMAL(38,0))"))
+      .otherwise(xxhash64(col(valueCol)).cast("decimal(38,0)"))
+    val hashed = df.select(col(sliceCol).as("slice"), hu.as("hu")).distinct()
+    // phase 1: prune inside (slice, salt) lanes — lane from an independent
+    // hash of the value's hash so lanes are uncorrelated with magnitude
+    val lane = pmod(xxhash64(col("hu").cast("string"), lit(7)), lit(salts.toLong))
+    val p1 = hashed.withColumn("__lane", lane)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("slice", "__lane").orderBy(col("hu").asc)))
+      .filter(col("__r") <= k).drop("__r", "__lane")
+    // phase 2: exact k smallest among ≤ salts·k survivors per slice
+    val p2 = p1.withColumn("rk", row_number().over(
+        Window.partitionBy("slice").orderBy(col("hu").asc)).cast("long"))
+      .filter(col("rk") <= k)
+    val kept = p2.groupBy("slice").agg(count(lit(1)).as("n_kept"), max("hu").as("h_max"))
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST((${k - 1} * CAST($U64 AS DECIMAL(38,0))) div h_max AS BIGINT)")))
+      .select("slice", "n_kept", "est")
+    p2.join(broadcast(kept), "slice").select("slice", "rk", "hu", "n_kept", "est")
+  }
+
+  /** C127: pairwise set-operation estimates from KMV sketch rows — for
+    * every slice pair a<b, merge the two bottom-k sets, keep the k
+    * smallest of the union, and read off: union cardinality (the merged
+    * sketch's own KMV estimate), Jaccard (fraction of the merged
+    * bottom-k present in BOTH input sketches — the Beyer et al.
+    * estimator, exact per-mille integers), and intersection
+    * (jacc·union). Cost is O(P²·k) rows for P slices — sketch-sized,
+    * never corpus-sized; the P² pair frame is the audit's own output
+    * shape. When the merged union has fewer than k distinct hashes both
+    * estimates are exact by construction. */
+  def kmvPairs(sketches: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = sketches.select(col("slice"), col("hu"))
+    val slices = sketches.select("slice").distinct()
+    val pairs = slices.select(col("slice").as("sa"))
+      .join(slices.select(col("slice").as("sb")), col("sa") < col("sb"))
+    val left = pairs
+      .join(rows.withColumnRenamed("slice", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("hu"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val right = pairs
+      .join(rows.withColumnRenamed("slice", "sb"), "sb")
+      .select(col("sa"), col("sb"), col("hu"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val merged = left.unionAll(right)
+      .groupBy("sa", "sb", "hu")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("sa", "sb").orderBy(col("hu").asc)))
+      .filter(col("rk") <= k)
+    merged.groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_union"), max("hu").as("h_max"),
+        sum(expr("in_a * in_b")).as("matches"))
+      .withColumn("union_est",
+        when(col("n_union") < k, col("n_union"))
+          .otherwise(expr(s"CAST((${k - 1} * CAST($U64 AS DECIMAL(38,0))) div h_max AS BIGINT)")))
+      .withColumn("jacc_ppm", expr("1000000 * matches div n_union"))
+      .withColumn("inter_est", expr("jacc_ppm * union_est div 1000000"))
+      .join(broadcast(
+        sketches.select(col("slice").as("sa"), col("est").as("est_a")).distinct()), "sa")
+      .join(broadcast(
+        sketches.select(col("slice").as("sb"), col("est").as("est_b")).distinct()), "sb")
+      .select("sa", "sb", "est_a", "est_b", "union_est", "matches", "jacc_ppm", "inter_est")
+  }
+
   /** Per-group HLL sketch of `valueCol` (binary, persistable). */
   def distinctSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        lgK: Int = 12): DataFrame =

@@ -1743,6 +1743,38 @@ object TrainingData {
     graft.operators.Dedup.exactJaccardJoin(t.documents, minJPm = 500L)
       .orderBy("doc_a", "doc_b")
 
+  /** C126: BM25 ranked retrieval ([[graft.operators.Search.bm25TopK]]) —
+    * the scored companion to C124's exact lookup: top-10 documents per
+    * query under exact-integer Okapi BM25 (q10 fixed-point log2 idf,
+    * per-mille tf saturation/length norm — bit-stable across engines).
+    * Four literal queries over the corpus vocabulary; one has an
+    * out-of-vocabulary term (matches nothing, contributes nothing). */
+  def q206Bm25(t: Tables): DataFrame =
+    graft.operators.Search.bm25TopK(t.documents, Seq(
+        1 -> "spark join agg",
+        2 -> "slow scan table",
+        3 -> "hash merge sort window batch",
+        4 -> "vector stream quantum"), k = 10)
+      .orderBy("query_id", "rank")
+
+  /** C127: KMV bottom-k distinct sketches + pairwise set-operation
+    * estimates ([[graft.operators.Sketches.kmvSketches]]/`kmvPairs`) —
+    * per-source 3-shingle vocabulary sketches (k=256), then for every
+    * source pair the union/Jaccard/intersection estimates read from the
+    * sketches alone (the "how much does crawl A overlap crawl B"
+    * audit HLL cannot answer). Exact integer end-to-end: the oracle
+    * replays the unsigned-xxhash order, bottom-k cut, and estimator
+    * divisions value-for-value. */
+  def q207KmvSketch(t: Tables): DataFrame = {
+    val sh = t.documents.select(col("source"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i + 1, 3)))"))
+        .as("shingle"))
+    val sk = graft.operators.Sketches.kmvSketches(sh, "source", "shingle", k = 256)
+    graft.operators.Sketches.kmvPairs(sk, k = 256).orderBy("sa", "sb")
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -848,6 +848,36 @@ object TrainingOracle {
       |  (a, b) -> xx_mul(xx_rotl(xx_xor(a, xx_mul(b, 2870177450012600261::HUGEINT)), 2048::HUGEINT, 9007199254740992::HUGEINT), 11400714785074694791::HUGEINT))""".stripMargin
   ).mkString(";\n") + ";\n"
 
+  /** DuckDB replay of [[graft.operators.Search.log2q10Sql]]'s fixed-point
+    * binary log (10 fractional bits): bit-length exponent, 2^20-scaled
+    * mantissa, ten exact integer squaring steps. Staged as MATERIALIZED
+    * CTE levels (the xxTokenHashChain discipline) rather than a
+    * `list_reduce` lambda macro: DuckDB 1.0.0 evaluates struct-state
+    * lambdas over table vectors NONDETERMINISTICALLY (the same query
+    * flip-flops between two answers run-to-run — measured on this very
+    * pipeline; scalar-constant calls are stable), while plain staged
+    * integer columns are deterministic. Validated value-for-value
+    * against the Spark expression and an independent Scala replay in
+    * `SearchSpec`.
+    *
+    * Expects a CTE `src` exposing (`key`, x BIGINT, x ≥ 1); emits stage
+    * CTEs ending in `lg(key, l2)` with l2 = 1024·log2(x) fixed-point. */
+  private def l2Stages(src: String, key: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"lg_g AS MATERIALIZED (SELECT $key, x, length(bin(x)) - 1 AS e FROM $src),\n"
+    sb ++= s"lg_h0 AS MATERIALIZED (SELECT $key, CASE WHEN e >= 20 THEN x // (1::BIGINT << (e - 20)) " +
+      s"ELSE x * (1::BIGINT << (20 - e)) END AS m0, e::BIGINT * 1024 AS a0 FROM lg_g),\n"
+    for (i <- 1 to 10) {
+      val p = i - 1
+      val w = 1L << (10 - i) // 512, 256, …, 1
+      sb ++= s"lg_h$i AS MATERIALIZED (SELECT $key, " +
+        s"CASE WHEN m$p * m$p // 1048576 >= 2097152 THEN m$p * m$p // 2097152 ELSE m$p * m$p // 1048576 END AS m$i, " +
+        s"a$p + CASE WHEN m$p * m$p // 1048576 >= 2097152 THEN $w ELSE 0 END AS a$i FROM lg_h$p),\n"
+    }
+    sb ++= s"lg AS (SELECT $key, a10 AS l2 FROM lg_h10)"
+    sb.toString
+  }
+
   /** Staged per-token XXH64 pipeline: expects a CTE `tok` exposing
     * (`carry` columns, tok); emits CTEs ending in `tokh(carry, hu)` with
     * hu = unsigned xxhash64(tok, seed 42) as HUGEINT in [0, 2^64).
@@ -4007,6 +4037,88 @@ object TrainingOracle {
         |FROM com JOIN sz sa ON sa.id = doc_a JOIN sz sb ON sb.id = doc_b
         |WHERE 1000 * common // (sa.n + sb.n - common) >= 500
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // C126: BM25 ranked retrieval — full integer replay: fixed-point log2
+    // idf via the staged l2 CTE chain (one tall frame carrying the per-term
+    // denominators plus a '__N' sentinel row for the shared numerator),
+    // per-mille tf saturation / length norm (HUGEINT for the dl*N
+    // product), top-10 per query with doc_id ties.
+    "q206_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |qt(query_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (1, 'agg'),
+        |  (2, 'slow'), (2, 'scan'), (2, 'table'),
+        |  (3, 'hash'), (3, 'merge'), (3, 'sort'), (3, 'window'), (3, 'batch'),
+        |  (4, 'vector'), (4, 'stream'), (4, 'quantum')),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        |st AS MATERIALIZED (
+        |  SELECT COUNT(*)::BIGINT AS n_docs,
+        |         SUM(len(string_split(text, ' ')))::BIGINT AS l_total
+        |  FROM documents),
+        |l2in AS (
+        |  SELECT term, (2 * df + 1)::BIGINT AS x
+        |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1)
+        |  UNION ALL SELECT '__N', (2 * n_docs + 2)::BIGINT FROM st),
+        |${l2Stages("l2in", "term")},
+        |idf AS (
+        |  SELECT d.term, n.nl2 - d.l2 AS idf_q10
+        |  FROM lg d, (SELECT l2 AS nl2 FROM lg WHERE term = '__N') n
+        |  WHERE d.term <> '__N'),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id,
+        |    SUM(idf_q10 * (tf * 2200 * 1000000 // (tf * 1000000 +
+        |      1200 * (1000 * 250 + 750 * (1000::HUGEINT * dl * n_docs // l_total)::BIGINT))))::BIGINT AS score_q10pm,
+        |    COUNT(*)::BIGINT AS n_terms
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term), st
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (
+        |         PARTITION BY query_id ORDER BY score_q10pm DESC, doc_id)::BIGINT AS rank
+        |       FROM sc)
+        |SELECT query_id, rank, doc_id, score_q10pm, n_terms FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // C127: KMV bottom-k sketches + pairwise set-operation estimates —
+    // full replay: unsigned xxhash via the macro chain, per-slice bottom-k
+    // windows, merged-pair bottom-k, and the integer theta estimators.
+    "q207_kmv_sketch" -> (xxMacros +
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |tok AS MATERIALIZED (
+        |  SELECT DISTINCT source, array_to_string(ws[i:i+2], ' ') AS tok
+        |  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |${xxTokenHashChain("source")},
+        |hs AS MATERIALIZED (SELECT DISTINCT source AS slice, hu FROM tokh),
+        |rk AS (SELECT slice, hu, row_number() OVER (PARTITION BY slice ORDER BY hu) AS rk FROM hs),
+        |keep AS MATERIALIZED (SELECT slice, hu FROM rk WHERE rk <= 256),
+        |est AS MATERIALIZED (
+        |  SELECT slice, CASE WHEN COUNT(*) < 256 THEN COUNT(*)::BIGINT
+        |    ELSE ((255::HUGEINT * 18446744073709551616::HUGEINT) // MAX(hu))::BIGINT END AS est
+        |  FROM keep GROUP BY 1),
+        |pairs AS (SELECT a.slice AS sa, b.slice AS sb FROM est a JOIN est b ON a.slice < b.slice),
+        |m AS (
+        |  SELECT sa, sb, hu, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        |    SELECT p.sa, p.sb, k.hu, 1 AS in_a, 0 AS in_b FROM pairs p JOIN keep k ON k.slice = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, k.hu, 0, 1 FROM pairs p JOIN keep k ON k.slice = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |mk AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY hu) AS rk FROM m)
+        |  WHERE rk <= 256),
+        |pa AS (SELECT sa, sb, COUNT(*)::BIGINT AS n_union, MAX(hu) AS h_max,
+        |         SUM(in_a * in_b)::BIGINT AS matches FROM mk GROUP BY 1, 2),
+        |fin AS (SELECT sa, sb, matches,
+        |  CASE WHEN n_union < 256 THEN n_union
+        |    ELSE ((255::HUGEINT * 18446744073709551616::HUGEINT) // h_max)::BIGINT END AS union_est,
+        |  (1000000 * matches // n_union)::BIGINT AS jacc_ppm FROM pa)
+        |SELECT f.sa, f.sb, ea.est AS est_a, eb.est AS est_b, f.union_est, f.matches,
+        |  f.jacc_ppm, (f.jacc_ppm * f.union_est // 1000000)::BIGINT AS inter_est
+        |FROM fin f JOIN est ea ON ea.slice = f.sa JOIN est eb ON eb.slice = f.sb
+        |ORDER BY sa, sb""".stripMargin),
 
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.

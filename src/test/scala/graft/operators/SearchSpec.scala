@@ -45,4 +45,97 @@ class SearchSpec extends SparkSuite {
     assert(run(rows, "ab") == Set(1L, 2L, 3L)) // < n → scan path
     assert(run(rows, "abcdefgh") == Set(2L)) // == n; doc 1 too short
   }
+
+  // ---- C126: BM25 ranked retrieval ----
+
+  /** Independent Scala replay of the fixed-point log2 contract. */
+  private def log2q10Ref(x: Long): Long = {
+    require(x >= 1)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e >= 20) x >> (e - 20) else x << (20 - e)
+    var acc = e.toLong * 1024L
+    var w = 512L
+    for (_ <- 1 to 10) {
+      val sq = m * m / 1048576L
+      if (sq >= 2097152L) { m = m * m / 2097152L; acc += w } else m = sq
+      w /= 2
+    }
+    acc
+  }
+
+  test("C126: log2q10 SQL matches the integer reference and true log2 within quantization") {
+    val xs = Seq(1L, 2L, 3L, 5L, 7L, 1023L, 1024L, 1025L, 123456L,
+      1000000007L, 1000000000000000L, 1L << 62)
+    val got = xs.toDF("x").selectExpr("x", Search.log2q10Sql("x") + " AS l")
+      .as[(Long, Long)].collect().toMap
+    for (x <- xs) {
+      assert(got(x) == log2q10Ref(x), s"x=$x")
+      assert(math.abs(got(x) / 1024.0 - math.log(x.toDouble) / math.log(2.0)) < 0.002,
+        s"quantization drift at $x")
+    }
+  }
+
+  /** Independent Scala brute-force BM25 with the operator's exact-integer
+    * contract (k1=1.2, b=0.75 per-mille; BigInt length-norm product). */
+  private def bm25Ref(rows: Seq[(Long, String)], queries: Seq[(Int, String)],
+                      k: Int): Seq[(Int, Long, Long, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = rows.size.toLong
+    val l = toks.values.map(_.size.toLong).sum
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val df = terms.map(t => t -> rows.count(r => toks(r._1).contains(t)).toLong).toMap
+    queries.flatMap { case (qid, qtext) =>
+      val qterms = qtext.split(" ").distinct.toSeq
+      val scored = rows.flatMap { case (id, _) =>
+        val dl = toks(id).size.toLong
+        val dlnorm = (BigInt(1000) * dl * n / l).toLong
+        val parts = qterms.flatMap { t =>
+          val tf = toks(id).count(_ == t).toLong
+          if (tf == 0) None else {
+            val idf = log2q10Ref(2 * n + 2) - log2q10Ref(2 * df(t) + 1)
+            val tfs = tf * 2200L * 1000000L /
+              (tf * 1000000L + 1200L * (1000L * 250L + 750L * dlnorm))
+            Some(idf * tfs)
+          }
+        }
+        if (parts.isEmpty) None else Some((id, parts.sum, parts.size.toLong))
+      }
+      scored.sortBy { case (id, s, _) => (-s, id) }.take(k).zipWithIndex.map {
+        case ((id, s, nt), i) => (qid, (i + 1).toLong, id, s, nt)
+      }
+    }
+  }
+
+  test("C126: bm25TopK equals the integer brute force on a mixed fixture") {
+    val rows = Seq(
+      (1L, "spark join agg spark spark join"),
+      (2L, "table scan slow slow table"),
+      (3L, "spark window data row"),
+      (4L, "join join join agg agg table"),
+      (5L, "merge sort hash hash window batch"),
+      (6L, "data row value key"),
+      (7L, "spark join agg table scan"))
+    val queries = Seq(1 -> "spark join", 2 -> "slow scan table", 3 -> "quantum")
+    val got = Search.bm25TopK(rows.toDF("doc_id", "text"), queries, k = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val want = bm25Ref(rows, queries, 3).toSet
+    assert(got == want)
+    // OOV-only query matches nothing
+    assert(!got.exists(_._1 == 3))
+    // saturation sanity: doc 4 (tf=3 join) must rank above doc 3 (tf=1
+    // of one term) for query 1
+    val r1 = got.filter(_._1 == 1).toSeq.sortBy(_._2).map(_._3)
+    assert(r1.nonEmpty && r1.take(2).forall(Seq(1L, 4L, 7L).contains))
+  }
+
+  test("C126: tie-break is doc_id ascending and k bounds the output") {
+    // two identical docs → identical scores, deterministic order
+    val rows = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"),
+      (13L, "gamma"))
+    val got = Search.bm25TopK(rows.toDF("doc_id", "text"), Seq(1 -> "alpha"), k = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got.map(_._3).toSeq == Seq(10L, 11L))
+    assert(got(0)._4 == got(1)._4, "identical docs must tie exactly")
+  }
 }

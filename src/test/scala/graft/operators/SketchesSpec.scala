@@ -158,4 +158,78 @@ class SketchesSpec extends SparkSuite {
       .as[(Long, Boolean)].collect()
     assert(out.length == 1 && out.head._2, "all-null input sketches merge to null")
   }
+
+  // ---- C127: KMV bottom-k sketches ----
+
+  private lazy val kmvFixture = {
+    // three slices with controlled overlap: A = 0..999, B = 500..1499
+    // (|A∩B| = 500, J = 1/3), C = tiny (< k, exact path)
+    val a = (0 until 1000).map(i => ("A", s"v$i"))
+    val b = (500 until 1500).map(i => ("B", s"v$i"))
+    val c = (0 until 40).map(i => ("C", s"v$i"))
+    (a ++ b ++ c).toDF("slice", "v")
+  }
+
+  test("C127: below-k slices estimate exactly; k bounds every sketch") {
+    val sk = Sketches.kmvSketches(kmvFixture, "slice", "v", k = 256)
+    val ests = sk.select("slice", "n_kept", "est").distinct()
+      .as[(String, Long, Long)].collect().map { case (s, n, e) => s -> ((n, e)) }.toMap
+    assert(ests("C") == ((40L, 40L)), "below-k slice must be exact")
+    assert(ests("A")._1 == 256L && ests("B")._1 == 256L)
+    // deterministic hash ⇒ deterministic estimate; KMV rel-err ~ 1/sqrt(k)
+    for (s <- Seq("A", "B"))
+      assert(math.abs(ests(s)._2 - 1000L) <= 200L, s"$s est=${ests(s)._2} off true 1000")
+    val counts = sk.groupBy("slice").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 256L))
+  }
+
+  test("C127: merged-pair union estimate EQUALS the sketch of the true union") {
+    // bottom-k of (bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B) — the
+    // closure property the pair estimator relies on; pin it exactly.
+    val sk = Sketches.kmvSketches(kmvFixture, "slice", "v", k = 256)
+    val pairs = Sketches.kmvPairs(sk, k = 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val abDirect = Sketches.kmvSketches(
+        kmvFixture.filter(col("slice").isin("A", "B")).withColumn("slice", lit("AB")),
+        "slice", "v", k = 256)
+      .select("slice", "est").distinct().as[(String, Long)].collect().head._2
+    assert(pairs(("A", "B"))._5 == abDirect,
+      s"pair union est ${pairs(("A", "B"))._5} != direct union sketch $abDirect")
+    // A∪C has 1000 distinct (C ⊂ A): union est must equal A's own est
+    val aEst = Sketches.kmvSketches(kmvFixture.filter(col("slice") === "A"), "slice", "v", k = 256)
+      .select("est").distinct().as[Long].collect().head
+    assert(pairs(("A", "C"))._5 == aEst, "C ⊂ A: union sketch must equal A's sketch")
+  }
+
+  test("C127: Jaccard/intersection estimates track truth; exact when union < k") {
+    val sk = Sketches.kmvSketches(kmvFixture, "slice", "v", k = 256)
+    val pairs = Sketches.kmvPairs(sk, k = 256)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // A vs B: true J = 500/1500 = 333333 ppm; 256-sample binomial ⇒ generous box
+    val ab = pairs(("A", "B"))
+    assert(math.abs(ab._7 - 333333L) <= 120000L, s"jacc_ppm=${ab._7} far from 1/3")
+    assert(math.abs(ab._8 - 500L) <= 220L, s"inter_est=${ab._8} far from 500")
+    // disjoint-by-construction check: B vs C share v500..? C = v0..v39 ⊂ A,
+    // disjoint from B (v500+) ⇒ matches = 0 exactly
+    val bc = pairs(("B", "C"))
+    assert(bc._6 == 0L && bc._7 == 0L && bc._8 == 0L, s"disjoint pair must read 0, got $bc")
+  }
+
+  test("C127: sketches are one-pass mergeable — re-sketching sketch rows is identity") {
+    // feeding the kept rows back through a bottom-k of the same k must
+    // reproduce the sketch (idempotence a persisted-sketch store relies on)
+    val sk = Sketches.kmvSketches(kmvFixture, "slice", "v", k = 256)
+    val rows = sk.select("slice", "hu").withColumn("rk2",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("slice")
+          .orderBy(col("hu").asc)))
+    val orig = sk.select("slice", "rk", "hu").as[(String, Long, java.math.BigDecimal)]
+      .collect().map(r => (r._1, r._2, r._3.toBigInteger)).toSet
+    val again = rows.select(col("slice"), col("rk2").cast("long"), col("hu"))
+      .as[(String, Long, java.math.BigDecimal)]
+      .collect().map(r => (r._1, r._2, r._3.toBigInteger)).toSet
+    assert(orig == again)
+  }
 }
