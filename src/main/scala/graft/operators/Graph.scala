@@ -344,4 +344,62 @@ object Graph {
     }
     e
   }
+
+  /** C128: LABEL-PROPAGATION community detection (Raghavan et al. 2007,
+    * the synchronous deterministic variant) — the COMMUNITY view the
+    * cohesion suite lacks: components answer "connected at all?",
+    * k-core/k-truss answer "how dense?", LPA answers "which CLUSTER" —
+    * mirror-site groups, co-bought assortments, topical link
+    * neighborhoods — without a target cluster count.
+    *
+    * Each round every node adopts the most frequent label in its CLOSED
+    * neighborhood (neighbors + its own current label, one vote each),
+    * ties to the SMALLEST label — a deterministic total order, so the
+    * classic random-tie LPA nondeterminism is gone and the oracle
+    * replays rounds bit-for-bit. Community id = the surviving label (a
+    * node id). Synchronous updates can 2-cycle on bipartite structures;
+    * bounded `rounds` makes that a defined, replayable outcome rather
+    * than a livelock (the standard async fix trades determinism, the
+    * wrong trade for a gated engine).
+    *
+    * Scale shape per round: one co-partitioned edge⋈label join, one
+    * (node,label) count aggregation (rows per node ≤ distinct neighbor
+    * labels), one per-node arg-max window (partitions = nodes — hub
+    * counts are already aggregated), one co-partitioned change-count
+    * join for the fixed-point skip, `localCheckpoint` lineage cut. K
+    * bounded shuffles total, zero driver state beyond the per-round
+    * changed scalar. Early-exit is sound for the oracle because a
+    * fixed point of the deterministic update stays fixed — replaying
+    * all R rounds is a no-op past convergence.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED (symmetrized).
+    * @return (node, community) for every node with ≥1 edge. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var lbl = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val votes = und.join(lbl, und("src") === lbl("node"))
+        .select(und("dst").as("node"), col("lab"))
+        .unionByName(lbl)
+      val next = votes.groupBy("node", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select("node", "lab")
+        .localCheckpoint(true)
+      val changed = next.join(lbl.select(col("node"), col("lab").as("old")), "node")
+        .filter(col("lab") =!= col("old")).count()
+      converged = changed == 0L
+      lbl = next
+      r += 1
+    }
+    lbl.select(col("node"), col("lab").as("community"))
+  }
 }

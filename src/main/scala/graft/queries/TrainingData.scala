@@ -1775,6 +1775,23 @@ object TrainingData {
     graft.operators.Sketches.kmvPairs(sk, k = 256).orderBy("sa", "sb")
   }
 
+  /** C128: label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]], 6 deterministic
+    * synchronous rounds, closed-neighborhood majority, min-label ties)
+    * on the repeat co-purchase part graph — the community view next to
+    * q188's components (connectivity) and q189/q196's density cuts:
+    * which assortment CLUSTER each part belongs to. Top-15 communities
+    * by (size, id) under a total order, with the community count. */
+  def q208LabelProp(t: Tables): DataFrame = {
+    val com = graft.operators.Graph.labelPropagation(copurchaseEdges(t, 2), rounds = 6)
+    val sizes = com.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val total = sizes.agg(count(lit(1)).as("n_communities"))
+    sizes.crossJoin(broadcast(total))
+      .orderBy(col("n_nodes").desc, col("community").asc)
+      .limit(15)
+      .select("community", "n_nodes", "n_communities")
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

@@ -4120,6 +4120,42 @@ object TrainingOracle {
         |FROM fin f JOIN est ea ON ea.slice = f.sa JOIN est eb ON eb.slice = f.sb
         |ORDER BY sa, sb""".stripMargin),
 
+    // C128: label-propagation communities — 6 synchronous rounds replayed
+    // round-for-round (closed-neighborhood vote, count-desc/label-asc
+    // arg-max). Spark's fixed-point early exit agrees because the
+    // deterministic update's fixed points stay fixed under replay.
+    "q208_label_prop" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""v$k AS (
+           |  SELECT node, lab, COUNT(*) AS c FROM (
+           |    SELECT node, lab FROM l${k - 1}
+           |    UNION ALL
+           |    SELECT und.dst AS node, p.lab FROM und JOIN l${k - 1} p ON p.node = und.src
+           |  ) GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM v$k)
+           |  WHERE rn = 1),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM ew UNION SELECT dst, src FROM ew
+         |), l0 AS (
+         |  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM und)
+         |),
+         |$rounds
+         |sizes AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l6 GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities FROM sizes)
+         |SELECT community, n_nodes, n_communities FROM sizes, tot
+         |ORDER BY n_nodes DESC, community ASC LIMIT 15""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

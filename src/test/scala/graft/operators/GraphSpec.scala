@@ -301,4 +301,54 @@ class GraphSpec extends SparkSuite {
     assert(capped == fixed)
     assert(fixed == bruteTruss(edges, 4))
   }
+
+  // -------------------------------------------- C128: label propagation
+
+  /** Driver-side replay of the exact synchronous update: closed
+    * neighborhood, one vote per neighbor + self, count desc / label asc. */
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val adj = und.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lab = und.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val next = lab.keys.map { v =>
+        val votes = (adj.getOrElse(v, Seq()).map(lab) :+ lab(v))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        val best = votes.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }.toMap
+      if (next == lab) return lab
+      lab = next
+    }
+    lab
+  }
+
+  test("C128: labelPropagation matches the driver-side replay on a random graph") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(240)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == bruteLpa(edges, 6))
+  }
+
+  test("C128: two planted cliques joined by one bridge resolve to their min labels") {
+    val cliqueA = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- i + 1 to 14L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 10L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"clique A labels: $got")
+    assert((11L to 14L).forall(got(_) == 10L), s"clique B labels: $got")
+    assert(got == bruteLpa(edges, 6))
+  }
+
+  test("C128: early exit lands on the same fixed point as extra rounds") {
+    val clique = for (i <- 0L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val df = clique.toDF("src", "dst")
+    val at6 = Graph.labelPropagation(df, rounds = 6).as[(Long, Long)].collect().toSet
+    val at20 = Graph.labelPropagation(df, rounds = 20).as[(Long, Long)].collect().toSet
+    assert(at6 == at20)
+    assert(at6.forall(_._2 == 0L), "a clique is one community under its min id")
+  }
 }
