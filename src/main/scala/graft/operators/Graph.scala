@@ -402,4 +402,52 @@ object Graph {
     }
     lbl.select(col("node"), col("lab").as("community"))
   }
+
+  /** C129: MODULARITY of a partition (Newman–Girvan) — the quality
+    * scalar for [[labelPropagation]]'s output (or any (node, community)
+    * assignment): how much denser communities are than a degree-
+    * preserving random rewiring. Q = Σ_c [e_c/m − (d_c/2m)²] computed
+    * as the exact integer per-million
+    * `1000000·Σ_c(4m·e_c − d_c²) div (4m²)` in DECIMAL(38,0) (m up to
+    * ~10¹² edges keeps 4m² under 10²⁵ — wide headroom), truncation
+    * toward zero on the single final division, so both engines replay
+    * the value exactly. Range ≈ [−500000, 1000000).
+    *
+    * Scale shape: orient+dedup edges once, TWO co-partitioned
+    * edge⋈partition joins (endpoint communities), one per-community
+    * intra-edge count, one degree agg rolled to d_c, one 1-row final
+    * aggregate with the broadcast m scalar. Nodes absent from
+    * `partition` fail loudly via the inner join dropping their edges —
+    * feed a total assignment.
+    *
+    * @param edges (src, dst) — treated as UNDIRECTED; self-loops and
+    *              duplicates dropped.
+    * @param partition (node, community) — total over the edge nodes.
+    * @return ONE row: (n_communities, m_edges, q_ppm). */
+  def modularity(edges: DataFrame, partition: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val pa = partition.select(col("node").as("a"), col("community").as("ca"))
+    val pb = partition.select(col("node").as("b"), col("community").as("cb"))
+    val tagged = e.join(pa, "a").join(pb, "b")
+    val intra = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dC = deg.join(partition, "node")
+      .groupBy("community").agg(sum("d").cast("decimal(38,0)").as("d_c"))
+    val m = e.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    dC.join(intra, Seq("community"), "left")
+      .withColumn("e_c", coalesce(col("e_c").cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("m")).cast("long").as("m_edges"),
+        sum(expr("4 * m * e_c - d_c * d_c")).as("num"),
+        first(col("m")).as("mm"))
+      .withColumn("q_ppm",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * num div (4 * mm * mm) AS BIGINT)"))
+      .select("n_communities", "m_edges", "q_ppm")
+  }
 }

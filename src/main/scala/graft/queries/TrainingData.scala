@@ -1792,6 +1792,26 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C129: MODULARITY audit ([[graft.operators.Graph.modularity]]) of
+    * the q208 LPA partition on the repeat co-purchase graph, against
+    * the SINGLETON baseline (every node its own community — always
+    * negative, −Σd² div 4m²): the quality scalar that says whether the
+    * detected communities beat a degree-preserving random rewiring,
+    * and by how much. Exact integer ppm, truncation toward zero. */
+  def q209Modularity(t: Tables): DataFrame = {
+    val edges = copurchaseEdges(t, 2)
+    val lpa = graft.operators.Graph.labelPropagation(edges, rounds = 6)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val singleton = nodes.select(col("node"), col("node").as("community"))
+    graft.operators.Graph.modularity(edges, lpa)
+      .withColumn("partition", lit("lpa"))
+      .unionByName(graft.operators.Graph.modularity(edges, singleton)
+        .withColumn("partition", lit("singleton")))
+      .select("partition", "n_communities", "m_edges", "q_ppm")
+      .orderBy("partition")
+  }
+
   /** C85: rank-frequency (Zipf) corpus profile — the dataset-card lens on
     * the raw token distribution (C51 counts tokens; this shows their
     * SHAPE). One term-count aggregation, then everything happens on the

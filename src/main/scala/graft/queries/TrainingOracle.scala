@@ -4156,6 +4156,66 @@ object TrainingOracle {
          |ORDER BY n_nodes DESC, community ASC LIMIT 15""".stripMargin
     },
 
+    // C129: modularity of the LPA partition vs the singleton baseline —
+    // replays the 6-round LPA unroll, then the exact integer Newman
+    // formula with HUGEINT truncating division (toward zero, matching
+    // Spark's `div`).
+    "q209_modularity" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""v$k AS (
+           |  SELECT node, lab, COUNT(*) AS c FROM (
+           |    SELECT node, lab FROM l${k - 1}
+           |    UNION ALL
+           |    SELECT und.dst AS node, p.lab FROM und JOIN l${k - 1} p ON p.node = und.src
+           |  ) GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM v$k)
+           |  WHERE rn = 1),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM ew UNION SELECT dst, src FROM ew
+         |), l0 AS (
+         |  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM und)
+         |),
+         |$rounds
+         |e AS MATERIALIZED (SELECT src AS a, dst AS b FROM ew),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+         |          (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |m AS (SELECT COUNT(*)::HUGEINT AS m FROM e),
+         |parts(pname) AS (VALUES ('lpa'), ('singleton')),
+         |asg AS (
+         |  SELECT 'lpa' AS pname, node, lab AS community FROM l6
+         |  UNION ALL SELECT 'singleton', node, node FROM l0),
+         |intra AS (
+         |  SELECT g.pname, pa.community, COUNT(*)::HUGEINT AS e_c
+         |  FROM e JOIN asg pa ON pa.node = e.a JOIN asg pb ON pb.node = e.b
+         |       AND pb.pname = pa.pname
+         |  JOIN parts g ON g.pname = pa.pname
+         |  WHERE pa.community = pb.community
+         |  GROUP BY 1, 2),
+         |dc AS (
+         |  SELECT asg.pname, asg.community, SUM(d)::HUGEINT AS d_c
+         |  FROM deg JOIN asg ON asg.node = deg.node GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT dc.pname,
+         |    CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    SUM(4 * m.m * COALESCE(i.e_c, 0::HUGEINT) - dc.d_c * dc.d_c) AS num
+         |  FROM dc LEFT JOIN intra i ON i.pname = dc.pname AND i.community = dc.community, m
+         |  GROUP BY 1)
+         |SELECT f.pname AS partition, f.n_communities, m.m::BIGINT AS m_edges,
+         |  ((1000000::HUGEINT * f.num) // (4 * m.m * m.m))::BIGINT AS q_ppm
+         |FROM fin f, m
+         |ORDER BY partition""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

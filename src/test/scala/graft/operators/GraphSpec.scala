@@ -351,4 +351,53 @@ class GraphSpec extends SparkSuite {
     assert(at6 == at20)
     assert(at6.forall(_._2 == 0L), "a clique is one community under its min id")
   }
+
+  // ---------------------------------------------- C129: modularity
+
+  /** Driver-side exact integer modularity with BigInt truncating
+    * division (toward zero — the Spark `div` / DuckDB HUGEINT `//`
+    * contract). */
+  private def bruteModularity(edges: Seq[(Long, Long)], part: Map[Long, Long]): (Long, Long, Long) = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }.filter(p => p._1 != p._2).distinct
+    val m = BigInt(e.size)
+    val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size).toMap
+    val comms = part.values.toSet.toSeq
+    val num = comms.map { c =>
+      val ec = BigInt(e.count(p => part(p._1) == c && part(p._2) == c))
+      val dc = BigInt(deg.collect { case (n, d) if part(n) == c => d }.sum)
+      4 * m * ec - dc * dc
+    }.sum
+    val q = (BigInt(1000000) * num) / (4 * m * m) // BigInt / truncates toward zero
+    (comms.size.toLong, m.toLong, q.toLong)
+  }
+
+  test("C129: modularity matches the BigInt reference; two cliques score high, singleton negative") {
+    val cliqueA = for (i <- 0L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- i + 1 to 14L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 10L))
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val twoComms = nodes.map(n => n -> (if (n < 10) 0L else 10L)).toMap
+    val single = nodes.map(n => n -> n).toMap
+    val gotTwo = Graph.modularity(edges.toDF("src", "dst"),
+        twoComms.toSeq.toDF("node", "community"))
+      .as[(Long, Long, Long)].head()
+    val gotSingle = Graph.modularity(edges.toDF("src", "dst"),
+        single.toSeq.toDF("node", "community"))
+      .as[(Long, Long, Long)].head()
+    assert(gotTwo == bruteModularity(edges, twoComms), s"two-community: $gotTwo")
+    assert(gotSingle == bruteModularity(edges, single), s"singleton: $gotSingle")
+    assert(gotTwo._3 > 400000L, s"planted cliques must score high: $gotTwo")
+    assert(gotSingle._3 < 0L, "singleton modularity is negative")
+  }
+
+  test("C129: modularity matches the reference on a random graph with an LPA partition") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val lpa = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    val got = Graph.modularity(edges.toDF("src", "dst"), lpa.toSeq.toDF("node", "community"))
+      .as[(Long, Long, Long)].head()
+    assert(got == bruteModularity(edges, lpa))
+  }
 }
