@@ -117,7 +117,6 @@ object Search {
                k1Pm: Long = 1200L, bPm: Long = 750L,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queries.nonEmpty && k >= 1 && k1Pm >= 0 && bPm >= 0 && bPm <= 1000)
-    val spark = docs.sparkSession
     val termSet = queries.flatMap(_._2.split(" ")).distinct
     val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
@@ -128,15 +127,35 @@ object Search {
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("l_total"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    scoreBm25(tf, df, stats, queries, k, k1Pm, bPm)
+  }
+
+  /** The BM25 scoring kernel over pre-built index frames — shared by the
+    * inline [[bm25TopK]] and the incrementally-maintained index (D32,
+    * `streaming/EventStreams.bm25FromIndex`), so "score from state"
+    * equals "score from corpus" by construction and the maintained
+    * index is tested against the one-shot path.
+    *
+    * @param tf    postings (doc_id, dl, term, tf) — may contain terms
+    *              outside the query vocabulary (filtered here).
+    * @param df    (term, df) document frequencies.
+    * @param stats ONE row (n_docs, l_total). */
+  def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
+                queries: Seq[(Int, String)], k: Int = 10,
+                k1Pm: Long = 1200L, bPm: Long = 750L): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && k1Pm >= 0 && bPm >= 0 && bPm <= 1000)
+    val spark = tf.sparkSession
+    val termSet = queries.flatMap(_._2.split(" ")).distinct
     val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
         text.split(" ").distinct.map(t => (qid, t))
       }).toDF("query_id", "term")
-    val idf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val idf = df.filter(col("term").isInCollection(termSet))
       .crossJoin(broadcast(stats))
       .withColumn("idf_q10",
         expr(s"${log2q10Sql("2 * n_docs + 2")} - ${log2q10Sql("2 * df + 1")}"))
       .select("term", "idf_q10")
-    val scored = tf
+    val scored = tf.filter(col("term").isInCollection(termSet))
       .join(broadcast(qt), "term")
       .join(broadcast(idf), "term")
       .crossJoin(broadcast(stats))

@@ -1436,4 +1436,102 @@ object EventStreams {
   /** Drift-report history of [[driftMonitor]], all batches. */
   def driftHistory(spark: SparkSession, reportRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
+  /** D32: continuously-maintained RETRIEVAL INDEX — the streaming face
+    * of C38's inverted index and C126's BM25 scorer, which is how a
+    * search index actually runs over an ingest stream: each document
+    * micro-batch (a) appends its postings slice (doc_id, dl, term, tf)
+    * under `postings/v<batchId>`, and (b) merges its term deltas
+    * (df, total_tf) and corpus scalars (n_docs, l_total) into the
+    * pointer-versioned current index frames — so BM25 idf and length
+    * norms stay exact and current at per-batch cost, with no corpus
+    * rescans, and [[bm25FromIndex]] scores queries through the SAME
+    * kernel as the one-shot batch path
+    * ([[graft.operators.Search.scoreBm25]]): maintained state must
+    * equal scoring the full corpus bit-for-bit, which the spec pins.
+    *
+    * Contract: append-only corpus, every document ingested exactly once
+    * (the C27/D13 ingest discipline) — df/total_tf/n_docs/l_total are
+    * then additive across batches.
+    *
+    * Exactly-once: the pointer flip is the publish for the WHOLE batch
+    * (postings slice + merged frames are written first, overwrite-
+    * idempotent); a replayed batch sees the pointer at its own version
+    * and skips, and [[bm25FromIndex]] reads only postings slices at or
+    * below the published version, so a crash-orphaned newer slice is
+    * invisible until its batch replays and publishes.
+    *
+    * Scale: the per-batch merge shuffles batch-vocabulary keys against
+    * the term frame (vocabulary-sized, a fraction of corpus bytes);
+    * postings slices are plain parquet a periodic job compacts bucketed
+    * by term (the D13 operational note) so probe joins stop shuffling
+    * the index side. */
+  def indexMaintenance(docs: DataFrame, stateRoot: String, checkpointDir: String,
+                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (!prev.contains(target)) {
+          val toks = batch.toDF()
+            .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+            .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+              explode(col("__toks")).as("term"))
+          val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+          tf.write.mode("overwrite").parquet(s"$stateRoot/postings/v$batchId")
+          val termDelta = tf.groupBy("term").agg(
+            count(lit(1)).cast("long").as("df"), sum("tf").cast("long").as("total_tf"))
+          val statDelta = batch.toDF().agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(size(split(col(textCol), " "))).cast("long").as("l_total"))
+          val (terms, stats) = prev match {
+            case Some(p) => (
+              spark.read.parquet(s"$p/terms").unionByName(termDelta)
+                .groupBy("term").agg(sum("df").cast("long").as("df"),
+                  sum("total_tf").cast("long").as("total_tf")),
+              spark.read.parquet(s"$p/stats").unionByName(statDelta)
+                .agg(sum("n_docs").cast("long").as("n_docs"),
+                  sum("l_total").cast("long").as("l_total")))
+            case None => (termDelta, statDelta)
+          }
+          terms.write.mode("overwrite").parquet(s"$target/terms")
+          stats.write.mode("overwrite").parquet(s"$target/stats")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current merged term frame (term, df, total_tf) of [[indexMaintenance]]. */
+  def indexTerms(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(s"${readPointer(spark, stateRoot).get}/terms")
+
+  /** Current merged corpus scalars (n_docs, l_total) of [[indexMaintenance]]. */
+  def indexStats(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(s"${readPointer(spark, stateRoot).get}/stats")
+
+  /** BM25 top-k from the MAINTAINED index — same kernel, same exact
+    * integers as the one-shot [[graft.operators.Search.bm25TopK]]; reads
+    * only postings slices at or below the published pointer version. */
+  def bm25FromIndex(spark: SparkSession, stateRoot: String,
+                    queries: Seq[(Int, String)], k: Int = 10,
+                    k1Pm: Long = 1200L, bPm: Long = 750L): DataFrame = {
+    val ptr = readPointer(spark, stateRoot)
+      .getOrElse(throw new IllegalStateException(s"no published index under $stateRoot"))
+    val published = ptr.substring(ptr.lastIndexOf("/v") + 2).toLong
+    val root = new org.apache.hadoop.fs.Path(s"$stateRoot/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slices = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.drop(1).toLong <= published)
+      .map(_.getPath.toString)
+    val tf = spark.read.parquet(slices: _*)
+    graft.operators.Search.scoreBm25(tf,
+      indexTerms(spark, stateRoot).select("term", "df"),
+      indexStats(spark, stateRoot), queries, k, k1Pm, bPm)
+  }
 }

@@ -1041,4 +1041,46 @@ class StreamingSpec extends SparkSuite {
     assert(EventStreams.linkageEntities(spark, state).count() == 7)
     assert(EventStreams.linkageMerges(spark, out).count() == 1)
   }
+
+  test("D32: maintained retrieval index scores BM25 identically to the one-shot batch path") {
+    val b1 = Seq((1L, "spark join agg spark"), (2L, "table scan slow"),
+      (3L, "spark window data"))
+    val b2 = Seq((4L, "join join agg table"), (5L, "merge sort hash window"))
+    val b3 = Seq((6L, "data row value key"), (7L, "spark join agg table scan"))
+    val queries = Seq(1 -> "spark join", 2 -> "slow scan table")
+
+    val in = Files.createTempDirectory("graft-idx-in").toString
+    val state = Files.createTempDirectory("graft-idx-state").toString
+    val ckpt = Files.createTempDirectory("graft-idx-ckpt").toString
+    def push(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.indexMaintenance(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in), state, ckpt)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    val fromIndex = EventStreams.bm25FromIndex(spark, state, queries, k = 5)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val oneShot = graft.operators.Search.bm25TopK(
+        (b1 ++ b2 ++ b3).toDF("doc_id", "text"), queries, k = 5)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(fromIndex == oneShot, s"index: $fromIndex\nbatch: $oneShot")
+    assert(fromIndex.nonEmpty)
+
+    // merged scalars are the corpus totals
+    val st = EventStreams.indexStats(spark, state).as[(Long, Long)].head()
+    assert(st == ((7L, (b1 ++ b2 ++ b3).map(_._2.split(" ").length.toLong).sum)))
+    // df merged additively across batches: 'spark' appears in docs 1,3,7
+    val df = EventStreams.indexTerms(spark, state)
+      .filter(col("term") === "spark").select("df").as[Long].head()
+    assert(df == 3L)
+
+    // replay with the same checkpoint: nothing double-applies
+    runOnce()
+    val again = EventStreams.bm25FromIndex(spark, state, queries, k = 5)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(again == oneShot)
+  }
 }
