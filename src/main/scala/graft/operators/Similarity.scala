@@ -747,4 +747,61 @@ object Similarity {
         col("res_dot_fx"))
       .orderBy(idCol)
   }
+
+  /** C130: Johnson–Lindenstrauss RANDOM-PROJECTION reduction — the
+    * dimensionality lever in front of the whole ANN family (Achlioptas
+    * 2003's database-friendly ±1 form): project d-dim embeddings to r
+    * dims through a deterministic sign matrix `s(j,·) ∈ {±1}^d` (the
+    * splitmix64 hyperplane stream, table id 101+, so the matrix is a
+    * pure function shipped as literals — the C6 discipline), scaled by
+    * 1/√r. Each output coordinate is ONE native codegen'd dot product
+    * against a literal array — r scans-free column expressions, no
+    * shuffle at all; at 100 TB this is the map-side step that shrinks
+    * vector bytes 4× (r=16, d=64) before any index build.
+    *
+    * Pick r a perfect square at call sites that need cross-engine hash
+    * equality: √r is then exact binary and the oracle's literal
+    * reproduces it bit-for-bit. */
+  def jlProject(corpus: DataFrame, r: Int = 16, dims: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(r >= 1 && dims >= 1)
+    val sqrtR = math.sqrt(r.toDouble)
+    val proj = array((0 until r).map { j =>
+      val signs = typedlit((0 until dims).map(d =>
+        if (hyperplane(101, j, d) >= 0) 1.0 else -1.0))
+      dotProduct(col(vecCol), signs) / lit(sqrtR)
+    }: _*)
+    corpus.select(col(idCol).as("vec_id"), proj.as("proj"))
+  }
+
+  /** C130: JL DISTORTION audit — the lemma, measured: for a
+    * deterministic sample of vector pairs (consecutive ids — no RNG
+    * state), the squared-distance ratio `1000·‖ya−yb‖² / ‖xa−xb‖²`
+    * (floored per-mille; NULL for a zero original distance). E[ratio] =
+    * 1000 with spread ~√(2/r); the audit is what says whether r is big
+    * enough for THIS corpus before the ANN index is built on the
+    * projected vectors. All double math in fixed fold order (cast to
+    * double first, subtract, square, left-fold) so both engines produce
+    * the identical IEEE bits.
+    *
+    * @return (id_a, id_b, d2_orig, d2_proj, ratio_pm), one row per
+    *         (even id, even id + 1) pair present in the corpus. */
+  def jlDistortion(corpus: DataFrame, r: Int = 16, dims: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withP = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ve"))
+      .join(jlProject(corpus, r, dims, idCol, vecCol), "vec_id")
+    val a = withP.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("ve").as("va"), col("proj").as("pa"))
+    val b = withP.filter(col("vec_id") % 2 === 1)
+      .select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+        col("ve").as("vb"), col("proj").as("pb"))
+    def d2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)), lit(0.0), _ + _)
+    a.join(b, "id_a")
+      .withColumn("d2_orig", d2(col("va"), col("vb")))
+      .withColumn("d2_proj", d2(col("pa"), col("pb")))
+      .withColumn("ratio_pm", when(col("d2_orig") > 0,
+        floor(lit(1000.0) * col("d2_proj") / col("d2_orig"))))
+      .select("id_a", "id_b", "d2_orig", "d2_proj", "ratio_pm")
+  }
 }

@@ -1792,6 +1792,17 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C130: Johnson–Lindenstrauss projection + distortion audit
+    * ([[graft.operators.Similarity.jlProject]]/`jlDistortion`) — 64-dim
+    * embeddings down to r=16 through the deterministic ±1 sign matrix,
+    * then the measured lemma: per consecutive-id pair, the floored
+    * per-mille squared-distance ratio. √16 = 4 is exact binary and all
+    * folds are fixed-order doubles, so both engines produce identical
+    * IEEE bits. */
+  def q210JlProjection(t: Tables): DataFrame =
+    graft.operators.Similarity.jlDistortion(t.embeddings, r = 16, dims = 64)
+      .orderBy("id_a")
+
   /** C129: MODULARITY audit ([[graft.operators.Graph.modularity]]) of
     * the q208 LPA partition on the repeat co-purchase graph, against
     * the SINGLETON baseline (every node its own community — always

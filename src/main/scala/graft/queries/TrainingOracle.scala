@@ -4216,6 +4216,34 @@ object TrainingOracle {
          |ORDER BY partition""".stripMargin
     },
 
+    // C130: JL projection + distortion — the ±1 sign matrix embedded as
+    // literals (same splitmix64 stream as the Spark side), every fold in
+    // fixed index order on doubles, √16 = 4.0 exact.
+    "q210_jl_projection" -> {
+      val dot = (vec: String, lst: String) =>
+        s"list_reduce(list_transform(list_zip($vec, $lst::DOUBLE[]), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)"
+      val projExprs = (0 until 16).map { j =>
+        val signs = (0 until 64).map(d =>
+          if (graft.operators.Similarity.hyperplane(101, j, d) >= 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"${dot("ve", signs)} / 4.0"
+      }.mkString("[\n    ", ",\n    ", "\n  ]")
+      val d2 = (x: String, y: String) =>
+        s"list_reduce(list_transform(list_zip($x, $y), s -> (struct_extract(s,1)-struct_extract(s,2))*(struct_extract(s,1)-struct_extract(s,2))), (u,v) -> u+v)"
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings
+         |), vv AS MATERIALIZED (
+         |  SELECT vec_id, ve, $projExprs AS p FROM v
+         |), pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${d2("a.ve", "b.ve")} AS d2_orig,
+         |    ${d2("a.p", "b.p")} AS d2_proj
+         |  FROM vv a JOIN vv b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0)
+         |SELECT id_a, id_b, d2_orig, d2_proj,
+         |  CASE WHEN d2_orig > 0 THEN CAST(floor(1000 * d2_proj / d2_orig) AS BIGINT) END AS ratio_pm
+         |FROM pr ORDER BY id_a""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

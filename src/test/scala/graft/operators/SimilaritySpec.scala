@@ -395,4 +395,49 @@ class SimilaritySpec extends SparkSuite {
       assert(pm.exists(_ > 990), s"aligned vec $id kept ${pm} pm on the axis")
     }
   }
+
+  // ---------------------------------------- C130: JL projection
+
+  /** Driver-side double replay with the identical fold order. */
+  private def jlRef(v: Array[Float], j: Int): Double = {
+    val prods = (0 until v.length).map { d =>
+      val s = if (Similarity.hyperplane(101, j, d) >= 0) 1.0 else -1.0
+      v(d).toDouble * s
+    }
+    prods.foldLeft(0.0)(_ + _) / 4.0
+  }
+
+  test("C130: jlProject matches the driver-side fold bit-for-bit; r entries per vector") {
+    val sample = embeddings.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val got = Similarity.jlProject(embeddings.filter(col("vec_id") < 20), r = 16, dims = 64)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(got.keySet == sample.keySet && got.values.forall(_.length == 16))
+    for ((id, v) <- sample; j <- 0 until 16)
+      assert(got(id)(j) == jlRef(v, j), s"vec $id dim $j")
+  }
+
+  test("C130: distortion audit — ratios center on 1000 per-mille and match the double replay") {
+    val dist = Similarity.jlDistortion(embeddings, r = 16, dims = 64)
+      .as[(Long, Long, Double, Double, Option[Long])].collect()
+    assert(dist.nonEmpty)
+    val ratios = dist.flatMap(_._5)
+    val mean = ratios.sum.toDouble / ratios.size
+    assert(math.abs(mean - 1000.0) < 200.0, s"mean ratio $mean far from 1000")
+    // exact replay of one pair
+    val vecs = embeddings.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    if (vecs.size == 2) {
+      val (va, vb) = (vecs(0L), vecs(1L))
+      val d2o = (0 until 64).map { d =>
+        val diff = va(d).toDouble - vb(d).toDouble; diff * diff
+      }.foldLeft(0.0)(_ + _)
+      val d2p = (0 until 16).map { j =>
+        val diff = jlRef(va, j) - jlRef(vb, j); diff * diff
+      }.foldLeft(0.0)(_ + _)
+      val row = dist.find(_._1 == 0L).get
+      assert(row._3 == d2o && row._4 == d2p, s"pair(0,1): $row vs ($d2o, $d2p)")
+      assert(row._5.contains(math.floor(1000.0 * d2p / d2o).toLong))
+    }
+  }
 }
