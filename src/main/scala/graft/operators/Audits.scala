@@ -100,4 +100,53 @@ object Audits {
           expr("cast((2000 * six - cast(1000 as decimal(38,0)) * (n_units + 1) * total) div (cast(n_units as decimal(38,0)) * total) as long)"))
           .otherwise(lit(0L)).as("gini_pm"))
   }
+
+  /** C131: per-slice unigram ENTROPY + KL-vs-corpus — the information-
+    * theoretic completion of the shape family (Zipf C85 shows the rank
+    * curve, Gini C121 the concentration, Benford C120 the digit law;
+    * entropy compresses "how DIVERSE is this source's vocabulary use"
+    * and KL "how far does it sit from the corpus mixture" — the
+    * dataset-card numbers domain-mixture planning reads). EXACT
+    * integers via the q10 fixed-point binary log
+    * ([[Search.log2q10Sql]], the C126 kernel):
+    *
+    *   H_s  = Σ_t c·(l2(n_s) − l2(c)) div n_s          (q10 bits)
+    *   KL_s = Σ_t c·((l2(c) − l2(n_s)) − (l2(g_t) − l2(M))) div n_s
+    *   h_norm_pm = 1000·H_s div l2(V_s)                (NULL when V_s=1)
+    *
+    * where c = slice term count, n_s = slice total, g_t = corpus term
+    * count, M = corpus total, V_s = slice distinct terms. The l2
+    * quantization makes per-term KL contributions off by < 1/1024 bit
+    * each — KL can read slightly negative near zero; that is the
+    * documented contract, not an error. Sums ride DECIMAL(38,0).
+    *
+    * Scale shape: one (slice, term) count agg, one (term) corpus agg
+    * joined co-partitioned on term, the 1-row corpus scalar broadcast,
+    * one per-slice reduce. Never materializes anything wider than the
+    * (slice × vocabulary) count frame.
+    *
+    * @param tokens one row per token OCCURRENCE: (slice, token).
+    * @return (slice, n_tokens, n_distinct, h_q10, h_norm_pm, kl_q10). */
+  def entropyKl(tokens: DataFrame, sliceCol: Column, tokenCol: Column): DataFrame = {
+    val base = tokens.select(sliceCol.as("slice"), tokenCol.as("tok"))
+    val c = base.groupBy("slice", "tok").agg(count(lit(1)).as("c"))
+    val ns = c.groupBy("slice").agg(sum("c").cast("long").as("n_s"))
+    val g = c.groupBy("tok").agg(sum("c").cast("long").as("g"))
+    val m = g.agg(sum("g").cast("long").as("m_total"))
+    val l2 = graft.operators.Search.log2q10Sql _
+    c.join(ns, "slice").join(g, "tok").crossJoin(broadcast(m))
+      .withColumn("h_term", expr(
+        s"CAST(c * (${l2("n_s")} - ${l2("c")}) AS DECIMAL(38,0))"))
+      .withColumn("kl_term", expr(
+        s"CAST(c * ((${l2("c")} - ${l2("n_s")}) - (${l2("g")} - ${l2("m_total")})) AS DECIMAL(38,0))"))
+      .groupBy("slice")
+      .agg(first("n_s").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum("h_term").as("sh"), sum("kl_term").as("sk"))
+      .select(col("slice"), col("n_tokens"), col("n_distinct"),
+        expr("CAST(sh div n_tokens AS BIGINT)").as("h_q10"),
+        when(col("n_distinct") > 1, expr(
+          s"CAST(1000 * (sh div n_tokens) div (${graft.operators.Search.log2q10Sql("n_distinct")}) AS BIGINT)"))
+          .as("h_norm_pm"),
+        expr("CAST(sk div n_tokens AS BIGINT)").as("kl_q10"))
+  }
 }

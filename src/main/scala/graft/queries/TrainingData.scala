@@ -1792,6 +1792,19 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C131: per-source unigram entropy + KL-vs-corpus
+    * ([[graft.operators.Audits.entropyKl]]) — the information-theoretic
+    * dataset-card pair next to Zipf/Gini/Benford: vocabulary DIVERSITY
+    * per source (exact q10 bits via the fixed-point binary log) and
+    * DISTANCE from the corpus mixture (per-term KL, quantization-exact
+    * integers both engines replay). */
+  def q211EntropyKl(t: Tables): DataFrame = {
+    val toks = t.documents.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    graft.operators.Audits.entropyKl(toks, col("source"), col("tok"))
+      .orderBy("slice")
+  }
+
   /** C130: Johnson–Lindenstrauss projection + distortion audit
     * ([[graft.operators.Similarity.jlProject]]/`jlDistortion`) — 64-dim
     * embeddings down to r=16 through the deterministic ±1 sign matrix,

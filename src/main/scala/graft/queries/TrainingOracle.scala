@@ -4244,6 +4244,49 @@ object TrainingOracle {
          |FROM pr ORDER BY id_a""".stripMargin
     },
 
+    // C131: per-slice entropy + KL vs corpus — all logs through the
+    // staged fixed-point l2 chain over one tall frame (per-(slice,term)
+    // counts, slice totals, corpus term counts, corpus total, slice
+    // vocab sizes), then exact integer sums and truncating divisions.
+    "q211_entropy_kl" ->
+      s"""WITH toks AS (
+         |  SELECT source AS slice, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT slice, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+         |ns AS MATERIALIZED (SELECT slice, SUM(c)::BIGINT AS n_s FROM c GROUP BY 1),
+         |g AS MATERIALIZED (SELECT tok, SUM(c)::BIGINT AS g FROM c GROUP BY 1),
+         |mt AS (SELECT SUM(g)::BIGINT AS m FROM g),
+         |vs AS (SELECT slice, COUNT(*)::BIGINT AS v FROM c GROUP BY 1),
+         |l2in AS (
+         |  SELECT 'c' AS kind, slice, tok, c AS x FROM c
+         |  UNION ALL SELECT 'ns', slice, '', n_s FROM ns
+         |  UNION ALL SELECT 'g', '', tok, g FROM g
+         |  UNION ALL SELECT 'm', '', '', m FROM mt
+         |  UNION ALL SELECT 'v', slice, '', v FROM vs),
+         |${l2Stages("l2in", "kind, slice, tok")},
+         |terms AS (
+         |  SELECT c.slice, c.c,
+         |    lc.l2 AS l2c, lns.l2 AS l2ns, lgg.l2 AS l2g, lm.l2 AS l2m
+         |  FROM c
+         |  JOIN lg lc ON lc.kind = 'c' AND lc.slice = c.slice AND lc.tok = c.tok
+         |  JOIN lg lns ON lns.kind = 'ns' AND lns.slice = c.slice
+         |  JOIN lg lgg ON lgg.kind = 'g' AND lgg.tok = c.tok
+         |  JOIN lg lm ON lm.kind = 'm'),
+         |ag AS (
+         |  SELECT slice,
+         |    SUM(c * (l2ns - l2c))::HUGEINT AS sh,
+         |    SUM(c * ((l2c - l2ns) - (l2g - l2m)))::HUGEINT AS sk,
+         |    COUNT(*)::BIGINT AS n_distinct
+         |  FROM terms GROUP BY 1)
+         |SELECT ag.slice, ns.n_s AS n_tokens, ag.n_distinct,
+         |  (sh // ns.n_s::HUGEINT)::BIGINT AS h_q10,
+         |  CASE WHEN ag.n_distinct > 1
+         |    THEN (1000 * (sh // ns.n_s::HUGEINT) // lv.l2::HUGEINT)::BIGINT END AS h_norm_pm,
+         |  (sk // ns.n_s::HUGEINT)::BIGINT AS kl_q10
+         |FROM ag JOIN ns ON ns.slice = ag.slice
+         |JOIN lg lv ON lv.kind = 'v' AND lv.slice = ag.slice
+         |ORDER BY ag.slice""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -81,4 +81,52 @@ class AuditsSpec extends SparkSuite {
       .select("slice", "gini_pm").as[(String, Long)].collect().toMap
     assert(got == Map("one" -> 0L, "zero" -> 0L))
   }
+
+  // ---------------------------------------- C131: entropy + KL
+
+  private def l2q10Ref(x: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e >= 20) x >> (e - 20) else x << (20 - e)
+    var acc = e.toLong * 1024L; var w = 512L
+    for (_ <- 1 to 10) {
+      val sq = m * m / 1048576L
+      if (sq >= 2097152L) { m = m * m / 2097152L; acc += w } else m = sq
+      w /= 2
+    }
+    acc
+  }
+
+  /** BigInt replay of the operator's exact contract. */
+  private def bruteEntropyKl(rows: Seq[(String, String)]): Map[String, (Long, Long, Long, Option[Long], Long)] = {
+    val g = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val m = rows.size.toLong
+    rows.groupBy(_._1).map { case (s, rs) =>
+      val c = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ns = rs.size.toLong
+      val sh = c.values.map(ci => BigInt(ci) * (l2q10Ref(ns) - l2q10Ref(ci))).sum
+      val sk = c.map { case (t, ci) =>
+        BigInt(ci) * ((l2q10Ref(ci) - l2q10Ref(ns)) - (l2q10Ref(g(t)) - l2q10Ref(m)))
+      }.sum
+      val h = (sh / ns).toLong
+      val norm = if (c.size > 1) Some(1000L * h / l2q10Ref(c.size)) else None
+      s -> ((ns, c.size.toLong, h, norm, (sk / ns).toLong))
+    }
+  }
+
+  test("C131: entropy/KL match the BigInt replay; uniform slice hits exactly normalized 1000") {
+    // u: 4 tokens × 4 each (uniform, H = 2 bits = 2048 q10, norm = 1000);
+    // s: heavily skewed; o: single token (H = 0, norm NULL)
+    val rows =
+      (1 to 4).flatMap(i => Seq.fill(4)("u" -> s"t$i")) ++
+      (Seq.fill(13)("s" -> "t1") ++ Seq("s" -> "t2", "s" -> "t3", "s" -> "t4")) ++
+      Seq.fill(5)("o" -> "t9")
+    val got = Audits.entropyKl(rows.toDF("s", "t"), col("s"), col("t"))
+      .as[(String, Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == bruteEntropyKl(rows), s"got $got")
+    assert(got("u")._3 == 2048L && got("u")._4.contains(1000L), s"uniform: ${got("u")}")
+    assert(got("o")._3 == 0L && got("o")._4.isEmpty)
+    assert(got("s")._3 < got("u")._3, "skew lowers entropy")
+    assert(got("s")._5 > got("u")._5, "the skewed slice sits farther from the mixture")
+  }
 }
