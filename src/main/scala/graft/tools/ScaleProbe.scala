@@ -473,6 +473,69 @@ object ScaleProbe {
             (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("m")),
           col("c_mktsegment"), col("m")).count())
     }
+    // ---- r10 session 2: retrieval / sketch / community / audit additions
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // exact prefix-filtered Jaccard join: amplified copies are EXACT
+      // duplicates of each other, so true pair volume grows ~k² — the
+      // probe shows runtime tracking the OUTPUT (the honest asymptote
+      // for an exact pair-producer; the prefix filter's job is the
+      // CANDIDATE volume, which the equality gate pins = brute force)
+      run("exact_jaccard", k)(
+        graft.operators.Dedup.exactJaccardJoin(docs, minJPm = 900L).count())
+      // BM25: query-vocab IN prefilter rides the scan; scan-bound
+      run("bm25", k)(
+        graft.operators.Search.bm25TopK(docs, Seq(
+          1 -> "spark join agg", 2 -> "slow scan table"), k = 10).count())
+      // entropy/KL: (slice × vocab) count frame, scan-bound
+      run("entropy_kl", k)(
+        graft.operators.Audits.entropyKl(
+          docs.select(col("source"), explode(split(col("text"), " ")).as("tok")),
+          col("source"), col("tok")).count())
+      // KMV: distinct → salted two-phase bottom-k; sketch rows constant
+      run("kmv_sketch", k) {
+        val sh = docs.select(col("source"), split(col("text"), " ").as("__ws"))
+          .filter(size(col("__ws")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(__ws) - 3), i -> concat_ws(' ', slice(__ws, i + 1, 3)))"))
+            .as("shingle"))
+        val sk = graft.operators.Sketches.kmvSketches(sh, "source", "shingle", k = 256)
+        graft.operators.Sketches.kmvPairs(sk, k = 256).count()
+      }
+    }
+    {
+      val emb = t.embeddings
+      for (k <- Seq(1, 4, 16)) {
+        val ed = (0 until k).map(i => emb.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        // JL: map-side literal dot products + one co-partitioned pair join
+        run("jl_distortion", k)(
+          graft.operators.Similarity.jlDistortion(ed, r = 16, dims = 64).count())
+      }
+    }
+    {
+      // disjoint id-shifted co-purchase copies (cohesion-suite convention)
+      val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = p.as("a").join(p.as("b"),
+          col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("src", "dst")
+      val shift = e0.agg(greatest(max(col("src")), max(col("dst")))).head().getLong(0) + 1
+      for (k <- Seq(1, 4, 16)) {
+        val ed = (0 until k).map(i => e0.select(
+            (col("src") + lit(i * shift)).as("src"),
+            (col("dst") + lit(i * shift)).as("dst")))
+          .reduce(_ unionByName _)
+        run("label_prop", k)(
+          graft.operators.Graph.labelPropagation(ed, rounds = 6).count())
+        run("modularity", k) {
+          val lpa = graft.operators.Graph.labelPropagation(ed, rounds = 6)
+          graft.operators.Graph.modularity(ed, lpa).count()
+        }
+      }
+    }
     spark.stop()
   }
 }
