@@ -172,4 +172,33 @@ object Search {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_q10pm", "n_terms")
   }
+
+  /** C132: RECIPROCAL-RANK FUSION (Cormack et al. SIGIR 2009) — the
+    * standard hybrid-retrieval combiner: fuse ANY per-query rankings
+    * (lexical BM25, embedding ANN, …) by summing `1 / (k₀ + rank)`
+    * across sources, which needs no score calibration between systems
+    * whose scores live on incomparable scales — only ranks. Exact
+    * integer ppm (`1000000 div (k₀ + rank)` per source, summed), so
+    * the fused ordering replays bit-for-bit; ties break by doc_id
+    * under the same two-level bucketed top-k as BM25 (no per-query
+    * single-task funnel).
+    *
+    * @param rankings one frame per source, each (query_id, doc_id,
+    *                 rank) with rank 1-based; a doc absent from a
+    *                 source simply contributes nothing (the RRF
+    *                 convention).
+    * @param kRrf the damping constant k₀ (60 in the paper).
+    * @return (query_id, rank, doc_id, rrf_ppm, n_sources). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty && k >= 1 && kRrf >= 1)
+    val tagged = rankings.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val fused = tagged.groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000 div ($kRrf + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_sources"))
+    Ranking.groupRankDesc(fused, "query_id", "rrf_ppm", "doc_id",
+        expr("rrf_ppm div 1024"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_ppm", "n_sources")
+  }
 }

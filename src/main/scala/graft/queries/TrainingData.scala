@@ -1792,6 +1792,24 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C132: RRF hybrid retrieval ([[graft.operators.Search.rrfFuse]]) —
+    * the standard lexical+vector combiner: BM25 top-20 (text queries)
+    * fused with embedding brute-cosine top-20 (the corresponding query
+    * vectors, vec_id = doc_id by the testdata contract) through exact
+    * integer reciprocal-rank scores — no cross-system score
+    * calibration, only ranks. Top-10 per query. */
+  def q212RrfHybrid(t: Tables): DataFrame = {
+    val bm = graft.operators.Search.bm25TopK(t.documents,
+        Seq(1 -> "spark join agg", 2 -> "slow scan table"), k = 20)
+      .select("query_id", "doc_id", "rank")
+    val ann = graft.operators.Similarity.bruteForceTopK(
+        t.embeddings, t.embeddings.filter(col("vec_id").isin(1L, 2L)), k = 20)
+      .select(col("query_id").cast("int").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Search.rrfFuse(Seq(bm, ann), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** C131: per-source unigram entropy + KL-vs-corpus
     * ([[graft.operators.Audits.entropyKl]]) — the information-theoretic
     * dataset-card pair next to Zipf/Gini/Benford: vocabulary DIVERSITY

@@ -4287,6 +4287,68 @@ object TrainingOracle {
          |JOIN lg lv ON lv.kind = 'v' AND lv.slice = ag.slice
          |ORDER BY ag.slice""".stripMargin,
 
+    // C132: RRF hybrid — the full BM25 chain (k=20) + the brute-cosine
+    // chain (k=20) fused with exact integer reciprocal-rank scores.
+    "q212_rrf_hybrid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |qt(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'), (1, 'agg'),
+         |  (2, 'slow'), (2, 'scan'), (2, 'table')),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |st AS MATERIALIZED (
+         |  SELECT COUNT(*)::BIGINT AS n_docs,
+         |         SUM(len(string_split(text, ' ')))::BIGINT AS l_total
+         |  FROM documents),
+         |l2in AS (
+         |  SELECT term, (2 * df + 1)::BIGINT AS x
+         |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1)
+         |  UNION ALL SELECT '__N', (2 * n_docs + 2)::BIGINT FROM st),
+         |${l2Stages("l2in", "term")},
+         |idf AS (
+         |  SELECT d.term, n.nl2 - d.l2 AS idf_q10
+         |  FROM lg d, (SELECT l2 AS nl2 FROM lg WHERE term = '__N') n
+         |  WHERE d.term <> '__N'),
+         |sc AS (
+         |  SELECT query_id, tf.doc_id,
+         |    SUM(idf_q10 * (tf * 2200 * 1000000 // (tf * 1000000 +
+         |      1200 * (1000 * 250 + 750 * (1000::HUGEINT * dl * n_docs // l_total)::BIGINT))))::BIGINT AS s,
+         |    COUNT(*) AS nt
+         |  FROM tf JOIN qt USING (term) JOIN idf USING (term), st
+         |  GROUP BY 1, 2),
+         |bmrk AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, doc_id)::BIGINT AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+         |nn AS (SELECT vec_id, ve, sqrt(list_reduce(list_transform(list_zip(ve, ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)) AS nrm FROM v),
+         |ascored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_reduce(list_transform(list_zip(q.ve, c.ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y) / (q.nrm * c.nrm) AS cos_sim
+         |  FROM nn q, nn c WHERE q.vec_id IN (1, 2) AND c.vec_id <> q.vec_id),
+         |annrk AS (
+         |  SELECT CAST(query_id AS INT) AS query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_sim DESC, doc_id)::BIGINT AS rank
+         |    FROM ascored)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    SUM(1000000 // (60 + rank))::BIGINT AS rrf_ppm,
+         |    COUNT(*)::BIGINT AS n_sources
+         |  FROM (SELECT * FROM bmrk UNION ALL SELECT * FROM annrk)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf_ppm, n_sources FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id)::BIGINT AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -128,6 +128,30 @@ class SearchSpec extends SparkSuite {
     assert(r1.nonEmpty && r1.take(2).forall(Seq(1L, 4L, 7L).contains))
   }
 
+  test("C132: rrfFuse matches the hand-computed reciprocal-rank sum; consensus wins") {
+    // source A ranks docs 1,2,3; source B ranks 3,2,9 — doc 2 and 3 are
+    // in both, doc 2 at (2,2), doc 3 at (3,1)
+    val a = Seq((1, 1L, 1L), (1, 2L, 2L), (1, 3L, 3L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1, 3L, 1L), (1, 2L, 2L), (1, 9L, 3L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), k = 10)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._3 -> ((r._2, r._4, r._5))).toMap
+    def rr(r: Long) = 1000000L / (60L + r)
+    assert(got(3L) == ((1L, rr(3) + rr(1), 2L)), s"doc3: ${got(3L)}")
+    assert(got(2L) == ((2L, rr(2) + rr(2), 2L)), s"doc2: ${got(2L)}")
+    assert(got(1L)._2 == rr(1) && got(1L)._3 == 1L)
+    assert(got(9L)._2 == rr(3) && got(9L)._3 == 1L)
+    // consensus beats any single-source rank-1: doc 3 and 2 above doc 1
+    assert(got(3L)._1 < got(1L)._1 && got(2L)._1 < got(1L)._1)
+    // tie between docs 1 (rank1 in A only) and... none; check doc_id
+    // tie-break via two equal singles
+    val c = Seq((2, 7L, 1L)).toDF("query_id", "doc_id", "rank")
+    val d = Seq((2, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tie = Search.rrfFuse(Seq(c, d), k = 10)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(tie.map(_._3).toSeq == Seq(5L, 7L), "equal scores break by doc_id asc")
+  }
+
   test("C126: tie-break is doc_id ascending and k bounds the output") {
     // two identical docs → identical scores, deterministic order
     val rows = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha beta"),
