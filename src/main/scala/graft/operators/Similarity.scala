@@ -748,6 +748,74 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** C133: MAXIMAL-MARGINAL-RELEVANCE diversified re-ranking (Carbonell
+    * & Goldstein 1998) — the anti-redundancy pass after ANY similarity
+    * retrieval (C5/C6/C18 feed it): plain top-k returns five copies of
+    * the same near-duplicate; MMR selects greedily by
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so each pick is relevant
+    * AND far from what is already selected — the retrieval-side twin of
+    * the dedup family's "don't train on five copies".
+    *
+    * Determinism contract: similarities are floored to integer ppm
+    * (IEEE doubles are bit-identical across engines under the fixed
+    * fold order, so the floor is too), the greedy argmax breaks ties
+    * (score desc, doc_id asc), and the per-round score is
+    * `(λ_pm·simq − (1000−λ_pm)·pen) div 1000` with truncation toward
+    * zero — every round replays bit-for-bit.
+    *
+    * Scale shape: one brute/ANN candidate pass (m per query), ONE
+    * candidate-pair similarity frame (≤ m² rows per query, computed
+    * once), then k bounded rounds of co-partitioned anti-join +
+    * penalty max + per-query argmax over ≤ m rows — never corpus-wide
+    * after the candidate cut; driver state is the loop counter only.
+    *
+    * @return (query_id, mmr_rank, doc_id, mmr_ppm) — k rows per query,
+    *         mmr_ppm the score at selection time. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, m: Int = 12, k: Int = 5,
+                lambdaPm: Long = 700L, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(m >= k && k >= 1 && lambdaPm >= 0 && lambdaPm <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val cand = bruteForceTopK(corpus, queries, m, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * col("cos_sim")).as("simq_ppm"))
+      .localCheckpoint(true)
+    val vecs = withNorm(corpus, idCol, vecCol, "vid", "vv", "vn")
+    val pairs = cand.select(col("query_id"), col("neighbor_id").as("da"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("db")), Seq("query_id"))
+      .filter(col("da") =!= col("db"))
+      .join(vecs.select(col("vid").as("da"), col("vv").as("va"), col("vn").as("na")), "da")
+      .join(vecs.select(col("vid").as("db"), col("vv").as("vb"), col("vn").as("nb")), "db")
+      .select(col("query_id"), col("da"), col("db"),
+        floor(lit(1000000.0) * dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("simc_ppm"))
+      .localCheckpoint(true)
+    var sel: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (sel == null)
+          cand.withColumn("mmr_ppm", expr(s"($lambdaPm * simq_ppm) div 1000"))
+        else {
+          val pen = pairs
+            .join(sel.select(col("query_id"), col("doc_id").as("db")), Seq("query_id", "db"))
+            .groupBy(col("query_id"), col("da").as("neighbor_id"))
+            .agg(max("simc_ppm").as("pen_ppm"))
+          cand.join(sel.select(col("query_id"), col("doc_id").as("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(pen, Seq("query_id", "neighbor_id"))
+            .withColumn("mmr_ppm",
+              expr(s"($lambdaPm * simq_ppm - ${1000 - lambdaPm} * pen_ppm) div 1000"))
+        }
+      val pick = scored.withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("mmr_ppm").desc, col("neighbor_id").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          lit(r.toLong).as("mmr_rank"), col("mmr_ppm"))
+      sel = (if (sel == null) pick else sel.unionByName(pick)).localCheckpoint(true)
+    }
+    sel.select("query_id", "mmr_rank", "doc_id", "mmr_ppm")
+  }
+
   /** C130: Johnson–Lindenstrauss RANDOM-PROJECTION reduction — the
     * dimensionality lever in front of the whole ANN family (Achlioptas
     * 2003's database-friendly ±1 form): project d-dim embeddings to r

@@ -1792,6 +1792,17 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C133: MMR diversified re-ranking
+    * ([[graft.operators.Similarity.mmrRerank]]) — the anti-redundancy
+    * pass after similarity retrieval: greedy
+    * λ·sim(q,d) − (1−λ)·max-sim-to-selected over brute top-12
+    * candidates, k=5 picks per query, every round exact integer ppm
+    * both engines replay. */
+  def q213MmrRerank(t: Tables): DataFrame =
+    graft.operators.Similarity.mmrRerank(t.embeddings,
+        t.embeddings.filter(col("vec_id").isin(1L, 2L, 3L)), m = 12, k = 5)
+      .orderBy("query_id", "mmr_rank")
+
   /** C132: RRF hybrid retrieval ([[graft.operators.Search.rrfFuse]]) —
     * the standard lexical+vector combiner: BM25 top-20 (text queries)
     * fused with embedding brute-cosine top-20 (the corresponding query

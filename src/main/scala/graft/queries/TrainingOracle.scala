@@ -4349,6 +4349,60 @@ object TrainingOracle {
          |  FROM fused)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // C133: MMR re-ranking — candidate top-12 + pair sims once, then the
+    // five greedy selection rounds unrolled (penalty max over selected,
+    // truncating integer score, score-desc/doc-asc argmax).
+    "q213_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        s"""pen$r AS (
+           |  SELECT p.query_id, p.da AS neighbor_id, MAX(p.simc_ppm) AS pen
+           |  FROM prs p JOIN selu${r - 1} s ON s.query_id = p.query_id AND s.doc_id = p.db
+           |  GROUP BY 1, 2),
+           |sc$r AS (
+           |  SELECT c.query_id, c.neighbor_id,
+           |    (700 * c.simq_ppm - 300 * pe.pen) // 1000 AS mmr
+           |  FROM cand c JOIN pen$r pe
+           |    ON pe.query_id = c.query_id AND pe.neighbor_id = c.neighbor_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+           |                    WHERE s.query_id = c.query_id AND s.doc_id = c.neighbor_id)),
+           |s$r AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id AS doc_id, CAST($r AS BIGINT) AS mmr_rank, mmr FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn FROM sc$r)
+           |  WHERE rn = 1),
+           |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM s$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+         |nn AS (SELECT vec_id, ve, sqrt(list_reduce(list_transform(list_zip(ve, ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)) AS nrm FROM v),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, CAST(floor(1000000 * cos_sim) AS BIGINT) AS simq_ppm FROM (
+         |    SELECT query_id, neighbor_id, cos_sim, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_reduce(list_transform(list_zip(q.ve, c.ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y) / (q.nrm * c.nrm) AS cos_sim
+         |      FROM nn q, nn c WHERE q.vec_id IN (1, 2, 3) AND c.vec_id <> q.vec_id))
+         |  WHERE rank <= 12),
+         |prs AS MATERIALIZED (
+         |  SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+         |    CAST(floor(1000000 * (
+         |      list_reduce(list_transform(list_zip(va.ve, vb.ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y) / (va.nrm * vb.nrm))) AS BIGINT) AS simc_ppm
+         |  FROM cand a JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+         |  JOIN nn va ON va.vec_id = a.neighbor_id
+         |  JOIN nn vb ON vb.vec_id = b.neighbor_id),
+         |sc1 AS (SELECT query_id, neighbor_id, (700 * simq_ppm) // 1000 AS mmr FROM cand),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id AS doc_id, CAST(1 AS BIGINT) AS mmr_rank, mmr FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rn FROM sc1)
+         |  WHERE rn = 1),
+         |selu1 AS (SELECT * FROM s1),
+         |$rounds
+         |fin AS (SELECT * FROM selu5)
+         |SELECT query_id, mmr_rank, doc_id, mmr AS mmr_ppm FROM fin
+         |ORDER BY query_id, mmr_rank""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

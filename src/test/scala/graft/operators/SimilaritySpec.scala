@@ -396,6 +396,41 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------- C133: MMR re-ranking
+
+  test("C133: MMR demotes the near-duplicate twin that plain top-k ranks second") {
+    // query q; a and a' nearly identical (both closest to q); b diverse
+    // but still relevant. Plain top-2 = (a, a'); MMR top-2 = (a, b).
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (100L, v(1.0, 0.0, 0.0, 0.0)),             // the query
+      (1L, v(0.98, 0.20, 0.0, 0.0)),             // a
+      (2L, v(0.97, 0.22, 0.01, 0.0)),            // a' — near-dup of a
+      (3L, v(0.93, -0.36, 0.0, 0.0)),            // b — diverse, relevant
+      (4L, v(0.0, 0.0, 1.0, 0.0)))               // far away
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, df.filter(col("vec_id") === 100L),
+        m = 4, k = 3, lambdaPm = 700L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    val picks = got.map(_._3).toSeq
+    assert(picks.take(2) == Seq(1L, 3L), s"MMR must pick the diverse doc second: $picks")
+    assert(picks(2) == 2L, s"the twin comes third: $picks")
+    // sanity: plain similarity order would have been (1, 2, ...)
+    val plain = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 100L), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-2: $plain")
+  }
+
+  test("C133: lambda=1000 degenerates to plain similarity order") {
+    val sample = embeddings.filter(col("vec_id") < 40)
+    val queries = sample.filter(col("vec_id") === 0L)
+    val mmr = Similarity.mmrRerank(sample, queries, m = 8, k = 4, lambdaPm = 1000L)
+      .orderBy("mmr_rank").select("doc_id").as[Long].collect().toSeq
+    val plain = Similarity.bruteForceTopK(sample, queries, k = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(mmr == plain, s"mmr=$mmr plain=$plain")
+  }
+
   // ---------------------------------------- C130: JL projection
 
   /** Driver-side double replay with the identical fold order. */
