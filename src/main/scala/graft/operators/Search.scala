@@ -173,6 +173,50 @@ object Search {
       .select("query_id", "rank", "doc_id", "score_q10pm", "n_terms")
   }
 
+  /** C134: exact PHRASE search through a POSITIONAL index — "find every
+    * document where these tokens appear ADJACENT and IN ORDER": the
+    * token-level companion to C124's character substring search and the
+    * capability that separates a positional index from C38's doc-level
+    * postings (which can only say "contains all the words somewhere").
+    *
+    * The anchor trick makes it ONE aggregation instead of an n-way
+    * positional self-join: a phrase occurrence starting at position p
+    * means token i of the phrase sits at p+i for every i, so each
+    * matching posting (doc, pos, term) emits (doc, pos−i, i) for every
+    * phrase slot i the term fills (duplicate phrase terms emit several
+    * slots), and an anchor holding ALL n distinct slots is an
+    * occurrence. Result contract = EXACT equality with the direct
+    * token-array sliding-window scan, which the oracle and spec pin.
+    *
+    * Scale shape: the postings explode is prefiltered to the phrase's
+    * literal vocabulary (codegen'd IN on the scan), the slot fan-out is
+    * ≤ phrase length per posting, and the occurrence test is one
+    * co-partitioned (doc, anchor) aggregation — no joins at all. A
+    * real deployment materializes the positional postings once (the
+    * C38/D32 index discipline) and probes at posting-list cost.
+    *
+    * @return (doc_id, n_matches) for docs with ≥1 occurrence. */
+  def phraseSearch(docs: DataFrame, phrase: String,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = phrase.split(" ").toSeq
+    require(terms.nonEmpty && terms.forall(_.nonEmpty))
+    val n = terms.size
+    val slots = terms.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val slotRows = slots.toSeq.flatMap { case (t, is) => is.map(i => (t, i)) }
+    val spark = docs.sparkSession
+    val slotDf = spark.createDataFrame(slotRows).toDF("term", "slot")
+    val postings = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(terms.distinct))
+    postings.join(broadcast(slotDf), "term")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"), col("slot"))
+      .filter(col("anchor") >= 0)
+      .groupBy("doc_id", "anchor")
+      .agg(countDistinct("slot").as("k"))
+      .filter(col("k") === n)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** C132: RECIPROCAL-RANK FUSION (Cormack et al. SIGIR 2009) — the
     * standard hybrid-retrieval combiner: fuse ANY per-query rankings
     * (lexical BM25, embedding ANN, …) by summing `1 / (k₀ + rank)`

@@ -1792,6 +1792,15 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C134: exact PHRASE search
+    * ([[graft.operators.Search.phraseSearch]]) — tokens adjacent and in
+    * order via the positional-index anchor aggregation; the contract is
+    * strict equality with the direct sliding-window scan, which the
+    * oracle IS. */
+  def q214PhraseSearch(t: Tables): DataFrame =
+    graft.operators.Search.phraseSearch(t.documents, "table scan")
+      .orderBy("doc_id")
+
   /** C133: MMR diversified re-ranking
     * ([[graft.operators.Similarity.mmrRerank]]) — the anti-redundancy
     * pass after similarity retrieval: greedy

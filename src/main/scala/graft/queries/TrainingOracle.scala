@@ -4403,6 +4403,20 @@ object TrainingOracle {
          |ORDER BY query_id, mmr_rank""".stripMargin
     },
 
+    // C134: phrase search — the oracle is the DIRECT sliding-window scan
+    // over the token array (the accelerated path must equal it exactly).
+    "q214_phrase_search" -> {
+      val terms = Seq("table", "scan")
+      val conds = terms.zipWithIndex.map { case (t, i) => s"ws[i + $i] = '$t'" }
+        .mkString(" AND ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_matches
+         |  FROM w, unnest(range(1, len(ws) - ${terms.size - 2})) AS t(i)
+         |  WHERE $conds GROUP BY 1)
+         |SELECT doc_id, n_matches FROM m ORDER BY doc_id""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

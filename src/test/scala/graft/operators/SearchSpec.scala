@@ -128,6 +128,43 @@ class SearchSpec extends SparkSuite {
     assert(r1.nonEmpty && r1.take(2).forall(Seq(1L, 4L, 7L).contains))
   }
 
+  // ---- C134: phrase search ----
+
+  private def bruteCounts(rows: Seq[(Long, String)], phrase: String): Map[Long, Long] = {
+    val p = phrase.split(" ").toSeq
+    rows.flatMap { case (id, t) =>
+      val w = t.split(" ").toSeq
+      val c = (0 to w.size - p.size).count(i => w.slice(i, i + p.size) == p).toLong
+      if (c > 0) Some(id -> c) else None
+    }.toMap
+  }
+
+  private def phrase(rows: Seq[(Long, String)], p: String): Map[Long, Long] =
+    Search.phraseSearch(rows.toDF("doc_id", "text"), p)
+      .as[(Long, Long)].collect().toMap
+
+  test("C134: equals the sliding-window scan on a random corpus, several phrases") {
+    val rnd = new scala.util.Random(53)
+    val words = Seq("table", "scan", "merge", "spark", "the")
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(25))(words(rnd.nextInt(words.size))).mkString(" ")))
+    for (p <- Seq("table scan", "the table scan", "spark spark", "merge the merge"))
+      assert(phrase(rows, p) == bruteCounts(rows, p), s"phrase '$p'")
+  }
+
+  test("C134: overlapping occurrences and duplicate phrase terms count correctly") {
+    val rows = Seq((1L, "a a a a"), (2L, "a b a b a"), (3L, "b b"))
+    assert(phrase(rows, "a a") == Map(1L -> 3L))
+    assert(phrase(rows, "a b a") == Map(2L -> 2L))
+    assert(bruteCounts(rows, "a a") == Map(1L -> 3L))
+    assert(bruteCounts(rows, "a b a") == Map(2L -> 2L))
+  }
+
+  test("C134: adjacency and order are required — scattered words do not match") {
+    val rows = Seq((1L, "table x scan"), (2L, "scan table"), (3L, "table scan"))
+    assert(phrase(rows, "table scan") == Map(3L -> 1L))
+  }
+
   test("C132: rrfFuse matches the hand-computed reciprocal-rank sum; consensus wins") {
     // source A ranks docs 1,2,3; source B ranks 3,2,9 — doc 2 and 3 are
     // in both, doc 2 at (2,2), doc 3 at (3,1)
