@@ -217,6 +217,68 @@ object Search {
       .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
   }
 
+  /** C135: best-window SNIPPET extraction (search-result highlighting) —
+    * for each query's BM25 top-k documents, the w-token window with the
+    * highest summed idf of matched query-term OCCURRENCES (repeats count;
+    * rare terms dominate, as a highlighter should), ties to the EARLIEST
+    * window. The optimal window can always shift to start at a matched
+    * token, so anchors = match positions and the per-anchor score is one
+    * RANGE-frame window sum over `[pos, pos+w−1]` — no self-join, no
+    * per-token expansion beyond the query-vocabulary matches.
+    *
+    * Exact integers end-to-end (idf in q10 via [[log2q10Sql]]), so both
+    * engines pick the identical window and emit the identical snippet
+    * string. Scale shape: BM25's own shape for the top-k, then the
+    * position explode runs over the TOP DOCS ONLY (left-semi before
+    * exploding) and is prefiltered to the query vocabulary on the scan.
+    *
+    * @return (query_id, rank, doc_id, start_pos (0-based), snippet_q10,
+    *         snippet). */
+  def bestSnippet(docs: DataFrame, queries: Seq[(Int, String)], w: Int = 8, k: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1 && k >= 1 && queries.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val termSet = queries.flatMap(_._2.split(" ")).distinct
+    val top = bm25TopK(docs, queries, k, idCol = idCol, textCol = textCol)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .localCheckpoint(true)
+    val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+        text.split(" ").distinct.map(t => (qid, t))
+      }).toDF("query_id", "term")
+    val idf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isInCollection(termSet))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).cast("long").as("n_docs"))))
+      .withColumn("idf_q10",
+        expr(s"${log2q10Sql("2 * n_docs + 2")} - ${log2q10Sql("2 * df + 1")}"))
+      .select("term", "idf_q10")
+    val matched = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(termSet))
+      .join(broadcast(qt), "term")
+      .join(broadcast(idf), "term")
+      .join(top, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("pos").cast("long").as("pos"), col("idf_q10"))
+    val anchored = matched.withColumn("snippet_q10", sum("idf_q10").over(
+        Window.partitionBy("query_id", "doc_id").orderBy(col("pos"))
+          .rangeBetween(Window.currentRow, w - 1)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id", "doc_id")
+          .orderBy(col("snippet_q10").desc, col("pos").asc)))
+      .filter(col("__rn") === 1)
+    anchored
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("pos").as("start_pos"), col("snippet_q10"),
+        expr(s"concat_ws(' ', slice(split(text, ' '), CAST(pos AS INT) + 1, $w))")
+          .as("snippet"))
+  }
+
   /** C132: RECIPROCAL-RANK FUSION (Cormack et al. SIGIR 2009) — the
     * standard hybrid-retrieval combiner: fuse ANY per-query rankings
     * (lexical BM25, embedding ANN, …) by summing `1 / (k₀ + rank)`

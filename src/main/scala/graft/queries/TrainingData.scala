@@ -1792,6 +1792,16 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C135: best-window SNIPPET extraction
+    * ([[graft.operators.Search.bestSnippet]]) — for each query's BM25
+    * top-3, the 8-token window maximizing summed matched-term idf
+    * (ties earliest); exact q10 integers pick the identical window and
+    * snippet string in both engines. */
+  def q215BestSnippet(t: Tables): DataFrame =
+    graft.operators.Search.bestSnippet(t.documents, Seq(
+        1 -> "spark join agg", 2 -> "slow scan table"), w = 8, k = 3)
+      .orderBy("query_id", "rank")
+
   /** C134: exact PHRASE search
     * ([[graft.operators.Search.phraseSearch]]) — tokens adjacent and in
     * order via the positional-index anchor aggregation; the contract is

@@ -4417,6 +4417,71 @@ object TrainingOracle {
          |SELECT doc_id, n_matches FROM m ORDER BY doc_id""".stripMargin
     },
 
+    // C135: best-window snippet — BM25 chain (k=3), matched positions on
+    // the top docs only, RANGE-frame window sums anchored at matches,
+    // earliest-max argmax, token-slice snippet.
+    "q215_best_snippet" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |qt(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'), (1, 'agg'),
+         |  (2, 'slow'), (2, 'scan'), (2, 'table')),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |st AS MATERIALIZED (
+         |  SELECT COUNT(*)::BIGINT AS n_docs,
+         |         SUM(len(string_split(text, ' ')))::BIGINT AS l_total
+         |  FROM documents),
+         |l2in AS (
+         |  SELECT term, (2 * df + 1)::BIGINT AS x
+         |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1)
+         |  UNION ALL SELECT '__N', (2 * n_docs + 2)::BIGINT FROM st),
+         |${l2Stages("l2in", "term")},
+         |idf AS MATERIALIZED (
+         |  SELECT d.term, n.nl2 - d.l2 AS idf_q10
+         |  FROM lg d, (SELECT l2 AS nl2 FROM lg WHERE term = '__N') n
+         |  WHERE d.term <> '__N'),
+         |sc AS (
+         |  SELECT query_id, tf.doc_id,
+         |    SUM(idf_q10 * (tf * 2200 * 1000000 // (tf * 1000000 +
+         |      1200 * (1000 * 250 + 750 * (1000::HUGEINT * dl * n_docs // l_total)::BIGINT))))::BIGINT AS s
+         |  FROM tf JOIN qt USING (term) JOIN idf USING (term), st
+         |  GROUP BY 1, 2),
+         |top AS MATERIALIZED (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, doc_id)::BIGINT AS rank FROM sc)
+         |  WHERE rank <= 3),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM top)),
+         |posn AS (
+         |  SELECT doc_id, (i - 1)::BIGINT AS pos, ws[i] AS term
+         |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+         |  WHERE ws[i] IN (SELECT term FROM qt)),
+         |matched AS (
+         |  SELECT tp.query_id, tp.doc_id, tp.rank, p.pos, idf.idf_q10
+         |  FROM posn p JOIN qt ON qt.term = p.term
+         |  JOIN idf ON idf.term = p.term
+         |  JOIN top tp ON tp.query_id = qt.query_id AND tp.doc_id = p.doc_id),
+         |anch AS (
+         |  SELECT *, SUM(idf_q10) OVER (
+         |      PARTITION BY query_id, doc_id ORDER BY pos
+         |      RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING)::BIGINT AS snippet_q10
+         |  FROM matched),
+         |best AS (
+         |  SELECT query_id, doc_id, rank, pos AS start_pos, snippet_q10 FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id, doc_id ORDER BY snippet_q10 DESC, pos) AS rn
+         |    FROM anch)
+         |  WHERE rn = 1)
+         |SELECT b.query_id, b.rank, b.doc_id, b.start_pos, b.snippet_q10,
+         |  array_to_string(w.ws[(b.start_pos + 1)::INT : (b.start_pos + 8)::INT], ' ') AS snippet
+         |FROM best b JOIN w ON w.doc_id = b.doc_id
+         |ORDER BY b.query_id, b.rank""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -128,6 +128,40 @@ class SearchSpec extends SparkSuite {
     assert(r1.nonEmpty && r1.take(2).forall(Seq(1L, 4L, 7L).contains))
   }
 
+  // ---- C135: best-window snippet ----
+
+  test("C135: the densest window wins; ties go earliest; repeats count") {
+    // doc 1: two 'x' matches far apart, then a dense cluster near the end.
+    // with w=4 the cluster window must win; doc 2 has two equal-score
+    // single-match windows -> the earlier one is chosen.
+    val rows = Seq(
+      (1L, "x a a a a a a a x a x x x a"),
+      (2L, "a a x a a a a a a x a a"),
+      (3L, "no match here at all"),
+      (4L, "x y x y"))
+    val got = Search.bestSnippet(rows.toDF("doc_id", "text"),
+        Seq(1 -> "x"), w = 4, k = 3)
+      .as[(Int, Long, Long, Long, Long, String)].collect()
+      .map(r => r._3 -> ((r._4, r._6))).toMap
+    // doc 1 cluster: positions of x are 0,8,10,11,12 -> window at 10
+    // holds x,x,x (3 matches); window at 8 holds x,-,x,x (3 matches too,
+    // anchored earlier) -> earliest max wins: pos 8
+    assert(got(1L)._1 == 8L, s"doc1: ${got(1L)}")
+    assert(got(1L)._2 == "x a x x", s"doc1 snippet: ${got(1L)}")
+    assert(got(2L)._1 == 2L, s"doc2 earliest tie: ${got(2L)}")
+    assert(!got.contains(3L), "no-match docs cannot be in the BM25 top")
+    // doc 4: both x windows hold 2 matches; earliest anchor 0
+    assert(got(4L)._1 == 0L && got(4L)._2 == "x y x y")
+  }
+
+  test("C135: snippet truncates cleanly at the end of the document") {
+    val rows = Seq((1L, "a b target"), (2L, "filler filler filler"))
+    val got = Search.bestSnippet(rows.toDF("doc_id", "text"),
+        Seq(1 -> "target"), w = 8, k = 1)
+      .as[(Int, Long, Long, Long, Long, String)].collect()
+    assert(got.length == 1 && got.head._4 == 2L && got.head._6 == "target")
+  }
+
   // ---- C134: phrase search ----
 
   private def bruteCounts(rows: Seq[(Long, String)], phrase: String): Map[Long, Long] = {
