@@ -512,7 +512,25 @@ object ScaleProbe {
         // JL: map-side literal dot products + one co-partitioned pair join
         run("jl_distortion", k)(
           graft.operators.Similarity.jlDistortion(ed, r = 16, dims = 64).count())
+        // MMR: candidate cut is corpus-scan-bound; rounds are m·k bounded
+        run("mmr", k)(
+          graft.operators.Similarity.mmrRerank(ed,
+            emb.filter(col("vec_id").isin(1L, 2L)), m = 12, k = 5).count())
       }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      run("phrase_search", k)(
+        graft.operators.Search.phraseSearch(docs, "table scan").count())
+      run("rrf_hybrid", k) {
+        val bm = graft.operators.Search.bm25TopK(docs, Seq(
+            1 -> "spark join agg", 2 -> "slow scan table"), k = 20)
+          .select("query_id", "doc_id", "rank")
+        graft.operators.Search.rrfFuse(Seq(bm, bm), k = 10).count()
+      }
+      run("best_snippet", k)(
+        graft.operators.Search.bestSnippet(docs, Seq(
+          1 -> "spark join agg", 2 -> "slow scan table"), w = 8, k = 3).count())
     }
     {
       // disjoint id-shifted co-purchase copies (cohesion-suite convention)
