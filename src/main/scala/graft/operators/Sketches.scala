@@ -46,15 +46,28 @@ object Sketches {
   def kmvSketches(df: DataFrame, sliceCol: String, valueCol: String,
                   k: Int = 256, salts: Int = 16): DataFrame = {
     require(k >= 2 && salts >= 1)
-    import org.apache.spark.sql.expressions.Window
     val hu = when(xxhash64(col(valueCol)) < 0,
         xxhash64(col(valueCol)).cast("decimal(38,0)") + expr(s"CAST($U64 AS DECIMAL(38,0))"))
       .otherwise(xxhash64(col(valueCol)).cast("decimal(38,0)"))
-    val hashed = df.select(col(sliceCol).as("slice"), hu.as("hu")).distinct()
+    kmvFromHashes(df.select(col(sliceCol).as("slice"), hu.as("hu")), k, salts)
+  }
+
+  /** The bottom-k kernel over already-hashed rows — shared by
+    * [[kmvSketches]] and the streaming state merge (D33,
+    * `streaming/EventStreams.kmvMaintenance`): bottom-k sets are closed
+    * under union, so merging persisted sketch rows with a fresh batch's
+    * rows and re-cutting through this SAME kernel yields exactly the
+    * sketch of the union — the law the spec pins.
+    *
+    * @param hashed (slice, hu DECIMAL(38,0)) rows, duplicates allowed. */
+  def kmvFromHashes(hashed: DataFrame, k: Int = 256, salts: Int = 16): DataFrame = {
+    require(k >= 2 && salts >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val ded = hashed.select("slice", "hu").distinct()
     // phase 1: prune inside (slice, salt) lanes — lane from an independent
     // hash of the value's hash so lanes are uncorrelated with magnitude
     val lane = pmod(xxhash64(col("hu").cast("string"), lit(7)), lit(salts.toLong))
-    val p1 = hashed.withColumn("__lane", lane)
+    val p1 = ded.withColumn("__lane", lane)
       .withColumn("__r", row_number().over(
         Window.partitionBy("slice", "__lane").orderBy(col("hu").asc)))
       .filter(col("__r") <= k).drop("__r", "__lane")

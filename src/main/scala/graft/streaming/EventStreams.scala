@@ -1514,6 +1514,54 @@ object EventStreams {
   def indexStats(spark: SparkSession, stateRoot: String): DataFrame =
     spark.read.parquet(s"${readPointer(spark, stateRoot).get}/stats")
 
+  /** D33: continuously-maintained KMV bottom-k sketches — the streaming
+    * face of C127, and the set-operation upgrade over D12's HLL state:
+    * HLL state can only union; maintained KMV rows answer per-slice
+    * cardinality AND pairwise union/Jaccard/intersection between slices
+    * at any point in the stream, from a few hundred rows per slice.
+    *
+    * The merge IS the operator's own kernel: bottom-k sets are closed
+    * under union, so each batch's kept rows union the persisted rows and
+    * re-cut through `Sketches.kmvFromHashes` — the maintained sketch is
+    * BIT-FOR-BIT the sketch of all data so far (the spec pins equality
+    * with the one-shot build after multi-batch ingest). Exactly-once via
+    * the D12 pointer-flip discipline. */
+  def kmvMaintenance(rows: DataFrame, sliceCol: String, valueCol: String,
+                     stateRoot: String, checkpointDir: String,
+                     k: Int = 256): Unit = {
+    val q = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (!prev.contains(target)) {
+          val fresh = graft.operators.Sketches
+            .kmvSketches(batch.toDF(), sliceCol, valueCol, k)
+            .select("slice", "hu")
+          val merged = prev match {
+            case Some(p) => graft.operators.Sketches.kmvFromHashes(
+              spark.read.parquet(p).select("slice", "hu").unionByName(fresh), k)
+            case None => graft.operators.Sketches.kmvFromHashes(fresh, k)
+          }
+          merged.write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained KMV sketch rows of [[kmvMaintenance]]. */
+  def kmvState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Pairwise set-operation estimates from the MAINTAINED sketches —
+    * same kernel as the batch path (`Sketches.kmvPairs`). */
+  def kmvPairsFromState(spark: SparkSession, stateRoot: String, k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvPairs(kmvState(spark, stateRoot), k)
+
   /** BM25 top-k from the MAINTAINED index — same kernel, same exact
     * integers as the one-shot [[graft.operators.Search.bm25TopK]]; reads
     * only postings slices at or below the published pointer version. */

@@ -1083,4 +1083,45 @@ class StreamingSpec extends SparkSuite {
       .as[(Int, Long, Long, Long, Long)].collect().toSet
     assert(again == oneShot)
   }
+
+  test("D33: maintained KMV sketches equal the one-shot build bit-for-bit after 3 batches") {
+    // three batches over two slices with overlap across batches
+    val b1 = (0 until 300).map(i => ("A", s"v$i")) ++ (0 until 150).map(i => ("B", s"w$i"))
+    val b2 = (200 until 500).map(i => ("A", s"v$i")) ++ (100 until 400).map(i => ("B", s"w$i"))
+    val b3 = (0 until 100).map(i => ("A", s"w$i")) // cross-slice values into A
+    val in = Files.createTempDirectory("graft-kmv-in").toString
+    val state = Files.createTempDirectory("graft-kmv-state").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    def push(rows: Seq[(String, String)]): Unit =
+      rows.toDF("slice", "v").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.kmvMaintenance(
+      spark.readStream.schema("slice STRING, v STRING").parquet(in),
+      "slice", "v", state, ckpt, k = 128)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("slice", "rk", "hu", "n_kept", "est")
+      .as[(String, Long, java.math.BigDecimal, Long, Long)]
+      .collect().map(r => (r._1, r._2, r._3.toBigInteger, r._4, r._5)).toSet
+    val maintained = norm(EventStreams.kmvState(spark, state))
+    val oneShot = norm(graft.operators.Sketches.kmvSketches(
+      (b1 ++ b2 ++ b3).toDF("slice", "v"), "slice", "v", k = 128))
+    assert(maintained == oneShot, "closure law: merged state == one-shot sketch")
+
+    // pairwise estimates from state equal the batch-path pairs
+    val fromState = EventStreams.kmvPairsFromState(spark, state, k = 128)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val direct = graft.operators.Sketches.kmvPairs(
+        graft.operators.Sketches.kmvSketches(
+          (b1 ++ b2 ++ b3).toDF("slice", "v"), "slice", "v", k = 128), k = 128)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(fromState == direct && fromState.nonEmpty)
+
+    // replay with the same checkpoint: nothing changes
+    runOnce()
+    assert(norm(EventStreams.kmvState(spark, state)) == oneShot)
+  }
 }
