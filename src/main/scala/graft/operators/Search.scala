@@ -217,6 +217,93 @@ object Search {
       .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
   }
 
+  /** C136: PSEUDO-RELEVANCE-FEEDBACK query expansion (the RM3 shape,
+    * Lavrenko & Croft 2001 / Abdul-Jaleel 2004, in exact integers) —
+    * the classic recall lever when queries are short and vocabulary
+    * mismatched: run BM25 once, treat the top-f documents as relevant,
+    * mine the e terms that most distinguish them (Σ over feedback docs
+    * of tf·idf, original terms excluded, ties term-asc), and re-score
+    * with the expanded weighted query (original terms weight 1000‰,
+    * expansion terms `lambdaPm`). Every quantity is the C126 integer
+    * kernel, so mining and both scoring passes replay bit-for-bit.
+    *
+    * Scale shape: pass 1 is BM25's own shape; the feedback postings
+    * explode runs over the TOP-f DOCS ONLY; expansion-candidate df/idf
+    * are computed for the feedback VOCABULARY only (broadcast semi
+    * join — the data-dependent analog of the literal IN prefilter);
+    * pass 2 scores against the ≤(q-terms + e) expanded vocabulary.
+    * Everything after pass 1's corpus scan is feedback-sized.
+    *
+    * @return (query_id, rank, doc_id, score_q10pm, n_terms) — the
+    *         re-scored top-k; n_terms counts matched expanded terms. */
+  def prfExpandedBm25(docs: DataFrame, queries: Seq[(Int, String)],
+                      f: Int = 5, e: Int = 3, lambdaPm: Long = 400L, k: Int = 10,
+                      k1Pm: Long = 1200L, bPm: Long = 750L,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(f >= 1 && e >= 1 && lambdaPm >= 0 && lambdaPm <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val top = bm25TopK(docs, queries, f, k1Pm, bPm, idCol, textCol)
+      .select(col("query_id"), col("doc_id")).localCheckpoint(true)
+    val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+        text.split(" ").distinct.map(t => (qid, t))
+      }).toDF("query_id", "term")
+    // feedback postings: ALL terms of the top-f docs only
+    val fbTf = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val candTerms = fbTf.select("term").distinct()
+    val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("l_total"))
+      .localCheckpoint(true)
+    // corpus postings restricted to the feedback vocabulary (+ the
+    // original query terms, whose idf pass 2 needs as well)
+    val vocab = candTerms.unionByName(qt.select("term")).distinct()
+    val tfAll = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val idf = tfAll.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q10",
+        expr(s"${log2q10Sql("2 * n_docs + 2")} - ${log2q10Sql("2 * df + 1")}"))
+      .select("term", "idf_q10").localCheckpoint(true)
+    // expansion mining: weight(query, term) = Σ_{d ∈ F_q} tf · idf
+    val expansion = fbTf
+      .join(top, Seq("doc_id"))
+      .join(broadcast(idf), "term")
+      .groupBy("query_id", "term")
+      .agg(sum(expr("tf * idf_q10")).as("wgt"))
+      .join(broadcast(qt.withColumn("__orig", lit(1))), Seq("query_id", "term"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("wgt").desc, col("term").asc)))
+      .filter(col("__rn") <= e)
+      .select(col("query_id"), col("term"), lit(lambdaPm).as("w_pm"))
+    val qtw = qt.withColumn("w_pm", lit(1000L)).unionByName(expansion)
+    // pass 2: weighted BM25 over the expanded vocabulary
+    val scored = tfAll
+      .join(broadcast(qtw), "term")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("dlnorm_pm", expr(
+        "CAST(CAST(1000 AS DECIMAL(38,0)) * dl * n_docs div l_total AS BIGINT)"))
+      .withColumn("tfs_pm", expr(
+        s"tf * ${k1Pm + 1000L}L * 1000000L div " +
+          s"(tf * 1000000L + ${k1Pm}L * (1000L * ${1000L - bPm}L + ${bPm}L * dlnorm_pm))"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("w_pm * idf_q10 * tfs_pm div 1000")).as("score_q10pm"),
+        count(lit(1)).as("n_terms"))
+    Ranking.groupRankDesc(scored, "query_id", "score_q10pm", "doc_id",
+        expr("score_q10pm div 1024"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q10pm", "n_terms")
+  }
+
   /** C135: best-window SNIPPET extraction (search-result highlighting) —
     * for each query's BM25 top-k documents, the w-token window with the
     * highest summed idf of matched query-term OCCURRENCES (repeats count;

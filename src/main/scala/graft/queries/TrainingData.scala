@@ -1792,6 +1792,18 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C136: pseudo-relevance-feedback expanded BM25
+    * ([[graft.operators.Search.prfExpandedBm25]]) — BM25 once, mine the
+    * 3 highest Σtf·idf terms from each query's top-5 docs (originals
+    * excluded), re-score with the weighted expanded query (1000‰ /
+    * 400‰). Exact integers end-to-end; the oracle replays both passes
+    * and the mining. */
+  def q216PrfExpansion(t: Tables): DataFrame =
+    graft.operators.Search.prfExpandedBm25(t.documents, Seq(
+        1 -> "spark join agg", 2 -> "slow scan table"),
+        f = 5, e = 3, lambdaPm = 400L, k = 10)
+      .orderBy("query_id", "rank")
+
   /** C135: best-window SNIPPET extraction
     * ([[graft.operators.Search.bestSnippet]]) — for each query's BM25
     * top-3, the 8-token window maximizing summed matched-term idf

@@ -4482,6 +4482,73 @@ object TrainingOracle {
          |FROM best b JOIN w ON w.doc_id = b.doc_id
          |ORDER BY b.query_id, b.rank""".stripMargin,
 
+    // C136: PRF expansion — full-vocabulary postings/idf (the corpus
+    // vocabulary is small; values identical to the restricted frames),
+    // pass-1 ranking, Σtf·idf mining with original-term exclusion,
+    // weighted pass-2 with per-term floor before the sum.
+    "q216_prf_expansion" -> {
+      val tfs = "(tf * 2200 * 1000000 // (tf * 1000000 + " +
+        "1200 * (1000 * 250 + 750 * (1000::HUGEINT * dl * n_docs // l_total)::BIGINT)))"
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tfa AS MATERIALIZED (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2, 3),
+         |st AS MATERIALIZED (
+         |  SELECT COUNT(*)::BIGINT AS n_docs,
+         |         SUM(len(string_split(text, ' ')))::BIGINT AS l_total
+         |  FROM documents),
+         |l2in AS (
+         |  SELECT term, (2 * df + 1)::BIGINT AS x
+         |  FROM (SELECT term, COUNT(*)::BIGINT AS df FROM tfa GROUP BY 1)
+         |  UNION ALL SELECT '__N', (2 * n_docs + 2)::BIGINT FROM st),
+         |${l2Stages("l2in", "term")},
+         |idf AS MATERIALIZED (
+         |  SELECT d.term, n.nl2 - d.l2 AS idf_q10
+         |  FROM lg d, (SELECT l2 AS nl2 FROM lg WHERE term = '__N') n
+         |  WHERE d.term <> '__N'),
+         |qt(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'), (1, 'agg'),
+         |  (2, 'slow'), (2, 'scan'), (2, 'table')),
+         |sc1 AS (
+         |  SELECT query_id, tfa.doc_id,
+         |    SUM(idf_q10 * $tfs)::BIGINT AS s
+         |  FROM tfa JOIN qt USING (term) JOIN idf USING (term), st
+         |  GROUP BY 1, 2),
+         |topf AS MATERIALIZED (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank FROM sc1)
+         |  WHERE rank <= 5),
+         |expw AS (
+         |  SELECT tp.query_id, t.term, SUM(t.tf * idf.idf_q10)::BIGINT AS wgt
+         |  FROM tfa t JOIN topf tp ON tp.doc_id = t.doc_id
+         |  JOIN idf ON idf.term = t.term
+         |  WHERE NOT EXISTS (SELECT 1 FROM qt
+         |                    WHERE qt.query_id = tp.query_id AND qt.term = t.term)
+         |  GROUP BY 1, 2),
+         |expn AS (
+         |  SELECT query_id, term, 400::BIGINT AS w_pm FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY wgt DESC, term ASC) AS rn FROM expw)
+         |  WHERE rn <= 3),
+         |qtw AS (
+         |  SELECT query_id, term, 1000::BIGINT AS w_pm FROM qt
+         |  UNION ALL SELECT query_id, term, w_pm FROM expn),
+         |sc2 AS (
+         |  SELECT query_id, tfa.doc_id,
+         |    SUM((w_pm * idf_q10 * $tfs) // 1000)::BIGINT AS score_q10pm,
+         |    COUNT(*)::BIGINT AS n_terms
+         |  FROM tfa JOIN qtw USING (term) JOIN idf USING (term), st
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score_q10pm, n_terms FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_q10pm DESC, doc_id)::BIGINT AS rank
+         |  FROM sc2)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

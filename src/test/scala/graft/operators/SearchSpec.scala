@@ -128,6 +128,56 @@ class SearchSpec extends SparkSuite {
     assert(r1.nonEmpty && r1.take(2).forall(Seq(1L, 4L, 7L).contains))
   }
 
+  // ---- C136: PRF expansion ----
+
+  test("C136: expansion surfaces a vocabulary-mismatched doc plain BM25 cannot see") {
+    // 'alpha' docs consistently co-occur with 'beta'; doc 99 says only
+    // 'beta beta' — invisible to the query 'alpha', surfaced after PRF
+    // mines 'beta' from the feedback set.
+    // beta is frequent WITHIN the feedback docs (tf 2 each) and present
+    // in enough docs that its Σtf·idf beats each doc's rare filler term
+    val rows = Seq(
+      (1L, "alpha beta beta u1"),
+      (2L, "alpha beta beta u2"),
+      (3L, "alpha beta beta u3"),
+      (4L, "alpha beta beta u4"),
+      (5L, "alpha beta beta u5"),
+      (99L, "beta beta"),
+      (100L, "unrelated filler junk"),
+      (101L, "u1 u2"))
+    val df = rows.toDF("doc_id", "text")
+    val plain = Search.bm25TopK(df, Seq(1 -> "alpha"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(99L), "plain BM25 must not see the beta-only doc")
+    val prf = Search.prfExpandedBm25(df, Seq(1 -> "alpha"), f = 3, e = 1, lambdaPm = 400L, k = 10)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val prfDocs = prf.map(_._3).toSet
+    assert(prfDocs.contains(99L), s"PRF must surface doc 99: $prfDocs")
+    assert(!prfDocs.contains(100L), "a doc matching nothing stays invisible")
+    // the alpha docs still outrank the expansion-only doc (w 1000 vs 400)
+    val rank99 = prf.find(_._3 == 99L).get._2
+    val rank1 = prf.find(_._3 == 1L).get._2
+    assert(rank1 < rank99, s"original-term docs outrank expansion-only: $prf")
+  }
+
+  test("C136: original query terms are never mined as expansion terms") {
+    // every feedback doc is dominated by the original term itself; with
+    // e=1 the expansion must pick the runner-up ('gamma'), not 'alpha' —
+    // visible through doc 50 (gamma-only) being surfaced while doc 51
+    // (delta-only) is not.
+    val rows = Seq(
+      (1L, "alpha gamma gamma gamma x1"),
+      (2L, "alpha gamma gamma delta"),
+      (3L, "alpha gamma delta"),
+      (50L, "gamma gamma"),
+      (51L, "delta delta"),
+      (52L, "omega omega"))
+    val df = rows.toDF("doc_id", "text")
+    val prf = Search.prfExpandedBm25(df, Seq(1 -> "alpha"), f = 3, e = 1, lambdaPm = 400L, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf.contains(50L) && !prf.contains(51L) && !prf.contains(52L), s"$prf")
+  }
+
   // ---- C135: best-window snippet ----
 
   test("C135: the densest window wins; ties go earliest; repeats count") {
