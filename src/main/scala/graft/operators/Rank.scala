@@ -156,6 +156,60 @@ object Rank {
       .join(dist, Seq("node"), "left")
   }
 
+  /** C137: WEIGHTED shortest paths from a seed set (distributed
+    * Bellman–Ford) — the cost-aware upgrade over [[seedDistance]]'s
+    * hop-count BFS: when edges carry real traversal costs (link
+    * latency, inverse co-occurrence strength, toll), the nearest seed
+    * in HOPS is not the nearest in COST. Integer weights, so every
+    * relaxation replays exactly.
+    *
+    * Round r relaxes every edge once:
+    * `dist ← min(dist, min over in-edges (dist[src] + w))` — after r
+    * rounds dist is exact for all shortest paths of ≤ r edges, and a
+    * fixed point is the true distance everywhere (negative weights are
+    * refused, so monotone convergence is guaranteed). The early exit
+    * is sound the components/LPA way: Σdist is strictly decreasing
+    * until the fixed point, and post-convergence rounds are no-ops for
+    * the oracle's full unroll.
+    *
+    * Scale shape per round: ONE co-partitioned edge⋈dist join + one
+    * min-aggregation + checkpoint lineage cut; driver state = the
+    * convergence scalar. The classic Pregel SSSP shape.
+    *
+    * @param edges (src, dst, w) DIRECTED, w ≥ 0 integer; symmetrize at
+    *              the call site for undirected costs.
+    * @return (node, cost) for reached nodes; unreached absent. */
+  def weightedSeedCost(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1)
+    val ed = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .distinct().localCheckpoint(true)
+    require(ed.filter(col("w") < 0).isEmpty,
+      "weightedSeedCost requires non-negative weights (Bellman-Ford with " +
+        "negative edges needs V-1 rounds and a cycle check — out of contract)")
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("cost")).localCheckpoint(true)
+    // (Σcost, |reached|) is a sound fixed-point signature: costs only
+    // decrease under the min-agg and new nodes only add — equal pairs ⇒
+    // nothing changed
+    var prevSig: Option[(java.math.BigDecimal, Long)] = None
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val relax = ed.join(dist, ed("src") === dist("node"))
+        .select(ed("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relax)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      val s = dist.agg(sum(col("cost").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+      val sig = (s.getDecimal(0), s.getLong(1))
+      converged = prevSig.contains(sig)
+      prevSig = Some(sig)
+      r += 1
+    }
+    dist
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) — the link-analysis dual to
     * PageRank: a node is a good HUB if it points at good authorities and
     * a good AUTHORITY if good hubs point at it. On a bipartite

@@ -1792,6 +1792,32 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C137: weighted shortest paths from seeds
+    * ([[graft.operators.Rank.weightedSeedCost]], Bellman–Ford rounds) —
+    * the cost-aware upgrade over q183's hop BFS on the co-purchase
+    * graph: edge cost = 1000 div co-purchase count (strong ties are
+    * cheap), seeds = the 3 smallest part ids, 8 relaxation rounds.
+    * Cost-bucket histogram plus the per-bucket minimum as the
+    * distribution fingerprint. */
+  def q217WeightedCost(t: Tables): DataFrame = {
+    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val ew = p.as("a").join(p.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .withColumn("w", expr("1000 div cnt"))
+    val und = ew.select("src", "dst", "w")
+      .unionByName(ew.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = und.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(3)
+    graft.operators.Rank.weightedSeedCost(und, seeds, rounds = 8)
+      .groupBy(expr("cost div 100").as("cost_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min("cost").as("min_cost"))
+      .orderBy("cost_bucket")
+  }
+
   /** C136: pseudo-relevance-feedback expanded BM25
     * ([[graft.operators.Search.prfExpandedBm25]]) — BM25 once, mine the
     * 3 highest Σtf·idf terms from each query's top-5 docs (originals

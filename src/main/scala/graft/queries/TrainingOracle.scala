@@ -4549,6 +4549,38 @@ object TrainingOracle {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // C137: weighted seed costs — 8 Bellman-Ford relaxation rounds
+    // unrolled (post-convergence rounds are no-ops, matching the sound
+    // early exit), then the cost-bucket histogram.
+    "q217_weighted_cost" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT node, MIN(cost) AS cost FROM (
+           |    SELECT node, cost FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT und.dst AS node, p.cost + und.w FROM und
+           |    JOIN d${k - 1} p ON p.node = und.src
+           |  ) GROUP BY node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst, 1000 // COUNT(*) AS w
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst, w FROM ew UNION SELECT dst, src, w FROM ew
+         |), seeds AS (
+         |  SELECT node FROM (SELECT DISTINCT src AS node FROM und)
+         |  ORDER BY node LIMIT 3
+         |), d0 AS (SELECT node, 0::BIGINT AS cost FROM seeds),
+         |$rounds
+         |fin AS (SELECT node, cost FROM d8)
+         |SELECT cost // 100 AS cost_bucket, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  MIN(cost)::BIGINT AS min_cost
+         |FROM fin GROUP BY 1 ORDER BY cost_bucket""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -212,4 +212,49 @@ class RankSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "PageRank must join on keys")
   }
+
+  // ---------------------------------------- C137: weighted seed cost
+
+  /** Driver-side Bellman-Ford with the same round budget. */
+  private def bruteCosts(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                         rounds: Int): Map[Long, Long] = {
+    var d = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relax = edges.flatMap { case (s, t, w) => d.get(s).map(c => t -> (c + w)) }
+      d = (d.toSeq ++ relax).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    d
+  }
+
+  test("C137: weightedSeedCost equals driver-side Bellman-Ford; cheap long path beats pricey hop") {
+    // seed 0; direct edge 0->9 costs 10; path 0->1->2->9 costs 1+1+1=3
+    val edges = Seq((0L, 9L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 9L, 1L),
+      (9L, 50L, 5L), (60L, 61L, 1L))
+    val got = Rank.weightedSeedCost(
+        edges.toDF("src", "dst", "w"), Seq(Tuple1(0L)).toDF("node"), rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == bruteCosts(edges, Seq(0L), 8), s"got $got")
+    assert(got(9L) == 3L, "the cheap 3-hop path must beat the pricey 1-hop edge")
+    assert(got(50L) == 8L)
+    assert(!got.contains(60L) && !got.contains(61L), "unreached nodes are absent")
+  }
+
+  test("C137: early exit lands on the fixed point; a too-small round budget is visible") {
+    val chain = (0L until 6L).map(i => (i, i + 1, 1L))
+    val df = chain.toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val full = Rank.weightedSeedCost(df, seeds, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(full == (0L to 6L).map(i => i -> i).toMap)
+    val capped = Rank.weightedSeedCost(df, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == (0L to 3L).map(i => i -> i).toMap, "3 rounds reach 3 hops")
+  }
+
+  test("C137: negative weights are refused loudly") {
+    val df = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Rank.weightedSeedCost(df, Seq(Tuple1(0L)).toDF("node"))
+    }
+  }
 }
