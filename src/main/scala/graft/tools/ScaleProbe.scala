@@ -531,6 +531,30 @@ object ScaleProbe {
       run("best_snippet", k)(
         graft.operators.Search.bestSnippet(docs, Seq(
           1 -> "spark join agg", 2 -> "slow scan table"), w = 8, k = 3).count())
+      run("prf_expansion", k)(
+        graft.operators.Search.prfExpandedBm25(docs, Seq(
+          1 -> "spark join agg", 2 -> "slow scan table"), f = 5, e = 3).count())
+    }
+    {
+      // weighted SSSP on disjoint co-purchase copies with inverse-count costs
+      val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+        .distinct()
+      val ew = p.as("a").join(p.as("b"),
+          col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .withColumn("w", expr("1000 div cnt")).select("src", "dst", "w")
+      val shift = ew.agg(greatest(max(col("src")), max(col("dst")))).head().getLong(0) + 1
+      for (k <- Seq(1, 4, 16)) {
+        val ed = (0 until k).map(i => ew.select(
+            (col("src") + lit(i * shift)).as("src"),
+            (col("dst") + lit(i * shift)).as("dst"), col("w")))
+          .reduce(_ unionByName _)
+        val und = ed.unionByName(ed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        val seeds = und.select(col("src").as("node")).distinct().orderBy("node").limit(3)
+        run("weighted_cost", k)(
+          graft.operators.Rank.weightedSeedCost(und, seeds, rounds = 8).count())
+      }
     }
     {
       // disjoint id-shifted co-purchase copies (cohesion-suite convention)
