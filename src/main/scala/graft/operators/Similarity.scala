@@ -816,6 +816,69 @@ object Similarity {
     sel.select("query_id", "mmr_rank", "doc_id", "mmr_ppm")
   }
 
+  /** C138: greedy K-CENTER coreset selection (Gonzalez 1985 farthest-
+    * point traversal — the 2-approximation to metric k-center) — the
+    * COVERAGE-driven data selector next to C74's prototypicality
+    * pruning and C133's MMR: pick k points so every corpus vector is
+    * close to SOME pick ("label these k, they span the space"), by
+    * repeatedly taking the point farthest from everything selected.
+    * The emitted radius sequence is the classic diagnostic: radius at
+    * pick r bounds the optimal r-center covering radius within 2×, and
+    * where it plateaus is the corpus's intrinsic diversity budget.
+    *
+    * Determinism contract: cosine distance floored to integer ppm
+    * (`1000000 − ⌊10⁶·cos⌋` — bit-identical IEEE folds), seed = the
+    * smallest id, argmax ties (distance desc, id asc); every round
+    * replays exactly.
+    *
+    * Scale shape per round: ONE map over the corpus frame (running-min
+    * distance against the new pick's broadcast 1-row vector — no
+    * corpus×selected join, the running min carries the history), one
+    * global top-1 (sort-limit TakeOrdered, no single-task window),
+    * checkpoint lineage cut. k bounded rounds; driver holds only the
+    * current pick row.
+    *
+    * @return (rank 1-based, vec_id, radius_ppm) — radius_ppm is the
+    *         pick's distance to the previously-selected set at
+    *         selection time (0 for the seed by convention);
+    *         non-increasing after rank 2. */
+  def kCenterSelect(corpus: DataFrame, k: Int = 6,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = withNorm(corpus, idCol, vecCol, "id", "v", "nrm").localCheckpoint(true)
+    val seedRow = base.orderBy(col("id").asc).limit(1)
+      .select("id", "v", "nrm").head()
+    var picks = Seq((1L, seedRow.getLong(0), 0L))
+    // the pick rides as a DOUBLE literal array (the C6 hyperplane
+    // convention), so the kernel's float×double accumulation matches the
+    // oracle's cast-to-double folds bit-for-bit
+    var pickVec: Seq[Double] = seedRow.getSeq[Float](1).map(_.toDouble)
+    var pickNorm = seedRow.getDouble(2)
+    var pickId = seedRow.getLong(0)
+    def distTo(vec: Seq[Double], nrm: Double): Column = {
+      val p = typedlit(vec)
+      (lit(1000000L) - floor(lit(1000000.0) *
+        dotProduct(col("v"), p) / (col("nrm") * lit(nrm))))
+    }
+    var dmin = base.withColumn("dmin", distTo(pickVec, pickNorm))
+      .filter(col("id") =!= pickId)
+      .localCheckpoint(true)
+    for (r <- 2L to k.toLong if !dmin.isEmpty) {
+      val next = dmin.orderBy(col("dmin").desc, col("id").asc).limit(1)
+        .select("id", "v", "nrm", "dmin").head()
+      pickId = next.getLong(0)
+      pickVec = next.getSeq[Float](1).map(_.toDouble)
+      pickNorm = next.getDouble(2)
+      picks = picks :+ ((r, pickId, next.getLong(3)))
+      dmin = dmin.filter(col("id") =!= pickId)
+        .withColumn("dmin", least(col("dmin"), distTo(pickVec, pickNorm)))
+        .localCheckpoint(true)
+    }
+    picks.toDF("rank", "vec_id", "radius_ppm")
+  }
+
   /** C130: Johnson–Lindenstrauss RANDOM-PROJECTION reduction — the
     * dimensionality lever in front of the whole ANN family (Achlioptas
     * 2003's database-friendly ±1 form): project d-dim embeddings to r

@@ -1792,6 +1792,16 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C138: greedy k-center coreset selection
+    * ([[graft.operators.Similarity.kCenterSelect]], Gonzalez
+    * farthest-point traversal) — 6 coverage-driven picks over the
+    * embedding corpus with the radius sequence (the 2-approximation
+    * diagnostic of intrinsic corpus diversity). Exact ppm cosine
+    * distances; every greedy round replays bit-for-bit. */
+  def q218KCenter(t: Tables): DataFrame =
+    graft.operators.Similarity.kCenterSelect(t.embeddings, k = 6)
+      .orderBy("rank")
+
   /** C137: weighted shortest paths from seeds
     * ([[graft.operators.Rank.weightedSeedCost]], Bellman–Ford rounds) —
     * the cost-aware upgrade over q183's hop BFS on the co-purchase

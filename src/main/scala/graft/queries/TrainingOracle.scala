@@ -4581,6 +4581,40 @@ object TrainingOracle {
          |FROM fin GROUP BY 1 ORDER BY cost_bucket""".stripMargin
     },
 
+    // C138: greedy k-center — the 5 post-seed farthest-point rounds
+    // unrolled; each round one running-min update against the new pick
+    // plus one (dmin desc, id asc) top-1.
+    "q218_k_center" -> {
+      val dot = "list_reduce(list_transform(list_zip(c.ve, p.ve), " +
+        "s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)"
+      val rounds = (2 to 6).map { r =>
+        val prev = if (r == 2) "dm1" else s"dm${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT vec_id, ve, nrm, dmin FROM $prev
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |dm$r AS MATERIALIZED (
+           |  SELECT c.vec_id, c.ve, c.nrm,
+           |    LEAST(c.dmin, 1000000 - CAST(floor(1000000 * ($dot) / (c.nrm * p.nrm)) AS BIGINT)) AS dmin
+           |  FROM $prev c, p$r p WHERE c.vec_id <> p.vec_id),""".stripMargin
+      }.mkString("\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+         |nn AS (SELECT vec_id, ve, sqrt(list_reduce(list_transform(list_zip(ve, ve), s -> struct_extract(s,1)*struct_extract(s,2)), (x,y) -> x+y)) AS nrm FROM v),
+         |seed AS MATERIALIZED (SELECT vec_id, ve, nrm FROM nn ORDER BY vec_id LIMIT 1),
+         |dm1 AS MATERIALIZED (
+         |  SELECT c.vec_id, c.ve, c.nrm,
+         |    1000000 - CAST(floor(1000000 * (${dot.replace("p.ve", "s.ve")}) / (c.nrm * s.nrm)) AS BIGINT) AS dmin
+         |  FROM nn c, seed s WHERE c.vec_id <> s.vec_id),
+         |$rounds
+         |fin AS (
+         |  SELECT 1::BIGINT AS rank, vec_id, 0::BIGINT AS radius_ppm FROM seed
+         |  UNION ALL SELECT 2, vec_id, dmin FROM p2
+         |  UNION ALL SELECT 3, vec_id, dmin FROM p3
+         |  UNION ALL SELECT 4, vec_id, dmin FROM p4
+         |  UNION ALL SELECT 5, vec_id, dmin FROM p5
+         |  UNION ALL SELECT 6, vec_id, dmin FROM p6)
+         |SELECT rank, vec_id, radius_ppm FROM fin ORDER BY rank""".stripMargin
+    },
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -396,6 +396,35 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------- C138: k-center selection
+
+  test("C138: farthest-point traversal picks one center per planted cluster") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // three orthogonal clusters of near-duplicates
+    val rows = Seq(
+      (1L, v(1.0, 0.01, 0.0)), (2L, v(0.99, 0.02, 0.0)), (3L, v(1.0, 0.0, 0.01)),
+      (10L, v(0.0, 1.0, 0.01)), (11L, v(0.01, 0.99, 0.0)),
+      (20L, v(0.0, 0.01, 1.0)), (21L, v(0.01, 0.0, 0.99)))
+    val got = Similarity.kCenterSelect(rows.toDF("vec_id", "embedding"), k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.head == ((1L, 1L, 0L)), "seed is the smallest id at radius 0")
+    val clusters = got.map(_._2).map(id => id / 10).toSet
+    assert(clusters == Set(0L, 1L, 2L), s"one pick per cluster: ${got.toSeq}")
+    // radius sequence non-increasing after rank 2
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, s"radii: ${radii.toSeq}")
+  }
+
+  test("C138: k larger than the corpus stops cleanly; duplicates get radius 0 last") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq((1L, v(1.0, 0.0)), (2L, v(1.0, 0.0)), (3L, v(0.0, 1.0)))
+    val got = Similarity.kCenterSelect(rows.toDF("vec_id", "embedding"), k = 10)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 3, s"stops at corpus size: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L), "farthest first, duplicate last")
+    assert(got(2)._3 == 0L, "the exact duplicate is picked at radius 0")
+  }
+
   // ---------------------------------------- C133: MMR re-ranking
 
   test("C133: MMR demotes the near-duplicate twin that plain top-k ranks second") {
