@@ -1792,6 +1792,21 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C139: frequent-pair association rules
+    * ([[graft.operators.Associations.pairRules]]) — market-basket
+    * mining over order baskets: support/confidence/lift in exact
+    * integers with apriori pruning before the pair join. Top-20 rules
+    * by (lift, conf, antecedent, consequent) under a total order. */
+  def q219AssociationRules(t: Tables): DataFrame = {
+    val baskets = t.lineitem.select(col("l_orderkey").as("basket"),
+      col("l_partkey").as("item"))
+    graft.operators.Associations.pairRules(baskets, "basket", "item",
+        minSupport = 3L, minConfPm = 0L)
+      .orderBy(col("lift_pm").desc, col("conf_ppm").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(20)
+  }
+
   /** C138: greedy k-center coreset selection
     * ([[graft.operators.Similarity.kCenterSelect]], Gonzalez
     * farthest-point traversal) — 6 coverage-driven picks over the

@@ -4615,6 +4615,38 @@ object TrainingOracle {
          |SELECT rank, vec_id, radius_ppm FROM fin ORDER BY rank""".stripMargin
     },
 
+    // C139: association rules — apriori-pruned pair counts, both rule
+    // directions, exact integer support/confidence/lift.
+    "q219_association_rules" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT basket)::BIGINT AS n_baskets FROM b),
+        |ic AS MATERIALIZED (SELECT item, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |freq AS (SELECT item, cnt FROM ic WHERE cnt >= 3),
+        |fb AS MATERIALIZED (
+        |  SELECT b.basket, b.item FROM b JOIN freq USING (item)),
+        |pairs AS MATERIALIZED (
+        |  SELECT x.item AS ia, y.item AS ib, COUNT(*)::BIGINT AS pair_n
+        |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |rules AS (
+        |  SELECT ia AS antecedent, ib AS consequent, pair_n FROM pairs
+        |  UNION ALL SELECT ib, ia, pair_n FROM pairs),
+        |fin AS (
+        |  SELECT r.antecedent, r.consequent, r.pair_n,
+        |    fa.cnt AS ante_n, fc.cnt AS cons_n,
+        |    1000000 * r.pair_n // n_baskets AS support_ppm,
+        |    1000000 * r.pair_n // fa.cnt AS conf_ppm,
+        |    (1000::HUGEINT * r.pair_n * n_baskets // (fa.cnt::HUGEINT * fc.cnt))::BIGINT AS lift_pm
+        |  FROM rules r
+        |  JOIN freq fa ON fa.item = r.antecedent
+        |  JOIN freq fc ON fc.item = r.consequent, n)
+        |SELECT antecedent, consequent, pair_n, ante_n, cons_n,
+        |       support_ppm, conf_ppm, lift_pm
+        |FROM fin
+        |ORDER BY lift_pm DESC, conf_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->
