@@ -945,6 +945,67 @@ object Dedup {
     * @param minJPm Jaccard threshold in per-mille (e.g. 500 = 0.5).
     * @return (doc_a, doc_b, common, n_a, n_b, j_pm), doc_a < doc_b,
     *         j_pm ≥ minJPm — exactly the brute-force answer. */
+  /** C140: WINNOWING fingerprints + shared-fingerprint pairs (Schleimer,
+    * Wilkerson & Aiken SIGMOD 2003 — the MOSS algorithm): the
+    * GUARANTEED-coverage local fingerprinting the single rolling hash
+    * (C11) and fixed-stride shingles lack — selecting the minimum hash
+    * in every window of `w` consecutive character-`k`-gram hashes
+    * (ties to the RIGHTMOST position, the paper's rule) guarantees any
+    * shared substring of length ≥ `k + w − 1` yields at least one
+    * SHARED fingerprint, while keeping density ~2/(w+1). The
+    * plagiarism/excerpt detector at character granularity.
+    *
+    * Determinism contract: unsigned xxhash64 gram hashes in
+    * DECIMAL(38,0); the (hash, rightmost-pos) argmin is packed into one
+    * decimal key `hu·2²⁰ + (2²⁰−1−pos)` so a plain MIN over a RANGE
+    * frame selects it (documents are capped at 2²⁰ grams — beyond that,
+    * split first; the require below enforces it implicitly through pos
+    * arithmetic). Both engines replay the pipeline value-for-value.
+    *
+    * Scale shape: one gram explode (prefilterable by doc length), one
+    * per-doc RANGE-frame window min (partitions = documents), distinct
+    * selected fingerprints (~2N/w rows — the winnowing density bound),
+    * then a fingerprint-equality self-join for pairs — bucketed by
+    * hash value, never all-pairs.
+    *
+    * @return (doc_a, doc_b, shared) — documents sharing ≥ `minShared`
+    *         selected fingerprints, doc_a < doc_b. */
+  def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 16, minShared: Long = 3L,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2 && w >= 2 && minShared >= 1)
+    val U64 = "18446744073709551616"
+    val grams = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
+        .as(Seq("pos", "g")))
+    val hashed = grams.select(col("id"), col("pos").cast("long").as("pos"),
+      when(xxhash64(col("g")) < 0,
+          xxhash64(col("g")).cast("decimal(38,0)") + expr(s"CAST($U64 AS DECIMAL(38,0))"))
+        .otherwise(xxhash64(col("g")).cast("decimal(38,0)")).as("hu"))
+    import org.apache.spark.sql.expressions.Window
+    val keyed = hashed.withColumn("key",
+      expr("hu * 1048576 + (1048575 - pos)"))
+    val nGrams = Window.partitionBy("id")
+    val winMin = keyed
+      .withColumn("__max_pos", max("pos").over(nGrams))
+      .withColumn("sel", min("key").over(
+        Window.partitionBy("id").orderBy(col("pos")).rangeBetween(0, w - 1)))
+      .filter(col("pos") <= col("__max_pos") - (w - 1)) // full windows only
+      .select(col("id"), expr("sel div 1048576").as("fp"),
+        expr("1048575 - (sel % 1048576)").as("fp_pos"))
+      .distinct()
+    // shared counts DISTINCT fingerprint values (one value may be
+    // selected at several positions within a document)
+    val byFp = winMin.select("id", "fp").distinct()
+    byFp.as("a").join(byFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   def exactJaccardJoin(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                        n: Int = 3, minJPm: Long = 500L): DataFrame = {
     require(n >= 1 && minJPm >= 1 && minJPm <= 1000)

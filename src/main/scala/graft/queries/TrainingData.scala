@@ -1792,6 +1792,17 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C140: winnowing fingerprints + shared-fingerprint pairs
+    * ([[graft.operators.Dedup.winnowingPairs]], the MOSS algorithm) —
+    * guaranteed-coverage local fingerprints: window-min character-gram
+    * hashes (rightmost ties) so any shared substring ≥ k+w−1 chars
+    * yields a shared fingerprint at ~2/(w+1) density. Pairs sharing
+    * ≥3 selected fingerprints, total order. */
+  def q220Winnowing(t: Tables): DataFrame =
+    graft.operators.Dedup.winnowingPairs(t.documents, k = 8, w = 16, minShared = 3L)
+      .orderBy(col("shared").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(30)
+
   /** C139: frequent-pair association rules
     * ([[graft.operators.Associations.pairRules]]) — market-basket
     * mining over order baskets: support/confidence/lift in exact

@@ -4647,6 +4647,34 @@ object TrainingOracle {
         |ORDER BY lift_pm DESC, conf_ppm DESC, antecedent, consequent
         |LIMIT 20""".stripMargin,
 
+    // C140: winnowing — char-8-gram xx hashes through the macro chain,
+    // packed (hash, rightmost-pos) keys, RANGE-frame window mins over
+    // full windows only, distinct selected values, pair counts.
+    "q220_winnowing" -> (xxMacros +
+      s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE length(text) >= 23),
+        |tok AS MATERIALIZED (
+        |  SELECT id, (i - 1)::BIGINT AS pos, substring(text, i, 8) AS tok
+        |  FROM d, unnest(range(1, length(text) - 6)) AS t(i)),
+        |${xxTokenHashChain("id, pos")},
+        |keyed AS MATERIALIZED (
+        |  SELECT id, pos, hu * 1048576::HUGEINT + (1048575 - pos)::HUGEINT AS key FROM tokh),
+        |mx AS (SELECT id, MAX(pos) AS max_pos FROM keyed GROUP BY 1),
+        |wm AS (
+        |  SELECT id, pos, MIN(key) OVER (
+        |    PARTITION BY id ORDER BY pos
+        |    RANGE BETWEEN CURRENT ROW AND 15 FOLLOWING) AS sel
+        |  FROM keyed),
+        |selfp AS MATERIALIZED (
+        |  SELECT DISTINCT w.id, w.sel // 1048576::HUGEINT AS fp
+        |  FROM wm w JOIN mx ON mx.id = w.id
+        |  WHERE w.pos <= mx.max_pos - 15),
+        |pr AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*)::BIGINT AS shared
+        |  FROM selfp a JOIN selfp b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT doc_a, doc_b, shared FROM pr
+        |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

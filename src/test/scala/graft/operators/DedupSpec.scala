@@ -497,6 +497,47 @@ class DedupSpec extends SparkSuite {
         s"${best.rowsPerBand} <= ${strict.rowsPerBand}")
   }
 
+  // C140: winnowing — the coverage guarantee and the density bound.
+
+  test("C140: any shared substring of length >= k+w-1 yields a shared fingerprint") {
+    val k = 8; val w = 16
+    val shared = "The quick brown fox jumps over the lazy dog today" // 50 chars > k+w-1
+    val rnd = new scala.util.Random(61)
+    def noise(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = Seq(
+      (1L, noise(40) + shared + noise(40)),
+      (2L, noise(60) + shared),
+      (3L, shared + noise(55)),
+      (4L, noise(120))) // no shared block
+    val got = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), k = k, w = w, minShared = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"guarantee violated: $got")
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)) && !got.contains((3L, 4L)),
+      s"random noise must not share fingerprints at chance level k=8: $got")
+  }
+
+  test("C140: identical documents share every fingerprint; density ~2/(w+1)") {
+    val text = ("spark shuffles the partitions while the optimizer prunes columns " * 4).trim
+    val rows = Seq((1L, text), (2L, text))
+    val got = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val shared = got.head._3
+    val nGrams = text.length - 7
+    // density: selected distinct values ≤ selected positions ~ 2n/(w+1),
+    // and at least n/w windows exist so at least a handful are selected
+    assert(shared >= nGrams / 16 / 2, s"too few fingerprints: $shared of $nGrams grams")
+    assert(shared <= 2 * nGrams / 17 + 8, s"density bound broken: $shared of $nGrams grams")
+  }
+
+  test("C140: too-short documents produce nothing instead of failing") {
+    val rows = Seq((1L, "tiny"), (2L, "a b"), (3L, "x" * 30), (4L, "x" * 30))
+    val got = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((3L, 4L)), s"$got")
+  }
+
   // C125: exact prefix-filtered Jaccard join — equality with brute force
   // is the contract (no false negatives from the prefix filter, no false
   // positives from candidate generation).
