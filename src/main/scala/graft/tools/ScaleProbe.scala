@@ -534,6 +534,27 @@ object ScaleProbe {
       run("prf_expansion", k)(
         graft.operators.Search.prfExpandedBm25(docs, Seq(
           1 -> "spark join agg", 2 -> "slow scan table"), f = 5, e = 3).count())
+      // winnowing: gram explode + per-doc range window + fp-equality join;
+      // amplified copies are exact dups, so pair output grows ~k²
+      run("winnowing", k)(
+        graft.operators.Dedup.winnowingPairs(docs, minShared = 3L).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val li = amplify(t.lineitem, "l_orderkey", k)
+      run("assoc_rules", k)(
+        graft.operators.Associations.pairRules(
+          li.select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+          "basket", "item", minSupport = 3L).count())
+    }
+    {
+      val emb = t.embeddings
+      for (k <- Seq(1, 4, 16)) {
+        val ed = (0 until k).map(i => emb.select(
+            (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        run("k_center", k)(
+          graft.operators.Similarity.kCenterSelect(ed, k = 6).count())
+      }
     }
     {
       // weighted SSSP on disjoint co-purchase copies with inverse-count costs
