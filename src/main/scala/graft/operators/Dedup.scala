@@ -970,9 +970,12 @@ object Dedup {
     *
     * @return (doc_a, doc_b, shared) — documents sharing ≥ `minShared`
     *         selected fingerprints, doc_a < doc_b. */
-  def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 16, minShared: Long = 3L,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k >= 2 && w >= 2 && minShared >= 1)
+  /** The selected winnowing fingerprints themselves — distinct values
+    * per document (the persistable index rows D34's streaming ingest
+    * appends and probes). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2 && w >= 2)
     val U64 = "18446744073709551616"
     val grams = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -987,18 +990,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val keyed = hashed.withColumn("key",
       expr("hu * 1048576 + (1048575 - pos)"))
-    val nGrams = Window.partitionBy("id")
-    val winMin = keyed
-      .withColumn("__max_pos", max("pos").over(nGrams))
+    keyed
+      .withColumn("__max_pos", max("pos").over(Window.partitionBy("id")))
       .withColumn("sel", min("key").over(
         Window.partitionBy("id").orderBy(col("pos")).rangeBetween(0, w - 1)))
       .filter(col("pos") <= col("__max_pos") - (w - 1)) // full windows only
-      .select(col("id"), expr("sel div 1048576").as("fp"),
-        expr("1048575 - (sel % 1048576)").as("fp_pos"))
+      // shared counts DISTINCT fingerprint values (one value may be
+      // selected at several positions within a document)
+      .select(col("id"), expr("sel div 1048576").as("fp"))
       .distinct()
-    // shared counts DISTINCT fingerprint values (one value may be
-    // selected at several positions within a document)
-    val byFp = winMin.select("id", "fp").distinct()
+  }
+
+  def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 16, minShared: Long = 3L,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1)
+    val byFp = winnowFingerprints(docs, k, w, textCol, idCol)
     byFp.as("a").join(byFp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))

@@ -1437,6 +1437,64 @@ object EventStreams {
   def driftHistory(spark: SparkSession, reportRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
 
+  /** D34: continuous WINNOWING excerpt detection on ingest — the
+    * streaming face of C140 and the character-granular companion to
+    * D13's shingle-band dedup ingest: every document micro-batch's
+    * winnowing fingerprints (guaranteed to witness any shared substring
+    * ≥ k+w−1 chars) probe the persisted fingerprint index for excerpt
+    * overlap against EVERYTHING already ingested, then append as the
+    * batch's own index slice — so a lifted paragraph is caught however
+    * many batches apart the source and the copy arrive, at per-ingest
+    * cost independent of corpus size (the C27 property).
+    *
+    * Exactly-once via the D13 discipline: fingerprint slices and match
+    * outputs are batchId-versioned with a done-marker written LAST; a
+    * replayed batch sees its marker and skips, and a crash between
+    * slices and marker re-probes only PRIOR slices (its own
+    * half-written version excluded), overwriting idempotently. */
+  def winnowIngest(docs: DataFrame, indexRoot: String, matchesDir: String,
+                   checkpointDir: String, k: Int = 8, w: Int = 16,
+                   minShared: Long = 3L): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexRoot/_done_v$batchId")
+        if (!fs.exists(marker)) {
+          val fresh = graft.operators.Dedup
+            .winnowFingerprints(batch.toDF(), k, w)
+          val priorDirs = {
+            val root = new org.apache.hadoop.fs.Path(s"$indexRoot/fps")
+            if (!fs.exists(root)) Seq.empty[String]
+            else fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName != s"v$batchId")
+              .map(_.getPath.toString)
+          }
+          if (priorDirs.nonEmpty) {
+            val idx = spark.read.parquet(priorDirs: _*)
+              .select(col("id").as("corpus_id"), col("fp"))
+            fresh.select(col("id").as("new_id"), col("fp"))
+              .join(idx, "fp")
+              .groupBy("new_id", "corpus_id")
+              .agg(count(lit(1)).as("shared"))
+              .filter(col("shared") >= minShared)
+              .write.mode("overwrite").parquet(s"$matchesDir/v$batchId")
+          }
+          fresh.write.mode("overwrite").parquet(s"$indexRoot/fps/v$batchId")
+          fs.create(marker, true).close() // publish: batch fully applied
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Excerpt matches found by [[winnowIngest]], all batches. */
+  def winnowMatches(spark: SparkSession, matchesDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(matchesDir)
+
   /** D32: continuously-maintained RETRIEVAL INDEX — the streaming face
     * of C38's inverted index and C126's BM25 scorer, which is how a
     * search index actually runs over an ingest stream: each document

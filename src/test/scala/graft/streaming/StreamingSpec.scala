@@ -1084,6 +1084,46 @@ class StreamingSpec extends SparkSuite {
     assert(again == oneShot)
   }
 
+  test("D34: streaming winnowing ingest catches cross-batch excerpts; within-batch stays out") {
+    val shared = "The quick brown fox jumps over the lazy dog again and again"
+    def noise(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed); Seq.fill(n)(('a' + r.nextInt(26)).toChar).mkString
+    }
+    val b1 = Seq((1L, noise(1, 50) + shared), (2L, noise(2, 120)))
+    val b2 = Seq((10L, noise(3, 140)), (11L, noise(4, 30) + shared + noise(5, 30)))
+    val b3 = Seq((20L, shared + noise(6, 60)), (21L, noise(4, 30) + shared + noise(5, 30)))
+    val in = Files.createTempDirectory("graft-win-in").toString
+    val idx = Files.createTempDirectory("graft-win-idx").toString
+    val out = Files.createTempDirectory("graft-win-out").toString
+    val ckpt = Files.createTempDirectory("graft-win-ckpt").toString
+    def push(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.winnowIngest(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+      idx, out, ckpt, minShared = 1L)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    val matches = EventStreams.winnowMatches(spark, out)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // doc 11 (batch 2) lifted the excerpt from doc 1 (batch 1)
+    assert(matches.contains((11L, 1L)), s"cross-batch excerpt missed: $matches")
+    // docs 20/21 (batch 3) match both earlier carriers, two batches apart
+    assert(matches.contains((20L, 1L)) && matches.contains((20L, 11L)), s"$matches")
+    assert(matches.contains((21L, 1L)) && matches.contains((21L, 11L)), s"$matches")
+    // noise-only docs never match
+    assert(!matches.exists(p => p._1 == 10L || p._2 == 10L || p._1 == 2L || p._2 == 2L))
+    // within-batch pairs are not this operator's job (20 vs 21 same batch)
+    assert(!matches.contains((21L, 20L)) && !matches.contains((20L, 21L)))
+
+    // replay: nothing double-applies
+    val n = EventStreams.winnowMatches(spark, out).count()
+    runOnce()
+    assert(EventStreams.winnowMatches(spark, out).count() == n)
+  }
+
   test("D33: maintained KMV sketches equal the one-shot build bit-for-bit after 3 batches") {
     // three batches over two slices with overlap across batches
     val b1 = (0 until 300).map(i => ("A", s"v$i")) ++ (0 until 150).map(i => ("B", s"w$i"))
