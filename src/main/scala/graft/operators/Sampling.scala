@@ -396,4 +396,46 @@ object Sampling {
       .select(col(idCol), col("domain"), col("n_tokens"),
         col("epochs_full"), col("partial"), col("n_copies"))
   }
+
+  /** C143: 2-criteria PARETO-FRONT (skyline) selection — the
+    * multi-objective complement of the single-score selectors
+    * (selectUntilBudget ranks by ONE priority; k-center/MMR optimize
+    * coverage/diversity): keep exactly the rows no other row beats on
+    * BOTH axes ("you cannot get more of x without giving up y") — the
+    * efficient frontier a curation policy picks from when two quality
+    * signals genuinely conflict (length vs lexical diversity, quality
+    * vs recency).
+    *
+    * Semantics (maximize both): a row is dominated iff some row has
+    * x' ≥ x AND y' ≥ y with at least one strict; ties ON THE FRONT
+    * survive together (equal points never dominate each other).
+    *
+    * Scale shape — the Zipf/equi-depth two-level discipline: the corpus
+    * collapses to the DISTINCT-X frame (one map-side-partial max(y) per
+    * x — sized by the x value domain, not the corpus), the running
+    * strictly-greater-x maximum runs on that frame alone (the one
+    * single-task window, value-domain-bounded by design), and the
+    * verdict broadcast-joins back so rows never sort globally. Front
+    * membership is then pure per-row arithmetic:
+    * on-front ⇔ y == max_y(x) AND y > cummax_y(x' > x).
+    *
+    * @param df one row per candidate.
+    * @return the input rows on the front, plus (__x, __y) used. */
+  def paretoFront(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__x", xCol.cast("long"))
+      .withColumn("__y", yCol.cast("long"))
+    val byX = base.groupBy("__x").agg(max(col("__y")).as("__my"))
+    val wDesc = w.partitionBy(lit(1)).orderBy(col("__x").desc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val verdict = byX
+      .withColumn("__cm", max(col("__my")).over(wDesc))
+      // an x level survives iff its best y strictly beats every best y
+      // at strictly larger x — otherwise the whole level is dominated
+      .filter(col("__cm").isNull || col("__my") > col("__cm"))
+      .select(col("__x"), col("__my"))
+    base.join(broadcast(verdict), Seq("__x"))
+      .filter(col("__y") === col("__my"))
+      .drop("__my")
+  }
 }

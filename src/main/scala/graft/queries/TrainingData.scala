@@ -1792,6 +1792,49 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C143: Pareto-front multi-objective selection
+    * ([[graft.operators.Sampling.paretoFront]]) — the efficient
+    * frontier over two genuinely conflicting document signals (length
+    * vs lexical diversity: longer docs repeat more): the docs no other
+    * doc beats on both axes, i.e. the set a curation policy trades
+    * along. Exact integers (diversity in per-mille), two-level
+    * distinct-x kernel, brute-force domination oracle. */
+  def q223ParetoFront(t: Tables): DataFrame = {
+    val scored = t.documents
+      .withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__nd", size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("div_pm", expr("1000 * __nd div __nt"))
+    graft.operators.Sampling.paretoFront(scored, col("n_chars"), col("div_pm"))
+      .select(col("doc_id"), col("__x").as("x"), col("__y").as("y"))
+      .orderBy("doc_id")
+  }
+
+  /** C142: per-feature mutual information vs the label
+    * ([[graft.operators.Dependence.mutualInfo]]) — the leakage/feature-
+    * relevance profile: for each of the first 8 embedding dimensions,
+    * I(sign(dim); label) in exact q10 bits with min-entropy
+    * normalization — "which dimensions carry label signal" before
+    * anyone trains on a leaked column. One stacked pass, cell-frame
+    * arithmetic. */
+  def q222MutualInfo(t: Tables): DataFrame = {
+    val stacked = t.embeddings
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+      .select((col("pos") + 1).as("feature"),
+        when(col("col") >= lit(0.0f), 1).otherwise(0).as("x"),
+        col("label").as("y"))
+    graft.operators.Dependence.mutualInfo(stacked,
+        col("feature"), col("x"), col("y"))
+      .orderBy("feature")
+  }
+
+  /** C141: chi-square contingency independence audit
+    * ([[graft.operators.Dependence.chiSquare]]) — "is the language mix
+    * independent of the source?" over the documents corpus: χ² and
+    * Cramér's V² per-million in exact per-cell-truncating integers,
+    * plus the worst (most dependence-carrying) lang×source cell. */
+  def q221ChiSquare(t: Tables): DataFrame =
+    graft.operators.Dependence.chiSquare(t.documents, col("lang"), col("source"))
+
   /** C140: winnowing fingerprints + shared-fingerprint pairs
     * ([[graft.operators.Dedup.winnowingPairs]], the MOSS algorithm) —
     * guaranteed-coverage local fingerprints: window-min character-gram

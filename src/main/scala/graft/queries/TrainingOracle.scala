@@ -4675,6 +4675,113 @@ object TrainingOracle {
         |SELECT doc_a, doc_b, shared FROM pr
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
 
+    // C141: chi-square contingency independence — dense margin×margin
+    // grid, per-cell (o·N − r·c)²·10⁶ // (N·r·c) in HUGEINT (trunc ≡
+    // Spark div on the non-negative terms), worst-cell pick, V² ppm.
+    "q221_chi_square" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang::VARCHAR AS x, source::VARCHAR AS y, COUNT(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT x, SUM(o)::BIGINT AS r FROM cells GROUP BY 1),
+        |cm AS (SELECT y, SUM(o)::BIGINT AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT SUM(o)::BIGINT AS n, COUNT(DISTINCT x)::BIGINT AS xl,
+        |              COUNT(DISTINCT y)::BIGINT AS yl FROM cells),
+        |grid AS MATERIALIZED (
+        |  SELECT rm.x, cm.y, rm.r, cm.c, nt.n, nt.xl, nt.yl,
+        |         COALESCE(cells.o, 0)::BIGINT AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y, nt),
+        |terms AS (
+        |  SELECT *, ((o::HUGEINT * n - r::HUGEINT * c)
+        |           * (o::HUGEINT * n - r::HUGEINT * c) * 1000000
+        |           // (n::HUGEINT * r * c)) AS term_ppm
+        |  FROM grid),
+        |pick AS (
+        |  SELECT *, row_number() OVER (ORDER BY term_ppm DESC, x, y) AS rk
+        |  FROM terms)
+        |SELECT MAX(n) AS n_rows, MAX(xl) AS x_levels, MAX(yl) AS y_levels,
+        |  ((MAX(xl) - 1) * (MAX(yl) - 1))::BIGINT AS dof,
+        |  SUM(term_ppm)::BIGINT AS chi2_ppm,
+        |  CASE WHEN MAX(xl) > 1 AND MAX(yl) > 1 THEN
+        |    (SUM(term_ppm) // (MAX(n)::HUGEINT * least(MAX(xl) - 1, MAX(yl) - 1)))::BIGINT
+        |  END AS v2_ppm,
+        |  MAX(CASE WHEN rk = 1 THEN x END) AS worst_x,
+        |  MAX(CASE WHEN rk = 1 THEN y END) AS worst_y,
+        |  MAX(CASE WHEN rk = 1 THEN term_ppm END)::BIGINT AS worst_term_ppm
+        |FROM pick""".stripMargin,
+
+    // C142: per-feature mutual information — the q211 staged-l2 recipe
+    // over the stacked (feature, sign(dim), label) frame: cell/margin/
+    // total counts through the fixed-point l2 chain, HUGEINT sums,
+    // trunc-toward-zero divisions matching Spark div.
+    "q222_mutual_info" ->
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT g.i::BIGINT AS f,
+         |         CASE WHEN embedding[g.i] >= 0 THEN '1' ELSE '0' END AS xc,
+         |         label::VARCHAR AS yc
+         |  FROM embeddings, unnest(range(1, 9)) AS g(i)),
+         |cells AS MATERIALIZED (
+         |  SELECT f, xc, yc, COUNT(*)::BIGINT AS o FROM st GROUP BY 1, 2, 3),
+         |rm AS MATERIALIZED (SELECT f, xc, SUM(o)::BIGINT AS r FROM cells GROUP BY 1, 2),
+         |cm AS MATERIALIZED (SELECT f, yc, SUM(o)::BIGINT AS c FROM cells GROUP BY 1, 2),
+         |nt AS MATERIALIZED (SELECT f, SUM(o)::BIGINT AS n FROM cells GROUP BY 1),
+         |l2in AS (
+         |  SELECT 'o' AS kind, f, xc, yc, o AS x FROM cells
+         |  UNION ALL SELECT 'r', f, xc, '', r FROM rm
+         |  UNION ALL SELECT 'c', f, '', yc, c FROM cm
+         |  UNION ALL SELECT 'n', f, '', '', n FROM nt),
+         |${l2Stages("l2in", "kind, f, xc, yc")},
+         |terms AS (
+         |  SELECT cells.f, cells.o,
+         |         lo.l2 AS l2o, lr.l2 AS l2r, lc.l2 AS l2c, ln.l2 AS l2n
+         |  FROM cells
+         |  JOIN lg lo ON lo.kind = 'o' AND lo.f = cells.f
+         |            AND lo.xc = cells.xc AND lo.yc = cells.yc
+         |  JOIN lg lr ON lr.kind = 'r' AND lr.f = cells.f AND lr.xc = cells.xc
+         |  JOIN lg lc ON lc.kind = 'c' AND lc.f = cells.f AND lc.yc = cells.yc
+         |  JOIN lg ln ON ln.kind = 'n' AND ln.f = cells.f),
+         |ag AS (
+         |  SELECT f, SUM(o * ((l2o + l2n) - (l2r + l2c)))::HUGEINT AS smi
+         |  FROM terms GROUP BY 1),
+         |xl AS (SELECT f, COUNT(*)::BIGINT AS x_levels FROM rm GROUP BY 1),
+         |yl AS (SELECT f, COUNT(*)::BIGINT AS y_levels FROM cm GROUP BY 1),
+         |hx AS (
+         |  SELECT rm.f, SUM(r * (ln.l2 - lr.l2))::HUGEINT AS shx
+         |  FROM rm
+         |  JOIN lg lr ON lr.kind = 'r' AND lr.f = rm.f AND lr.xc = rm.xc
+         |  JOIN lg ln ON ln.kind = 'n' AND ln.f = rm.f
+         |  GROUP BY 1),
+         |hy AS (
+         |  SELECT cm.f, SUM(c * (ln.l2 - lc.l2))::HUGEINT AS shy
+         |  FROM cm
+         |  JOIN lg lc ON lc.kind = 'c' AND lc.f = cm.f AND lc.yc = cm.yc
+         |  JOIN lg ln ON ln.kind = 'n' AND ln.f = cm.f
+         |  GROUP BY 1)
+         |SELECT ag.f AS feature, nt.n AS n_rows, xl.x_levels, yl.y_levels,
+         |  (smi // nt.n::HUGEINT)::BIGINT AS mi_q10,
+         |  (shx // nt.n::HUGEINT)::BIGINT AS hx_q10,
+         |  (shy // nt.n::HUGEINT)::BIGINT AS hy_q10,
+         |  CASE WHEN least(shx, shy) > 0
+         |    THEN (1000 * smi // least(shx, shy))::BIGINT END AS nmi_pm
+         |FROM ag JOIN nt ON nt.f = ag.f JOIN xl ON xl.f = ag.f
+         |JOIN yl ON yl.f = ag.f JOIN hx ON hx.f = ag.f JOIN hy ON hy.f = ag.f
+         |ORDER BY feature""".stripMargin,
+
+    // C143: Pareto front — the brute-force domination test (a DIFFERENT
+    // formulation than Spark's two-level distinct-x kernel: NOT EXISTS a
+    // row weakly better on both axes and strictly on one).
+    "q223_pareto_front" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, n_chars::BIGINT AS x,
+        |    (1000 * len(list_distinct(string_split(text, ' ')))
+        |     // len(string_split(text, ' ')))::BIGINT AS y
+        |  FROM documents)
+        |SELECT p.doc_id, p.x, p.y FROM d p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY p.doc_id""".stripMargin,
+
     // C85: Zipf rank-frequency profile — term counts, then the
     // distinct-frequency frame with closed-form global rank runs.
     "q161_zipf_profile" ->

@@ -1620,6 +1620,68 @@ object EventStreams {
   def kmvPairsFromState(spark: SparkSession, stateRoot: String, k: Int = 256): DataFrame =
     graft.operators.Sketches.kmvPairs(kmvState(spark, stateRoot), k)
 
+  /** D35: continuously-maintained CONTINGENCY state + chi-square
+    * dependence monitor — the streaming face of C141, and the
+    * categorical member of the drift-monitor family (D23 score buckets,
+    * D27 binned TVD, D29 KS, D30 CUSUM watch ONE metric's distribution;
+    * this watches whether two categorical columns STAY independent —
+    * "has the language mix drifted into source-dependence?").
+    *
+    * Cell counts are ADDITIVE, so the maintained (x, y, o) frame is
+    * exactly the one-shot contingency table of all data so far (the D33
+    * closure argument with + in place of union-and-cut — spec-pinned
+    * equal to the batch build); each published version re-prices
+    * [[graft.operators.Dependence.chiSquareFromCells]] from the
+    * category-domain-sized cell frame ALONE — history is never
+    * rescanned — and appends (batch_id, chi2_ppm, v2_ppm, …) as a
+    * versioned dependence history whose V² trajectory is the alarm
+    * signal. Exactly-once via the D12/D29 pointer-flip discipline
+    * (report written idempotently under its version BEFORE the pointer
+    * flips; replayed batches skip on the pointer). */
+  def dependenceMonitor(rows: DataFrame, xCol: String, yCol: String,
+                        stateRoot: String, reportRoot: String,
+                        checkpointDir: String): Unit = {
+    val q = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val fresh = batch.toDF()
+            .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+            .groupBy("x", "y").agg(count(lit(1)).as("o"))
+          val merged = prev match {
+            case Some(p) => fresh
+              .join(spark.read.parquet(p).withColumnRenamed("o", "prev_o"),
+                Seq("x", "y"), "full_outer")
+              .select(col("x"), col("y"),
+                (coalesce(col("o"), lit(0L)) + coalesce(col("prev_o"), lit(0L))).as("o"))
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          graft.operators.Dependence.chiSquareFromCells(
+              spark.read.parquet(target))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained contingency cells of [[dependenceMonitor]]. */
+  def dependenceState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Versioned dependence history of [[dependenceMonitor]], all batches. */
+  def dependenceHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   /** BM25 top-k from the MAINTAINED index — same kernel, same exact
     * integers as the one-shot [[graft.operators.Search.bm25TopK]]; reads
     * only postings slices at or below the published pointer version. */

@@ -1164,4 +1164,55 @@ class StreamingSpec extends SparkSuite {
     runOnce()
     assert(norm(EventStreams.kmvState(spark, state)) == oneShot)
   }
+
+  test("D35: maintained contingency chi-square equals the one-shot per version; replay-safe") {
+    // three batches; dependence strengthens over time: batch 1 is an
+    // exact product table (chi2 = 0), batches 2-3 pile mass onto the
+    // diagonal so V² must strictly rise version over version
+    val b1 = for (x <- 0 until 2; y <- 0 until 2; _ <- 0 until 25) yield (s"x$x", s"y$y")
+    val b2 = Seq.fill(60)(("x0", "y0")) ++ Seq.fill(10)(("x1", "y1"))
+    val b3 = Seq.fill(80)(("x1", "y1"))
+    val in = Files.createTempDirectory("graft-dep-in").toString
+    val state = Files.createTempDirectory("graft-dep-state").toString
+    val rep = Files.createTempDirectory("graft-dep-rep").toString
+    val ckpt = Files.createTempDirectory("graft-dep-ckpt").toString
+    def push(rows: Seq[(String, String)]): Unit =
+      rows.toDF("lang", "src").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.dependenceMonitor(
+      spark.readStream.schema("lang STRING, src STRING").parquet(in),
+      "lang", "src", state, rep, ckpt)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    // maintained cells == the one-shot contingency of everything so far
+    val cells = EventStreams.dependenceState(spark, state)
+      .as[(String, String, Long)].collect().toSet
+    val all = b1 ++ b2 ++ b3
+    val expect = all.groupBy(identity).map { case ((x, y), v) => (x, y, v.size.toLong) }.toSet
+    assert(cells == expect, "additivity: maintained cells == one-shot counts")
+
+    // every version's report equals chiSquare over that prefix
+    val hist = EventStreams.dependenceHistory(spark, rep)
+      .select("batch_id", "n_rows", "chi2_ppm", "v2_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(hist.length == 3)
+    val prefixes = Seq(b1, b1 ++ b2, all)
+    for (((bid, n, chi2, v2), pre) <- hist.zip(prefixes)) {
+      val direct = graft.operators.Dependence.chiSquare(
+          pre.toDF("a", "b"), col("a"), col("b"))
+        .select("n_rows", "chi2_ppm", "v2_ppm").as[(Long, Long, Long)].head()
+      assert((n, chi2, v2) == direct, s"version $bid equals one-shot over its prefix")
+    }
+    assert(hist(0)._3 == 0L, "product-structured batch 1 scores exactly 0")
+    assert(hist(0)._4 < hist(1)._4 && hist(1)._4 < hist(2)._4,
+      "V² strictly rises as diagonal mass accumulates")
+
+    // replay with the same checkpoint: no new version, state unchanged
+    runOnce()
+    assert(EventStreams.dependenceHistory(spark, rep).count() == 3)
+    assert(EventStreams.dependenceState(spark, state)
+      .as[(String, String, Long)].collect().toSet == expect)
+  }
 }
