@@ -1819,7 +1819,7 @@ object TrainingData {
   def q222MutualInfo(t: Tables): DataFrame = {
     val stacked = t.embeddings
       .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
-      .select((col("pos") + 1).as("feature"),
+      .select((col("pos") + 1).cast("long").as("feature"),
         when(col("col") >= lit(0.0f), 1).otherwise(0).as("x"),
         col("label").as("y"))
     graft.operators.Dependence.mutualInfo(stacked,

@@ -599,6 +599,30 @@ object ScaleProbe {
         }
       }
     }
+    for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      run("chi_square", k)(
+        graft.operators.Dependence.chiSquare(docs, col("lang"), col("source")).count())
+      run("pareto_front", k) {
+        val scored = docs
+          .withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+          .withColumn("__nd", size(array_distinct(split(col("text"), " "))).cast("long"))
+          .withColumn("div_pm", expr("1000 * __nd div __nt"))
+        Sampling.paretoFront(scored, col("n_chars"), col("div_pm")).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      run("mutual_info", k) {
+        val stacked = emb
+          .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+          .select((col("pos") + 1).cast("long").as("feature"),
+            when(col("col") >= lit(0.0f), 1).otherwise(0).as("x"),
+            col("label").as("y"))
+        graft.operators.Dependence.mutualInfo(stacked,
+          col("feature"), col("x"), col("y")).count()
+      }
+    }
     spark.stop()
   }
 }
