@@ -485,6 +485,18 @@ object ReverseEtl {
         expr("n_orphans * 1000 div n_rows").as("orphans_pm"))
   }
 
+  /** B50: RFM segmentation ([[graft.operators.Rfm.rfmScores]]) — the
+    * audience-activation scoring behind "sync the champions segment":
+    * recency/frequency/monetary quintiles by exact equal-population rank
+    * (deterministic id ties), composed into the segment label the
+    * destination receives. Recency anchored at the corpus max order
+    * date; money in exact cents. */
+  def q224Rfm(t: Tables): DataFrame =
+    graft.operators.Rfm.rfmScores(t.orders, "o_custkey",
+        col("o_orderdate").cast("date"),
+        (Q.dec(col("o_totalprice")) * 100).cast("long"))
+      .orderBy("cust")
+
   def q204ReferentialIntegrity(t: Tables): DataFrame = {
     def audit(relation: String, child: DataFrame, key: String,
               parent: DataFrame, pkey: String): DataFrame =

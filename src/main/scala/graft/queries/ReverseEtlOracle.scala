@@ -482,6 +482,43 @@ object ReverseEtlOracle {
         |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total,
         |  CAST(SUM(c_value_cents * credit_ppm // 1000000) AS BIGINT) AS attributed_cents_total
         |FROM credited GROUP BY channel, position_class
-        |ORDER BY channel, position_class""".stripMargin
+        |ORDER BY channel, position_class""".stripMargin,
+
+    // B50: RFM segmentation — per-customer aggregates, three best-first
+    // rankings (id ties), the equal-population quintile formula
+    // 5 − (5·(rank−1)) // n, and the ordered segment CASE — every step
+    // exact integers.
+    "q224_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |         COUNT(*)::BIGINT AS freq,
+        |         (SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::BIGINT AS mon_cents
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT MAX(last_d) AS ref_d FROM per),
+        |base AS (
+        |  SELECT cust, (ref_d - last_d)::BIGINT AS rec_days, freq, mon_cents
+        |  FROM per, ref),
+        |rk AS (
+        |  SELECT cust, rec_days, freq, mon_cents,
+        |    row_number() OVER (ORDER BY -rec_days DESC, cust)::BIGINT AS rr,
+        |    row_number() OVER (ORDER BY freq DESC, cust)::BIGINT AS fr,
+        |    row_number() OVER (ORDER BY mon_cents DESC, cust)::BIGINT AS mr,
+        |    COUNT(*) OVER ()::BIGINT AS n
+        |  FROM base),
+        |sc AS (
+        |  SELECT cust, rec_days, freq, mon_cents,
+        |    5 - (5 * (rr - 1)) // n AS r_score,
+        |    5 - (5 * (fr - 1)) // n AS f_score,
+        |    5 - (5 * (mr - 1)) // n AS m_score
+        |  FROM rk)
+        |SELECT cust, rec_days, freq, mon_cents, r_score, f_score, m_score,
+        |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN r_score <= 2 AND (f_score >= 3 OR m_score >= 3) THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY cust""".stripMargin
   )
 }

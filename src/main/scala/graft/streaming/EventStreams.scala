@@ -1674,6 +1674,79 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D36: continuous EWMA level monitor — the streaming face of C144
+    * and the SMOOTHED companion to D30's CUSUM (CUSUM accumulates
+    * excursions vs a fixed level; this maintains the level estimate
+    * itself and emits each point's one-step-ahead forecast error). The
+    * carried state is one (series, t, sm) row per series; the carry law
+    * (`Smoothing.ewma(carried=…)` — the head of a batch smooths AGAINST
+    * the carry) makes a batch cut anywhere continue the exact same
+    * fixed-point walk, so the concatenated per-batch reports are
+    * BIT-FOR-BIT the one-shot walk over the full series (spec-pinned).
+    *
+    * Contract: the stream delivers COMPLETE (series, t, v) bucket
+    * points in time order per series (the D30 grain discipline);
+    * points at or before the carried t are LATE and dropped (counted
+    * nowhere — a monitor never rewrites history). Exactly-once via the
+    * pointer-flip discipline. */
+  def ewmaMonitor(points: DataFrame, seriesCol: String, timeCol: String,
+                  valueCol: String, stateRoot: String, reportRoot: String,
+                  checkpointDir: String, aNum: Long = 1L, aDen: Long = 4L): Unit = {
+    val q = points.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val pts = batch.toDF().select(col(seriesCol).as("series"),
+            col(timeCol).cast("long").as("t"), col(valueCol).cast("long").as("v"))
+          val state = prev.map(p => spark.read.parquet(p))
+          val fresh = state match {
+            case Some(st) => pts.join(
+                broadcast(st.select(col("series"), col("t").as("__lt"))),
+                Seq("series"), "left")
+              .filter(col("__lt").isNull || col("t") > col("__lt"))
+              .drop("__lt")
+            case None => pts
+          }
+          val walk = graft.operators.Smoothing.ewma(fresh,
+            col("series"), col("t"), col("v"), aNum, aDen,
+            carried = state.map(_.select(col("series"), col("sm"))))
+          walk.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          // new state: each touched series' last point; untouched series
+          // carry forward unchanged
+          val report = spark.read.parquet(s"$reportRoot/v$batchId")
+          val wLast = org.apache.spark.sql.expressions.Window
+            .partitionBy("series").orderBy(col("t").desc)
+          val touched = report
+            .withColumn("__rn", row_number().over(wLast))
+            .filter(col("__rn") === 1).select("series", "t", "sm")
+          val merged = state match {
+            case Some(st) => st.join(touched.select(col("series")), Seq("series"), "left_anti")
+              .unionByName(touched)
+            case None => touched
+          }
+          merged.write.mode("overwrite").parquet(target)
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained EWMA state of [[ewmaMonitor]]. */
+  def ewmaState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Versioned walk history of [[ewmaMonitor]], all batches. */
+  def ewmaHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   /** Current maintained contingency cells of [[dependenceMonitor]]. */
   def dependenceState(spark: SparkSession, stateRoot: String): DataFrame =
     spark.read.parquet(readPointer(spark, stateRoot).get)

@@ -612,6 +612,35 @@ object ScaleProbe {
       }
     }
     for (k <- Seq(1, 4, 16)) {
+      val ev = amplify(t.events, "event_id", k)
+      val DayNs = 86400L * 1000L * 1000L * 1000L
+      run("ewma", k) {
+        // corpus grows 16x but the (series × day) frame is fixed — the
+        // walk cost must stay flat while the pre-aggregation scan scales
+        val daily = ev.groupBy(col("event_type"),
+            expr(s"ts div ${DayNs}L").as("day"))
+          .agg(count(lit(1)).as("v"))
+        graft.operators.Smoothing.ewma(daily, col("event_type"),
+          col("day"), col("v")).count()
+      }
+      run("lead_lag", k) {
+        def daily(et: String, out: String) = ev
+          .filter(col("event_type") === et)
+          .groupBy(expr(s"ts div ${DayNs}L").as("t"))
+          .agg(count(lit(1)).as(out))
+        graft.operators.Smoothing.leadLagCorr(
+          daily("click", "x"), daily("purchase", "y"), maxLag = 7).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+        .withColumn("o_custkey", col("o_custkey") + expr("(o_orderkey div 10000000L) * 10000000L"))
+      run("rfm", k)(
+        graft.operators.Rfm.rfmScores(orders, "o_custkey",
+          col("o_orderdate").cast("date"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
       val emb = amplify(t.embeddings, "vec_id", k)
       run("mutual_info", k) {
         val stacked = emb

@@ -1215,4 +1215,53 @@ class StreamingSpec extends SparkSuite {
     assert(EventStreams.dependenceState(spark, state)
       .as[(String, String, Long)].collect().toSet == expect)
   }
+
+  test("D36: maintained EWMA walk equals the one-shot walk; late points dropped; replay-safe") {
+    val rnd = new scala.util.Random(31)
+    val a = (0L until 30L).map(t => ("a", t, rnd.nextInt(800).toLong))
+    val b = (0L until 22L).map(t => ("b", t, rnd.nextInt(90).toLong))
+    val full = a ++ b
+    // arbitrary cuts; batch 3 also replays a LATE point (a, 5) that the
+    // monitor must drop
+    val b1 = a.slice(0, 7) ++ b.slice(0, 1)
+    val b2 = a.slice(7, 8) ++ b.slice(1, 15)
+    val b3 = a.slice(8, 30) ++ b.slice(15, 22) :+ (("a", 5L, 999L))
+    val in = Files.createTempDirectory("graft-ewma-in").toString
+    val state = Files.createTempDirectory("graft-ewma-state").toString
+    val rep = Files.createTempDirectory("graft-ewma-rep").toString
+    val ckpt = Files.createTempDirectory("graft-ewma-ckpt").toString
+    def push(rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("series", "t", "v").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.ewmaMonitor(
+      spark.readStream.schema("series STRING, t LONG, v LONG").parquet(in),
+      "series", "t", "v", state, rep, ckpt)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    val maintained = EventStreams.ewmaHistory(spark, rep)
+      .select("series", "t", "v", "sm", "fc", "err")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val oneShot = graft.operators.Smoothing.ewma(
+        full.toDF("s", "t", "v"), col("s"), col("t"), col("v"))
+      .select("series", "t", "v", "sm", "fc", "err")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(maintained == oneShot, "carry law: concatenated reports == one-shot walk")
+    assert(!maintained.exists(r => r._1 == "a" && r._2 == 5L && r._3 == 999L),
+      "the late replayed point never enters the walk")
+
+    // state carries each series' last point
+    val st = EventStreams.ewmaState(spark, state)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st("a") == ((29L, oneShot.filter(_._1 == "a").last._4)))
+    assert(st("b") == ((21L, oneShot.filter(_._1 == "b").last._4)))
+
+    // replay: nothing changes
+    runOnce()
+    assert(EventStreams.ewmaHistory(spark, rep)
+      .select("series", "t").count() == full.size)
+  }
 }
