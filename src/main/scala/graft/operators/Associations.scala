@@ -59,4 +59,62 @@ object Associations {
       .select("antecedent", "consequent", "pair_n", "ante_n", "cons_n",
         "support_ppm", "conf_ppm", "lift_pm")
   }
+
+  /** C146: SEQUENTIAL association rules — the TEMPORAL upgrade over
+    * [[pairRules]] (a basket rule says "together"; a sequence rule says
+    * "a, THEN b" — the form funnel design and next-action models read):
+    * within each session, the ordered pair a→b holds iff SOME occurrence
+    * of a strictly precedes SOME occurrence of b (min_ts(a) < max_ts(b)
+    * — one min/max aggregate per (session, item), never an event-pair
+    * join), counted once per session. Direction matters: a→b and b→a
+    * are different rules with different counts.
+    *
+    * Exact integers, same vocabulary as [[pairRules]]: support ppm of
+    * sessions, confidence ppm of the antecedent's sessions, lift
+    * per-mille with the triple product in DECIMAL(38,0).
+    *
+    * Scale shape: one scan → the (session, item, min_ts, max_ts) frame;
+    * APRIORI pruning before the within-session pair join (bounded by
+    * the pruned per-session distinct-item degree); pair counts shuffle
+    * on the ordered item pair.
+    *
+    * @param events (session, item, ts) rows — ts integer.
+    * @return (antecedent, consequent, pair_n, ante_n, cons_n,
+    *         support_ppm, conf_ppm, lift_pm). */
+  def sequenceRules(events: DataFrame, sessionCol: String, itemCol: String,
+                    tsCol: String, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1)
+    // evaluated ONCE: the (session, item) frame is referenced four times
+    // (total, item counts, both join sides) and its upstream is the
+    // caller's sessionize window over the raw event stream — without the
+    // cut, every reference re-runs that window (measured 2.7x over
+    // linear at 16x corpus in the scale probe)
+    val si = events.select(col(sessionCol).as("session"), col(itemCol).as("item"),
+        col(tsCol).cast("long").as("ts"))
+      .groupBy("session", "item")
+      .agg(min("ts").as("t_min"), max("ts").as("t_max"))
+      .localCheckpoint(true)
+    val n = si.agg(countDistinct("session").as("n_sessions"))
+    val itemCnt = si.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val frequent = itemCnt.filter(col("cnt") >= minSupport)
+    val fs = si.join(frequent.select("item"), Seq("item"), "left_semi")
+    val pairs = fs.as("a").join(fs.as("b"),
+        col("a.session") === col("b.session") &&
+          col("a.item") =!= col("b.item") &&
+          col("a.t_min") < col("b.t_max"))
+      .groupBy(col("a.item").as("antecedent"), col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    pairs
+      .join(frequent.select(col("item").as("antecedent"), col("cnt").as("ante_n")), "antecedent")
+      .join(frequent.select(col("item").as("consequent"), col("cnt").as("cons_n")), "consequent")
+      .crossJoin(broadcast(n))
+      .withColumn("support_ppm", expr("1000000 * pair_n div n_sessions"))
+      .withColumn("conf_ppm", expr("1000000 * pair_n div ante_n"))
+      .withColumn("lift_pm", expr(
+        "CAST(CAST(1000 AS DECIMAL(38,0)) * pair_n * n_sessions div " +
+          "(CAST(ante_n AS DECIMAL(38,0)) * cons_n) AS BIGINT)"))
+      .select("antecedent", "consequent", "pair_n", "ante_n", "cons_n",
+        "support_ppm", "conf_ppm", "lift_pm")
+  }
 }

@@ -341,4 +341,64 @@ object Events {
            min(when(col("rn") === 1, col("start_day"))).as("longest_start_day"))
       .orderBy("user_id")
   }
+
+  /** C146: sequential association rules
+    * ([[graft.operators.Associations.sequenceRules]]) — "a, THEN b"
+    * within 30-min sessions (the q51 session kernel), counted once per
+    * session via the min/max-timestamp containment test (never an
+    * event-pair join). Direction matters; exact ppm/per-mille
+    * integers; top-20 under a total order. */
+  def q227SequenceRules(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val sessioned = t.events
+      .withColumn("ts_us", expr("ts div 1000L"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapNs / 1000, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat(col("user_id").cast("string"), lit(":"),
+          col("session_seq").cast("string")).as("session"),
+        col("event_type"), col("ts_us"))
+    graft.operators.Associations.sequenceRules(sessioned, "session",
+        "event_type", "ts_us", minSupport = 3L)
+      .orderBy(col("lift_pm").desc, col("conf_ppm").desc,
+        col("antecedent").asc, col("consequent").asc)
+      .limit(20)
+  }
+
+  /** C144: per-type EWMA of daily event value
+    * ([[graft.operators.Smoothing.ewma]], α = 1/4) — the running level
+    * estimate + one-step-ahead forecast error a monitor pages on.
+    * Daily cents are exact decimal sums; the smoothing walk is the
+    * fixed-point truncating fold both engines replay step-for-step
+    * (the oracle is a recursive CTE). */
+  def q225Ewma(t: Tables): DataFrame = {
+    val DayNs = 86400L * 1000L * 1000L * 1000L
+    val daily = t.events
+      .groupBy(col("event_type"), expr(s"ts div ${DayNs}L").as("day"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("v"))
+    graft.operators.Smoothing.ewma(daily, col("event_type"), col("day"),
+        col("v"), aNum = 1L, aDen = 4L)
+      .orderBy("series", "t")
+  }
+
+  /** C145: lead-lag cross-correlation
+    * ([[graft.operators.Smoothing.leadLagCorr]]) between daily click and
+    * purchase counts at lags −7..7 — "does click volume lead purchase
+    * volume, and by how many days". Exact integer power sums per lag,
+    * one mirrored double corr read-out (the A33/q112 recipe). */
+  def q226LeadLag(t: Tables): DataFrame = {
+    val DayNs = 86400L * 1000L * 1000L * 1000L
+    def daily(et: String, out: String) = t.events
+      .filter(col("event_type") === et)
+      .groupBy(expr(s"ts div ${DayNs}L").as("t"))
+      .agg(count(lit(1)).as(out))
+    graft.operators.Smoothing.leadLagCorr(
+        daily("click", "x"), daily("purchase", "y"), maxLag = 7)
+      .select(col("lag"), col("n"), col("sx"), col("sy"),
+        col("sxy").cast("long").as("sxy"), col("sxx").cast("long").as("sxx"),
+        col("syy").cast("long").as("syy"), col("corr"))
+      .orderBy("lag")
+  }
 }

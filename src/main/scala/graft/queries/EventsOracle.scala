@@ -257,6 +257,95 @@ object EventsOracle {
         |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
         |  CAST(MAX(len) AS BIGINT) AS longest_streak,
         |  MIN(CASE WHEN rn = 1 THEN start_day END) AS longest_start_day
-        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // C144: per-type EWMA — the fixed-point truncating walk replayed
+    // step-for-step via a recursive CTE (no closed form exists under
+    // per-step truncation); cents are exact decimal sums, // on
+    // non-negative BIGINTs matches Spark div.
+    "q225_ewma" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type AS series, epoch_ns(ts) // 86400000000000 AS t,
+        |         (SUM(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS MATERIALIZED (
+        |  SELECT series, t, v,
+        |         row_number() OVER (PARTITION BY series ORDER BY t)::BIGINT AS rn
+        |  FROM daily),
+        |walk AS (
+        |  SELECT series, t, rn, v, v * 1000 AS sm, CAST(NULL AS BIGINT) AS fc
+        |  FROM ser WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.series, s.t, s.rn, s.v,
+        |         (1 * s.v * 1000 + 3 * w.sm) // 4 AS sm, w.sm AS fc
+        |  FROM ser s JOIN walk w ON s.series = w.series AND s.rn = w.rn + 1)
+        |SELECT series, t, v, sm, fc, v * 1000 - fc AS err
+        |FROM walk ORDER BY series, t""".stripMargin,
+
+    // C146: sequential rules — the q51 session kernel, (session, item)
+    // min/max timestamps, the strict a-before-b containment test,
+    // apriori-pruned, exact ppm/per-mille arithmetic.
+    "q227_seq_rules" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |                     ORDER BY ts_us, event_id) AS prev_ts FROM e)),
+        |s AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m),
+        |si AS MATERIALIZED (
+        |  SELECT user_id::VARCHAR || ':' || seq::VARCHAR AS session,
+        |         event_type AS item, MIN(ts_us) AS t_min, MAX(ts_us) AS t_max
+        |  FROM s GROUP BY 1, 2),
+        |nt AS (SELECT COUNT(DISTINCT session)::BIGINT AS n_sessions FROM si),
+        |ic AS (SELECT item, COUNT(*)::BIGINT AS cnt FROM si GROUP BY 1),
+        |freq AS (SELECT * FROM ic WHERE cnt >= 3),
+        |fs AS (SELECT si.* FROM si SEMI JOIN freq ON si.item = freq.item),
+        |pairs AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*)::BIGINT AS pair_n
+        |  FROM fs a JOIN fs b ON a.session = b.session AND a.item <> b.item
+        |                     AND a.t_min < b.t_max
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT antecedent, consequent, pair_n, fa.cnt AS ante_n, fc.cnt AS cons_n,
+        |  1000000 * pair_n // nt.n_sessions AS support_ppm,
+        |  1000000 * pair_n // fa.cnt AS conf_ppm,
+        |  (1000::HUGEINT * pair_n * nt.n_sessions // (fa.cnt::HUGEINT * fc.cnt))::BIGINT AS lift_pm
+        |FROM pairs
+        |JOIN freq fa ON fa.item = antecedent
+        |JOIN freq fc ON fc.item = consequent, nt
+        |ORDER BY lift_pm DESC, conf_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+
+    // C145: lead-lag cross-correlation — day-count series, per-lag exact
+    // integer power sums, single mirrored double corr.
+    "q226_lead_lag" ->
+      """WITH xs AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS t, COUNT(*)::BIGINT AS x
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |ys AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS t, COUNT(*)::BIGINT AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT unnest(range(-7, 8))::BIGINT AS lag),
+        |ag AS (
+        |  SELECT lag, COUNT(*)::BIGINT AS n,
+        |    SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+        |    SUM(x::HUGEINT * y)::BIGINT AS sxy,
+        |    SUM(x::HUGEINT * x)::BIGINT AS sxx,
+        |    SUM(y::HUGEINT * y)::BIGINT AS syy
+        |  FROM xs JOIN lags ON true JOIN ys ON ys.t = xs.t + lag
+        |  GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT lag, n, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx > 0
+        |        AND n::HUGEINT * syy - sy::HUGEINT * sy > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS corr
+        |FROM ag ORDER BY lag""".stripMargin
   )
 }

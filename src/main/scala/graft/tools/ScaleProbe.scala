@@ -641,6 +641,24 @@ object ScaleProbe {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      // disjoint user copies so sessions multiply instead of densifying
+      val ev = amplify(t.events, "event_id", k)
+        .withColumn("user_id", col("user_id") + expr("(event_id div 10000000L) * 10000000L"))
+      run("seq_rules", k) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val sess = ev
+          .withColumn("new_s", when(coalesce(col("ts") - lag(col("ts"), 1).over(w),
+            lit(Long.MaxValue)) > 1800L * 1000 * 1000 * 1000, 1L).otherwise(0L))
+          .withColumn("seq", sum(col("new_s")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .select(concat(col("user_id").cast("string"), lit(":"),
+            col("seq").cast("string")).as("session"), col("event_type"), col("ts"))
+        graft.operators.Associations.sequenceRules(sess, "session",
+          "event_type", "ts", minSupport = 3L).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
       val emb = amplify(t.embeddings, "vec_id", k)
       run("mutual_info", k) {
         val stacked = emb

@@ -58,4 +58,43 @@ class AssociationsSpec extends SparkSuite {
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got(("a", "b")) == 4L)
   }
+
+  // --- C146: sequential rules ------------------------------------------
+
+  private def runSeq(rows: Seq[(Long, String, Long)], minSupport: Long) =
+    Associations.sequenceRules(rows.toDF("session", "item", "ts"),
+        "session", "item", "ts", minSupport)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+
+  test("C146: direction counts differ; strict before; counted once per session") {
+    // s1: a(1) b(5)           — a→b only
+    // s2: a(1) b(5) a(9)      — a→b AND b→a, each once
+    // s3: b(1) a(5)           — b→a only
+    // s4: a(1) a(2)           — same item, no pair
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "b", 5L),
+      (2L, "a", 1L), (2L, "b", 5L), (2L, "a", 9L),
+      (3L, "b", 1L), (3L, "a", 5L),
+      (4L, "a", 1L), (4L, "a", 2L))
+    val got = runSeq(rows, 1L)
+    assert(got(("a", "b"))._3 == 2L, "a=>b in s1 and s2 only")
+    assert(got(("b", "a"))._3 == 2L, "b=>a in s2 and s3 only")
+    // bases: a in 4 sessions, b in 3; N = 4
+    assert(got(("a", "b"))._4 == 4L && got(("a", "b"))._5 == 3L)
+    assert(got(("a", "b"))._6 == 500000L, "support 2/4")
+    assert(got(("a", "b"))._7 == 500000L, "conf 2/4")
+    assert(got(("b", "a"))._7 == 1000000L * 2 / 3, "conf 2/3")
+    // lift a=>b: 1000·2·4/(4·3) = 666
+    assert(got(("a", "b"))._8 == 666L)
+  }
+
+  test("C146: simultaneous-only co-occurrence is not a sequence; prune binds") {
+    val rows = Seq((1L, "x", 5L), (1L, "y", 5L), (2L, "x", 3L), (2L, "y", 3L))
+    assert(runSeq(rows, 1L).isEmpty, "equal timestamps are not 'before'")
+    val planted = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 1L), (2L, "d", 2L),
+      (3L, "a", 1L), (3L, "b", 2L))
+    val got = runSeq(planted, 2L)
+    assert(got.keySet == Set(("a", "b")), "c/d below support die in the prune")
+  }
 }
