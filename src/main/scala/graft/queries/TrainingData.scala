@@ -1792,6 +1792,18 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C147: exact tie-aware ROC-AUC ([[graft.operators.Evaluation.rocAuc]])
+    * — the threshold-free ranking-quality scalar over the embedding
+    * corpus: does dimension 1 (quantized to ppm, trunc-toward-zero both
+    * engines) rank label-0 rows above the rest? Mann–Whitney U on the
+    * distinct-score frame — no pair join, no per-row global rank. */
+  def q228RocAuc(t: Tables): DataFrame =
+    graft.operators.Evaluation.rocAuc(
+      t.embeddings.select((col("label") === 0).as("y"),
+        (element_at(col("embedding"), 1).cast("double") * 1000000)
+          .cast("long").as("score")),
+      col("y"), col("score"))
+
   /** C143: Pareto-front multi-objective selection
     * ([[graft.operators.Sampling.paretoFront]]) — the efficient
     * frontier over two genuinely conflicting document signals (length

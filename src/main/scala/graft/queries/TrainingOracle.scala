@@ -4675,6 +4675,33 @@ object TrainingOracle {
         |SELECT doc_a, doc_b, shared FROM pr
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
 
+    // C147: exact ROC-AUC — distinct-score pos/neg counts, the
+    // cumulative-negative window, the tie-aware U2 identity; trunc()
+    // mirrors Spark's toward-zero double->long cast (DuckDB's bare
+    // CAST rounds half-to-even).
+    "q228_roc_auc" ->
+      """WITH sc AS (
+        |  SELECT (CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |         CAST(trunc(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+        |  FROM embeddings),
+        |bys AS (
+        |  SELECT s, SUM(pos)::BIGINT AS np, SUM(1 - pos)::BIGINT AS nn
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT *, COALESCE(SUM(nn) OVER (ORDER BY s ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumneg
+        |  FROM bys)
+        |SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+        |  COUNT(*)::BIGINT AS n_scores,
+        |  SUM(np::HUGEINT * (2 * cumneg + nn))::BIGINT AS u2,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    (1000000 * SUM(np::HUGEINT * (2 * cumneg + nn))
+        |     // (2::HUGEINT * SUM(np) * SUM(nn)))::BIGINT END AS auc_ppm,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    (1000000 * SUM(np::HUGEINT * (2 * cumneg + nn))
+        |     // (2::HUGEINT * SUM(np) * SUM(nn)))::BIGINT * 2 - 1000000 END AS gini_ppm
+        |FROM cum""".stripMargin,
+
     // C141: chi-square contingency independence — dense margin×margin
     // grid, per-cell (o·N − r·c)²·10⁶ // (N·r·c) in HUGEINT (trunc ≡
     // Spark div on the non-negative terms), worst-cell pick, V² ppm.

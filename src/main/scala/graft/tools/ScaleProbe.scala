@@ -641,6 +641,15 @@ object ScaleProbe {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val emb = amplify(t.embeddings, "vec_id", k)
+      run("roc_auc", k)(
+        graft.operators.Evaluation.rocAuc(
+          emb.select((col("label") === 0).as("y"),
+            (element_at(col("embedding"), 1).cast("double") * 1000000)
+              .cast("long").as("score")),
+          col("y"), col("score")).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
       // disjoint user copies so sessions multiply instead of densifying
       val ev = amplify(t.events, "event_id", k)
         .withColumn("user_id", col("user_id") + expr("(event_id div 10000000L) * 10000000L"))
