@@ -34,11 +34,18 @@ object Evaluation {
     * @return ONE row: (n_pos, n_neg, n_scores, u2, auc_ppm, gini_ppm) —
     *         auc NULL when either class is empty; gini = 2·AUC − 1 in
     *         ppm (the accuracy-ratio form). */
-  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
-    val byScore = df.select(scoreCol.cast("long").as("s"),
-        when(labelCol.cast("boolean"), 1L).otherwise(0L).as("pos"))
-      .groupBy("s")
-      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame =
+    rocAucFromCounts(
+      df.select(scoreCol.cast("long").as("s"),
+          when(labelCol.cast("boolean"), 1L).otherwise(0L).as("pos"))
+        .groupBy("s")
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn")))
+
+  /** [[rocAuc]] from a pre-aggregated per-score (s, np, nn) count frame
+    * — the entry point incremental maintenance uses (per-score counts
+    * are ADDITIVE, so a maintained count frame is exactly the one-shot
+    * frame of all data so far; D37 re-prices AUC from it per version). */
+  def rocAucFromCounts(byScore: DataFrame): DataFrame = {
     val wBelow = Window.partitionBy(lit(1)).orderBy(col("s").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore

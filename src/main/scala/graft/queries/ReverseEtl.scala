@@ -497,6 +497,27 @@ object ReverseEtl {
         (Q.dec(col("o_totalprice")) * 100).cast("long"))
       .orderBy("cust")
 
+  /** B51: customer-lifetime Kaplan–Meier survival
+    * ([[graft.operators.Survival.kaplanMeier]]) — the censoring-aware
+    * lifetime curve behind churn-risk activation: a customer whose last
+    * order is > 60 days before the corpus max date has CHURNED at
+    * duration last−first; everyone else is CENSORED at ref−first (still
+    * at risk — the information a naive average throws away). Exact ppm
+    * per-step truncating survival product, event-time frame only. */
+  def q229Survival(t: Tables): DataFrame = {
+    val per = t.orders.groupBy(col("o_custkey").as("cust"))
+      .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+        max(col("o_orderdate").cast("date")).as("last_d"))
+    val ref = per.agg(max(col("last_d")).as("ref_d"))
+    val subj = per.crossJoin(broadcast(ref))
+      .withColumn("event", datediff(col("ref_d"), col("last_d")) > 60)
+      .withColumn("duration",
+        when(col("event"), datediff(col("last_d"), col("first_d")))
+          .otherwise(datediff(col("ref_d"), col("first_d"))))
+    graft.operators.Survival.kaplanMeier(subj, col("duration"), col("event"))
+      .orderBy("t")
+  }
+
   def q204ReferentialIntegrity(t: Tables): DataFrame = {
     def audit(relation: String, child: DataFrame, key: String,
               parent: DataFrame, pkey: String): DataFrame =

@@ -484,6 +484,41 @@ object ReverseEtlOracle {
         |FROM credited GROUP BY channel, position_class
         |ORDER BY channel, position_class""".stripMargin,
 
+    // B51: Kaplan-Meier — churn/censor assignment, distinct-duration
+    // frame with cumulative at-risk counts, the per-step truncating
+    // survival product replayed by a recursive CTE.
+    "q229_survival" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT MAX(last_d) AS ref_d FROM per),
+        |subj AS (
+        |  SELECT (CASE WHEN (ref_d - last_d) > 60 THEN 1 ELSE 0 END)::BIGINT AS ev,
+        |    (CASE WHEN (ref_d - last_d) > 60 THEN (last_d - first_d)
+        |          ELSE (ref_d - first_d) END)::BIGINT AS t
+        |  FROM per, ref),
+        |byt AS (SELECT t, SUM(ev)::BIGINT AS d, SUM(1 - ev)::BIGINT AS c
+        |        FROM subj GROUP BY 1),
+        |riskd AS (
+        |  SELECT *, (SUM(d + c) OVER ()
+        |    - COALESCE(SUM(d + c) OVER (ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+        |  FROM byt),
+        |evr AS MATERIALIZED (
+        |  SELECT t, n_risk, d, c, row_number() OVER (ORDER BY t)::BIGINT AS rn
+        |  FROM riskd WHERE d >= 1),
+        |walk AS (
+        |  SELECT t, n_risk, d, c, rn,
+        |         1000000 * (n_risk - d) // n_risk AS sp
+        |  FROM evr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.t, e.n_risk, e.d, e.c, e.rn,
+        |         w.sp * (e.n_risk - e.d) // e.n_risk AS sp
+        |  FROM evr e JOIN walk w ON e.rn = w.rn + 1)
+        |SELECT t, n_risk, d AS n_events, c AS n_censored, sp AS surv_ppm
+        |FROM walk ORDER BY t""".stripMargin,
+
     // B50: RFM segmentation — per-customer aggregates, three best-first
     // rankings (id ties), the equal-population quintile formula
     // 5 − (5·(rank−1)) // n, and the ordered segment CASE — every step

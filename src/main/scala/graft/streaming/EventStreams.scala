@@ -1674,6 +1674,65 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** D37: continuously-maintained RANKING-QUALITY (ROC-AUC) monitor —
+    * the streaming face of C147 and the online form of the model-decay
+    * question ("is the deployed score still separating the classes it
+    * was shipped on?"): per-score (np, nn) counts are ADDITIVE, so the
+    * maintained distinct-score frame is exactly the one-shot frame of
+    * all labeled outcomes so far (the D35 closure argument); each
+    * version re-prices [[graft.operators.Evaluation.rocAucFromCounts]]
+    * from that value-domain-sized frame alone — history never
+    * rescanned — appending a versioned (auc_ppm, gini_ppm) history
+    * whose downward drift is the retrain signal. Pointer-flip
+    * exactly-once. */
+  def aucMonitor(rows: DataFrame, labelCol: String, scoreCol: String,
+                 stateRoot: String, reportRoot: String,
+                 checkpointDir: String): Unit = {
+    val q = rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val fresh = batch.toDF()
+            .select(col(scoreCol).cast("long").as("s"),
+              when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("pos"))
+            .groupBy("s")
+            .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+          val merged = prev match {
+            case Some(p) => fresh
+              .join(spark.read.parquet(p)
+                .select(col("s"), col("np").as("pnp"), col("nn").as("pnn")),
+                Seq("s"), "full_outer")
+              .select(col("s"),
+                (coalesce(col("np"), lit(0L)) + coalesce(col("pnp"), lit(0L))).as("np"),
+                (coalesce(col("nn"), lit(0L)) + coalesce(col("pnn"), lit(0L))).as("nn"))
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          graft.operators.Evaluation.rocAucFromCounts(
+              spark.read.parquet(target))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained per-score counts of [[aucMonitor]]. */
+  def aucState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Versioned AUC history of [[aucMonitor]], all batches. */
+  def aucHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   /** D36: continuous EWMA level monitor — the streaming face of C144
     * and the SMOOTHED companion to D30's CUSUM (CUSUM accumulates
     * excursions vs a fixed level; this maintains the level estimate

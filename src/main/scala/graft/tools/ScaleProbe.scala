@@ -641,6 +641,22 @@ object ScaleProbe {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val orders = amplify(t.orders, "o_orderkey", k)
+        .withColumn("o_custkey", col("o_custkey") + expr("(o_orderkey div 10000000L) * 10000000L"))
+      run("survival", k) {
+        val per = orders.groupBy(col("o_custkey").as("cust"))
+          .agg(min(col("o_orderdate").cast("date")).as("first_d"),
+            max(col("o_orderdate").cast("date")).as("last_d"))
+        val ref = per.agg(max(col("last_d")).as("ref_d"))
+        val subj = per.crossJoin(broadcast(ref))
+          .withColumn("event", datediff(col("ref_d"), col("last_d")) > 60)
+          .withColumn("duration",
+            when(col("event"), datediff(col("last_d"), col("first_d")))
+              .otherwise(datediff(col("ref_d"), col("first_d"))))
+        graft.operators.Survival.kaplanMeier(subj, col("duration"), col("event")).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
       val emb = amplify(t.embeddings, "vec_id", k)
       run("roc_auc", k)(
         graft.operators.Evaluation.rocAuc(

@@ -1264,4 +1264,48 @@ class StreamingSpec extends SparkSuite {
     assert(EventStreams.ewmaHistory(spark, rep)
       .select("series", "t").count() == full.size)
   }
+
+  test("D37: maintained AUC equals the one-shot AUC per version; decay is visible; replay-safe") {
+    val rnd = new scala.util.Random(41)
+    // batch 1: well-separated scores (high AUC); batches 2-3: the score
+    // degrades toward noise — the maintained AUC must strictly fall
+    def sep(n: Int) = Seq.fill(n) {
+      val y = rnd.nextBoolean()
+      (y, (rnd.nextInt(20) + (if (y) 40 else 0)).toLong)
+    }
+    def noise(n: Int) = Seq.fill(n)((rnd.nextBoolean(), rnd.nextInt(60).toLong))
+    val b1 = sep(300); val b2 = noise(400); val b3 = noise(400)
+    val in = Files.createTempDirectory("graft-auc-in").toString
+    val state = Files.createTempDirectory("graft-auc-state").toString
+    val rep = Files.createTempDirectory("graft-auc-rep").toString
+    val ckpt = Files.createTempDirectory("graft-auc-ckpt").toString
+    def push(rows: Seq[(Boolean, Long)]): Unit =
+      rows.toDF("y", "s").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = EventStreams.aucMonitor(
+      spark.readStream.schema("y BOOLEAN, s LONG").parquet(in),
+      "y", "s", state, rep, ckpt)
+
+    push(b1); runOnce()
+    push(b2); runOnce()
+    push(b3); runOnce()
+
+    val hist = EventStreams.aucHistory(spark, rep)
+      .select("batch_id", "n_pos", "n_neg", "auc_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(hist.length == 3)
+    val prefixes = Seq(b1, b1 ++ b2, b1 ++ b2 ++ b3)
+    for (((bid, np, nn, auc), pre) <- hist.zip(prefixes)) {
+      val direct = graft.operators.Evaluation.rocAuc(
+          pre.toDF("y", "s"), col("y"), col("s"))
+        .select("n_pos", "n_neg", "auc_ppm").as[(Long, Long, Long)].head()
+      assert((np, nn, auc) == direct, s"version $bid equals one-shot over its prefix")
+    }
+    assert(hist(0)._4 > 900000L, "separated scores start high")
+    assert(hist(0)._4 > hist(1)._4 && hist(1)._4 > hist(2)._4,
+      "AUC strictly decays as noise accumulates")
+
+    // replay: no new version
+    runOnce()
+    assert(EventStreams.aucHistory(spark, rep).count() == 3)
+  }
 }
