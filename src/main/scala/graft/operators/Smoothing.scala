@@ -95,6 +95,60 @@ object Smoothing {
         (col("p.v") * S - col("p.fc")).as("err"))
   }
 
+  /** C148: HOLT linear-trend (double exponential) smoothing — the
+    * trend-following upgrade over [[ewma]] (a plain EWMA lags a
+    * trending series forever; Holt carries a trend term so the
+    * one-step-ahead forecast l+tr tracks a drift): with rational
+    * α = a/b, β = p/q in fixed point S = 1000,
+    *
+    *   fc_t = l_{t−1} + tr_{t−1}                 (forecast BEFORE x_t)
+    *   l_t  = (a·x_t·S + (b−a)·fc_t) div b
+    *   tr_t = (p·(l_t − l_{t−1}) + (q−p)·tr_{t−1}) div q
+    *
+    * init l_1 = x_1·S, tr_1 = 0 (the trend is learned, not seeded).
+    * Same fold discipline, overflow bound and oracle shape (recursive
+    * CTE, two carried columns) as [[ewma]]; truncation toward zero on
+    * the possibly-negative trend matches Spark div = DuckDB `//`.
+    *
+    * @return (series, t, v, level, trend, fc, err) per point — fc NULL
+    *         at the series head, err = v·1000 − fc signed. */
+  def holt(df: DataFrame, series: Column, timeCol: Column, value: Column,
+           aNum: Long = 2L, aDen: Long = 10L,
+           bNum: Long = 1L, bDen: Long = 10L): DataFrame = {
+    require(aNum >= 1 && aNum < aDen && bNum >= 1 && bNum < bDen,
+      "need 0 < alpha, beta < 1")
+    val S = 1000L
+    // l' appears in its own right and inside tr' — HOF lambdas have no
+    // let-binding, so the expression repeats (the ewma precedent)
+    val lNew = (l: String, tr: String, v: String) =>
+      s"(${aNum}L * $v * ${S}L + ${aDen - aNum}L * ($l + $tr)) div ${aDen}L"
+    val step = (l: String, tr: String, v: String) => (
+      lNew(l, tr, v),
+      s"(${bNum}L * (${lNew(l, tr, v)} - $l) + ${bDen - bNum}L * $tr) div ${bDen}L")
+    val (l1, t1) = step("acc.l", "acc.tr", "e.v")
+    df.select(series.as("series"), timeCol.cast("long").as("t"),
+        value.cast("long").as("v"))
+      .groupBy("series")
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("arr"))
+      .withColumn("walk", expr(
+        s"""aggregate(
+           |  slice(arr, 2, size(arr) - 1),
+           |  named_struct(
+           |    'l', arr[0].v * ${S}L, 'tr', 0L,
+           |    'out', array(named_struct('t', arr[0].t, 'v', arr[0].v,
+           |      'level', arr[0].v * ${S}L, 'trend', 0L,
+           |      'fc', CAST(NULL AS BIGINT)))),
+           |  (acc, e) -> named_struct(
+           |    'l', $l1, 'tr', $t1,
+           |    'out', array_append(acc.out, named_struct('t', e.t, 'v', e.v,
+           |      'level', $l1, 'trend', $t1, 'fc', acc.l + acc.tr))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("series"), explode(col("walk")).as("p"))
+      .select(col("series"), col("p.t").as("t"), col("p.v").as("v"),
+        col("p.level").as("level"), col("p.trend").as("trend"),
+        col("p.fc").as("fc"), (col("p.v") * S - col("p.fc")).as("err"))
+  }
+
   /** C145: lead-lag cross-correlation between two integer series —
     * corr(x at t, y at t+lag) per lag, over co-observed buckets only.
     *

@@ -367,6 +367,22 @@ object Events {
       .limit(20)
   }
 
+  /** C148: Holt linear-trend smoothing
+    * ([[graft.operators.Smoothing.holt]], α = 0.2, β = 0.1) over daily
+    * event counts per type — the trend-following forecast whose error
+    * column is the drift alarm a plain EWMA lags on. Same fixed-point
+    * fold discipline as q225; the oracle replays both carried scalars
+    * through a recursive CTE. */
+  def q230Holt(t: Tables): DataFrame = {
+    val DayNs = 86400L * 1000L * 1000L * 1000L
+    val daily = t.events
+      .groupBy(col("event_type"), expr(s"ts div ${DayNs}L").as("day"))
+      .agg(count(lit(1)).as("v"))
+    graft.operators.Smoothing.holt(daily, col("event_type"), col("day"),
+        col("v"), aNum = 2L, aDen = 10L, bNum = 1L, bDen = 10L)
+      .orderBy("series", "t")
+  }
+
   /** C144: per-type EWMA of daily event value
     * ([[graft.operators.Smoothing.ewma]], α = 1/4) — the running level
     * estimate + one-step-ahead forecast error a monitor pages on.

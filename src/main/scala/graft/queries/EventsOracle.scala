@@ -282,6 +282,32 @@ object EventsOracle {
         |SELECT series, t, v, sm, fc, v * 1000 - fc AS err
         |FROM walk ORDER BY series, t""".stripMargin,
 
+    // C148: Holt linear trend — the two-carried-scalar recursive CTE
+    // (level duplicated inside the trend update exactly as the Spark
+    // HOF repeats it; BIGINT // truncates toward zero like Spark div,
+    // verified incl. negatives).
+    "q230_holt" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT event_type AS series, epoch_ns(ts) // 86400000000000 AS t,
+        |         COUNT(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS MATERIALIZED (
+        |  SELECT series, t, v,
+        |         row_number() OVER (PARTITION BY series ORDER BY t)::BIGINT AS rn
+        |  FROM daily),
+        |walk AS (
+        |  SELECT series, t, rn, v, v * 1000 AS l, 0::BIGINT AS tr,
+        |         CAST(NULL AS BIGINT) AS fc
+        |  FROM ser WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.series, s.t, s.rn, s.v,
+        |    (2 * s.v * 1000 + 8 * (w.l + w.tr)) // 10 AS l,
+        |    (1 * ((2 * s.v * 1000 + 8 * (w.l + w.tr)) // 10 - w.l) + 9 * w.tr) // 10 AS tr,
+        |    w.l + w.tr AS fc
+        |  FROM ser s JOIN walk w ON s.series = w.series AND s.rn = w.rn + 1)
+        |SELECT series, t, v, l AS level, tr AS trend, fc, v * 1000 - fc AS err
+        |FROM walk ORDER BY series, t""".stripMargin,
+
     // C146: sequential rules — the q51 session kernel, (session, item)
     // min/max timestamps, the strict a-before-b containment test,
     // apriori-pruned, exact ppm/per-mille arithmetic.

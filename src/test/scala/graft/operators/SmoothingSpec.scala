@@ -86,6 +86,44 @@ class SmoothingSpec extends SparkSuite {
     assert(best._8.get > 0.9)
   }
 
+  private def foldHolt(vs: Seq[Long], aN: Long, aD: Long, bN: Long, bD: Long):
+      Seq[(Long, Long, Option[Long])] = {
+    var l = 0L; var tr = 0L
+    vs.zipWithIndex.map { case (v, i) =>
+      if (i == 0) { l = v * 1000L; tr = 0L; (l, tr, None) }
+      else {
+        val fc = l + tr
+        val l2 = (aN * v * 1000L + (aD - aN) * fc) / aD
+        tr = (bN * (l2 - l) + (bD - bN) * tr) / bD
+        l = l2
+        (l, tr, Some(fc))
+      }
+    }
+  }
+
+  test("C148: Holt equals the sequential two-scalar fold; tracks a ramp EWMA lags") {
+    val rnd = new scala.util.Random(47)
+    val noisy = Seq.fill(35)(rnd.nextInt(700).toLong)
+    // a clean linear ramp: after burn-in Holt's forecast error must be
+    // far below EWMA's (the trend term is the whole point)
+    val ramp = (0L until 60L).map(_ * 100L)
+    val rows = noisy.zipWithIndex.map { case (v, t) => ("n", t.toLong, v) } ++
+      ramp.zipWithIndex.map { case (v, t) => ("r", t.toLong, v) }
+    val got = Smoothing.holt(rows.toDF("s", "t", "v"), col("s"), col("t"), col("v"),
+        2L, 10L, 1L, 10L)
+      .select("series", "t", "level", "trend", "fc")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+    assert(got("n") == foldHolt(noisy, 2, 10, 1, 10))
+    assert(got("r") == foldHolt(ramp, 2, 10, 1, 10))
+    val holtErr = math.abs(ramp.last * 1000L - got("r").last._3.get)
+    val ewmaLast = foldEwma(ramp, 2, 10, None).last._2.get
+    val ewmaErr = math.abs(ramp.last * 1000L - ewmaLast)
+    assert(holtErr * 5 < ewmaErr,
+      s"Holt must track the ramp: holt=$holtErr ewma=$ewmaErr")
+  }
+
   test("C145: a constant side yields NULL corr, not NaN") {
     val xs = (0L until 10L).map(t => (t, 5L)).toDF("t", "x")
     val ys = (0L until 10L).map(t => (t, t * 2 + 1)).toDF("t", "y")
