@@ -73,4 +73,57 @@ object Attribution {
         sum(col("credit_ppm")).as("credit_ppm_total"),
         sum(col("attributed_cents")).as("attributed_cents_total"))
       .orderBy("channel", "position_class")
+
+  /** B52: TIME-DECAY attribution — the other industry-standard split
+    * beside [[positionBased]]'s U-shape (position says WHERE in the
+    * path; decay says HOW LONG AGO — a touch h half-lives before the
+    * conversion carries 2^−h of a fresh touch's weight). Exact-integer
+    * recipe conserving 10⁶ per conversion EXACTLY: raw weight
+    * w = 10⁶ div 2^min(gap div halflife, 19) (the cap floors the
+    * weight at 1 — a within-lookback touch never vanishes to 0),
+    * credit = 10⁶·w div Σw truncating, and the whole division
+    * remainder goes to the MOST RECENT touch (the touch time-decay
+    * favors anyway — deterministic, spec-pinned conservation).
+    *
+    * Same single-shuffle shape as positionBased: AsOf.joinForward
+    * ownership, two conversion-partitioned windows (weight sum, then
+    * credit-remainder), per-conversion frame = one user's touches. */
+  def timeDecayCredits(touches: DataFrame, conversions: DataFrame,
+                       lookbackUs: Long, halflifeUs: Long,
+                       userCol: String = "user_id", touchTimeCol: String = "ts_us",
+                       convTimeCol: String = "conv_ts"): DataFrame = {
+    require(halflifeUs > 0)
+    val tagged = AsOf.joinForward(touches, conversions, userCol,
+      touchTimeCol, convTimeCol, Seq("conv_id", convTimeCol, "value_cents"), "c_")
+    val in = tagged.filter(col("c_conv_id").isNotNull &&
+      col(s"c_$convTimeCol") - col(touchTimeCol) <= lookbackUs)
+    val w = Window.partitionBy("c_conv_id").orderBy(col(touchTimeCol), col("event_id"))
+    val wn = Window.partitionBy("c_conv_id")
+    in
+      .withColumn("half_lives", expr(
+        s"(c_$convTimeCol - $touchTimeCol) div ${halflifeUs}L"))
+      .withColumn("wgt", expr(
+        "1000000L div shiftleft(1L, CAST(least(half_lives, 19) AS INT))"))
+      .withColumn("wsum", sum(col("wgt")).over(wn))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("credit_base", expr("1000000 * wgt div wsum"))
+      .withColumn("credit_ppm",
+        col("credit_base") + when(col("pos") === col("n"),
+          lit(1000000L) - sum(col("credit_base")).over(wn)).otherwise(0L))
+      .withColumn("attributed_cents", expr("c_value_cents * credit_ppm div 1000000"))
+      .drop("credit_base")
+  }
+
+  def timeDecay(touches: DataFrame, conversions: DataFrame,
+                lookbackUs: Long, halflifeUs: Long,
+                userCol: String = "user_id", touchTimeCol: String = "ts_us",
+                convTimeCol: String = "conv_ts"): DataFrame =
+    timeDecayCredits(touches, conversions, lookbackUs, halflifeUs,
+        userCol, touchTimeCol, convTimeCol)
+      .groupBy("channel", "half_lives")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm_total"),
+        sum(col("attributed_cents")).as("attributed_cents_total"))
+      .orderBy("channel", "half_lives")
 }

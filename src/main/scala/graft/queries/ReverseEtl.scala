@@ -460,6 +460,27 @@ object ReverseEtl {
       lookbackUs = 7L * 86400000000L)
   }
 
+  /** B52: time-decay attribution
+    * ([[graft.operators.Attribution.timeDecay]], 1-day half-life,
+    * 7-day lookback) — the recency-weighted split beside q172's
+    * U-shape, per (channel, half-lives-ago) bucket: exact ppm weights
+    * 10⁶ div 2^h, per-conversion conservation with the remainder on
+    * the most recent touch. */
+  def q231TimeDecay(t: Tables): DataFrame = {
+    val ev = t.events.withColumn("ts_us", expr("ts div 1000L"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"),
+        col("event_type").as("channel"), col("ts_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us")
+      .agg(max(col("event_id")).as("conv_id"),
+        (sum(dec(col("value"))) * 100).cast("long").as("value_cents"))
+      .select(col("user_id"), col("ts_us").as("conv_ts"),
+        col("conv_id"), col("value_cents"))
+    graft.operators.Attribution.timeDecay(touches, conv,
+      lookbackUs = 7L * 86400000000L, halflifeUs = 86400000000L)
+  }
+
   /** B49: REFERENTIAL-INTEGRITY audit — the cross-table data-quality
     * gate next to B30's column-level expectations: before a sync trusts
     * an enrichment join, count every child row whose foreign key has no

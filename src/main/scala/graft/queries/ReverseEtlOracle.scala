@@ -440,6 +440,48 @@ object ReverseEtlOracle {
         |FROM shares, tvd
         |ORDER BY bin""".stripMargin,
 
+    // B52: time-decay attribution — same forward-ASOF ownership as q172,
+    // 2^-half-lives ppm weights via the shift, per-conversion credit
+    // normalization with the remainder on the most recent touch.
+    "q231_time_decay" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+        |), touches AS (
+        |  SELECT event_id, user_id, event_type AS channel, ts_us
+        |  FROM ev WHERE event_type IN ('view', 'click')
+        |), conv AS (
+        |  SELECT user_id, ts_us AS conv_ts, MAX(event_id) AS conv_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), tagged AS (
+        |  SELECT t.*, c.conv_id AS c_conv_id, c.conv_ts AS c_conv_ts,
+        |         c.value_cents AS c_value_cents
+        |  FROM touches t ASOF LEFT JOIN conv c
+        |    ON t.user_id = c.user_id AND t.ts_us < c.conv_ts
+        |), inw AS (
+        |  SELECT * FROM tagged
+        |  WHERE c_conv_id IS NOT NULL AND c_conv_ts - ts_us <= 604800000000
+        |), ww AS (
+        |  SELECT *, (c_conv_ts - ts_us) // 86400000000 AS half_lives,
+        |    (1000000 // (1::BIGINT << LEAST((c_conv_ts - ts_us) // 86400000000, 19)::INT))::BIGINT AS wgt
+        |  FROM inw
+        |), sums AS (
+        |  SELECT *, SUM(wgt) OVER (PARTITION BY c_conv_id)::BIGINT AS wsum,
+        |    row_number() OVER (PARTITION BY c_conv_id ORDER BY ts_us, event_id)::BIGINT AS pos,
+        |    COUNT(*) OVER (PARTITION BY c_conv_id)::BIGINT AS n
+        |  FROM ww
+        |), cb AS (
+        |  SELECT *, 1000000 * wgt // wsum AS credit_base FROM sums
+        |), cr AS (
+        |  SELECT *, credit_base + CASE WHEN pos = n
+        |    THEN 1000000 - SUM(credit_base) OVER (PARTITION BY c_conv_id)
+        |    ELSE 0 END AS credit_ppm
+        |  FROM cb)
+        |SELECT channel, half_lives, COUNT(*)::BIGINT AS n_touches,
+        |  SUM(credit_ppm)::BIGINT AS credit_ppm_total,
+        |  SUM(c_value_cents * credit_ppm // 1000000)::BIGINT AS attributed_cents_total
+        |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // B47: multi-touch attribution — forward ASOF tags each touch with
     // its next conversion; the U-shaped ppm credit and the truncating
     // money split mirror the Spark when-chain branch for branch.

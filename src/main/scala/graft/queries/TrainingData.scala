@@ -1792,6 +1792,16 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C149: HRW reshard-movement audit
+    * ([[graft.operators.Sharding.reshardAudit]]) — growing 8 → 9
+    * shards under rendezvous hashing: the (from, to) movement matrix
+    * proving only ~1/9 of keys move, all of them INTO the new shard
+    * (mod-N would relocate ~8/9 of everything). Unsigned-xx argmax,
+    * smallest-id ties, exact ppm shares. */
+  def q232ReshardAudit(t: Tables): DataFrame =
+    graft.operators.Sharding.reshardAudit(t.documents, col("doc_id"), n = 8, m = 9)
+      .orderBy("shard_from", "shard_to")
+
   /** C147: exact tie-aware ROC-AUC ([[graft.operators.Evaluation.rocAuc]])
     * — the threshold-free ranking-quality scalar over the embedding
     * corpus: does dimension 1 (quantized to ppm, trunc-toward-zero both

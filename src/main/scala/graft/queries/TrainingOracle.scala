@@ -4675,6 +4675,35 @@ object TrainingOracle {
         |SELECT doc_a, doc_b, shared FROM pr
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
 
+    // C149: HRW reshard audit — the (doc × shard-id) key strings through
+    // the xx macro chain, per-doc unsigned argmax (hu DESC, smallest id
+    // ties) at n=8 and m=9, movement matrix with exact ppm shares.
+    "q232_reshard_audit" -> (xxMacros +
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, s.i AS sh,
+         |         doc_id::VARCHAR || ':' || s.i::VARCHAR AS tok
+         |  FROM d, unnest(range(0, 9)) AS s(i)),
+         |${xxTokenHashChain("doc_id, sh")},
+         |hrw_from AS (
+         |  SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hu DESC, sh ASC) AS rk
+         |  FROM tokh WHERE sh < 8),
+         |hrw_to AS (
+         |  SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hu DESC, sh ASC) AS rk
+         |  FROM tokh),
+         |asg AS MATERIALIZED (
+         |  SELECT f.doc_id, f.sh::BIGINT AS shard_from, t.sh::BIGINT AS shard_to
+         |  FROM hrw_from f JOIN hrw_to t ON t.doc_id = f.doc_id
+         |  WHERE f.rk = 1 AND t.rk = 1),
+         |tot AS (SELECT COUNT(*)::BIGINT AS nt FROM asg)
+         |SELECT shard_from, shard_to, COUNT(*)::BIGINT AS n_keys,
+         |  shard_from <> shard_to AS moved,
+         |  (COUNT(*) * 1000000 // tot.nt)::BIGINT AS share_ppm
+         |FROM asg, tot GROUP BY shard_from, shard_to, tot.nt
+         |ORDER BY shard_from, shard_to""".stripMargin),
+
     // C147: exact ROC-AUC — distinct-score pos/neg counts, the
     // cumulative-negative window, the tie-aware U2 identity; trunc()
     // mirrors Spark's toward-zero double->long cast (DuckDB's bare

@@ -641,6 +641,26 @@ object ScaleProbe {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      run("hrw_reshard", k)(
+        graft.operators.Sharding.reshardAudit(docs, col("doc_id"), n = 8, m = 9).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val ev = amplify(t.events, "event_id", k)
+        .withColumn("user_id", col("user_id") + expr("(event_id div 10000000L) * 10000000L"))
+        .withColumn("ts_us", expr("ts div 1000L"))
+      run("time_decay", k) {
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("user_id"), col("event_type").as("channel"), col("ts_us"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us")
+          .agg(max(col("event_id")).as("conv_id"), lit(100L).as("value_cents"))
+          .select(col("user_id"), col("ts_us").as("conv_ts"), col("conv_id"), col("value_cents"))
+        graft.operators.Attribution.timeDecay(touches, conv,
+          lookbackUs = 7L * 86400000000L, halflifeUs = 86400000000L).count()
+      }
+    }
+    for (k <- Seq(1, 4, 16)) {
       val orders = amplify(t.orders, "o_orderkey", k)
         .withColumn("o_custkey", col("o_custkey") + expr("(o_orderkey div 10000000L) * 10000000L"))
       run("survival", k) {

@@ -53,4 +53,41 @@ class AttributionSpec extends SparkSuite {
     assert(bad.count() == 0, "every credited conversion must sum to exactly 1e6 ppm")
     assert(credits.count() > 0, "fixture must actually credit something")
   }
+
+  test("B52: time-decay — halving per half-life, remainder to the newest, conservation") {
+    // conversion at 5001 (ownership is STRICTLY-before): touches sit 3,
+    // 2, 1, 0 whole half-lives (1000 us) back → raw weights 125000,
+    // 250000, 500000, 1000000 (Σ 1875000); credits 10⁶·w div Σ
+    // truncating = 66666, 133333, 266666, 533333 (Σ 999998) with the
+    // +2 remainder on the newest touch.
+    val touches = Seq(
+      (1L, 1L, "a", 2000L), (2L, 1L, "b", 3000L),
+      (3L, 1L, "c", 4000L), (4L, 1L, "d", 5000L)
+    ).toDF("event_id", "user_id", "channel", "ts_us")
+    val conv = Seq((1L, 5001L, 9L, 10000L))
+      .toDF("user_id", "conv_ts", "conv_id", "value_cents")
+    val got = Attribution.timeDecayCredits(touches, conv,
+        lookbackUs = 100000L, halflifeUs = 1000L)
+      .select("channel", "half_lives", "wgt", "credit_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("d", 0L, 1000000L, 533333L + 2L),
+      ("c", 1L, 500000L, 266666L),
+      ("b", 2L, 250000L, 133333L),
+      ("a", 3L, 125000L, 66666L)))
+    assert(got.map(_._4).sum == 1000000L, "conservation")
+
+    // deep-past touches floor at weight 1 (the 19-half-life cap), never 0
+    val old = Seq((1L, 1L, "x", 0L), (2L, 1L, "y", 99000L))
+      .toDF("event_id", "user_id", "channel", "ts_us")
+    val oc = Seq((1L, 100000L, 9L, 100L))
+      .toDF("user_id", "conv_ts", "conv_id", "value_cents")
+    val g2 = Attribution.timeDecayCredits(old, oc,
+        lookbackUs = 1000000L, halflifeUs = 1000L)
+      .select("channel", "wgt", "credit_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(g2("x")._1 == 1L, "100 half-lives past caps to the floor weight 1")
+    assert(g2("x")._2 >= 0L && g2("y")._2 > 990000L)
+    assert(g2.values.map(_._2).sum == 1000000L)
+  }
 }
