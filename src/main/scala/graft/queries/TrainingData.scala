@@ -1792,6 +1792,16 @@ object TrainingData {
       .select("community", "n_nodes", "n_communities")
   }
 
+  /** C150: hash-determinized Poisson-bootstrap CI
+    * ([[graft.operators.Bootstrap.bootstrapCi]], R = 48) — the standard
+    * error every dataset-card mean in this catalog lacked: mean doc
+    * length ± bootstrap CI, weights from the fixed quantized Poisson(1)
+    * CDF over unsigned xx so both engines land on identical
+    * replicates. */
+  def q233BootstrapCi(t: Tables): DataFrame =
+    graft.operators.Bootstrap.bootstrapCi(t.documents,
+      col("doc_id"), col("n_chars"), replicates = 48)
+
   /** C149: HRW reshard-movement audit
     * ([[graft.operators.Sharding.reshardAudit]]) — growing 8 → 9
     * shards under rendezvous hashing: the (from, to) movement matrix

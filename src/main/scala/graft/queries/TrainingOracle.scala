@@ -4675,6 +4675,48 @@ object TrainingOracle {
         |SELECT doc_a, doc_b, shared FROM pr
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
 
+    // C150: Poisson bootstrap — (doc × replicate) key strings through
+    // the xx chain, weights from the shared quantized CDF thresholds,
+    // exact ppm replicate means, single double se/ci read-outs.
+    "q233_bootstrap_ci" -> (xxMacros + {
+      val wSum = graft.operators.Bootstrap.poissonT
+        .map(t => s"(CASE WHEN hu >= $t::HUGEINT THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id, n_chars::BIGINT AS x FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, x, r.i AS r,
+         |         doc_id::VARCHAR || ':' || r.i::VARCHAR AS tok
+         |  FROM d, unnest(range(1, 49)) AS r(i)),
+         |${xxTokenHashChain("doc_id, x, r")},
+         |wt AS (SELECT doc_id, x, r, $wSum::BIGINT AS w FROM tokh),
+         |reps AS (
+         |  SELECT r, SUM(w)::BIGINT AS wsum,
+         |         SUM(w::HUGEINT * x)::HUGEINT AS wxsum
+         |  FROM wt GROUP BY 1),
+         |mr AS (SELECT r, (1000000 * wxsum // wsum::HUGEINT)::BIGINT AS mean_ppm FROM reps),
+         |ful AS (SELECT COUNT(*)::BIGINT AS n_rows, SUM(x::HUGEINT) AS sx FROM d),
+         |ag AS (
+         |  SELECT COUNT(*)::BIGINT AS n_replicates,
+         |         SUM(mean_ppm)::BIGINT AS sm,
+         |         SUM(mean_ppm::HUGEINT * mean_ppm)::HUGEINT AS sm2
+         |  FROM mr)
+         |SELECT n_rows,
+         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_full,
+         |  n_replicates,
+         |  sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
+         |    / 1000000.0 AS se_boot,
+         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         |    - 2.0 * (sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
+         |    / 1000000.0) AS ci_lo,
+         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         |    + 2.0 * (sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
+         |    / 1000000.0) AS ci_hi
+         |FROM ag, ful""".stripMargin
+    }),
+
     // C149: HRW reshard audit — the (doc × shard-id) key strings through
     // the xx macro chain, per-doc unsigned argmax (hu DESC, smallest id
     // ties) at n=8 and m=9, movement matrix with exact ppm shares.

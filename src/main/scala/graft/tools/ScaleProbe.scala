@@ -642,6 +642,9 @@ object ScaleProbe {
     }
     for (k <- Seq(1, 4, 16)) {
       val docs = amplify(t.documents, "doc_id", k)
+      run("bootstrap_ci", k)(
+        graft.operators.Bootstrap.bootstrapCi(docs, col("doc_id"),
+          col("n_chars"), replicates = 48).count())
       run("hrw_reshard", k)(
         graft.operators.Sharding.reshardAudit(docs, col("doc_id"), n = 8, m = 9).count())
     }
