@@ -107,7 +107,11 @@ object Bench {
       val remainNs = deadlineNs - System.nanoTime()
       val left = selected.size - i
       val avgNs = if (ran == 0) 2_000_000_000L else spentNs / ran
-      if (remainNs < avgNs * left / 2) {
+      // never project off fewer than 3 samples: the FIRST query carries
+      // the whole JIT/codegen cold cost (measured 7 s for a 1 s query),
+      // and a 1-sample average once skipped q02-q09 of a budget that
+      // comfortably fit the other 224 queries
+      if (ran >= 3 && remainNs < avgNs * left / 2) {
         System.err.println(s"[bench] $n skipped: total budget exhausted")
         n -> -3.0
       } else {
