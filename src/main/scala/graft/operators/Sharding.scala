@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: assignment is scan-speed and embarrassingly parallel;
  * the movement audit is two assignments + one comparison per row, with
- * the per-(from, to) matrix a bounded n×(n+1) aggregate.
+ * the per-(from, to) matrix a bounded n×(n+1) aggregate. Cost is
+ * linear in N per key (two xx evaluations per candidate shard) — right
+ * for the tens-to-hundreds of shards a table layout uses; for many
+ * thousands of cells, shard hierarchically (HRW over shard GROUPS,
+ * then within the group) rather than flattening one giant argmax.
  */
 object Sharding {
 

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
  *    sums (the A33/q112 recipe) with ONE mirrored double read-out per
  *    lag.
  *
+ * Overflow contract: the fold steps multiply values by a·S ≤ aDen·1000,
+ * so |v| must stay below 2⁶³/(aDen·1000) ≈ 9·10¹⁴ at the defaults —
+ * comfortably above any per-bucket aggregate a monitor watches; rescale
+ * the unit (cents → whole units) past that.
+ *
  * Scale shape: both operators run on the (series × time-bucket) frame —
  * ONE corpus scan pre-aggregates to it, and its size is bounded by the
  * monitoring horizon, not the corpus (the C115 argument). The EWMA fold

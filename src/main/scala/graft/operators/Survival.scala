@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
  * no-closed-form argument as C144's EWMA, so the product is an explicit
  * fold, replayed step-for-step by the oracle's recursive CTE.
  *
+ * Overflow contract: the step multiplies S' ≤ 10⁶ by (n_i − d_i) < N,
+ * so the fold is safe to N < 2⁶³/10⁶ ≈ 9·10¹² subjects.
+ *
  * Scale shape — the C115/C144 discipline: one scan reduces the subject
  * frame to the DISTINCT-DURATION frame (events + censored per
  * duration); the at-risk counts are one cumulative window on that
