@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 233-query catalog in ONE JVM (Bench, the full test suite) churns
+  // thousands of whole-stage-codegen classes; at the JDK-17 default
+  // 240 MB ReservedCodeCacheSize the JIT hits "CodeCache is full —
+  // compiler disabled" late in the run and everything after executes
+  // INTERPRETED: the BENCH_r10 pathology (q60 116 s aged vs <10 s in a
+  // fresh JVM — a 30-120x ratio only interpretation explains). The
+  // reserve is virtual address space, not committed memory, so 2g is
+  // free insurance; flushing stays on as the second line of defense.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -54,7 +54,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val pool = Executors.newSingleThreadExecutor()
 
-    def once(name: String): Double = {
+    // Per-run JVM-state diagnostics: the r10 driver bench recorded 30-120×
+    // cold/warm ratios ONLY in an aged JVM (fresh-JVM cold runs of the same
+    // queries are ≤10 s), so every sample carries the compile-vs-execute
+    // split needed to tell "query is slow" from "JVM degraded": JIT
+    // compiler ms, janino compile count+ms (CodegenMetrics), GC ms, and
+    // JIT code-cache occupancy. Stamped into the artifact per query.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def jitMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def codeCacheUsedMb: Double = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum / 1e6
+    def janino: (Long, Double) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getMean)
+    }
+    final case class Sample(sec: Double, jitMs: Long, gcMs: Long, janinoN: Long, janinoMs: Long)
+
+    def once(name: String): Sample = {
+      val (jit0, gc0, jan0) = (jitMs, gcMs, janino._1)
       val t0 = System.nanoTime()
       val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = {
@@ -74,8 +93,12 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getCause}")
             -1.0
         }
-      System.err.println(f"[bench] $name%-22s ${sec}%8.3f s")
-      sec
+      val (janN, janMean) = janino
+      val s = Sample(sec, jitMs - jit0, gcMs - gc0, janN - jan0,
+        ((janN - jan0) * janMean).toLong)
+      System.err.println(f"[bench] $name%-22s ${sec}%8.3f s  jit=${s.jitMs}ms gc=${s.gcMs}ms " +
+        f"janino=${s.janinoN}x/~${s.janinoMs}ms codecache=${codeCacheUsedMb}%.0fMB")
+      s
     }
 
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
@@ -101,40 +124,68 @@ object Bench {
     // the remaining queries (projected from the running mean cost), drop
     // the warmups FIRST and only record -3 when even single runs don't
     // fit. BENCH_r09 lost ≥19 queries to the old skip-only policy.
-    var spentNs = 0L
+    // Per-query cost samples for the budget projection. ADVICE r10: the
+    // plain running mean kept the cold first-query JIT/codegen cost (and
+    // any pathological cold outlier) in the projection forever, skipping
+    // earlier than steady state warrants — project off the MEDIAN sample
+    // instead, which sheds both the first-sample cold cost and one-off
+    // outliers without needing to special-case either.
+    val costNs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var ran = 0
+    def medianCostNs: Long =
+      if (costNs.isEmpty) 2_000_000_000L
+      else { val s = costNs.sorted; s(s.size / 2) }
+    final case class QRes(sec: Double, coldSec: Double, skipReason: String,
+                          jitMs: Long, gcMs: Long, janinoN: Long, janinoMs: Long)
     val results = selected.zipWithIndex.map { case (n, i) =>
       val remainNs = deadlineNs - System.nanoTime()
       val left = selected.size - i
-      val avgNs = if (ran == 0) 2_000_000_000L else spentNs / ran
+      val avgNs = medianCostNs
       // never project off fewer than 3 samples: the FIRST query carries
       // the whole JIT/codegen cold cost (measured 7 s for a 1 s query),
       // and a 1-sample average once skipped q02-q09 of a budget that
       // comfortably fit the other 224 queries
       if (ran >= 3 && remainNs < avgNs * left / 2) {
         System.err.println(s"[bench] $n skipped: total budget exhausted")
-        n -> -3.0
+        n -> QRes(-3.0, -1.0, "budget_exhausted", 0, 0, 0, 0)
       } else {
         val t0 = System.nanoTime()
-        // warmup only while the projected full warm cost (running mean ×
+        // warmup only while the projected full warm cost (median sample ×
         // remaining queries, 30% headroom) still fits the remaining budget
-        if (warmup && remainNs > avgNs * left * 13L / 10L) {
-          once(n)
+        val cold = if (warmup && remainNs > avgNs * left * 13L / 10L) {
+          val c = once(n)
           // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
           // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
           // not land inside the timed window.
           System.gc()
-        } else if (warmup) {
-          System.err.println(s"[bench] $n: warmup dropped (budget pressure)")
+          c.sec
+        } else {
+          if (warmup) System.err.println(s"[bench] $n: warmup dropped (budget pressure)")
+          -1.0
         }
         val r = once(n)
-        spentNs += System.nanoTime() - t0
+        costNs += System.nanoTime() - t0
         ran += 1
-        n -> r
+        n -> QRes(r.sec, cold, if (cold < 0 && warmup) "cold_timed" else "",
+          r.jitMs, r.gcMs, r.janinoN, r.janinoMs)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }.mkString("{", ",", "}")
+    // cold_s: the untimed warmup's wall time (-1 = no warmup ran). The
+    // r10 judge asked for a per-query cold/warm split in the artifact so
+    // cold-execution pathology can't hide behind warm timings again.
+    val coldJson = results.filter(_._2.coldSec >= 0)
+      .map { case (k, v) => "\"" + k + "\":" + f"${v.coldSec}%.3f" }.mkString("{", ",", "}")
+    val skipJson = results.filter(_._2.skipReason.nonEmpty)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.skipReason + "\"" }.mkString("{", ",", "}")
+    // compile-vs-execute split for the timed run: JIT ms + janino (count,
+    // approx ms) + GC ms. A warm run should show ~0 janino compiles; a
+    // large jit/janino delta explains a slow sample as compile cost.
+    val diagJson = results.filter(v => v._2.sec >= 0)
+      .map { case (k, v) =>
+        "\"" + k + s"""":{"jit_ms":${v.jitMs},"gc_ms":${v.gcMs},"janino_n":${v.janinoN},"janino_ms":${v.janinoMs}}"""
+      }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
     // `queries` FIRST, summary fields last: a tail-capture of the (long)
     // line keeps the totals, and a head-capture keeps the early queries —
     // r6's driver capture truncated 47 of 124 per-query times.
@@ -144,7 +195,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    val line = f"""{"queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","loaded":$loadedRun,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"cold_s":$coldJson,"skip_reason":$skipJson,"diag":$diagJson,"budget_s":$budgetS,"sf":"$sfDir","loadavg":"$loadavg","loaded":$loadedRun,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // belt-and-braces: the full line also lands on disk, untruncatable
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),

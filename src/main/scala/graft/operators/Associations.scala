@@ -88,12 +88,19 @@ object Associations {
     // (total, item counts, both join sides) and its upstream is the
     // caller's sessionize window over the raw event stream — without the
     // cut, every reference re-runs that window (measured 2.7x over
-    // linear at 16x corpus in the scale probe)
+    // linear at 16x corpus in the scale probe). LAZY persist, not an
+    // eager localCheckpoint (ADVICE r10): building the plan must not
+    // launch a job if the result is never acted on, the cache must be
+    // reclaimable by the ContextCleaner once the frame is dereferenced
+    // (eager localCheckpoint blocks accumulate across repeated calls in
+    // one session), and a persisted lineage survives executor loss —
+    // unlike Rank.scala's iterative chains, there is no growing-lineage
+    // problem here that would justify truncation.
     val si = events.select(col(sessionCol).as("session"), col(itemCol).as("item"),
         col(tsCol).cast("long").as("ts"))
       .groupBy("session", "item")
       .agg(min("ts").as("t_min"), max("ts").as("t_max"))
-      .localCheckpoint(true)
+      .persist()
     val n = si.agg(countDistinct("session").as("n_sessions"))
     val itemCnt = si.groupBy("item").agg(count(lit(1)).as("cnt"))
     val frequent = itemCnt.filter(col("cnt") >= minSupport)

@@ -43,7 +43,16 @@ object Bootstrap {
     * (r, n_eff, wsum, wxsum, mean_ppm, mean) — mean_ppm is the EXACT
     * integer 10⁶·Σwx div Σw (what the CI aggregates: a float sum of
     * replicate means would be partition-order dependent); `mean` is
-    * the per-row double read-out for humans. */
+    * the per-row double read-out for humans.
+    *
+    * CONTRACT: `idCol` must be UNIQUE per row — the weights are a pure
+    * hash of (id, replicate), so duplicate ids draw IDENTICAL weights
+    * (perfectly correlated resampling) and the bootstrap variance is
+    * silently understated. An all-zero replicate (every row draws
+    * W = 0 — probability e^{-n}, so only tiny inputs) has no mean; it
+    * is DROPPED here (`wsum > 0`) rather than emitted as a NULL row
+    * that downstream sums would skip silently — `n_replicates` in
+    * [[bootstrapCi]] then reports the replicates actually used. */
   def bootstrapReplicates(df: DataFrame, idCol: Column, valueCol: Column,
                           replicates: Int): DataFrame = {
     require(replicates >= 2)
@@ -61,6 +70,7 @@ object Bootstrap {
       .agg(sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_eff"),
         sum(col("w")).as("wsum"),
         sum(expr("CAST(w AS DECIMAL(38,0)) * x")).as("wxsum"))
+      .filter(col("wsum") > 0L)
       .withColumn("mean_ppm", expr("CAST(1000000 * wxsum div wsum AS BIGINT)"))
       .withColumn("mean", col("wxsum").cast("double") / col("wsum").cast("double"))
   }
@@ -72,7 +82,10 @@ object Bootstrap {
     * replicate means would be partition-order dependent — the q112
     * rule), the across-replicate power sums are exact
     * longs/DECIMAL(38,0), and se/ci are the single mirrored double
-    * read-outs at the end. */
+    * read-outs at the end. The double variance sm2 − sm²/n is clamped
+    * at zero before the sqrt: a (near-)constant value column makes all
+    * replicate means equal, and rounding can land the difference an
+    * ulp below zero — which would NaN the SE and both CI bounds. */
   def bootstrapCi(df: DataFrame, idCol: Column, valueCol: Column,
                   replicates: Int = 48): DataFrame = {
     val reps = bootstrapReplicates(df, idCol, valueCol, replicates)
@@ -88,7 +101,8 @@ object Bootstrap {
       .select(col("n_rows"),
         (d(col("sx")) / d(col("n_rows"))).as("mean_full"),
         col("n_replicates"),
-        (sqrt((d(col("sm2")) - d(col("sm")) * d(col("sm")) / d(col("n_replicates"))) /
+        (sqrt(greatest(lit(0.0),
+          d(col("sm2")) - d(col("sm")) * d(col("sm")) / d(col("n_replicates"))) /
           (d(col("n_replicates")) - 1.0)) / lit(1000000.0)).as("se_boot"))
       .withColumn("ci_lo", col("mean_full") - lit(2.0) * col("se_boot"))
       .withColumn("ci_hi", col("mean_full") + lit(2.0) * col("se_boot"))

@@ -942,6 +942,18 @@ object Dedup {
     * co-partitioned intersection count. At 100 TB every step is a
     * key-equality shuffle; nothing is quadratic in the corpus.
     *
+    * SKEW AUDIT (r10): the candidate join CAN still go quadratic on a
+    * degenerate corpus where even the rarest prefix shingles are hot
+    * (near-identical boilerplate documents). Unlike [[winnowingPairs]]
+    * this operator's CONTRACT is the complete, exactly-thresholded pair
+    * set — a frequency cap would silently break the no-false-negative
+    * guarantee — so the right move at scale is to AUDIT before running:
+    * [[graft.operators.Graph.wedgeCapLedger]] over the prefix frame
+    * (`prefix.select(s as src, id as dst)`) prices the candidate volume
+    * (`n_wedges_kept` at cap ∞ = exact candidate-pair count); a corpus
+    * that prices quadratic should be exact-deduped (C1/C30) first —
+    * boilerplate clones are what make it quadratic AND what C1 removes.
+    *
     * @param minJPm Jaccard threshold in per-mille (e.g. 500 = 0.5).
     * @return (doc_a, doc_b, common, n_a, n_b, j_pm), doc_a < doc_b,
     *         j_pm ≥ minJPm — exactly the brute-force answer. */
@@ -1001,11 +1013,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Pair join over the selected fingerprints, with MOSS's own
+    * OVER-FREQUENT-FINGERPRINT rule ENFORCED (r10 scale audit): a
+    * fingerprint shared by df documents expands into C(df,2) pair rows,
+    * so one ubiquitous 8-gram — boilerplate, license headers — makes
+    * its hash bucket quadratic in the corpus (measured at sf0.1: the
+    * top 720 of 3447 fingerprints carried 17.6M of 17.9M pair rows).
+    * Fingerprints with document frequency > `maxDocFreq` are dropped
+    * BEFORE the self-join — the SIGMOD'03 paper's own rule for MOSS
+    * ("too common to be interesting"), which also makes the survivors
+    * the discriminative excerpts: `shared` then counts fingerprints
+    * rare enough to indicate real copying, not boilerplate. The
+    * winnowing coverage guarantee consequently holds for substrings
+    * whose fingerprints appear in ≤ `maxDocFreq` documents; quantify
+    * exactly what the cap refused with
+    * [[graft.operators.Graph.wedgeCapLedger]] over
+    * `fingerprints.select(fp as src, id as dst)` — a zero ledger
+    * certifies the uncapped answer. */
   def winnowingPairs(docs: DataFrame, k: Int = 8, w: Int = 16, minShared: Long = 3L,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(minShared >= 1)
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxDocFreq: Long = 200L): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2)
     val byFp = winnowFingerprints(docs, k, w, textCol, idCol)
-    byFp.as("a").join(byFp.as("b"),
+    val keep = byFp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("fp")
+    val kept = byFp.join(keep, Seq("fp"), "left_semi")
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))

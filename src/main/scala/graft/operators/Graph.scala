@@ -36,16 +36,40 @@ object Graph {
     * the few-high-degree supplier side by orders of magnitude). Scale
     * shape: one self-join co-partitioned on src (expansion bounded by
     * pivot-side degree), one bounded groupBy on the dst pair, two
-    * 1-row aggregates; hub pivots are the skew risk — cap or re-pivot.
-    * Wedge/butterfly sums ride DECIMAL(38,0) so k near int64's root
-    * cannot overflow the C(k,2) products.
+    * 1-row aggregates. Wedge/butterfly sums ride DECIMAL(38,0) so k
+    * near int64's root cannot overflow the C(k,2) products.
+    *
+    * HUB CAP (enforced, not advisory — the r10 scale audit): a pivot of
+    * degree d expands into C(d,2) wedge rows, so ONE hub pivot of 10⁶
+    * degree is 5·10¹¹ rows — quadratic blowup no partitioning absorbs.
+    * Pivots with degree > `maxPivotDegree` are EXCLUDED from the wedge
+    * expansion (one co-partitioned semi-join on the same src key) and
+    * reported in the output ledger instead: `n_pivots_capped` and
+    * `n_wedges_dropped` (= Σ C(deg,2) over capped pivots, the exact
+    * expansion that was refused). A zero ledger certifies the counts
+    * are exact; a non-zero ledger is a loud, quantified lower bound —
+    * silent truncation is the failure mode this refuses. The default
+    * (8192 ⇒ ≤ ~3.4·10⁷ wedges per pivot) sits far above bounded
+    * per-entity degrees (TPC-H customer→supplier degree is O(40)
+    * independent of SF) while refusing the web-scale hub pathology.
     *
     * @param edges (src, dst) — bipartite, deduplicated internally.
-    * @return ONE row: (n_src, n_dst, n_edges, n_wedges, n_butterflies). */
-  def butterflies(edges: DataFrame): DataFrame = {
+    * @param maxPivotDegree pivots above this degree are ledgered, not
+    *                       expanded.
+    * @return ONE row: (n_src, n_dst, n_edges, n_wedges, n_butterflies,
+    *         n_pivots_capped, n_wedges_dropped). */
+  def butterflies(edges: DataFrame, maxPivotDegree: Long = 8192L): DataFrame = {
+    require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
     val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
-    val a = ed.as("a")
-    val b = ed.as("b")
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("pivot_deg"))
+    val keep = deg.filter(col("pivot_deg") <= maxPivotDegree).select("src")
+    val ledger = deg.filter(col("pivot_deg") > maxPivotDegree).agg(
+      count(lit(1)).as("n_pivots_capped"),
+      coalesce(sum(expr("cast(pivot_deg as decimal(38,0)) * (pivot_deg - 1) div 2")
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("wedges_dropped_dec"))
+    val edk = ed.join(keep, Seq("src"), "left_semi")
+    val a = edk.as("a")
+    val b = edk.as("b")
     val pairs = a.join(b, col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .groupBy(col("a.dst").as("d1"), col("b.dst").as("d2"))
       .agg(count(lit(1)).as("k"))
@@ -58,11 +82,41 @@ object Graph {
       countDistinct(col("src")).as("n_src"),
       countDistinct(col("dst")).as("n_dst"),
       count(lit(1)).as("n_edges"))
-    edgeStats.crossJoin(broadcast(wedgeStats))
+    edgeStats.crossJoin(broadcast(wedgeStats)).crossJoin(broadcast(ledger))
       .select(col("n_src"), col("n_dst"), col("n_edges"),
         col("n_wedges_dec").cast("long").as("n_wedges"),
-        col("n_butterflies_dec").cast("long").as("n_butterflies"))
+        col("n_butterflies_dec").cast("long").as("n_butterflies"),
+        col("n_pivots_capped"),
+        col("wedges_dropped_dec").cast("long").as("n_wedges_dropped"))
   }
+
+  /** Hub-cap audit for the wedge-expansion operators ([[butterflies]],
+    * [[neighborhoodJaccard]]): given the SAME edge frame an operator
+    * expands (bipartite edges for butterflies; the symmetrized
+    * undirected frame for neighborhoodJaccard — symmetrize before
+    * calling), reports exactly what a `maxPivotDegree` cap refuses.
+    * One bounded degree aggregation + a 1-row rollup — run it next to
+    * any capped call whose result feeds a decision; a zero ledger row
+    * certifies the capped result is exact.
+    *
+    * @return ONE row: (n_pivots, n_pivots_capped, max_pivot_deg,
+    *         n_wedges_kept, n_wedges_dropped). */
+  def wedgeCapLedger(edges: DataFrame, maxPivotDegree: Long): DataFrame =
+    edges.select("src", "dst").distinct()
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(
+        count(lit(1)).as("n_pivots"),
+        coalesce(sum(when(col("d") > maxPivotDegree, 1L).otherwise(0L)), lit(0L))
+          .as("n_pivots_capped"),
+        coalesce(max(col("d")), lit(0L)).as("max_pivot_deg"),
+        coalesce(sum(when(col("d") <= maxPivotDegree,
+          expr("cast(d as decimal(38,0)) * (d - 1) div 2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("n_wedges_kept"),
+        coalesce(sum(when(col("d") > maxPivotDegree,
+          expr("cast(d as decimal(38,0)) * (d - 1) div 2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("n_wedges_dropped"))
 
   /** CONNECTED COMPONENTS by min-label propagation WITH pointer
     * doubling — each round takes the min label over the closed
@@ -172,19 +226,37 @@ object Graph {
     *
     * Scale shape: common-neighbor counts ride the same per-pivot wedge
     * expansion as [[butterflies]] (one self-join co-partitioned on the
-    * pivot, Σ C(deg,2) rows — cap hub pivots the same way); degrees
-    * join in bounded; the threshold prunes before the output.
+    * pivot, Σ C(deg,2) rows); degrees join in bounded; the threshold
+    * prunes before the output.
+    *
+    * HUB CAP (enforced — same contract as [[butterflies]]): wedge
+    * pivots with degree > `maxPivotDegree` are excluded from the
+    * common-neighbor expansion via one co-partitioned semi-join.
+    * Dropping a hub pivot UNDER-counts `common` for pairs that
+    * co-occur through it while `deg_a`/`deg_b` stay TRUE undirected
+    * degrees, so `j_pm` is a conservative lower bound — hub-mediated
+    * co-occurrence carries ~zero similarity signal anyway (everything
+    * co-occurs with a hub), which is exactly why capped MOSS/ppjoin
+    * variants drop ubiquitous tokens. Quantify the refusal with
+    * [[wedgeCapLedger]] on the same (symmetrized) edge frame; a zero
+    * ledger certifies exactness.
     *
     * @param edges (src, dst) — treated as UNDIRECTED; deduplicated.
+    * @param maxPivotDegree wedge pivots above this degree are skipped.
     * @return (a, b, common, deg_a, deg_b, j_pm), a < b. */
-  def neighborhoodJaccard(edges: DataFrame, minJPm: Long): DataFrame = {
+  def neighborhoodJaccard(edges: DataFrame, minJPm: Long,
+                          maxPivotDegree: Long = 8192L): DataFrame = {
+    require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
     val und = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
+    val keep = und.groupBy("src").agg(count(lit(1)).as("pivot_deg"))
+      .filter(col("pivot_deg") <= maxPivotDegree).select("src")
+    val undk = und.join(keep, Seq("src"), "left_semi")
     // common neighbors: both a and b adjacent to pivot c → one wedge row
-    val x = und.select(col("src").as("c"), col("dst").as("a"))
-    val y = und.select(col("src").as("c2"), col("dst").as("b"))
+    val x = undk.select(col("src").as("c"), col("dst").as("a"))
+    val y = undk.select(col("src").as("c2"), col("dst").as("b"))
     val common = x.join(y, col("c") === col("c2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))

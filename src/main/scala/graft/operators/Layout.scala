@@ -111,6 +111,60 @@ object Layout {
       .orderBy("grp")
   }
 
+  /** Layout ADVISOR: price every candidate cluster key against a probe
+    * workload — assign files under each candidate, compute footer
+    * stats, and report the total files a pruning scan would touch
+    * across the workload (one row per candidate; smallest
+    * `workload_files_touched` wins). This EXACT form re-clusters the
+    * full frame once per candidate — the correct gate semantics, but
+    * k full-corpus passes to decide one OPTIMIZE; at scale use
+    * [[adviseSampled]].
+    *
+    * @param dims      stat columns the workload probes.
+    * @param candidates (name, cluster-key column) pairs.
+    * @param workload  conjunctive box probes: (dim, lo, hi) per probe. */
+  def advise(base: DataFrame, dims: Seq[String],
+             candidates: Seq[(String, Column)],
+             workload: Seq[Seq[(String, Long, Long)]],
+             files: Int = 64): DataFrame = {
+    require(candidates.nonEmpty && workload.nonEmpty)
+    (for ((name, key) <- candidates) yield {
+      val stats = fileStats(assignFiles(base, key, files), dims)
+      workload.map(p => filesTouched(stats, p))
+        .reduce(_ unionAll _)
+        .agg(sum(col("files_touched")).as("workload_files_touched"),
+          max(col("files_total")).as("files_total"))
+        .select(lit(name).as("candidate"), col("workload_files_touched"),
+          col("files_total"))
+    }).reduce(_ unionAll _)
+      .orderBy("candidate")
+  }
+
+  /** The SCALE path of [[advise]] (the r10 verdict's C106 fix): price
+    * the candidates on a DETERMINISTIC HASH SAMPLE of the corpus —
+    * rows with `pmod(xxhash64(sampleKey), 10⁶) < fractionPpm` — so the
+    * advisor reads `fraction` of the data per candidate instead of
+    * re-clustering 100 TB k times. The verdict is sampling-stable
+    * because [[assignFiles]] is EQUAL-WIDTH over the key domain: a
+    * uniform row sample preserves each file's min/max envelope (the
+    * only input to [[filesTouched]]) up to boundary files, so the
+    * candidate RANKING — the decision — survives sampling even though
+    * absolute touch counts scale with the file count. Hash-keyed, no
+    * RNG: the same corpus always prices the same. LayoutSpec proves
+    * verdict agreement at 1–10% fractions; pick `sampleKey` uniform
+    * and unrelated to the candidate dims (a row id, not a cluster
+    * key). */
+  def adviseSampled(base: DataFrame, sampleKey: Column, fractionPpm: Long,
+                    dims: Seq[String],
+                    candidates: Seq[(String, Column)],
+                    workload: Seq[Seq[(String, Long, Long)]],
+                    files: Int = 64): DataFrame = {
+    require(fractionPpm >= 1 && fractionPpm <= 1000000)
+    val sampled = base.filter(
+      pmod(xxhash64(sampleKey), lit(1000000L)) < lit(fractionPpm))
+    advise(sampled, dims, candidates, workload, files)
+  }
+
   /** Materialize the clustered layout as REAL parquet: one directory per
     * assigned file id (`__file=N/`), rows co-located by the cluster key —
     * the write a table-maintenance `OPTIMIZE ZORDER`-style job performs.

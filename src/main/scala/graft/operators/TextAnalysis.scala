@@ -379,24 +379,37 @@ object TextAnalysis {
     * the tokenizer-budget planning curve (choose vocab size by where the
     * curve flattens), the aggregate complement of C45's per-doc OOV rate.
     *
-    * Scale (100 TB): the corpus collapses to the Zipf-small vocab frame
-    * in one map-side-partial pass; ranking and the cumulative sum run
-    * over VOCAB rows (the q101 justification — bounded by distinct
-    * tokens, never corpus size), and the k-evaluation is a bounded
-    * explode over the requested budget list. Integer-exact counts;
-    * coverage is one final division. */
+    * Scale (100 TB): the corpus collapses to the vocab frame in one
+    * map-side-partial pass, and the vocab then collapses AGAIN to its
+    * DISTINCT-FREQUENCY profile (cnt → how many terms have that cnt):
+    * the coverage of a top-k vocabulary depends only on the frequency
+    * MULTISET — equal-count terms are interchangeable, so which of them
+    * a tie-break admits at the k boundary never changes covered_tokens
+    * or vocab_used. That kills the r10-flagged vocab-sized unpartitioned
+    * rank window: the one remaining global cumulative window runs over
+    * distinct frequency VALUES, which is ≤ √(2N) by construction
+    * (d distinct positive counts sum to ≥ d(d+1)/2, so d(d+1)/2 ≤ N
+    * total tokens) — ~4.5M rows of two longs at N = 10¹³, versus a
+    * vocab that can be 10¹⁰ terms. Products ride DECIMAL(38,0) (cnt·m
+    * overflows int64 at web scale); coverage is one final division. */
   def coverageCurve(docs: DataFrame, ks: Seq[Long] = Seq(10L, 100L, 1000L, 10000L),
                     textCol: String = "text"): DataFrame = {
     val counts = docs.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("term").asc)
-    val ranked = counts.withColumn("rk", row_number().over(w))
-    ranked
-      .select(col("cnt"), col("rk"), explode(typedlit(ks)).as("k"))
+    // distinct-frequency profile: m terms share frequency cnt
+    val prof = counts.groupBy("cnt").agg(count(lit(1)).as("m"))
+    // cnt is unique per profile row → the cumulative window is total-ordered
+    val w = Window.orderBy(col("cnt").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = prof
+      .withColumn("terms_before", coalesce(sum(col("m")).over(w), lit(0L)))
+    // a frequency group contributes min(m, max(0, k - terms_before)) of
+    // its terms to the top-k vocabulary, each carrying cnt tokens
+    cum.select(col("cnt"), col("m"), col("terms_before"), explode(typedlit(ks)).as("k"))
+      .withColumn("take", greatest(lit(0L), least(col("m"), col("k") - col("terms_before"))))
       .groupBy("k")
-      .agg(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)).as("covered_tokens"),
-           sum(col("cnt")).as("total_tokens"),
-           sum(when(col("rk") <= col("k"), 1L).otherwise(0L)).as("vocab_used"))
+      .agg(sum(expr("CAST(take AS DECIMAL(38,0)) * cnt")).cast("long").as("covered_tokens"),
+           sum(expr("CAST(m AS DECIMAL(38,0)) * cnt")).cast("long").as("total_tokens"),
+           sum(col("take")).as("vocab_used"))
       .withColumn("coverage",
         col("covered_tokens").cast("double") / col("total_tokens"))
       .orderBy("k")

@@ -285,15 +285,14 @@ object TrainingData {
 
   /** C45: OOV rate against the corpus's own 20-term head vocabulary
     * (deterministic: count DESC, term ASC) — the tokenizer-coverage
-    * check; the head-vocab window runs over the Zipf-small vocab frame,
-    * never the corpus. */
+    * check. The head selection is a top-k LIMIT, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + a k-row driver merge)
+    * — no global window at any scale, not even a vocab-sized one. */
   def q101OovRate(t: Tables): DataFrame = {
     val counts = t.documents.select(explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("term").asc)
-    val vocab = counts.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20).select("term")
+    val vocab = counts.orderBy(col("n").desc, col("term").asc)
+      .limit(20).select("term")
     TextAnalysis.oovRate(t.documents, vocab).orderBy("doc_id")
   }
 
@@ -1369,7 +1368,12 @@ object TrainingData {
     * total files touched per candidate — the evidence row a maintenance
     * job attaches to its OPTIMIZE proposal. Completes the suite:
     * audit (q178) → advisor (q186) → compaction plan (q184) → decay
-    * re-trigger (q185). Exact composition of the C98 pieces. */
+    * re-trigger (q185). Exact composition of the C98 pieces via
+    * [[graft.operators.Layout.advise]] — this gate prices candidates
+    * on the FULL frame (k re-cluster passes, correct but 100×-hostile);
+    * the production path is [[graft.operators.Layout.adviseSampled]],
+    * whose verdict LayoutSpec proves equal on deterministic 1–10%
+    * hash samples. */
   def q186LayoutAdvisor(t: Tables): DataFrame = {
     import graft.operators.Layout
     val base = t.orders.select(
@@ -1392,16 +1396,7 @@ object TrainingData {
       Seq(("ck", 100L, 199L), ("dd", 365L, 729L)),
       Seq(("pb", 100L, 150L)),
       Seq(("ck", 100L, 199L), ("pb", 100L, 150L)))
-    (for ((name, key) <- candidates) yield {
-      val stats = Layout.fileStats(Layout.assignFiles(base, key, 64), dims)
-      workload.map(p => Layout.filesTouched(stats, p))
-        .reduce(_ unionAll _)
-        .agg(sum(col("files_touched")).as("workload_files_touched"),
-          max(col("files_total")).as("files_total"))
-        .select(lit(name).as("candidate"), col("workload_files_touched"),
-          col("files_total"))
-    }).reduce(_ unionAll _)
-      .orderBy("candidate")
+    Layout.advise(base, dims, candidates, workload, files = 64)
   }
 
   /** The PART CO-PURCHASE graph shared by q188/q189: parts appearing in
@@ -1427,13 +1422,17 @@ object TrainingData {
     * carries beyond star shapes. Pivoted on the CUSTOMER side (the
     * many-low-degree side — its Σ C(deg,2) wedge volume is orders of
     * magnitude below the supplier side's, the vertex-priority rule).
-    * One-row exact integer summary. */
+    * One-row exact integer summary, including the enforced hub-cap
+    * ledger (capped pivots / dropped wedges — zero here certifies
+    * exactness; the oracle mirrors the cap rule, so the ledger columns
+    * are gated too, not decorative). */
   def q187Butterflies(t: Tables): DataFrame = {
     val e = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    graft.operators.Graph.butterflies(e)
+    graft.operators.Graph.butterflies(e, maxPivotDegree = 8192L)
       .select(col("n_src").as("n_customers"), col("n_dst").as("n_suppliers"),
-        col("n_edges"), col("n_wedges"), col("n_butterflies"))
+        col("n_edges"), col("n_wedges"), col("n_butterflies"),
+        col("n_pivots_capped"), col("n_wedges_dropped"))
   }
 
   /** C108: CONNECTED COMPONENTS ([[graft.operators.Graph.components]])
@@ -1871,8 +1870,10 @@ object TrainingData {
     * ([[graft.operators.Dedup.winnowingPairs]], the MOSS algorithm) —
     * guaranteed-coverage local fingerprints: window-min character-gram
     * hashes (rightmost ties) so any shared substring ≥ k+w−1 chars
-    * yields a shared fingerprint at ~2/(w+1) density. Pairs sharing
-    * ≥3 selected fingerprints, total order. */
+    * yields a shared fingerprint at ~2/(w+1) density; over-frequent
+    * fingerprints (df > 200 — boilerplate) dropped before the pair
+    * join per MOSS's own rule, mirrored in the oracle. Pairs sharing
+    * ≥3 surviving fingerprints, total order. */
   def q220Winnowing(t: Tables): DataFrame =
     graft.operators.Dedup.winnowingPairs(t.documents, k = 8, w = 16, minShared = 3L)
       .orderBy(col("shared").desc, col("doc_a").asc, col("doc_b").asc)

@@ -3037,13 +3037,23 @@ object TrainingOracle {
 
     // C107: butterfly count — customer-pivot wedges (supplier pairs per
     // customer), k per pair, Σ C(k,2) in HUGEINT ≙ Spark's DECIMAL(38,0).
+    // The hub cap (pivot degree > 8192 ⇒ excluded + ledgered) is
+    // replayed, so the ledger columns are themselves oracle-gated.
     "q187_butterflies" ->
       """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), deg AS MATERIALIZED (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS pivot_deg FROM e GROUP BY 1
+        |), led AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE pivot_deg > 8192) AS BIGINT) AS n_pivots_capped,
+        |         COALESCE(CAST(SUM(CAST(pivot_deg AS HUGEINT) * (pivot_deg - 1) // 2)
+        |           FILTER (WHERE pivot_deg > 8192) AS BIGINT), 0) AS n_wedges_dropped
+        |  FROM deg
         |), pairs AS MATERIALIZED (
         |  SELECT a.dst AS d1, b.dst AS d2, CAST(COUNT(*) AS BIGINT) AS k
         |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        |  JOIN deg ON deg.src = a.src AND deg.pivot_deg <= 8192
         |  GROUP BY 1, 2
         |), ws AS (
         |  SELECT COALESCE(CAST(SUM(CAST(k AS HUGEINT)) AS BIGINT), 0) AS n_wedges,
@@ -3054,8 +3064,9 @@ object TrainingOracle {
         |         CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_suppliers,
         |         CAST(COUNT(*) AS BIGINT) AS n_edges
         |  FROM e)
-        |SELECT es.n_customers, es.n_suppliers, es.n_edges, ws.n_wedges, ws.n_butterflies
-        |FROM es, ws""".stripMargin,
+        |SELECT es.n_customers, es.n_suppliers, es.n_edges, ws.n_wedges, ws.n_butterflies,
+        |  led.n_pivots_capped, led.n_wedges_dropped
+        |FROM es, ws, led""".stripMargin,
 
     // C108: connected components — 8 rounds of (closed-neighborhood min,
     // pointer hop) replayed round-for-round; post-convergence rounds are
@@ -3152,7 +3163,9 @@ object TrainingOracle {
         |FROM ds, es, tri""".stripMargin,
 
     // C111: neighborhood Jaccard — common-neighbor wedge counts joined
-    // with undirected degrees, exact per-mille, threshold + top-20.
+    // with undirected degrees, exact per-mille, threshold + top-20. The
+    // enforced hub cap (wedge pivots of degree > 8192 skipped) is
+    // replayed so the capped operator stays oracle-exact.
     "q191_neighborhood_jaccard" ->
       """WITH pts AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
@@ -3163,11 +3176,14 @@ object TrainingOracle {
         |), und AS MATERIALIZED (
         |  SELECT src, dst FROM ew WHERE src <> dst
         |  UNION SELECT dst, src FROM ew WHERE src <> dst
+        |), deg AS MATERIALIZED (
+        |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
         |), com AS (
         |  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
         |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+        |  JOIN deg pd ON pd.node = x.src AND pd.d <= 8192
         |  GROUP BY 1, 2
-        |), deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1)
+        |)
         |SELECT com.a, com.b, com.common, da.d AS deg_a, db.d AS deg_b,
         |  1000 * com.common // (da.d + db.d - com.common) AS j_pm
         |FROM com JOIN deg da ON com.a = da.node JOIN deg db ON com.b = db.node
@@ -4649,7 +4665,9 @@ object TrainingOracle {
 
     // C140: winnowing — char-8-gram xx hashes through the macro chain,
     // packed (hash, rightmost-pos) keys, RANGE-frame window mins over
-    // full windows only, distinct selected values, pair counts.
+    // full windows only, distinct selected values, then MOSS's
+    // over-frequent rule (document frequency ≤ 200) before pair counts
+    // — the enforced hub cap, replayed so the gate covers it.
     "q220_winnowing" -> (xxMacros +
       s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE length(text) >= 23),
         |tok AS MATERIALIZED (
@@ -4668,9 +4686,12 @@ object TrainingOracle {
         |  SELECT DISTINCT w.id, w.sel // 1048576::HUGEINT AS fp
         |  FROM wm w JOIN mx ON mx.id = w.id
         |  WHERE w.pos <= mx.max_pos - 15),
+        |kept AS MATERIALIZED (
+        |  SELECT s.id, s.fp FROM selfp s
+        |  JOIN (SELECT fp FROM selfp GROUP BY 1 HAVING COUNT(*) <= 200) f USING (fp)),
         |pr AS (
         |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*)::BIGINT AS shared
-        |  FROM selfp a JOIN selfp b ON a.fp = b.fp AND a.id < b.id
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
         |SELECT doc_a, doc_b, shared FROM pr
         |ORDER BY shared DESC, doc_a, doc_b LIMIT 30""".stripMargin),
@@ -4693,28 +4714,28 @@ object TrainingOracle {
          |  SELECT r, SUM(w)::BIGINT AS wsum,
          |         SUM(w::HUGEINT * x)::HUGEINT AS wxsum
          |  FROM wt GROUP BY 1),
-         |mr AS (SELECT r, (1000000 * wxsum // wsum::HUGEINT)::BIGINT AS mean_ppm FROM reps),
+         |-- wsum > 0 and the GREATEST(0, variance) clamp mirror the
+         |-- operator's all-zero-replicate drop and NaN guard (ADVICE r10)
+         |mr AS (SELECT r, (1000000 * wxsum // wsum::HUGEINT)::BIGINT AS mean_ppm
+         |       FROM reps WHERE wsum > 0),
          |ful AS (SELECT COUNT(*)::BIGINT AS n_rows, SUM(x::HUGEINT) AS sx FROM d),
          |ag AS (
          |  SELECT COUNT(*)::BIGINT AS n_replicates,
          |         SUM(mean_ppm)::BIGINT AS sm,
          |         SUM(mean_ppm::HUGEINT * mean_ppm)::HUGEINT AS sm2
-         |  FROM mr)
+         |  FROM mr),
+         |sd AS (
+         |  SELECT n_replicates,
+         |    sqrt(GREATEST(0.0, CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
+         |    / 1000000.0 AS se_boot
+         |  FROM ag)
          |SELECT n_rows,
          |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_full,
-         |  n_replicates,
-         |  sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
-         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
-         |    / 1000000.0 AS se_boot,
-         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
-         |    - 2.0 * (sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
-         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
-         |    / 1000000.0) AS ci_lo,
-         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)
-         |    + 2.0 * (sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
-         |        / CAST(n_replicates AS DOUBLE)) / (CAST(n_replicates AS DOUBLE) - 1.0))
-         |    / 1000000.0) AS ci_hi
-         |FROM ag, ful""".stripMargin
+         |  n_replicates, se_boot,
+         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) - 2.0 * se_boot AS ci_lo,
+         |  CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE) + 2.0 * se_boot AS ci_hi
+         |FROM sd, ful""".stripMargin
     }),
 
     // C149: HRW reshard audit — the (doc × shard-id) key strings through

@@ -362,4 +362,66 @@ class PlanSpec extends SparkSuite {
     }
     assert(offenders.isEmpty, s"plan invariants violated:\n${offenders.mkString("\n")}")
   }
+
+  test("EVERY catalog query: unpartitioned windows only on the documented bounded frames") {
+    // the r10 verdict's stretch gate: an unpartitioned WindowExec funnels
+    // its whole input through ONE task, so it is only ever acceptable on
+    // a frame BOUNDED by something other than corpus size. Every such
+    // window in the catalog must be on this list with its bound; a new
+    // query that sneaks in a corpus-scale global sort fails here, and a
+    // stale entry (query fixed, whitelist not updated) fails too, so the
+    // list stays exactly the documented set.
+    // Two recurring shapes, both bounded BY CONSTRUCTION:
+    //  (a) two-level templates (Ranking/Sweep/selectUntilBudget) cumulate
+    //      BUCKET OFFSETS over a one-row-per-bucket frame — Catalyst
+    //      folds the lit(1) partition away, so the exec node reports an
+    //      empty partitionSpec, but the frame is bucket-count-sized;
+    //  (b) direct windows over aggregated DISTINCT-VALUE frames (event
+    //      times, quantized scores, contingency cells), bounded by the
+    //      signal's domain, never corpus row count.
+    val bounded: Map[String, String] = Map(
+      // (a) bucket-offsets frames of the two-level templates
+      "q102_budget_select"   -> "priority-bucket offsets (selectUntilBudget)",
+      "q123_curation_report" -> "inherits q102's bucket offsets (composition)",
+      "q125_shard_layout"    -> "shard-bucket offsets (two-level rank)",
+      "q157_lm_terciles"     -> "score-bucket offsets (Ranking.groupRankDesc)",
+      "q158_concurrency"     -> "per-day bucket offsets (Sweep.runningSum)",
+      "q224_rfm"             -> "quantile-bucket offsets (two-level rank)",
+      // (b) bounded distinct-value / small aggregate frames
+      "q84_packing"          -> "block rollup frame (docs div blockTokens rows)",
+      "q116_coverage_curve"  -> "distinct-frequency profile, <= sqrt(2N) rows",
+      "q184_compaction_plan" -> "file-stats frame (one row per file)",
+      "q17_cte"              -> "monthly revenue frame (one row per month)",
+      "q100_filter_funnel"   -> "one row per funnel rule",
+      "q141_budget_waterfill" -> "domain frame (one row per source domain)",
+      "q142_mixture_schedule" -> "domain x schedule-step frame",
+      "q148_equi_depth"      -> "distinct quantized-value frame (q148 doc)",
+      "q161_zipf_profile"    -> "distinct-frequency frame, <= sqrt(2N) rows",
+      "q179_ks_drift"        -> "distinct-value frame, loud-fail guarded by maxDistinctValues",
+      "q194_t_closeness"     -> "per-class distinct sensitive-value frame",
+      "q197_seasonal_anomalies" -> "per-day series frame (one row per day)",
+      "q221_chi_square"      -> "contingency-cell frame (category product)",
+      "q223_pareto_front"    -> "distinct-x frame (two-level skyline kernel)",
+      "q228_roc_auc"         -> "distinct-score frame (Mann-Whitney ranks)",
+      "q229_survival"        -> "distinct event-time frame (Kaplan-Meier steps)"
+    )
+    val got = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val exec = fn(spark, sfDir).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case other => other
+        }
+        val n = exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }.size
+        if (n == 0) Nil else Seq(name)
+    }.toSet
+    val undocumented = got -- bounded.keySet
+    val stale = bounded.keySet -- got
+    assert(undocumented.isEmpty,
+      s"UNDOCUMENTED unpartitioned windows (corpus-scale single-task risk): $undocumented")
+    assert(stale.isEmpty,
+      s"stale whitelist entries (fixed queries still listed): $stale")
+  }
 }

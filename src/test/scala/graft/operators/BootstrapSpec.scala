@@ -49,4 +49,32 @@ class BootstrapSpec extends SparkSuite {
       .as[(Long, Double, Long, Double, Double, Double)].head()
     assert(got == again, "hash-drawn bootstrap is deterministic")
   }
+
+  test("C150: constant value column yields se = 0, never NaN (variance clamp)") {
+    // all replicate means are identical → sm2 - sm²/n can round an ulp
+    // below zero in doubles; the clamp must return exactly 0, and the CI
+    // must collapse onto the mean
+    val const = Seq.tabulate(500)(i => (i.toLong, 123L)).toDF("id", "x")
+    val got = Bootstrap.bootstrapCi(const, col("id"), col("x"), replicates = 48)
+      .as[(Long, Double, Long, Double, Double, Double)].head()
+    assert(!got._4.isNaN && got._4 == 0.0, s"se must be exactly 0: ${got._4}")
+    assert(got._5 == 123.0 && got._6 == 123.0)
+  }
+
+  test("C150: all-zero-weight replicates are dropped, not emitted as NULL rows") {
+    // a 1-row input draws W = 0 in ~e^-1 of replicates; those replicates
+    // must vanish from the frame (so n_replicates reports replicates
+    // actually used) rather than surface NULL means
+    val tiny = Seq((7L, 42L)).toDF("id", "x")
+    val reps = Bootstrap.bootstrapReplicates(tiny, col("id"), col("x"), replicates = 200)
+      .select("r", "wsum", "mean_ppm").as[(Int, Long, Long)].collect()
+    assert(reps.forall(_._2 > 0L), "no zero-weight replicate may survive")
+    assert(reps.length < 200, "some replicates must have drawn W=0 and been dropped")
+    assert(reps.length > 80, "most replicates survive (P(W>0) = 1 - e^-1)")
+    assert(reps.forall(_._3 == 42000000L))
+    val ci = Bootstrap.bootstrapCi(tiny, col("id"), col("x"), replicates = 200)
+      .as[(Long, Double, Long, Double, Double, Double)].head()
+    assert(ci._3 == reps.length.toLong, "n_replicates reports the replicates actually used")
+    assert(!ci._4.isNaN && ci._4 == 0.0)
+  }
 }

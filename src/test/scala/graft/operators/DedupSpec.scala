@@ -531,6 +531,36 @@ class DedupSpec extends SparkSuite {
     assert(shared <= 2 * nGrams / 17 + 8, s"density bound broken: $shared of $nGrams grams")
   }
 
+  test("C140: over-frequent fingerprints are dropped (MOSS rule) — boilerplate stops pairing, rare content still pairs") {
+    // every doc carries the same boilerplate header; only docs 1 and 2
+    // also share rare content. With maxDocFreq below the corpus size the
+    // boilerplate fingerprints (df = 12) are dropped, so only (1,2)
+    // survives; with the cap at the corpus size everything pairs.
+    val boiler = "This file is licensed under the Apache License Version 2 " * 2
+    val rare = "zebra quantum xylophone meanders through vivid harbors nightly"
+    val rnd = new scala.util.Random(67)
+    def noise(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (1L to 12L).map { i =>
+      (i, boiler + (if (i <= 2) rare else noise(62)))
+    }
+    val capped = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), minShared = 1L,
+        maxDocFreq = 8L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(capped == Set((1L, 2L)), s"boilerplate must not pair under the cap: $capped")
+    val uncapped = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), minShared = 1L,
+        maxDocFreq = 12L)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.length == 12 * 11 / 2, "cap at corpus size keeps every boilerplate pair")
+    // the ledger prices exactly what the cap refused: boilerplate fps
+    // have df 12 > 8 → dropped wedge rows = C(12,2) each
+    val fps = Dedup.winnowFingerprints(rows.toDF("doc_id", "text"))
+    val led = graft.operators.Graph.wedgeCapLedger(
+        fps.select(col("fp").as("src"), col("id").as("dst")), maxPivotDegree = 8L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(led._2 >= 1L && led._3 == 12L && led._5 >= 66L,
+      s"(n_fp, capped, max_df, kept, dropped): $led")
+  }
+
   test("C140: too-short documents produce nothing instead of failing") {
     val rows = Seq((1L, "tiny"), (2L, "a b"), (3L, "x" * 30), (4L, "x" * 30))
     val got = Dedup.winnowingPairs(rows.toDF("doc_id", "text"), minShared = 1L)

@@ -48,6 +48,38 @@ class GraphSpec extends SparkSuite {
     assert(gotS._1 == 10L && gotS._2 == 0L, s"star: $gotS")
   }
 
+  test("C107: planted hub is excluded from the expansion and ledgered exactly") {
+    // 3 normal pivots (degree 3) + one hub pivot of degree 20; cap at 5.
+    val normal = for (s <- 1L to 3L; d <- 1L to 3L) yield (s, 100L + s * 10 + d)
+    val hub = (1L to 20L).map(d => (99L, 100L + d))
+    val edges = normal ++ hub
+    val got = Graph.butterflies(edges.toDF("src", "dst"), maxPivotDegree = 5L)
+      .select("n_src", "n_dst", "n_edges", "n_wedges", "n_butterflies",
+        "n_pivots_capped", "n_wedges_dropped")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // counts over the 3 kept pivots only; edge totals remain global
+    val (wKept, fKept) = bruteButterflies(normal)
+    assert(got._3 == edges.distinct.size.toLong)
+    assert(got._4 == wKept && got._5 == fKept, s"kept counts: $got")
+    assert(got._6 == 1L, "exactly the hub pivot is capped")
+    assert(got._7 == 20L * 19 / 2, "dropped wedges = C(20,2)")
+    // cap above every degree ⇒ exact counts and a ZERO ledger
+    val full = Graph.butterflies(edges.toDF("src", "dst"))
+      .select("n_wedges", "n_butterflies", "n_pivots_capped", "n_wedges_dropped")
+      .as[(Long, Long, Long, Long)].head()
+    val (wAll, fAll) = bruteButterflies(edges)
+    assert(full == ((wAll, fAll, 0L, 0L)), s"default cap must be exact here: $full")
+  }
+
+  test("C107/C111: wedgeCapLedger quantifies exactly what a capped call refuses") {
+    val normal = for (s <- 1L to 3L; d <- 1L to 3L) yield (s, 100L + s * 10 + d)
+    val hub = (1L to 20L).map(d => (99L, 100L + d))
+    val got = Graph.wedgeCapLedger((normal ++ hub).toDF("src", "dst"), maxPivotDegree = 5L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 1L, 20L, 9L, 190L)),
+      s"(n_pivots, capped, max_deg, wedges_kept, wedges_dropped): $got")
+  }
+
   // --------------------------------------------------------- triangles
 
   test("C110: triangle count + gcc match brute force on a random fixture") {
@@ -94,6 +126,39 @@ class GraphSpec extends SparkSuite {
     val got = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 300)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("C111: hub cap bounds the wedge expansion; j_pm stays a lower bound with true degrees") {
+    // two genuinely-similar nodes (shared low-degree neighbors) + a hub
+    // adjacent to everything; capping the hub pivot must not destroy the
+    // similar pair, and degrees must stay TRUE (hub edges included).
+    val a = 1L; val b = 2L
+    val shared = (10L to 13L).flatMap(c => Seq((c, a), (c, b))) // pivots 10-13, degree 2
+    val hub = (1L to 9L).map(v => (99L, v))                     // hub pivot 99, degree 9
+    val edges = shared ++ hub
+    val got = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 1,
+        maxPivotDegree = 5L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // pair (1,2): common = 4 via kept pivots (hub contribution dropped);
+    // true degrees include the hub edge: deg = 4 shared + 1 hub = 5
+    assert(got((a, b)) == ((4L, 5L, 5L, 1000L * 4 / (5 + 5 - 4))), s"got ${got.get((a, b))}")
+    // hub-mediated-only pairs (e.g. 3,4 — only co-occur through the hub)
+    // are refused, not fabricated
+    assert(!got.contains((3L, 4L)), "hub-only pairs must be dropped under the cap")
+    // with the cap above every degree the capped run equals the exact run
+    val exact = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val brute = {
+      val adj = edges.flatMap(e => Seq(e, e.swap)).distinct.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      (for {
+        x <- adj.keys; y <- adj.keys if x < y
+        common = (adj(x) & adj(y)).size.toLong if common > 0
+        jpm = 1000L * common / (adj(x).size + adj(y).size - common) if jpm >= 1
+      } yield (x, y, common, adj(x).size.toLong, adj(y).size.toLong, jpm)).toSet
+    }
+    assert(exact == brute)
   }
 
   // -------------------------------------------------------- components

@@ -187,4 +187,49 @@ class LayoutSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].head()
     assert(gotAbs._4 < 16L, s"absent key passed all files: $gotAbs")
   }
+
+  test("C106: sampled advisor verdict matches the exact advisor on real data (sf0.01)") {
+    // the q186 shape on the real orders table one SF up from the suite
+    // default: the exact advisor (5 full re-cluster passes) and the
+    // hash-sampled advisor (1% and 10%) must agree on the decision —
+    // the winning candidate and the full cheap-to-costly ordering
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val base = orders.select(
+      (col("o_custkey") % 65536).cast("long").as("ck"),
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+        .cast("long").as("dd"),
+      expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 100000")
+        .as("pb"),
+      col("o_orderkey"))
+    val dims = Seq("ck", "dd", "pb")
+    val candidates = Seq(
+      ("sort_ck" -> col("ck")),
+      ("sort_dd" -> col("dd")),
+      ("z_ck_dd" -> Layout.zOrderKey(Seq(col("ck"), col("dd")))),
+      ("z_ck_pb" -> Layout.zOrderKey(Seq(col("ck"), col("pb")))),
+      ("z_dd_pb" -> Layout.zOrderKey(Seq(col("dd"), col("pb")))))
+    val workload = Seq(
+      Seq(("ck", 100L, 199L)),
+      Seq(("dd", 365L, 729L)),
+      Seq(("ck", 100L, 199L), ("dd", 365L, 729L)),
+      Seq(("pb", 100L, 150L)),
+      Seq(("ck", 100L, 199L), ("pb", 100L, 150L)))
+    def ordering(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(col("workload_files_touched").asc, col("candidate").asc)
+        .select("candidate").as[String].collect().toSeq
+    val exact = ordering(Layout.advise(base, dims, candidates, workload))
+    for (ppm <- Seq(10000L, 100000L)) {  // 1% and 10%
+      val sampled = ordering(Layout.adviseSampled(base, col("o_orderkey"), ppm,
+        dims, candidates, workload))
+      assert(sampled.head == exact.head,
+        s"fraction ${ppm}ppm picked ${sampled.head}, exact picked ${exact.head}")
+      assert(sampled == exact,
+        s"fraction ${ppm}ppm ordering $sampled vs exact $exact")
+    }
+    // determinism: the sample is hash-keyed, so the verdict replays
+    val again = ordering(Layout.adviseSampled(base, col("o_orderkey"), 10000L,
+      dims, candidates, workload))
+    assert(again == ordering(Layout.adviseSampled(base, col("o_orderkey"), 10000L,
+      dims, candidates, workload)))
+  }
 }
