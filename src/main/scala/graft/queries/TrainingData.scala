@@ -1250,6 +1250,26 @@ object TrainingData {
       .orderBy("slice")
   }
 
+  /** C151: POPULATION STABILITY INDEX ([[graft.operators.Drift.psi]]) —
+    * the binned drift scalar next to C99's KS: the English corpus as the
+    * reference population, everything else as current, over the
+    * document-length distribution in 10 equi-width bins. Laplace +1
+    * smoothing, exact ppm shares, q10 fixed-point binary log — integer
+    * end-to-end, per-bin terms plus the repeated total. */
+  def q234Psi(t: Tables): DataFrame =
+    graft.operators.Drift.psi(t.documents, col("lang") === "en",
+        col("n_chars"), bins = 10)
+      .orderBy("bin")
+
+  /** C152: token CO-OCCURRENCE LIFT
+    * ([[graft.operators.TextAnalysis.cooccurrenceLift]]) — collocation
+    * mining over the corpus: the top unordered token pairs by exact
+    * integer lift (PMI's argument — log-free ranking, the C143 trick)
+    * within a 5-token window, floor of 5 co-occurrences. */
+  def q235CoocLift(t: Tables): DataFrame =
+    graft.operators.TextAnalysis.cooccurrenceLift(t.documents,
+      window = 5, minPair = 5L, topK = 30)
+
   /** C101: PERSONALIZED PageRank ([[graft.operators.Rank
     * .personalizedPageRank]]) — the walk restarts at the ten
     * highest-volume customers (order count, custkey tie-break — integer

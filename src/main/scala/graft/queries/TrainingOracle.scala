@@ -4738,6 +4738,69 @@ object TrainingOracle {
          |FROM sd, ful""".stripMargin
     }),
 
+    // C151: PSI — equi-width bins over the corpus extrema, Laplace +1
+    // smoothed counts, exact ppm shares, the staged q10 binary log for
+    // both per-bin log arguments (ref×curTotal vs cur×refTotal), integer
+    // per-bin terms and total.
+    "q234_psi" ->
+      s"""WITH base AS (SELECT (lang = 'en') AS is_ref, n_chars::BIGINT AS v FROM documents),
+         |ext AS (SELECT MIN(v)::BIGINT AS mn, MAX(v)::BIGINT AS mx FROM base),
+         |binned AS MATERIALIZED (
+         |  SELECT CAST(CAST(v - mn AS HUGEINT) * 10 // (CAST(mx AS HUGEINT) - mn + 1) AS BIGINT) AS bin,
+         |         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS a,
+         |         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS c
+         |  FROM base, ext GROUP BY 1),
+         |spine AS (SELECT i.i::BIGINT AS bin, mn, mx FROM ext, unnest(range(0, 10)) AS i(i)),
+         |filled AS MATERIALIZED (
+         |  SELECT s.bin, s.mn, s.mx, COALESCE(a, 0)::BIGINT AS a, COALESCE(c, 0)::BIGINT AS c
+         |  FROM spine s LEFT JOIN binned b ON s.bin = b.bin),
+         |tot AS (SELECT SUM(a)::BIGINT AS ta, SUM(c)::BIGINT AS tc FROM filled),
+         |sm AS MATERIALIZED (
+         |  SELECT bin, mn, mx, a, c, a + 1 AS ap, c + 1 AS cp,
+         |         ta + 10 AS tap, tc + 10 AS tcp,
+         |         1000000 * (a + 1) // (ta + 10) AS ref_ppm,
+         |         1000000 * (c + 1) // (tc + 10) AS cur_ppm
+         |  FROM filled, tot),
+         |l2in AS (
+         |  SELECT 'r' AS kind, bin, ap * tcp AS x FROM sm
+         |  UNION ALL SELECT 'c', bin, cp * tap FROM sm),
+         |${l2Stages("l2in", "kind, bin")},
+         |terms AS MATERIALIZED (
+         |  SELECT sm.bin, sm.mn, sm.mx, sm.a, sm.c, sm.ref_ppm, sm.cur_ppm,
+         |    (sm.ref_ppm - sm.cur_ppm) * (lr.l2 - lcur.l2) AS term_q10ppm
+         |  FROM sm JOIN lg lr ON lr.kind = 'r' AND lr.bin = sm.bin
+         |          JOIN lg lcur ON lcur.kind = 'c' AND lcur.bin = sm.bin),
+         |pt AS (SELECT SUM(term_q10ppm)::BIGINT AS psi_q10ppm FROM terms)
+         |SELECT bin,
+         |  mn + CAST((bin * (CAST(mx AS HUGEINT) - mn + 1) + 9) // 10 AS BIGINT) AS lo,
+         |  mn + CAST(((bin + 1) * (CAST(mx AS HUGEINT) - mn + 1) + 9) // 10 AS BIGINT) - 1 AS hi,
+         |  a AS n_ref, c AS n_cur, ref_ppm, cur_ppm, term_q10ppm, psi_q10ppm
+         |FROM terms, pt ORDER BY bin""".stripMargin,
+
+    // C152: co-occurrence lift — per-doc (i, i+d) position pairs for
+    // d = 1..5, unordered canonical pair counts with the >= 5 floor,
+    // exact HUGEINT lift in ppm, top-30 (lift DESC, pair ASC).
+    "q235_cooc_lift" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |un AS MATERIALIZED (
+        |  SELECT t, COUNT(*)::BIGINT AS n_t
+        |  FROM (SELECT unnest(tk) AS t FROM d) GROUP BY 1),
+        |tt AS (SELECT SUM(n_t)::BIGINT AS tot_t FROM un),
+        |pr AS MATERIALIZED (
+        |  SELECT LEAST(x, y) AS tok_a, GREATEST(x, y) AS tok_b, COUNT(*)::BIGINT AS n_ab
+        |  FROM (
+        |    SELECT tk[i] AS x, tk[i + g] AS y
+        |    FROM d, unnest(range(1, len(tk) + 1)) AS ii(i), unnest(range(1, 6)) AS gg(g)
+        |    WHERE i + g <= len(tk))
+        |  WHERE x <> y
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |tp AS (SELECT SUM(n_ab)::BIGINT AS tot_p FROM pr)
+        |SELECT tok_a, tok_b, n_ab, a.n_t AS n_a, b.n_t AS n_b,
+        |  CAST(1000000::HUGEINT * n_ab * tot_t * tot_t
+        |       // (tot_p::HUGEINT * a.n_t * b.n_t) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN un a ON pr.tok_a = a.t JOIN un b ON pr.tok_b = b.t, tt, tp
+        |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin,
+
     // C149: HRW reshard audit — the (doc × shard-id) key strings through
     // the xx macro chain, per-doc unsigned argmax (hu DESC, smallest id
     // ties) at n=8 and m=9, movement matrix with exact ppm shares.

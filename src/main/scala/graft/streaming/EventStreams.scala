@@ -589,6 +589,42 @@ object EventStreams {
   def ksDriftHistory(spark: SparkSession, historyRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
 
+  /** D38: streaming PSI monitor — the BINNED drift scalar next to D29's
+    * KS (PSI is what model-governance sheets alarm on; KS is the
+    * whole-distribution test): every micro-batch's metric distribution
+    * scores against the FIXED calibration reference
+    * ([[graft.operators.Drift.psiVsReference]] — calibration bin edges,
+    * out-of-range mass clamps into the edge bins, integer q10·ppm PSI)
+    * and the per-bin rows land as a versioned history; an alarm reads
+    * the repeated `psi_q10ppm` total against its tolerance (the classic
+    * 0.1/0.25 thresholds ≈ 148/369 ·10⁶ q10ppm in bits).
+    *
+    * Scale: the reference is a B-row literal; each batch reduces to its
+    * B-bin counts map-side. History rows per batch = B. */
+  def psiMonitor(stream: DataFrame, refCounts: Seq[(Long, Long)],
+                 mn: Long, mx: Long, bins: Int,
+                 historyRoot: String, checkpointDir: String,
+                 valueCol: String): Unit = {
+    require(refCounts.nonEmpty, "reference bin counts must be non-empty")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Drift.psiVsReference(
+              batch.toDF(), col(valueCol), refCounts, mn, mx, bins)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$historyRoot/v$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The PSI history: B rows per batch, total repeated per row. */
+  def psiHistory(spark: SparkSession, historyRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(historyRoot)
+
   /** D30: streaming CUSUM monitor — the time-localizing companion to
     * D29's per-batch distribution test: per monitored series, the
     * two-sided CUSUM excursion vs the FIXED calibration level k runs

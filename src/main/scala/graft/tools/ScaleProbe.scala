@@ -707,6 +707,20 @@ object ScaleProbe {
       }
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // PSI collapses to the bin frame in one scan → scan-bound
+      run("psi", k)(
+        graft.operators.Drift.psi(docs, col("lang") === "en",
+          col("n_chars"), bins = 10).count())
+      // co-occurrence lift: per-row pair expansion + two partial-agg
+      // counts; amplified copies repeat the same pairs, so the pair
+      // frame stays vocab²-bounded while the scan grows k-fold →
+      // near-linear growth is the claim
+      run("cooc_lift", k)(
+        TextAnalysis.cooccurrenceLift(docs, window = 5, minPair = 5L,
+          topK = 30).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
       val emb = amplify(t.embeddings, "vec_id", k)
       run("mutual_info", k) {
         val stacked = emb

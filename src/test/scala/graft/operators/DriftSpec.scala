@@ -92,6 +92,91 @@ class DriftSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("bucketize")), s"got: ${messages(e)}")
   }
 
+  // ------------------------------------------------------------- C151 PSI
+
+  // driver-side q10 binary log, mirroring Search.log2q10Sql
+  private def l2q10(x: Long): Long = {
+    require(x > 0)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e >= 20) x / (1L << (e - 20)) else x * (1L << (20 - e))
+    var acc = e.toLong * 1024
+    var w = 512L
+    for (_ <- 1 to 10) {
+      val sq = m * m / 1048576L
+      if (sq >= 2097152L) { m = sq / 2; acc += w } else m = sq
+      w /= 2
+    }
+    acc
+  }
+
+  /** Brute-force PSI replay: equi-width bins over [min, max], Laplace +1,
+    * exact ppm shares, q10-log terms. */
+  private def refPsi(rows: Seq[(Boolean, Long)], bins: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    val w = mx - mn + 1
+    def bin(v: Long) = (BigInt(v - mn) * bins / w).toLong
+    val byBin = rows.groupBy(r => bin(r._2))
+    val ta = rows.count(_._1).toLong
+    val tc = rows.size - ta
+    (0L until bins.toLong).map { b =>
+      val a = byBin.getOrElse(b, Nil).count(_._1).toLong
+      val c = byBin.getOrElse(b, Nil).count(!_._1).toLong
+      val (ap, cp) = (a + 1, c + 1)
+      val (tap, tcp) = (ta + bins, tc + bins)
+      val refPpm = 1000000L * ap / tap
+      val curPpm = 1000000L * cp / tcp
+      val term = (refPpm - curPpm) * (l2q10(ap * tcp) - l2q10(cp * tap))
+      (b, a, c, refPpm, curPpm, term)
+    }
+  }
+
+  test("C151: PSI matches the brute-force replay; identical populations score ~0") {
+    val rnd = new scala.util.Random(23)
+    // reference normal-ish around 500, current SHIFTED to ~650
+    val rows = Seq.tabulate(2000) { i =>
+      val isRef = i % 2 == 0
+      val base = if (isRef) 500.0 else 650.0
+      (isRef, (base + rnd.nextGaussian() * 80).toLong.max(1L))
+    }
+    val got = Drift.psi(rows.toDF("is_ref", "v"), col("is_ref"), col("v"), bins = 10)
+      .orderBy("bin")
+      .select("bin", "n_ref", "n_cur", "ref_ppm", "cur_ppm", "term_q10ppm", "psi_q10ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val want = refPsi(rows, 10)
+    assert(got.length == 10)
+    for ((g, w) <- got.zip(want))
+      assert((g._1, g._2, g._3, g._4, g._5, g._6) == w, s"bin ${g._1}: $g vs $w")
+    val totWant = want.map(_._6).sum
+    assert(got.forall(_._7 == totWant), "total repeated on every row")
+    // a real shift must register loudly (PSI > 0.25 rule of thumb:
+    // 0.25 nats ~ 0.36 bits ~ 0.36·1024·10^6 q10ppm)
+    assert(totWant > 300L * 1024 * 1000, s"shifted population must alarm: $totWant")
+    // identical populations: near-zero PSI (smoothing-only residue)
+    val same = rows.map { case (_, v) => (v % 2 == 0, v) }
+    val gotSame = Drift.psi(same.toDF("is_ref", "v"), col("is_ref"), col("v"), bins = 10)
+      .select("psi_q10ppm").distinct().as[Long].head()
+    assert(math.abs(gotSame) < totWant / 20,
+      s"same-population PSI must be near zero: $gotSame vs shifted $totWant")
+  }
+
+  test("C151: empty bins survive via the smoothing; constant column degenerates to bin 0") {
+    // all mass in two far-apart values → 8 empty middle bins, no NULLs
+    val rows = Seq.tabulate(100)(i => (i % 2 == 0, if (i % 2 == 0) 0L else 1000L))
+    val got = Drift.psi(rows.toDF("is_ref", "v"), col("is_ref"), col("v"), bins = 10)
+      .orderBy("bin")
+      .select("bin", "n_ref", "n_cur", "term_q10ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 10 && got.forall(r => r._4 != 0 || (r._2 == r._3)))
+    assert(got.head._2 == 50L && got.head._3 == 0L, s"ref mass in bin 0: ${got.head}")
+    assert(got.last._2 == 0L && got.last._3 == 50L, s"cur mass in bin 9: ${got.last}")
+    // constant column: one bin holds everything, still 10 rows, no error
+    val const = Seq.tabulate(40)(i => (i % 2 == 0, 7L))
+    val gotC = Drift.psi(const.toDF("is_ref", "v"), col("is_ref"), col("v"), bins = 10)
+      .orderBy("bin").select("bin", "n_ref", "n_cur").as[(Long, Long, Long)].collect()
+    assert(gotC.length == 10 && gotC.head == ((0L, 20L, 20L)))
+    assert(gotC.drop(1).forall(r => r._2 == 0L && r._3 == 0L))
+  }
+
   test("C99: every window in the plan is partitioned (no corpus-wide single task)") {
     val t = graft.queries.Tables(spark, sfDir)
     val df = graft.queries.TrainingData.q179KsDrift(t)

@@ -489,4 +489,61 @@ class TextAnalysisSpec extends SparkSuite {
     // reference docs never appear in the output
     assert(got.map(_._1) == Seq(1L, 3L, 5L))
   }
+
+  // ------------------------------------------------- C152 cooccurrence lift
+
+  /** Brute replay: unordered within-window pairs, exact BigInt lift. */
+  private def refLift(texts: Seq[String], w: Int, minPair: Long): Map[(String, String), (Long, Long, Long, Long)] = {
+    val toks = texts.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totT = toks.map(_.size).sum.toLong
+    val pairs = toks.flatMap { tk =>
+      for {
+        i <- tk.indices; d <- 1 to w if i + d < tk.size
+        if tk(i) != tk(i + d)
+      } yield if (tk(i) < tk(i + d)) (tk(i), tk(i + d)) else (tk(i + d), tk(i))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= minPair)
+    val totP = pairs.values.sum
+    pairs.map { case ((a, b), nab) =>
+      val lift = (BigInt(1000000) * nab * totT * totT /
+        (BigInt(totP) * uni(a) * uni(b))).toLong
+      (a, b) -> ((nab, uni(a), uni(b), lift))
+    }
+  }
+
+  test("C152: co-occurrence lift equals the brute replay; collocations outrank chance pairs") {
+    // 'rock roll' always adjacent (collocation); 'the' is everywhere
+    // (no lift); 'salt pepper' co-occur at distance 4 (inside w=5)
+    val texts = Seq.tabulate(20) { i =>
+      s"the rock roll band n$i played the salt of all pepper songs the end"
+    }
+    val got = TextAnalysis.cooccurrenceLift(
+        texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text"),
+        window = 5, minPair = 5L, topK = 1000)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val want = refLift(texts, 5, 5L)
+    assert(got.length == want.size, s"${got.length} vs ${want.size}")
+    for (g <- got)
+      assert(want((g._1, g._2)) == ((g._3, g._4, g._5, g._6)), s"pair $g")
+    val byPair = got.map(g => (g._1, g._2) -> g._6).toMap
+    // the exclusive pair must outrank the ubiquitous-token pair
+    assert(byPair(("rock", "roll")) > byPair(("end", "the")),
+      s"collocation must beat chance: $byPair")
+    // distance-4 co-occurrence is captured by the window
+    assert(byPair.contains(("pepper", "salt")))
+    // ranking is lift DESC with pair ties ASC
+    assert(got.sortBy(g => (-g._6, g._1, g._2)).toSeq == got.toSeq)
+  }
+
+  test("C152: window bounds respected; short docs never crash") {
+    val texts = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, ""), (4L, "p q"))
+    val got = TextAnalysis.cooccurrenceLift(texts.toDF("doc_id", "text"),
+        window = 2, minPair = 1L, topK = 1000)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // distance-3 pairs (a,d) must NOT appear under w=2
+    assert(!got.exists(g => g._1 == "a" && g._2 == "d"))
+    assert(got.exists(g => g._1 == "a" && g._2 == "c"), "distance-2 pair present")
+    assert(got.exists(g => g._1 == "p" && g._2 == "q"), "2-token doc pairs")
+  }
 }

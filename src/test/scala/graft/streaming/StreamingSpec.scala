@@ -760,6 +760,71 @@ class StreamingSpec extends SparkSuite {
       .select("batch_id").distinct().count() == 2)
   }
 
+  test("D38: streaming PSI matches the batch kernel; drifted batch alarms; replay-safe") {
+    import graft.operators.Drift
+    val in = Files.createTempDirectory("graft-psi-in").toString
+    val hist = Files.createTempDirectory("graft-psi-hist").toString
+    val ckpt = Files.createTempDirectory("graft-psi-ckpt").toString
+
+    // calibration: the static corpus's length distribution binned at the
+    // calibration extrema — the fixed edges every batch scores against
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bins = 10
+    val (mn, mx) = docs.agg(min(col("n_chars").cast("long")), max(col("n_chars").cast("long")))
+      .as[(Long, Long)].head()
+    val refCounts = docs
+      .select(expr(s"greatest(0L, least(${bins - 1}L, " +
+        s"cast(cast(n_chars - ${mn}L as decimal(38,0)) * $bins div (cast(${mx}L as decimal(38,0)) - ${mn}L + 1) as long)))").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toSeq
+
+    def runOnce(): Unit = EventStreams.psiMonitor(
+      spark.readStream.schema("doc_id LONG, n_chars LONG").parquet(in),
+      refCounts, mn, mx, bins, historyRoot = hist, checkpointDir = ckpt,
+      valueCol = "n_chars")
+
+    // batch 1: an unbiased slice; batch 2: only LONG docs + some values
+    // OUTSIDE the calibration range (must clamp, not error)
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    b1.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val b2 = docs.filter(col("n_chars") > 400)
+      .select(col("doc_id"), (col("n_chars") + 2000).cast("long").as("n_chars"))
+    b2.coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+
+    val history = EventStreams.psiHistory(spark, hist)
+    val batches = history.select("batch_id").distinct().as[Long].collect().sorted
+    assert(batches.length == 2, s"one history version per batch, got ${batches.toSeq}")
+
+    // each batch's history rows equal the batch-computed kernel output
+    for ((batch, bid) <- Seq(b1, b2).zip(batches)) {
+      val expect = Drift.psiVsReference(batch.toDF(), col("n_chars"), refCounts, mn, mx, bins)
+        .select("bin", "n_cur", "term_q10ppm", "psi_q10ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val got = history.filter(col("batch_id") === bid)
+        .select("bin", "n_cur", "term_q10ppm", "psi_q10ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expect, s"batch $bid: $got != $expect")
+    }
+    // the alarm signal works: out-of-range mass clamps into the top bin
+    // and the drifted batch's PSI dwarfs the calm batch's
+    val calm = history.filter(col("batch_id") === batches(0))
+      .select("psi_q10ppm").distinct().as[Long].head()
+    val drifted = history.filter(col("batch_id") === batches(1))
+      .select("psi_q10ppm").distinct().as[Long].head()
+    assert(drifted > calm * 10 && drifted > 148L * 1000000,
+      s"drifted=$drifted must alarm over calm=$calm")
+    val topBin = history.filter(col("batch_id") === batches(1) && col("bin") === (bins - 1))
+      .select("n_cur").as[Long].head()
+    assert(topBin == b2.count(), "out-of-range values clamp into the edge bin")
+
+    // replay on the same checkpoint: no new data, no new history version
+    runOnce()
+    assert(EventStreams.psiHistory(spark, hist)
+      .select("batch_id").distinct().count() == 2)
+  }
+
   test("D25: continuous enrichment-view maintenance tracks fact deltas AND dim drift, replay-safe") {
     val in = Files.createTempDirectory("graft-enrich-in").toString
     val state = Files.createTempDirectory("graft-enrich-state").toString
