@@ -126,4 +126,117 @@ object Attribution {
         sum(col("credit_ppm")).as("credit_ppm_total"),
         sum(col("attributed_cents")).as("attributed_cents_total"))
       .orderBy("channel", "half_lives")
+
+  // ------------------------------------------------------------- B53 Markov
+
+  /** B53 kernel: first-order JOURNEY TRANSITION counts. Per user, events
+    * in (ts, tie) order split into journeys at each conversion (the
+    * conversion terminates its journey; the next event starts a new
+    * one). States: `START` opens every journey, each non-conversion
+    * channel is itself, a conversion event is the absorbing `CONV`, and
+    * a journey with no conversion ends in the absorbing `NULL`.
+    *
+    * Scale shape: two windows per user (journey split + lead), both
+    * frames bounded by that user's event count; the output is the
+    * (channels+2)² transition frame — bounded by the CHANNEL VOCABULARY
+    * (the q19-pivot discipline: channels are a bounded enum, document
+    * the cap when they are not), independent of corpus rows.
+    *
+    * @return (src, dst, n) transition counts. */
+  def markovTransitions(events: DataFrame, userCol: String, channelCol: String,
+                        tsCol: String, tieCol: String,
+                        convChannel: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val st = events
+      .withColumn("__conv", col(channelCol) === lit(convChannel))
+      .withColumn("__state", when(col("__conv"), lit("CONV")).otherwise(col(channelCol)))
+      .withColumn("__j", coalesce(sum(when(col("__conv"), 1L).otherwise(0L)).over(wPrior), lit(0L)))
+    val wj = Window.partitionBy(col(userCol), col("__j"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val seq = st
+      .withColumn("__rn", row_number().over(wj))
+      .withColumn("__nxt", lead(col("__state"), 1).over(wj))
+    val starts = seq.filter(col("__rn") === 1)
+      .select(lit("START").as("src"), col("__state").as("dst"))
+    val steps = seq.filter(col("__state") =!= "CONV")
+      .select(col("__state").as("src"), coalesce(col("__nxt"), lit("NULL")).as("dst"))
+    starts.unionByName(steps).groupBy("src", "dst").agg(count(lit(1)).as("n"))
+  }
+
+  /** B53: MARKOV REMOVAL-EFFECT attribution — the data-driven
+    * multi-touch model (Anderl et al. 2014, the "Markov chain
+    * attribution" every martech stack quotes): journeys become a
+    * first-order chain, conversion probability is the absorption
+    * probability of `CONV` from `START`, and a channel's value is its
+    * REMOVAL EFFECT — how much conversion drops when that channel's
+    * node is knocked out (its visits absorb into `NULL`). Credit shares
+    * normalize the removal effects. Unlike position/time-decay rules
+    * (B47/B52), the credit comes from the observed path structure.
+    *
+    * EXACT arithmetic contract: absorption probabilities are defined as
+    * `rounds` SYNCHRONIZED Jacobi sweeps of the value iteration
+    *
+    *   v(s) ← Σ_t n(s,t)·v(t) div n_out(s),  v(CONV) = 10⁶ fixed,
+    *
+    * from v = 0, all in integers (products in BigInt / HUGEINT) — both
+    * engines replay the same truncating sweeps, so every output is
+    * bit-stable. The iterate rises monotonically toward the true
+    * absorption probability; 32 sweeps land within ~2⁻³² of the fixed
+    * point for any sub-stochastic chain with conversion reachable —
+    * the documented statistic IS the 32-sweep value (the C108
+    * fixed-round discipline).
+    *
+    * Scale shape: the corpus collapses to the transition frame in one
+    * pass ([[markovTransitions]]); the (channels+2)-state solve runs
+    * DRIVER-SIDE on that bounded frame (the k-means/power-iteration
+    * discipline: bounded model state on the driver, corpus-sized work
+    * in the cluster), once per channel plus the baseline.
+    *
+    * @return one row per channel: (channel, n_touches, p_base_ppm,
+    *         p_removed_ppm, removal_ppm, attribution_ppm) —
+    *         attribution NULL when no channel has positive removal. */
+  def markovRemoval(events: DataFrame, userCol: String, channelCol: String,
+                    tsCol: String, tieCol: String, convChannel: String,
+                    rounds: Int = 32): DataFrame = {
+    require(rounds >= 1 && rounds <= 256)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trDf = markovTransitions(events, userCol, channelCol, tsCol, tieCol, convChannel)
+    // bounded driver state: (channels+2)^2 transition rows
+    val tr = trDf.as[(String, String, Long)].collect()
+    val nOut = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val channels = (tr.map(_._1) ++ tr.map(_._2)).distinct
+      .filterNot(Set("START", "CONV", "NULL")).sorted
+    val touches = tr.filter(t => t._2 != "NULL").groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap // visits INTO each state
+    // CONV/NULL are absorbing (never sources): their values are pinned
+    // at lookup — 10^6 and 0 — exactly as the oracle's COALESCE encodes
+    def solve(removed: Option[String]): Long = {
+      def value(m: Map[String, BigInt], s: String): BigInt =
+        if (s == "CONV") BigInt(1000000) else m.getOrElse(s, BigInt(0))
+      var v = Map.empty[String, BigInt]
+      for (_ <- 1 to rounds) {
+        val prev = v
+        v = nOut.keys.map { s =>
+          s -> (if (removed.contains(s)) BigInt(0)
+                else tr.filter(_._1 == s).map(t => BigInt(t._3) * value(prev, t._2)).sum / nOut(s))
+        }.toMap
+      }
+      value(v, "START").toLong
+    }
+    val pBase = solve(None)
+    val rows = channels.map { c =>
+      val pc = solve(Some(c))
+      (c, touches.getOrElse(c, 0L), pBase, pc, pBase - pc)
+    }
+    val totalRemoval = rows.map(_._5).sum
+    rows.map { case (c, nt, pb, pc, re) =>
+      (c, nt, pb, pc, re,
+        if (totalRemoval > 0) Some(1000000L * re / totalRemoval) else None)
+    }.toSeq
+      .toDF("channel", "n_touches", "p_base_ppm", "p_removed_ppm",
+        "removal_ppm", "attribution_ppm")
+      .orderBy("channel")
+  }
 }

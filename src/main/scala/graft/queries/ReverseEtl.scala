@@ -481,6 +481,18 @@ object ReverseEtl {
       lookbackUs = 7L * 86400000000L, halflifeUs = 86400000000L)
   }
 
+  /** B53: MARKOV removal-effect attribution
+    * ([[graft.operators.Attribution.markovRemoval]]) — the data-driven
+    * credit model beside the rule-based splits (q172 U-shape, q231
+    * time-decay): user journeys split at each purchase become a
+    * first-order chain over the event-type channels; a channel's credit
+    * is its REMOVAL EFFECT on the 32-sweep integer absorption
+    * probability of CONV from START. Every number exact ppm. */
+  def q236MarkovAttribution(t: Tables): DataFrame =
+    graft.operators.Attribution.markovRemoval(t.events,
+      userCol = "user_id", channelCol = "event_type",
+      tsCol = "ts", tieCol = "event_id", convChannel = "purchase")
+
   /** B49: REFERENTIAL-INTEGRITY audit — the cross-table data-quality
     * gate next to B30's column-level expectations: before a sync trusts
     * an enrichment join, count every child row whose foreign key has no

@@ -49,7 +49,84 @@ object ReverseEtlOracle {
        |  SELECT ck, cc, cs, cp, TIMESTAMP '1997-07-01', CAST(NULL AS TIMESTAMP), TRUE
        |  FROM j WHERE hk IS NOT NULL AND ck IS NOT NULL AND chg)""".stripMargin
 
+  /** One B53 value-iteration solve as `rounds` staged MATERIALIZED CTEs
+    * (the l2Stages discipline — each stage references the previous once,
+    * so DuckDB's textual CTE inlining stays linear): synchronized Jacobi
+    * sweeps of v(s) = Σ n(s,t)·v(t) // n_out(s) with absorbing CONV/NULL
+    * pinned at lookup (they are never sources) and the removed channel
+    * forced to 0. Expects CTEs `tr(src, dst, n)` and `no(src, n_out)`. */
+  private def markovSolve(tag: String, removed: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"v_${tag}_0 AS (SELECT src AS state, 0::HUGEINT AS v FROM no),\n"
+    for (i <- 1 to rounds) {
+      sb ++= s"v_${tag}_$i AS MATERIALIZED (\n" +
+        s"  SELECT no.src AS state,\n" +
+        s"    CASE WHEN no.src = '$removed' THEN 0::HUGEINT\n" +
+        s"    ELSE SUM(t.n::HUGEINT * COALESCE(vp.v,\n" +
+        s"      CASE WHEN t.dst = 'CONV' THEN 1000000::HUGEINT ELSE 0::HUGEINT END))\n" +
+        s"      // no.n_out END AS v\n" +
+        s"  FROM no JOIN tr t ON t.src = no.src\n" +
+        s"  LEFT JOIN v_${tag}_${i - 1} vp ON vp.state = t.dst\n" +
+        s"  GROUP BY no.src, no.n_out),\n"
+    }
+    sb.toString
+  }
+
   val sql: Map[String, String] = Map(
+
+    // B53: Markov removal-effect attribution — journeys split at each
+    // purchase, first-order transition counts, then one 32-sweep integer
+    // value iteration per removal (channels hardcoded from the event
+    // vocabulary, fixed across SFs by the generator).
+    "q236_markov_attrib" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      val solves = (("base", "__none__") +: chans.map(c => (c, c)))
+        .map { case (tag, rm) => markovSolve(tag, rm, 32) }.mkString
+      val removedCase = chans.map(c =>
+        s"      WHEN '$c' THEN (SELECT v FROM v_${c}_32 WHERE state = 'START')").mkString("\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, (event_type = 'purchase') AS conv,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state
+         |  FROM events),
+         |j AS MATERIALIZED (
+         |  SELECT user_id, event_id, ts, conv, state,
+         |    COALESCE(SUM(CASE WHEN conv THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jr
+         |  FROM e),
+         |s AS MATERIALIZED (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, jr ORDER BY ts, event_id) AS rn,
+         |    LEAD(state) OVER (PARTITION BY user_id, jr ORDER BY ts, event_id) AS nxt
+         |  FROM j),
+         |tr AS MATERIALIZED (
+         |  SELECT src, dst, COUNT(*)::BIGINT AS n FROM (
+         |    SELECT 'START' AS src, state AS dst FROM s WHERE rn = 1
+         |    UNION ALL SELECT state, COALESCE(nxt, 'NULL') FROM s WHERE state <> 'CONV')
+         |  GROUP BY 1, 2),
+         |no AS MATERIALIZED (SELECT src, SUM(n)::BIGINT AS n_out FROM tr GROUP BY 1),
+         |ch AS (
+         |  SELECT DISTINCT st AS channel
+         |  FROM (SELECT src AS st FROM tr UNION SELECT dst FROM tr)
+         |  WHERE st NOT IN ('START', 'CONV', 'NULL')),
+         |tch AS (
+         |  SELECT dst AS channel, SUM(n)::BIGINT AS n_touches
+         |  FROM tr WHERE dst <> 'NULL' GROUP BY 1),
+         |$solves
+         |res AS (
+         |  SELECT ch.channel, COALESCE(tch.n_touches, 0)::BIGINT AS n_touches,
+         |    (SELECT v FROM v_base_32 WHERE state = 'START')::BIGINT AS p_base_ppm,
+         |    (CASE ch.channel
+         |$removedCase
+         |    END)::BIGINT AS p_removed_ppm
+         |  FROM ch LEFT JOIN tch USING (channel)),
+         |tot AS (SELECT SUM(p_base_ppm - p_removed_ppm)::BIGINT AS rt FROM res)
+         |SELECT channel, n_touches, p_base_ppm, p_removed_ppm,
+         |  p_base_ppm - p_removed_ppm AS removal_ppm,
+         |  CASE WHEN rt > 0
+         |    THEN 1000000 * (p_base_ppm - p_removed_ppm) // rt END AS attribution_ppm
+         |FROM res, tot ORDER BY channel""".stripMargin
+    },
     "q20_cursor_incremental" ->
       s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
          |FROM orders

@@ -90,4 +90,63 @@ class AttributionSpec extends SparkSuite {
     assert(g2("x")._2 >= 0L && g2("y")._2 > 990000L)
     assert(g2.values.map(_._2).sum == 1000000L)
   }
+
+  // ------------------------------------------------------------- B53 Markov
+
+  private def ev(user: Long, seq: String*): Seq[(Long, Long, Long, String)] =
+    seq.zipWithIndex.map { case (ch, i) => (user, i.toLong + 1, user * 100 + i, ch) }
+
+  test("B53: removal effects match the analytic absorption probabilities") {
+    // journeys: A->conv x2, B->conv, B->null, C->null
+    // base P = (2*10^6 + 2*5*10^5 + 0) / 5 = 600000
+    // remove A -> 200000 (effect 400000); remove B -> 400000 (effect
+    // 200000); remove C -> 600000 (effect 0); shares 2/3, 1/3, 0
+    val rows = ev(1, "A", "purchase") ++ ev(2, "A", "purchase") ++
+      ev(3, "B") ++ ev(4, "B", "purchase") ++ ev(5, "C")
+    val got = Attribution.markovRemoval(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 600000L, 200000L, 400000L, Some(666666L))), s"${got("A")}")
+    assert(got("B") == (("B", 2L, 600000L, 400000L, 200000L, Some(333333L))), s"${got("B")}")
+    assert(got("C") == (("C", 1L, 600000L, 600000L, 0L, Some(0L))), s"${got("C")}")
+  }
+
+  test("B53: journeys split at conversions; post-purchase events start fresh") {
+    // u1: A, purchase, B  -> journeys [A, CONV] and [B -> NULL]
+    // u2: purchase        -> START -> CONV directly
+    val rows = ev(1, "A", "purchase", "B") ++ ev(2, "purchase")
+    val tr = Attribution.markovTransitions(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(tr == Map(
+      ("START", "A") -> 1L, ("A", "CONV") -> 1L,
+      ("START", "B") -> 1L, ("B", "NULL") -> 1L,
+      ("START", "CONV") -> 1L), s"$tr")
+    // cycles converge: A -> A -> ... -> conv keeps P exact within 32 sweeps
+    val cyc = ev(7, "A", "A", "A", "purchase")
+    val gotCyc = Attribution.markovRemoval(
+        cyc.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    // chain: START->A, A->A (2/3), A->CONV (1/3): v(A) solves
+    // v = (2v + 10^6)/3 -> v = 10^6; 32 truncating sweeps approach it
+    // from below but must land within 0.1% of the fixed point
+    val pBase = gotCyc.head._3
+    assert(pBase > 999000L && pBase <= 1000000L, s"cycle absorption: $pBase")
+    // removing the only channel kills every conversion through it
+    assert(gotCyc.head._4 == 0L && gotCyc.head._6 == Some(1000000L))
+  }
+
+  test("B53: no conversions anywhere -> zero base, NULL attribution shares") {
+    val rows = ev(1, "A", "B") ++ ev(2, "B")
+    val got = Attribution.markovRemoval(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(got.forall(r => r._3 == 0L && r._5 == 0L && r._6.isEmpty), s"${got.toSeq}")
+  }
 }
