@@ -146,4 +146,50 @@ object Dependence {
           expr("CAST(1000 * smi div least(shx, shy) AS BIGINT)"))
           .as("nmi_pm"))
   }
+
+  /** C154: WEIGHT OF EVIDENCE + INFORMATION VALUE — credit scoring's
+    * standard categorical-feature audit (the companion every PSI sheet
+    * carries: PSI watches a DISTRIBUTION drift, WOE/IV scores a
+    * FEATURE's separation power over a binary target):
+    *
+    *   WOE_i = log(p_pos_i / p_neg_i),   IV = Σ_i (p_pos_i − p_neg_i)·WOE_i
+    *
+    * with p_pos_i the category's share of all POSITIVE rows (p_neg of
+    * negatives). Same exact-integer construction as C151's PSI: Laplace
+    * +1 smoothed counts (empty cells are routine in sparse categories),
+    * shares in exact ppm, the log as the q10 fixed-point binary log —
+    * WOE in q10 BITS, IV in q10·ppm, integers end-to-end so the oracle
+    * replays bit-for-bit. The usual IV reading (<0.02 useless, >0.5
+    * suspicious) converts via ln2: 0.02 nats ≈ 29.5·10⁶ q10ppm.
+    *
+    * Scale shape: ONE scan collapses the corpus to the category frame
+    * (bounded by the category vocabulary — the q19 discipline); the
+    * 1-row totals broadcast back; no window anywhere.
+    *
+    * @param labelCol boolean target — true rows are the POSITIVE class.
+    * @return one row per category: (category, n_pos, n_neg, pos_ppm,
+    *         neg_ppm, woe_q10, iv_term_q10ppm, iv_q10ppm) —
+    *         iv_q10ppm the total repeated on every row. */
+  def woeIv(df: DataFrame, categoryCol: Column, labelCol: Column): DataFrame = {
+    val cells = df.select(categoryCol.as("category"), labelCol.as("y"))
+      .groupBy("category").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("g"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("b"))
+    val k = cells.agg(count(lit(1)).as("n_cats"),
+      sum("g").as("tg"), sum("b").as("tb"))
+    val l2 = Search.log2q10Sql _
+    val terms = cells.crossJoin(broadcast(k))
+      .withColumn("gp", col("g") + 1L).withColumn("bp", col("b") + 1L)
+      .withColumn("tgp", col("tg") + col("n_cats"))
+      .withColumn("tbp", col("tb") + col("n_cats"))
+      .withColumn("pos_ppm", expr("1000000 * gp div tgp"))
+      .withColumn("neg_ppm", expr("1000000 * bp div tbp"))
+      .withColumn("woe_q10", expr(s"${l2("gp * tbp")} - ${l2("bp * tgp")}"))
+      .withColumn("iv_term_q10ppm", expr("(pos_ppm - neg_ppm) * woe_q10"))
+    val total = terms.agg(sum("iv_term_q10ppm").as("iv_q10ppm"))
+    terms.crossJoin(broadcast(total))
+      .select(col("category"), col("g").as("n_pos"), col("b").as("n_neg"),
+        col("pos_ppm"), col("neg_ppm"), col("woe_q10"),
+        col("iv_term_q10ppm"), col("iv_q10ppm"))
+  }
 }

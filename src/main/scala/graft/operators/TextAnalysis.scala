@@ -438,6 +438,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C153: TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-based keyword ranker: tokens are nodes, within-`window`
+    * co-occurrence counts are undirected edge weights, and keyword
+    * salience is PageRank on that graph ([[Rank.pageRank]] — the exact
+    * integer fixed-point iteration the oracle replays round-for-round).
+    * The composition completes the family: C152 ranks PAIRS by lift,
+    * TextRank ranks TOKENS by graph centrality — frequency-biased
+    * hubs and bridge terms score differently than raw counts.
+    *
+    * Scale shape: the pair extraction is C152's zero-shuffle per-row
+    * kernel; the graph collapses to the vocab×vocab co-occurrence frame
+    * (`minCount` sparsifies the long tail BEFORE the iteration — part
+    * of the statistic, also what keeps the edge frame bounded); each
+    * PageRank round is one co-partitioned join + partial agg on that
+    * bounded frame; top-k is TakeOrderedAndProject.
+    *
+    * @return top-k rows (token, rank_fx) — PageRank in 10⁻⁹ fixed
+    *         point, ties broken token ASC. */
+  def textRankKeywords(docs: DataFrame, window: Int = 3, minCount: Long = 2L,
+                       iters: Int = 6, topK: Int = 30,
+                       textCol: String = "text"): DataFrame = {
+    require(window >= 1 && minCount >= 1 && topK >= 1)
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    val pairCols = (1 to window).map { d =>
+      val len = greatest(n - d, lit(0))
+      arrays_zip(slice(tk, lit(1), len), slice(tk, lit(1) + d, len))
+    }
+    val und = docs.select(explode(concat(pairCols: _*)).as("z"))
+      .select(col("z").getField("0").as("x"), col("z").getField("1").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    Rank.pageRank(edges, iters = iters)
+      .select(col("node").as("token"), col("r").as("rank_fx"))
+      .orderBy(col("rank_fx").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** C55: vocabulary COVERAGE CURVE — "what fraction of corpus tokens
     * does a top-k vocabulary cover", evaluated at several k in one query:
     * the tokenizer-budget planning curve (choose vocab size by where the

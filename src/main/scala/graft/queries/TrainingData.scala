@@ -1270,6 +1270,25 @@ object TrainingData {
     graft.operators.TextAnalysis.cooccurrenceLift(t.documents,
       window = 5, minPair = 5L, topK = 30)
 
+  /** C153: TEXTRANK keywords
+    * ([[graft.operators.TextAnalysis.textRankKeywords]]) — graph-based
+    * keyword extraction over the corpus: PageRank on the 3-token-window
+    * co-occurrence graph (count ≥ 2 edges), exact integer fixed point,
+    * top-30 tokens. */
+  def q238TextRank(t: Tables): DataFrame =
+    graft.operators.TextAnalysis.textRankKeywords(t.documents,
+      window = 3, minCount = 2L, iters = 6, topK = 30)
+
+  /** C154: WEIGHT-OF-EVIDENCE + INFORMATION VALUE
+    * ([[graft.operators.Dependence.woeIv]]) — does the `source` feature
+    * separate English from non-English documents? The credit-scoring
+    * feature audit beside C151's PSI: per-category WOE in q10 bits,
+    * the IV total in q10·ppm, Laplace-smoothed, integer end-to-end. */
+  def q237WoeIv(t: Tables): DataFrame =
+    graft.operators.Dependence.woeIv(t.documents,
+        col("source"), col("lang") === "en")
+      .orderBy("category")
+
   /** C101: PERSONALIZED PageRank ([[graft.operators.Rank
     * .personalizedPageRank]]) — the walk restarts at the ten
     * highest-volume customers (order count, custkey tie-break — integer

@@ -4801,6 +4801,73 @@ object TrainingOracle {
         |FROM pr JOIN un a ON pr.tok_a = a.t JOIN un b ON pr.tok_b = b.t, tt, tp
         |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin,
 
+    // C153: TextRank — the q235 position-pair kernel (window 3, count
+    // >= 2) symmetrized into an undirected token graph, then the q170
+    // integer PageRank replay round-for-round (symmetric graph: no
+    // dangling mass by construction), top-30 (rank DESC, token ASC).
+    "q238_textrank" -> {
+      val rounds = (1 to 6).map { k =>
+        val pv = s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node, CAST((15 * CAST(1000000000 AS BIGINT) + 85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst AS node, CAST(SUM($pv.r * ed.w // ed.wt) AS BIGINT) AS s
+           |    FROM ed JOIN $pv ON $pv.node = ed.src
+           |    GROUP BY ed.dst) c ON n.node = c.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |und AS MATERIALIZED (
+         |  SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, COUNT(*)::BIGINT AS w
+         |  FROM (
+         |    SELECT tk[i] AS x, tk[i + g] AS y
+         |    FROM d, unnest(range(1, len(tk) + 1)) AS ii(i), unnest(range(1, 4)) AS gg(g)
+         |    WHERE i + g <= len(tk))
+         |  WHERE x <> y
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e2 AS (
+         |  SELECT a AS src, b AS dst, w FROM und
+         |  UNION ALL SELECT b AS src, a AS dst, w FROM und),
+         |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wt FROM e2 GROUP BY src),
+         |ed AS MATERIALIZED (
+         |  SELECT e2.src, e2.dst, e2.w, ws.wt FROM e2 JOIN ws ON e2.src = ws.src
+         |), nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |fin AS (SELECT node AS token, r AS rank_fx FROM r6)
+         |SELECT token, rank_fx FROM fin
+         |ORDER BY rank_fx DESC, token ASC LIMIT 30""".stripMargin
+    },
+
+    // C154: WOE/IV — Laplace-smoothed per-category positive/negative
+    // counts, exact ppm shares, staged q10 logs for both arguments.
+    "q237_woe_iv" ->
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT source AS category,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS g,
+         |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS b
+         |  FROM documents GROUP BY 1),
+         |k AS (SELECT COUNT(*)::BIGINT AS n_cats, SUM(g)::BIGINT AS tg,
+         |      SUM(b)::BIGINT AS tb FROM cells),
+         |sm AS MATERIALIZED (
+         |  SELECT category, g, b, g + 1 AS gp, b + 1 AS bp,
+         |    tg + n_cats AS tgp, tb + n_cats AS tbp,
+         |    1000000 * (g + 1) // (tg + n_cats) AS pos_ppm,
+         |    1000000 * (b + 1) // (tb + n_cats) AS neg_ppm
+         |  FROM cells, k),
+         |l2in AS (SELECT 'g' AS kind, category, gp * tbp AS x FROM sm
+         |  UNION ALL SELECT 'b', category, bp * tgp FROM sm),
+         |${l2Stages("l2in", "kind, category")},
+         |terms AS MATERIALIZED (
+         |  SELECT sm.category, sm.g, sm.b, sm.pos_ppm, sm.neg_ppm,
+         |    lgg.l2 - lgb.l2 AS woe_q10,
+         |    (sm.pos_ppm - sm.neg_ppm) * (lgg.l2 - lgb.l2) AS iv_term_q10ppm
+         |  FROM sm JOIN lg lgg ON lgg.kind = 'g' AND lgg.category = sm.category
+         |          JOIN lg lgb ON lgb.kind = 'b' AND lgb.category = sm.category),
+         |tot AS (SELECT SUM(iv_term_q10ppm)::BIGINT AS iv_q10ppm FROM terms)
+         |SELECT category, g AS n_pos, b AS n_neg, pos_ppm, neg_ppm, woe_q10,
+         |  iv_term_q10ppm, iv_q10ppm
+         |FROM terms, tot ORDER BY category""".stripMargin,
+
     // C149: HRW reshard audit — the (doc × shard-id) key strings through
     // the xx macro chain, per-doc unsigned argmax (hu DESC, smallest id
     // ties) at n=8 and m=9, movement matrix with exact ppm shares.

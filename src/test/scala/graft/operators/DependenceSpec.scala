@@ -144,4 +144,55 @@ class DependenceSpec extends SparkSuite {
       col("px"), col("py")).select("id").as[Long].collect().toSet
     assert(single == Set(9L))
   }
+
+  // ----------------------------------------------------------- C154 WOE/IV
+
+  /** Brute replay of woeIv's smoothed integer construction. */
+  private def refWoe(rows: Seq[(String, Boolean)]): Map[String, (Long, Long, Long, Long, Long, Long)] = {
+    val cats = rows.map(_._1).distinct
+    val k = cats.size.toLong
+    val tg = rows.count(_._2).toLong
+    val tb = rows.size - tg
+    cats.map { c =>
+      val g = rows.count(r => r._1 == c && r._2).toLong
+      val b = rows.count(r => r._1 == c && !r._2).toLong
+      val (gp, bp, tgp, tbp) = (g + 1, b + 1, tg + k, tb + k)
+      val posPpm = 1000000L * gp / tgp
+      val negPpm = 1000000L * bp / tbp
+      val woe = l2q10(gp * tbp) - l2q10(bp * tgp)
+      c -> ((g, b, posPpm, negPpm, woe, (posPpm - negPpm) * woe))
+    }.toMap
+  }
+
+  test("C154: WOE/IV matches the brute replay; a separating feature scores high, noise ~0") {
+    val rnd = new scala.util.Random(31)
+    // category 'hi' is 90% positive, 'lo' 10%, 'mid' 50% — separating;
+    // plus 'noise' at the base rate
+    val rows = Seq.tabulate(1200) { i =>
+      val c = Seq("hi", "lo", "mid", "noise")(i % 4)
+      val p = c match {
+        case "hi" => 0.9; case "lo" => 0.1; case _ => 0.5
+      }
+      (c, rnd.nextDouble() < p)
+    }
+    val got = Dependence.woeIv(rows.toDF("cat", "y"), col("cat"), col("y"))
+      .select("category", "n_pos", "n_neg", "pos_ppm", "neg_ppm", "woe_q10",
+        "iv_term_q10ppm", "iv_q10ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val want = refWoe(rows)
+    assert(got.length == 4)
+    for (g <- got)
+      assert(want(g._1) == ((g._2, g._3, g._4, g._5, g._6, g._7)), s"cat ${g._1}: $g")
+    val ivTotal = want.values.map(_._6).sum
+    assert(got.forall(_._8 == ivTotal), "total repeated per row")
+    // a separating feature: IV far above the 0.02-nats "useless" line
+    assert(ivTotal > 30L * 1000000, s"separating IV: $ivTotal")
+    assert(want("hi")._5 > 0 && want("lo")._5 < 0, "WOE signs follow the rates")
+    // an uninformative feature: IV near zero
+    val flat = rows.map { case (_, y) => (if (y) "a" else "a", y) } ++
+      Seq(("b", true), ("b", false))
+    val gotFlat = Dependence.woeIv(flat.toDF("cat", "y"), col("cat"), col("y"))
+      .select("iv_q10ppm").distinct().as[Long].head()
+    assert(math.abs(gotFlat) < ivTotal / 20, s"uninformative IV must be small: $gotFlat")
+  }
 }

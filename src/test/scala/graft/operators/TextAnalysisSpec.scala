@@ -536,6 +536,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.sortBy(g => (-g._6, g._1, g._2)).toSeq == got.toSeq)
   }
 
+  test("C153: TextRank ranks the hub token above peripherals; deterministic") {
+    // star-shaped co-occurrence: 'core' co-occurs with every spoke, the
+    // spokes only with 'core' — PageRank must put the hub on top
+    val texts = (1 to 12).map(i => (i.toLong, s"core spoke$i core spoke$i"))
+    val got = TextAnalysis.textRankKeywords(texts.toDF("doc_id", "text"),
+        window = 3, minCount = 2L, topK = 5)
+      .as[(String, Long)].collect()
+    assert(got.head._1 == "core", s"hub must rank first: ${got.toSeq}")
+    assert(got.head._2 > got(1)._2 * 3, "hub rank dominates the spokes")
+    // spokes are symmetric: identical ranks, token-ASC tie order
+    val spokes = got.drop(1)
+    assert(spokes.map(_._2).distinct.length == 1, s"spokes tie: ${spokes.toSeq}")
+    assert(spokes.map(_._1).toSeq == spokes.map(_._1).toSeq.sorted)
+    val again = TextAnalysis.textRankKeywords(texts.toDF("doc_id", "text"),
+        window = 3, minCount = 2L, topK = 5).as[(String, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("C152: window bounds respected; short docs never crash") {
     val texts = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, ""), (4L, "p q"))
     val got = TextAnalysis.cooccurrenceLift(texts.toDF("doc_id", "text"),
