@@ -168,6 +168,83 @@ object Graph {
     lbl.select(col("node"), col("l").as("comp"))
   }
 
+  /** C155: MINIMUM SPANNING FOREST by distributed BORŮVKA — the
+    * clustering backbone operator (single-linkage dendrograms, network
+    * skeletonization, Karger-style sparsification all sit on an MSF):
+    * per round, every current component selects its MINIMUM outgoing
+    * edge under the STRICT total order (w, a, b) — the tie-break makes
+    * weights effectively distinct, so the forest is UNIQUE and both
+    * engines land on the identical edge set — then selected edges
+    * contract via [[components]] (min-label + pointer doubling) and the
+    * next round runs on the coarser partition.
+    *
+    * Correctness does NOT depend on full per-round contraction: the cut
+    * property holds for ANY current super-node set, so edges selected
+    * against a partially-contracted partition are still MSF edges (the
+    * classic Borůvka generalization), an edge re-selected across rounds
+    * dedups, and the driver-side "no crossing edges" check certifies
+    * completion. `rounds` bounds the outer loop (components at least
+    * halve per fully-contracted round ⇒ 2^rounds components covered);
+    * an unconverged run returns the partial forest — both engines
+    * replay the same schedule, and the q188 discipline (post-
+    * convergence rounds are no-ops) keeps the oracle exact either way.
+    *
+    * Scale shape per round: one co-partitioned edges⋈labels join (twice
+    * — both endpoints), one bounded per-component min-struct aggregate,
+    * the label-frame contraction, lineage cuts per round. Nothing is
+    * ever quadratic; the edge frame never grows.
+    *
+    * @param edges (src, dst, w) — undirected; parallel edges collapse
+    *              to their min weight; self-loops dropped.
+    * @return the forest's edges: (a, b, w), a < b canonical. */
+  def minimumSpanningForest(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    require(rounds >= 1)
+    val ecan = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var lab = ecan.select(col("a").as("node"))
+      .union(ecan.select(col("b").as("node"))).distinct()
+      .select(col("node"), col("node").as("l"))
+      .localCheckpoint(true)
+    var mst: Option[DataFrame] = None
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val la = lab.select(col("node").as("na"), col("l").as("lu"))
+      val lb = lab.select(col("node").as("nb"), col("l").as("lv"))
+      val cross = ecan
+        .join(la, col("a") === col("na")).join(lb, col("b") === col("nb"))
+        .filter(col("lu") =!= col("lv"))
+        .select("w", "a", "b", "lu", "lv")
+        .localCheckpoint(true)
+      if (cross.isEmpty) { done = true }
+      else {
+        val e = struct(col("w"), col("a"), col("b"), col("lu"), col("lv"))
+        val sel = cross.select(col("lu").as("comp"), e.as("e"))
+          .unionByName(cross.select(col("lv").as("comp"), e.as("e")))
+          .groupBy("comp").agg(min(col("e")).as("e"))
+          .select(col("e.w").as("w"), col("e.a").as("a"), col("e.b").as("b"),
+            col("e.lu").as("lu"), col("e.lv").as("lv"))
+          .distinct()
+          .localCheckpoint(true)
+        mst = Some(mst.map(_.unionByName(sel.select("a", "b", "w")))
+          .getOrElse(sel.select("a", "b", "w")))
+        val contraction = components(
+          sel.select(col("lu").as("src"), col("lv").as("dst")))
+        lab = lab.join(contraction, lab("l") === contraction("node"), "left")
+          .select(lab("node"), coalesce(col("comp"), lab("l")).as("l"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    mst.map(_.distinct().select("a", "b", "w"))
+      .getOrElse(ecan.filter(lit(false)).select("a", "b", "w"))
+  }
+
   /** TRIANGLE count + global clustering coefficient — the classic graph
     * cohesion pair: triangles via the ORIENTED enumeration (every
     * undirected edge kept once as `a < b`, triangles found as

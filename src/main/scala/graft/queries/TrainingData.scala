@@ -1270,6 +1270,27 @@ object TrainingData {
     graft.operators.TextAnalysis.cooccurrenceLift(t.documents,
       window = 5, minPair = 5L, topK = 30)
 
+  /** C155: MAXIMUM-SPANNING co-purchase BACKBONE
+    * ([[graft.operators.Graph.minimumSpanningForest]] on negated
+    * weights) — the strongest-links skeleton of the part co-purchase
+    * graph (single-linkage clustering's dendrogram edges): distributed
+    * Borůvka under the strict (w, a, b) total order, so the forest is
+    * unique and both engines land on the identical edge set. */
+  def q239MsfBackbone(t: Tables): DataFrame = {
+    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = p.as("a").join(p.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= 2)
+    graft.operators.Graph.minimumSpanningForest(
+        e.select(col("src"), col("dst"), (-col("cw")).as("w")))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        (-col("w")).as("copurchases"))
+      .orderBy("part_a", "part_b")
+  }
+
   /** C153: TEXTRANK keywords
     * ([[graft.operators.TextAnalysis.textRankKeywords]]) — graph-based
     * keyword extraction over the corpus: PageRank on the 3-token-window

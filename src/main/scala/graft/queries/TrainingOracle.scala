@@ -4801,6 +4801,62 @@ object TrainingOracle {
         |FROM pr JOIN un a ON pr.tok_a = a.t JOIN un b ON pr.tok_b = b.t, tt, tp
         |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin,
 
+    // C155: MSF backbone — distributed Borůvka replayed schedule-for-
+    // schedule: 16 outer rounds of (crossing-edge label join → per-
+    // component min edge under the (w,a,b,lu,lv) order → 8 inner
+    // min-label + pointer-hop contraction rounds → relabel); converged
+    // rounds are no-ops on both engines, so the replay stays exact.
+    "q239_msf_backbone" -> {
+      val sb = new StringBuilder
+      for (r <- 1 to 16) {
+        val pl = s"lab${r - 1}"
+        sb ++= s"""cr$r AS MATERIALIZED (
+           |  SELECT e.w, e.a, e.b, la.l AS lu, lb.l AS lv
+           |  FROM ecan e JOIN $pl la ON la.node = e.a JOIN $pl lb ON lb.node = e.b
+           |  WHERE la.l <> lb.l),
+           |cnd$r AS (
+           |  SELECT comp, w, a, b, lu, lv,
+           |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b, lu, lv) AS rn
+           |  FROM (SELECT lu AS comp, w, a, b, lu, lv FROM cr$r
+           |        UNION ALL SELECT lv, w, a, b, lu, lv FROM cr$r)),
+           |sel$r AS MATERIALIZED (SELECT DISTINCT w, a, b, lu, lv FROM cnd$r WHERE rn = 1),
+           |u$r AS MATERIALIZED (SELECT lu AS s, lv AS d FROM sel$r UNION SELECT lv, lu FROM sel$r),
+           |k${r}_0 AS (SELECT DISTINCT s AS node, s AS l FROM u$r),
+           |""".stripMargin
+        for (j <- 1 to 8) {
+          sb ++= s"""nm${r}_$j AS MATERIALIZED (
+             |  SELECT t.node, MIN(t.l) AS l FROM (
+             |    SELECT u.d AS node, k.l FROM u$r u JOIN k${r}_${j - 1} k ON k.node = u.s
+             |    UNION ALL SELECT node, l FROM k${r}_${j - 1}) t
+             |  GROUP BY t.node),
+             |k${r}_$j AS MATERIALIZED (
+             |  SELECT nm.node, p.l AS l FROM nm${r}_$j nm JOIN nm${r}_$j p ON p.node = nm.l),
+             |""".stripMargin
+        }
+        sb ++= s"""lab$r AS MATERIALIZED (
+           |  SELECT lab.node, COALESCE(k.l, lab.l) AS l
+           |  FROM $pl lab LEFT JOIN k${r}_8 k ON k.node = lab.l),
+           |""".stripMargin
+      }
+      val unions = (1 to 16).map(r => s"SELECT a, b, w FROM sel$r").mkString("\n    UNION ALL ")
+      s"""WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+         |ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst, -COUNT(*)::BIGINT AS w
+         |  FROM p a JOIN p b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |ecan AS MATERIALIZED (
+         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(w) AS w
+         |  FROM ew WHERE src <> dst GROUP BY 1, 2),
+         |lab0 AS MATERIALIZED (
+         |  SELECT node, node AS l
+         |  FROM (SELECT a AS node FROM ecan UNION SELECT b FROM ecan)),
+         |${sb.toString}
+         |msf AS (SELECT DISTINCT a, b, w FROM (
+         |    $unions))
+         |SELECT a AS part_a, b AS part_b, -w AS copurchases
+         |FROM msf ORDER BY 1, 2""".stripMargin
+    },
+
     // C153: TextRank — the q235 position-pair kernel (window 3, count
     // >= 2) symmetrized into an undirected token graph, then the q170
     // integer PageRank replay round-for-round (symmetric graph: no

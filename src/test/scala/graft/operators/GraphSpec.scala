@@ -161,6 +161,65 @@ class GraphSpec extends SparkSuite {
     assert(exact == brute)
   }
 
+  // --------------------------------------------------------------- C155 MSF
+
+  /** Brute Kruskal under the (w, a, b) strict total order — the unique
+    * forest the distributed Borůvka must reproduce exactly. */
+  private def bruteMsf(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val can = edges.map { case (u, v, w) => (math.min(u, v), math.max(u, v), w) }
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      .toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for ((a, b, w) <- can.sortBy(e => (e._3, e._1, e._2))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  test("C155: Boruvka equals brute Kruskal on a random weighted graph (with ties)") {
+    val rnd = new scala.util.Random(41)
+    // 60 nodes, ~180 edges, SMALL weight range so ties are plentiful —
+    // the (w, a, b) total order must resolve them identically
+    val edges = Seq.fill(180)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+      (1 + rnd.nextInt(5)).toLong)).filter(e => e._1 != e._2)
+    val got = Graph.minimumSpanningForest(edges.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteMsf(edges), s"got ${got.size} vs brute ${bruteMsf(edges).size}")
+  }
+
+  test("C155: disconnected graph yields a forest; parallel edges and self-loops collapse") {
+    val edges = Seq(
+      // component 1: triangle with a heavy edge (dropped)
+      (1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 9L),
+      // parallel edges: min weight wins
+      (1L, 2L, 7L),
+      // self loop: dropped
+      (4L, 4L, 1L),
+      // component 2: a pair
+      (10L, 11L, 5L))
+    val got = Graph.minimumSpanningForest(edges.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 5L)), s"$got")
+  }
+
+  test("C155: long-path worst case (chained selections, partial contraction) stays exact") {
+    // increasing weights along a 300-node path: round-1 selections form
+    // one 299-edge chain whose contraction EXCEEDS the inner pointer-
+    // doubling reach — correctness must survive partial contraction
+    val edges = (0L until 299L).map(i => (i, i + 1, 100L + i))
+    val got = Graph.minimumSpanningForest(edges.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == edges.map(e => (e._1, e._2, e._3)).toSet,
+      s"path MSF keeps every edge: got ${got.size} of 299")
+  }
+
   // -------------------------------------------------------- components
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
