@@ -173,6 +173,80 @@ object Search {
       .select("query_id", "rank", "doc_id", "score_q10pm", "n_terms")
   }
 
+  /** C156: DIRICHLET-smoothed QUERY-LIKELIHOOD retrieval (Zhai &
+    * Lafferty 2001) — the language-modeling ranking beside C126's BM25
+    * (the other canonical probabilistic retrieval family; LM scoring is
+    * also what perplexity-based corpus filters are built from):
+    *
+    *   score(q, d) = Σ_{t∈q} log( (tf_td + μ·P(t|C)) / (dl_d + μ) )
+    *
+    * with P(t|C) = g_t/M the collection unigram. EXACT integer form via
+    * the q10 binary log: term_q10 = l2(tf·M + μ·g_t) − l2((dl+μ)·M) —
+    * scores are NEGATIVE q10 bits (log-probabilities), higher = better.
+    * The Dirichlet prior means a candidate document is scored on EVERY
+    * query term including the ones it lacks (tf = 0 → the collection
+    * prior — what separates LM retrieval from a tf-only scorer);
+    * query terms absent from the whole corpus (g = 0) contribute
+    * nothing and are dropped, documented.
+    *
+    * Scale shape: the C126 discipline end-to-end — the IN prefilter
+    * rides the scan so only query-vocabulary postings aggregate;
+    * CANDIDATES are docs matching ≥1 term (posting-list cost); the
+    * per-candidate full-vocabulary fan-out is |q| broadcast rows per
+    * candidate; the 1-row corpus stats broadcast; top-k through the
+    * two-level bucketed rank (trunc-div buckets stay monotone for
+    * negative scores).
+    *
+    * Overflow contract: tf·M + μ·g ≤ (dl_max + μ)·M < 2⁶³ while
+    * M < ~3·10⁹ tokens with μ ≤ 10⁴; shard or widen past it (the C99
+    * bound family).
+    *
+    * @param queries (query_id, space-separated terms); repeated terms
+    *                count once.
+    * @param mu      Dirichlet prior mass (the classic 2000).
+    * @return (query_id, rank, doc_id, score_q10, n_match) — rank ≤ k,
+    *         ties doc_id ASC; n_match = query terms present in doc. */
+  def dirichletQlTopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
+                      mu: Long = 2000L,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && mu >= 1)
+    val spark = docs.sparkSession
+    val termSet = queries.flatMap(_._2.split(" ")).distinct
+    val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+        text.split(" ").distinct.map(t => (qid, t))
+      }).toDF("query_id", "term")
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    val stats = docs.agg(
+      sum(size(split(col(textCol), " "))).cast("long").as("m_total"))
+    // collection frequency of the query vocabulary — tiny, broadcast;
+    // g = 0 terms never reach the score (dropped with the inner join)
+    val g = toks.filter(col("term").isInCollection(termSet))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("g"))
+    val tf = toks.filter(col("term").isInCollection(termSet))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // candidates: docs matching >= 1 query term, then the full
+    // per-query vocabulary fan-out so missing terms score the prior
+    val cand = tf.join(broadcast(qt), "term")
+      .select("query_id", "doc_id", "dl").distinct()
+    val full = cand.join(broadcast(qt), "query_id")
+      .join(tf.select(col("doc_id"), col("term"), col("tf")), Seq("doc_id", "term"), "left")
+      .join(broadcast(g), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .withColumn("term_q10", expr(
+        s"${log2q10Sql("tf0 * m_total + " + mu + " * g")} - " +
+          s"${log2q10Sql(s"(dl + $mu) * m_total")}"))
+    val scored = full.groupBy("query_id", "doc_id")
+      .agg(sum(col("term_q10")).as("score_q10"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("n_match"))
+    Ranking.groupRankDesc(scored, "query_id", "score_q10", "doc_id",
+        expr("score_q10 div 1024"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q10", "n_match")
+  }
+
   /** C134: exact PHRASE search through a POSITIONAL index — "find every
     * document where these tokens appear ADJACENT and IN ORDER": the
     * token-level companion to C124's character substring search and the

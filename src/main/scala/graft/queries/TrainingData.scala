@@ -1808,6 +1808,19 @@ object TrainingData {
     * per-mille tf saturation/length norm — bit-stable across engines).
     * Four literal queries over the corpus vocabulary; one has an
     * out-of-vocabulary term (matches nothing, contributes nothing). */
+  /** C156: DIRICHLET query-likelihood retrieval
+    * ([[graft.operators.Search.dirichletQlTopK]]) — the language-
+    * modeling ranking beside q206's BM25, same query set, μ = 2000:
+    * candidates score on EVERY query term (missing terms take the
+    * collection prior), exact negative q10-bit log-probabilities. */
+  def q240DirichletQl(t: Tables): DataFrame =
+    graft.operators.Search.dirichletQlTopK(t.documents, Seq(
+        1 -> "spark join agg",
+        2 -> "slow scan table",
+        3 -> "hash merge sort window batch",
+        4 -> "vector stream quantum"), k = 10)
+      .orderBy("query_id", "rank")
+
   def q206Bm25(t: Tables): DataFrame =
     graft.operators.Search.bm25TopK(t.documents, Seq(
         1 -> "spark join agg",

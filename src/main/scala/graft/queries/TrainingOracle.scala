@@ -4857,6 +4857,55 @@ object TrainingOracle {
          |FROM msf ORDER BY 1, 2""".stripMargin
     },
 
+    // C156: Dirichlet query likelihood — candidates from the postings,
+    // full query-vocabulary fan-out (missing terms take the collection
+    // prior), staged l2 on numerator and denominator, negative q10
+    // scores, per-query top-10.
+    "q240_dirichlet_ql" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |qt(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'), (1, 'agg'),
+         |  (2, 'slow'), (2, 'scan'), (2, 'table'),
+         |  (3, 'hash'), (3, 'merge'), (3, 'sort'), (3, 'window'), (3, 'batch'),
+         |  (4, 'vector'), (4, 'stream'), (4, 'quantum')),
+         |st AS (SELECT SUM(len(string_split(text, ' ')))::BIGINT AS m FROM documents),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM toks
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         |g AS MATERIALIZED (SELECT term, SUM(tf)::BIGINT AS g FROM tf GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT qt.query_id, tf.doc_id, tf.dl FROM tf JOIN qt USING (term)),
+         |ful AS MATERIALIZED (
+         |  SELECT c.query_id, c.doc_id, c.dl, q.term, COALESCE(t.tf, 0) AS tf0, g.g, st.m
+         |  FROM cand c JOIN qt q ON q.query_id = c.query_id
+         |  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = q.term
+         |  JOIN g ON g.term = q.term, st),
+         |l2in AS (
+         |  SELECT 'n' AS kind, query_id, doc_id, term, tf0 * m + 2000 * g AS x FROM ful
+         |  UNION ALL
+         |  SELECT DISTINCT 'd', query_id, doc_id, '', (dl + 2000) * m FROM ful),
+         |${l2Stages("l2in", "kind, query_id, doc_id, term")},
+         |terms AS MATERIALIZED (
+         |  SELECT f.query_id, f.doc_id, f.tf0, ln.l2 - ld.l2 AS term_q10
+         |  FROM ful f
+         |  JOIN lg ln ON ln.kind = 'n' AND ln.query_id = f.query_id
+         |    AND ln.doc_id = f.doc_id AND ln.term = f.term
+         |  JOIN lg ld ON ld.kind = 'd' AND ld.query_id = f.query_id
+         |    AND ld.doc_id = f.doc_id),
+         |sc AS MATERIALIZED (
+         |  SELECT query_id, doc_id, SUM(term_q10)::BIGINT AS score_q10,
+         |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_match
+         |  FROM terms GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, doc_id, score_q10, n_match,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q10 DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank::BIGINT AS rank, doc_id, score_q10, n_match
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // C153: TextRank — the q235 position-pair kernel (window 3, count
     // >= 2) symmetrized into an undirected token graph, then the q170
     // integer PageRank replay round-for-round (symmetric graph: no

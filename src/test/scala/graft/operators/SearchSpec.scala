@@ -130,6 +130,44 @@ class SearchSpec extends SparkSuite {
 
   // ---- C136: PRF expansion ----
 
+  test("C156: Dirichlet QL equals the integer brute force; priors and length norm behave") {
+    val docs = Seq(
+      (1L, "spark join agg spark"),             // all three terms, short
+      (2L, "spark join filler filler filler filler filler filler"), // two terms, long
+      (3L, "spark"),                            // one term, shortest
+      (4L, "filler filler filler"))             // no terms: not a candidate
+    val mu = 2000L
+    val qTerms = Seq("spark", "join", "agg")
+    // brute replay in exact integers
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val m = toks.values.map(_.size).sum.toLong
+    val g = qTerms.map(t => t -> toks.values.flatten.count(_ == t).toLong).toMap
+    def score(id: Long): Long = {
+      val dl = toks(id).size.toLong
+      qTerms.filter(g(_) > 0).map { t =>
+        val tf = toks(id).count(_ == t).toLong
+        log2q10Ref(tf * m + mu * g(t)) - log2q10Ref((dl + mu) * m)
+      }.sum
+    }
+    val got = Search.dirichletQlTopK(docs.toDF("doc_id", "text"),
+        Seq(1 -> "spark join agg"), k = 10, mu = mu)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    // doc 4 matches nothing: not in the candidates
+    assert(got.map(_._3).toSet == Set(1L, 2L, 3L))
+    for (r <- got) assert(r._4 == score(r._3), s"doc ${r._3}: ${r._4} vs ${score(r._3)}")
+    // ranking: all-terms short doc first; scores are negative log-probs
+    assert(got.find(_._2 == 1L).get._3 == 1L)
+    assert(got.forall(_._4 < 0L))
+    // n_match counts only present terms
+    assert(got.find(_._3 == 2L).get._5 == 2L && got.find(_._3 == 3L).get._5 == 1L)
+    // an OOV query term (zero collection frequency) changes nothing
+    val withOov = Search.dirichletQlTopK(docs.toDF("doc_id", "text"),
+        Seq(1 -> "spark join agg zzznever"), k = 10, mu = mu)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(withOov.map(r => (r._2, r._3, r._4)).toSet ==
+      got.map(r => (r._2, r._3, r._4)).toSet)
+  }
+
   test("C136: expansion surfaces a vocabulary-mismatched doc plain BM25 cannot see") {
     // 'alpha' docs consistently co-occur with 'beta'; doc 99 says only
     // 'beta beta' — invisible to the query 'alpha', surfaced after PRF
