@@ -1034,7 +1034,14 @@ object Dedup {
                      textCol: String = "text", idCol: String = "doc_id",
                      maxDocFreq: Long = 200L): DataFrame = {
     require(minShared >= 1 && maxDocFreq >= 2)
-    val byFp = winnowFingerprints(docs, k, w, textCol, idCol)
+    // LAZY persist: the fingerprint frame (gram explode + per-doc window
+    // min — the dominant cost, ~7 s of a 22 s sf0.1 run) is referenced
+    // THREE times below (the df aggregate + both self-join sides), and
+    // Spark materializes each branch separately without it (measured 3×
+    // the fingerprint job in one q220 execution). Cache is
+    // ContextCleaner-reclaimed once the frame is dereferenced; ~2N/w
+    // rows of (id, fp) — KBs per thousand docs.
+    val byFp = winnowFingerprints(docs, k, w, textCol, idCol).persist()
     val keep = byFp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("fp")
     val kept = byFp.join(keep, Seq("fp"), "left_semi")
@@ -1052,10 +1059,15 @@ object Dedup {
     val ws = split(col(textCol), " ")
     val shingleExpr = expr(
       s"transform(sequence(0, size(__ws) - $n), i -> concat_ws(' ', slice(__ws, i + 1, $n)))")
+    // LAZY persist: the distinct shingle frame is referenced FOUR times
+    // (corpus frequencies, the ranked prefix, both verify-join sides) —
+    // without the cache each branch re-runs the explode + distinct
+    // shuffle (the q220 lesson, same fix)
     val sh = docs.select(col(idCol).as("id"), ws.as("__ws"))
       .filter(size(col("__ws")) >= n)
       .select(col("id"), explode(shingleExpr).as("s"))
       .distinct()
+      .persist()
     val freq = sh.groupBy("s").agg(count(lit(1)).as("cf"))
     val w = Window.partitionBy("id")
     val ranked = sh.join(freq, "s")

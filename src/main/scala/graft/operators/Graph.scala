@@ -552,6 +552,82 @@ object Graph {
     lbl.select(col("node"), col("lab").as("community"))
   }
 
+  /** C157: LOUVAIN move phase (Blondel et al. 2008) — the
+    * modularity-OPTIMIZING community pass next to [[labelPropagation]]
+    * (label propagation follows majorities and can collapse to giants;
+    * Louvain moves each node to the neighbor community with the best
+    * MODULARITY GAIN, the objective [[modularity]] scores): per sweep,
+    * every node i evaluates each neighbor community c (and staying)
+    * with the standard remove-then-insert gain, exact-integer scaled
+    * by 2m:
+    *
+    *   score(c) = 2m·k_{i,c} − k_i·(Σtot(c) − [c = cur]·k_i)
+    *
+    * and adopts the argmax (score DESC, community id ASC — the
+    * deterministic tie). SYNCHRONIZED sweeps (all nodes decide against
+    * the previous assignment — the distributed-Louvain variant), fixed
+    * `sweeps` with an early stop when no label changes; a converged
+    * sweep recomputes itself, so the oracle's full replay agrees.
+    * Synchronized moves can oscillate on symmetric fixtures instead of
+    * converging — the documented tradeoff of every parallel Louvain;
+    * the fixed-sweep contract keeps both engines identical either way,
+    * and [[modularity]] is the acceptance gate for the result.
+    *
+    * Scale shape per sweep: one co-partitioned edge⋈label join (k_ic),
+    * two bounded aggregations (Σtot, degree), one per-node argmax
+    * window (frame = that node's neighbor-community count ≤ degree),
+    * lineage cut. Scores ride DECIMAL(38,0) (2m·k exceeds int64 at
+    * web scale).
+    *
+    * @param edges (src, dst) — undirected, unweighted (the C129
+    *              conventions; weighted Louvain = the same shapes with
+    *              weighted counts).
+    * @return (node, community) for every node with ≥ 1 edge. */
+  def louvainMove(edges: DataFrame, sweeps: Int = 4): DataFrame = {
+    require(sweeps >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val m2 = deg.agg(sum("d")).head().getLong(0) // 2m (each edge twice)
+    var lab = deg.select(col("node"), col("node").as("lab")).localCheckpoint(true)
+    var s = 0
+    var converged = false
+    while (s < sweeps && !converged) {
+      val tot = lab.join(deg, "node")
+        .groupBy(col("lab").as("c")).agg(sum("d").as("tot"))
+      val kic = und
+        .join(lab.select(col("node").as("__nd"), col("lab").as("c")),
+          col("dst") === col("__nd"))
+        .groupBy(col("src").as("node"), col("c")).agg(count(lit(1)).as("k"))
+      // the stay option always exists even with no neighbor in cur
+      val cand = kic
+        .unionByName(lab.select(col("node"), col("lab").as("c"), lit(0L).as("k")))
+        .groupBy("node", "c").agg(max("k").as("k"))
+        .join(lab.select(col("node"), col("lab").as("cur")), "node")
+        .join(deg, "node")
+        .join(tot, "c")
+        .withColumn("score", expr(
+          s"CAST($m2 AS DECIMAL(38,0)) * k - " +
+            "CAST(d AS DECIMAL(38,0)) * (tot - CASE WHEN c = cur THEN d ELSE 0 END)"))
+      val next = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("score").desc, col("c").asc)))
+        .filter(col("rn") === 1).select(col("node"), col("c").as("lab"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(lab.select(col("node"), col("lab").as("__old")), "node")
+        .filter(col("lab") =!= col("__old")).count()
+      converged = changed == 0L
+      lab = next
+      s += 1
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
+
   /** C129: MODULARITY of a partition (Newman–Girvan) — the quality
     * scalar for [[labelPropagation]]'s output (or any (node, community)
     * assignment): how much denser communities are than a degree-

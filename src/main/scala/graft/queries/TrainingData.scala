@@ -2093,6 +2093,23 @@ object TrainingData {
     * negative, −Σd² div 4m²): the quality scalar that says whether the
     * detected communities beat a degree-preserving random rewiring,
     * and by how much. Exact integer ppm, truncation toward zero. */
+  /** C157: LOUVAIN move phase ([[graft.operators.Graph.louvainMove]],
+    * 4 synchronized sweeps) on the q208 co-purchase graph, judged by
+    * the same modularity scalar the LPA partition reports (q209):
+    * community sizes for the 15 largest plus the q_ppm the partition
+    * achieves — the "did optimization beat majority-following" row. */
+  def q241Louvain(t: Tables): DataFrame = {
+    val edges = copurchaseEdges(t, 2)
+    val com = graft.operators.Graph.louvainMove(edges, sweeps = 4)
+    val q = graft.operators.Graph.modularity(edges, com)
+      .select(col("n_communities"), col("q_ppm"))
+    val sizes = com.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    sizes.crossJoin(broadcast(q))
+      .orderBy(col("n_nodes").desc, col("community").asc)
+      .limit(15)
+      .select("community", "n_nodes", "n_communities", "q_ppm")
+  }
+
   def q209Modularity(t: Tables): DataFrame = {
     val edges = copurchaseEdges(t, 2)
     val lpa = graft.operators.Graph.labelPropagation(edges, rounds = 6)

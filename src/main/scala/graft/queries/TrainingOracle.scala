@@ -4176,6 +4176,69 @@ object TrainingOracle {
     // replays the 6-round LPA unroll, then the exact integer Newman
     // formula with HUGEINT truncating division (toward zero, matching
     // Spark's `div`).
+    // C157: Louvain move phase — 4 synchronized sweeps replayed (per
+    // sweep: community totals, per-node neighbor-community counts, the
+    // 2m-scaled remove-then-insert gain, argmax with (score DESC, c
+    // ASC) ties), then the q209 modularity read-out of the final
+    // partition and the 15 largest communities.
+    "q241_louvain" -> {
+      val sweeps = (1 to 4).map { s =>
+        val pl = s"lab${s - 1}"
+        s"""tot$s AS (SELECT l.lab AS c, SUM(d.d)::BIGINT AS tot
+           |  FROM $pl l JOIN dg d ON d.node = l.node GROUP BY 1),
+           |kic$s AS MATERIALIZED (
+           |  SELECT u.src AS node, p.lab AS c, COUNT(*)::BIGINT AS k
+           |  FROM und u JOIN $pl p ON p.node = u.dst GROUP BY 1, 2),
+           |cnd$s AS (SELECT node, c, MAX(k) AS k FROM (
+           |  SELECT node, c, k FROM kic$s
+           |  UNION ALL SELECT node, lab AS c, 0::BIGINT FROM $pl) GROUP BY 1, 2),
+           |sc$s AS (
+           |  SELECT cnd.node, cnd.c,
+           |    m2.m2::HUGEINT * cnd.k - dg.d::HUGEINT *
+           |      (tot.tot - CASE WHEN cnd.c = l.lab THEN dg.d ELSE 0 END) AS score
+           |  FROM cnd$s cnd JOIN $pl l ON l.node = cnd.node
+           |  JOIN dg ON dg.node = cnd.node JOIN tot$s tot ON tot.c = cnd.c, m2),
+           |lab$s AS MATERIALIZED (
+           |  SELECT node, c AS lab FROM (
+           |    SELECT node, c, ROW_NUMBER() OVER (
+           |      PARTITION BY node ORDER BY score DESC, c ASC) AS rn FROM sc$s)
+           |  WHERE rn = 1),""".stripMargin
+      }.mkString("\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
+         |), ew AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM pts a JOIN pts b ON a.o = b.o AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM ew UNION SELECT dst, src FROM ew
+         |), dg AS MATERIALIZED (
+         |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+         |), m2 AS (SELECT SUM(d)::BIGINT AS m2 FROM dg),
+         |lab0 AS (SELECT node, node AS lab FROM dg),
+         |$sweeps
+         |e AS MATERIALIZED (SELECT src AS a, dst AS b FROM ew),
+         |m AS (SELECT COUNT(*)::HUGEINT AS m FROM e),
+         |intra AS (
+         |  SELECT pa.lab AS community, COUNT(*)::HUGEINT AS e_c
+         |  FROM e JOIN lab4 pa ON pa.node = e.a JOIN lab4 pb ON pb.node = e.b
+         |  WHERE pa.lab = pb.lab GROUP BY 1),
+         |dc AS (
+         |  SELECT l.lab AS community, SUM(dg.d)::HUGEINT AS d_c
+         |  FROM lab4 l JOIN dg ON dg.node = l.node GROUP BY 1),
+         |fin AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    SUM(4 * m.m * COALESCE(i.e_c, 0::HUGEINT) - dc.d_c * dc.d_c) AS num
+         |  FROM dc LEFT JOIN intra i ON i.community = dc.community, m),
+         |qq AS (SELECT f.n_communities,
+         |  ((1000000::HUGEINT * f.num) // (4 * m.m * m.m))::BIGINT AS q_ppm
+         |  FROM fin f, m),
+         |sz AS (SELECT lab AS community, COUNT(*)::BIGINT AS n_nodes
+         |       FROM lab4 GROUP BY 1)
+         |SELECT community, n_nodes, n_communities, q_ppm FROM sz, qq
+         |ORDER BY n_nodes DESC, community ASC LIMIT 15""".stripMargin
+    },
+
     "q209_modularity" -> {
       val rounds = (1 to 6).map { k =>
         s"""v$k AS (

@@ -161,6 +161,35 @@ class GraphSpec extends SparkSuite {
     assert(exact == brute)
   }
 
+  // ------------------------------------------------------------ C157 Louvain
+
+  test("C157: Louvain separates planted cliques; modularity beats singletons; deterministic") {
+    // two 6-cliques bridged by one edge — the canonical community fixture
+    def clique(base: Long): Seq[(Long, Long)] =
+      for (i <- 0L until 6L; j <- (i + 1) until 6L) yield (base + i, base + j)
+    val edges = clique(0) ++ clique(100) ++ Seq((0L, 100L))
+    val got = Graph.louvainMove(edges.toDF("src", "dst"), sweeps = 6)
+      .as[(Long, Long)].collect().toMap
+    val c1 = (0L until 6L).map(got)
+    val c2 = (100L until 106L).map(got)
+    assert(c1.distinct.length == 1, s"clique 1 must be one community: $c1")
+    assert(c2.distinct.length == 1, s"clique 2 must be one community: $c2")
+    assert(c1.head != c2.head, "the bridge must not merge the cliques")
+    // the found partition beats singletons on the objective
+    val qFound = Graph.modularity(edges.toDF("src", "dst"),
+        got.toSeq.toDF("node", "community"))
+      .select("q_ppm").as[Long].head()
+    val qSingle = Graph.modularity(edges.toDF("src", "dst"),
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, n))
+          .toDF("node", "community"))
+      .select("q_ppm").as[Long].head()
+    assert(qFound > qSingle && qFound > 300000L,
+      s"louvain q=$qFound must beat singleton q=$qSingle")
+    val again = Graph.louvainMove(edges.toDF("src", "dst"), sweeps = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == again)
+  }
+
   // --------------------------------------------------------------- C155 MSF
 
   /** Brute Kruskal under the (w, a, b) strict total order — the unique
