@@ -199,12 +199,26 @@ object Attribution {
   def markovRemoval(events: DataFrame, userCol: String, channelCol: String,
                     tsCol: String, tieCol: String, convChannel: String,
                     rounds: Int = 32): DataFrame = {
-    require(rounds >= 1 && rounds <= 256)
     val spark = events.sparkSession
     import spark.implicits._
     val trDf = markovTransitions(events, userCol, channelCol, tsCol, tieCol, convChannel)
     // bounded driver state: (channels+2)^2 transition rows
-    val tr = trDf.as[(String, String, Long)].collect()
+    markovAttributionFromCounts(spark,
+      trDf.as[(String, String, Long)].collect().toSeq, rounds)
+  }
+
+  /** The B53 pricing kernel over a TRANSITION-COUNT frame — shared by
+    * the one-shot [[markovRemoval]] and the continuously-maintained
+    * monitor (D39, `streaming/EventStreams.markovAttributionMonitor`),
+    * so "attribution from maintained state" equals "attribution from
+    * the corpus" by construction (the D32 discipline). Transition
+    * counts are ADDITIVE, which is what makes the streaming face
+    * exact. */
+  def markovAttributionFromCounts(spark: org.apache.spark.sql.SparkSession,
+                                  tr: Seq[(String, String, Long)],
+                                  rounds: Int = 32): DataFrame = {
+    require(rounds >= 1 && rounds <= 256)
+    import spark.implicits._
     val nOut = tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val channels = (tr.map(_._1) ++ tr.map(_._2)).distinct
       .filterNot(Set("START", "CONV", "NULL")).sorted

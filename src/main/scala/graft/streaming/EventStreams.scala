@@ -228,6 +228,130 @@ object EventStreams {
       }.toDF()
   }
 
+  final case class JourneyState(pending: List[(Long, Long, String)],
+                                open: Option[String], lastTs: Long)
+  final case class JourneyOut(user_id: Long, src: String, dst: String)
+
+  /** D39 kernel: B53's JOURNEY TRANSITION increments, continuously —
+    * the streaming form of `Attribution.markovTransitions`: per user,
+    * ripened events (the D16 watermark-buffer discipline: a pair emits
+    * only when its later event is final) chain through the OPEN
+    * journey — the first event of a journey emits (START, state), a
+    * conversion emits (prev, CONV) and closes, and a quiet-period
+    * event-time timeout closes an abandoned journey with (last, NULL).
+    * The quiet-gap NULL closure is the streaming-native journey
+    * boundary (a batch corpus has a hard end; a stream must DECIDE
+    * when a journey is abandoned) — with every journey closed by a
+    * conversion or flushed, `groupBy(src, dst).count` over the output
+    * equals the batch transition frame exactly (spec-pinned).
+    * State per user: the held events + the open journey's last state. */
+  def journeyUpdates(events: DataFrame, convChannel: String,
+                     watermark: String = "30 minutes",
+                     quietMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def chain(user: Long, open: Option[String],
+              ripe: List[(Long, Long, String)]): (List[JourneyOut], Option[String]) = {
+      var cur = open
+      val out = scala.collection.mutable.ListBuffer.empty[JourneyOut]
+      for (e <- ripe) {
+        val st = if (e._3 == convChannel) "CONV" else e._3
+        out += JourneyOut(user, cur.getOrElse("START"), st)
+        cur = if (st == "CONV") None else Some(st)
+      }
+      (out.toList, cur)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp],
+              col("event_id").as[Long], col("event_type").as[String])
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[JourneyState, JourneyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Long, String)], state: GroupState[JourneyState]) =>
+          if (state.hasTimedOut) {
+            // watermark ≥ lastTs + quietMs > every held ts → all final;
+            // the abandoned journey closes into NULL
+            val s = state.get
+            val ripe = s.pending.sortBy(e => (e._1, e._2))
+            val (out, cur) = chain(user, s.open, ripe)
+            val closed = cur.map(c => JourneyOut(user, c, "NULL")).toList
+            state.update(JourneyState(Nil, None, s.lastTs))
+            (out ++ closed).iterator
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var s = state.getOption.getOrElse(JourneyState(Nil, None, 0L))
+            val fresh = rows.map(r => (r._2.getTime, r._3, r._4)).toList
+            if (fresh.nonEmpty)
+              s = s.copy(lastTs = math.max(s.lastTs, fresh.iterator.map(_._1).max))
+            val (ripe0, hold) = (s.pending ++ fresh).partition(_._1 < wm)
+            val ripe = ripe0.sortBy(e => (e._1, e._2))
+            val (out, cur) = chain(user, s.open, ripe)
+            s = JourneyState(hold, cur, s.lastTs)
+            state.update(s)
+            if (s.pending.nonEmpty || s.open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wm + 1, s.lastTs + quietMs))
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** D39: continuously-maintained MARKOV ATTRIBUTION — the streaming
+    * face of B53 (as D37 is of C147): [[journeyUpdates]] streams
+    * journey transitions, each micro-batch's increments merge into the
+    * maintained ADDITIVE (src, dst, n) count state (batchId-versioned
+    * dirs + pointer flip — the D12 exactly-once discipline), and every
+    * version re-prices `Attribution.markovAttributionFromCounts` from
+    * state alone — the SAME kernel the one-shot q236 runs, so
+    * "attribution from maintained state" equals "attribution from the
+    * corpus" by construction. History: one channel-frame per batch. */
+  def markovAttributionMonitor(events: DataFrame, convChannel: String,
+                               stateRoot: String, reportRoot: String,
+                               checkpointDir: String,
+                               watermark: String = "30 minutes",
+                               quietMs: Long = 30 * 60 * 1000L): Unit = {
+    val q = journeyUpdates(events, convChannel, watermark, quietMs).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val fresh = batch.toDF().groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          val merged = prev match {
+            case Some(p) => fresh
+              .join(spark.read.parquet(p)
+                .select(col("src"), col("dst"), col("n").as("pn")),
+                Seq("src", "dst"), "full_outer")
+              .select(col("src"), col("dst"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("pn"), lit(0L))).as("n"))
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          graft.operators.Attribution.markovAttributionFromCounts(spark,
+              spark.read.parquet(target).as[(String, String, Long)].collect().toSeq)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained transition counts of [[markovAttributionMonitor]]. */
+  def markovState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Versioned attribution history of [[markovAttributionMonitor]]. */
+  def markovHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   final case class RetentionState(firstWeek: Long, seen: Set[Long], pending: Set[Long])
   final case class RetentionOut(user_id: Long, cohort_week: Long, week_offset: Long)
 

@@ -721,6 +721,48 @@ object ScaleProbe {
           topK = 30).count())
     }
     for (k <- Seq(1, 4, 16)) {
+      val docs = amplify(t.documents, "doc_id", k)
+      // TextRank: pair kernel scan grows k-fold; the co-occurrence graph
+      // and the PageRank iterations stay vocab-bounded → near-linear
+      run("textrank", k)(
+        TextAnalysis.cooccurrenceLift(docs, window = 3, minPair = 2L,
+          topK = 30).count())
+      // Dirichlet QL: postings prefilter rides the scan; candidates and
+      // the per-candidate fan-out grow with matching docs → scan-bound
+      run("dirichlet_ql", k)(
+        graft.operators.Search.dirichletQlTopK(docs,
+          Seq(1 -> "spark join agg", 2 -> "slow scan table"), k = 10).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      // disjoint user copies: journeys multiply, the transition frame
+      // stays channel-enum-bounded, the solve is constant driver work
+      val ev = amplify(t.events, "event_id", k)
+        .withColumn("user_id", col("user_id") + expr("(event_id div 10000000L) * 10000000L"))
+      run("markov_attrib", k)(
+        graft.operators.Attribution.markovRemoval(ev, "user_id", "event_type",
+          "ts", "event_id", "purchase").count())
+    }
+    for (k <- Seq(1, 4, 16)) {
+      // id-shifted copies make k disjoint replicas of the co-purchase
+      // graph: MSF/Louvain rounds stay flat (diameter unchanged), work
+      // per round grows linearly with the edge frame
+      val li = amplify(t.lineitem, "l_orderkey", k)
+        // shift parts with their copy so replicas are DISJOINT graphs
+        // (unshifted parts would densify one graph instead)
+        .withColumn("l_partkey",
+          col("l_partkey") + expr("(l_orderkey div 10000000L) * 10000000L"))
+      val p = li.select(col("l_orderkey").as("o"), col("l_partkey").as("pk")).distinct()
+      val ew = p.as("a").join(p.as("b"),
+          col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("cw")).filter(col("cw") >= 2)
+      run("msf", k)(
+        graft.operators.Graph.minimumSpanningForest(
+          ew.select(col("src"), col("dst"), (-col("cw")).as("w"))).count())
+      run("louvain", k)(
+        graft.operators.Graph.louvainMove(ew.select("src", "dst"), sweeps = 4).count())
+    }
+    for (k <- Seq(1, 4, 16)) {
       val emb = amplify(t.embeddings, "vec_id", k)
       run("mutual_info", k) {
         val stacked = emb

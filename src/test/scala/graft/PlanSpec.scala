@@ -349,6 +349,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q234/q235/q237: the drift/collocation/WOE family is window-free (pure partial-agg scans)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, df) <- Seq(
+        "q234" -> TrainingData.q234Psi(t),
+        "q235" -> TrainingData.q235CoocLift(t),
+        "q237" -> TrainingData.q237WoeIv(t))) {
+      val exec = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      val wins = exec.collect { case w: WindowExec => w }
+      assert(wins.isEmpty, s"$name must carry no window at all: ${wins.map(_.nodeName)}")
+    }
+  }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
     val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

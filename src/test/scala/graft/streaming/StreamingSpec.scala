@@ -1330,6 +1330,78 @@ class StreamingSpec extends SparkSuite {
       .select("series", "t").count() == full.size)
   }
 
+  test("D39: maintained Markov attribution equals the batch kernel across arbitrary batch cuts") {
+    import graft.operators.Attribution
+    val in = Files.createTempDirectory("graft-mkv-in").toString
+    val state = Files.createTempDirectory("graft-mkv-state").toString
+    val report = Files.createTempDirectory("graft-mkv-report").toString
+    val ckpt = Files.createTempDirectory("graft-mkv-ckpt").toString
+
+    // quiet window 300 min: wide enough that the watermark pushers
+    // (needed to ripen buffered events) do not flush the journeys that
+    // convert across batch cuts at +80/85 min; u7's 100-min click still
+    // abandons once the sentinel advances the watermark past 400 min
+    def runOnce(): Unit = EventStreams.markovAttributionMonitor(
+      EventStreams.readEvents(spark, in), convChannel = "purchase",
+      stateRoot = state, reportRoot = report, checkpointDir = ckpt,
+      quietMs = 300 * 60 * 1000L)
+    def append(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    // journeys cut across FIVE batch boundaries: u1 converts across a
+    // cut, u2 converts inside one batch, u3's journey opens in batch 1
+    // and converts in batch 3, u7 is abandoned (quiet-gap NULL flush)
+    append(Seq((1L, ts(0.0), 1L, "view", 0.0), (2L, ts(1.0), 1L, "click", 0.0),
+      (3L, ts(2.0), 2L, "view", 0.0), (4L, ts(3.0), 2L, "purchase", 0.0),
+      (5L, ts(4.0), 3L, "view", 0.0)))
+    runOnce()
+    append(Seq((6L, ts(100.0), 7L, "click", 0.0)))
+    runOnce()
+    append(Seq((7L, ts(80.0), 1L, "purchase", 0.0), (8L, ts(85.0), 3L, "purchase", 0.0)))
+    runOnce()
+    append(Seq((9L, ts(6000.0), 9L, "view", 0.0)))
+    runOnce()
+    append(Seq((10L, ts(6001.0), 8L, "view", 0.0)))
+    runOnce()
+
+    // closed users: 1, 2, 3 (conversions) and 7 (quiet-gap NULL flush);
+    // the batch kernel over exactly their rows must equal the state
+    val closedRows = Seq(
+      (1L, ts(0.0), 1L, "view"), (2L, ts(1.0), 1L, "click"),
+      (3L, ts(2.0), 2L, "view"), (4L, ts(3.0), 2L, "purchase"),
+      (5L, ts(4.0), 3L, "view"), (7L, ts(80.0), 1L, "purchase"),
+      (8L, ts(85.0), 3L, "purchase"), (6L, ts(100.0), 7L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val wantTr = Attribution.markovTransitions(closedRows,
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, String, Long)].collect().toSet
+    val gotTr = EventStreams.markovState(spark, state)
+      .as[(String, String, Long)].collect().toSet
+    assert(gotTr == wantTr, s"state $gotTr != batch $wantTr")
+    // u7's abandoned journey flushed as click -> NULL
+    assert(gotTr.contains(("click", "NULL", 1L)))
+
+    // the newest report version equals the kernel priced from the same counts
+    val lastBatch = EventStreams.markovHistory(spark, report)
+      .agg(max("batch_id")).as[Long].head()
+    val gotRep = EventStreams.markovHistory(spark, report)
+      .filter(col("batch_id") === lastBatch)
+      .select("channel", "n_touches", "p_base_ppm", "p_removed_ppm",
+        "removal_ppm", "attribution_ppm")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSet
+    val wantRep = Attribution.markovAttributionFromCounts(spark, wantTr.toSeq)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(gotRep == wantRep, s"report $gotRep != kernel $wantRep")
+
+    // replay on the same checkpoint: no new data, no new version
+    val versions = EventStreams.markovHistory(spark, report)
+      .select("batch_id").distinct().count()
+    runOnce()
+    assert(EventStreams.markovHistory(spark, report)
+      .select("batch_id").distinct().count() == versions)
+  }
+
   test("D37: maintained AUC equals the one-shot AUC per version; decay is visible; replay-safe") {
     val rnd = new scala.util.Random(41)
     // batch 1: well-separated scores (high AUC); batches 2-3: the score
