@@ -245,6 +245,40 @@ object Graph {
       .getOrElse(ecan.filter(lit(false)).select("a", "b", "w"))
   }
 
+  /** C158: SINGLE-LINKAGE k-CLUSTERING via the MSF cut — the classic
+    * dendrogram read-out [[minimumSpanningForest]] enables (single-
+    * linkage agglomerative clustering ≡ Kruskal's merge order, so
+    * cutting the `cuts` LARGEST forest edges under the same strict
+    * (w, a, b) total order yields exactly the clustering a dendrogram
+    * cut at height k produces — the textbook equivalence): clusters =
+    * connected components of the forest minus its `cuts` heaviest
+    * edges. A graph with c connected components yields c + cuts
+    * clusters (each cut splits one tree).
+    *
+    * Scale shape: the forest is node-sized (n−c edges); the cut set is
+    * a `cuts`-row TakeOrderedAndProject broadcast anti-joined away;
+    * the final labeling is [[components]] on the node-sized remainder.
+    *
+    * @return (node, cluster) — cluster id = the min node id reachable
+    *         in the cut forest. */
+  def singleLinkage(edges: DataFrame, cuts: Int, rounds: Int = 16): DataFrame = {
+    require(cuts >= 0)
+    val msf = minimumSpanningForest(edges, rounds).localCheckpoint(true)
+    val kept =
+      if (cuts == 0) msf
+      else msf.join(
+        broadcast(msf.orderBy(col("w").desc, col("a").desc, col("b").desc).limit(cuts)),
+        Seq("a", "b", "w"), "left_anti")
+    // a cut can isolate a node entirely (a leaf's only edge removed);
+    // it is then its own singleton cluster — components() only labels
+    // edge-connected nodes, so fill the gap from the forest's node set
+    val nodes = msf.select(col("a").as("node"))
+      .union(msf.select(col("b").as("node"))).distinct()
+    val comp = components(kept.select(col("a").as("src"), col("b").as("dst")))
+    nodes.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("cluster"))
+  }
+
   /** TRIANGLE count + global clustering coefficient — the classic graph
     * cohesion pair: triangles via the ORIENTED enumeration (every
     * undirected edge kept once as `a < b`, triangles found as

@@ -1291,6 +1291,30 @@ object TrainingData {
       .orderBy("part_a", "part_b")
   }
 
+  /** C158: SINGLE-LINKAGE k-clustering
+    * ([[graft.operators.Graph.singleLinkage]]) — the dendrogram cut the
+    * q239 forest enables: remove the 25 WEAKEST co-purchase backbone
+    * links (the largest negated weights, the exact dendrogram-cut
+    * equivalence) and read the clusters as components. Sizes of the 15
+    * largest clusters plus the cluster count. */
+  def q242SingleLinkage(t: Tables): DataFrame = {
+    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = p.as("a").join(p.as("b"),
+        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") >= 2)
+    val cl = graft.operators.Graph.singleLinkage(
+      e.select(col("src"), col("dst"), (-col("cw")).as("w")), cuts = 25)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+    val total = sizes.agg(count(lit(1)).as("n_clusters"))
+    sizes.crossJoin(broadcast(total))
+      .orderBy(col("n_nodes").desc, col("cluster").asc)
+      .limit(15)
+      .select("cluster", "n_nodes", "n_clusters")
+  }
+
   /** C153: TEXTRANK keywords
     * ([[graft.operators.TextAnalysis.textRankKeywords]]) — graph-based
     * keyword extraction over the corpus: PageRank on the 3-token-window

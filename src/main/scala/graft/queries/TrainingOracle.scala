@@ -878,6 +878,61 @@ object TrainingOracle {
     sb.toString
   }
 
+  /** C155/C158 shared replay: the co-purchase graph + the full 16-round
+    * Borůvka schedule (per round: crossing-edge label join, per-
+    * component min edge under the (w,a,b,lu,lv) order, 8 inner
+    * min-label + pointer-hop contraction rounds, relabel). Emits CTEs
+    * p/ew/ecan/lab0/… ending in `msf(a, b, w)`; converged rounds are
+    * no-ops on both engines, so the replay stays exact. */
+  private def copurchaseMsfChain: String = {
+    val sb = new StringBuilder
+    for (r <- 1 to 16) {
+      val pl = s"lab${r - 1}"
+      sb ++= s"""cr$r AS MATERIALIZED (
+         |  SELECT e.w, e.a, e.b, la.l AS lu, lb.l AS lv
+         |  FROM ecan e JOIN $pl la ON la.node = e.a JOIN $pl lb ON lb.node = e.b
+         |  WHERE la.l <> lb.l),
+         |cnd$r AS (
+         |  SELECT comp, w, a, b, lu, lv,
+         |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b, lu, lv) AS rn
+         |  FROM (SELECT lu AS comp, w, a, b, lu, lv FROM cr$r
+         |        UNION ALL SELECT lv, w, a, b, lu, lv FROM cr$r)),
+         |sel$r AS MATERIALIZED (SELECT DISTINCT w, a, b, lu, lv FROM cnd$r WHERE rn = 1),
+         |u$r AS MATERIALIZED (SELECT lu AS s, lv AS d FROM sel$r UNION SELECT lv, lu FROM sel$r),
+         |k${r}_0 AS (SELECT DISTINCT s AS node, s AS l FROM u$r),
+         |""".stripMargin
+      for (j <- 1 to 8) {
+        sb ++= s"""nm${r}_$j AS MATERIALIZED (
+           |  SELECT t.node, MIN(t.l) AS l FROM (
+           |    SELECT u.d AS node, k.l FROM u$r u JOIN k${r}_${j - 1} k ON k.node = u.s
+           |    UNION ALL SELECT node, l FROM k${r}_${j - 1}) t
+           |  GROUP BY t.node),
+           |k${r}_$j AS MATERIALIZED (
+           |  SELECT nm.node, p.l AS l FROM nm${r}_$j nm JOIN nm${r}_$j p ON p.node = nm.l),
+           |""".stripMargin
+      }
+      sb ++= s"""lab$r AS MATERIALIZED (
+         |  SELECT lab.node, COALESCE(k.l, lab.l) AS l
+         |  FROM $pl lab LEFT JOIN k${r}_8 k ON k.node = lab.l),
+         |""".stripMargin
+    }
+    val unions = (1 to 16).map(r => s"SELECT a, b, w FROM sel$r").mkString("\n    UNION ALL ")
+    s"""p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
+       |ew AS MATERIALIZED (
+       |  SELECT a.pk AS src, b.pk AS dst, -COUNT(*)::BIGINT AS w
+       |  FROM p a JOIN p b ON a.o = b.o AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |ecan AS MATERIALIZED (
+       |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(w) AS w
+       |  FROM ew WHERE src <> dst GROUP BY 1, 2),
+       |lab0 AS MATERIALIZED (
+       |  SELECT node, node AS l
+       |  FROM (SELECT a AS node FROM ecan UNION SELECT b FROM ecan)),
+       |${sb.toString}
+       |msf AS (SELECT DISTINCT a, b, w FROM (
+       |    $unions))""".stripMargin
+  }
+
   /** Staged per-token XXH64 pipeline: expects a CTE `tok` exposing
     * (`carry` columns, tok); emits CTEs ending in `tokh(carry, hu)` with
     * hu = unsigned xxhash64(tok, seed 42) as HUGEINT in [0, 2^64).
@@ -4869,56 +4924,46 @@ object TrainingOracle {
     // component min edge under the (w,a,b,lu,lv) order → 8 inner
     // min-label + pointer-hop contraction rounds → relabel); converged
     // rounds are no-ops on both engines, so the replay stays exact.
-    "q239_msf_backbone" -> {
-      val sb = new StringBuilder
-      for (r <- 1 to 16) {
-        val pl = s"lab${r - 1}"
-        sb ++= s"""cr$r AS MATERIALIZED (
-           |  SELECT e.w, e.a, e.b, la.l AS lu, lb.l AS lv
-           |  FROM ecan e JOIN $pl la ON la.node = e.a JOIN $pl lb ON lb.node = e.b
-           |  WHERE la.l <> lb.l),
-           |cnd$r AS (
-           |  SELECT comp, w, a, b, lu, lv,
-           |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b, lu, lv) AS rn
-           |  FROM (SELECT lu AS comp, w, a, b, lu, lv FROM cr$r
-           |        UNION ALL SELECT lv, w, a, b, lu, lv FROM cr$r)),
-           |sel$r AS MATERIALIZED (SELECT DISTINCT w, a, b, lu, lv FROM cnd$r WHERE rn = 1),
-           |u$r AS MATERIALIZED (SELECT lu AS s, lv AS d FROM sel$r UNION SELECT lv, lu FROM sel$r),
-           |k${r}_0 AS (SELECT DISTINCT s AS node, s AS l FROM u$r),
-           |""".stripMargin
-        for (j <- 1 to 8) {
-          sb ++= s"""nm${r}_$j AS MATERIALIZED (
-             |  SELECT t.node, MIN(t.l) AS l FROM (
-             |    SELECT u.d AS node, k.l FROM u$r u JOIN k${r}_${j - 1} k ON k.node = u.s
-             |    UNION ALL SELECT node, l FROM k${r}_${j - 1}) t
-             |  GROUP BY t.node),
-             |k${r}_$j AS MATERIALIZED (
-             |  SELECT nm.node, p.l AS l FROM nm${r}_$j nm JOIN nm${r}_$j p ON p.node = nm.l),
-             |""".stripMargin
-        }
-        sb ++= s"""lab$r AS MATERIALIZED (
-           |  SELECT lab.node, COALESCE(k.l, lab.l) AS l
-           |  FROM $pl lab LEFT JOIN k${r}_8 k ON k.node = lab.l),
+    "q239_msf_backbone" ->
+      s"""WITH $copurchaseMsfChain
+         |SELECT a AS part_a, b AS part_b, -w AS copurchases
+         |FROM msf ORDER BY 1, 2""".stripMargin,
+
+    // C158: single-linkage clusters — the q239 MSF chain, minus its 25
+    // heaviest edges under the same (w DESC, a DESC, b DESC) order,
+    // then the q188-style components replay over the remainder;
+    // cut-isolated nodes become their own singleton clusters.
+    "q242_single_linkage" -> {
+      val inner = new StringBuilder
+      for (j <- 1 to 8) {
+        inner ++= s"""slnm$j AS MATERIALIZED (
+           |  SELECT t.node, MIN(t.l) AS l FROM (
+           |    SELECT u.d AS node, k.l FROM slu u JOIN slk${j - 1} k ON k.node = u.s
+           |    UNION ALL SELECT node, l FROM slk${j - 1}) t
+           |  GROUP BY t.node),
+           |slk$j AS MATERIALIZED (
+           |  SELECT nm.node, p.l AS l FROM slnm$j nm JOIN slnm$j p ON p.node = nm.l),
            |""".stripMargin
       }
-      val unions = (1 to 16).map(r => s"SELECT a, b, w FROM sel$r").mkString("\n    UNION ALL ")
-      s"""WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem),
-         |ew AS MATERIALIZED (
-         |  SELECT a.pk AS src, b.pk AS dst, -COUNT(*)::BIGINT AS w
-         |  FROM p a JOIN p b ON a.o = b.o AND a.pk < b.pk
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |ecan AS MATERIALIZED (
-         |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(w) AS w
-         |  FROM ew WHERE src <> dst GROUP BY 1, 2),
-         |lab0 AS MATERIALIZED (
-         |  SELECT node, node AS l
-         |  FROM (SELECT a AS node FROM ecan UNION SELECT b FROM ecan)),
-         |${sb.toString}
-         |msf AS (SELECT DISTINCT a, b, w FROM (
-         |    $unions))
-         |SELECT a AS part_a, b AS part_b, -w AS copurchases
-         |FROM msf ORDER BY 1, 2""".stripMargin
+      s"""WITH $copurchaseMsfChain,
+         |cut AS MATERIALIZED (
+         |  SELECT a, b, w FROM msf ORDER BY w DESC, a DESC, b DESC LIMIT 25),
+         |kept AS MATERIALIZED (
+         |  SELECT m.a, m.b FROM msf m
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.a = m.a AND c.b = m.b)),
+         |fnodes AS (SELECT a AS node FROM msf UNION SELECT b FROM msf),
+         |slu AS MATERIALIZED (SELECT a AS s, b AS d FROM kept UNION SELECT b, a FROM kept),
+         |slk0 AS (SELECT DISTINCT s AS node, s AS l FROM slu),
+         |${inner.toString}
+         |slcl AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(k.l, n.node) AS cluster
+         |  FROM fnodes n LEFT JOIN slk8 k ON k.node = n.node),
+         |sz AS (SELECT cluster, COUNT(*)::BIGINT AS n_nodes FROM slcl GROUP BY 1),
+         |tot AS (SELECT COUNT(*)::BIGINT AS n_clusters FROM sz)
+         |SELECT cluster, n_nodes, n_clusters FROM sz, tot
+         |ORDER BY n_nodes DESC, cluster ASC LIMIT 15""".stripMargin
     },
+
 
     // C156: Dirichlet query likelihood — candidates from the postings,
     // full query-vocabulary fan-out (missing terms take the collection

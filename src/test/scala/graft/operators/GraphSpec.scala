@@ -249,6 +249,47 @@ class GraphSpec extends SparkSuite {
       s"path MSF keeps every edge: got ${got.size} of 299")
   }
 
+  // ----------------------------------------------------- C158 single-linkage
+
+  test("C158: single-linkage clusters equal the brute MSF-cut on a random graph") {
+    val rnd = new scala.util.Random(47)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (1 + rnd.nextInt(30)).toLong)).filter(e => e._1 != e._2)
+    val cuts = 5
+    // brute: Kruskal forest, drop its `cuts` largest under (w,a,b) DESC,
+    // label components by min node id (the operator's label contract)
+    val forest = bruteMsf(edges).toSeq
+    val kept = forest.sortBy(e => (-e._3, -e._1, -e._2)).drop(cuts)
+    val nodes = forest.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = kept.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s); var frontier = List(s)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    val want = nodes.map(n => n -> reach(n).min).toMap
+    val got = Graph.singleLinkage(edges.toDF("src", "dst", "w"), cuts = cuts)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"${got.size} nodes; diffs: ${got.toSet.diff(want.toSet).take(5)}")
+    // cluster count grows by exactly `cuts` over the uncut forest
+    val base = Graph.singleLinkage(edges.toDF("src", "dst", "w"), cuts = 0)
+      .as[(Long, Long)].collect().map(_._2).distinct.length
+    assert(got.values.toSeq.distinct.length == base + cuts)
+  }
+
+  test("C158: a cut that isolates a leaf yields a singleton cluster, not a lost node") {
+    // path 1-2-3 with the heaviest edge at the leaf end: cutting it
+    // isolates node 3
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 9L))
+    val got = Graph.singleLinkage(edges.toDF("src", "dst", "w"), cuts = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"$got")
+  }
+
   // -------------------------------------------------------- components
 
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
