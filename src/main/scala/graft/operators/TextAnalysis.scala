@@ -480,6 +480,59 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C159: ROUGE-N overlap scoring (Lin 2004) — the n-gram
+    * precision/recall/F1 between paired texts, the evaluation primitive
+    * of every summarization/generation pipeline (and the pairwise
+    * companion of C87's corpus-level novelty): per (candidate,
+    * reference) pair, the CLIPPED n-gram match count
+    * Σ_g min(count_cand(g), count_ref(g)) — the ROUGE/BLEU clipping
+    * rule, so a candidate repeating one reference gram doesn't farm
+    * matches — with exact ppm read-outs
+    *
+    *   p = 10⁶·m div n_cand,  r = 10⁶·m div n_ref,
+    *   f1 = 2·10⁶·m div (n_cand + n_ref)   (the algebraic 2PR/(P+R))
+    *
+    * all truncating integer divisions, NULL (not a division error) when
+    * a side has no n-grams.
+    *
+    * Scale shape: n-gram counts explode per side and reduce map-side to
+    * (pair, gram) frames joined CO-PARTITIONED on (pair, gram) — linear
+    * in token volume, no pair×vocab blowup; the per-pair totals are a
+    * bounded second aggregate.
+    *
+    * @param pairs one row per pair: (idCol, candCol text, refCol text).
+    * @return (id, n_match, n_cand, n_ref, p_ppm, r_ppm, f1_ppm). */
+  def rougeN(pairs: DataFrame, n: Int, idCol: String = "pair_id",
+             candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    require(n >= 1 && n <= 8)
+    val base = pairs.select(col(idCol).as("id"),
+        tokens(col(candCol)).as("__ct"), tokens(col(refCol)).as("__rt"))
+      .withColumn("__cg", expr(
+        s"CASE WHEN size(__ct) >= $n THEN transform(sequence(1, size(__ct) - ${n - 1}), i -> concat_ws(' ', slice(__ct, i, $n))) ELSE array() END"))
+      .withColumn("__rg", expr(
+        s"CASE WHEN size(__rt) >= $n THEN transform(sequence(1, size(__rt) - ${n - 1}), i -> concat_ws(' ', slice(__rt, i, $n))) ELSE array() END"))
+      .select(col("id"), col("__cg"), col("__rg"),
+        size(col("__cg")).cast("long").as("n_cand"),
+        size(col("__rg")).cast("long").as("n_ref"))
+      // three references below (both gram sides + the totals) — the
+      // shared-subplan lazy-persist discipline, not an eager checkpoint
+      .persist()
+    val cc = base.select(col("id"), explode(col("__cg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+    val rc = base.select(col("id"), explode(col("__rg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+    val m = cc.join(rc, Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("cc"), col("rc"))).as("m"))
+    base.select("id", "n_cand", "n_ref")
+      .join(m, Seq("id"), "left")
+      .withColumn("n_match", coalesce(col("m"), lit(0L)))
+      .select(col("id"), col("n_match"), col("n_cand"), col("n_ref"),
+        when(col("n_cand") > 0, expr("1000000 * n_match div n_cand")).as("p_ppm"),
+        when(col("n_ref") > 0, expr("1000000 * n_match div n_ref")).as("r_ppm"),
+        when(col("n_cand") + col("n_ref") > 0,
+          expr("2000000 * n_match div (n_cand + n_ref)")).as("f1_ppm"))
+  }
+
   /** C55: vocabulary COVERAGE CURVE — "what fraction of corpus tokens
     * does a top-k vocabulary cover", evaluated at several k in one query:
     * the tokenizer-budget planning curve (choose vocab size by where the

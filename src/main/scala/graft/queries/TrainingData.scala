@@ -1315,6 +1315,36 @@ object TrainingData {
       .select("cluster", "n_nodes", "n_clusters")
   }
 
+  /** C159: ROUGE-N overlap scoring
+    * ([[graft.operators.TextAnalysis.rougeN]]) — adjacent-doc pairs
+    * (odd doc_id = candidate, its predecessor = reference) scored at
+    * n = 1 and n = 2 with clipped matches, micro-averaged per source:
+    * the evaluation primitive of generation pipelines as one query. */
+  def q243Rouge(t: Tables): DataFrame = {
+    val c = t.documents.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("pair_id"), col("source"), col("text").as("cand"))
+    val r = t.documents.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1).as("pair_id"), col("text").as("ref"))
+    val pairs = c.join(r, "pair_id")
+    def micro(n: Int) =
+      graft.operators.TextAnalysis.rougeN(pairs, n, "pair_id", "cand", "ref")
+        .join(pairs.select(col("pair_id").as("id"), col("source")), "id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("n_match").as("m_total"),
+          sum("n_cand").as("cand_total"),
+          sum("n_ref").as("ref_total"))
+        .select(col("source"), lit(n.toLong).as("n"), col("n_pairs"),
+          col("m_total"), col("cand_total"), col("ref_total"),
+          when(col("cand_total") > 0,
+            expr("1000000 * m_total div cand_total")).as("p_ppm"),
+          when(col("ref_total") > 0,
+            expr("1000000 * m_total div ref_total")).as("r_ppm"),
+          when(col("cand_total") + col("ref_total") > 0,
+            expr("2000000 * m_total div (cand_total + ref_total)")).as("f1_ppm"))
+    micro(1).unionByName(micro(2)).orderBy("source", "n")
+  }
+
   /** C153: TEXTRANK keywords
     * ([[graft.operators.TextAnalysis.textRankKeywords]]) — graph-based
     * keyword extraction over the corpus: PageRank on the 3-token-window

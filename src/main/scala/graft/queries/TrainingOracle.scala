@@ -4965,6 +4965,49 @@ object TrainingOracle {
     },
 
 
+    // C159: ROUGE-N — adjacent-doc pairs, clipped n-gram matches at
+    // n = 1 and 2, per-source micro sums, exact ppm read-outs.
+    "q243_rouge" -> {
+      def ngrams(src: String, arr: String, n: Int, tag: String): String =
+        s"""${tag}g$n AS MATERIALIZED (
+           |  SELECT pid, g, COUNT(*)::BIGINT AS c FROM (
+           |    SELECT pid, array_to_string(list_slice($arr, i, i + ${n - 1}), ' ') AS g
+           |    FROM $src, unnest(range(1, len($arr) - ${n - 2})) AS ii(i)
+           |    WHERE len($arr) >= $n)
+           |  GROUP BY 1, 2)""".stripMargin
+      def level(n: Int): String =
+        s"""${ngrams("p", "ct", n, "c")},
+           |${ngrams("p", "rt", n, "r")},
+           |m$n AS (SELECT pid, SUM(LEAST(cg.c, rg.c))::BIGINT AS m
+           |  FROM cg$n cg JOIN rg$n rg USING (pid, g) GROUP BY 1),
+           |per$n AS (
+           |  SELECT p.pid, p.source, COALESCE(m$n.m, 0) AS m,
+           |    GREATEST(len(ct) - ${n - 1}, 0)::BIGINT AS ncand,
+           |    GREATEST(len(rt) - ${n - 1}, 0)::BIGINT AS nref
+           |  FROM p LEFT JOIN m$n ON m$n.pid = p.pid),
+           |agg$n AS (
+           |  SELECT source, ${n}::BIGINT AS n, COUNT(*)::BIGINT AS n_pairs,
+           |    SUM(m)::BIGINT AS m_total, SUM(ncand)::BIGINT AS cand_total,
+           |    SUM(nref)::BIGINT AS ref_total
+           |  FROM per$n GROUP BY 1)""".stripMargin
+      s"""WITH c AS (
+         |  SELECT doc_id AS pid, source, string_split(text, ' ') AS ct
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |r AS (
+         |  SELECT doc_id + 1 AS pid, string_split(text, ' ') AS rt
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |p AS MATERIALIZED (SELECT c.pid, c.source, c.ct, r.rt FROM c JOIN r USING (pid)),
+         |${level(1)},
+         |${level(2)},
+         |u AS (SELECT * FROM agg1 UNION ALL SELECT * FROM agg2)
+         |SELECT source, n, n_pairs, m_total, cand_total, ref_total,
+         |  CASE WHEN cand_total > 0 THEN 1000000 * m_total // cand_total END AS p_ppm,
+         |  CASE WHEN ref_total > 0 THEN 1000000 * m_total // ref_total END AS r_ppm,
+         |  CASE WHEN cand_total + ref_total > 0
+         |    THEN 2000000 * m_total // (cand_total + ref_total) END AS f1_ppm
+         |FROM u ORDER BY source, n""".stripMargin
+    },
+
     // C156: Dirichlet query likelihood — candidates from the postings,
     // full query-vocabulary fan-out (missing terms take the collection
     // prior), staged l2 on numerator and denominator, negative q10

@@ -554,6 +554,46 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("C159: ROUGE-N equals the clipped brute force; repetition cannot farm matches") {
+    def brute(cand: String, ref: String, n: Int): (Long, Long, Long) = {
+      def grams(s: String) = s.split(" ").toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      val (cg, rg) = (grams(cand), grams(ref))
+      val rc = rg.groupBy(identity).view.mapValues(_.size).toMap
+      val m = cg.groupBy(identity).map { case (g, os) =>
+        math.min(os.size, rc.getOrElse(g, 0)) }.sum.toLong
+      (m, cg.size.toLong, rg.size.toLong)
+    }
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat lay on the mat"),
+      // candidate repeats 'the the the' — clipping caps matches at the
+      // reference's count
+      (2L, "the the the the", "the end"),
+      (3L, "exact copy here", "exact copy here"),
+      (4L, "completely different words", "nothing shared at all"),
+      (5L, "x", "x y z"))  // 1 token: no bigrams on the candidate side
+    for (n <- Seq(1, 2)) {
+      val got = TextAnalysis.rougeN(pairs.toDF("pair_id", "cand", "ref"), n)
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+      for ((id, c, r) <- pairs) {
+        val (m, nc, nr) = brute(c, r, n)
+        val g = got(id)
+        assert((g._2, g._3, g._4) == ((m, nc, nr)), s"n=$n pair $id: $g vs ($m, $nc, $nr)")
+        assert(g._5 == (if (nc > 0) Some(1000000L * m / nc) else None))
+        assert(g._6 == (if (nr > 0) Some(1000000L * m / nr) else None))
+        assert(g._7 == (if (nc + nr > 0) Some(2000000L * m / (nc + nr)) else None))
+      }
+    }
+    // semantics anchors: identical pair scores a perfect 10^6 at both n;
+    // disjoint pair scores 0; clipping holds the repeated-'the' pair to 1
+    val g1 = TextAnalysis.rougeN(pairs.toDF("pair_id", "cand", "ref"), 1)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(g1(3L)._7 == Some(1000000L) && g1(4L)._2 == 0L)
+    assert(g1(2L)._2 == 1L, "clipped: four 'the's match at most the reference's one")
+  }
+
   test("C152: window bounds respected; short docs never crash") {
     val texts = Seq((1L, "a b c d e f g h"), (2L, "x"), (3L, ""), (4L, "p q"))
     val got = TextAnalysis.cooccurrenceLift(texts.toDF("doc_id", "text"),
