@@ -127,6 +127,63 @@ object Audits {
     *
     * @param tokens one row per token OCCURRENCE: (slice, token).
     * @return (slice, n_tokens, n_distinct, h_q10, h_norm_pm, kl_q10). */
+  /** C160: per-slice JENSEN–SHANNON divergence vs the rest of the
+    * corpus — the SYMMETRIC, √-metrizable, [0,1]-bounded companion of
+    * C131's KL (KL explodes on disjoint support and is asymmetric; JS
+    * is what corpus-comparison dashboards actually plot):
+    *
+    *   JS(P‖Q) = ½·Σ p·log₂(2p/(p+q)) + ½·Σ q·log₂(2q/(p+q))
+    *
+    * with P the slice unigram and Q the rest-of-corpus unigram. EXACT
+    * integer form via the q10 binary log: with c/d the slice/rest term
+    * counts and N₁/N₂ their totals, 2p/(p+q) = 2cN₂/(cN₂+dN₁), so
+    * per-term contributions are c·(l2(2cN₂) − l2(cN₂+dN₁)) — and the
+    * DISJOINT-SUPPORT mass needs no per-term rows at all: a term
+    * absent from the other side contributes exactly c·l2(2) = c·1024
+    * (the fixed-point log is EXACTLY translation-by-1024 under
+    * doubling), so both tails fold into closed-form aggregates of the
+    * intersection frame. JS in q10 bits: 1024 = maximal divergence
+    * (disjoint supports), 0 = identical distributions.
+    *
+    * Scale shape: ONE (slice, term) count pass; per-term logs only on
+    * each slice's OWN vocabulary rows (never the dense slice×vocab
+    * grid — the closed-form tails are what make that legal); bounded
+    * per-slice reduce. The cross products cN₂ stay < 2⁶³ under the C99
+    * ~3·10⁹-token bound; widen past it.
+    *
+    * @param tokens one row per token OCCURRENCE: (slice, token).
+    * @return (slice, n_slice, n_rest, js_q10) — NULL js when the rest
+    *         is empty (single-slice corpus). */
+  def jsDivergence(tokens: DataFrame, sliceCol: Column, tokenCol: Column): DataFrame = {
+    val base = tokens.select(sliceCol.as("slice"), tokenCol.as("tok"))
+    val c = base.groupBy("slice", "tok").agg(count(lit(1)).as("c"))
+    val g = c.groupBy("tok").agg(sum("c").cast("long").as("g"))
+    val ns = c.groupBy("slice").agg(sum("c").cast("long").as("n1"))
+    val m = g.agg(sum("g").cast("long").as("m_total"))
+    val l2 = graft.operators.Search.log2q10Sql _
+    // intersection-frame terms: d = rest count of a term the slice has
+    val terms = c.join(g, "tok").join(ns, "slice").crossJoin(broadcast(m))
+      .withColumn("d", col("g") - col("c"))
+      .withColumn("n2", col("m_total") - col("n1"))
+      .withColumn("p_term", when(col("d") > 0, expr(
+        s"CAST(c * (${l2("2 * c * n2")} - ${l2("c * n2 + d * n1")}) AS DECIMAL(38,0))"))
+        .otherwise(expr("CAST(c AS DECIMAL(38,0)) * 1024")))
+      .withColumn("q_term", when(col("d") > 0, expr(
+        s"CAST(d * (${l2("2 * d * n1")} - ${l2("c * n2 + d * n1")}) AS DECIMAL(38,0))"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    terms.groupBy("slice")
+      .agg(first("n1").as("n_slice"), first("n2").as("n_rest"),
+        sum("p_term").as("sp"), sum("q_term").as("sq"),
+        // rest mass on terms the slice lacks: N2 − Σ_{slice terms} d,
+        // each such token contributing exactly 1024 to the Q-sum
+        (first("n2") - sum("d")).as("d_only"))
+      .select(col("slice"), col("n_slice"), col("n_rest"),
+        when(col("n_rest") > 0, expr(
+          "CAST(sp div (2 * n_slice) + " +
+            "(sq + CAST(d_only AS DECIMAL(38,0)) * 1024) div (2 * n_rest) AS BIGINT)"))
+          .as("js_q10"))
+  }
+
   def entropyKl(tokens: DataFrame, sliceCol: Column, tokenCol: Column): DataFrame = {
     val base = tokens.select(sliceCol.as("slice"), tokenCol.as("tok"))
     val c = base.groupBy("slice", "tok").agg(count(lit(1)).as("c"))

@@ -2130,6 +2130,18 @@ object TrainingData {
       .orderBy("slice")
   }
 
+  /** C160: per-source JENSEN–SHANNON divergence vs the rest
+    * ([[graft.operators.Audits.jsDivergence]]) — the symmetric bounded
+    * companion of q211's KL over the same unigram slicing: which
+    * source's vocabulary distribution sits farthest from everything
+    * else, in exact q10 bits (1024 = disjoint supports). */
+  def q244JsDivergence(t: Tables): DataFrame = {
+    val toks = t.documents.select(col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    graft.operators.Audits.jsDivergence(toks, col("source"), col("tok"))
+      .orderBy("slice")
+  }
+
   /** C130: Johnson–Lindenstrauss projection + distortion audit
     * ([[graft.operators.Similarity.jlProject]]/`jlDistortion`) — 64-dim
     * embeddings down to r=16 through the deterministic ±1 sign matrix,

@@ -4965,6 +4965,49 @@ object TrainingOracle {
     },
 
 
+    // C160: Jensen–Shannon per slice vs rest — intersection-frame
+    // staged logs on the three integer arguments; disjoint-support
+    // mass folds to exact ×1024 closed forms (l2 is translation-by-
+    // 1024 under doubling); truncating HUGEINT divides mirror Spark.
+    "q244_js_divergence" ->
+      s"""WITH toks AS (
+         |  SELECT source AS slice, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT slice, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+         |g AS MATERIALIZED (SELECT tok, SUM(c)::BIGINT AS g FROM c GROUP BY 1),
+         |ns AS MATERIALIZED (SELECT slice, SUM(c)::BIGINT AS n1 FROM c GROUP BY 1),
+         |mt AS (SELECT SUM(g)::BIGINT AS m FROM g),
+         |f AS MATERIALIZED (
+         |  SELECT c.slice, c.tok, c.c, g.g - c.c AS d, ns.n1, mt.m - ns.n1 AS n2
+         |  FROM c JOIN g USING (tok) JOIN ns USING (slice), mt),
+         |l2in AS (
+         |  SELECT 'a' AS kind, slice, tok, 2 * c * n2 AS x FROM f WHERE d > 0
+         |  UNION ALL SELECT 'b', slice, tok, c * n2 + d * n1 FROM f WHERE d > 0
+         |  UNION ALL SELECT 'q', slice, tok, 2 * d * n1 FROM f WHERE d > 0),
+         |${l2Stages("l2in", "kind, slice, tok")},
+         |terms AS MATERIALIZED (
+         |  SELECT f.slice, f.d,
+         |    CASE WHEN f.d > 0 THEN f.c::HUGEINT * (la.l2 - lb.l2)
+         |         ELSE f.c::HUGEINT * 1024 END AS p_term,
+         |    CASE WHEN f.d > 0 THEN f.d::HUGEINT * (lq.l2 - lb.l2)
+         |         ELSE 0::HUGEINT END AS q_term
+         |  FROM f
+         |  LEFT JOIN lg la ON la.kind = 'a' AND la.slice = f.slice AND la.tok = f.tok
+         |  LEFT JOIN lg lb ON lb.kind = 'b' AND lb.slice = f.slice AND lb.tok = f.tok
+         |  LEFT JOIN lg lq ON lq.kind = 'q' AND lq.slice = f.slice AND lq.tok = f.tok),
+         |ag AS (
+         |  SELECT slice, SUM(p_term)::HUGEINT AS sp, SUM(q_term)::HUGEINT AS sq,
+         |         SUM(d)::BIGINT AS sd
+         |  FROM terms GROUP BY 1)
+         |SELECT ag.slice, ns.n1 AS n_slice, (mt.m - ns.n1)::BIGINT AS n_rest,
+         |  CASE WHEN mt.m - ns.n1 > 0 THEN
+         |    (sp // (2 * ns.n1::HUGEINT)
+         |     + (sq + ((mt.m - ns.n1 - sd)::HUGEINT) * 1024)
+         |       // (2 * (mt.m - ns.n1)::HUGEINT))::BIGINT
+         |  END AS js_q10
+         |FROM ag JOIN ns ON ns.slice = ag.slice, mt
+         |ORDER BY ag.slice""".stripMargin,
+
     // C159: ROUGE-N — adjacent-doc pairs, clipped n-gram matches at
     // n = 1 and 2, per-source micro sums, exact ppm read-outs.
     "q243_rouge" -> {

@@ -129,4 +129,55 @@ class AuditsSpec extends SparkSuite {
     assert(got("s")._3 < got("u")._3, "skew lowers entropy")
     assert(got("s")._5 > got("u")._5, "the skewed slice sits farther from the mixture")
   }
+
+  // ---------------------------------------- C160: Jensen–Shannon
+
+  /** BigInt replay of jsDivergence's exact integer contract. */
+  private def bruteJs(rows: Seq[(String, String)]): Map[String, Long] = {
+    val slices = rows.map(_._1).distinct
+    val gAll = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mTot = rows.size.toLong
+    slices.map { s =>
+      val cs = rows.filter(_._1 == s).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n1 = cs.values.sum
+      val n2 = mTot - n1
+      var sp = BigInt(0); var sq = BigInt(0); var sd = 0L
+      for ((t, c) <- cs) {
+        val d = gAll(t) - c
+        sd += d
+        if (d > 0) {
+          sp += BigInt(c) * (l2q10Ref(2 * c * n2) - l2q10Ref(c * n2 + d * n1))
+          sq += BigInt(d) * (l2q10Ref(2 * d * n1) - l2q10Ref(c * n2 + d * n1))
+        } else sp += BigInt(c) * 1024
+      }
+      val js =
+        if (n2 > 0) (sp / (2 * n1) + (sq + BigInt(n2 - sd) * 1024) / (2 * n2)).toLong
+        else Long.MinValue
+      s -> js
+    }.toMap
+  }
+
+  test("C160: JS matches the BigInt replay; bounded in [0, 1024]; disjoint maxes out") {
+    val rnd = new scala.util.Random(71)
+    val shared = Seq("a", "b", "c", "d", "e")
+    val rows =
+      // u: draws from the shared vocab uniformly; v: skewed to 'a' + own
+      // token; w: completely disjoint vocabulary
+      Seq.fill(400)(("u", shared(rnd.nextInt(5)))) ++
+      Seq.fill(300)(("v", if (rnd.nextInt(4) == 0) "vown" else "a")) ++
+      Seq.fill(200)(("w", Seq("x", "y", "z")(rnd.nextInt(3))))
+    val got = Audits.jsDivergence(rows.toDF("s", "t"), col("s"), col("t"))
+      .select("slice", "js_q10").as[(String, Long)].collect().toMap
+    val want = bruteJs(rows)
+    assert(got == want, s"$got vs $want")
+    assert(got.values.forall(v => v >= 0 && v <= 1024), s"bounded: $got")
+    // disjoint-vocabulary slice attains the maximum exactly
+    assert(got("w") == 1024L, s"disjoint support must hit 1024: ${got("w")}")
+    assert(got("u") < got("v"), "the skewed slice diverges more than the uniform one")
+    // identical-to-rest degenerate: two slices with the same distribution
+    val sym = Seq.fill(200)(("p", "t1")) ++ Seq.fill(200)(("q", "t1"))
+    val gotSym = Audits.jsDivergence(sym.toDF("s", "t"), col("s"), col("t"))
+      .select("slice", "js_q10").as[(String, Long)].collect().toMap
+    assert(gotSym.values.forall(_ == 0L), s"identical distributions: $gotSym")
+  }
 }
