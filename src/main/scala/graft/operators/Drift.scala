@@ -217,6 +217,8 @@ object Drift {
     require(bins >= 2 && bins <= 10000 && mx >= mn)
     require(refCounts.forall(b => b._1 >= 0 && b._1 < bins && b._2 >= 0),
       "refCounts must be (bin in [0, bins), count >= 0) pairs")
+    require(refCounts.map(_._1).distinct.size == refCounts.size,
+      "duplicate reference bins would silently collapse — merge them first")
     val spark = df.sparkSession
     import spark.implicits._
     val cur = df.select(valueCol.cast("long").as("v"))

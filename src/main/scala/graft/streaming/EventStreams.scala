@@ -272,12 +272,15 @@ object EventStreams {
         (user: Long, rows: Iterator[(Long, Timestamp, Long, String)], state: GroupState[JourneyState]) =>
           if (state.hasTimedOut) {
             // watermark ≥ lastTs + quietMs > every held ts → all final;
-            // the abandoned journey closes into NULL
+            // the abandoned journey closes into NULL. State is REMOVED,
+            // not zeroed: an inert row per ever-seen user would grow
+            // state forever at stream scale, and a later event starts a
+            // fresh journey either way (open = None ≡ no state)
             val s = state.get
             val ripe = s.pending.sortBy(e => (e._1, e._2))
             val (out, cur) = chain(user, s.open, ripe)
             val closed = cur.map(c => JourneyOut(user, c, "NULL")).toList
-            state.update(JourneyState(Nil, None, s.lastTs))
+            state.remove()
             (out ++ closed).iterator
           } else {
             val wm = state.getCurrentWatermarkMs()
