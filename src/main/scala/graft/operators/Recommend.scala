@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * B54: ITEM-TO-ITEM co-occurrence recommendations — the classic
+ * "people who bought X also bought Y" candidate generator (Amazon's
+ * item-item collaborative filtering, Linden et al. 2003), which is also
+ * the reverse-ETL payload a "recommendations" destination receives per
+ * entity: for every item, the top-k co-basket items ranked by exact
+ * integer LIFT (the C152 log-free-PMI discipline on baskets instead of
+ * token windows):
+ *
+ *   lift_ppm = 10⁶ · n_ab · N div (n_a · n_b)
+ *
+ * with n_ab the number of baskets containing both items, n_a/n_b the
+ * per-item basket counts, N total baskets — p(ab)/(p(a)p(b)) in exact
+ * ppm (DECIMAL(38,0) products). `minPair` floors co-occurrence before
+ * the lift (rare-pair lift is the same instability C152 documents —
+ * part of the statistic, not a tuning knob).
+ *
+ * Scale shape: one scan to the distinct (basket, item) frame; the pair
+ * expansion is the C107/q188 per-basket self-join, bounded by basket
+ * size (cap baskets when sizes are unbounded — the copurchaseEdges
+ * note); item totals join co-partitioned on the item (NOT broadcast —
+ * an item catalog is not a broadcast candidate at retail scale; AQE
+ * promotes small ones); the per-item top-k runs through
+ * [[Ranking.groupRankDesc]]'s two-level bucketed rank, so a mega-seller
+ * co-occurring with half the catalog never funnels one window task.
+ */
+object Recommend {
+
+  /** @param baskets   rows of (basketCol, itemCol) — deduplicated
+    *                  internally (an item twice in one basket counts
+    *                  once, the standard market-basket convention).
+    * @param minPair   co-occurrence floor (>= 1).
+    * @param k         recommendations per item.
+    * @return (item, rank, rec, n_ab, n_item, n_rec, lift_ppm) — rank
+    *         1..k by lift DESC, ties (n_ab DESC, rec ASC). */
+  def itemToItem(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minPair: Long = 2L, k: Int = 3): DataFrame = {
+    require(minPair >= 1 && k >= 1)
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+      // four references below (N, item totals, both pair sides) — the
+      // shared-subplan lazy-persist discipline
+      .persist()
+    val n = bi.agg(countDistinct("b").as("n_baskets"))
+    val items = bi.groupBy(col("i").as("it")).agg(count(lit(1)).as("n_it"))
+    // DIRECTED pair frame: each unordered co-occurrence feeds both
+    // items' candidate lists
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("item"), col("y.i").as("rec"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    val scored = pairs
+      .join(items.select(col("it").as("item"), col("n_it").as("n_item")), "item")
+      .join(items.select(col("it").as("rec"), col("n_it").as("n_rec")), "rec")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        "cast(cast(1000000 as decimal(38,0)) * n_ab * n_baskets div " +
+          "(cast(n_item as decimal(38,0)) * n_rec) as bigint)"))
+    // rank by (lift DESC, n_ab DESC, rec ASC): the secondary n_ab order
+    // packs under the lift in one DECIMAL key (lift can exceed 2^31 for
+    // rare pairs — 10^6·N/n at the extreme — so the pack rides
+    // DECIMAL(38,0); n_ab < 2^32 is the documented basket-count bound)
+    val packed = scored.withColumn("__score",
+      expr("cast(lift_ppm as decimal(38,0)) * 4294967296 + n_ab"))
+    Ranking.groupRankDesc(packed, "item", "__score", "rec",
+        expr("__score div 4398046511104")) // 2^42-wide buckets: monotone, tie-safe
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("rec"), col("n_ab"),
+        col("n_item"), col("n_rec"), col("lift_ppm"))
+  }
+}

@@ -493,6 +493,20 @@ object ReverseEtl {
       userCol = "user_id", channelCol = "event_type",
       tsCol = "ts", tieCol = "event_id", convChannel = "purchase")
 
+  /** B54: ITEM-TO-ITEM recommendations
+    * ([[graft.operators.Recommend.itemToItem]]) — the "people also
+    * bought" payload a recommendations destination receives: per part,
+    * the top-3 co-ordered parts by exact integer lift (co-occurrence
+    * floor 2), ties (n_ab DESC, rec ASC). First 150 rows in (item,
+    * rank) order — the deterministic sync batch. */
+  def q245ItemRecs(t: Tables): DataFrame =
+    graft.operators.Recommend.itemToItem(
+        t.lineitem.select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        "basket", "item", minPair = 2L, k = 3)
+      .orderBy("item", "rank")
+      .limit(150)
+
   /** B49: REFERENTIAL-INTEGRITY audit — the cross-table data-quality
     * gate next to B30's column-level expectations: before a sync trusts
     * an enrichment join, count every child row whose foreign key has no

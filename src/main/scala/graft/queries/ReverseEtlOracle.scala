@@ -74,6 +74,35 @@ object ReverseEtlOracle {
 
   val sql: Map[String, String] = Map(
 
+    // B54: item-to-item recommendations — distinct (order, part)
+    // baskets, directed co-occurrence counts with the >= 2 floor,
+    // exact HUGEINT lift, per-item top-3 by (lift DESC, n_ab DESC,
+    // rec ASC), first 150 in (item, rank) order.
+    "q245_item_recs" ->
+      """WITH bi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT b)::BIGINT AS n_baskets FROM bi),
+        |items AS MATERIALIZED (
+        |  SELECT i AS it, COUNT(*)::BIGINT AS n_it FROM bi GROUP BY 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT x.i AS item, y.i AS rec, COUNT(*)::BIGINT AS n_ab
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sc AS MATERIALIZED (
+        |  SELECT p.item, p.rec, p.n_ab, a.n_it AS n_item, r.n_it AS n_rec,
+        |    CAST(1000000::HUGEINT * p.n_ab * n.n_baskets
+        |         // (a.n_it::HUGEINT * r.n_it) AS BIGINT) AS lift_ppm
+        |  FROM pairs p JOIN items a ON a.it = p.item
+        |               JOIN items r ON r.it = p.rec, n),
+        |rk AS (
+        |  SELECT item, rec, n_ab, n_item, n_rec, lift_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY lift_ppm DESC, n_ab DESC, rec ASC) AS rank
+        |  FROM sc)
+        |SELECT item, rank::BIGINT AS rank, rec, n_ab, n_item, n_rec, lift_ppm
+        |FROM rk WHERE rank <= 3
+        |ORDER BY item, rank LIMIT 150""".stripMargin,
+
     // B53: Markov removal-effect attribution — journeys split at each
     // purchase, first-order transition counts, then one 32-sweep integer
     // value iteration per removal (channels hardcoded from the event
