@@ -46,7 +46,7 @@ object Recommend {
       // four references below (N, item totals, both pair sides) — the
       // shared-subplan lazy-persist discipline
       .persist()
-    val n = bi.agg(countDistinct("b").as("n_baskets"))
+    val n = bi.agg(countDistinct("b").cast("long").as("n_baskets"))
     val items = bi.groupBy(col("i").as("it")).agg(count(lit(1)).as("n_it"))
     // DIRECTED pair frame: each unordered co-occurrence feeds both
     // items' candidate lists
@@ -54,8 +54,23 @@ object Recommend {
         col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
       .groupBy(col("x.i").as("item"), col("y.i").as("rec"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minPair)
-    val scored = pairs
+    scoreFromCounts(pairs, items, n, minPair, k)
+  }
+
+  /** The B54 scoring kernel over pre-built count frames — shared by the
+    * one-shot [[itemToItem]] and the continuously-maintained monitor
+    * (D40, `streaming/EventStreams.itemRecsMonitor`), so "recs from
+    * maintained state" equals "recs from the corpus" by construction
+    * (the D32/D39 discipline). All three inputs are ADDITIVE counts,
+    * which is what makes the streaming face exact.
+    *
+    * @param pairs (item, rec, n_ab) DIRECTED co-occurrence counts.
+    * @param items (it, n_it) per-item basket counts.
+    * @param n     ONE row (n_baskets). */
+  def scoreFromCounts(pairs: DataFrame, items: DataFrame, n: DataFrame,
+                      minPair: Long, k: Int): DataFrame = {
+    require(minPair >= 1 && k >= 1)
+    val scored = pairs.filter(col("n_ab") >= minPair)
       .join(items.select(col("it").as("item"), col("n_it").as("n_item")), "item")
       .join(items.select(col("it").as("rec"), col("n_it").as("n_rec")), "rec")
       .crossJoin(broadcast(n))

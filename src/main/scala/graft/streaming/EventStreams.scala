@@ -355,6 +355,120 @@ object EventStreams {
   def markovHistory(spark: SparkSession, reportRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
 
+  final case class BasketState(items: Set[Long], lastTs: Long)
+  final case class BasketOut(kind: String, a: Long, b: Long)
+
+  /** D40 kernel: INCREMENTAL distinct basket increments — the streaming
+    * decomposition of B54's count frames. Pair emission is
+    * ORDER-INSENSITIVE (the pair set of a basket does not depend on
+    * arrival order), so unlike D16/D39 no watermark BUFFERING is
+    * needed: each arriving item not yet in its basket's state emits
+    * ('item', i, 0), both directed ('pair', i, j) rows against the
+    * members already seen, and ('basket', b, 0) when it opens the
+    * basket — every increment exactly once, so the maintained counts
+    * are EXACTLY the one-shot frames. State per basket = its distinct
+    * item set (basket-size bounded); the quiet-period EVENT-TIME
+    * timeout (wall-clock timers would keep an AvailableNow drain alive
+    * until they fire) EVICTS closed baskets — eviction only bounds
+    * state; a late post-eviction (or below-watermark-dropped) item
+    * re-opens the basket id as a fresh basket, the documented
+    * streaming boundary. */
+  def basketUpdates(rows: DataFrame, basketCol: String, itemCol: String,
+                    tsCol: String, watermark: String = "30 minutes",
+                    quietMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .withWatermark(tsCol, watermark)
+      .select(col(basketCol).cast("long").as[Long],
+        col(tsCol).as[Timestamp],
+        col(itemCol).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BasketState, BasketOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (basket: Long, it: Iterator[(Long, Timestamp, Long)], state: GroupState[BasketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var s = state.getOption.getOrElse(BasketState(Set.empty, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[BasketOut]
+            for ((_, ts, i) <- it) {
+              s = s.copy(lastTs = math.max(s.lastTs, ts.getTime))
+              if (!s.items.contains(i)) {
+                if (s.items.isEmpty) out += BasketOut("basket", basket, 0L)
+                out += BasketOut("item", i, 0L)
+                for (j <- s.items) {
+                  out += BasketOut("pair", i, j)
+                  out += BasketOut("pair", j, i)
+                }
+                s = s.copy(items = s.items + i)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(wm + 1, s.lastTs + quietMs))
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** D40: continuously-maintained ITEM-TO-ITEM RECOMMENDATIONS — the
+    * streaming face of B54 (as D39 is of B53): [[basketUpdates]]
+    * streams exactly-once basket/item/pair increments, each micro-batch
+    * merges them into the maintained ADDITIVE count state (one
+    * (kind, a, b, n) frame, batchId-versioned + pointer flip), and
+    * every version re-ranks `Recommend.scoreFromCounts` from state
+    * alone — the SAME kernel the one-shot q245 runs, so "recs from
+    * maintained state" equals "recs from the corpus" by construction. */
+  def itemRecsMonitor(rows: DataFrame, basketCol: String, itemCol: String,
+                      tsCol: String, minPair: Long, k: Int,
+                      stateRoot: String, reportRoot: String,
+                      checkpointDir: String): Unit = {
+    val q = basketUpdates(rows, basketCol, itemCol, tsCol).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = s"$stateRoot/v$batchId"
+        val prev = readPointer(spark, stateRoot)
+        if (prev.contains(target) || batch.isEmpty) {
+          ()
+        } else {
+          val fresh = batch.toDF().groupBy("kind", "a", "b").agg(count(lit(1)).as("n"))
+          val merged = prev match {
+            case Some(p) => fresh
+              .join(spark.read.parquet(p)
+                .select(col("kind"), col("a"), col("b"), col("n").as("pn")),
+                Seq("kind", "a", "b"), "full_outer")
+              .select(col("kind"), col("a"), col("b"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("pn"), lit(0L))).as("n"))
+            case None => fresh
+          }
+          merged.write.mode("overwrite").parquet(target)
+          val st = spark.read.parquet(target)
+          val pairs = st.filter(col("kind") === "pair")
+            .select(col("a").as("item"), col("b").as("rec"), col("n").as("n_ab"))
+          val items = st.filter(col("kind") === "item")
+            .select(col("a").as("it"), col("n").as("n_it"))
+          val n = st.filter(col("kind") === "basket")
+            .agg(coalesce(sum(col("n")), lit(0L)).as("n_baskets"))
+          graft.operators.Recommend.scoreFromCounts(pairs, items, n, minPair, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$reportRoot/v$batchId")
+          writePointer(spark, stateRoot, batchId, target)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current maintained (kind, a, b, n) counts of [[itemRecsMonitor]]. */
+  def itemRecsState(spark: SparkSession, stateRoot: String): DataFrame =
+    spark.read.parquet(readPointer(spark, stateRoot).get)
+
+  /** Versioned recommendation history of [[itemRecsMonitor]]. */
+  def itemRecsHistory(spark: SparkSession, reportRoot: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
+
   final case class RetentionState(firstWeek: Long, seen: Set[Long], pending: Set[Long])
   final case class RetentionOut(user_id: Long, cohort_week: Long, week_offset: Long)
 

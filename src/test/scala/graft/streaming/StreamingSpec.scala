@@ -1402,6 +1402,54 @@ class StreamingSpec extends SparkSuite {
       .select("batch_id").distinct().count() == versions)
   }
 
+  test("D40: maintained item recs equal the one-shot kernel across basket-splitting cuts") {
+    import graft.operators.Recommend
+    val in = Files.createTempDirectory("graft-rec-in").toString
+    val state = Files.createTempDirectory("graft-rec-state").toString
+    val report = Files.createTempDirectory("graft-rec-report").toString
+    val ckpt = Files.createTempDirectory("graft-rec-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.itemRecsMonitor(
+      spark.readStream.schema("basket LONG, ts TIMESTAMP, item LONG").parquet(in),
+      "basket", "item", "ts", minPair = 2L, k = 2,
+      stateRoot = state, reportRoot = report, checkpointDir = ckpt)
+    def append(rows: Seq[(Long, Long)]): Unit =
+      rows.zipWithIndex.map { case ((b, i), ix) => (b, ts(ix.toDouble), i) }
+        .toDF("basket", "ts", "item").coalesce(1).write.mode("append").parquet(in)
+
+    // baskets split across the cut: basket 1 and 2 get more items in
+    // batch 2; duplicates within a basket must not double-count
+    val batch1 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L),
+      (3L, 12L), (1L, 10L)) // dup (1,10)
+    val batch2 = Seq((1L, 12L), (2L, 12L), (3L, 11L), (4L, 10L), (4L, 11L),
+      (2L, 11L)) // dup (2,11) ACROSS the cut
+    append(batch1); runOnce()
+    append(batch2); runOnce()
+
+    val all = (batch1 ++ batch2).toDF("basket", "item")
+    val want = Recommend.itemToItem(all, "basket", "item", minPair = 2L, k = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val lastBatch = EventStreams.itemRecsHistory(spark, report)
+      .agg(max("batch_id")).as[Long].head()
+    val got = EventStreams.itemRecsHistory(spark, report)
+      .filter(col("batch_id") === lastBatch)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"state recs $got != one-shot $want")
+    // the maintained counts are the one-shot frames exactly
+    val stCounts = EventStreams.itemRecsState(spark, state)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stCounts.contains(("pair", 10L, 11L, 4L)), s"$stCounts") // baskets 1,2,3,4
+    assert(stCounts.contains(("item", 10L, 0L, 4L)))
+    assert(stCounts.toSeq.filter(_._1 == "basket").map(_._4).sum == 4L)
+    // replay on the same checkpoint: no new data, no new version
+    val versions = EventStreams.itemRecsHistory(spark, report)
+      .select("batch_id").distinct().count()
+    runOnce()
+    assert(EventStreams.itemRecsHistory(spark, report)
+      .select("batch_id").distinct().count() == versions)
+  }
+
   test("D37: maintained AUC equals the one-shot AUC per version; decay is visible; replay-safe") {
     val rnd = new scala.util.Random(41)
     // batch 1: well-separated scores (high AUC); batches 2-3: the score
