@@ -8,12 +8,27 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   *
   * Each query is fully materialized through the noop sink (count() would
-  * let Spark skip computing projected columns). Every query gets ONE
-  * untimed warmup execution first (each query has its own generated code,
-  * so Janino/JIT compilation would otherwise dominate sub-second queries);
-  * the timed run therefore measures steady-state throughput, which is the
-  * comparison the baseline's long-running engine gets too. Set
-  * SPARK_GRAFT_WARMUP=0 to time cold single-shot runs instead.
+  * let Spark skip computing projected columns).
+  *
+  * TWO-PASS, COVERAGE-FIRST schedule (the r11 fix — the old per-query
+  * cold+warm schedule in catalog order starved exactly the NEWEST
+  * queries when the external budget was ~2× catalog-seconds: BENCH_r11
+  * recorded 65 budget_exhausted skips, all of them the r11 additions):
+  *
+  *  - PASS 1 (coverage): every query runs ONCE, NEWEST FIRST (descending
+  *    numeric id), so even a truncated run covers the queries with no
+  *    prior artifact. In a fresh JVM this first run is the COLD sample
+  *    (it pays the query's janino/JIT cost).
+  *  - PASS 2 (warm): with the remaining budget, queries re-run
+  *    CHEAPEST-FIRST (ascending pass-1 time — maximizes how many get a
+  *    warm sample); the warm time becomes the official `queries` entry
+  *    and the pass-1 time lands in `cold_s`. Queries the budget cannot
+  *    re-run keep their pass-1 (cold) time as the official entry —
+  *    honest and non-negative, never a skip.
+  *
+  * The artifact therefore has a row for EVERY query whenever pass 1
+  * fits the budget, a complete `cold_s` map by construction, and
+  * `warm_n`/`pass_policy` fields declaring which entries are warm.
   *
   * Every query runs in its own Spark job group with a hard per-query
   * watchdog (SPARK_GRAFT_Q_TIMEOUT_S, default 120 s): on expiry the job
@@ -72,7 +87,7 @@ object Bench {
     }
     final case class Sample(sec: Double, jitMs: Long, gcMs: Long, janinoN: Long, janinoMs: Long)
 
-    def once(name: String): Sample = {
+    def once(name: String, tag: String): Sample = {
       val (jit0, gc0, jan0) = (jitMs, gcMs, janino._1)
       val t0 = System.nanoTime()
       val fut = pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -96,96 +111,105 @@ object Bench {
       val (janN, janMean) = janino
       val s = Sample(sec, jitMs - jit0, gcMs - gc0, janN - jan0,
         ((janN - jan0) * janMean).toLong)
-      System.err.println(f"[bench] $name%-22s ${sec}%8.3f s  jit=${s.jitMs}ms gc=${s.gcMs}ms " +
+      System.err.println(f"[bench] $tag $name%-22s ${sec}%8.3f s  jit=${s.jitMs}ms gc=${s.gcMs}ms " +
         f"janino=${s.janinoN}x/~${s.janinoMs}ms codecache=${codeCacheUsedMb}%.0fMB")
       s
     }
 
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    // warm pass is skippable (SPARK_GRAFT_WARMUP=0 → single cold pass)
+    val warmPass = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     // optional comma-separated name filter (substring match) for targeted runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.filter(_.nonEmpty))
-    val selected = SparkEntry.queries.keys.toSeq.sorted
+    // PASS-1 ORDER: newest first — a truncated coverage pass loses the
+    // OLDEST rows (which every prior round's artifact already has), not
+    // the new ones (BENCH_r11's failure mode).
+    def qNum(n: String): Int = {
+      val d = n.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+      if (d.isEmpty) 0 else d.toInt
+    }
+    val selected = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.exists(n.contains)))
+      .sortBy(n => (-qNum(n), n))
     // Global deadline: whatever happens per query, the bench itself always
-    // finishes and prints its JSON line well inside any external timeout
-    // (queries past the deadline are recorded as -3, never silently lost).
-    // The default SCALES WITH THE CATALOG — warmup + timed run is ~2×
-    // mean query time, so a fixed 480 s starves a 186-query catalog
-    // (BENCH_r09 recorded ≥19 queries as -3 exactly this way); 4 s per
-    // selected query keeps the old floor for small runs and grows with
-    // coverage.
+    // finishes and prints its JSON line well inside any external timeout.
+    // Default budget SCALES WITH THE CATALOG (4 s per selected query,
+    // floor 480 s) — the driver usually pins SPARK_GRAFT_TOTAL_BUDGET_S.
     val budgetS = sys.env.get("SPARK_GRAFT_TOTAL_BUDGET_S").map(_.toLong)
       .getOrElse(math.max(480L, 4L * selected.size))
     val deadlineNs = System.nanoTime() + budgetS * 1000L * 1000 * 1000
-    // Graceful degradation under a tight external budget (a driver that
-    // pins SPARK_GRAFT_TOTAL_BUDGET_S below ~2×catalog-seconds): a
-    // COLD-timed query is strictly more information than a -3 skip, so
-    // when the remaining budget can no longer afford warmup+timed for
-    // the remaining queries (projected from the running mean cost), drop
-    // the warmups FIRST and only record -3 when even single runs don't
-    // fit. BENCH_r09 lost ≥19 queries to the old skip-only policy.
-    // Per-query cost samples for the budget projection. ADVICE r10: the
-    // plain running mean kept the cold first-query JIT/codegen cost (and
-    // any pathological cold outlier) in the projection forever, skipping
-    // earlier than steady state warrants — project off the MEDIAN sample
-    // instead, which sheds both the first-sample cold cost and one-off
-    // outliers without needing to special-case either.
+    def remainNs: Long = deadlineNs - System.nanoTime()
+
+    final case class QRes(sec: Double, coldSec: Double, warm: Boolean, skipReason: String,
+                          jitMs: Long, gcMs: Long, janinoN: Long, janinoMs: Long)
+    val res = scala.collection.mutable.LinkedHashMap.empty[String, QRes]
+
+    // ---- PASS 1: coverage (one run per query, newest first) ----
+    // Budget projection off the MEDIAN sample (ADVICE r10: a running mean
+    // kept cold outliers in the projection forever); pass 1 only refuses
+    // a query when even single runs no longer fit — which with a sane
+    // driver budget (≥ 2× catalog-seconds) never triggers.
     val costNs = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var ran = 0
     def medianCostNs: Long =
       if (costNs.isEmpty) 2_000_000_000L
       else { val s = costNs.sorted; s(s.size / 2) }
-    final case class QRes(sec: Double, coldSec: Double, skipReason: String,
-                          jitMs: Long, gcMs: Long, janinoN: Long, janinoMs: Long)
-    val results = selected.zipWithIndex.map { case (n, i) =>
-      val remainNs = deadlineNs - System.nanoTime()
+    for ((n, i) <- selected.zipWithIndex) {
       val left = selected.size - i
-      val avgNs = medianCostNs
-      // never project off fewer than 3 samples: the FIRST query carries
-      // the whole JIT/codegen cold cost (measured 7 s for a 1 s query),
-      // and a 1-sample average once skipped q02-q09 of a budget that
-      // comfortably fit the other 224 queries
-      if (ran >= 3 && remainNs < avgNs * left / 2) {
-        System.err.println(s"[bench] $n skipped: total budget exhausted")
-        n -> QRes(-3.0, -1.0, "budget_exhausted", 0, 0, 0, 0)
+      if (costNs.size >= 3 && remainNs < medianCostNs * left / 2) {
+        System.err.println(s"[bench] $n skipped: budget exhausted in coverage pass")
+        res(n) = QRes(-3.0, -1.0, warm = false, "budget_exhausted", 0, 0, 0, 0)
       } else {
         val t0 = System.nanoTime()
-        // warmup only while the projected full warm cost (median sample ×
-        // remaining queries, 30% headroom) still fits the remaining budget
-        val cold = if (warmup && remainNs > avgNs * left * 13L / 10L) {
-          val c = once(n)
-          // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
-          // from ~100 prior query runs) BETWEEN runs, so cleanup pauses do
-          // not land inside the timed window.
-          System.gc()
-          c.sec
-        } else {
-          if (warmup) System.err.println(s"[bench] $n: warmup dropped (budget pressure)")
-          -1.0
-        }
-        val r = once(n)
+        val s = once(n, "p1")
         costNs += System.nanoTime() - t0
-        ran += 1
-        n -> QRes(r.sec, cold, if (cold < 0 && warmup) "cold_timed" else "",
-          r.jitMs, r.gcMs, r.janinoN, r.janinoMs)
+        res(n) = QRes(s.sec, s.sec, warm = false, "", s.jitMs, s.gcMs, s.janinoN, s.janinoMs)
+        // Trigger Spark's GC-driven ContextCleaner (broadcast/shuffle state
+        // from prior query runs) BETWEEN queries, so cleanup pauses do not
+        // pile onto a later timed window.
+        System.gc()
       }
     }
+
+    // ---- PASS 2: warm re-runs, cheapest first, until the budget thins ----
+    // Reserve ~5 s for JSON assembly; re-run only while the projected cost
+    // (1.5× the query's pass-1 time — warm runs are never slower than cold
+    // outside pathology, and the watchdog bounds pathology) still fits.
+    if (warmPass) {
+      val order = res.toSeq.filter(_._2.sec >= 0).sortBy(_._2.sec).map(_._1)
+      for (n <- order) {
+        val projNs = (res(n).sec * 1.5e9).toLong + 200_000_000L
+        if (remainNs - 5_000_000_000L > projNs) {
+          val s = once(n, "p2")
+          if (s.sec >= 0) {
+            val cold = res(n).coldSec
+            res(n) = QRes(s.sec, cold, warm = true, "", s.jitMs, s.gcMs, s.janinoN, s.janinoMs)
+          }
+          System.gc()
+        }
+      }
+    }
+
+    val results = selected.map(n => n -> res(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }.mkString("{", ",", "}")
-    // cold_s: the untimed warmup's wall time (-1 = no warmup ran). The
-    // r10 judge asked for a per-query cold/warm split in the artifact so
-    // cold-execution pathology can't hide behind warm timings again.
+    // cold_s: the pass-1 single-run time — complete by construction for
+    // every query the coverage pass reached (the r11 idle artifact left
+    // 43 cold gaps; this schedule cannot).
     val coldJson = results.filter(_._2.coldSec >= 0)
       .map { case (k, v) => "\"" + k + "\":" + f"${v.coldSec}%.3f" }.mkString("{", ",", "}")
     val skipJson = results.filter(_._2.skipReason.nonEmpty)
       .map { case (k, v) => "\"" + k + "\":\"" + v.skipReason + "\"" }.mkString("{", ",", "}")
-    // compile-vs-execute split for the timed run: JIT ms + janino (count,
-    // approx ms) + GC ms. A warm run should show ~0 janino compiles; a
-    // large jit/janino delta explains a slow sample as compile cost.
+    // warm flag per query: which official entries are steady-state samples
+    // (pass 2) vs coverage-pass cold samples the budget could not re-run.
+    val warmJson = results.filter(_._2.warm).map { case (k, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    // compile-vs-execute split for the OFFICIAL run: JIT ms + janino
+    // (count, approx ms) + GC ms. A warm run should show ~0 janino
+    // compiles; a large jit/janino delta explains a sample as compile cost.
     val diagJson = results.filter(v => v._2.sec >= 0)
       .map { case (k, v) =>
         "\"" + k + s"""":{"jit_ms":${v.jitMs},"gc_ms":${v.gcMs},"janino_n":${v.janinoN},"janino_ms":${v.janinoMs}}"""
       }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
+    val warmN = results.count(_._2.warm)
     // `queries` FIRST, summary fields last: a tail-capture of the (long)
     // line keeps the totals, and a head-capture keeps the early queries —
     // r6's driver capture truncated 47 of 124 per-query times.
@@ -195,7 +219,9 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    val line = f"""{"queries":$qs,"cold_s":$coldJson,"skip_reason":$skipJson,"diag":$diagJson,"budget_s":$budgetS,"sf":"$sfDir","loadavg":"$loadavg","loaded":$loadedRun,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val policy = "two-pass: p1 coverage newest-first (cold), p2 warm cheapest-first; " +
+      "official time = warm when re-run fit the budget, else the p1 cold sample"
+    val line = f"""{"queries":$qs,"cold_s":$coldJson,"skip_reason":$skipJson,"warm":$warmJson,"diag":$diagJson,"budget_s":$budgetS,"warm_n":$warmN,"pass_policy":"$policy","sf":"$sfDir","loadavg":"$loadavg","loaded":$loadedRun,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // belt-and-braces: the full line also lands on disk, untruncatable
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
