@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
  * per-basket degree); pair counts shuffle on the item pair; the rule
  * expansion is pair-frame-sized. Never all-pairs over items that
  * cannot reach min support.
+ *
+ * GROUP CAP (enforced — [[Pairs.capGroups]], the B54/butterflies
+ * contract): apriori pruning bounds the expansion by the FREQUENT
+ * per-group degree, which a mega-basket of popular items defeats —
+ * so baskets/sessions with more than `maxBasketSize`/`maxSessionSize`
+ * distinct items are refused whole (a transaction that large is noise,
+ * not affinity signal) and the exact refusal rides the output as the
+ * constant ledger columns (`n_baskets_capped`/`n_sessions_capped`,
+ * `n_pairs_dropped` = Σ s·(s−1) directed candidates). A zero ledger
+ * certifies exact counts.
  */
 object Associations {
 
@@ -29,11 +39,16 @@ object Associations {
     * confidence, both directions of every surviving pair.
     * @param baskets (basket, item) rows; duplicates ignored.
     * @return (antecedent, consequent, pair_n, ante_n, cons_n,
-    *         support_ppm, conf_ppm, lift_pm). */
+    *         support_ppm, conf_ppm, lift_pm, n_baskets_capped,
+    *         n_pairs_dropped). */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
-                minSupport: Long = 2L, minConfPm: Long = 0L): DataFrame = {
+                minSupport: Long = 2L, minConfPm: Long = 0L,
+                maxBasketSize: Long = 1024L): DataFrame = {
     require(minSupport >= 1 && minConfPm >= 0 && minConfPm <= 1000000)
-    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    val b0 = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+      .persist() // size frame + semi-join below
+    val (kept, ledger) = Pairs.capGroups(b0, "basket", maxBasketSize)
+    val b = kept.persist() // three references: N, item counts, pair join
     val n = b.agg(countDistinct("basket").as("n_baskets"))
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
     // apriori: a pair cannot reach minSupport unless both items do
@@ -56,8 +71,11 @@ object Associations {
         "CAST(CAST(1000 AS DECIMAL(38,0)) * pair_n * n_baskets div " +
           "(CAST(ante_n AS DECIMAL(38,0)) * cons_n) AS BIGINT)"))
       .filter(col("conf_ppm") >= minConfPm)
-      .select("antecedent", "consequent", "pair_n", "ante_n", "cons_n",
-        "support_ppm", "conf_ppm", "lift_pm")
+      .crossJoin(broadcast(ledger))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("ante_n"), col("cons_n"), col("support_ppm"), col("conf_ppm"),
+        col("lift_pm"), col("n_groups_capped").as("n_baskets_capped"),
+        col("pairs_dropped_dec").cast("long").as("n_pairs_dropped"))
   }
 
   /** C146: SEQUENTIAL association rules — the TEMPORAL upgrade over
@@ -80,9 +98,11 @@ object Associations {
     *
     * @param events (session, item, ts) rows — ts integer.
     * @return (antecedent, consequent, pair_n, ante_n, cons_n,
-    *         support_ppm, conf_ppm, lift_pm). */
+    *         support_ppm, conf_ppm, lift_pm, n_sessions_capped,
+    *         n_pairs_dropped). */
   def sequenceRules(events: DataFrame, sessionCol: String, itemCol: String,
-                    tsCol: String, minSupport: Long = 2L): DataFrame = {
+                    tsCol: String, minSupport: Long = 2L,
+                    maxSessionSize: Long = 1024L): DataFrame = {
     require(minSupport >= 1)
     // evaluated ONCE: the (session, item) frame is referenced four times
     // (total, item counts, both join sides) and its upstream is the
@@ -96,11 +116,13 @@ object Associations {
     // one session), and a persisted lineage survives executor loss —
     // unlike Rank.scala's iterative chains, there is no growing-lineage
     // problem here that would justify truncation.
-    val si = events.select(col(sessionCol).as("session"), col(itemCol).as("item"),
+    val si0 = events.select(col(sessionCol).as("session"), col(itemCol).as("item"),
         col(tsCol).cast("long").as("ts"))
       .groupBy("session", "item")
       .agg(min("ts").as("t_min"), max("ts").as("t_max"))
       .persist()
+    val (kept, ledger) = Pairs.capGroups(si0, "session", maxSessionSize)
+    val si = kept.persist() // four references below
     val n = si.agg(countDistinct("session").as("n_sessions"))
     val itemCnt = si.groupBy("item").agg(count(lit(1)).as("cnt"))
     val frequent = itemCnt.filter(col("cnt") >= minSupport)
@@ -121,7 +143,10 @@ object Associations {
       .withColumn("lift_pm", expr(
         "CAST(CAST(1000 AS DECIMAL(38,0)) * pair_n * n_sessions div " +
           "(CAST(ante_n AS DECIMAL(38,0)) * cons_n) AS BIGINT)"))
-      .select("antecedent", "consequent", "pair_n", "ante_n", "cons_n",
-        "support_ppm", "conf_ppm", "lift_pm")
+      .crossJoin(broadcast(ledger))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        col("ante_n"), col("cons_n"), col("support_ppm"), col("conf_ppm"),
+        col("lift_pm"), col("n_groups_capped").as("n_sessions_capped"),
+        col("pairs_dropped_dec").cast("long").as("n_pairs_dropped"))
   }
 }

@@ -340,21 +340,26 @@ object Graph {
     * pivot, Σ C(deg,2) rows); degrees join in bounded; the threshold
     * prunes before the output.
     *
-    * HUB CAP (enforced — same contract as [[butterflies]]): wedge
-    * pivots with degree > `maxPivotDegree` are excluded from the
-    * common-neighbor expansion via one co-partitioned semi-join.
-    * Dropping a hub pivot UNDER-counts `common` for pairs that
-    * co-occur through it while `deg_a`/`deg_b` stay TRUE undirected
-    * degrees, so `j_pm` is a conservative lower bound — hub-mediated
-    * co-occurrence carries ~zero similarity signal anyway (everything
-    * co-occurs with a hub), which is exactly why capped MOSS/ppjoin
-    * variants drop ubiquitous tokens. Quantify the refusal with
-    * [[wedgeCapLedger]] on the same (symmetrized) edge frame; a zero
-    * ledger certifies exactness.
+    * HUB CAP (enforced — same contract as [[butterflies]], INCLUDING
+    * the in-band ledger): wedge pivots with degree > `maxPivotDegree`
+    * are excluded from the common-neighbor expansion via one
+    * co-partitioned semi-join. Dropping a hub pivot UNDER-counts
+    * `common` for pairs that co-occur through it while `deg_a`/`deg_b`
+    * stay TRUE undirected degrees, so `j_pm` is a conservative lower
+    * bound — hub-mediated co-occurrence carries ~zero similarity signal
+    * anyway (everything co-occurs with a hub), which is exactly why
+    * capped MOSS/ppjoin variants drop ubiquitous tokens. The refusal is
+    * reported IN the output as the constant ledger columns
+    * `n_pivots_capped` / `n_wedges_dropped` (= Σ C(deg,2) over capped
+    * pivots) — a zero ledger certifies `common` and `j_pm` are exact;
+    * a non-zero one is a loud, quantified lower-bound declaration, so
+    * no caller can consume a capped result without seeing the cap
+    * (the butterflies "no silent truncation" contract, r11 ADVICE).
     *
     * @param edges (src, dst) — treated as UNDIRECTED; deduplicated.
     * @param maxPivotDegree wedge pivots above this degree are skipped.
-    * @return (a, b, common, deg_a, deg_b, j_pm), a < b. */
+    * @return (a, b, common, deg_a, deg_b, j_pm, n_pivots_capped,
+    *         n_wedges_dropped), a < b; the last two are constants. */
   def neighborhoodJaccard(edges: DataFrame, minJPm: Long,
                           maxPivotDegree: Long = 8192L): DataFrame = {
     require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
@@ -362,22 +367,34 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
-    val keep = und.groupBy("src").agg(count(lit(1)).as("pivot_deg"))
-      .filter(col("pivot_deg") <= maxPivotDegree).select("src")
+    // ONE degree frame drives the cap, the ledger, and the output degrees
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist()
+    val keep = deg.filter(col("d") <= maxPivotDegree)
+      .select(col("node").as("src"))
+    val ledger = deg.agg(
+      coalesce(sum(when(col("d") > maxPivotDegree, 1L).otherwise(0L)), lit(0L))
+        .as("n_pivots_capped"),
+      coalesce(sum(when(col("d") > maxPivotDegree,
+          expr("cast(d as decimal(38,0)) * (d - 1) div 2"))
+        .otherwise(lit(0).cast("decimal(38,0)"))), lit(0).cast("decimal(38,0)"))
+        .as("wedges_dropped_dec"))
     val undk = und.join(keep, Seq("src"), "left_semi")
     // common neighbors: both a and b adjacent to pivot c → one wedge row
     val x = undk.select(col("src").as("c"), col("dst").as("a"))
     val y = undk.select(col("src").as("c2"), col("dst").as("b"))
     val common = x.join(y, col("c") === col("c2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val degA = deg.select(col("node").as("a"), col("d").as("deg_a"))
     val degB = deg.select(col("node").as("b"), col("d").as("deg_b"))
     common.join(degA, "a").join(degB, "b")
       .withColumn("j_pm",
         expr("1000 * common div (deg_a + deg_b - common)"))
       .filter(col("j_pm") >= minJPm)
-      .select("a", "b", "common", "deg_a", "deg_b", "j_pm")
+      .crossJoin(broadcast(ledger))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        col("j_pm"), col("n_pivots_capped"),
+        col("wedges_dropped_dec").cast("long").as("n_wedges_dropped"))
   }
 
   /** K-CORE — the maximal subgraph where every node keeps degree ≥ k,

@@ -22,12 +22,29 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: one scan to the distinct (basket, item) frame; the pair
  * expansion is the C107/q188 per-basket self-join, bounded by basket
- * size (cap baskets when sizes are unbounded — the copurchaseEdges
- * note); item totals join co-partitioned on the item (NOT broadcast —
+ * size; item totals join co-partitioned on the item (NOT broadcast —
  * an item catalog is not a broadcast candidate at retail scale; AQE
  * promotes small ones); the per-item top-k runs through
  * [[Ranking.groupRankDesc]]'s two-level bucketed rank, so a mega-seller
  * co-occurring with half the catalog never funnels one window task.
+ *
+ * BASKET CAP (enforced, not advisory — the same contract as
+ * `Graph.butterflies`' hub cap): a basket of s distinct items expands
+ * into s·(s−1) directed pair rows, so ONE mega-basket (a bot session, a
+ * shared account spanning half the catalog) is a quadratic blowup no
+ * partitioning absorbs. Baskets with more than `maxBasketSize` distinct
+ * items are REFUSED ENTIRELY — excluded from N, the item totals, and
+ * the pair expansion (a transaction that large is not purchase-affinity
+ * signal; everything "co-occurs" in it, the market-basket analog of the
+ * ubiquitous-token drop in capped MOSS/ppjoin) — and reported in the
+ * output ledger: `n_baskets_capped` and `n_pairs_dropped`
+ * (= Σ s·(s−1) over refused baskets, the exact directed expansion that
+ * was refused, DECIMAL(38,0) so a 10⁹-item basket cannot overflow it).
+ * A zero ledger certifies the counts are exact; a non-zero ledger is a
+ * loud, quantified refusal — silent truncation is the failure mode this
+ * refuses. The default (1024 ⇒ ≤ ~10⁶ pair rows per basket) sits far
+ * above real basket sizes (TPC-H orders are ≤ 7 lines independent of
+ * SF) while refusing the hub pathology.
  */
 object Recommend {
 
@@ -36,16 +53,25 @@ object Recommend {
     *                  once, the standard market-basket convention).
     * @param minPair   co-occurrence floor (>= 1).
     * @param k         recommendations per item.
-    * @return (item, rank, rec, n_ab, n_item, n_rec, lift_ppm) — rank
-    *         1..k by lift DESC, ties (n_ab DESC, rec ASC). */
+    * @param maxBasketSize baskets with more distinct items are refused
+    *                  and ledgered, never expanded.
+    * @return (item, rank, rec, n_ab, n_item, n_rec, lift_ppm,
+    *         n_baskets_capped, n_pairs_dropped) — rank 1..k by lift
+    *         DESC, ties (n_ab DESC, rec ASC); the last two columns are
+    *         the constant refusal ledger. */
   def itemToItem(baskets: DataFrame, basketCol: String, itemCol: String,
-                 minPair: Long = 2L, k: Int = 3): DataFrame = {
+                 minPair: Long = 2L, k: Int = 3,
+                 maxBasketSize: Long = 1024L): DataFrame = {
     require(minPair >= 1 && k >= 1)
-    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+    require(maxBasketSize >= 2, s"maxBasketSize must allow a pair (got $maxBasketSize)")
+    val bi0 = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
-      // four references below (N, item totals, both pair sides) — the
+      // referenced by the size frame and the semi-join below — the
       // shared-subplan lazy-persist discipline
       .persist()
+    val (kept, ledger) = Pairs.capGroups(bi0, "b", maxBasketSize)
+    // four references below (N, item totals, both pair sides)
+    val bi = kept.persist()
     val n = bi.agg(countDistinct("b").cast("long").as("n_baskets"))
     val items = bi.groupBy(col("i").as("it")).agg(count(lit(1)).as("n_it"))
     // DIRECTED pair frame: each unordered co-occurrence feeds both
@@ -55,6 +81,11 @@ object Recommend {
       .groupBy(col("x.i").as("item"), col("y.i").as("rec"))
       .agg(count(lit(1)).as("n_ab"))
     scoreFromCounts(pairs, items, n, minPair, k)
+      .crossJoin(broadcast(ledger))
+      .select(col("item"), col("rank"), col("rec"), col("n_ab"),
+        col("n_item"), col("n_rec"), col("lift_ppm"),
+        col("n_groups_capped").as("n_baskets_capped"),
+        col("pairs_dropped_dec").cast("long").as("n_pairs_dropped"))
   }
 
   /** The B54 scoring kernel over pre-built count frames — shared by the

@@ -324,10 +324,19 @@ object EventsOracle {
         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS seq
         |  FROM m),
-        |si AS MATERIALIZED (
+        |si0 AS MATERIALIZED (
         |  SELECT user_id::VARCHAR || ':' || seq::VARCHAR AS session,
         |         event_type AS item, MIN(ts_us) AS t_min, MAX(ts_us) AS t_max
         |  FROM s GROUP BY 1, 2),
+        |ssz AS MATERIALIZED (SELECT session, COUNT(*)::BIGINT AS sz FROM si0 GROUP BY 1),
+        |led AS (
+        |  SELECT COALESCE(SUM(CASE WHEN sz > 1024 THEN 1 ELSE 0 END), 0)::BIGINT
+        |           AS n_sessions_capped,
+        |         CAST(COALESCE(SUM(CASE WHEN sz > 1024
+        |           THEN sz::HUGEINT * (sz - 1) END), 0) AS BIGINT) AS n_pairs_dropped
+        |  FROM ssz),
+        |si AS MATERIALIZED (
+        |  SELECT si0.* FROM si0 JOIN ssz USING (session) WHERE ssz.sz <= 1024),
         |nt AS (SELECT COUNT(DISTINCT session)::BIGINT AS n_sessions FROM si),
         |ic AS (SELECT item, COUNT(*)::BIGINT AS cnt FROM si GROUP BY 1),
         |freq AS (SELECT * FROM ic WHERE cnt >= 3),
@@ -340,10 +349,11 @@ object EventsOracle {
         |SELECT antecedent, consequent, pair_n, fa.cnt AS ante_n, fc.cnt AS cons_n,
         |  1000000 * pair_n // nt.n_sessions AS support_ppm,
         |  1000000 * pair_n // fa.cnt AS conf_ppm,
-        |  (1000::HUGEINT * pair_n * nt.n_sessions // (fa.cnt::HUGEINT * fc.cnt))::BIGINT AS lift_pm
+        |  (1000::HUGEINT * pair_n * nt.n_sessions // (fa.cnt::HUGEINT * fc.cnt))::BIGINT AS lift_pm,
+        |  led.n_sessions_capped, led.n_pairs_dropped
         |FROM pairs
         |JOIN freq fa ON fa.item = antecedent
-        |JOIN freq fc ON fc.item = consequent, nt
+        |JOIN freq fc ON fc.item = consequent, nt, led
         |ORDER BY lift_pm DESC, conf_ppm DESC, antecedent, consequent
         |LIMIT 20""".stripMargin,
 

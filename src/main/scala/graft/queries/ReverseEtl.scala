@@ -498,12 +498,15 @@ object ReverseEtl {
     * bought" payload a recommendations destination receives: per part,
     * the top-3 co-ordered parts by exact integer lift (co-occurrence
     * floor 2), ties (n_ab DESC, rec ASC). First 150 rows in (item,
-    * rank) order — the deterministic sync batch. */
+    * rank) order — the deterministic sync batch. The enforced basket
+    * cap (1024 — TPC-H orders are ≤ 7 lines, so the oracle-gated
+    * ledger columns are provably zero) refuses mega-basket quadratic
+    * expansion at any SF. */
   def q245ItemRecs(t: Tables): DataFrame =
     graft.operators.Recommend.itemToItem(
         t.lineitem.select(col("l_orderkey").as("basket"),
           col("l_partkey").as("item")),
-        "basket", "item", minPair = 2L, k = 3)
+        "basket", "item", minPair = 2L, k = 3, maxBasketSize = 1024L)
       .orderBy("item", "rank")
       .limit(150)
 

@@ -75,12 +75,23 @@ object ReverseEtlOracle {
   val sql: Map[String, String] = Map(
 
     // B54: item-to-item recommendations — distinct (order, part)
-    // baskets, directed co-occurrence counts with the >= 2 floor,
+    // baskets, the 1024-item basket cap (refused baskets excluded from
+    // every count frame, exact Σ s·(s−1) dropped-pair ledger stamped as
+    // constants), directed co-occurrence counts with the >= 2 floor,
     // exact HUGEINT lift, per-item top-3 by (lift DESC, n_ab DESC,
     // rec ASC), first 150 in (item, rank) order.
     "q245_item_recs" ->
-      """WITH bi AS MATERIALIZED (
+      """WITH bi0 AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |bsz AS MATERIALIZED (SELECT b, COUNT(*)::BIGINT AS sz FROM bi0 GROUP BY 1),
+        |led AS (
+        |  SELECT COALESCE(SUM(CASE WHEN sz > 1024 THEN 1 ELSE 0 END), 0)::BIGINT
+        |           AS n_baskets_capped,
+        |         CAST(COALESCE(SUM(CASE WHEN sz > 1024
+        |           THEN sz::HUGEINT * (sz - 1) END), 0) AS BIGINT) AS n_pairs_dropped
+        |  FROM bsz),
+        |bi AS MATERIALIZED (
+        |  SELECT bi0.* FROM bi0 JOIN bsz USING (b) WHERE bsz.sz <= 1024),
         |n AS (SELECT COUNT(DISTINCT b)::BIGINT AS n_baskets FROM bi),
         |items AS MATERIALIZED (
         |  SELECT i AS it, COUNT(*)::BIGINT AS n_it FROM bi GROUP BY 1),
@@ -99,8 +110,9 @@ object ReverseEtlOracle {
         |    ROW_NUMBER() OVER (PARTITION BY item
         |      ORDER BY lift_ppm DESC, n_ab DESC, rec ASC) AS rank
         |  FROM sc)
-        |SELECT item, rank::BIGINT AS rank, rec, n_ab, n_item, n_rec, lift_ppm
-        |FROM rk WHERE rank <= 3
+        |SELECT item, rank::BIGINT AS rank, rec, n_ab, n_item, n_rec, lift_ppm,
+        |  led.n_baskets_capped, led.n_pairs_dropped
+        |FROM rk, led WHERE rank <= 3
         |ORDER BY item, rank LIMIT 150""".stripMargin,
 
     // B53: Markov removal-effect attribution — journeys split at each

@@ -1277,12 +1277,7 @@ object TrainingData {
     * Borůvka under the strict (w, a, b) total order, so the forest is
     * unique and both engines land on the identical edge set. */
   def q239MsfBackbone(t: Tables): DataFrame = {
-    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = p.as("a").join(p.as("b"),
-        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("cw"))
+    val e = copurchasePairCounts(t).withColumnRenamed("w", "cw")
       .filter(col("cw") >= 2)
     graft.operators.Graph.minimumSpanningForest(
         e.select(col("src"), col("dst"), (-col("cw")).as("w")))
@@ -1298,12 +1293,7 @@ object TrainingData {
     * equivalence) and read the clusters as components. Sizes of the 15
     * largest clusters plus the cluster count. */
   def q242SingleLinkage(t: Tables): DataFrame = {
-    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = p.as("a").join(p.as("b"),
-        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("cw"))
+    val e = copurchasePairCounts(t).withColumnRenamed("w", "cw")
       .filter(col("cw") >= 2)
     val cl = graft.operators.Graph.singleLinkage(
       e.select(col("src"), col("dst"), (-col("cw")).as("w")), cuts = 25)
@@ -1513,22 +1503,34 @@ object TrainingData {
     Layout.advise(base, dims, candidates, workload, files = 64)
   }
 
-  /** The PART CO-PURCHASE graph shared by q188/q189: parts appearing in
-    * the SAME order, kept when the pairing repeats (`w ≥ minW`) — the
-    * co-occurrence backbone corpus curation clusters on (co-cited pages,
-    * co-bought items). The per-order pair expansion is bounded by order
-    * size (≤7 lineitems in TPC-H — document the cap when order sizes are
-    * unbounded); the repeat filter makes the result sparse. */
-  private def copurchaseEdges(t: Tables, minW: Long): DataFrame = {
-    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
+  /** Co-purchase PAIR COUNTS — the one per-order pair expansion every
+    * co-purchase query shape (q188/q189/q217/q239/q242/…) derives its
+    * edges from: unordered part pairs appearing in the SAME order, with
+    * how many orders repeat them. The expansion runs through the
+    * ENFORCED group cap ([[graft.operators.Pairs.capGroups]], 1024):
+    * order size is ≤ 7 lineitems in TPC-H at every SF (the refusal
+    * ledger is provably zero here — `PairExpansionGateSpec` pins the
+    * cap's behavior on planted mega-groups), but an unbounded
+    * real-world order stream cannot quadratically blow up the join;
+    * quantify any refusal with the [[graft.operators.Pairs.capGroups]]
+    * ledger on the same frame. */
+  private def copurchasePairCounts(t: Tables): DataFrame = {
+    val p0 = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
       .distinct()
+    val (p, _) = graft.operators.Pairs.capGroups(p0, "o", 1024L)
     p.as("a").join(p.as("b"),
         col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minW)
-      .select("src", "dst")
   }
+
+  /** The PART CO-PURCHASE graph shared by q188/q189: parts appearing in
+    * the SAME order, kept when the pairing repeats (`w ≥ minW`) — the
+    * co-occurrence backbone corpus curation clusters on (co-cited pages,
+    * co-bought items). [[copurchasePairCounts]]' capped expansion; the
+    * repeat filter makes the result sparse. */
+  private def copurchaseEdges(t: Tables, minW: Long): DataFrame =
+    copurchasePairCounts(t).filter(col("w") >= minW).select("src", "dst")
 
   /** C107: BUTTERFLY count ([[graft.operators.Graph.butterflies]]) on the
     * full customer×supplier purchase graph — the bipartite cohesion
@@ -2039,12 +2041,7 @@ object TrainingData {
     * Cost-bucket histogram plus the per-bucket minimum as the
     * distribution fingerprint. */
   def q217WeightedCost(t: Tables): DataFrame = {
-    val p = t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("pk"))
-      .distinct()
-    val ew = p.as("a").join(p.as("b"),
-        col("a.o") === col("b.o") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
+    val ew = copurchasePairCounts(t).withColumnRenamed("w", "cnt")
       .filter(col("cnt") >= 2)
       .withColumn("w", expr("1000 div cnt"))
     val und = ew.select("src", "dst", "w")

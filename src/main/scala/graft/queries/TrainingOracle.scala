@@ -3220,7 +3220,8 @@ object TrainingOracle {
     // C111: neighborhood Jaccard — common-neighbor wedge counts joined
     // with undirected degrees, exact per-mille, threshold + top-20. The
     // enforced hub cap (wedge pivots of degree > 8192 skipped) is
-    // replayed so the capped operator stays oracle-exact.
+    // replayed, INCLUDING the in-band refusal ledger constants, so the
+    // capped operator stays oracle-exact and the ledger is gated too.
     "q191_neighborhood_jaccard" ->
       """WITH pts AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS pk FROM lineitem
@@ -3233,6 +3234,13 @@ object TrainingOracle {
         |  UNION SELECT dst, src FROM ew WHERE src <> dst
         |), deg AS MATERIALIZED (
         |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+        |), led AS (
+        |  SELECT COALESCE(SUM(CASE WHEN d > 8192 THEN 1 ELSE 0 END), 0)::BIGINT
+        |           AS n_pivots_capped,
+        |         CAST(COALESCE(SUM(CASE WHEN d > 8192
+        |           THEN d::HUGEINT * (d - 1) // 2 END), 0) AS BIGINT)
+        |           AS n_wedges_dropped
+        |  FROM deg
         |), com AS (
         |  SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
         |  FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
@@ -3240,8 +3248,9 @@ object TrainingOracle {
         |  GROUP BY 1, 2
         |)
         |SELECT com.a, com.b, com.common, da.d AS deg_a, db.d AS deg_b,
-        |  1000 * com.common // (da.d + db.d - com.common) AS j_pm
-        |FROM com JOIN deg da ON com.a = da.node JOIN deg db ON com.b = db.node
+        |  1000 * com.common // (da.d + db.d - com.common) AS j_pm,
+        |  led.n_pivots_capped, led.n_wedges_dropped
+        |FROM com JOIN deg da ON com.a = da.node JOIN deg db ON com.b = db.node, led
         |WHERE 1000 * com.common // (da.d + db.d - com.common) >= 200
         |ORDER BY j_pm DESC, a ASC, b ASC LIMIT 20""".stripMargin,
 
@@ -4752,8 +4761,17 @@ object TrainingOracle {
     // C139: association rules — apriori-pruned pair counts, both rule
     // directions, exact integer support/confidence/lift.
     "q219_association_rules" ->
-      """WITH b AS MATERIALIZED (
+      """WITH b0 AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |bsz AS MATERIALIZED (SELECT basket, COUNT(*)::BIGINT AS sz FROM b0 GROUP BY 1),
+        |led AS (
+        |  SELECT COALESCE(SUM(CASE WHEN sz > 1024 THEN 1 ELSE 0 END), 0)::BIGINT
+        |           AS n_baskets_capped,
+        |         CAST(COALESCE(SUM(CASE WHEN sz > 1024
+        |           THEN sz::HUGEINT * (sz - 1) END), 0) AS BIGINT) AS n_pairs_dropped
+        |  FROM bsz),
+        |b AS MATERIALIZED (
+        |  SELECT b0.* FROM b0 JOIN bsz USING (basket) WHERE bsz.sz <= 1024),
         |n AS (SELECT COUNT(DISTINCT basket)::BIGINT AS n_baskets FROM b),
         |ic AS MATERIALIZED (SELECT item, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1),
         |freq AS (SELECT item, cnt FROM ic WHERE cnt >= 3),
@@ -4776,8 +4794,9 @@ object TrainingOracle {
         |  JOIN freq fa ON fa.item = r.antecedent
         |  JOIN freq fc ON fc.item = r.consequent, n)
         |SELECT antecedent, consequent, pair_n, ante_n, cons_n,
-        |       support_ppm, conf_ppm, lift_pm
-        |FROM fin
+        |       support_ppm, conf_ppm, lift_pm,
+        |       led.n_baskets_capped, led.n_pairs_dropped
+        |FROM fin, led
         |ORDER BY lift_pm DESC, conf_ppm DESC, antecedent, consequent
         |LIMIT 20""".stripMargin,
 

@@ -355,27 +355,47 @@ object EventStreams {
   def markovHistory(spark: SparkSession, reportRoot: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(reportRoot)
 
-  final case class BasketState(items: Set[Long], lastTs: Long)
-  final case class BasketOut(kind: String, a: Long, b: Long)
+  final case class BasketState(items: Set[Long], lastTs: Long, capped: Boolean)
+  final case class BasketOut(kind: String, a: Long, b: Long, w: Long)
 
   /** D40 kernel: INCREMENTAL distinct basket increments — the streaming
-    * decomposition of B54's count frames. Pair emission is
+    * decomposition of B54's count frames, as WEIGHTED rows (w = ±1
+    * increments, plus exact ledger deltas): `sum(w)` per (kind, a, b)
+    * over the output equals the one-shot frames. Pair emission is
     * ORDER-INSENSITIVE (the pair set of a basket does not depend on
     * arrival order), so unlike D16/D39 no watermark BUFFERING is
     * needed: each arriving item not yet in its basket's state emits
-    * ('item', i, 0), both directed ('pair', i, j) rows against the
-    * members already seen, and ('basket', b, 0) when it opens the
-    * basket — every increment exactly once, so the maintained counts
-    * are EXACTLY the one-shot frames. State per basket = its distinct
-    * item set (basket-size bounded); the quiet-period EVENT-TIME
-    * timeout (wall-clock timers would keep an AvailableNow drain alive
-    * until they fire) EVICTS closed baskets — eviction only bounds
-    * state; a late post-eviction (or below-watermark-dropped) item
-    * re-opens the basket id as a fresh basket, the documented
-    * streaming boundary. */
+    * ('item', i, 0, +1), both directed ('pair', i, j, +1) rows against
+    * the members already seen, and ('basket', b, 0, +1) when it opens
+    * the basket — every increment exactly once.
+    *
+    * BASKET CAP (the B54 contract, mirrored): when the basket's
+    * (maxBasketSize+1)-th DISTINCT item arrives, everything the basket
+    * has emitted is RETRACTED (w = −1 for the basket row, each member's
+    * item row, and all s·(s−1) directed pair rows — ≤ cap² rows, once
+    * per capped basket), the ledger rows ('capped_basket', b, 0, +1)
+    * and ('dropped_pairs', b, 0, (cap+1)·cap) are emitted, and the
+    * state COLLAPSES to an O(1) capped marker — the member set is
+    * dropped, so a mega-basket (the hub pathology the cap refuses)
+    * cannot grow state either. Post-cap arrivals emit only
+    * ('capped_arrival', b, 0, +1) (duplicates included — without the
+    * member set they cannot be deduplicated; the counter is a loud
+    * upper bound on further distinct items, so 'dropped_pairs' is exact
+    * for baskets that stop at cap+1 distinct items and a declared lower
+    * bound beyond). `sum(w)` over the non-ledger kinds therefore equals
+    * `Recommend.itemToItem`'s count frames with the SAME cap exactly,
+    * whatever the arrival order or batch cuts (spec-pinned).
+    *
+    * The quiet-period EVENT-TIME timeout (wall-clock timers would keep
+    * an AvailableNow drain alive until they fire) EVICTS closed
+    * baskets — eviction only bounds state; a late post-eviction (or
+    * below-watermark-dropped) item re-opens the basket id as a fresh
+    * basket, the documented streaming boundary. */
   def basketUpdates(rows: DataFrame, basketCol: String, itemCol: String,
                     tsCol: String, watermark: String = "30 minutes",
-                    quietMs: Long = 30 * 60 * 1000L): DataFrame = {
+                    quietMs: Long = 30 * 60 * 1000L,
+                    maxBasketSize: Long = 1024L): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must allow a pair (got $maxBasketSize)")
     val spark = rows.sparkSession
     import spark.implicits._
     rows
@@ -390,18 +410,33 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
-            var s = state.getOption.getOrElse(BasketState(Set.empty, 0L))
+            var s = state.getOption.getOrElse(BasketState(Set.empty, 0L, capped = false))
             val out = scala.collection.mutable.ListBuffer.empty[BasketOut]
             for ((_, ts, i) <- it) {
               s = s.copy(lastTs = math.max(s.lastTs, ts.getTime))
-              if (!s.items.contains(i)) {
-                if (s.items.isEmpty) out += BasketOut("basket", basket, 0L)
-                out += BasketOut("item", i, 0L)
-                for (j <- s.items) {
-                  out += BasketOut("pair", i, j)
-                  out += BasketOut("pair", j, i)
+              if (s.capped) {
+                out += BasketOut("capped_arrival", basket, 0L, 1L)
+              } else if (!s.items.contains(i)) {
+                if (s.items.size >= maxBasketSize) {
+                  // the (cap+1)-th distinct item: retract everything this
+                  // basket contributed, ledger the refusal, collapse state
+                  out += BasketOut("basket", basket, 0L, -1L)
+                  for (m <- s.items) out += BasketOut("item", m, 0L, -1L)
+                  for (m <- s.items; o <- s.items if m != o)
+                    out += BasketOut("pair", m, o, -1L)
+                  out += BasketOut("capped_basket", basket, 0L, 1L)
+                  out += BasketOut("dropped_pairs", basket, 0L,
+                    (maxBasketSize + 1) * maxBasketSize)
+                  s = s.copy(items = Set.empty, capped = true)
+                } else {
+                  if (s.items.isEmpty) out += BasketOut("basket", basket, 0L, 1L)
+                  out += BasketOut("item", i, 0L, 1L)
+                  for (j <- s.items) {
+                    out += BasketOut("pair", i, j, 1L)
+                    out += BasketOut("pair", j, i, 1L)
+                  }
+                  s = s.copy(items = s.items + i)
                 }
-                s = s.copy(items = s.items + i)
               }
             }
             state.update(s)
@@ -413,17 +448,24 @@ object EventStreams {
 
   /** D40: continuously-maintained ITEM-TO-ITEM RECOMMENDATIONS — the
     * streaming face of B54 (as D39 is of B53): [[basketUpdates]]
-    * streams exactly-once basket/item/pair increments, each micro-batch
-    * merges them into the maintained ADDITIVE count state (one
-    * (kind, a, b, n) frame, batchId-versioned + pointer flip), and
-    * every version re-ranks `Recommend.scoreFromCounts` from state
+    * streams exactly-once WEIGHTED basket/item/pair increments (±1
+    * rows — a capped basket retracts its prior contributions), each
+    * micro-batch merges them into the maintained ADDITIVE count state
+    * (one (kind, a, b, n) frame, batchId-versioned + pointer flip;
+    * zeroed rows are dropped — for additive counts zero IS absence),
+    * and every version re-ranks `Recommend.scoreFromCounts` from state
     * alone — the SAME kernel the one-shot q245 runs, so "recs from
-    * maintained state" equals "recs from the corpus" by construction. */
+    * maintained state" equals "recs from the corpus" (same
+    * `maxBasketSize`) by construction. The ledger kinds
+    * ('capped_basket'/'dropped_pairs'/'capped_arrival') ride the same
+    * state frame, so the refusal is in-band, never silent. */
   def itemRecsMonitor(rows: DataFrame, basketCol: String, itemCol: String,
                       tsCol: String, minPair: Long, k: Int,
                       stateRoot: String, reportRoot: String,
-                      checkpointDir: String): Unit = {
-    val q = basketUpdates(rows, basketCol, itemCol, tsCol).writeStream
+                      checkpointDir: String,
+                      maxBasketSize: Long = 1024L): Unit = {
+    val q = basketUpdates(rows, basketCol, itemCol, tsCol,
+        maxBasketSize = maxBasketSize).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val target = s"$stateRoot/v$batchId"
@@ -431,8 +473,8 @@ object EventStreams {
         if (prev.contains(target) || batch.isEmpty) {
           ()
         } else {
-          val fresh = batch.toDF().groupBy("kind", "a", "b").agg(count(lit(1)).as("n"))
-          val merged = prev match {
+          val fresh = batch.toDF().groupBy("kind", "a", "b").agg(sum(col("w")).as("n"))
+          val merged = (prev match {
             case Some(p) => fresh
               .join(spark.read.parquet(p)
                 .select(col("kind"), col("a"), col("b"), col("n").as("pn")),
@@ -440,7 +482,7 @@ object EventStreams {
               .select(col("kind"), col("a"), col("b"),
                 (coalesce(col("n"), lit(0L)) + coalesce(col("pn"), lit(0L))).as("n"))
             case None => fresh
-          }
+          }).filter(col("n") =!= 0L)
           merged.write.mode("overwrite").parquet(target)
           val st = spark.read.parquet(target)
           val pairs = st.filter(col("kind") === "pair")

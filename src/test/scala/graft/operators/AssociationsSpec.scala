@@ -17,9 +17,13 @@ class AssociationsSpec extends SparkSuite {
     Seq(9L -> "c", 9L -> "d") ++
     Seq(10L -> "e")
 
+  private val ruleCols = Seq("antecedent", "consequent", "pair_n", "ante_n",
+    "cons_n", "support_ppm", "conf_ppm", "lift_pm")
+
   private def run(minSupport: Long) =
     Associations.pairRules(rows.toDF("basket", "item"), "basket", "item",
         minSupport = minSupport)
+      .select(ruleCols.head, ruleCols.tail: _*)
       .as[(String, String, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
 
@@ -45,8 +49,9 @@ class AssociationsSpec extends SparkSuite {
     // confidence threshold drops only the weak direction
     val conf = Associations.pairRules(rows.toDF("basket", "item"), "basket", "item",
         minSupport = 2L, minConfPm = 700000L)
-      .as[(String, String, Long, Long, Long, Long, Long, Long)]
-      .collect().map(r => (r._1, r._2)).toSet
+      .select("antecedent", "consequent")
+      .as[(String, String)]
+      .collect().toSet
     assert(conf == Set(("a", "b")), s"only conf >= 70% survives: $conf")
   }
 
@@ -54,7 +59,8 @@ class AssociationsSpec extends SparkSuite {
     val dup = rows ++ Seq(1L -> "a", 1L -> "a", 4L -> "b")
     val got = Associations.pairRules(dup.toDF("basket", "item"), "basket", "item",
         minSupport = 2L)
-      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .select("antecedent", "consequent", "pair_n")
+      .as[(String, String, Long)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got(("a", "b")) == 4L)
   }
@@ -64,6 +70,7 @@ class AssociationsSpec extends SparkSuite {
   private def runSeq(rows: Seq[(Long, String, Long)], minSupport: Long) =
     Associations.sequenceRules(rows.toDF("session", "item", "ts"),
         "session", "item", "ts", minSupport)
+      .select(ruleCols.head, ruleCols.tail: _*)
       .as[(String, String, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r).toMap
 
@@ -96,5 +103,38 @@ class AssociationsSpec extends SparkSuite {
       (3L, "a", 1L), (3L, "b", 2L))
     val got = runSeq(planted, 2L)
     assert(got.keySet == Set(("a", "b")), "c/d below support die in the prune")
+  }
+
+  // --- the enforced group cap (PairExpansionGateSpec's class contract) ---
+
+  test("C139/C146: oversized groups are refused whole and exactly ledgered") {
+    // a mega-basket of 6 items above a cap of 4 — apriori would NOT
+    // prune it (every item is frequent via the normal baskets)
+    val mega = (1L to 6L).map(i => (99L, s"i$i"))
+    val normal = (1L to 3L).flatMap(b => Seq((b, "i1"), (b, "i2")))
+    val capped = Associations.pairRules((normal ++ mega).toDF("basket", "item"),
+        "basket", "item", minSupport = 2L, maxBasketSize = 4L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(capped.forall(r => r._9 == 1L && r._10 == 30L), // 6·5 directed
+      s"pair-rules ledger: ${capped.take(2).toSeq}")
+    // counts equal the run WITHOUT the mega basket (exclusion, not bias)
+    val want = Associations.pairRules(normal.toDF("basket", "item"),
+        "basket", "item", minSupport = 2L)
+      .select(ruleCols.head, ruleCols.tail: _*)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSet == want)
+
+    // sequence rules: a 5-item mega-session refused under cap 3
+    val megaSeq = (1L to 5L).map(i => (9L, s"s$i", i))
+    val normSeq = (1L to 2L).flatMap(s => Seq((s, "s1", 1L), (s, "s2", 2L)))
+    val cappedSeq = Associations.sequenceRules((normSeq ++ megaSeq)
+        .toDF("session", "item", "ts"), "session", "item", "ts",
+        minSupport = 2L, maxSessionSize = 3L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(cappedSeq.forall(r => r._9 == 1L && r._10 == 20L), // 5·4 directed
+      s"sequence-rules ledger: ${cappedSeq.take(2).toSeq}")
+    assert(cappedSeq.map(r => (r._1, r._2, r._3)).toSet == Set(("s1", "s2", 2L)))
   }
 }

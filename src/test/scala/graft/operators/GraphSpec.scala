@@ -123,9 +123,12 @@ class GraphSpec extends SparkSuite {
       common = (adj(a) & adj(b)).size.toLong if common > 0
       jpm = 1000L * common / (adj(a).size + adj(b).size - common) if jpm >= 300
     } yield (a, b, common, adj(a).size.toLong, adj(b).size.toLong, jpm)).toSet
-    val got = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 300)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val rows = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 300)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val got = rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // no pivot exceeds the default cap here → the in-band ledger is zero
+    assert(rows.forall(r => r._7 == 0L && r._8 == 0L), "zero ledger certifies exactness")
   }
 
   test("C111: hub cap bounds the wedge expansion; j_pm stays a lower bound with true degrees") {
@@ -136,9 +139,14 @@ class GraphSpec extends SparkSuite {
     val shared = (10L to 13L).flatMap(c => Seq((c, a), (c, b))) // pivots 10-13, degree 2
     val hub = (1L to 9L).map(v => (99L, v))                     // hub pivot 99, degree 9
     val edges = shared ++ hub
-    val got = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 1,
+    val capRows = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 1,
         maxPivotDegree = 5L)
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // the refusal is IN-BAND: one capped pivot (the hub, degree 9),
+    // C(9,2) = 36 wedges refused — on every row
+    assert(capRows.forall(r => r._7 == 1L && r._8 == 36L),
+      s"in-band ledger: ${capRows.take(2).toSeq}")
+    val got = capRows
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
     // pair (1,2): common = 4 via kept pivots (hub contribution dropped);
     // true degrees include the hub edge: deg = 4 shared + 1 hub = 5
@@ -148,6 +156,7 @@ class GraphSpec extends SparkSuite {
     assert(!got.contains((3L, 4L)), "hub-only pairs must be dropped under the cap")
     // with the cap above every degree the capped run equals the exact run
     val exact = Graph.neighborhoodJaccard(edges.toDF("src", "dst"), minJPm = 1)
+      .select("a", "b", "common", "deg_a", "deg_b", "j_pm")
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     val brute = {
       val adj = edges.flatMap(e => Seq(e, e.swap)).distinct.groupBy(_._1).view

@@ -46,6 +46,7 @@ class RecommendSpec extends SparkSuite {
       Seq((13L, 1L), (13L, 7L)) // pair (1,7) occurs ONCE: under the floor
     val got = Recommend.itemToItem(rows.toDF("basket", "item"), "basket", "item",
         minPair = 2L, k = 2)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     val for1 = got.filter(_._1 == 1L).sortBy(_._2)
     assert(for1.head._3 == 2L, s"exclusive partner ranks first: ${for1.toSeq}")
@@ -53,5 +54,38 @@ class RecommendSpec extends SparkSuite {
     assert(got.groupBy(_._1).values.forall(_.length <= 2), "k binds")
     // the recommendation relation is symmetric on this fixture's counts
     assert(got.exists(r => r._1 == 2L && r._3 == 1L))
+  }
+
+  test("B54: a planted mega-basket is refused whole, exactly ledgered, and " +
+       "the remaining counts are untouched") {
+    val normal = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L),
+      (4L, 11L), (4L, 12L), (5L, 10L), (5L, 11L))
+    // basket 99: 12 distinct items (incl. 10/11 — refusing it must also
+    // remove its contribution to their basket counts), with duplicates
+    val mega = (0L until 12L).map(i => (99L, 10L + i)) :+ ((99L, 10L))
+    val all = (normal ++ mega).toDF("basket", "item")
+    val capped = Recommend.itemToItem(all, "basket", "item",
+        minPair = 2L, k = 3, maxBasketSize = 8L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // ledger: ONE refused basket, 12·11 directed pairs refused
+    assert(capped.forall(r => r._8 == 1L && r._9 == 132L),
+      s"ledger constants: ${capped.take(3).toSeq}")
+    // the scored rows equal the uncapped run on the fixture WITHOUT the
+    // mega basket — refusal is exclusion, not partial counting
+    val want = Recommend.itemToItem(normal.toDF("basket", "item"),
+        "basket", "item", minPair = 2L, k = 3)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet == want)
+    // a zero ledger certifies exactness: uncapped == capped-with-huge-cap
+    val wide = Recommend.itemToItem(all, "basket", "item",
+        minPair = 2L, k = 3, maxBasketSize = 1024L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(wide.forall(r => r._8 == 0L && r._9 == 0L))
+    // bounded expansion: with the cap, no pair row of the mega basket
+    // survives (no rec pair is exclusive to basket 99)
+    assert(!capped.exists(r => r._3 >= 14L || r._1 >= 14L),
+      "mega-basket-only items must not appear in any candidate list")
   }
 }

@@ -1428,6 +1428,7 @@ class StreamingSpec extends SparkSuite {
 
     val all = (batch1 ++ batch2).toDF("basket", "item")
     val want = Recommend.itemToItem(all, "basket", "item", minPair = 2L, k = 2)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     val lastBatch = EventStreams.itemRecsHistory(spark, report)
       .agg(max("batch_id")).as[Long].head()
@@ -1443,6 +1444,69 @@ class StreamingSpec extends SparkSuite {
     assert(stCounts.contains(("item", 10L, 0L, 4L)))
     assert(stCounts.toSeq.filter(_._1 == "basket").map(_._4).sum == 4L)
     // replay on the same checkpoint: no new data, no new version
+    val versions = EventStreams.itemRecsHistory(spark, report)
+      .select("batch_id").distinct().count()
+    runOnce()
+    assert(EventStreams.itemRecsHistory(spark, report)
+      .select("batch_id").distinct().count() == versions)
+  }
+
+  test("D40: a mega-basket crossing the cap mid-stream is retracted, ledgered, " +
+       "and the maintained recs equal the capped one-shot") {
+    import graft.operators.Recommend
+    val in = Files.createTempDirectory("graft-cap-in").toString
+    val state = Files.createTempDirectory("graft-cap-state").toString
+    val report = Files.createTempDirectory("graft-cap-report").toString
+    val ckpt = Files.createTempDirectory("graft-cap-ckpt").toString
+
+    def runOnce(): Unit = EventStreams.itemRecsMonitor(
+      spark.readStream.schema("basket LONG, ts TIMESTAMP, item LONG").parquet(in),
+      "basket", "item", "ts", minPair = 2L, k = 2,
+      stateRoot = state, reportRoot = report, checkpointDir = ckpt,
+      maxBasketSize = 3L)
+    def append(rows: Seq[(Long, Long)]): Unit =
+      rows.zipWithIndex.map { case ((b, i), ix) => (b, ts(ix.toDouble), i) }
+        .toDF("basket", "ts", "item").coalesce(1).write.mode("append").parquet(in)
+
+    // basket 9 stays within the cap (3 items) in batch 1 — its pairs are
+    // EMITTED — then crosses it in batch 2, so the monitor must RETRACT
+    // them across the cut; baskets 1-3 carry the real signal
+    val batch1 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (9L, 10L), (9L, 11L), (9L, 12L))
+    val batch2 = Seq((9L, 13L), (9L, 14L), (9L, 13L), // dup after capping
+      (3L, 10L), (3L, 11L))
+    append(batch1); runOnce()
+    append(batch2); runOnce()
+
+    val all = (batch1 ++ batch2).toDF("basket", "item")
+    val want = Recommend.itemToItem(all, "basket", "item", minPair = 2L, k = 2,
+        maxBasketSize = 3L)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val lastBatch = EventStreams.itemRecsHistory(spark, report)
+      .agg(max("batch_id")).as[Long].head()
+    val got = EventStreams.itemRecsHistory(spark, report)
+      .filter(col("batch_id") === lastBatch)
+      .select("item", "rank", "rec", "n_ab", "n_item", "n_rec", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"capped maintained recs $got != capped one-shot $want")
+
+    val st = EventStreams.itemRecsState(spark, state)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // retraction is exact: no basket-9 residue in the count frames
+    // (baskets 1-3 share items 10/11, so n=3 there; 12/13/14 are gone)
+    assert(st.contains(("pair", 10L, 11L, 3L)), s"$st")
+    assert(!st.exists(r => r._1 == "pair" && (r._2 >= 12L || r._3 >= 12L)),
+      s"capped basket left pair residue: $st")
+    assert(st.contains(("item", 10L, 0L, 3L)))
+    assert(st.toSeq.filter(_._1 == "basket").map(_._4).sum == 3L)
+    // the refusal is in-band: ledger kinds carry the exact refusal
+    assert(st.contains(("capped_basket", 9L, 0L, 1L)))
+    assert(st.contains(("dropped_pairs", 9L, 0L, 12L))) // (cap+1)·cap = 4·3
+    // post-cap arrivals counted loudly (item 14 + the duplicate 13)
+    assert(st.contains(("capped_arrival", 9L, 0L, 2L)), s"$st")
+    // state is bounded: the capped basket holds no member set, so the
+    // mega tail never re-expands — replay safety unchanged
     val versions = EventStreams.itemRecsHistory(spark, report)
       .select("batch_id").distinct().count()
     runOnce()
