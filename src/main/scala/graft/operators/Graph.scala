@@ -643,7 +643,11 @@ object Graph {
       .distinct().localCheckpoint(true)
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
-    val m2 = deg.agg(sum("d")).head().getLong(0) // 2m (each edge twice)
+    // 2m (each edge twice); coalesce guards the empty-graph NULL sum
+    // (ADVICE r11 — components/MSF return empty frames, so does this)
+    val m2 = deg.agg(coalesce(sum("d"), lit(0L))).head().getLong(0)
+    if (m2 == 0L)
+      return deg.select(col("node"), col("node").as("community"))
     var lab = deg.select(col("node"), col("node").as("lab")).localCheckpoint(true)
     var s = 0
     var converged = false

@@ -117,14 +117,21 @@ object ReverseEtlOracle {
 
     // B53: Markov removal-effect attribution — journeys split at each
     // purchase, first-order transition counts, then one 32-sweep integer
-    // value iteration per removal (channels hardcoded from the event
-    // vocabulary, fixed across SFs by the generator).
+    // value iteration per removal. The per-removal solves are built for
+    // the HARDCODED channel list below (fixed across SFs by the
+    // generator's event vocabulary) while the ch CTE derives channels
+    // dynamically — so the removedCase falls through to error() on any
+    // channel outside the list (ADVICE r11): vocabulary drift fails
+    // LOUDLY at this coupling point instead of as a confusing NULL
+    // hash mismatch.
     "q236_markov_attrib" -> {
       val chans = Seq("click", "error", "signup", "view")
       val solves = (("base", "__none__") +: chans.map(c => (c, c)))
         .map { case (tag, rm) => markovSolve(tag, rm, 32) }.mkString
       val removedCase = chans.map(c =>
-        s"      WHEN '$c' THEN (SELECT v FROM v_${c}_32 WHERE state = 'START')").mkString("\n")
+        s"      WHEN '$c' THEN (SELECT v FROM v_${c}_32 WHERE state = 'START')").mkString("\n") +
+        "\n      ELSE error('q236 oracle: channel vocabulary drifted beyond {" +
+        chans.mkString(",") + "} — got ' || ch.channel || '; update the hardcoded solve list')"
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts, (event_type = 'purchase') AS conv,
          |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state

@@ -229,7 +229,7 @@ object EventStreams {
   }
 
   final case class JourneyState(pending: List[(Long, Long, String)],
-                                open: Option[String], lastTs: Long)
+                                open: Option[(String, Long)], lastTs: Long)
   final case class JourneyOut(user_id: Long, src: String, dst: String)
 
   /** D39 kernel: B53's JOURNEY TRANSITION increments, continuously —
@@ -237,27 +237,43 @@ object EventStreams {
     * ripened events (the D16 watermark-buffer discipline: a pair emits
     * only when its later event is final) chain through the OPEN
     * journey — the first event of a journey emits (START, state), a
-    * conversion emits (prev, CONV) and closes, and a quiet-period
-    * event-time timeout closes an abandoned journey with (last, NULL).
+    * conversion emits (prev, CONV) and closes, and a quiet gap closes
+    * an abandoned journey with (last, NULL).
+    *
     * The quiet-gap NULL closure is the streaming-native journey
     * boundary (a batch corpus has a hard end; a stream must DECIDE
-    * when a journey is abandoned) — with every journey closed by a
-    * conversion or flushed, `groupBy(src, dst).count` over the output
-    * equals the batch transition frame exactly (spec-pinned).
-    * State per user: the held events + the open journey's last state. */
+    * when a journey is abandoned), and it is EVENT-TIME-DETERMINISTIC
+    * (ADVICE r11): a ripe event more than `quietMs` past the open
+    * journey's last event closes that journey with (last, NULL) BEFORE
+    * starting a new one — the same boundary whether the two events
+    * share a micro-batch or arrive batches apart — and the event-time
+    * timeout closes the final tail the same way, so the maintained
+    * transition counts are a pure function of the event set. With
+    * every journey closed by a conversion or the gap rule,
+    * `groupBy(src, dst).count` over the output equals the batch
+    * transition frame exactly (spec-pinned). State per user: the held
+    * events + the open journey's (last state, last event time). */
   def journeyUpdates(events: DataFrame, convChannel: String,
                      watermark: String = "30 minutes",
                      quietMs: Long = 30 * 60 * 1000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    def chain(user: Long, open: Option[String],
-              ripe: List[(Long, Long, String)]): (List[JourneyOut], Option[String]) = {
+    def chain(user: Long, open: Option[(String, Long)],
+              ripe: List[(Long, Long, String)]): (List[JourneyOut], Option[(String, Long)]) = {
       var cur = open
       val out = scala.collection.mutable.ListBuffer.empty[JourneyOut]
       for (e <- ripe) {
+        cur match {
+          // the deterministic gap boundary: close BEFORE chaining an
+          // event that sits a full quiet period past the open journey
+          case Some((last, lastTs)) if e._1 > lastTs + quietMs =>
+            out += JourneyOut(user, last, "NULL")
+            cur = None
+          case _ => ()
+        }
         val st = if (e._3 == convChannel) "CONV" else e._3
-        out += JourneyOut(user, cur.getOrElse("START"), st)
-        cur = if (st == "CONV") None else Some(st)
+        out += JourneyOut(user, cur.map(_._1).getOrElse("START"), st)
+        cur = if (st == "CONV") None else Some((st, e._1))
       }
       (out.toList, cur)
     }
@@ -279,7 +295,7 @@ object EventStreams {
             val s = state.get
             val ripe = s.pending.sortBy(e => (e._1, e._2))
             val (out, cur) = chain(user, s.open, ripe)
-            val closed = cur.map(c => JourneyOut(user, c, "NULL")).toList
+            val closed = cur.map(c => JourneyOut(user, c._1, "NULL")).toList
             state.remove()
             (out ++ closed).iterator
           } else {

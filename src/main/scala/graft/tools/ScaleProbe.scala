@@ -723,10 +723,12 @@ object ScaleProbe {
     for (k <- Seq(1, 4, 16)) {
       val docs = amplify(t.documents, "doc_id", k)
       // TextRank: pair kernel scan grows k-fold; the co-occurrence graph
-      // and the PageRank iterations stay vocab-bounded → near-linear
+      // and the PageRank iterations stay vocab-bounded → near-linear.
+      // ADVICE r11: probe the FULL operator (pair kernel + PageRank
+      // sweeps), not just the pair kernel cooc_lift already covers.
       run("textrank", k)(
-        TextAnalysis.cooccurrenceLift(docs, window = 3, minPair = 2L,
-          topK = 30).count())
+        TextAnalysis.textRankKeywords(docs, window = 3, minCount = 2L,
+          iters = 6, topK = 30).count())
       // Dirichlet QL: postings prefilter rides the scan; candidates and
       // the per-candidate fan-out grow with matching docs → scan-bound
       run("dirichlet_ql", k)(

@@ -1402,6 +1402,42 @@ class StreamingSpec extends SparkSuite {
       .select("batch_id").distinct().count() == versions)
   }
 
+  test("D39: the quiet-gap journey boundary is event-time-deterministic across batch cuts") {
+    // ADVICE r11: an event past lastTs+quietMs used to EXTEND the open
+    // journey when it arrived before the timeout fired, but close it when
+    // the same events were cut into different micro-batches. The gap rule
+    // now closes at the event-time boundary, so BOTH cuttings of the same
+    // event set must maintain identical transition counts: u1 has a
+    // 400-min gap (> 300-min quiet window) between click and view.
+    val evs = Seq(
+      (1L, ts(0.0), 1L, "click", 0.0), (2L, ts(400.0), 1L, "view", 0.0),
+      (3L, ts(410.0), 1L, "purchase", 0.0),
+      // watermark pusher, far in the future: ripens + times out u1
+      (9L, ts(6000.0), 9L, "view", 0.0))
+    def runCut(cuts: Seq[Seq[(Long, Timestamp, Long, String, Double)]]): Set[(String, String, Long)] = {
+      val in = Files.createTempDirectory("graft-gap-in").toString
+      val state = Files.createTempDirectory("graft-gap-state").toString
+      val report = Files.createTempDirectory("graft-gap-report").toString
+      val ckpt = Files.createTempDirectory("graft-gap-ckpt").toString
+      for (c <- cuts) {
+        c.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(in)
+        EventStreams.markovAttributionMonitor(
+          EventStreams.readEvents(spark, in), convChannel = "purchase",
+          stateRoot = state, reportRoot = report, checkpointDir = ckpt,
+          quietMs = 300 * 60 * 1000L)
+      }
+      EventStreams.markovState(spark, state)
+        .as[(String, String, Long)].collect().toSet
+    }
+    val oneBatch = runCut(Seq(evs))
+    val split = runCut(Seq(evs.take(1), evs.slice(1, 3), evs.drop(3)))
+    val want = Set(("START", "click", 1L), ("click", "NULL", 1L),
+      ("START", "view", 1L), ("view", "CONV", 1L))
+    assert(oneBatch == want, s"one-batch transitions: $oneBatch")
+    assert(split == want, s"split-batch transitions: $split")
+  }
+
   test("D40: maintained item recs equal the one-shot kernel across basket-splitting cuts") {
     import graft.operators.Recommend
     val in = Files.createTempDirectory("graft-rec-in").toString
