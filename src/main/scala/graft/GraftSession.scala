@@ -32,6 +32,15 @@ object GraftSession {
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // Janino-compiled codegen units are cached by generated source in a
+    // JVM-global LRU whose 100-entry default thrashes under this engine's
+    // workload: one iterative graph query alone generates 130-220 units
+    // per run (every Boruvka/Louvain/PageRank round re-binds the same
+    // plan shapes), so warm re-runs recompiled EVERYTHING (measured
+    // janino=150x/~2s per warm q239 run; the multi-query catalog evicts
+    // across queries too). 4096 entries holds the whole catalog's units;
+    // the code cache itself is already sized (ReservedCodeCacheSize=2g).
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .config("spark.ui.enabled", "false")
 
   /** Read one of the warehouse tables under `sfDir` with its on-disk schema. */
