@@ -144,17 +144,23 @@ object Bench {
     val res = scala.collection.mutable.LinkedHashMap.empty[String, QRes]
 
     // ---- PASS 1: coverage (one run per query, newest first) ----
-    // Budget projection off the MEDIAN sample (ADVICE r10: a running mean
-    // kept cold outliers in the projection forever); pass 1 only refuses
-    // a query when even single runs no longer fit — which with a sane
-    // driver budget (≥ 2× catalog-seconds) never triggers.
+    // A query is skipped ONLY when the remaining budget cannot hold THIS
+    // query's projected single run (2× the running median, watchdog-
+    // capped) plus the JSON-assembly reserve. The previous whole-catalog
+    // projection (`median × queries-left / 2` off a ≥3-sample median) was
+    // wrong twice over: the first cold samples in a fresh JVM are
+    // JIT-inflated 10-25× (jit_ms ≈ 90 s on the very first query), and a
+    // skip adds no sample, so one bad early median skipped 126 of 245
+    // queries while 600 s of a 980 s budget went unused. Per-query
+    // projection cannot over-skip: the watchdog bounds the worst single
+    // overrun at SPARK_GRAFT_Q_TIMEOUT_S.
     val costNs = scala.collection.mutable.ArrayBuffer.empty[Long]
     def medianCostNs: Long =
       if (costNs.isEmpty) 2_000_000_000L
       else { val s = costNs.sorted; s(s.size / 2) }
-    for ((n, i) <- selected.zipWithIndex) {
-      val left = selected.size - i
-      if (costNs.size >= 3 && remainNs < medianCostNs * left / 2) {
+    for (n <- selected) {
+      val projNs = math.min(qTimeoutS * 1_000_000_000L, 2L * medianCostNs)
+      if (remainNs < projNs + 5_000_000_000L) {
         System.err.println(s"[bench] $n skipped: budget exhausted in coverage pass")
         res(n) = QRes(-3.0, -1.0, warm = false, "budget_exhausted", 0, 0, 0, 0)
       } else {
