@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Symmetrize (src, dst) in ONE pass over the input: each edge row
+    * explodes into itself and its reverse. Value-identical to
+    * `edges.union(edges.select(dst as src, src as dst))`, but the union
+    * form evaluates the caller's edge-building plan TWICE (Spark does
+    * no common-subexpression elimination across union branches), and
+    * graph queries routinely feed an expensive aggregation here — q209's
+    * co-purchase pair expansion was re-run once per branch per operator
+    * call. The caller applies its own filter/distinct on top. */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   /** BUTTERFLY count — the bipartite clustering primitive: a butterfly
     * is a complete 2×2 biclique (two left nodes sharing two right
     * nodes), the bipartite analog of the triangle (bipartite graphs
@@ -140,8 +154,7 @@ object Graph {
     * @return (node, comp) for every node with ≥1 edge. */
   def components(edges: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1)
-    val und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = symmetrize(edges)
       .distinct().localCheckpoint(true)
     var lbl = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("l"))
@@ -363,8 +376,7 @@ object Graph {
   def neighborhoodJaccard(edges: DataFrame, minJPm: Long,
                           maxPivotDegree: Long = 8192L): DataFrame = {
     require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
-    val und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = symmetrize(edges)
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
     // ONE degree frame drives the cap, the ledger, and the output degrees
@@ -416,8 +428,7 @@ object Graph {
     *         degree; empty when the k-core is empty. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var und = symmetrize(edges)
       .distinct().localCheckpoint(true)
     var prevCount = -1L
     var r = 0
@@ -577,8 +588,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = symmetrize(edges)
       .distinct().localCheckpoint(true)
     var lbl = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
@@ -637,8 +647,7 @@ object Graph {
   def louvainMove(edges: DataFrame, sweeps: Int = 4): DataFrame = {
     require(sweeps >= 1)
     import org.apache.spark.sql.expressions.Window
-    val und = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = symmetrize(edges)
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
@@ -705,10 +714,12 @@ object Graph {
     * @param partition (node, community) — total over the edge nodes.
     * @return ONE row: (n_communities, m_edges, q_ppm). */
   def modularity(edges: DataFrame, partition: DataFrame): DataFrame = {
+    // the canonical frame is referenced THREE times below (tagged, deg,
+    // m) — materialize it once, or the caller's edge build runs 3×
     val e = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
     val pa = partition.select(col("node").as("a"), col("community").as("ca"))
     val pb = partition.select(col("node").as("b"), col("community").as("cb"))
     val tagged = e.join(pa, "a").join(pb, "b")
