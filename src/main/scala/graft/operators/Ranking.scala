@@ -23,7 +23,11 @@ object Ranking {
     * and `n_group`. */
   def groupRankDesc(df: DataFrame, groupCol: String, scoreCol: String,
                     tieCol: String, buckets: Column): DataFrame = {
-    val bucketed = df.withColumn("__bkt", buckets)
+    // the bucketed frame feeds BOTH the offsets aggregation and the
+    // local-rank branch — without a persist the caller's whole scoring
+    // pipeline is evaluated twice (q245's pair expansion + decimal lift
+    // ran once per branch); lazy persist = the shared-subplan discipline
+    val bucketed = df.withColumn("__bkt", buckets).persist()
     val wLocal = Window.partitionBy(groupCol, "__bkt")
       .orderBy(col(scoreCol).desc, col(tieCol).asc)
     val wBuckets = Window.partitionBy(groupCol).orderBy(col("__bkt").desc)

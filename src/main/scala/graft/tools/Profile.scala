@@ -23,6 +23,24 @@ object Profile {
     val planDir = if (args.length > 3) Some(args(3)) else None
     val spark: SparkSession = GraftSession.local(32, "graft-profile")
     spark.sparkContext.setLogLevel("WARN")
+    // Job-level accounting: #jobs, Σ job wall, Σ task time per timed run —
+    // the gap between run wall and Σ job wall is driver-side work
+    // (planning/optimizing/codegen lookup), which plan dumps cannot show.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, j.time)
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet()
+        Option(starts.remove(j.jobId)).foreach(t0 => jobWallMs.addAndGet(j.time - t0))
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
+    })
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
@@ -34,10 +52,22 @@ object Profile {
         case None => System.err.println(plan)
       }
       for (i <- 1 to runs) {
+        // Bench methodology: trigger ContextCleaner between runs so a
+        // prior run's (dereferenced) persisted frames cannot be
+        // plan-matched by CacheManager into this run's execution —
+        // without this, "warm" samples of persist-using queries measure
+        // cache hits, not recomputation.
+        System.gc()
         spark.sparkContext.setJobDescription(s"$name run $i")
+        val (j0, w0, m0) = (jobs.get, jobWallMs.get, taskMs.get)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        System.err.println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a beat before reading
+        Thread.sleep(300)
+        System.err.println(f"[profile] $name run $i: $wall%.3f s  " +
+          f"jobs=${jobs.get - j0} jobWall=${(jobWallMs.get - w0) / 1e3}%.2fs " +
+          f"taskTime=${(taskMs.get - m0) / 1e3}%.2fs")
       }
     }
     spark.stop()
