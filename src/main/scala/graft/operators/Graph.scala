@@ -163,16 +163,27 @@ object Graph {
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
+      // nbMin feeds BOTH sides of the pointer-hop self-join — lazy
+      // persist so the neighbor-min aggregation runs once per round,
+      // not once per side
       val nbMin = und.join(lbl, und("src") === lbl("node"))
         .select(und("dst").as("node"), col("l"))
         .unionByName(lbl)
         .groupBy("node").agg(min(col("l")).as("l"))
+        .persist()
       // pointer hop l ← label(l): rename one side so the self-join
       // resolves unambiguously
       val parent = nbMin.select(col("node").as("pnode"), col("l").as("pl"))
+      val prev = lbl
       lbl = nbMin.join(parent, col("l") === col("pnode"))
         .select(col("node"), col("pl").as("l"))
         .localCheckpoint(true)
+      // the new checkpoint is materialized — free the superseded round's
+      // blocks and the round-local aggregate NOW (the resolveClusters
+      // discipline: leaking a snapshot per round starves storage over
+      // long iterations)
+      nbMin.unpersist(blocking = false)
+      Lineage.free(prev)
       val s = lbl.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
@@ -248,10 +259,17 @@ object Graph {
           .getOrElse(sel.select("a", "b", "w")))
         val contraction = components(
           sel.select(col("lu").as("src"), col("lv").as("dst")))
+        val prevLab = lab
         lab = lab.join(contraction, lab("l") === contraction("node"), "left")
           .select(lab("node"), coalesce(col("comp"), lab("l")).as("l"))
           .localCheckpoint(true)
+        // the new label frame is materialized — free the superseded one
+        // (sel stays: the accumulated mst union still references every
+        // round's selection; cross is freed either way below)
+        Lineage.free(prevLab)
       }
+      // the round's crossing frame is dead once sel/isEmpty consumed it
+      Lineage.free(cross)
       r += 1
     }
     mst.map(_.distinct().select("a", "b", "w"))
@@ -442,10 +460,13 @@ object Graph {
           .filter(col("d") >= k)
           .select("node")
         val keepDst = keep.select(col("node").as("node2"))
+        val prev = und
         und = und
           .join(keep, und("src") === keep("node"), "left_semi")
           .join(keepDst, col("dst") === keepDst("node2"), "left_semi")
           .localCheckpoint(true)
+        // new frame materialized — free the superseded round's blocks
+        Lineage.free(prev)
         r += 1
       }
     }
@@ -477,9 +498,12 @@ object Graph {
       .distinct().localCheckpoint(true)
     val bc = ori.select(col("a").as("b2"), col("b").as("c"))
     val ac = ori.select(col("a").as("a3"), col("b").as("c3"))
+    // the triangle enumeration feeds THREE member projections below —
+    // lazy persist so the double self-join runs once, not three times
     val tris = ori.join(bc, col("b") === col("b2"))
       .join(ac, col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
+      .persist()
     val triPerNode = tris.select(col("a").as("node"))
       .unionAll(tris.select(col("b").as("node")))
       .unionAll(tris.select(col("c").as("node")))
@@ -540,16 +564,24 @@ object Graph {
         prevCount = cnt
         val bc = e.select(col("a").as("b2"), col("b").as("c"))
         val ac = e.select(col("a").as("a3"), col("b").as("c3"))
+        // three support projections consume the enumeration — lazy
+        // persist so the double self-join runs once per round, not 3×
         val tris = e.join(bc, col("b") === col("b2"))
           .join(ac, col("a") === col("a3") && col("c") === col("c3"))
           .select(col("a"), col("b"), col("c"))
+          .persist()
         val keep = tris.select(col("a"), col("b"))
           .unionAll(tris.select(col("a"), col("c").as("b")))
           .unionAll(tris.select(col("b").as("a"), col("c").as("b")))
           .groupBy("a", "b").agg(count(lit(1)).as("s"))
           .filter(col("s") >= minSup)
           .select("a", "b")
+        val prev = e
         e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint(true)
+        // new frame materialized — free the round-local enumeration and
+        // the superseded edge frame
+        tris.unpersist(blocking = false)
+        Lineage.free(prev)
         r += 1
       }
     }
@@ -607,6 +639,8 @@ object Graph {
       val changed = next.join(lbl.select(col("node"), col("lab").as("old")), "node")
         .filter(col("lab") =!= col("old")).count()
       converged = changed == 0L
+      // change-count consumed the old frame — free it before the swap
+      Lineage.free(lbl)
       lbl = next
       r += 1
     }
@@ -686,6 +720,8 @@ object Graph {
         .join(lab.select(col("node"), col("lab").as("__old")), "node")
         .filter(col("lab") =!= col("__old")).count()
       converged = changed == 0L
+      // change-count consumed the old frame — free it before the swap
+      Lineage.free(lab)
       lab = next
       s += 1
     }

@@ -108,11 +108,14 @@ object Rank {
             .select(expr(s"dmass div ${nS}L").as("dshare"))
           joined.crossJoin(broadcast(dshare))
         } else joined.withColumn("dshare", lit(0L))
+      val prev = r
       r = withShare
         .select(col("node"), col("__seed"), col("__dang"),
           (expr(s"$dampingPct * (coalesce(s, 0L) + if(__seed, dshare, 0L)) div 100") +
             when(col("__seed"), lit(teleport)).otherwise(lit(0L))).as("r"))
         .localCheckpoint(true)
+      // new rank frame materialized — free the superseded round's blocks
+      Lineage.free(prev)
     }
     r.select("node", "r")
   }
@@ -145,9 +148,12 @@ object Rank {
     while (k <= maxHops && !frontier.isEmpty) {
       val expand = ed.join(frontier, ed("src") === frontier("node"))
         .select(ed("dst").as("node"), (col("d") + 1).as("d"))
+      val prev = dist
       dist = dist.unionByName(expand)
         .groupBy("node").agg(min(col("d")).as("d"))
         .localCheckpoint(true)
+      // new frame materialized — free the superseded round's blocks
+      Lineage.free(prev)
       frontier = dist.filter(col("d") === k)
       k += 1
     }
@@ -197,9 +203,12 @@ object Rank {
     while (r < rounds && !converged) {
       val relax = ed.join(dist, ed("src") === dist("node"))
         .select(ed("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      val prev = dist
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min(col("cost")).as("cost"))
         .localCheckpoint(true)
+      // new frame materialized — free the superseded round's blocks
+      Lineage.free(prev)
       val s = dist.agg(sum(col("cost").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n")).head()
       val sig = (s.getDecimal(0), s.getLong(1))
@@ -323,11 +332,14 @@ object Rank {
             .select(expr(s"dmass div ${n}L").as("dshare"))
           joined.crossJoin(broadcast(dshare))
         } else joined.withColumn("dshare", lit(0L))
+      val prev = r
       r = withShare
         .select(col("node"), col("__dang"),
           expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * (coalesce(s, 0L) + dshare)) div 100")
             .as("r"))
         .localCheckpoint(true)
+      // new rank frame materialized — free the superseded round's blocks
+      Lineage.free(prev)
     }
     r.select("node", "r")
   }
