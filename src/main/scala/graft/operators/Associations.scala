@@ -59,8 +59,13 @@ object Associations {
       .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minSupport)
-    val rules = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("pair_n"))
-      .unionByName(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"), col("pair_n")))
+    // both rule directions in ONE pass over the pair expansion (the
+    // union form evaluated the basket self-join once per branch)
+    val rules = pairs.select(explode(array(
+        struct(col("ia").as("antecedent"), col("ib").as("consequent"), col("pair_n")),
+        struct(col("ib").as("antecedent"), col("ia").as("consequent"), col("pair_n")))).as("__r"))
+      .select(col("__r.antecedent").as("antecedent"),
+        col("__r.consequent").as("consequent"), col("__r.pair_n").as("pair_n"))
     rules
       .join(frequent.select(col("item").as("antecedent"), col("cnt").as("ante_n")), "antecedent")
       .join(frequent.select(col("item").as("consequent"), col("cnt").as("cons_n")), "consequent")

@@ -273,8 +273,14 @@ object Dedup {
     * doc that appears in some pair. */
   def resolveClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetrize in ONE pass: the union form evaluated the caller's pair
+    // plan once per branch, and the pair generators feeding this
+    // (ngramJaccardPairs' inverted-index self-join behind q74/q174) are
+    // the expensive half of the whole query
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().localCheckpoint(eager = true)
     var checkpointed = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(eager = true)

@@ -472,8 +472,12 @@ object TextAnalysis {
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minCount)
-    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    // symmetrize in ONE pass over the co-occurrence aggregation (the
+    // union form evaluated the corpus pair extraction once per branch)
+    val edges = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
     Rank.pageRank(edges, iters = iters)
       .select(col("node").as("token"), col("r").as("rank_fx"))
       .orderBy(col("rank_fx").desc, col("token").asc)
