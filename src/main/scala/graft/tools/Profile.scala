@@ -41,6 +41,41 @@ object Profile {
         if (t.taskMetrics != null)
           taskMs.addAndGet(t.taskMetrics.executorRunTime)
     })
+    // Optional per-operator metrics dump (PROFILE_NODE_METRICS=1): after
+    // each action, walk the executed (post-AQE) plan and print every
+    // node's simpleString with its metric values — the SQL-tab view the
+    // disabled UI cannot show. Only nodes with a nonzero "time" metric
+    // matter; sort client-side.
+    val dumpMetrics = sys.env.get("PROFILE_NODE_METRICS").contains("1")
+    if (dumpMetrics)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = {
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            val interesting = p.metrics.filter { case (k, m) =>
+              m.value > 0 && (k.contains("time") || k.contains("Time") ||
+                k == "numOutputRows" || k.contains("spill") || k.contains("build"))
+            }
+            if (interesting.nonEmpty)
+              System.err.println("[node] " + p.nodeName + " :: " +
+                interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" "))
+            p.children.foreach(walk)
+            p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case _ => ()
+            }
+          }
+          System.err.println(s"[qe] $funcName ${durationNs / 1e9}%s")
+          walk(qe.executedPlan)
+        }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
     for (name <- names) {
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
