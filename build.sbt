@@ -38,3 +38,51 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )
+
+// ---- Parallel test execution across forked JVMs ----
+// The r12 driver run was killed by its phase budget with the suite still
+// running (~30 min sequential; the entry/correctness phases then never ran
+// and the round scored 0 correct). One shared-session JVM serializes 76
+// suites on 4 local cores; duration-balanced groups in parallel forked
+// JVMs (each group gets its OWN SparkSession via SparkSuite's per-JVM
+// lazy init — no shared-state races by construction) bring wall time down
+// to the largest group. Buckets sized from the measured per-suite times
+// (PlanSpec 365 s post-fix, StreamingSpec 279 s, GraphSpec 215 s,
+// RankSpec 168 s, ChunkingSpec 78 s, long tail ~150 s total).
+val testBuckets: Map[String, String] = Map(
+  "graft.PlanSpec"                    -> "g1-plan",
+  "graft.streaming.StreamingSpec"     -> "g2-streaming",
+  "graft.operators.GraphSpec"         -> "g3-graph",
+  "graft.operators.LineageSpec"       -> "g3-graph",
+  "graft.operators.RankSpec"          -> "g4-rank",
+  "graft.operators.ChunkingSpec"      -> "g4-rank",
+  "graft.operators.DedupSpec"         -> "g5-text",
+  "graft.operators.TextAnalysisSpec"  -> "g5-text",
+  "graft.project.ProjectSpec"         -> "g5-text",
+  "graft.operators.SimilaritySpec"    -> "g5-text",
+  "graft.queries.GovernanceProfileSpec" -> "g5-text",
+  "graft.operators.SeasonalSpec"      -> "g5-text",
+  "graft.operators.SamplingSpec"      -> "g5-text",
+  // both Derby-backed specs share one JVM (derby.log writes to cwd)
+  "graft.sinks.JdbcSinkSpec"          -> "g6-rest",
+  "graft.sources.JdbcSourceSpec"      -> "g6-rest",
+)
+// Six groups measured best (13m33s wall vs 30m19s sequential); further
+// splitting (7-8 groups) was SLOWER under this box's kernel-time churn
+// (17-27 min, sys time 77-92 min — mmap/shuffle thrash grows with
+// concurrent JVM count).
+def restBucket(name: String): String = "g6-rest"
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value
+    .groupBy(t => testBuckets.getOrElse(t.name, restBucket(t.name)))
+    .map { case (g, ts) =>
+      Tests.Group(g, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }.toSeq
+}
+// allow all six groups to fork concurrently (each JVM: local[4], -Xmx8g —
+// 24 cores / 48 GiB peak on the 32-core / 128 GiB box)
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(16),
+)

@@ -16,15 +16,31 @@ object Verify {
     val spark: SparkSession = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Queries are independent read-only jobs on one session, so run them
+    // from a small thread pool (guide §2.6 — overlap independent jobs):
+    // each query's tail/stragglers back-fill with the next query's tasks,
+    // and one slow query no longer serializes the whole dump. Writes land
+    // in per-query directories, so there is no output contention. The r12
+    // driver round died with ZERO verify outputs when the sequential dump
+    // starved its phase budget; wall time here is correctness insurance.
+    val verifyThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(verifyThreads)
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val tasks = selected.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            spark.sparkContext.setJobDescription(s"verify $name")
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -93,7 +94,7 @@ object Bpe {
     * silent early-stop would desynchronize the fixed-depth oracle replay. */
   def train(docs: DataFrame, merges: Int, textCol: String = "text"): Model = {
     require(merges >= 1, "merges must be >= 1")
-    var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var frame = initSymbols(wordFreq(docs, textCol)).cut()
     val total = frame.agg(coalesce(sum(col("wfreq")), lit(0L))).collect()(0).getLong(0)
     require(total > 0, "BPE training corpus is empty")
     var tokens = total
@@ -107,7 +108,7 @@ object Bpe {
         s"BPE pair supply exhausted at step $step of $merges — lower `merges`")
       val (left, right, cnt) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      val next = applyMerge(frame, left, right).localCheckpoint()
+      val next = applyMerge(frame, left, right).cut()
       // each applied merge removes exactly one (wfreq-weighted) symbol, so
       // the occurrence count falls out of the token total — no second
       // window-chain execution per iteration
@@ -153,9 +154,9 @@ object Bpe {
     * deploy halves (encode, audit) broadcast. Vocab-bounded throughout. */
   private def perWordTokens(docs: DataFrame, model: Model,
                             textCol: String): DataFrame = {
-    var frame = initSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var frame = initSymbols(wordFreq(docs, textCol)).cut()
     for (s <- model.steps) {
-      val next = applyMerge(frame, s.left, s.right).localCheckpoint()
+      val next = applyMerge(frame, s.left, s.right).cut()
       frame.unpersist()
       frame = next
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import TextOps._
@@ -281,9 +282,9 @@ object Dedup {
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().cut()
     var checkpointed = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(eager = true)
+      .withColumn("label", col("node")).cut()
     var labels = checkpointed
     var changed = 1L
     var iter = 0
@@ -294,7 +295,7 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
-        .localCheckpoint(eager = true)
+        .cut()
       changed = updated.filter(col("next") < col("label")).count()
       // the new checkpoint is materialized — free the superseded round's
       // blocks NOW (leaking one snapshot per round starves executor
@@ -337,7 +338,7 @@ object Dedup {
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = true)
+      .cut()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -356,7 +357,7 @@ object Dedup {
       val fromSelf = minsS.select(col("u"), col("m").as("v"))
       val next = fromNbrs.unionByName(fromSelf)
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(eager = true)
+        .cut()
       converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges.unpersist(blocking = false)
       edges = next
@@ -820,8 +821,14 @@ object Dedup {
                         idCol: String = "doc_id", ngram: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     require(threshold > 0, "threshold must be > 0: zero-overlap pairs are never materialized")
+    // LAZY persist: the exploded shingle frame feeds THREE consumers
+    // (per-doc sizes + both sides of the inverted-index self-join) —
+    // without the cache each branch re-runs tokenize + n-gram hashing
+    // over the whole corpus (the q205/q220 lesson, same fix; q174's
+    // r11-flagged regression was dominated by exactly this re-evaluation)
     val ex = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       explode(array_distinct(ngramHashes(tokens(col(textCol)), ngram))).as("h"))
+      .persist()
     val sizes = ex.groupBy("g", "id").agg(count(lit(1)).as("n"))
     val a = ex.select(col("g"), col("h"), col("id").as("doc_a"))
     val b = ex.select(col("g"), col("h"), col("id").as("doc_b"))
@@ -860,8 +867,10 @@ object Dedup {
     require(thresholdPct > 0 && thresholdPct <= 100,
       "thresholdPct must be in (0, 100]: zero-overlap pairs are never materialized")
     import graft.functions.SignatureFunctions.portableShingleHashes
+    // LAZY persist: same 3-consumer shape as ngramJaccardPairs above
     val ex = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
       explode(portableShingleHashes(TextOps.tokens(col(textCol)), ngram)).as("h"))
+      .persist()
     val sizes = ex.groupBy("g", "id").agg(count(lit(1)).as("n"))
     val a = ex.select(col("g"), col("h"), col("id").as("doc_a"))
     val b = ex.select(col("g"), col("h"), col("id").as("doc_b"))
@@ -1083,7 +1092,7 @@ object Dedup {
     val prefix = ranked
       .filter(expr(s"p <= sz - (($minJPm * sz + 999) div 1000) + 1"))
       .select(col("id"), col("s"), col("sz"))
-      .localCheckpoint(true)
+      .cut()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           lit(1000) * least(col("a.sz"), col("b.sz")) >=

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -74,7 +75,7 @@ object Graph {
     *         n_pivots_capped, n_wedges_dropped). */
   def butterflies(edges: DataFrame, maxPivotDegree: Long = 8192L): DataFrame = {
     require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
-    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val ed = edges.select("src", "dst").distinct().cut()
     val deg = ed.groupBy("src").agg(count(lit(1)).as("pivot_deg"))
     val keep = deg.filter(col("pivot_deg") <= maxPivotDegree).select("src")
     val ledger = deg.filter(col("pivot_deg") > maxPivotDegree).agg(
@@ -155,10 +156,10 @@ object Graph {
   def components(edges: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1)
     val und = symmetrize(edges)
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     var lbl = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("l"))
-      .localCheckpoint(true)
+      .cut()
     var prevSum: Option[java.math.BigDecimal] = None
     var r = 0
     var converged = false
@@ -177,7 +178,7 @@ object Graph {
       val prev = lbl
       lbl = nbMin.join(parent, col("l") === col("pnode"))
         .select(col("node"), col("pl").as("l"))
-        .localCheckpoint(true)
+        .cut()
       // the new checkpoint is materialized — free the superseded round's
       // blocks and the round-local aggregate NOW (the resolveClusters
       // discipline: leaking a snapshot per round starves storage over
@@ -229,11 +230,11 @@ object Graph {
         col("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .cut()
     var lab = ecan.select(col("a").as("node"))
       .union(ecan.select(col("b").as("node"))).distinct()
       .select(col("node"), col("node").as("l"))
-      .localCheckpoint(true)
+      .cut()
     var mst: Option[DataFrame] = None
     var r = 0
     var done = false
@@ -244,7 +245,7 @@ object Graph {
         .join(la, col("a") === col("na")).join(lb, col("b") === col("nb"))
         .filter(col("lu") =!= col("lv"))
         .select("w", "a", "b", "lu", "lv")
-        .localCheckpoint(true)
+        .cut()
       if (cross.isEmpty) { done = true }
       else {
         val e = struct(col("w"), col("a"), col("b"), col("lu"), col("lv"))
@@ -254,7 +255,7 @@ object Graph {
           .select(col("e.w").as("w"), col("e.a").as("a"), col("e.b").as("b"),
             col("e.lu").as("lu"), col("e.lv").as("lv"))
           .distinct()
-          .localCheckpoint(true)
+          .cut()
         mst = Some(mst.map(_.unionByName(sel.select("a", "b", "w")))
           .getOrElse(sel.select("a", "b", "w")))
         val contraction = components(
@@ -262,7 +263,7 @@ object Graph {
         val prevLab = lab
         lab = lab.join(contraction, lab("l") === contraction("node"), "left")
           .select(lab("node"), coalesce(col("comp"), lab("l")).as("l"))
-          .localCheckpoint(true)
+          .cut()
         // the new label frame is materialized — free the superseded one
         // (sel stays: the accumulated mst union still references every
         // round's selection; cross is freed either way below)
@@ -294,7 +295,7 @@ object Graph {
     *         in the cut forest. */
   def singleLinkage(edges: DataFrame, cuts: Int, rounds: Int = 16): DataFrame = {
     require(cuts >= 0)
-    val msf = minimumSpanningForest(edges, rounds).localCheckpoint(true)
+    val msf = minimumSpanningForest(edges, rounds).cut()
     val kept =
       if (cuts == 0) msf
       else msf.join(
@@ -336,7 +337,7 @@ object Graph {
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     val ab = ori
     val bc = ori.select(col("a").as("b2"), col("b").as("c"))
     val ac = ori.select(col("a").as("a3"), col("b").as("c3"))
@@ -396,7 +397,7 @@ object Graph {
     require(maxPivotDegree >= 2, s"maxPivotDegree must allow a wedge (got $maxPivotDegree)")
     val und = symmetrize(edges)
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     // ONE degree frame drives the cap, the ledger, and the output degrees
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .persist()
@@ -447,7 +448,7 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var und = symmetrize(edges)
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     var prevCount = -1L
     var r = 0
     while (r < rounds && prevCount != 0L) {
@@ -464,7 +465,7 @@ object Graph {
         und = und
           .join(keep, und("src") === keep("node"), "left_semi")
           .join(keepDst, col("dst") === keepDst("node2"), "left_semi")
-          .localCheckpoint(true)
+          .cut()
         // new frame materialized — free the superseded round's blocks
         Lineage.free(prev)
         r += 1
@@ -495,7 +496,7 @@ object Graph {
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     val bc = ori.select(col("a").as("b2"), col("b").as("c"))
     val ac = ori.select(col("a").as("a3"), col("b").as("c3"))
     // the triangle enumeration feeds THREE member projections below —
@@ -553,7 +554,7 @@ object Graph {
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     val minSup = (k - 2).toLong
     var prevCount = -1L
     var r = 0
@@ -577,7 +578,7 @@ object Graph {
           .filter(col("s") >= minSup)
           .select("a", "b")
         val prev = e
-        e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint(true)
+        e = e.join(keep, Seq("a", "b"), "left_semi").cut()
         // new frame materialized — free the round-local enumeration and
         // the superseded edge frame
         tris.unpersist(blocking = false)
@@ -621,10 +622,10 @@ object Graph {
     require(rounds >= 1)
     import org.apache.spark.sql.expressions.Window
     val und = symmetrize(edges)
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     var lbl = und.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint(true)
+      .cut()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -635,7 +636,7 @@ object Graph {
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(col("c").desc, col("lab").asc)))
         .filter(col("rn") === 1).select("node", "lab")
-        .localCheckpoint(true)
+        .cut()
       val changed = next.join(lbl.select(col("node"), col("lab").as("old")), "node")
         .filter(col("lab") =!= col("old")).count()
       converged = changed == 0L
@@ -683,15 +684,15 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val und = symmetrize(edges)
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .cut()
     // 2m (each edge twice); coalesce guards the empty-graph NULL sum
     // (ADVICE r11 — components/MSF return empty frames, so does this)
     val m2 = deg.agg(coalesce(sum("d"), lit(0L))).head().getLong(0)
     if (m2 == 0L)
       return deg.select(col("node"), col("node").as("community"))
-    var lab = deg.select(col("node"), col("node").as("lab")).localCheckpoint(true)
+    var lab = deg.select(col("node"), col("node").as("lab")).cut()
     var s = 0
     var converged = false
     while (s < sweeps && !converged) {
@@ -715,7 +716,7 @@ object Graph {
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(col("score").desc, col("c").asc)))
         .filter(col("rn") === 1).select(col("node"), col("c").as("lab"))
-        .localCheckpoint(true)
+        .cut()
       val changed = next
         .join(lab.select(col("node"), col("lab").as("__old")), "node")
         .filter(col("lab") =!= col("__old")).count()
@@ -755,7 +756,7 @@ object Graph {
     val e = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") < col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") < col("b")).distinct().cut()
     val pa = partition.select(col("node").as("a"), col("community").as("ca"))
     val pb = partition.select(col("node").as("b"), col("community").as("cb"))
     val tagged = e.join(pa, "a").join(pb, "b")

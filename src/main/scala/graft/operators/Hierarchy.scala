@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,7 @@ object Hierarchy {
       .filter(col(childCol) =!= col(parentCol))
       .select(col(childCol).as("node"), col(parentCol).as("anc"),
         lit(1L).as("depth"))
-      .distinct().localCheckpoint()
+      .distinct().cut()
     var n = acc.count()
     var iter = 0
     var done = n == 0
@@ -44,7 +45,7 @@ object Hierarchy {
         .join(acc.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.depth") + col("b.depth")).as("depth"))
-      val next = acc.unionByName(ext).distinct().localCheckpoint()
+      val next = acc.unionByName(ext).distinct().cut()
       val m = next.count()
       done = m == n
       acc.unpersist()

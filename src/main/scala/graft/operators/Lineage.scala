@@ -26,4 +26,20 @@ object Lineage {
     case l: LogicalRDD => l.rdd.unpersist(blocking = false)
     case _ => ()
   }
+
+  /** Eager `localCheckpoint` + carried-stats clamp — the lineage cut every
+    * iterative round must use. `Dataset.localCheckpoint` preserves the
+    * origin plan's ESTIMATED stats on the resulting LogicalRDD; with
+    * Catalyst's join estimate being the product of child sizes, round-
+    * over-round checkpoints compound the estimate double-exponentially
+    * until the BigInteger arithmetic inside the NEXT checkpoint costs
+    * minutes of driver CPU (q239@sf0.01 hung the whole r12 verify phase
+    * there). The clamp (see [[org.apache.spark.sql.GraftStatsBridge]])
+    * caps the carried value at Long.MaxValue — identical planning
+    * behavior in every sane regime, bounded arithmetic in the insane one. */
+  implicit final class LineageOps(private val df: DataFrame) extends AnyVal {
+    def cut(): DataFrame =
+      org.apache.spark.sql.GraftStatsBridge.clampCheckpointStats(
+        df.localCheckpoint(eager = true))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -68,9 +69,9 @@ object Rank {
     // frame (4 corpus passes before round 1).
     val ed = edges.withColumn("wt",
       sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint(true)
+      .cut()
     val srcs = ed.select(col("src").as("node")).distinct()
-    val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val seedSet = seeds.select(col("node")).distinct().cut()
     // node frame with BOTH flags fused in (seed membership + dangling) —
     // one distinct, one checkpoint; the per-flag frames of the r9 shape
     // cost three extra upfront barriers
@@ -81,7 +82,7 @@ object Rank {
       .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(false)).as("__seed"),
         col("__out").isNull.as("__dang"))
-      .localCheckpoint(true)
+      .cut()
     // one bounded job: in-graph seed count + dangling existence
     val totals = nodes.agg(
       sum(when(col("__seed"), 1L).otherwise(0L)).as("n_seed_in_graph"),
@@ -113,7 +114,7 @@ object Rank {
         .select(col("node"), col("__seed"), col("__dang"),
           (expr(s"$dampingPct * (coalesce(s, 0L) + if(__seed, dshare, 0L)) div 100") +
             when(col("__seed"), lit(teleport)).otherwise(lit(0L))).as("r"))
-        .localCheckpoint(true)
+        .cut()
       // new rank frame materialized — free the superseded round's blocks
       Lineage.free(prev)
     }
@@ -140,9 +141,9 @@ object Rank {
   def seedDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
                    includeUnreached: Boolean = false): DataFrame = {
     require(maxHops >= 0)
-    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val ed = edges.select("src", "dst").distinct().cut()
     var dist = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("d")).cut()
     var frontier = dist
     var k = 1
     while (k <= maxHops && !frontier.isEmpty) {
@@ -151,7 +152,7 @@ object Rank {
       val prev = dist
       dist = dist.unionByName(expand)
         .groupBy("node").agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .cut()
       // new frame materialized — free the superseded round's blocks
       Lineage.free(prev)
       frontier = dist.filter(col("d") === k)
@@ -188,12 +189,12 @@ object Rank {
   def weightedSeedCost(edges: DataFrame, seeds: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1)
     val ed = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     require(ed.filter(col("w") < 0).isEmpty,
       "weightedSeedCost requires non-negative weights (Bellman-Ford with " +
         "negative edges needs V-1 rounds and a cycle check — out of contract)")
     var dist = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(0L).as("cost")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("cost")).cut()
     // (Σcost, |reached|) is a sound fixed-point signature: costs only
     // decrease under the min-agg and new nodes only add — equal pairs ⇒
     // nothing changed
@@ -206,7 +207,7 @@ object Rank {
       val prev = dist
       dist = dist.unionByName(relax)
         .groupBy("node").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .cut()
       // new frame materialized — free the superseded round's blocks
       Lineage.free(prev)
       val s = dist.agg(sum(col("cost").cast("decimal(38,0)")).as("s"),
@@ -240,10 +241,10 @@ object Rank {
     *         nodes with no out-edges have hub 0, no in-edges auth 0. */
   def hits(edges: DataFrame, iters: Int = 8): DataFrame = {
     require(iters >= 1)
-    val ed = edges.select("src", "dst", "w").localCheckpoint(true)
+    val ed = edges.select("src", "dst", "w").cut()
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().cut()
     // Each half-round checkpoints the RAW SUMS frame (join+agg), collects
     // the side's max as ONE bounded driver scalar (the same kmeans-d /
     // pageRank-N convention), and renormalizes with the max as a LITERAL
@@ -263,7 +264,7 @@ object Rank {
         .select(ed(outKey).as("node"),
           (col(scoreCol).cast("decimal(38,0)") * col("w")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-        .localCheckpoint(true)
+        .cut()
       val mx = sums.agg(max(col("s"))).head().getDecimal(0)
       if (mx != null && mx.signum > 0)
         sums.select(col("node"),
@@ -296,7 +297,7 @@ object Rank {
     // frame (4 corpus passes before round 1, the q170 idle regression).
     val ed = edges.withColumn("wt",
       sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .localCheckpoint(true)
+      .cut()
     val srcs = ed.select(col("src").as("node")).distinct()
     // node frame with the dangling flag FUSED in ("never appears as
     // src" = left join against the src set) — one materialization
@@ -306,7 +307,7 @@ object Rank {
       .distinct()
       .join(srcs.withColumn("__out", lit(true)), Seq("node"), "left")
       .select(col("node"), col("__out").isNull.as("__dang"))
-      .localCheckpoint(true)
+      .cut()
     // N and the dangling-existence probe from ONE bounded job on the
     // checkpointed node frame (was two: count + isEmpty)
     val totals = nodes.agg(count(lit(1)).as("n"),
@@ -337,7 +338,7 @@ object Rank {
         .select(col("node"), col("__dang"),
           expr(s"(${100 - dampingPct} * ${scale}L + $dampingPct * (coalesce(s, 0L) + dshare)) div 100")
             .as("r"))
-        .localCheckpoint(true)
+        .cut()
       // new rank frame materialized — free the superseded round's blocks
       Lineage.free(prev)
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -318,7 +319,7 @@ object Search {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val top = bm25TopK(docs, queries, f, k1Pm, bPm, idCol, textCol)
-      .select(col("query_id"), col("doc_id")).localCheckpoint(true)
+      .select(col("query_id"), col("doc_id")).cut()
     val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
         text.split(" ").distinct.map(t => (qid, t))
       }).toDF("query_id", "term")
@@ -327,11 +328,11 @@ object Search {
       .join(top.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .cut()
     val candTerms = fbTf.select("term").distinct()
     val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("l_total"))
-      .localCheckpoint(true)
+      .cut()
     // corpus postings restricted to the feedback vocabulary (+ the
     // original query terms, whose idf pass 2 needs as well)
     val vocab = candTerms.unionByName(qt.select("term")).distinct()
@@ -341,12 +342,12 @@ object Search {
         explode(col("__toks")).as("term"))
       .join(broadcast(vocab), Seq("term"), "left_semi")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .cut()
     val idf = tfAll.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_q10",
         expr(s"${log2q10Sql("2 * n_docs + 2")} - ${log2q10Sql("2 * df + 1")}"))
-      .select("term", "idf_q10").localCheckpoint(true)
+      .select("term", "idf_q10").cut()
     // expansion mining: weight(query, term) = Σ_{d ∈ F_q} tf · idf
     val expansion = fbTf
       .join(top, Seq("doc_id"))
@@ -403,7 +404,7 @@ object Search {
     val termSet = queries.flatMap(_._2.split(" ")).distinct
     val top = bm25TopK(docs, queries, k, idCol = idCol, textCol = textCol)
       .select(col("query_id"), col("doc_id"), col("rank"))
-      .localCheckpoint(true)
+      .cut()
     val qt = spark.createDataFrame(queries.flatMap { case (qid, text) =>
         text.split(" ").distinct.map(t => (qid, t))
       }).toDF("query_id", "term")

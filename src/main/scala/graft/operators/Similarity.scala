@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{dotProduct, l2Norm}
@@ -677,7 +678,7 @@ object Similarity {
       .select(expr("idx div d").cast("int").as("i"),
         expr("idx % d").cast("int").as("j"), col("mv"))
       .groupBy("i", "j").agg(sum(col("mv")).as("m"))
-      .localCheckpoint(true)
+      .cut()
     // the iteration vector is d longs — bounded driver state (the kmeans
     // centroid convention); each round is one tiny aggregation over m.
     // Long/BigInt division in Scala truncates toward zero — same as SQL div.
@@ -779,7 +780,7 @@ object Similarity {
     val cand = bruteForceTopK(corpus, queries, m, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         floor(lit(1000000.0) * col("cos_sim")).as("simq_ppm"))
-      .localCheckpoint(true)
+      .cut()
     val vecs = withNorm(corpus, idCol, vecCol, "vid", "vv", "vn")
     val pairs = cand.select(col("query_id"), col("neighbor_id").as("da"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("db")), Seq("query_id"))
@@ -789,7 +790,7 @@ object Similarity {
       .select(col("query_id"), col("da"), col("db"),
         floor(lit(1000000.0) * dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
           .as("simc_ppm"))
-      .localCheckpoint(true)
+      .cut()
     var sel: DataFrame = null
     for (r <- 1 to k) {
       val scored =
@@ -811,7 +812,7 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           lit(r.toLong).as("mmr_rank"), col("mmr_ppm"))
-      sel = (if (sel == null) pick else sel.unionByName(pick)).localCheckpoint(true)
+      sel = (if (sel == null) pick else sel.unionByName(pick)).cut()
     }
     sel.select("query_id", "mmr_rank", "doc_id", "mmr_ppm")
   }
@@ -847,7 +848,7 @@ object Similarity {
     require(k >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = withNorm(corpus, idCol, vecCol, "id", "v", "nrm").localCheckpoint(true)
+    val base = withNorm(corpus, idCol, vecCol, "id", "v", "nrm").cut()
     val seedRow = base.orderBy(col("id").asc).limit(1)
       .select("id", "v", "nrm").head()
     var picks = Seq((1L, seedRow.getLong(0), 0L))
@@ -864,7 +865,7 @@ object Similarity {
     }
     var dmin = base.withColumn("dmin", distTo(pickVec, pickNorm))
       .filter(col("id") =!= pickId)
-      .localCheckpoint(true)
+      .cut()
     for (r <- 2L to k.toLong if !dmin.isEmpty) {
       val next = dmin.orderBy(col("dmin").desc, col("id").asc).limit(1)
         .select("id", "v", "nrm", "dmin").head()
@@ -874,7 +875,7 @@ object Similarity {
       picks = picks :+ ((r, pickId, next.getLong(3)))
       dmin = dmin.filter(col("id") =!= pickId)
         .withColumn("dmin", least(col("dmin"), distTo(pickVec, pickNorm)))
-        .localCheckpoint(true)
+        .cut()
     }
     picks.toDF("rank", "vec_id", "radius_ppm")
   }

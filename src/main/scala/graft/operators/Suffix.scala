@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -90,7 +91,7 @@ object Suffix {
 
     val toks = docs.select(col(idCol).as("doc_id"),
         allShingleHashes(split(col(textCol), " "), 1).as("hs"))
-      .localCheckpoint(eager = true)
+      .cut()
 
     val maxLen = toks.agg(max(size(col("hs")))).head().getInt(0).toLong
 
@@ -119,7 +120,7 @@ object Suffix {
     val round0 = seeded
       .join(r0, Seq("r1", "r2"))
       .select(col("doc_id"), col("pos"), col("rank").as("r"), col("mult"))
-      .localCheckpoint(eager = true)
+      .cut()
     // resolved (mult == 1) ranks are FINAL — those positions retire; only
     // the active remainder is re-paired, re-ranked and re-checkpointed
     // each round. All frames here are views over already-materialized
@@ -163,7 +164,7 @@ object Suffix {
       val upd = paired.join(keys, Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), (col("r1") + col("__cum")).as("r"),
           col("mult"), col("__siblings"))
-        .localCheckpoint(eager = true)
+        .cut()
       // one trivial scan decides both exits: no parent with ≥2 subgroups
       // ⇒ FIXED POINT (ranks did not move and no future round can move
       // them — every surviving group is an identical-whole-suffix class);

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.{Bpe, Chunking, Dedup, Sampling, Similarity, Sketches, TextAnalysis, TextOps}
@@ -1638,7 +1639,7 @@ object TrainingData {
     // referenced by dc, ds AND the join — materialize the purchase
     // aggregation once per run
     val ed = purchaseEdges(t, symmetrized = false).select("src", "dst")
-      .localCheckpoint(true)
+      .cut()
     val dc = ed.groupBy("src").agg(count(lit(1)).as("x"))
     val ds = ed.groupBy("dst").agg(count(lit(1)).as("y"))
     ed.join(dc, "src").join(ds, "dst")
@@ -2054,7 +2055,7 @@ object TrainingData {
         struct(col("src"), col("dst"), col("w")),
         struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"), col("__e.w").as("w"))
-      .localCheckpoint(true)
+      .cut()
     val seeds = und.select(col("src").as("node")).distinct()
       .orderBy("node").limit(3)
     graft.operators.Rank.weightedSeedCost(und, seeds, rounds = 8)
@@ -2173,7 +2174,7 @@ object TrainingData {
   def q241Louvain(t: Tables): DataFrame = {
     // consumed by BOTH louvainMove and modularity — materialize the
     // expensive pair expansion once per run (the q209 discipline)
-    val edges = copurchaseEdges(t, 2).localCheckpoint(true)
+    val edges = copurchaseEdges(t, 2).cut()
     val com = graft.operators.Graph.louvainMove(edges, sweeps = 4)
     val q = graft.operators.Graph.modularity(edges, com)
       .select(col("n_communities"), col("q_ppm"))
@@ -2187,7 +2188,7 @@ object TrainingData {
   def q209Modularity(t: Tables): DataFrame = {
     // consumed by FOUR sub-computations (lpa, the node frame, modularity
     // ×2) — materialize the expensive pair expansion once per run
-    val edges = copurchaseEdges(t, 2).localCheckpoint(true)
+    val edges = copurchaseEdges(t, 2).cut()
     val lpa = graft.operators.Graph.labelPropagation(edges, rounds = 6)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()

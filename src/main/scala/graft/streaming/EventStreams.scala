@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -1569,7 +1570,7 @@ object EventStreams {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(s"$root/_done_v$batchId")
         if (!fs.exists(marker)) {
-          val df = batch.toDF().localCheckpoint(eager = true) // one source read
+          val df = batch.toDF().cut() // one source read
           // B20: schema-driven validation; rejects are quarantined, not lost
           val rules = graft.model.SchemaValidation.rules(docSchema)
           val validCol = rules.map(_._2(df)).reduceOption(_ && _).getOrElse(lit(true))
@@ -1597,7 +1598,7 @@ object EventStreams {
               .select(col("new_id").as(idCol)).distinct()
           }
           val kept = valid.join(dupIds, Seq(idCol), "left_anti")
-            .localCheckpoint(eager = true)
+            .cut()
           // survivors (only) enter the index: later batches dedupe against
           // the canonical copy, never against dropped duplicates
           val (nb, ns) = graft.operators.Dedup.bandIndex(kept, textCol = textCol, idCol = idCol)

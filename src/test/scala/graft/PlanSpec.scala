@@ -364,10 +364,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  // ONE construction pass over the whole catalog, shared by every
+  // catalog-wide gate below. Constructing a query is not free here: the
+  // iterative family (components/MSF/Louvain/PageRank…) runs its rounds'
+  // jobs during construction, so each extra catalog sweep costs ~6 min of
+  // suite wall time — r12's two independent sweeps made PlanSpec alone
+  // 727 s of the 1819 s run the driver's budget killed.
+  private lazy val catalogPlans: Seq[(String, SparkPlan)] =
+    graft.queries.Catalog.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val exec = fn(spark, sfDir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other => other
+      }
+      name -> exec
+    }
+
   test("EVERY catalog query: no cartesian product, no UDFs, anywhere") {
-    val offenders = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val p = plan(fn(spark, sfDir))
+    val offenders = catalogPlans.flatMap {
+      case (name, exec) =>
+        val p = exec.toString
         val bad = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "ScalaUDF"         -> p.toLowerCase.contains("scalaudf"),
@@ -399,9 +414,9 @@ class PlanSpec extends SparkSuite {
       "q102_budget_select"   -> "priority-bucket offsets (selectUntilBudget)",
       "q123_curation_report" -> "inherits q102's bucket offsets (composition)",
       "q125_shard_layout"    -> "shard-bucket offsets (two-level rank)",
-      "q157_lm_terciles"     -> "score-bucket offsets (Ranking.groupRankDesc)",
+      // q157_lm_terciles / q224_rfm left the list in r12: groupRankDesc's
+      // bucketed-frame persist removed their unpartitioned window
       "q158_concurrency"     -> "per-day bucket offsets (Sweep.runningSum)",
-      "q224_rfm"             -> "quantile-bucket offsets (two-level rank)",
       // (b) bounded distinct-value / small aggregate frames
       "q84_packing"          -> "block rollup frame (docs div blockTokens rows)",
       "q116_coverage_curve"  -> "distinct-frequency profile, <= sqrt(2N) rows",
@@ -420,12 +435,8 @@ class PlanSpec extends SparkSuite {
       "q228_roc_auc"         -> "distinct-score frame (Mann-Whitney ranks)",
       "q229_survival"        -> "distinct event-time frame (Kaplan-Meier steps)"
     )
-    val got = graft.queries.Catalog.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val exec = fn(spark, sfDir).queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.initialPlan
-          case other => other
-        }
+    val got = catalogPlans.flatMap {
+      case (name, exec) =>
         val n = exec.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
